@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning applied once per JVM. Every knob here is a runtime-settable
+  * SQL conf so it works whether the session was built by Verify, Bench, tests
+  * or a user application.
+  *
+  * Scale rationale (100 TB / 1000 executors — see SURVEY.md §4): AQE handles
+  * runtime partition coalescing and skew-join splitting; a generous broadcast
+  * threshold keeps the TPC-H-ratio dimension tables on the broadcast path;
+  * shuffle partition count is environment-provided (local[32] → 32) and no
+  * operator depends on it.
+  */
+object GraftSession {
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.parquet.filterPushdown", "true")
+    c.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark
+  }
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational query surface (SURVEY.md §2.1).
+  *
+  * Conventions shared with the DuckDB oracles (SURVEY.md §5): every result is
+  * deterministically ordered, every computed column is explicitly aliased,
+  * floating aggregates are rounded, integer aggregates are 64-bit, and dates
+  * are surfaced as `yyyy-MM-dd` strings.
+  *
+  * Scale notes: fact tables (`lineitem`, `orders`) shuffle only on their
+  * join/group keys; dimension sides are explicitly `broadcast()`. All
+  * aggregates are algebraic (map-side partial agg). Final `orderBy` runs on
+  * post-aggregation results that are orders of magnitude smaller than the
+  * input, or is a distributed top-N (TakeOrderedAndProject).
+  */
+object Relational {
+
+  private def tsLit(s: String) = lit(s).cast("timestamp")
+
+  /** q1: TPC-H Q1-shape scan → groupBy multi-aggregate. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") < tsLit("2001-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: selective scan — predicate + projection pushdown reach the parquet
+    * reader (verified in RelationalSpec via the formatted plan). */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= tsLit("1997-01-01") &&
+              col("l_shipdate") <  tsLit("1997-02-01") &&
+              col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q3: TPC-H Q3 shape — 3-way join, agg, order, limit. Customer dim is
+    * broadcast; orders⋈lineitem shuffles on orderkey only. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > tsLit("1998-01-01"))
+      .join(orders.filter(col("o_orderdate") < tsLit("1998-01-01")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** q4: broadcast hash join of the fact table to a small dimension. */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("p_brand")
+
+  /** q5: TPC-H Q5 shape — six-table join chain; all dims broadcast, single
+    * fact-fact shuffle on orderkey. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+                          col("o_orderdate") <  tsLit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** q6: TPC-H Q6 shape — fully pushed selective scan, single-row aggregate,
+    * zero joins, zero wide shuffles. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+              col("l_shipdate") <  tsLit("1997-01-01") &&
+              col("l_discount").between(0.02, 0.04) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("line_count"))
+
+  /** q8: running/window aggregates per customer ordered by order date. */
+  def customerRunningSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trailing3 = w.rowsBetween(-2, Window.currentRow)
+    orders
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(sum(col("o_totalprice")).over(running), 4).as("running_spend"),
+        round(avg(col("o_totalprice")).over(trailing3), 6).as("moving_avg3"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q9: ROLLUP hierarchical aggregation. */
+  def returnsRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("sum_price"),
+           round(sum(col("l_quantity")), 4).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q10: CUBE aggregation over order status × priority. */
+  def priorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 4).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** q11: LEFT SEMI join (EXISTS). */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "O"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** q12: LEFT ANTI join (NOT EXISTS) — parts never shipped in 2001. */
+  def partsNeverShipped(part: DataFrame, lineitem: DataFrame): DataFrame =
+    part
+      .join(lineitem.filter(col("l_shipdate") >= tsLit("2001-01-01")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy("p_partkey")
+
+  /** q13: scalar-subquery predicate (above-global-average filter).
+    * Quantities are small integers so the avg threshold is bit-identical
+    * across engines (exact integer sums < 2^53). */
+  def aboveAvgLineitems(lineitem: DataFrame): DataFrame = {
+    val threshold = lineitem.agg(avg(col("l_quantity")).as("t"))
+    lineitem
+      .join(broadcast(threshold))
+      .filter(col("l_quantity") > col("t"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q14: CASE-based conditional aggregation (TPC-H Q12 shape). */
+  def priorityShipmentStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("l_linestatus")
+
+  /** q15: exact distinct-count aggregation per market segment. */
+  def segmentDistinctParts(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("o_orderkey")).as("distinct_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** q16: UNION ALL across heterogeneous branches with a shared shape. */
+  def highValueAccounts(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_acctbal") > 9000)
+      .select(lit("customer").as("kind"), col("c_custkey").as("acct_key"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+    val s = supplier.filter(col("s_acctbal") > 9000)
+      .select(lit("supplier").as("kind"), col("s_suppkey").as("acct_key"),
+        round(col("s_acctbal"), 2).as("acctbal"))
+    c.unionAll(s).orderBy("kind", "acct_key")
+  }
+
+  /** q20: exact interpolated percentiles per group (matches DuckDB
+    * quantile_cont). The library also exposes approxQuantiles for the
+    * sketch-based scale path. */
+  def priceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
+  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25,0.5,0.75,0.99), $accuracy)").as("quantiles"))
+      .orderBy("l_returnflag")
+}
