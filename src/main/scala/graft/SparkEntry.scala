@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.operators._
+import graft.lake.{DeleteVectors, Layout, Manifest, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   * Every `queries` key has a matching DuckDB `oracleSql` entry with identical
@@ -44,7 +45,27 @@ object SparkEntry {
     "q18_asof_join" -> q((s, d) => AsofJoin.purchaseAfterSignup(Tables.events(s, d))),
     "q19_range_join" -> q((s, d) => RangeJoin.priceBands(s, Tables.lineitem(s, d))),
     "q20_approx_quantiles" -> q((s, d) => Relational.priceQuantiles(Tables.lineitem(s, d))),
+    "lake_manifest_stats" -> q((s, d) => Manifest.fileStats(Tables.lineitem(s, d))),
+    "lake_prune_files" -> q((s, d) => Manifest.pruneForPredicate(Tables.lineitem(s, d), "1997-01-01", "1997-03-31")),
+    "lake_skip_rate" -> q((s, d) => Layout.skipRateReport(Tables.lineitem(s, d), "1997-01-01", "1997-03-31")),
+    "lake_dv_apply" -> q((s, d) => DeleteVectors.applyDeletes(Tables.lineitem(s, d))),
+    "lake_dv_fold" -> q((s, d) => DeleteVectors.foldManifests(Tables.lineitem(s, d))),
+    "lake_dv_density" -> q((s, d) => DeleteVectors.densityPolicy(Tables.lineitem(s, d))),
+    "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
+    "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
+    "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
+    "lake_snapshot_diff" -> q((s, d) => Snapshots.snapshotDiff(Tables.orders(s, d), "1999-01-01", "2000-01-01")),
+    "lake_orphan_files" -> q((s, d) => Snapshots.orphanFiles(s, Tables.lineitem(s, d))),
+    "lake_concurrent_commits" -> q((s, d) => Snapshots.concurrentCommitStats(s)),
   )
+
+  /** Shared SQL fragment: the deterministic (file_id, pos) data-file model —
+    * must stay in sync with graft.lake.FileModel. */
+  private val fileModelSql: String =
+    """SELECT l.*, l_orderkey % 40 AS file_id,
+      | row_number() OVER (PARTITION BY l_orderkey % 40
+      |                    ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+      |FROM lineitem l""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -223,5 +244,128 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
         | round(quantile_cont(l_extendedprice, 0.99),4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "lake_manifest_stats" ->
+      """SELECT file_id, count(*) AS record_count,
+        | strftime(min(l_shipdate),'%Y-%m-%d') AS min_shipdate,
+        | strftime(max(l_shipdate),'%Y-%m-%d') AS max_shipdate,
+        | round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price,
+        | count(DISTINCT l_partkey) AS distinct_parts
+        |FROM (SELECT *, l_orderkey % 40 AS file_id FROM lineitem) f
+        |GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "lake_prune_files" ->
+      """SELECT file_id, min_shipdate, max_shipdate,
+        | (max_shipdate >= '1997-01-01' AND min_shipdate <= '1997-03-31') AS keep
+        |FROM (SELECT file_id,
+        |  strftime(min(l_shipdate),'%Y-%m-%d') AS min_shipdate,
+        |  strftime(max(l_shipdate),'%Y-%m-%d') AS max_shipdate
+        | FROM (SELECT *, l_orderkey % 40 AS file_id FROM lineitem) f
+        | GROUP BY file_id) s
+        |ORDER BY file_id""".stripMargin,
+
+    "lake_skip_rate" ->
+      """WITH u AS (
+        |  SELECT 'unsorted' AS layout, l_orderkey % 40 AS file_id, l_shipdate FROM lineitem
+        |  UNION ALL
+        |  SELECT 'sorted' AS layout,
+        |   ntile(40) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS file_id,
+        |   l_shipdate
+        |  FROM lineitem),
+        | g AS (SELECT min(l_shipdate) AS gmin, max(l_shipdate) AS gmax FROM lineitem),
+        | f AS (SELECT layout, file_id, min(l_shipdate) AS fmin, max(l_shipdate) AS fmax
+        |       FROM u GROUP BY layout, file_id)
+        |SELECT layout, count(*) AS files_total,
+        | CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        | round(sum(CASE WHEN skipped THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS skip_rate_pct,
+        | round(avg(span_pct), 4) AS avg_span_pct
+        |FROM (
+        | SELECT layout, file_id,
+        |  CAST(date_diff('day', CAST(fmin AS DATE), CAST(fmax AS DATE)) AS DOUBLE)
+        |    / date_diff('day', CAST(gmin AS DATE), CAST(gmax AS DATE)) * 100.0 AS span_pct,
+        |  (fmax < TIMESTAMP '1997-01-01' OR fmin > TIMESTAMP '1997-03-31') AS skipped
+        | FROM f, g) t
+        |GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "lake_dv_apply" ->
+      s"""WITH d AS ($fileModelSql),
+        | dv AS (SELECT file_id, pos FROM d WHERE (l_orderkey*31 + l_linenumber) % 10 = 3)
+        |SELECT l_returnflag, count(*) AS live_rows, round(sum(l_quantity),4) AS live_qty
+        |FROM d WHERE NOT EXISTS (SELECT 1 FROM dv WHERE dv.file_id = d.file_id AND dv.pos = d.pos)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "lake_dv_fold" ->
+      s"""WITH d AS ($fileModelSql),
+        | m AS (SELECT file_id, pos, 1 AS seq FROM d WHERE pos % 7 = 1
+        |       UNION ALL
+        |       SELECT file_id, pos, 2 AS seq FROM d WHERE pos % 5 = 2 AND file_id % 4 = 0),
+        | fold AS (SELECT file_id, pos, max(seq) AS winning_seq FROM m GROUP BY file_id, pos)
+        |SELECT file_id, count(*) AS n_deletes,
+        | CAST(sum(CASE WHEN winning_seq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS from_seq2
+        |FROM fold GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "lake_dv_density" ->
+      """WITH pf AS (
+        | SELECT l_orderkey % 40 AS file_id, count(*) AS record_count,
+        |  CAST(sum(CASE WHEN (l_orderkey*31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS deleted
+        | FROM lineitem GROUP BY 1)
+        |SELECT file_id, record_count, deleted,
+        | round(CAST(deleted AS DOUBLE) / record_count, 6) AS density,
+        | CASE WHEN deleted * 4 <= CAST(ceil(record_count / 8.0) AS BIGINT) THEN 'positions' ELSE 'bitmap' END AS encoding,
+        | least(deleted * 4, CAST(ceil(record_count / 8.0) AS BIGINT)) AS dv_bytes,
+        | CASE WHEN least(deleted * 4, CAST(ceil(record_count / 8.0) AS BIGINT)) <= 4096 THEN 'inline'
+        |      WHEN least(deleted * 4, CAST(ceil(record_count / 8.0) AS BIGINT)) <= 10485760 THEN 'external'
+        |      ELSE 'partitioned' END AS storage
+        |FROM pf ORDER BY file_id""".stripMargin,
+
+    "lake_manifest_prune" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,
+        | count(*) AS record_count, round(sum(l_extendedprice),4) AS bytes_proxy
+        |FROM lineitem
+        |GROUP BY partition_key, file_id
+        |HAVING partition_key = '1997-03'
+        |ORDER BY partition_key, file_id""".stripMargin,
+
+    "lake_commit_log" ->
+      """WITH c AS (SELECT o_orderkey // 100 AS commit_id, count(*) AS files_added,
+        |  round(sum(o_totalprice),4) AS bytes_added FROM orders GROUP BY 1)
+        |SELECT commit_id, files_added, bytes_added,
+        | CAST(sum(files_added) OVER (ORDER BY commit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_files,
+        | CAST(sum(files_added) OVER (ORDER BY commit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS manifest_entries
+        |FROM c ORDER BY commit_id""".stripMargin,
+
+    "lake_compaction_plan" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id, count(*) * 100 AS file_bytes
+        |           FROM lineitem GROUP BY 1),
+        | b AS (SELECT file_id, CAST(file_bytes AS BIGINT) AS file_bytes,
+        |  CAST(coalesce(sum(file_bytes) OVER (ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bytes_before
+        |  FROM f)
+        |SELECT file_id, file_bytes, bytes_before // 400000 AS group_id
+        |FROM b ORDER BY file_id""".stripMargin,
+
+    "lake_snapshot_diff" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS added_rows,
+        | round(sum(o_totalprice),4) AS added_bytes
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_orphan_files" ->
+      """SELECT r.range AS file_id,
+        | 'data/file_' || printf('%05d', r.range) || '.parquet' AS path
+        |FROM range(50) r
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey % 40 = r.range)
+        |ORDER BY file_id""".stripMargin,
+
+    "lake_concurrent_commits" ->
+      """WITH a AS (SELECT range % 8 AS writer_id, range AS commit_order FROM range(40)),
+        | r AS (SELECT writer_id, commit_order,
+        |  coalesce(lag(commit_order) OVER (PARTITION BY writer_id ORDER BY commit_order), -1) AS prev_order
+        |  FROM a)
+        |SELECT writer_id, count(*) AS commits,
+        | CAST(sum(commit_order - prev_order - 1) AS BIGINT) AS total_retries,
+        | round(avg(commit_order - prev_order - 1), 6) AS avg_retries
+        |FROM r GROUP BY writer_id ORDER BY writer_id""".stripMargin,
   )
 }

@@ -1,0 +1,91 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Delete-vector operators (SURVEY.md §2.2).
+  *
+  * The reference validates how positional delete vectors are stored and
+  * resolved (`poc/test_dv_resolution_strategies.py`, `poc/test_delete_storm
+  * .py`, `poc/test_density_adaptive_policy.py`). graft re-expresses them as
+  * DataFrame operators over `(file_id, pos)`-keyed delete sets:
+  *
+  *  - applying DVs on read (merge-on-read) is a null-safe ANTI join on the
+  *    file/position coordinate — a shuffled hash join on a compound key, the
+  *    distributed analogue of the reference's per-file bitmap probe;
+  *  - folding multiple delete manifests is "latest sequence wins per
+  *    coordinate" — one window (or max-aggregate) over the unioned manifests,
+  *    the coalesced positional join of
+  *    `test_dv_resolution_strategies.py:230`;
+  *  - the density-adaptive policy is a per-file aggregation producing the
+  *    encoding + inline/external decision of
+  *    `test_density_adaptive_policy.py:282` (4 KB / 10 MB thresholds).
+  */
+object DeleteVectors {
+
+  /** Deterministic synthetic delete set: ~10% of rows, spread across files.
+    * (In production this DataFrame comes from delete files; here it is
+    * derived so the oracle can rebuild it — SURVEY.md §3.) */
+  def syntheticDeletes(lineitem: DataFrame, nFiles: Int = 40): DataFrame =
+    FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3)
+      .select(col("file_id"), col("pos"))
+
+  /** Merge-on-read: survivors = data ANTI JOIN deletes ON (file_id, pos).
+    * Summarised per return flag to keep the result compact. */
+  def applyDeletes(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val data = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+    val dv = syntheticDeletes(lineitem, nFiles)
+    data.join(dv, Seq("file_id", "pos"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("live_rows"),
+           round(sum(col("l_quantity")), 4).as("live_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two overlapping delete manifests with sequence numbers (models
+    * incremental DV rewrites). */
+  private def manifests(lineitem: DataFrame, nFiles: Int): DataFrame = {
+    val base = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+    val m1 = base.filter(col("pos") % 7 === 1)
+      .select(col("file_id"), col("pos"), lit(1L).as("seq"))
+    val m2 = base.filter(col("pos") % 5 === 2 && col("file_id") % 4 === 0)
+      .select(col("file_id"), col("pos"), lit(2L).as("seq"))
+    m1.unionAll(m2)
+  }
+
+  /** Folded/coalesced DV resolution: latest sequence wins per coordinate;
+    * per-file accounting of resolved deletes and their origin. */
+  def foldManifests(lineitem: DataFrame, nFiles: Int = 40): DataFrame =
+    manifests(lineitem, nFiles)
+      .groupBy(col("file_id"), col("pos"))
+      .agg(max(col("seq")).as("winning_seq"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_deletes"),
+           sum(when(col("winning_seq") === 2, 1L).otherwise(0L)).as("from_seq2"))
+      .orderBy("file_id")
+
+  /** Density-adaptive storage policy per file: choose the cheaper encoding
+    * (positional list vs bitmap), then inline/external by size thresholds. */
+  def densityPolicy(lineitem: DataFrame, nFiles: Int = 40,
+                    inlineThreshold: Long = 4096, externalThreshold: Long = 10L * 1024 * 1024): DataFrame = {
+    val base = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+    val perFile = base.groupBy(col("file_id")).agg(
+      count(lit(1)).as("record_count"),
+      sum(when((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3, 1L).otherwise(0L)).as("deleted"))
+    perFile
+      .withColumn("density", round(col("deleted") / col("record_count"), 6))
+      .withColumn("list_bytes", col("deleted") * 4)
+      .withColumn("bitmap_bytes", ceil(col("record_count") / 8.0).cast("long"))
+      .withColumn("encoding",
+        when(col("list_bytes") <= col("bitmap_bytes"), "positions").otherwise("bitmap"))
+      .withColumn("dv_bytes", least(col("list_bytes"), col("bitmap_bytes")))
+      .withColumn("storage",
+        when(col("dv_bytes") <= inlineThreshold, "inline")
+          .when(col("dv_bytes") <= externalThreshold, "external")
+          .otherwise("partitioned"))
+      .select("file_id", "record_count", "deleted", "density", "encoding", "dv_bytes", "storage")
+      .orderBy("file_id")
+  }
+}

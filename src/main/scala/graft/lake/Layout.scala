@@ -1,0 +1,64 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Writer-organization / data-layout operators (SURVEY.md §2.2).
+  *
+  * The reference's headline result (README.md:59-62, images/skip_rates.png):
+  * unsorted writes give ~0% file skip rate and ~100% per-file domain span,
+  * sorted writes give ~99% skip and ~1% span. `skipRateReport` reproduces
+  * that comparison analytically from per-file min/max stats; `writeSorted`
+  * is the actual sorted writer (range repartition + in-partition sort, the
+  * Spark-native way to get clustered parquet files with tight min/max).
+  */
+object Layout {
+
+  /** Per-layout skip-rate report for a shipdate range predicate.
+    *
+    * Layout "unsorted": files assigned by key hash (write arrival order) —
+    * every file spans nearly the whole shipdate domain.
+    * Layout "sorted": files assigned by shipdate rank (what writeSorted
+    * produces) — each file covers a narrow slice.
+    */
+  def skipRateReport(lineitem: DataFrame, lo: String, hi: String, nFiles: Int = 40): DataFrame = {
+    val unsorted = FileModel.withFileId(lineitem, nFiles)
+      .select(lit("unsorted").as("layout"), col("file_id"), col("l_shipdate"))
+    // ntile over a unique ordering = the file assignment of a range-
+    // partitioned sorted write. (Analytical model; the real writer is
+    // writeSorted below. A global sort is exactly what a sorted writer
+    // pays at scale, too.)
+    val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val sorted = lineitem
+      .withColumn("file_id", (ntile(nFiles).over(w) - 1).cast("long"))
+      .select(lit("sorted").as("layout"), col("file_id"), col("l_shipdate"))
+
+    val global = lineitem.agg(
+      min(col("l_shipdate")).as("gmin"), max(col("l_shipdate")).as("gmax"))
+
+    unsorted.unionAll(sorted)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
+      .join(broadcast(global))
+      .withColumn("span_pct",
+        (unix_date(to_date(col("fmax"))) - unix_date(to_date(col("fmin")))).cast("double") /
+          (unix_date(to_date(col("gmax"))) - unix_date(to_date(col("gmin")))).cast("double") * 100.0)
+      .withColumn("skipped", col("fmax") < lit(lo).cast("timestamp") || col("fmin") > lit(hi).cast("timestamp"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("files_total"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+        round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"),
+        round(avg(col("span_pct")), 4).as("avg_span_pct"))
+      .orderBy("layout")
+  }
+
+  /** The real sorted writer: range-repartition by the clustering key then
+    * sort within partitions → each output parquet file holds a tight,
+    * non-overlapping key range (used by LayoutSpec against a tmp dir). */
+  def writeSorted(df: DataFrame, sortCol: String, outDir: String, numFiles: Int = 8): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+}
