@@ -4,6 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.operators._
 import graft.lake.{DeleteVectors, Layout, Manifest, Snapshots}
+import graft.events.Events
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   * Every `queries` key has a matching DuckDB `oracleSql` entry with identical
@@ -57,7 +62,37 @@ object SparkEntry {
     "lake_snapshot_diff" -> q((s, d) => Snapshots.snapshotDiff(Tables.orders(s, d), "1999-01-01", "2000-01-01")),
     "lake_orphan_files" -> q((s, d) => Snapshots.orphanFiles(s, Tables.lineitem(s, d))),
     "lake_concurrent_commits" -> q((s, d) => Snapshots.concurrentCommitStats(s)),
+    "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d))),
+    "ev_tumbling" -> q((s, d) => Events.tumblingCounts(Tables.events(s, d))),
+    "ev_funnel" -> q((s, d) => Events.funnel(Tables.events(s, d))),
+    "ev_retention" -> q((s, d) => Events.retention(Tables.events(s, d))),
+    "ev_json_extract" -> q((s, d) => Events.propStats(Tables.events(s, d))),
+    "text_stats" -> q((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "text_quality" -> q((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "text_langid" -> q((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "text_fingerprint" -> q((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_top_ngrams" -> q((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    "dedup_exact" -> q((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> q((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash" -> q((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> q((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dedup_embedding" -> q((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "knn_brute" -> q((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    "knn_lsh" -> q((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "knn_centroid" -> q((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
+    "mm_features" -> q((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
   )
+
+  /** Shared oracle fragments (documents tokenizer + embedding prep). */
+  private val tokSql = """string_split_regex(trim(text), '\s+')"""
+  private val embPrepSql =
+    """b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      | n AS (SELECT vec_id, label, v,
+      |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, c) -> a + c)) AS nrm FROM b)""".stripMargin
+  private val minhashSigSql: String =
+    (0 until Dedup.MinhashK)
+      .map(k => s"min((tid * ${Dedup.hashA(k)} + ${Dedup.hashB(k)}) % ${Dedup.MinhashP}) AS m$k")
+      .mkString(", ")
 
   /** Shared SQL fragment: the deterministic (file_id, pos) data-file model —
     * must stay in sync with graft.lake.FileModel. */
@@ -367,5 +402,208 @@ object SparkEntry {
         | CAST(sum(commit_order - prev_order - 1) AS BIGINT) AS total_retries,
         | round(avg(commit_order - prev_order - 1), 6) AS avg_retries
         |FROM r GROUP BY writer_id ORDER BY writer_id""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        | min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        | round(sum(value), 4) AS session_value,
+        | max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "ev_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        | conv AS (SELECT e.user_id, su.signup_ts, min(e.ts) AS first_purchase
+        |   FROM events e JOIN su ON e.user_id = su.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |   GROUP BY e.user_id, su.signup_ts)
+        |SELECT (SELECT count(*) FROM su) AS signup_users,
+        | count(*) AS converted_users,
+        | round(count(*) * 100.0 / (SELECT count(*) FROM su), 4) AS conversion_pct,
+        | round(avg((epoch_ms(first_purchase) - epoch_ms(signup_ts)) / 3600000.0), 6) AS avg_hours_to_convert
+        |FROM conv""".stripMargin,
+
+    "ev_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, count(*) AS active_users,
+        | CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day,
+        | round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS retention_pct
+        |FROM du a LEFT JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+        |GROUP BY a.day ORDER BY day""".stripMargin,
+
+    "ev_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokSql AS tk FROM documents)
+        |SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS text_len,
+        | round(length(replace(text, ' ', '')) * 1.0 / len(tk), 6) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+        | q AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0 / len(tk) AS stop_ratio,
+        |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+        |  len(tk) AS n_tokens
+        | FROM t)
+        |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
+        | round(0.5 * stop_ratio + 0.3 * least(n_tokens / 50.0, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS token FROM documents),
+        | prof AS (SELECT lang AS plang, token FROM (
+        |   SELECT lang, token, count(*) AS c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rk
+        |   FROM tok GROUP BY lang, token) p WHERE rk <= 20),
+        | dt AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+        | m AS (SELECT doc_id, lang, plang, count(*) AS mt FROM dt JOIN prof USING (token) GROUP BY 1, 2, 3),
+        | pred AS (SELECT doc_id, lang, plang FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY mt DESC, plang) AS rk FROM m) x
+        |  WHERE rk = 1)
+        |SELECT lang AS true_lang, plang AS pred_lang, count(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |   unnest(list_transform($tokSql, (x, i) -> {'token': x, 'pos': i})) AS tp FROM documents),
+        | t2 AS (SELECT doc_id, tp.token AS token, CAST(tp.pos AS BIGINT) AS pos FROM tok),
+        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+        |           FROM (SELECT DISTINCT token FROM t2))
+        |SELECT doc_id, count(*) AS n_tokens, bit_xor(tid * pos) AS fingerprint
+        |FROM t2 JOIN vocab USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      s"""WITH t AS (SELECT $tokSql AS tk FROM documents),
+        | bg AS (SELECT unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN x || ' ' || tk[i+1] END),
+        |   y -> y IS NOT NULL)) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH s AS (SELECT doc_id,
+        |   array_to_string(list_sort(list_distinct($tokSql)), ' ') AS sig FROM documents)
+        |SELECT doc_id, count(*) OVER (PARTITION BY sig) AS group_size,
+        | doc_id = min(doc_id) OVER (PARTITION BY sig) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
+        |   y -> y IS NOT NULL)) AS sh FROM t),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT doc_a, doc_b, common,
+        |   round(common * 1.0 / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+        |  FROM pairs JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, common, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
+        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+        |           FROM (SELECT DISTINCT token FROM tok)),
+        | tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token)),
+        | sig AS (SELECT doc_id, $minhashSigSql FROM tt GROUP BY doc_id),
+        | sa AS (SELECT *, ${(0 until Dedup.MinhashK).map(k => s"m$k").mkString("[", ", ", "]")} AS sg FROM sig),
+        | bands AS (
+        |   SELECT doc_id, sg, 0 AS band, concat_ws(',', m0, m1, m2, m3) AS bkey FROM sa
+        |   UNION ALL SELECT doc_id, sg, 1, concat_ws(',', m4, m5, m6, m7) FROM sa
+        |   UNION ALL SELECT doc_id, sg, 2, concat_ws(',', m8, m9, m10, m11) FROM sa
+        |   UNION ALL SELECT doc_id, sg, 3, concat_ws(',', m12, m13, m14, m15) FROM sa),
+        | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sg AS sga, y.sg AS sgb
+        |   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        | est AS (SELECT doc_a, doc_b,
+        |   len(list_filter(list_zip(sga, sgb), p -> p[1] = p[2])) / 16.0 AS e FROM cand)
+        |SELECT doc_a, doc_b, round(e, 6) AS est_sim FROM est WHERE e >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
+        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+        |           FROM (SELECT DISTINCT token FROM tok)),
+        | bits AS (SELECT doc_id, j,
+        |   sum(CASE WHEN (tid * 2654435761 + j * 40503) % 65536 > 32767 THEN 1 ELSE -1 END) AS bitsum
+        |  FROM (SELECT doc_id, tid FROM tok JOIN vocab USING (token)) t,
+        |       (SELECT unnest(range(0, 32)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN bitsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $embPrepSql,
+        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "knn_brute" ->
+      s"""WITH $embPrepSql,
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | s AS (SELECT q_id, vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
+        |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "knn_lsh" -> {
+      def dot(j: Int) =
+        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $embPrepSql,
+        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
+        | s AS (SELECT q_id, g.bucket AS bucket, g.vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * g.nrm), 6) AS cos
+        |  FROM g JOIN q USING (bucket) WHERE g.vec_id <> q.q_id),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
+        |SELECT q_id, bucket, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    },
+
+    "knn_centroid" ->
+      s"""WITH $embPrepSql,
+        | ex AS (SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM b),
+        | ce AS (SELECT label AS clabel, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex GROUP BY 1, 2),
+        | cv AS (SELECT clabel, list(c ORDER BY pos) AS cvec FROM ce GROUP BY 1),
+        | cn AS (SELECT clabel, cvec,
+        |   sqrt(list_reduce(list_transform(cvec, x -> x * x), (a, c2) -> a + c2)) AS cn FROM cv),
+        | sc AS (SELECT n.vec_id, n.label, cn.clabel,
+        |   round(list_reduce(list_transform(list_zip(n.v, cn.cvec), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (n.nrm * cn.cn), 6) AS cos
+        |  FROM n, cn),
+        | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
+        |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm_features" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS checksum
+        | FROM documents)
+        |SELECT doc_id, byte_len, checksum, checksum % 16 AS feature_bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,96 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / event-stream operators over the `events` table (SURVEY.md §2.6).
+  *
+  * All operators partition by `user_id` (high cardinality) — one shuffle,
+  * per-key windows, no global state. `graft.streaming.StreamOps` mirrors
+  * sessionize/tumbling with Structured Streaming (watermark + window /
+  * flatMapGroupsWithState); the batch forms here are the oracle-checkable
+  * definitions of the same semantics.
+  */
+object Events {
+
+  /** Gap-based sessionization (classic lag + cumulative-flag): events of a
+    * user belong to one session while gaps stay under `gapMinutes`. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        round(sum(col("value")), 4).as("session_value"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Tumbling-window (hourly) aggregates per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 4).as("sum_value"),
+           countDistinct(col("user_id")).as("users"))
+      .orderBy("hour", "event_type")
+
+  /** Signup→purchase funnel: users whose first purchase follows their first
+    * signup, with conversion rate and mean hours-to-convert. */
+  def funnel(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts")).as("first_purchase"))
+    val nSignups = signups.agg(count(lit(1)).as("signup_users"))
+    conv.agg(
+        count(lit(1)).as("converted_users"),
+        round(avg((unix_millis(col("first_purchase")) - unix_millis(col("signup_ts"))) / lit(3600000.0)), 6)
+          .as("avg_hours_to_convert"))
+      .join(broadcast(nSignups))
+      .select(col("signup_users"), col("converted_users"),
+        round(col("converted_users") * 100.0 / col("signup_users"), 4).as("conversion_pct"),
+        col("avg_hours_to_convert"))
+  }
+
+  /** Day-over-day retention: of the users active on day d, how many return
+    * on day d+1. */
+  def retention(events: DataFrame): DataFrame = {
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val next = daily.select(col("day").as("nday"), col("user_id").as("nuser"))
+    daily
+      .join(next, col("nuser") === col("user_id") && col("nday") === date_add(col("day"), 1), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+           sum(when(col("nuser").isNotNull, 1L).otherwise(0L)).as("retained_next_day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active_users"),
+        col("retained_next_day"),
+        round(col("retained_next_day") * 100.0 / col("active_users"), 4).as("retention_pct"))
+      .orderBy("day")
+  }
+
+  /** JSON property extraction (`props` is a JSON string column). */
+  def propStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("k")), 6).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+}

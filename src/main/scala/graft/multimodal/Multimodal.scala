@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (SURVEY.md §2.7).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata. The real
+  * decode (image/audio libraries) is STUBBED — `decodeStub` derives
+  * deterministic fake features from the raw bytes — but the Spark-side
+  * plumbing is real: binary columns flow through a typed `Dataset`
+  * `mapPartitions` (batched per partition, the Scala analogue of
+  * `mapInPandas` batch processing), schemas are explicit, and partitioning
+  * is preserved. Swap `decodeStub` for a real codec and nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, feature_bucket: Long)
+
+  /** STUB decode: deterministic byte-level features standing in for a real
+    * image/audio decoder (libs unavailable in this environment). */
+  def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    (sum, sum % 16)
+  }
+
+  /** Typed mapPartitions pipeline over binary payloads (batch shape: one
+    * iterator per partition, constant memory). */
+  def extractFeaturesTyped(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (checksum, bucket) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length.toLong, checksum, bucket)
+      }
+    }
+  }
+
+  /** Documents → binary payloads (UTF-8 bytes stand in for media blobs). */
+  def payloads(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Oracle-checkable column-level equivalent of the typed pipeline: same
+    * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
+    * equal byte values; the oracle mirrors with ascii()/octet_length). */
+  def extractFeatures(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (a, x) -> a + x)").as("checksum"))
+      .withColumn("feature_bucket", col("checksum") % 16)
+      .orderBy("doc_id")
+}

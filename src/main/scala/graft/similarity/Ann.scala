@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.4).
+  *
+  * Three tiers, mirroring how ANN actually scales:
+  *  - `bruteForceTopK`: exact baseline — a bounded query set joined against
+  *    the corpus (the query side broadcasts; the corpus streams). Linear per
+  *    query, the reference answer for recall measurement.
+  *  - `lshTopK`: deterministic random-hyperplane LSH — corpus is bucketed by
+  *    an 8-bit signature, candidates come only from the query's bucket.
+  *    Sub-linear; the 100 TB path (bucket count scales with corpus size).
+  *  - `centroidTopK`-style IVF assignment (`centroidAssign`): partition the
+  *    corpus into cells around label centroids; search only within a cell.
+  *
+  * Determinism: dot products are sequential array folds (bit-identical to
+  * the oracle's list_reduce), rankings order by cosine rounded to 6 dp with
+  * id tie-breaks, hyperplane weights are closed-form integers.
+  */
+object Ann {
+
+  /** Doubles + norm, shared prep. */
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, c) -> a + c))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+
+  /** Exact top-k cosine neighbors for queries `vec_id < nQueries`. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = prep(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Deterministic hyperplane weight for plane j (0-based), 1-based dim p:
+    * integer in [-10, 10] — closed form shared with the oracle. */
+  private def planeExpr(j: Int): String =
+    s"aggregate(zip_with(v, transform(sequence(1, 64), p -> CAST((($j * 73 + p * 37) % 21) - 10 AS DOUBLE)), (x, w) -> x * w), 0D, (a, c) -> a + c)"
+
+  /** 8-bit LSH bucket signature for every vector. */
+  def withBucket(embeddings: DataFrame): DataFrame = {
+    val base = prep(embeddings)
+    val bucket = (0 until 8)
+      .map(j => when(expr(planeExpr(j)) > 0, math.pow(2, j).toLong).otherwise(0L))
+      .reduce(_ + _)
+    base.withColumn("bucket", bucket)
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val bucketed = withBucket(embeddings)
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    bucketed.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
+    * aggregation boundary is engine-independent), each vector assigned to its
+    * max-cosine centroid; returns the label × assigned confusion counts. */
+  def centroidAssign(embeddings: DataFrame): DataFrame = {
+    val base = prep(embeddings)
+    val exploded = base.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val centroids = exploded
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+    val cvec = centroids
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .withColumn("cn", expr("sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, c) -> a + c))"))
+    val scored = base.join(broadcast(cvec))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") / (col("nrm") * col("cn")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+}

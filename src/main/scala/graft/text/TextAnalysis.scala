@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.5).
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so the whole pipeline stays inside WholeStageCodegen
+  * and scales linearly: tokenize → per-doc arrays; corpus-level structures
+  * (vocabulary, language profiles) are tiny aggregates that broadcast.
+  *
+  * Determinism contract with the DuckDB oracles: token ids come from a
+  * dense_rank over the sorted global vocabulary (not an engine hash), all
+  * tie-breaks are explicit, positions are 1-based on both sides.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def toks = split(trim(col("text")), "\\s+")
+
+  /** Per-doc token/char statistics (whitespace tokenizer). */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        round(length(regexp_replace(col("text"), " ", "")) * 1.0 / size(col("t")), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Heuristic quality score: stopword ratio + length norm + punctuation. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    documents
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(t, x -> x IN ($stopList)))") * 1.0 / col("n_tokens"))
+      .withColumn("punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) * 1.0 / length(col("text")))
+      .select(col("doc_id"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(lit(0.5) * col("stop_ratio") +
+              lit(0.3) * least(col("n_tokens") / 50.0, lit(1.0)) +
+              lit(0.2) * (lit(1.0) - col("punct_ratio")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-derived language ID: per-language top-`profileSize` token profiles
+    * from the labeled corpus, classify each doc by profile overlap, report
+    * the confusion matrix. Profiles are tiny → broadcast to the match join. */
+  def languageId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val profile = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("token"))))
+      .filter(col("rk") <= profileSize)
+      .select(col("lang").as("plang"), col("token"))
+    val docTokens = tok.select(col("doc_id"), col("lang"), col("token")).distinct()
+    val matches = docTokens.join(broadcast(profile), Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("m"))
+    val predicted = matches
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("m").desc, col("plang"))))
+      .filter(col("rk") === 1)
+    predicted
+      .groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  /** Positional rolling fingerprint: XOR over (vocab-id × 1-based position).
+    * Vocabulary ids are a dense_rank over the sorted distinct tokens — at
+    * 100 TB this would be a dictionary hash; rank keeps the oracle exact. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+    val vocab = tok.select(col("token")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+    tok.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           expr("bit_xor(tid * pos)").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level bigram frequencies (positional n-gram assembly done with
+    * array lambdas — no self-join). */
+  def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =
+    documents
+      .withColumn("t", toks)
+      .select(explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN concat(x, ' ', t[i+1]) END), y -> y IS NOT NULL)"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+}
