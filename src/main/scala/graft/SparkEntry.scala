@@ -265,10 +265,9 @@ object SparkEntry {
         | round(sum(l_extendedprice),4) AS sum_price,
         | round(avg(l_discount),6) AS avg_disc
         |FROM lineitem
-        |JOIN (SELECT * FROM (VALUES
-        |  ('B0',0.0,10000.0),('B1',10000.0,20000.0),('B2',20000.0,30000.0),('B3',30000.0,40000.0),
-        |  ('B4',40000.0,50000.0),('B5',50000.0,60000.0),('B6',60000.0,70000.0),('B7',70000.0,80000.0))
-        |  b(band, lo, hi)) bands
+        |JOIN (SELECT 'B' || CASE WHEN i < 10 THEN '0' || i ELSE CAST(i AS VARCHAR) END AS band,
+        |             i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+        |      FROM (SELECT unnest(range(0, 11)) AS i)) bands
         | ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** 11 bands of width 10k cover the full l_extendedprice domain (~900 to
+    * ~105k at every SF) — the covering property is asserted in
+    * RelationalSpec. Band names are zero-padded so lexicographic order is
+    * numeric order on both engines. */
   def bands(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    (0 until 8).map(i => (s"B$i", i * 10000.0, (i + 1) * 10000.0))
+    (0 until 11).map(i => (f"B$i%02d", i * 10000.0, (i + 1) * 10000.0))
       .toDF("band", "lo", "hi")
   }
 

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the batch event operators (SURVEY.md §2.6).
+  *
+  * Same logical aggregations as `graft.events.Events`, expressed as streaming
+  * plans: `readStream` source → watermark → windowed agg → sink. Tested with
+  * MemoryStream in StreamingSpec (the driver's oracle can't execute streams;
+  * the batch `ev_*` queries pin down the semantics).
+  *
+  * Scale notes: watermarks bound state; session_window/groupBy key on
+  * user_id so state is per-key and sharded across executors; custom state
+  * (flatMapGroupsWithState) keeps one small case class per user.
+  */
+object StreamOps {
+
+  /** Hourly tumbling counts per event type (streaming mirror of
+    * Events.tumblingCounts). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with the built-in session_window (streaming
+    * mirror of Events.sessionize; a session closes after 30 idle minutes). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("session_value"))
+
+  case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
+
+  /** Custom keyed state: running per-user totals via flatMapGroupsWithState
+    * (Update mode — emits the refreshed total whenever a user has activity). */
+  def runningUserTotals(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, Long.MinValue))
+          var n = prev.n_events
+          var total = prev.total_value
+          var last = prev.last_ts_ms
+          rows.foreach { e =>
+            n += 1; total += e.value; if (e.ts_ms > last) last = e.ts_ms
+          }
+          val updated = UserTotals(userId, n, total, last)
+          state.update(updated)
+          Iterator.single(updated)
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.tables.Tables
+import graft.similarity.Ann
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  test("brute-force top-k: k neighbors per query, ranks ordered by cosine") {
+    val rows = Ann.bruteForceTopK(emb, nQueries = 5, k = 5).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length == 5)
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("cos") >= lo.getAs[Double]("cos"))
+        case _ =>
+      }
+    }
+  }
+
+  test("LSH buckets partition the corpus") {
+    val bucketed = Ann.withBucket(emb)
+    assert(bucketed.count() == emb.count())
+    assert(bucketed.select("bucket").distinct().count() > 1, "all vectors in one bucket = useless LSH")
+  }
+
+  test("LSH top-k neighbors share the query's bucket and appear in brute-force order") {
+    val lsh = Ann.lshTopK(emb, nQueries = 5, k = 3).collect()
+    lsh.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val buckets = rs.map(_.getAs[Long]("bucket")).distinct
+      assert(buckets.length == 1)
+    }
+  }
+
+  test("centroid assignment covers all vectors") {
+    val n = Ann.centroidAssign(emb).agg(sum("n")).collect()(0).getLong(0)
+    assert(n == emb.count())
+  }
+
+  test("embedding near-dup pairs are mutual high-cosine") {
+    val rows = Dedup.embeddingNearDup(emb, threshold = 0.3).collect()
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
+  }
+}

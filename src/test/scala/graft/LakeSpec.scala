@@ -1,0 +1,80 @@
+package graft
+
+import graft.tables.Tables
+import graft.lake._
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+
+  private def lineitem = Tables.lineitem(spark, sf0001)
+
+  test("sorted layout skips files; unsorted does not") {
+    val report = Layout.skipRateReport(lineitem, "1997-01-01", "1997-03-31")
+      .collect().map(r => r.getAs[String]("layout") -> r.getAs[Double]("skip_rate_pct")).toMap
+    assert(report("sorted") > 80.0, s"sorted layout should skip most files: $report")
+    assert(report("unsorted") < 10.0, s"hash layout should skip almost nothing: $report")
+  }
+
+  test("writeSorted produces files with tight non-overlapping shipdate ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_").toString
+    try {
+      Layout.writeSorted(lineitem, "l_shipdate", dir, numFiles = 4)
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(date_format(col("l_shipdate"), fmt)).as("mn"),
+             max(date_format(col("l_shipdate"), fmt)).as("mx"))
+        .collect().map(r => (r.getAs[String]("mn"), r.getAs[String]("mx")))
+        .sortBy(_._1)
+      assert(perFile.length == 4)
+      perFile.sliding(2).foreach {
+        case Array((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"file ranges overlap: $aMax > $bMin")
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("delete vectors: survivors + deletes == total rows") {
+    val total = lineitem.count()
+    val deleted = DeleteVectors.syntheticDeletes(lineitem).count()
+    val live = DeleteVectors.applyDeletes(lineitem)
+      .agg(sum("live_rows")).collect()(0).getLong(0)
+    assert(live + deleted == total)
+  }
+
+  test("folded manifests resolve every coordinate exactly once") {
+    val folded = DeleteVectors.foldManifests(lineitem)
+    val nDeletes = folded.agg(sum("n_deletes")).collect()(0).getLong(0)
+    val distinctCoords = {
+      val base = FileModel.withPos(FileModel.withFileId(lineitem, 40))
+      val m1 = base.filter(col("pos") % 7 === 1).select("file_id", "pos")
+      val m2 = base.filter(col("pos") % 5 === 2 && col("file_id") % 4 === 0).select("file_id", "pos")
+      m1.union(m2).distinct().count()
+    }
+    assert(nDeletes == distinctCoords)
+  }
+
+  test("density policy: every file classified, inline under 4KB") {
+    val rows = DeleteVectors.densityPolicy(lineitem).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val bytes = r.getAs[Long]("dv_bytes")
+      val storage = r.getAs[String]("storage")
+      if (bytes <= 4096) assert(storage == "inline")
+    }
+  }
+
+  test("compaction plan groups are contiguous and bounded") {
+    val rows = Snapshots.compactionPlan(lineitem).collect()
+    val groups = rows.map(_.getAs[Long]("group_id"))
+    assert(groups.sorted.sameElements(groups), "groups must be non-decreasing in file order")
+  }
+
+  test("orphan files are exactly the unreferenced storage ids") {
+    val orphans = Snapshots.orphanFiles(spark, lineitem).collect().map(_.getAs[Long]("file_id"))
+    assert(orphans.forall(_ >= 40) && orphans.length == 10)
+  }
+}

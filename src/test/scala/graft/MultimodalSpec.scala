@@ -1,0 +1,26 @@
+package graft
+
+import graft.tables.Tables
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("typed mapPartitions pipeline matches the column-level featurizer") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val typed = Multimodal
+      .extractFeaturesTyped(spark,
+        Multimodal.payloads(docs).as[Multimodal.MediaRow])
+      .collect().map(f => (f.doc_id, (f.byte_len, f.checksum, f.feature_bucket))).toMap
+    val columnar = Multimodal.extractFeatures(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(typed == columnar, "stubbed decode must agree between typed and columnar paths")
+  }
+
+  test("decode stub is deterministic on raw bytes") {
+    val (c1, b1) = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    val (c2, b2) = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    assert(c1 == c2 && b1 == b2)
+    assert(c1 == "hello".getBytes("UTF-8").map(_.toLong).sum)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.tables.Tables
+import graft.operators._
+
+/** Relational core: correctness invariants + plan-shape (pushdown/broadcast)
+  * assertions. Value-level correctness is covered by the DuckDB oracle gate
+  * (tools/check.py); these specs pin the plan properties that matter at scale.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def lineitem = Tables.lineitem(spark, sf0001)
+  private def explained(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q1 pricing summary: six flag/status groups, positive counts") {
+    val rows = Relational.pricingSummary(lineitem).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q2 filter+projection pushdown reach the parquet scan") {
+    val plan = explained(Relational.filterProject(lineitem))
+    assert(plan.contains("PushedFilters"), "expected parquet PushedFilters")
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    // projection pruning: scan schema must not include unprojected columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"column pruning failed: $readSchema")
+  }
+
+  test("q4 dim join is a broadcast hash join") {
+    val plan = explained(Relational.brandRevenue(lineitem, Tables.part(spark, sf0001)))
+    assert(plan.contains("BroadcastHashJoin"), "part should broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no SMJ expected for a broadcast dim")
+  }
+
+  test("q6 selective scan keeps a single aggregate, no join, no wide shuffle") {
+    val plan = explained(Relational.forecastRevenue(lineitem))
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("q17 global top-N compiles to TakeOrderedAndProject (no total sort)") {
+    val plan = explained(TopK.globalTopLineitems(lineitem))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected distributed top-N:\n$plan")
+  }
+
+  test("asof join matches each purchase to latest prior signup") {
+    val out = AsofJoin.purchaseAfterSignup(Tables.events(spark, sf0001)).collect()
+    assert(out.nonEmpty)
+    // every matched wait is non-negative
+    val waits = out.filter(!_.isNullAt(3)).map(_.getAs[Long]("wait_ms"))
+    assert(waits.forall(_ >= 0))
+  }
+
+  test("range join band totals cover every row exactly once") {
+    val banded = RangeJoin.priceBands(spark, lineitem)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(banded == lineitem.count())
+  }
+}

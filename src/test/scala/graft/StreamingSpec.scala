@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("streaming tumbling counts match the batch aggregation on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(3), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2 && clicks.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming session window closes after the idle gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+
+    val q = StreamOps.sessionize(df)
+      .writeStream.format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      // user 1: two events 5 min apart (one session), then one 40 min later (new session)
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 1.0), (1L, ts(45), 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("session_test").filter(col("user_id") === 1).collect()
+      assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.mkString("; ")}")
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.runningUserTotals(spark, input.toDS())
+      .writeStream.format("memory").queryName("totals_test").outputMode("update").start()
+    try {
+      input.addData(StreamOps.UserEvent(7L, 1000L, 2.5), StreamOps.UserEvent(7L, 2000L, 1.5))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(7L, 3000L, 6.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_test").filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).collect().head
+      assert(last.getAs[Long]("n_events") == 3)
+      assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
+      assert(last.getAs[Long]("last_ts_ms") == 3000L)
+    } finally q.stop()
+  }
+}

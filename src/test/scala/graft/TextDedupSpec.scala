@@ -1,0 +1,64 @@
+package graft
+
+import graft.tables.Tables
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("token stats cover every document") {
+    val out = TextAnalysis.tokenStats(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("quality score is bounded in [0, 1]") {
+    val bad = TextAnalysis.qualityScore(docs)
+      .filter(col("quality") < 0.0 || col("quality") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("language-id confusion matrix accounts for every classified doc") {
+    val n = TextAnalysis.languageId(docs).agg(sum("n")).collect()(0).getLong(0)
+    assert(n > 0 && n <= docs.count())
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("exact dedup partitions the corpus (group sizes sum to doc count)") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == docs.count())
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    val groups = out.map(_.getAs[Long]("group_size"))
+    assert(kept <= out.length && groups.forall(_ >= 1))
+  }
+
+  test("minhash LSH finds the exact-duplicate pairs (est_sim = 1 for same signature)") {
+    val sigDups = Dedup.exact(docs).filter(col("group_size") > 1)
+    if (sigDups.count() > 0) {
+      val perfect = Dedup.minhashLsh(docs).filter(col("est_sim") === 1.0).count()
+      assert(perfect > 0, "identical token sets must collide on every band")
+    }
+  }
+
+  test("jaccard pairs are symmetric-free and above threshold") {
+    val rows = Dedup.ngramJaccardPairs(docs).collect()
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash emits one 32-bit fingerprint per doc") {
+    val rows = Dedup.simhash(docs).collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("simhash"); h >= 0 && h < (1L << 32)
+    })
+  }
+}
