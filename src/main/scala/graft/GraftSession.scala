@@ -22,6 +22,7 @@ object GraftSession {
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.parquet.filterPushdown", "true")
     c.set("spark.sql.parquet.aggregatePushdown", "true")
+    graft.functions.VectorExpressions.register(spark)
     spark
   }
 }

@@ -81,56 +81,73 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: candidate pairs share a band bucket; estimated
-    * similarity = fraction of agreeing minhashes. */
+    * similarity = fraction of agreeing minhashes.
+    *
+    * Shape matters for codegen: candidates travel as bare (doc_a, doc_b) ids
+    * through the band self-join and dedup, then the two signatures join back
+    * (broadcast) and the agreement count is a flat 16-way integer comparison
+    * — no array columns, no interpreted lambdas in the hot path. */
   def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9): DataFrame = {
     val nBands = MinhashK / bandRows
     val sig = signatures(documents)
-      .withColumn("sig", array((0 until MinhashK).map(k => col(s"m$k")): _*))
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until bandRows).map(r => col(s"m${b * bandRows + r}")): _*).as("bkey"))
     }
-    val bands = sig
-      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val x = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"), col("band"), col("bkey"))
-    val y = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"), col("band"), col("bkey"))
-    x.join(y, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
-      .withColumn("est_sim",
-        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / lit(MinhashK.toDouble))
+    // Signatures ride the band join as flat long columns: one pass, one
+    // (doc_a, doc_b) dedup shuffle, no signature-table re-joins (which would
+    // recompute the signature subtree per join) and no interpreted array ops.
+    def sideCols(prefix: String) =
+      col("doc_id").as(s"doc_$prefix") +: (0 until MinhashK).map(k => col(s"m$k").as(s"${prefix}_m$k"))
+    val bands = sig.select((col("doc_id") +: explode(array(bandStructs: _*)).as("bk") +:
+      (0 until MinhashK).map(k => col(s"m$k"))): _*)
+    val x = bands.select((col("bk.band").as("band") +: col("bk.bkey").as("bkey") +: sideCols("a")): _*)
+    val y = bands.select((col("bk.band").as("band") +: col("bk.bkey").as("bkey") +: sideCols("b")): _*)
+    val agree = (0 until MinhashK)
+      .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    x.join(y, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_sim", agree / lit(MinhashK.toDouble))
       .filter(col("est_sim") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("est_sim"), 6).as("est_sim"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(max(col("est_sim")), 6).as("est_sim"))
       .orderBy("doc_a", "doc_b")
   }
 
   /** 32-bit SimHash fingerprint over distinct vocab token ids (deterministic
-    * integer bit mix, identical in the oracle). */
+    * integer bit mix, identical in the oracle).
+    *
+    * One groupBy with 32 conditional-sum columns (fully codegen'd) instead
+    * of exploding a 32× row blowup through two aggregations. */
   def simhash(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
     val vocab = tok.select(col("token")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when((col("tid") * 2654435761L + j * 40503L) % 65536L > 32767L, 1L).otherwise(-1L)).as(s"bit$j")
+    }
+    val hash = (0 until 32)
+      .map(j => when(col(s"bit$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
     tok.join(broadcast(vocab), Seq("token"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 31), j -> struct(j AS j, CASE WHEN (tid * 2654435761 + j * 40503) % 65536 > 32767 THEN 1 ELSE -1 END AS s))"))
-        .as("bj"))
-      .groupBy(col("doc_id"), col("bj.j").as("j"))
-      .agg(sum(col("bj.s")).as("bitsum"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("bitsum") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hash.as("simhash"))
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs (sequential-fold dot products). */
+  /** Embedding-cosine near-dup pairs. Dot products use the codegen'd
+    * graft_dot expression (same left-to-right summation as the oracle's
+    * sequential fold — see graft.functions.DotProduct). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, c) -> a + c))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") / (col("na") * col("nb")), 6))
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")

@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Doubles + norm, shared prep. */
+  /** Doubles + norm, shared prep (graft_dot is the codegen'd sequential
+    * dot product — bit-identical to the oracle's list_reduce fold). */
   private def prep(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, c) -> a + c))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+  private val dotExpr = "graft_dot(qv, v)"
 
   /** Exact top-k cosine neighbors for queries `vec_id < nQueries`. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -47,9 +47,13 @@ object Ann {
   }
 
   /** Deterministic hyperplane weight for plane j (0-based), 1-based dim p:
-    * integer in [-10, 10] — closed form shared with the oracle. */
-  private def planeExpr(j: Int): String =
-    s"aggregate(zip_with(v, transform(sequence(1, 64), p -> CAST((($j * 73 + p * 37) % 21) - 10 AS DOUBLE)), (x, w) -> x * w), 0D, (a, c) -> a + c)"
+    * integer in [-10, 10] — closed form shared with the oracle. The weight
+    * vector is a constant array literal, so the projection is one
+    * graft_dot against it. */
+  private def planeExpr(j: Int): String = {
+    val w = Seq.tabulate(64)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)
+    s"graft_dot(v, array(${w.mkString("D, ")}D))"
+  }
 
   /** 8-bit LSH bucket signature for every vector. */
   def withBucket(embeddings: DataFrame): DataFrame = {
@@ -88,10 +92,9 @@ object Ann {
     val cvec = centroids
       .groupBy(col("clabel"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
-      .withColumn("cn", expr("sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, c) -> a + c))"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
     val scored = base.join(broadcast(cvec))
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)") / (col("nrm") * col("cn")), 6))
+      .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
