@@ -300,14 +300,15 @@ object SparkEntry {
         |ORDER BY file_id""".stripMargin,
 
     "lake_skip_rate" ->
-      """WITH u AS (
+      """WITH g AS (SELECT min(l_shipdate) AS gmin, max(l_shipdate) AS gmax FROM lineitem),
+        | u AS (
         |  SELECT 'unsorted' AS layout, l_orderkey % 40 AS file_id, l_shipdate FROM lineitem
         |  UNION ALL
         |  SELECT 'sorted' AS layout,
-        |   ntile(40) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS file_id,
+        |   least(CAST(floor(date_diff('day', CAST(gmin AS DATE), CAST(l_shipdate AS DATE)) * 40.0
+        |     / (date_diff('day', CAST(gmin AS DATE), CAST(gmax AS DATE)) + 1)) AS BIGINT), 39) AS file_id,
         |   l_shipdate
-        |  FROM lineitem),
-        | g AS (SELECT min(l_shipdate) AS gmin, max(l_shipdate) AS gmax FROM lineitem),
+        |  FROM lineitem, g),
         | f AS (SELECT layout, file_id, min(l_shipdate) AS fmin, max(l_shipdate) AS fmax
         |       FROM u GROUP BY layout, file_id)
         |SELECT layout, count(*) AS files_total,

@@ -1,7 +1,6 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Writer-organization / data-layout operators (SURVEY.md §2.2).
@@ -25,17 +24,19 @@ object Layout {
   def skipRateReport(lineitem: DataFrame, lo: String, hi: String, nFiles: Int = 40): DataFrame = {
     val unsorted = FileModel.withFileId(lineitem, nFiles)
       .select(lit("unsorted").as("layout"), col("file_id"), col("l_shipdate"))
-    // ntile over a unique ordering = the file assignment of a range-
-    // partitioned sorted write. (Analytical model; the real writer is
-    // writeSorted below. A global sort is exactly what a sorted writer
-    // pays at scale, too.)
-    val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    val sorted = lineitem
-      .withColumn("file_id", (ntile(nFiles).over(w) - 1).cast("long"))
-      .select(lit("sorted").as("layout"), col("file_id"), col("l_shipdate"))
-
+    // Clustered layout model: equal-width date buckets — pure arithmetic
+    // against the (broadcast) global min/max, so unlike an ntile over a
+    // global ordering it needs no single-partition sort and survives any
+    // scale. (The real writer, writeSorted below, range-partitions instead;
+    // both yield files covering narrow, nearly disjoint key slices.)
     val global = lineitem.agg(
       min(col("l_shipdate")).as("gmin"), max(col("l_shipdate")).as("gmax"))
+    val sorted = lineitem.join(broadcast(global))
+      .withColumn("file_id", least(
+        floor((unix_date(to_date(col("l_shipdate"))) - unix_date(to_date(col("gmin")))) * nFiles /
+          (unix_date(to_date(col("gmax"))) - unix_date(to_date(col("gmin"))) + 1)).cast("long"),
+        lit(nFiles - 1L)))
+      .select(lit("sorted").as("layout"), col("file_id"), col("l_shipdate"))
 
     unsorted.unionAll(sorted)
       .groupBy(col("layout"), col("file_id"))
