@@ -6,7 +6,7 @@ import graft.operators._
 import graft.lake.{DeleteVectors, Layout, Manifest, Snapshots}
 import graft.events.Events
 import graft.text.TextAnalysis
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.similarity.Ann
 import graft.multimodal.Multimodal
 
@@ -81,6 +81,15 @@ object SparkEntry {
     "knn_lsh" -> q((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "knn_centroid" -> q((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
     "mm_features" -> q((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "q21_pivot" -> q((s, d) => Relational.returnStatusPivot(Tables.lineitem(s, d))),
+    "q22_correlated" -> q((s, d) => Relational.cheapestLinePerPart(Tables.lineitem(s, d))),
+    "q23_sql_interface" -> q((s, d) => Relational.sqlNationYearRevenue(s, d)),
+    "lake_manifest_tree" -> q((s, d) => Manifest.treePlanning(Tables.lineitem(s, d), "1997-01", "1997-06")),
+    "text_normalize" -> q((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
+    "text_tfidf" -> q((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    "ev_anomaly" -> q((s, d) => Events.anomalies(Tables.events(s, d))),
+    "ev_top_sessions" -> q((s, d) => Events.topSessions(Tables.events(s, d))),
+    "dedup_components" -> q((s, d) => Components.minhashComponents(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -93,6 +102,40 @@ object SparkEntry {
     (0 until Dedup.MinhashK)
       .map(k => s"min((tid * ${Dedup.hashA(k)} + ${Dedup.hashB(k)}) % ${Dedup.MinhashP}) AS m$k")
       .mkString(", ")
+
+  /** MinHash CTE chain ending in mh_pairs(doc_a, doc_b, est) — shared by the
+    * dedup_minhash and dedup_components oracles. */
+  private val minhashCtes: String =
+    s"""tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
+      | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+      |           FROM (SELECT DISTINCT token FROM tok)),
+      | tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token)),
+      | sig AS (SELECT doc_id, $minhashSigSql FROM tt GROUP BY doc_id),
+      | sa AS (SELECT *, ${(0 until Dedup.MinhashK).map(k => s"m$k").mkString("[", ", ", "]")} AS sg FROM sig),
+      | bands AS (
+      |   SELECT doc_id, sg, 0 AS band, concat_ws(',', m0, m1, m2, m3) AS bkey FROM sa
+      |   UNION ALL SELECT doc_id, sg, 1, concat_ws(',', m4, m5, m6, m7) FROM sa
+      |   UNION ALL SELECT doc_id, sg, 2, concat_ws(',', m8, m9, m10, m11) FROM sa
+      |   UNION ALL SELECT doc_id, sg, 3, concat_ws(',', m12, m13, m14, m15) FROM sa),
+      | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sg AS sga, y.sg AS sgb
+      |   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      | mh_pairs AS (SELECT doc_a, doc_b,
+      |   len(list_filter(list_zip(sga, sgb), p -> p[1] = p[2])) / 16.0 AS e FROM cand)""".stripMargin
+
+  /** Sessionization CTE chain ending in sess(...) — shared by ev_sessionize
+    * and ev_top_sessions oracles. */
+  private val sessionizeCtes: String =
+    """e AS (SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_sess
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM e),
+      | sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+      |   min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+      |   round(sum(value), 4) AS session_value,
+      |   max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+      |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
   /** Shared SQL fragment: the deterministic (file_id, pos) data-file model —
     * must stay in sync with graft.lake.FileModel. */
@@ -404,17 +447,21 @@ object SparkEntry {
         |FROM r GROUP BY writer_id ORDER BY writer_id""".stripMargin,
 
     "ev_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_sess
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM e)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
-        | min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
-        | round(sum(value), 4) AS session_value,
-        | max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
-        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+      s"""WITH $sessionizeCtes
+        |SELECT * FROM sess ORDER BY user_id, session_seq""".stripMargin,
+
+    "ev_top_sessions" ->
+      s"""WITH $sessionizeCtes
+        |SELECT * FROM sess ORDER BY session_value DESC, user_id, session_seq LIMIT 10""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH s AS (SELECT event_type AS et, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        | round((value - mean_v) / sd_v, 4) AS z
+        |FROM events JOIN s ON event_type = et
+        |WHERE value > mean_v + 2.0 * sd_v
+        |ORDER BY event_id""".stripMargin,
 
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
@@ -518,23 +565,20 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
-        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
-        |           FROM (SELECT DISTINCT token FROM tok)),
-        | tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token)),
-        | sig AS (SELECT doc_id, $minhashSigSql FROM tt GROUP BY doc_id),
-        | sa AS (SELECT *, ${(0 until Dedup.MinhashK).map(k => s"m$k").mkString("[", ", ", "]")} AS sg FROM sig),
-        | bands AS (
-        |   SELECT doc_id, sg, 0 AS band, concat_ws(',', m0, m1, m2, m3) AS bkey FROM sa
-        |   UNION ALL SELECT doc_id, sg, 1, concat_ws(',', m4, m5, m6, m7) FROM sa
-        |   UNION ALL SELECT doc_id, sg, 2, concat_ws(',', m8, m9, m10, m11) FROM sa
-        |   UNION ALL SELECT doc_id, sg, 3, concat_ws(',', m12, m13, m14, m15) FROM sa),
-        | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sg AS sga, y.sg AS sgb
-        |   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        | est AS (SELECT doc_a, doc_b,
-        |   len(list_filter(list_zip(sga, sgb), p -> p[1] = p[2])) / 16.0 AS e FROM cand)
-        |SELECT doc_a, doc_b, round(e, 6) AS est_sim FROM est WHERE e >= 0.9
+      s"""WITH $minhashCtes
+        |SELECT doc_a, doc_b, round(e, 6) AS est_sim FROM mh_pairs WHERE e >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
@@ -605,5 +649,61 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, byte_len, checksum, checksum % 16 AS feature_bucket
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * (1.0 - l_discount)) FILTER (l_linestatus = 'F'), 4) AS F,
+        | round(sum(l_extendedprice * (1.0 - l_discount)) FILTER (l_linestatus = 'O'), 4) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_correlated" ->
+      """SELECT l_partkey, l_suppkey, l_orderkey, round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem l
+        |WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY l_partkey, l_suppkey, l_orderkey""".stripMargin,
+
+    "q23_sql_interface" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, yr""".stripMargin,
+
+    "lake_manifest_tree" ->
+      """WITH e AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month, l_orderkey % 40 AS file_id,
+        |            count(*) AS record_count FROM lineitem GROUP BY 1, 2),
+        | s AS (SELECT count(*) AS total_entries,
+        |   CAST(sum(CASE WHEN part_month BETWEEN '1997-01' AND '1997-06' THEN 1 ELSE 0 END) AS BIGINT) AS matched_entries,
+        |   count(DISTINCT CASE WHEN part_month BETWEEN '1997-01' AND '1997-06' THEN part_month END) AS matched_months,
+        |   count(DISTINCT CASE WHEN part_month BETWEEN '1997-01' AND '1997-06' THEN substring(part_month, 1, 4) END) AS matched_years
+        |  FROM e)
+        |SELECT 'flat' AS structure, CAST(1 AS BIGINT) AS index_reads,
+        |       total_entries AS entries_scanned, matched_entries AS files_matched FROM s
+        |UNION ALL SELECT 'three_level', 1 + matched_years + matched_months, matched_entries, matched_entries FROM s
+        |UNION ALL SELECT 'two_level', 1 + matched_months, matched_entries, matched_entries FROM s
+        |ORDER BY structure""".stripMargin,
+
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        | FROM documents)
+        |SELECT doc_id, CAST(length(norm_text) AS BIGINT) AS norm_len,
+        | CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens,
+        | (norm_text <> text) AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT token, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        | sc AS (SELECT doc_id, token, tf, df,
+        |   round(tf * ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)), 6) AS score
+        |  FROM tf JOIN df USING (token)),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk FROM sc)
+        |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   )
 }

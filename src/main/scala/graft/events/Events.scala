@@ -84,6 +84,24 @@ object Events {
       .orderBy("day")
   }
 
+  /** Value anomalies: events more than `sigmas` sample standard deviations
+    * above their event type's mean. Per-type stats broadcast back. */
+  def anomalies(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(avg(col("value")).as("mean_v"), stddev_samp(col("value")).as("sd_v"))
+    events.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(col("value") > col("mean_v") + lit(sigmas) * col("sd_v"))
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+        round((col("value") - col("mean_v")) / col("sd_v"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Top-N sessions by accumulated value (composition over sessionize). */
+  def topSessions(events: DataFrame, n: Int = 10, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .orderBy(col("session_value").desc, col("user_id"), col("session_seq"))
+      .limit(n)
+
   /** JSON property extraction (`props` is a JSON string column). */
   def propStats(events: DataFrame): DataFrame =
     events

@@ -37,6 +37,37 @@ object Manifest {
         (col("max_shipdate") >= lo && col("min_shipdate") <= hi).as("keep"))
       .orderBy("file_id")
 
+  /** Manifest-tree planning comparison (adaptive-tree flat vs 2-level vs
+    * 3-level, `test_adaptive_metadata_tree.py:194/227/270`): for a month-range
+    * query, how many index objects each structure reads and how many manifest
+    * entries it scans. Flat reads one root but scans every entry; deeper
+    * trees prune scan work at the cost of extra index round-trips — the
+    * trade-off the reference quantifies. */
+  def treePlanning(lineitem: DataFrame, monthLo: String, monthHi: String, nFiles: Int = 40): DataFrame = {
+    val entries = FileModel.withFileId(lineitem, nFiles)
+      .withColumn("part_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("part_month"), col("file_id"))
+      .agg(count(lit(1)).as("record_count"))
+    val inRange = col("part_month") >= monthLo && col("part_month") <= monthHi
+    val stats = entries.agg(
+      count(lit(1)).as("total_entries"),
+      sum(when(inRange, 1L).otherwise(0L)).as("matched_entries"),
+      countDistinct(when(inRange, col("part_month"))).as("matched_months"),
+      countDistinct(when(inRange, substring(col("part_month"), 1, 4))).as("matched_years"))
+    stats.select(explode(array(
+      struct(lit("flat").as("structure"), lit(1L).as("index_reads"),
+        col("total_entries").as("entries_scanned"), col("matched_entries").as("files_matched")),
+      struct(lit("three_level").as("structure"),
+        (lit(1L) + col("matched_years") + col("matched_months")).as("index_reads"),
+        col("matched_entries").as("entries_scanned"), col("matched_entries").as("files_matched")),
+      struct(lit("two_level").as("structure"), (lit(1L) + col("matched_months")).as("index_reads"),
+        col("matched_entries").as("entries_scanned"), col("matched_entries").as("files_matched"))
+    )).as("s"))
+      .select(col("s.structure").as("structure"), col("s.index_reads").as("index_reads"),
+        col("s.entries_scanned").as("entries_scanned"), col("s.files_matched").as("files_matched"))
+      .orderBy("structure")
+  }
+
   /** Flat partition-grouped manifest + partition-pruned planning: the entries
     * a query for one partition actually reads (adaptive-tree flat layout). */
   def partitionManifest(lineitem: DataFrame, targetMonth: String, nFiles: Int = 40): DataFrame =

@@ -208,6 +208,46 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  /** q21: PIVOT — returnflag rows × linestatus columns of revenue. */
+  def returnStatusPivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4))
+      .orderBy("l_returnflag")
+
+  /** q22: correlated-subquery shape — lineitems priced at their part's
+    * minimum (decorrelated into a broadcast min-join, which is exactly what
+    * Catalyst does to the EXISTS/scalar-subquery form). */
+  def cheapestLinePerPart(lineitem: DataFrame): DataFrame = {
+    val mins = lineitem.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    lineitem.join(broadcast(mins),
+        col("l_partkey") === col("mk") && col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_partkey", "l_suppkey", "l_orderkey")
+  }
+
+  /** q23: the SQL front door — identical semantics whether built via the
+    * DataFrame API or `spark.sql` over registered views. */
+  def sqlNationYearRevenue(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.tables.Tables.all.foreach { n =>
+      // events needs the nanos-aware loader; plain parquet read would throw
+      val df = if (n == "events") graft.tables.Tables.events(spark, dir)
+               else graft.tables.Tables.load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    spark.sql(
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, yr""".stripMargin)
+  }
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem

@@ -91,6 +91,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Text normalisation pipeline: lowercase → strip punctuation → collapse
+    * whitespace → trim. Pure codegen string ops. */
+  def normalize(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("norm_text")).cast("long").as("norm_len"),
+        size(split(col("norm_text"), " ")).cast("long").as("n_tokens"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
+  /** Top-k tokens per doc by TF-IDF (idf = ln((N+1)/(df+1)); N, df and tf are
+    * exact integers so both engines feed ln identical operands). Ranking uses
+    * the 6-dp-rounded score with a token tie-break for determinism. */
+  def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(toks).as("token"))
+    val n = documents.count() // corpus size: a literal in the plan (tiny driver action)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Corpus-level bigram frequencies (positional n-gram assembly done with
     * array lambdas — no self-join). */
   def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =

@@ -1,0 +1,34 @@
+package graft
+
+import graft.tables.Tables
+import graft.dedup.{Components, Dedup}
+import graft.lake.Manifest
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+
+  test("connected components: every edge endpoint shares its pair's component") {
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashLsh(docs)
+    val comps = Components.connectedComponents(docs, pairs)
+    val mismatches = pairs
+      .join(comps.withColumnsRenamed(Map("doc_id" -> "doc_a", "comp" -> "ca")), Seq("doc_a"))
+      .join(comps.withColumnsRenamed(Map("doc_id" -> "doc_b", "comp" -> "cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(mismatches == 0, "paired docs must land in the same component")
+    // component label is the minimum member id
+    val badLabel = comps.filter(col("comp") > col("doc_id")).count()
+    assert(badLabel == 0)
+    assert(comps.count() == docs.count(), "every doc gets a component (singletons included)")
+  }
+
+  test("manifest tree planning: deeper trees trade index reads for scan work") {
+    val rows = Manifest.treePlanning(Tables.lineitem(spark, sf0001), "1997-01", "1997-06")
+      .collect().map(r => r.getAs[String]("structure") ->
+        (r.getAs[Long]("index_reads"), r.getAs[Long]("entries_scanned"))).toMap
+    assert(rows("flat")._1 == 1)
+    assert(rows("two_level")._1 > 1)
+    assert(rows("two_level")._2 < rows("flat")._2, "partition pruning must cut scanned entries")
+    assert(rows("three_level")._1 >= rows("two_level")._1)
+  }
+}
