@@ -90,6 +90,7 @@ object SparkEntry {
     "ev_anomaly" -> q((s, d) => Events.anomalies(Tables.events(s, d))),
     "ev_top_sessions" -> q((s, d) => Events.topSessions(Tables.events(s, d))),
     "dedup_components" -> q((s, d) => Components.minhashComponents(Tables.documents(s, d))),
+    "q24_salted_agg" -> q((s, d) => SkewSafe.saltedFlagRevenue(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -705,5 +706,11 @@ object SparkEntry {
         |  FROM tf JOIN df USING (token)),
         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk FROM sc)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q24_salted_agg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
