@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: one line per query with the physical-operator counts that
+  * matter at scale (exchanges, join strategies, codegen coverage). Flags
+  * CartesianProduct / BroadcastNestedLoopJoin so unintentional quadratic
+  * plans can't hide (the range join's BNLJ against a tiny band table is the
+  * one sanctioned use).
+  */
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+
+    println(f"${"query"}%-24s ex  bhj smj bnlj cart wsc  flags")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def c(s: String) = plan.linesIterator.count(_.contains(s))
+        val ex = c("Exchange")
+        val bhj = c("BroadcastHashJoin")
+        val smj = c("SortMergeJoin")
+        val bnlj = c("BroadcastNestedLoopJoin")
+        val cart = c("CartesianProduct")
+        val wsc = c("WholeStageCodegen")
+        val flags = new StringBuilder
+        if (cart > 0) flags.append(" CARTESIAN!")
+        if (bnlj > 0 && name != "q19_range_join" && !name.startsWith("dedup_embedding")) flags.append(" BNLJ?")
+        println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
+      } catch {
+        case e: Throwable => println(f"$name%-24s FAILED: ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
