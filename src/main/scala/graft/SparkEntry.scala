@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.operators._
-import graft.lake.{DeleteVectors, Layout, Manifest, Snapshots}
+import graft.lake.{DeleteVectors, FileModel, Layout, Manifest, Snapshots}
 import graft.events.Events
 import graft.text.TextAnalysis
 import graft.dedup.{Components, Dedup}
@@ -138,13 +138,9 @@ object SparkEntry {
       |   max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
       |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
-  /** Shared SQL fragment: the deterministic (file_id, pos) data-file model —
-    * must stay in sync with graft.lake.FileModel. */
-  private val fileModelSql: String =
-    """SELECT l.*, l_orderkey % 40 AS file_id,
-      | row_number() OVER (PARTITION BY l_orderkey % 40
-      |                    ORDER BY l_orderkey, l_linenumber) - 1 AS pos
-      |FROM lineitem l""".stripMargin
+  /** Shared SQL fragment: the deterministic (file_id, pos) data-file model.
+    * Single definition lives in graft.lake.FileModel next to the Scala one. */
+  private val fileModelSql: String = FileModel.sqlModel(40)
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * OptimisticLockManager) as append-log analytics: a commit log is a
   * DataFrame keyed by commit_id; growth and contention accounting are window
   * aggregations over it — per-key partitions, no driver-side loops.
+  *
+  * Scale note: `commitLog` / `compactionPlan` use an unpartitioned
+  * `Window.orderBy` (single-partition cumulative sum). That is safe here *by
+  * construction*: both run over post-aggregation tables with one row per
+  * commit / per file — thousands of rows even at 100 TB, since commits and
+  * data files are coarse units, not data rows. If a deployment ever had
+  * billions of files, the scale path is the standard two-phase prefix sum
+  * (per-partition partial sums + broadcast partition offsets).
   */
 object Snapshots {
 

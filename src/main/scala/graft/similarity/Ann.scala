@@ -48,18 +48,25 @@ object Ann {
 
   /** Deterministic hyperplane weight for plane j (0-based), 1-based dim p:
     * integer in [-10, 10] — closed form shared with the oracle. The weight
-    * vector is a constant array literal, so the projection is one
-    * graft_dot against it. */
-  private def planeExpr(j: Int): String = {
-    val w = Seq.tabulate(64)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)
+    * vector is a constant array literal sized to the actual embedding
+    * dimension, so the projection is one graft_dot against it (graft_dot
+    * throws on length mismatch, so dimension drift fails loudly). */
+  private def planeExpr(j: Int, dim: Int): String = {
+    val w = Seq.tabulate(dim)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)
     s"graft_dot(v, array(${w.mkString("D, ")}D))"
   }
+
+  /** Embedding dimension read from the data (one 1-row job at plan-build
+    * time; the table's dim is schema-stable so any row is authoritative). */
+  private def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head().getInt(0)
 
   /** 8-bit LSH bucket signature for every vector. */
   def withBucket(embeddings: DataFrame): DataFrame = {
     val base = prep(embeddings)
+    val dim = embeddingDim(embeddings)
     val bucket = (0 until 8)
-      .map(j => when(expr(planeExpr(j)) > 0, math.pow(2, j).toLong).otherwise(0L))
+      .map(j => when(expr(planeExpr(j, dim)) > 0, math.pow(2, j).toLong).otherwise(0L))
       .reduce(_ + _)
     base.withColumn("bucket", bucket)
   }
