@@ -17,25 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** @param docs  all documents (isolated docs form singleton components)
+  /** @param nodes node ids as a `doc_id` column (isolated nodes form
+    *              singleton components)
     * @param pairs undirected edges as (doc_a, doc_b) */
-  def connectedComponents(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id").as("id")).withColumn("comp", col("id"))
+    var labels = nodes.select(col("doc_id").as("id")).withColumn("comp", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neigh = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // One checkpointed pass carries both the new label and the changed flag,
+      // so convergence needs no second join against the previous labels.
       val updated = labels.join(neigh, col("id") === col("src"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels = updated
+      val changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }
@@ -43,7 +47,24 @@ object Components {
   }
 
   /** Dedup clusters of the MinHash near-dup graph: per-doc component
-    * assignment (comp = min doc_id of the cluster). */
-  def minhashComponents(documents: DataFrame): DataFrame =
-    connectedComponents(documents, Dedup.minhashLsh(documents))
+    * assignment (comp = min doc_id of the cluster).
+    *
+    * Runs label propagation on the *signature-group* graph (docs with
+    * identical MinHash signatures are one node — see Dedup.minhashGroups)
+    * and expands group components back to docs at the end. Equivalent to
+    * doc-level CC: same-group docs form a clique (est 1.0 edges) so they
+    * always share a component, and each group's node id is its min doc_id,
+    * so the propagated min label is the min reachable doc_id. Collapsing
+    * 5000 docs / 1.4M edges to 2256 groups / 4.3k edges makes every
+    * iteration a small-table join. */
+  def minhashComponents(documents: DataFrame): DataFrame = {
+    val g = Dedup.minhashGroups(documents)
+    val comps = connectedComponents(
+      g.groups.select(col("gid").as("doc_id")),
+      g.crossQual.select(col("ga").as("doc_a"), col("gb").as("doc_b")))
+    g.members
+      .join(broadcast(comps.withColumnRenamed("doc_id", "gid")), Seq("gid"))
+      .select(col("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
 }

@@ -44,9 +44,12 @@ object Dedup {
       .distinct()
 
   /** Near-dup pairs by n-gram Jaccard via inverted-index join (no cross join:
-    * only docs sharing at least one shingle are compared). */
+    * only docs sharing at least one shingle are compared). The shingle table
+    * feeds three plan branches (two join sides + sizes); localCheckpoint
+    * materialises it once instead of recomputing the tokenize+explode+distinct
+    * subtree per branch. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents)
+    val sh = shingles(documents).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -80,39 +83,83 @@ object Dedup {
     tt.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH banding: candidate pairs share a band bucket; estimated
-    * similarity = fraction of agreeing minhashes.
+  /** Internal decomposition of the MinHash/LSH pair graph, factored through
+    * *signature groups* (docs with identical 16-hash signatures collapse to
+    * one node). Near-dup-saturated corpora have far fewer distinct signatures
+    * than docs (2256 vs 5000 at sf0.1), so banding/matching at group level
+    * shrinks the candidate self-join quadratically (677k group candidates vs
+    * 7.5M doc candidates) and the O(n·m) member expansion happens only for
+    * the pairs that already passed the similarity threshold.
     *
-    * Shape matters for codegen: candidates travel as bare (doc_a, doc_b) ids
-    * through the band self-join and dedup, then the two signatures join back
-    * (broadcast) and the agreement count is a flat 16-way integer comparison
-    * — no array columns, no interpreted lambdas in the hot path. */
-  def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9): DataFrame = {
+    * @param members   (doc_id, gid) — gid is the group's min doc_id
+    * @param groups    (gid, gn) — group size
+    * @param crossQual (ga, gb, est_sim) qualifying pairs of *different* groups
+    * @param selfQual  (gid) groups of ≥2 members (intra-group est_sim = 1.0)
+    */
+  private[dedup] case class SigGroups(members: DataFrame, groups: DataFrame,
+                                      crossQual: DataFrame, selfQual: DataFrame)
+
+  private[dedup] def minhashGroups(documents: DataFrame, bandRows: Int = 4,
+                                   threshold: Double = 0.9): SigGroups = {
     val nBands = MinhashK / bandRows
-    val sig = signatures(documents)
+    val mcols = (0 until MinhashK).map(k => col(s"m$k"))
+    // Signature table feeds both the grouping and the member mapping —
+    // checkpoint so the tokenize+vocab+groupBy subtree runs once.
+    val sig = signatures(documents).localCheckpoint(true)
+    val groups = sig.groupBy(mcols: _*)
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
+      .localCheckpoint(true)
+    val members = sig
+      .join(broadcast(groups), (0 until MinhashK).map(k => s"m$k"))
+      .select(col("doc_id"), col("gid"))
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until bandRows).map(r => col(s"m${b * bandRows + r}")): _*).as("bkey"))
     }
-    // Signatures ride the band join as flat long columns: one pass, one
-    // (doc_a, doc_b) dedup shuffle, no signature-table re-joins (which would
-    // recompute the signature subtree per join) and no interpreted array ops.
-    def sideCols(prefix: String) =
-      col("doc_id").as(s"doc_$prefix") +: (0 until MinhashK).map(k => col(s"m$k").as(s"${prefix}_m$k"))
-    val bands = sig.select((col("doc_id") +: explode(array(bandStructs: _*)).as("bk") +:
-      (0 until MinhashK).map(k => col(s"m$k"))): _*)
-    val x = bands.select((col("bk.band").as("band") +: col("bk.bkey").as("bkey") +: sideCols("a")): _*)
-    val y = bands.select((col("bk.band").as("band") +: col("bk.bkey").as("bkey") +: sideCols("b")): _*)
+    // Narrow band self-join on bare group ids, dedup, then broadcast the tiny
+    // group table back for the flat 16-way agreement comparison.
+    val bands = groups.select(col("gid"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("gid"))
+    val cand = bands.select(col("band"), col("bkey"), col("gid").as("ga"))
+      .join(bands.select(col("band"), col("bkey"), col("gid").as("gb")), Seq("band", "bkey"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb")).distinct()
+    def side(prefix: String) =
+      broadcast(groups.select(col("gid").as(s"g$prefix") +:
+        (0 until MinhashK).map(k => col(s"m$k").as(s"${prefix}_m$k")): _*))
     val agree = (0 until MinhashK)
       .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
       .reduce(_ + _)
-    x.join(y, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("est_sim", agree / lit(MinhashK.toDouble))
+    val crossQual = cand.join(side("a"), Seq("ga")).join(side("b"), Seq("gb"))
+      .withColumn("est_sim", round(agree / lit(MinhashK.toDouble), 6))
       .filter(col("est_sim") >= threshold)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(max(col("est_sim")), 6).as("est_sim"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("ga"), col("gb"), col("est_sim"))
+    val selfQual = groups.filter(col("gn") >= 2).select(col("gid"))
+    SigGroups(members, groups, crossQual, selfQual)
+  }
+
+  /** MinHash + LSH banding: candidate pairs share a band bucket; estimated
+    * similarity = fraction of agreeing minhashes. Computed via signature
+    * groups (see minhashGroups) — identical output to the direct doc-level
+    * band join: same-group doc pairs always share every band (est 1.0), and
+    * a cross-group doc pair is a candidate iff its signatures share a band
+    * bucket, which depends only on the signatures. */
+  def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9): DataFrame = {
+    val g = minhashGroups(documents, bandRows, threshold)
+    val ma = g.members.select(col("gid").as("ga"), col("doc_id").as("da"))
+    val mb = g.members.select(col("gid").as("gb"), col("doc_id").as("db"))
+    // Cross-group: every (a ∈ A, b ∈ B) qualifies; orient by id afterwards.
+    val cross = g.crossQual
+      .join(ma, Seq("ga")).join(mb, Seq("gb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("est_sim"))
+    // Intra-group: all member pairs, est_sim exactly 1.0.
+    val self = g.selfQual
+      .join(ma, col("gid") === col("ga")).join(mb, col("gid") === col("gb"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(lit(1.0), 6).as("est_sim"))
+    cross.unionAll(self).orderBy("doc_a", "doc_b")
   }
 
   /** 32-bit SimHash fingerprint over distinct vocab token ids (deterministic
@@ -144,6 +191,9 @@ object Dedup {
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    // NOT checkpointed: the double subtree is trivial (2k rows) and a
+    // checkpoint here demotes the nested-loop join out of codegen (measured
+    // 4.7s → 7.1s at sf0.1).
     val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for vector math (SURVEY.md §2.4 scale path).
   *
@@ -62,10 +62,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sum of unsigned byte values of a binary column — the multimodal stub
+  * featurizer's checksum as a codegen'd scalar (the higher-order
+  * `aggregate(transform(split(...)))` form is interpreted and allocates a
+  * per-char array per row). For ASCII payloads this equals the sum of
+  * ascii() codes, which is what the DuckDB oracle computes. */
+case class ByteSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bytesum"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $s += $x[$i] & 0xff;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register `graft_dot` in the session so operators can use it via
-    * expr("graft_dot(a, b)"). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_dot` / `graft_bytesum` in the session so operators can
+    * use them via expr(...). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (children: Seq[Expression]) => DotProduct(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bytesum", (children: Seq[Expression]) => ByteSum(children.head), "built-in")
+  }
 }

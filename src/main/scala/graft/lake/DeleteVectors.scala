@@ -47,12 +47,16 @@ object DeleteVectors {
   /** Two overlapping delete manifests with sequence numbers (models
     * incremental DV rewrites). */
   private def manifests(lineitem: DataFrame, nFiles: Int): DataFrame = {
+    // One pass over the (windowed) file model: each row emits its manifest
+    // memberships via a 2-element conditional array — the union-of-filters
+    // form would compute the scan+window subtree once per manifest.
     val base = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
-    val m1 = base.filter(col("pos") % 7 === 1)
-      .select(col("file_id"), col("pos"), lit(1L).as("seq"))
-    val m2 = base.filter(col("pos") % 5 === 2 && col("file_id") % 4 === 0)
-      .select(col("file_id"), col("pos"), lit(2L).as("seq"))
-    m1.unionAll(m2)
+    base.select(col("file_id"), col("pos"),
+      explode(expr(
+        """filter(array(
+          |  CASE WHEN pos % 7 = 1 THEN 1L END,
+          |  CASE WHEN pos % 5 = 2 AND file_id % 4 = 0 THEN 2L END
+          |), x -> x IS NOT NULL)""".stripMargin)).as("seq"))
   }
 
   /** Folded/coalesced DV resolution: latest sequence wins per coordinate;

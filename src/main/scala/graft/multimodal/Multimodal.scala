@@ -52,7 +52,7 @@ object Multimodal {
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("byte_len"),
-        expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (a, x) -> a + x)").as("checksum"))
+        expr("graft_bytesum(payload)").as("checksum"))
       .withColumn("feature_bucket", col("checksum") % 16)
       .orderBy("doc_id")
 }

@@ -196,16 +196,19 @@ object Relational {
   }
 
   /** q20: exact interpolated percentiles per group (matches DuckDB
-    * quantile_cont). The library also exposes approxQuantiles for the
-    * sketch-based scale path. */
+    * quantile_cont). One array-argument percentile aggregate — a single
+    * per-group value map instead of four (4× less buffer merge work).
+    * The library also exposes approxQuantiles for the sketch-based scale
+    * path. */
   def priceQuantiles(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p99"))
       .orderBy("l_returnflag")
 
   /** q21: PIVOT — returnflag rows × linestatus columns of revenue. */
@@ -246,6 +249,62 @@ object Relational {
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY n_name, yr""".stripMargin)
+  }
+
+  /** q25: GROUPING SETS — per-flag and per-status marginals plus the grand
+    * total in one aggregation pass (no union of groupBys), with grouping_id
+    * disambiguating the null rows. */
+  def flagStatusGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           round(sum(col("l_extendedprice")), 4).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q26: distribution window functions — quartile bucket, percent_rank and
+    * cume_dist of each order inside its priority class. Bounded output via
+    * custkey filter; all three functions share one window sort. */
+  def priorityPriceDistribution(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** q27: INTERSECT / EXCEPT set operators — customers active in both years
+    * vs churned after year one. */
+  def customerYearSets(orders: DataFrame): DataFrame = {
+    def active(year: Int) =
+      orders.filter(col("o_orderdate") >= tsLit(s"$year-01-01") &&
+                    col("o_orderdate") < tsLit(s"${year + 1}-01-01"))
+        .select(col("o_custkey"))
+    val y1 = active(1996)
+    val y2 = active(1997)
+    val retained = y1.intersect(y2).select(lit("retained").as("cohort"), col("o_custkey"))
+    val churned = y1.except(y2).select(lit("churned").as("cohort"), col("o_custkey"))
+    retained.unionAll(churned).orderBy("cohort", "o_custkey")
+  }
+
+  /** q28: value-position window functions — first/last/2nd order price per
+    * customer over the full partition frame. */
+  def customerOrderEndpoints(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(w), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
