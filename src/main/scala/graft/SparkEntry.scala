@@ -91,6 +91,22 @@ object SparkEntry {
     "ev_top_sessions" -> q((s, d) => Events.topSessions(Tables.events(s, d))),
     "dedup_components" -> q((s, d) => Components.minhashComponents(Tables.documents(s, d))),
     "q24_salted_agg" -> q((s, d) => SkewSafe.saltedFlagRevenue(Tables.lineitem(s, d))),
+    "q25_grouping_sets" -> q((s, d) => Relational.flagStatusGroupingSets(Tables.lineitem(s, d))),
+    "q26_ntile" -> q((s, d) => Relational.priorityPriceDistribution(Tables.orders(s, d))),
+    "q27_set_ops" -> q((s, d) => Relational.customerYearSets(Tables.orders(s, d))),
+    "q28_window_endpoints" -> q((s, d) => Relational.customerOrderEndpoints(Tables.orders(s, d))),
+    "ev_hopping" -> q((s, d) => Events.hoppingCounts(Tables.events(s, d))),
+    "ev_cohort_ltv" -> q((s, d) => Events.cohortLtv(Tables.events(s, d))),
+    "text_stopword_filter" -> q((s, d) => TextAnalysis.stopwordFilter(Tables.documents(s, d))),
+    "text_bigram_lm" -> q((s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    "lake_time_travel" -> q((s, d) => Snapshots.timeTravel(Tables.orders(s, d))),
+    "lake_expiry_plan" -> q((s, d) => Snapshots.expiryPlan(Tables.orders(s, d))),
+    "lake_cdc_changelog" -> q((s, d) => Snapshots.cdcChangelog(Tables.orders(s, d), "1998-01-01", "1999-01-01")),
+    "lake_merge_upsert" -> q((s, d) => Snapshots.mergeUpsert(Tables.customer(s, d), Tables.orders(s, d))),
+    "lake_file_histogram" -> q((s, d) => Manifest.fileSizeHistogram(Tables.lineitem(s, d))),
+    "lake_zorder" -> q((s, d) => Layout.zorderReport(Tables.lineitem(s, d))),
+    "lake_equality_deletes" -> q((s, d) => DeleteVectors.equalityDeletes(Tables.lineitem(s, d))),
+    "knn_multiprobe" -> q((s, d) => Ann.multiProbeTopK(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -708,5 +724,184 @@ object SparkEntry {
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS gid,
+        | round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q26_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q27_set_ops" ->
+      """WITH y1 AS (SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | y2 AS (SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+        |UNION ALL
+        |SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+        |ORDER BY cohort, o_custkey""".stripMargin,
+
+    "q28_window_endpoints" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        | round(last_value(o_totalprice) OVER w, 2) AS last_price,
+        | round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "ev_hopping" ->
+      """WITH e AS (SELECT event_type, value, (epoch_ms(ts) // 1800000) * 1800000 AS t30 FROM events),
+        | x AS (SELECT event_type, value, unnest([t30, t30 - 1800000]) AS ws FROM e)
+        |SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M') AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_cohort_ltv" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        | p AS (SELECT e.user_id, e.value, e.ts, su.signup_ts
+        |   FROM events e JOIN su ON e.user_id = su.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts)
+        |SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d') AS cohort_week,
+        | CAST(floor(date_diff('day', CAST(signup_ts AS DATE), CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_n,
+        | count(DISTINCT user_id) AS buyers, round(sum(value), 4) AS ltv
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_stopword_filter" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | f AS (SELECT doc_id, tk,
+        |   list_filter(tk, x -> x NOT IN ('the','a','of','and','to','in','is','on','for','with')) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+        | round(len(kept) * 1.0 / len(tk), 6) AS keep_ratio,
+        | CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS filtered_len
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN {'w1': x, 'w2': tk[i+1]} END),
+        |   y -> y IS NOT NULL)) AS b FROM t),
+        | b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY 1, 2),
+        | cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(-ln(cb * 1.0 / cw)), 6) AS avg_nll
+        |FROM b2 JOIN cb USING (w1, w2) JOIN cw USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "lake_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n_rows, round(sum(o_totalprice), 4) AS total_price
+        |FROM orders WHERE o_orderkey // 100 <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_expiry_plan" ->
+      """WITH v AS (SELECT o_orderkey // 100 AS commit_id, o_orderkey % 40 AS file_id,
+        |   round(sum(o_totalprice), 4) AS version_bytes FROM orders GROUP BY 1, 2),
+        | g AS (SELECT max(commit_id) AS max_commit FROM v),
+        | l AS (SELECT *, max(commit_id) OVER (PARTITION BY file_id) AS latest_commit FROM v)
+        |SELECT commit_id, count(*) AS versions_removable,
+        | round(sum(version_bytes), 4) AS bytes_reclaimed
+        |FROM l, g WHERE commit_id < latest_commit AND commit_id <= max_commit - 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_cdc_changelog" ->
+      """WITH before AS (SELECT DISTINCT o_custkey FROM orders
+        |                WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        | w AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey, count(*) AS n_orders
+        |   FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |   GROUP BY 1, 2)
+        |SELECT month,
+        | CAST(sum(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS insert_keys,
+        | CAST(sum(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS update_keys,
+        | CAST(sum(n_orders) AS BIGINT) AS changed_rows
+        |FROM w LEFT JOIN before b ON w.o_custkey = b.o_custkey
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "lake_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS key, c_acctbal AS balance FROM customer WHERE c_custkey < 500),
+        | s AS (SELECT o_custkey AS key, sum(o_totalprice) * 0.1 AS delta FROM orders
+        |       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |       GROUP BY 1),
+        | m AS (SELECT coalesce(t.balance, 0.0) + coalesce(s.delta, 0.0) AS new_balance,
+        |   CASE WHEN t.key IS NOT NULL AND s.key IS NOT NULL THEN 'update'
+        |        WHEN t.key IS NULL THEN 'insert' ELSE 'keep' END AS action
+        |  FROM t FULL OUTER JOIN s ON t.key = s.key)
+        |SELECT action, count(*) AS n_keys, round(sum(new_balance), 4) AS sum_balance
+        |FROM m GROUP BY action ORDER BY action""".stripMargin,
+
+    "lake_file_histogram" ->
+      """WITH b AS (SELECT l_orderkey % 40 AS file_id, count(*) * 100 AS file_bytes
+        |           FROM lineitem GROUP BY 1)
+        |SELECT CASE WHEN file_bytes < 1024 THEN '0_lt_1k' WHEN file_bytes < 4096 THEN '1_lt_4k'
+        | WHEN file_bytes < 16384 THEN '2_lt_16k' WHEN file_bytes < 65536 THEN '3_lt_64k'
+        | WHEN file_bytes < 262144 THEN '4_lt_256k' WHEN file_bytes < 1048576 THEN '5_lt_1m'
+        | WHEN file_bytes < 4194304 THEN '6_lt_4m' ELSE '7_ge_4m' END AS size_bucket,
+        | count(*) AS n_files, CAST(sum(file_bytes) AS BIGINT) AS total_bytes,
+        | CAST(min(file_bytes) AS BIGINT) AS min_bytes, CAST(max(file_bytes) AS BIGINT) AS max_bytes
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_zorder" -> {
+      val interleave = (0 until 8)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT min(CAST(l_shipdate AS DATE)) AS gmin, max(CAST(l_shipdate AS DATE)) AS gmax FROM lineitem),
+        | c AS (SELECT least(CAST(floor(date_diff('day', gmin, CAST(l_shipdate AS DATE)) * 256
+        |     / (date_diff('day', gmin, gmax) + 1)) AS BIGINT), 255) AS x,
+        |   l_partkey % 256 AS y
+        |  FROM lineitem, g),
+        | z AS (SELECT x, y, ($interleave) AS z FROM c),
+        | l AS (SELECT 'linear' AS layout, x * 40 // 256 AS file_id, x, y FROM z
+        |       UNION ALL SELECT 'zorder', z * 40 // 65536, x, y FROM z),
+        | f AS (SELECT layout, file_id, min(x) AS fxmin, max(x) AS fxmax,
+        |              min(y) AS fymin, max(y) AS fymax
+        |       FROM l GROUP BY 1, 2)
+        |SELECT layout, count(*) AS files_total,
+        | round(avg((fxmax - fxmin) * 100.0 / 255.0), 4) AS avg_span_x_pct,
+        | round(avg((fymax - fymin) * 100.0 / 255.0), 4) AS avg_span_y_pct,
+        | CAST(sum(CASE WHEN fxmax < 100 OR fxmin > 131 OR fymin > 63 THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        | round(sum(CASE WHEN fxmax < 100 OR fxmin > 131 OR fymin > 63 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS skip_rate_pct
+        |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+    },
+
+    "lake_equality_deletes" ->
+      """SELECT l_orderkey % 40 AS file_id, count(*) AS record_count,
+        | CAST(sum(CASE WHEN l_partkey % 50 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS eq_deleted,
+        | CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS pos_deleted,
+        | CAST(sum(CASE WHEN l_partkey % 50 = 7 AND (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS both_deleted,
+        | CAST(16 AS BIGINT) AS eq_bytes,
+        | CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) * 4 AS BIGINT) AS pos_bytes
+        |FROM lineitem GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    "knn_multiprobe" -> {
+      def dot(j: Int) =
+        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val probes = ("bucket" +: (0 until 8).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+      s"""WITH $embPrepSql,
+        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        | q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
+        | q AS (SELECT q_id, qv, qn, unnest([$probes]) AS bucket FROM q0),
+        | s AS (SELECT q_id, g.vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * g.nrm), 6) AS cos
+        |  FROM g JOIN q USING (bucket) WHERE g.vec_id <> q.q_id),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
+        |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    },
   )
 }

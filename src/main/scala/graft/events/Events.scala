@@ -102,6 +102,36 @@ object Events {
       .orderBy(col("session_value").desc, col("user_id"), col("session_seq"))
       .limit(n)
 
+  /** Hopping (sliding) windows via Spark's native window generator: 1-hour
+    * windows every 30 minutes, so each event lands in two windows. The
+    * expansion happens inside the generator (no self-join). */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Cohort LTV matrix: users grouped by ISO signup week, purchase value
+    * accumulated per whole week since signup. One shuffle on user_id to pin
+    * the cohort, then a broadcast-size aggregation. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    events.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(
+        date_format(date_trunc("week", col("signup_ts")), "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("signup_ts"))) / 7).as("week_n"))
+      .agg(countDistinct(col("user_id")).as("buyers"),
+           round(sum(col("value")), 4).as("ltv"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   /** JSON property extraction (`props` is a JSON string column). */
   def propStats(events: DataFrame): DataFrame =
     events

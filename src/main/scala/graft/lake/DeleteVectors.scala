@@ -70,6 +70,27 @@ object DeleteVectors {
            sum(when(col("winning_seq") === 2, 1L).otherwise(0L)).as("from_seq2"))
       .orderBy("file_id")
 
+  /** Equality-delete resolution: a predicate-keyed delete (DELETE WHERE
+    * l_partkey % 50 = 7) resolved against each file, contrasted with the
+    * positional delete set on the same data — per-file counts of rows hit by
+    * each mechanism and by both. Equality deletes ship one predicate row
+    * regardless of match count; positional ship 4 bytes/row — the byte
+    * columns make the storage trade explicit. */
+  def equalityDeletes(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    // No pos window needed: both delete predicates are row-derivable.
+    FileModel.withFileId(lineitem, nFiles)
+      .withColumn("eq_hit", (col("l_partkey") % 50 === 7).cast("long"))
+      .withColumn("pos_hit", ((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("record_count"),
+           sum(col("eq_hit")).as("eq_deleted"),
+           sum(col("pos_hit")).as("pos_deleted"),
+           sum(col("eq_hit") * col("pos_hit")).as("both_deleted"))
+      .withColumn("eq_bytes", lit(16L))
+      .withColumn("pos_bytes", col("pos_deleted") * 4)
+      .orderBy("file_id")
+  }
+
   /** Density-adaptive storage policy per file: choose the cheaper encoding
     * (positional list vs bitmap), then inline/external by size thresholds. */
   def densityPolicy(lineitem: DataFrame, nFiles: Int = 40,

@@ -55,6 +55,53 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Multi-dimensional clustering comparison: linear (one-dim sort) vs
+    * Z-order (bit-interleaved two-dim) file layout.
+    *
+    * Both dims are scaled to 8-bit coordinates (shipdate → equal-width date
+    * buckets against the broadcast global min/max; partkey → mod-256), the
+    * Z-value interleaves their bits, and files are equal-width slices of the
+    * resulting key. The report shows the trade the reference's writer
+    * benchmark quantifies for one dimension, extended to two: linear gives
+    * minimal shipdate span but ~full partkey span per file; Z-order bounds
+    * BOTH spans, so a conjunctive two-dim predicate (x∈[100,131], y∈[0,63])
+    * skips far more files. Pure integer arithmetic — no sort, no ntile —
+    * identical in the DuckDB oracle. */
+  def zorderReport(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val global = lineitem.agg(
+      min(unix_date(to_date(col("l_shipdate")))).as("gmin"),
+      max(unix_date(to_date(col("l_shipdate")))).as("gmax"))
+    val coords = lineitem.join(broadcast(global))
+      .withColumn("x", least(
+        floor((unix_date(to_date(col("l_shipdate"))) - col("gmin")) * 256 /
+          (col("gmax") - col("gmin") + 1)).cast("long"), lit(255L)))
+      .withColumn("y", col("l_partkey") % 256)
+    val zBits = (0 until 8).map { i =>
+      expr(s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+    }.reduce(_ + _)
+    val layouts = coords
+      .withColumn("z", zBits)
+      .select(col("x"), col("y"),
+        explode(array(
+          struct(lit("linear").as("layout"), (col("x") * nFiles / 256).cast("long").as("file_id")),
+          struct(lit("zorder").as("layout"), (col("z") * nFiles / 65536).cast("long").as("file_id"))
+        )).as("l"))
+      .select(col("l.layout").as("layout"), col("l.file_id").as("file_id"), col("x"), col("y"))
+    layouts
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("x")).as("fxmin"), max(col("x")).as("fxmax"),
+           min(col("y")).as("fymin"), max(col("y")).as("fymax"))
+      .withColumn("skipped",
+        col("fxmax") < 100 || col("fxmin") > 131 || col("fymin") > 63)
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("files_total"),
+           round(avg((col("fxmax") - col("fxmin")) * 100.0 / 255.0), 4).as("avg_span_x_pct"),
+           round(avg((col("fymax") - col("fymin")) * 100.0 / 255.0), 4).as("avg_span_y_pct"),
+           sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+           round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"))
+      .orderBy("layout")
+  }
+
   /** The real sorted writer: range-repartition by the clustering key then
     * sort within partitions → each output parquet file holds a tight,
     * non-overlapping key range (used by LayoutSpec against a tmp dir). */

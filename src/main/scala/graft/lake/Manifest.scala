@@ -68,6 +68,31 @@ object Manifest {
       .orderBy("structure")
   }
 
+  /** File-size histogram over a fixed power-of-4-ish bucket ladder — the
+    * size-distribution view behind the reference's inline/external blob
+    * thresholds (4 KB inline cliff, 10 MB external cap). Explicit CASE
+    * boundaries keep the bucketing engine-exact (no float log2). */
+  def fileSizeHistogram(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val bytes = FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg((count(lit(1)) * 100L).as("file_bytes"))
+    val bucket = when(col("file_bytes") < 1024L, "0_lt_1k")
+      .when(col("file_bytes") < 4096L, "1_lt_4k")
+      .when(col("file_bytes") < 16384L, "2_lt_16k")
+      .when(col("file_bytes") < 65536L, "3_lt_64k")
+      .when(col("file_bytes") < 262144L, "4_lt_256k")
+      .when(col("file_bytes") < 1048576L, "5_lt_1m")
+      .when(col("file_bytes") < 4194304L, "6_lt_4m")
+      .otherwise("7_ge_4m")
+    bytes
+      .groupBy(bucket.as("size_bucket"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("file_bytes")).as("total_bytes"),
+           min(col("file_bytes")).as("min_bytes"),
+           max(col("file_bytes")).as("max_bytes"))
+      .orderBy("size_bucket")
+  }
+
   /** Flat partition-grouped manifest + partition-pruned planning: the entries
     * a query for one partition actually reads (adaptive-tree flat layout). */
   def partitionManifest(lineitem: DataFrame, targetMonth: String, nFiles: Int = 40): DataFrame =

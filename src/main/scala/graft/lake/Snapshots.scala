@@ -74,6 +74,89 @@ object Snapshots {
       .orderBy("file_id")
   }
 
+  /** Time travel: reconstruct the table state visible at commit `asOf` under
+    * the append-log model (commit_id = o_orderkey/100) and summarise it.
+    * A snapshot read is just a commit-id predicate — pushed to the scan. */
+  def timeTravel(orders: DataFrame, asOf: Long = 100L): DataFrame =
+    orders
+      .filter((col("o_orderkey") / 100).cast("long") <= asOf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("o_totalprice")), 4).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** Snapshot-expiry plan: each commit rewrites its files' versions
+    * (file_id = o_orderkey % nFiles touched by the commit); a version is
+    * removable once a newer commit rewrote the same file AND the version
+    * falls outside the retained trailing window of `retain` commits.
+    * Reports, per expired commit, how many superseded file versions can be
+    * deleted and their byte proxy — the GC accounting of
+    * test_gc_performance_cliff.py. */
+  def expiryPlan(orders: DataFrame, retain: Long = 50L, nFiles: Int = 40): DataFrame = {
+    val versions = orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .withColumn("file_id", col("o_orderkey") % nFiles)
+      .groupBy(col("commit_id"), col("file_id"))
+      .agg(round(sum(col("o_totalprice")), 4).as("version_bytes"))
+    val global = versions.agg(max(col("commit_id")).as("max_commit"))
+    val w = Window.partitionBy(col("file_id"))
+    versions
+      .withColumn("latest_commit", max(col("commit_id")).over(w))
+      .join(broadcast(global))
+      .filter(col("commit_id") < col("latest_commit") &&
+              col("commit_id") <= col("max_commit") - retain)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("versions_removable"),
+           round(sum(col("version_bytes")), 4).as("bytes_reclaimed"))
+      .orderBy("commit_id")
+  }
+
+  /** CDC between two snapshot boundaries: per month inside the window, how
+    * many customer keys are net-new (first order ever lands in the window
+    * month) vs updated (key already had orders before t1). The before-image
+    * lookup is an aggregated semi-join on the key — no row-level diff. */
+  def cdcChangelog(orders: DataFrame, t1: String, t2: String): DataFrame = {
+    val before = orders.filter(col("o_orderdate") < lit(t1).cast("timestamp"))
+      .select(col("o_custkey")).distinct().withColumn("existed", lit(1L))
+    orders
+      .filter(col("o_orderdate") >= lit(t1).cast("timestamp") &&
+              col("o_orderdate") < lit(t2).cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(before), Seq("o_custkey"), "left")
+      .groupBy(col("month"))
+      .agg(sum(when(col("existed").isNull, 1L).otherwise(0L)).as("insert_keys"),
+           sum(when(col("existed").isNotNull, 1L).otherwise(0L)).as("update_keys"),
+           sum(col("n_orders")).as("changed_rows"))
+      .orderBy("month")
+  }
+
+  /** MERGE INTO semantics (upsert): target = small customer dimension slice,
+    * source = per-customer 1997 order revenue. Matched keys update the
+    * balance, source-only keys insert, target-only keys keep — expressed as
+    * one full-outer join + CASE, which is exactly the distributed plan a
+    * MERGE compiles to. Summarised per action for a bounded result. */
+  def mergeUpsert(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val target = customer.filter(col("c_custkey") < 500)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("balance"))
+    val source = orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("key"))
+      .agg((sum(col("o_totalprice")) * 0.1).as("delta"))
+    target.join(source, Seq("key"), "full_outer")
+      .withColumn("action",
+        when(col("balance").isNotNull && col("delta").isNotNull, "update")
+          .when(col("balance").isNull, "insert")
+          .otherwise("keep"))
+      .withColumn("new_balance",
+        coalesce(col("balance"), lit(0.0)) + coalesce(col("delta"), lit(0.0)))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_keys"),
+           round(sum(col("new_balance")), 4).as("sum_balance"))
+      .orderBy("action")
+  }
+
   /** Optimistic-concurrency accounting: `nWriters` writers each land
     * `commitsPerWriter` commits round-robin; a writer's commit conflicts with
     * every commit other writers landed since its previous one (those force

@@ -86,6 +86,28 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
+  /** Multi-probe LSH: each query probes its own bucket plus the 8 buckets at
+    * Hamming distance 1 (one hyperplane flipped) — the standard recall
+    * recovery for bucketed ANN without rebuilding the index. Probe expansion
+    * is a 9-element generator on the query side (queries are the small side),
+    * candidates still come only from bucket-equality joins. */
+  def multiProbeTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val bucketed = withBucket(embeddings)
+    val probes = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(array(col("bucket") +: (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    bucketed.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

@@ -121,6 +121,45 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Stopword filtering: per-doc token counts before/after removing the
+    * stopword list, and the filtered text itself (pipeline-shaped: the
+    * filtered column is what a downstream trainer would consume). */
+  def stopwordFilter(documents: DataFrame): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    documents
+      .withColumn("t", toks)
+      .withColumn("kept", expr(s"filter(t, x -> x NOT IN ($stopList))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        round(size(col("kept")) * 1.0 / size(col("t")), 6).as("keep_ratio"),
+        length(array_join(col("kept"), " ")).cast("long").as("filtered_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model score (perplexity proxy): corpus bigram/unigram
+    * counts give P(w2|w1) = c(w1 w2)/c(w1·); each doc scores the mean
+    * negative log-likelihood of its adjacent pairs. Counts are exact
+    * integers on both engines, so ln() sees identical operands. The count
+    * tables are corpus-level aggregates (vocab² bounded) → broadcast. */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN struct(x AS w1, t[i+1] AS w2) END), y -> y IS NOT NULL)"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    bg
+      .join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(contextCounts), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(-log(col("cb") / col("cw"))), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level bigram frequencies (positional n-gram assembly done with
     * array lambdas — no self-join). */
   def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =

@@ -38,6 +38,16 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall is at least single-bucket LSH recall") {
+    val lsh = Ann.lshTopK(emb, nQueries = 5, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(_.map(_.getAs[Double]("cos")).max).toMap
+    val mp = Ann.multiProbeTopK(emb, nQueries = 5, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(_.map(_.getAs[Double]("cos")).max).toMap
+    // multi-probe searches a superset of buckets, so its best hit per query
+    // can only match or beat the single-bucket one
+    lsh.foreach { case (q, best) => assert(mp(q) >= best, s"query $q: ${mp(q)} < $best") }
+  }
+
   test("centroid assignment covers all vectors") {
     val n = Ann.centroidAssign(emb).agg(sum("n")).collect()(0).getLong(0)
     assert(n == emb.count())

@@ -77,4 +77,57 @@ class LakeSpec extends SparkSpec {
     val orphans = Snapshots.orphanFiles(spark, lineitem).collect().map(_.getAs[Long]("file_id"))
     assert(orphans.forall(_ >= 40) && orphans.length == 10)
   }
+
+  private def orders = Tables.orders(spark, sf0001)
+
+  test("time travel: later snapshots only grow the visible row count") {
+    def total(asOf: Long) = Snapshots.timeTravel(orders, asOf)
+      .agg(sum(col("n_rows"))).collect()(0).getLong(0)
+    val t5 = total(5); val t10 = total(10); val tAll = total(Long.MaxValue)
+    assert(t5 <= t10 && t10 <= tAll)
+    assert(tAll == orders.count())
+  }
+
+  test("expiry plan never touches the retained trailing commit window") {
+    val maxCommit = orders.agg(max((col("o_orderkey") / 100).cast("long"))).collect()(0).getLong(0)
+    val rows = Snapshots.expiryPlan(orders, retain = 3).collect()
+    assert(rows.forall(_.getAs[Long]("commit_id") <= maxCommit - 3))
+  }
+
+  test("z-order layout bounds both dimensions; linear leaves partkey unbounded") {
+    val m = Layout.zorderReport(lineitem).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Double]("avg_span_x_pct"), r.getAs[Double]("avg_span_y_pct"),
+         r.getAs[Double]("skip_rate_pct"))).toMap
+    assert(m("linear")._2 > 60.0, s"linear layout should span most of partkey: $m")
+    assert(m("zorder")._2 < m("linear")._2 / 2, s"zorder should bound partkey span: $m")
+    assert(m("zorder")._3 >= m("linear")._3, s"two-dim predicate should skip at least as much under zorder: $m")
+  }
+
+  test("equality vs positional deletes: overlap never exceeds either side") {
+    DeleteVectors.equalityDeletes(lineitem).collect().foreach { r =>
+      val eq = r.getAs[Long]("eq_deleted"); val pos = r.getAs[Long]("pos_deleted")
+      val both = r.getAs[Long]("both_deleted")
+      assert(both <= eq && both <= pos)
+      assert(eq <= r.getAs[Long]("record_count"))
+    }
+  }
+
+  test("merge upsert actions partition the key space") {
+    val customer = Tables.customer(spark, sf0001)
+    val m = Snapshots.mergeUpsert(customer, orders).collect()
+      .map(r => r.getAs[String]("action") -> r.getAs[Long]("n_keys")).toMap
+    val targetKeys = customer.filter(col("c_custkey") < 500).count()
+    assert(m.getOrElse("update", 0L) + m.getOrElse("keep", 0L) == targetKeys,
+      s"every target key is either updated or kept: $m vs $targetKeys")
+  }
+
+  test("cdc changelog: insert and update key counts add up to active keys per month") {
+    val rows = Snapshots.cdcChangelog(orders, "1998-01-01", "1999-01-01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("insert_keys") + r.getAs[Long]("update_keys") > 0)
+      assert(r.getAs[Long]("changed_rows") >= r.getAs[Long]("insert_keys") + r.getAs[Long]("update_keys"))
+    }
+  }
 }

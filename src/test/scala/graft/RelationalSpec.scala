@@ -48,6 +48,33 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected distributed top-N:\n$plan")
   }
 
+  test("grouping sets produce both marginals plus the grand total in one pass") {
+    val rows = Relational.flagStatusGroupingSets(lineitem).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L, 3L), s"gids: ${byGid.keySet}")
+    val total = byGid(3L).map(_.getAs[Long]("n")).sum
+    assert(total == lineitem.count(), "grand-total row counts every input row")
+    assert(byGid(1L).map(_.getAs[Long]("n")).sum == total, "per-flag marginal sums to total")
+    assert(byGid(2L).map(_.getAs[Long]("n")).sum == total, "per-status marginal sums to total")
+  }
+
+  test("set ops: retained and churned cohorts are disjoint") {
+    val orders = Tables.orders(spark, sf0001)
+    val rows = Relational.customerYearSets(orders).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[Long]("o_custkey")))
+    val retained = rows.collect { case ("retained", k) => k }.toSet
+    val churned = rows.collect { case ("churned", k) => k }.toSet
+    assert(retained.intersect(churned).isEmpty)
+    assert(retained.nonEmpty && churned.nonEmpty)
+  }
+
+  test("hopping windows double-count each event exactly twice") {
+    val events = Tables.events(spark, sf0001)
+    val hopped = graft.events.Events.hoppingCounts(events)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(hopped == 2 * events.count(), "1h windows hopping every 30min hold each event twice")
+  }
+
   test("asof join matches each purchase to latest prior signup") {
     val out = AsofJoin.purchaseAfterSignup(Tables.events(spark, sf0001)).collect()
     assert(out.nonEmpty)

@@ -32,6 +32,25 @@ class TextDedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("stopword filter only removes tokens and preserves doc coverage") {
+    val out = TextAnalysis.stopwordFilter(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_tokens"))
+      val ratio = r.getAs[Double]("keep_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("bigram LM score: every multi-token doc scored, nll non-negative") {
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+      assert(r.getAs[Double]("avg_nll") >= 0.0, "P(w2|w1) <= 1 so -ln is non-negative")
+    }
+  }
+
   test("exact dedup partitions the corpus (group sizes sum to doc count)") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == docs.count())
