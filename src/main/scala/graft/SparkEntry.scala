@@ -107,6 +107,7 @@ object SparkEntry {
     "lake_zorder" -> q((s, d) => Layout.zorderReport(Tables.lineitem(s, d))),
     "lake_equality_deletes" -> q((s, d) => DeleteVectors.equalityDeletes(Tables.lineitem(s, d))),
     "knn_multiprobe" -> q((s, d) => Ann.multiProbeTopK(Tables.embeddings(s, d))),
+    "lake_fetch_plan" -> q((s, d) => Manifest.fetchPlanning(Tables.lineitem(s, d), "1997-01", "1997-06")),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -903,5 +904,17 @@ object SparkEntry {
         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
         |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
     },
+
+    "lake_fetch_plan" ->
+      """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month, l_orderkey % 40 AS file_id,
+        |            count(*) AS record_count
+        |           FROM lineitem GROUP BY 1, 2
+        |           HAVING part_month BETWEEN '1997-01' AND '1997-06'),
+        | n AS (SELECT count(*) AS n_objects FROM m),
+        | p AS (SELECT n_objects, unnest([1, 4, 16, 64]) AS parallelism FROM n)
+        |SELECT CAST(parallelism AS BIGINT) AS parallelism, n_objects,
+        | CAST(ceil(n_objects * 1.0 / parallelism) AS BIGINT) AS fetch_rounds,
+        | round(n_objects * 1.0 / CAST(ceil(n_objects * 1.0 / parallelism) AS BIGINT), 4) AS speedup
+        |FROM p ORDER BY parallelism""".stripMargin,
   )
 }

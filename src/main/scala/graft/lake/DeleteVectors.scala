@@ -52,11 +52,10 @@ object DeleteVectors {
     // form would compute the scan+window subtree once per manifest.
     val base = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
     base.select(col("file_id"), col("pos"),
-      explode(expr(
-        """filter(array(
-          |  CASE WHEN pos % 7 = 1 THEN 1L END,
-          |  CASE WHEN pos % 5 = 2 AND file_id % 4 = 0 THEN 2L END
-          |), x -> x IS NOT NULL)""".stripMargin)).as("seq"))
+      explode(array(
+        when(col("pos") % 7 === 1, 1L),
+        when(col("pos") % 5 === 2 && col("file_id") % 4 === 0, 2L))).as("seq"))
+      .filter(col("seq").isNotNull) // plain explode+filter stays codegen'd; a filter() lambda would not
   }
 
   /** Folded/coalesced DV resolution: latest sequence wins per coordinate;

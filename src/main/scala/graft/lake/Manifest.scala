@@ -68,6 +68,29 @@ object Manifest {
       .orderBy("structure")
   }
 
+  /** Parallel-fetch planning (test_parallel_s3_fetching.py): fetching the
+    * partition-manifest objects for a range query with a worker pool costs
+    * ceil(n/p) sequential round-trips; the report quantifies the speedup per
+    * parallelism level over the matched manifest set. The manifest listing is
+    * an aggregation; the plan expansion is a tiny generator — no driver math
+    * over collected rows. */
+  def fetchPlanning(lineitem: DataFrame, monthLo: String, monthHi: String,
+                    nFiles: Int = 40): DataFrame = {
+    val matched = FileModel.withFileId(lineitem, nFiles)
+      .withColumn("part_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("part_month") >= monthLo && col("part_month") <= monthHi)
+      .groupBy(col("part_month"), col("file_id"))
+      .agg(count(lit(1)).as("record_count"))
+      .agg(count(lit(1)).as("n_objects"))
+    matched
+      .select(col("n_objects"), explode(array(Seq(1, 4, 16, 64).map(lit): _*)).as("parallelism"))
+      .withColumn("fetch_rounds", ceil(col("n_objects") / col("parallelism")).cast("long"))
+      .withColumn("speedup", round(col("n_objects") / col("fetch_rounds"), 4))
+      .select(col("parallelism").cast("long").as("parallelism"),
+        col("n_objects"), col("fetch_rounds"), col("speedup"))
+      .orderBy("parallelism")
+  }
+
   /** File-size histogram over a fixed power-of-4-ish bucket ladder — the
     * size-distribution view behind the reference's inline/external blob
     * thresholds (4 KB inline cliff, 10 MB external cap). Explicit CASE

@@ -27,6 +27,17 @@ object StreamOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window counts — 1-hour windows every 30 minutes
+    * (streaming mirror of Events.hoppingCounts; each event feeds two open
+    * windows, watermark bounds how long they stay open). */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessionization with the built-in session_window (streaming
     * mirror of Events.sessionize; a session closes after 30 idle minutes). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -26,6 +26,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows count each event in two overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamOps.hoppingCounts(df)
+      .writeStream.format("memory").queryName("hopping_test").outputMode("complete").start()
+    try {
+      input.addData((ts(10), "click", 1.0), (ts(40), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping_test").collect()
+      // event@00:10 → windows 23:30 & 00:00; event@00:40 → 00:00 & 00:30
+      assert(rows.map(_.getAs[Long]("n")).sum == 4, s"got ${rows.mkString("; ")}")
+      val w0 = rows.find(_.getAs[String]("win_start") == "2024-01-01 00:00").get
+      assert(w0.getAs[Long]("n") == 2 && w0.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming session window closes after the idle gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
