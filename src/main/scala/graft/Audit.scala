@@ -33,7 +33,15 @@ object Audit {
         val wsc = c("WholeStageCodegen")
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN!")
-        if (bnlj > 0 && name != "q19_range_join" && !name.startsWith("dedup_embedding")) flags.append(" BNLJ?")
+        // Sanctioned nested-loop joins — every one broadcasts a bounded side:
+        // a single-row global aggregate (funnel/skip_rate/zorder/expiry/scalar
+        // subquery), a fixed band/centroid table (range join, knn_centroid),
+        // or a bounded query set against the corpus (brute-force KNN,
+        // embedding near-dup upper-triangle).
+        val sanctionedBnlj = Set("q19_range_join", "q13_scalar_subquery",
+          "dedup_embedding", "knn_brute", "knn_centroid", "ev_funnel",
+          "lake_skip_rate", "lake_zorder", "lake_expiry_plan")
+        if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {
         case e: Throwable => println(f"$name%-24s FAILED: ${e.getMessage.take(80)}")
