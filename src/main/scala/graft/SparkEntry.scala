@@ -108,6 +108,10 @@ object SparkEntry {
     "lake_equality_deletes" -> q((s, d) => DeleteVectors.equalityDeletes(Tables.lineitem(s, d))),
     "knn_multiprobe" -> q((s, d) => Ann.multiProbeTopK(Tables.embeddings(s, d))),
     "lake_fetch_plan" -> q((s, d) => Manifest.fetchPlanning(Tables.lineitem(s, d), "1997-01", "1997-06")),
+    "lake_partition_evolution" -> q((s, d) =>
+      Manifest.partitionEvolution(Tables.lineitem(s, d), "1997-02-01", "1997-02-21")),
+    "q29_nested_agg" -> q((s, d) => Relational.customerYearArrays(Tables.orders(s, d))),
+    "mm_frame_sample" -> q((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -916,5 +920,40 @@ object SparkEntry {
         | CAST(ceil(n_objects * 1.0 / parallelism) AS BIGINT) AS fetch_rounds,
         | round(n_objects * 1.0 / CAST(ceil(n_objects * 1.0 / parallelism) AS BIGINT), 4) AS speedup
         |FROM p ORDER BY parallelism""".stripMargin,
+
+    "lake_partition_evolution" ->
+      """WITH k AS (
+        |  SELECT 'monthly' AS spec, strftime(l_shipdate, '%Y-%m') AS pkey, l_shipdate FROM lineitem
+        |  UNION ALL
+        |  SELECT 'weekly', strftime(date_trunc('week', l_shipdate), '%Y-%m-%d'), l_shipdate FROM lineitem),
+        | p AS (SELECT spec, pkey, count(*) AS n_rows,
+        |   max(l_shipdate >= TIMESTAMP '1997-02-01' AND l_shipdate < TIMESTAMP '1997-02-21') AS matched
+        |  FROM k GROUP BY 1, 2)
+        |SELECT spec, count(*) AS n_partitions,
+        | CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS matched_partitions,
+        | CAST(sum(CASE WHEN matched THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        | CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        | round(sum(CASE WHEN matched THEN n_rows ELSE 0 END) * 100.0 / sum(n_rows), 4) AS scan_pct
+        |FROM p GROUP BY spec ORDER BY spec""".stripMargin,
+
+    "q29_nested_agg" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))), ',') AS years,
+        | count(DISTINCT year(o_orderdate)) AS n_years,
+        | count(*) AS n_orders
+        |FROM orders WHERE o_custkey < 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id < 50),
+        | f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d),
+        | s AS (SELECT doc_id, frame_idx,
+        |   substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
+        |  FROM f WHERE frame_idx % 4 = 0)
+        |SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
+        | CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS frame_checksum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -116,6 +116,33 @@ object Manifest {
       .orderBy("size_bucket")
   }
 
+  /** Partition-spec evolution comparison: the same data partitioned monthly
+    * vs weekly, pruned by the same ~3-week predicate. Reports how many
+    * partitions each spec materialises, how many the predicate matches, and
+    * the scanned-row I/O proxy — the planning delta a spec evolution buys.
+    * One aggregation per spec over the same scan (generator expansion). */
+  def partitionEvolution(lineitem: DataFrame, lo: String, hi: String): DataFrame = {
+    val keyed = lineitem.select(col("l_shipdate"),
+      explode(array(
+        struct(lit("monthly").as("spec"), date_format(col("l_shipdate"), "yyyy-MM").as("pkey")),
+        struct(lit("weekly").as("spec"),
+          date_format(date_trunc("week", col("l_shipdate")), "yyyy-MM-dd").as("pkey"))
+      )).as("p"))
+      .select(col("p.spec").as("spec"), col("p.pkey").as("pkey"), col("l_shipdate"))
+    keyed
+      .groupBy(col("spec"), col("pkey"))
+      .agg(count(lit(1)).as("n_rows"),
+           max(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+               col("l_shipdate") < lit(hi).cast("timestamp")).as("matched"))
+      .groupBy(col("spec"))
+      .agg(count(lit(1)).as("n_partitions"),
+           sum(when(col("matched"), 1L).otherwise(0L)).as("matched_partitions"),
+           sum(when(col("matched"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+           sum(col("n_rows")).as("total_rows"))
+      .withColumn("scan_pct", round(col("rows_scanned") * 100.0 / col("total_rows"), 4))
+      .orderBy("spec")
+  }
+
   /** Flat partition-grouped manifest + partition-pruned planning: the entries
     * a query for one partition actually reads (adaptive-tree flat layout). */
   def partitionManifest(lineitem: DataFrame, targetMonth: String, nFiles: Int = 40): DataFrame =

@@ -43,6 +43,27 @@ object Multimodal {
   def payloads(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Frame sampling over binary payloads: treat the payload as fixed-width
+    * frames (16 bytes), sample every `stride`-th frame, emit per-frame
+    * features — the Spark-side plumbing of video frame extraction (generator
+    * expansion + per-chunk featurize; swap the checksum for a real frame
+    * decoder and nothing else changes). Query set bounded to keep the oracle
+    * result compact. */
+  def frameSample(documents: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+                  maxDocs: Int = 50): DataFrame =
+    documents
+      .filter(col("doc_id") < maxDocs)
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(expr(s"sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame",
+        expr(s"substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        expr("graft_bytesum(CAST(frame AS BINARY))").as("frame_checksum"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Oracle-checkable column-level equivalent of the typed pipeline: same
     * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
     * equal byte values; the oracle mirrors with ascii()/octet_length). */

@@ -307,6 +307,20 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q29: nested/array aggregation — per-customer sorted distinct order
+    * years collected into an array (surfaced as a joined string so the
+    * cross-engine hash compare sees a scalar). collect_set is
+    * order-nondeterministic; array_sort makes the result canonical. */
+  def customerYearArrays(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(array_sort(collect_set(year(col("o_orderdate")).cast("long"))), ",").as("years"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem

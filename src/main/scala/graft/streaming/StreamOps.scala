@@ -50,6 +50,21 @@ object StreamOps {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("session_value"))
 
+  /** Stream–stream interval join: purchases attributed to the signup they
+    * followed within 24 h. Watermarks let Spark discard signup state older
+    * than the interval plus slack — bounded state, the streaming analogue of
+    * the batch as-of join. */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val s = signups.withWatermark("ts", "25 hours").alias("s")
+    p.join(s, expr(
+        """p.user_id = s.user_id AND
+          |p.ts >= s.ts AND
+          |p.ts <= s.ts + INTERVAL 24 HOURS""".stripMargin))
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("s.ts").as("signup_ts"), col("p.value").as("value"))
+  }
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

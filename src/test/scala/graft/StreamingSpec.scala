@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to a prior signup within 24h") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.purchaseAttribution(
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        signups.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      signups.addData((1L, ts(0)), (2L, ts(30)))
+      // user 1 buys 10 min after signup (joins); user 2 buys before signup (no join)
+      purchases.addData((1L, ts(10), 5.0), (2L, ts(20), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test").collect()
+      assert(rows.length == 1, s"only the post-signup purchase joins: ${rows.mkString("; ")}")
+      assert(rows.head.getAs[Long]("user_id") == 1L && rows.head.getAs[Double]("value") == 5.0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
