@@ -112,6 +112,10 @@ object SparkEntry {
       Manifest.partitionEvolution(Tables.lineitem(s, d), "1997-02-01", "1997-02-21")),
     "q29_nested_agg" -> q((s, d) => Relational.customerYearArrays(Tables.orders(s, d))),
     "mm_frame_sample" -> q((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    // Sketch-based operators: approximate by design, so no SQL oracle —
+    // the driver records rows-only checks; specs bound them against exacts.
+    "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
+    "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */

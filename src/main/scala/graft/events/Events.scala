@@ -132,6 +132,17 @@ object Events {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Sketch-based distinct users per day (HyperLogLog++): the 100 TB path
+    * for cardinality — constant-size state per group, mergeable map-side.
+    * No SQL oracle (approximate); the driver records a rows-only check and
+    * EventsSpec bounds the estimate against the exact count. */
+  def approxDailyUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+
   /** JSON property extraction (`props` is a JSON string column). */
   def propStats(events: DataFrame): DataFrame =
     events

@@ -75,6 +75,29 @@ class RelationalSpec extends SparkSpec {
     assert(hopped == 2 * events.count(), "1h windows hopping every 30min hold each event twice")
   }
 
+  test("sketch operators track their exact counterparts") {
+    val events = Tables.events(spark, sf0001)
+    val approx = graft.events.Events.approxDailyUsers(events).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("approx_users")).toMap
+    val exact = events
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("users"))
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("users")).toMap
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n) <= math.max(2L, (n * 0.1).toLong), s"$day: approx $a vs exact $n")
+    }
+    val sketchQ = Relational.approxPriceQuantiles(lineitem).collect()
+    val exactQ = Relational.priceQuantiles(lineitem).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
+    sketchQ.foreach { r =>
+      val p50 = r.getAs[scala.collection.Seq[Double]]("quantiles")(1)
+      val e = exactQ(r.getAs[String]("l_returnflag"))
+      assert(math.abs(p50 - e) / e < 0.05, s"sketch p50 $p50 vs exact $e")
+    }
+  }
+
   test("asof join matches each purchase to latest prior signup") {
     val out = AsofJoin.purchaseAfterSignup(Tables.events(spark, sf0001)).collect()
     assert(out.nonEmpty)
