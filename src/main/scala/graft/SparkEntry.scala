@@ -116,6 +116,10 @@ object SparkEntry {
     // the driver records rows-only checks; specs bound them against exacts.
     "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
     "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
+    "q31_range_frame" -> q((s, d) => Relational.trailingSpend(Tables.orders(s, d))),
+    "ev_transitions" -> q((s, d) => Events.transitionMatrix(Tables.events(s, d))),
+    "lake_snapshot_lineage" -> q((s, d) => Snapshots.snapshotLineage(Tables.orders(s, d))),
+    "lake_bloom_pruning" -> q((s, d) => Manifest.bloomPruning(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -959,5 +963,48 @@ object SparkEntry {
         |SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
         | CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS frame_checksum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q31_range_frame" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(sum(o_totalprice) OVER w, 4) AS trailing_spend,
+        | count(*) OVER w AS orders_in_window
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, prev_type, next_type LIMIT 20""".stripMargin,
+
+    "lake_snapshot_lineage" ->
+      """WITH c AS (SELECT o_orderkey // 100 AS commit_id, count(*) AS files_added
+        |           FROM orders GROUP BY 1),
+        | l AS (SELECT commit_id, files_added,
+        |   lag(commit_id) OVER (ORDER BY commit_id) AS parent_id,
+        |   (commit_id % 10 = 5) AS is_rewrite FROM c),
+        | r AS (SELECT *, max(CASE WHEN is_rewrite THEN commit_id END)
+        |   OVER (ORDER BY commit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_rewrite
+        |  FROM l)
+        |SELECT commit_id, parent_id, is_rewrite,
+        | commit_id - coalesce(last_rewrite, 0) AS lineage_depth, files_added
+        |FROM r ORDER BY commit_id""".stripMargin,
+
+    "lake_bloom_pruning" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id,
+        |   max(l_partkey = 77) AS contains_key,
+        |   max((l_partkey * 31 + 7) % 1024 = (77 * 31 + 7) % 1024) AS bit1_set,
+        |   max((l_partkey * 131 + 3) % 1024 = (77 * 131 + 3) % 1024) AS bit2_set
+        |  FROM lineitem GROUP BY 1)
+        |SELECT file_id, contains_key, (bit1_set AND bit2_set) AS bloom_pass,
+        | CASE WHEN contains_key THEN 'hit'
+        |      WHEN bit1_set AND bit2_set THEN 'false_positive'
+        |      ELSE 'skipped' END AS class
+        |FROM f ORDER BY file_id""".stripMargin,
   )
 }

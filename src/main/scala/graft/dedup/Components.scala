@@ -57,6 +57,17 @@ object Components {
     * so the propagated min label is the min reachable doc_id. Collapsing
     * 5000 docs / 1.4M edges to 2256 groups / 4.3k edges makes every
     * iteration a small-table join. */
+  /** Cluster-size histogram over the MinHash components: how many dedup
+    * clusters exist at each size (size 1 = unique docs). The downstream
+    * "how much would dedup shrink the corpus" report. */
+  def clusterSizeHistogram(documents: DataFrame): DataFrame =
+    minhashComponents(documents)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   def minhashComponents(documents: DataFrame): DataFrame = {
     val g = Dedup.minhashGroups(documents)
     val comps = connectedComponents(

@@ -132,6 +132,21 @@ object Events {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Event-type transition matrix (user paths): for each user's
+    * time-ordered stream, count consecutive (prev → next) event-type pairs
+    * corpus-wide — the Markov-transition view of behavioural flows. One
+    * per-user window, then a tiny global aggregation. */
+  def transitionMatrix(events: DataFrame, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(topN)
+  }
+
   /** Sketch-based distinct users per day (HyperLogLog++): the 100 TB path
     * for cardinality — constant-size state per group, mergeable map-side.
     * No SQL oracle (approximate); the driver records a rows-only check and

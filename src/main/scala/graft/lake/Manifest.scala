@@ -116,6 +116,32 @@ object Manifest {
       .orderBy("size_bucket")
   }
 
+  /** Bloom-filter file pruning for a point lookup: each file's bloom "bit
+    * set" is the union of two deterministic hash bits per row key; a file
+    * may be skipped when either of the query key's bits is absent. Exact
+    * containment classifies passes into hits vs false positives — the
+    * skip/FP accounting parquet/puffin bloom filters buy a planner.
+    * Deterministic (no real bit array, just per-bit max aggregates), so the
+    * oracle reproduces it bit-for-bit. */
+  def bloomPruning(lineitem: DataFrame, key: Long = 77L, nFiles: Int = 40): DataFrame = {
+    def h1(c: org.apache.spark.sql.Column) = (c * 31 + 7) % 1024
+    def h2(c: org.apache.spark.sql.Column) = (c * 131 + 3) % 1024
+    val k = lit(key)
+    FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg(
+        max(col("l_partkey") === key).as("contains_key"),
+        max(h1(col("l_partkey")) === h1(k)).as("bit1_set"),
+        max(h2(col("l_partkey")) === h2(k)).as("bit2_set"))
+      .withColumn("bloom_pass", col("bit1_set") && col("bit2_set"))
+      .withColumn("class",
+        when(col("contains_key"), "hit")
+          .when(col("bloom_pass"), "false_positive")
+          .otherwise("skipped"))
+      .select("file_id", "contains_key", "bloom_pass", "class")
+      .orderBy("file_id")
+  }
+
   /** Partition-spec evolution comparison: the same data partitioned monthly
     * vs weekly, pruned by the same ~3-week predicate. Reports how many
     * partitions each spec materialises, how many the predicate matches, and

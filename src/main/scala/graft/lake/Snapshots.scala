@@ -157,6 +157,29 @@ object Snapshots {
       .orderBy("action")
   }
 
+  /** Snapshot lineage: the parent chain of the commit log, with rewrite
+    * commits (every 10th) resetting lineage depth — the ancestry metadata a
+    * rollback/branch operation walks. Depth is a running conditional max
+    * (last rewrite at-or-before each commit), not a recursive walk. */
+  def snapshotLineage(orders: DataFrame): DataFrame = {
+    val commits = orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("files_added"))
+    val wOrd = Window.orderBy(col("commit_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    commits
+      .withColumn("parent_id", lag(col("commit_id"), 1).over(wOrd))
+      .withColumn("is_rewrite", col("commit_id") % 10 === 5)
+      .withColumn("last_rewrite",
+        max(when(col("is_rewrite"), col("commit_id"))).over(wRun))
+      .withColumn("lineage_depth",
+        col("commit_id") - coalesce(col("last_rewrite"), lit(0L)))
+      .select(col("commit_id"), col("parent_id"), col("is_rewrite"),
+        col("lineage_depth"), col("files_added"))
+      .orderBy("commit_id")
+  }
+
   /** Optimistic-concurrency accounting: `nWriters` writers each land
     * `commitsPerWriter` commits round-robin; a writer's commit conflicts with
     * every commit other writers landed since its previous one (those force

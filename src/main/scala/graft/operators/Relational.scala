@@ -321,6 +321,22 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** q31: RANGE window frame — trailing-30-day spend per customer. The frame
+    * is value-based (epoch-day bounds), not row-based: gaps in order dates
+    * change which rows the frame holds, which ROWS BETWEEN cannot express. */
+  def trailingSpend(orders: DataFrame, days: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(to_date(col("o_orderdate"))))
+      .rangeBetween(-days, 0)
+    orders
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 4).as("trailing_spend"),
+        count(lit(1)).over(w).as("orders_in_window"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem

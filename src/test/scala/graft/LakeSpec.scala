@@ -122,6 +122,28 @@ class LakeSpec extends SparkSpec {
       s"every target key is either updated or kept: $m vs $targetKeys")
   }
 
+  test("bloom pruning never skips a file that actually contains the key") {
+    val rows = Manifest.bloomPruning(lineitem).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("contains_key"))
+        assert(r.getAs[Boolean]("bloom_pass"), "bloom filters have no false negatives")
+      if (r.getAs[String]("class") == "skipped")
+        assert(!r.getAs[Boolean]("contains_key"))
+    }
+  }
+
+  test("snapshot lineage: parents chain consecutively, depth resets at rewrites") {
+    val rows = Snapshots.snapshotLineage(orders).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("parent_id") == a.getAs[Long]("commit_id"))
+      case _ =>
+    }
+    rows.filter(_.getAs[Boolean]("is_rewrite"))
+      .foreach(r => assert(r.getAs[Long]("lineage_depth") == 0L, "rewrite commits reset lineage"))
+  }
+
   test("cdc changelog: insert and update key counts add up to active keys per month") {
     val rows = Snapshots.cdcChangelog(orders, "1998-01-01", "1999-01-01").collect()
     assert(rows.nonEmpty)

@@ -75,6 +75,19 @@ class RelationalSpec extends SparkSpec {
     assert(hopped == 2 * events.count(), "1h windows hopping every 30min hold each event twice")
   }
 
+  test("range frame holds the current row and the transition matrix covers every follow-up event") {
+    val orders = Tables.orders(spark, sf0001)
+    Relational.trailingSpend(orders).collect().foreach { r =>
+      assert(r.getAs[Long]("orders_in_window") >= 1L, "RANGE frame always includes the current row")
+    }
+    val events = Tables.events(spark, sf0001)
+    val total = graft.events.Events.transitionMatrix(events, topN = 1000).collect()
+      .map(_.getAs[Long]("n")).sum
+    val expected = events.count() -
+      events.select("user_id").distinct().count()
+    assert(total == expected, s"each user emits (n_events - 1) transitions: $total vs $expected")
+  }
+
   test("sketch operators track their exact counterparts") {
     val events = Tables.events(spark, sf0001)
     val approx = graft.events.Events.approxDailyUsers(events).collect()

@@ -51,6 +51,12 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster-size histogram accounts for every document exactly once") {
+    val rows = graft.dedup.Components.clusterSizeHistogram(docs).collect()
+    val totalDocs = rows.map(r => r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum
+    assert(totalDocs == docs.count())
+  }
+
   test("exact dedup partitions the corpus (group sizes sum to doc count)") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == docs.count())
