@@ -72,7 +72,13 @@ object Dedup {
   def hashA(k: Int): Long = ((k + 1).toLong * 2654435761L) % MinhashP
   def hashB(k: Int): Long = (k.toLong * 40503L + 7919L) % MinhashP
 
-  /** Per-doc MinHash signature columns m0..m15 over vocab token ids. */
+  /** Per-doc MinHash signature columns m0..m15 over vocab token ids.
+    *
+    * The vocab rank is an unpartitioned window, but it runs over the
+    * *distinct token vocabulary* — bounded by language, not data volume
+    * (≤ a few million rows at any corpus size). At 100 TB the rank would be
+    * swapped for a dictionary hash; the rank keeps the DuckDB oracle
+    * bit-exact (SURVEY.md §4). */
   private def signatures(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
     val vocab = tok.select(col("token")).distinct()
