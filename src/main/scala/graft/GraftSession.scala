@@ -23,6 +23,13 @@ object GraftSession {
     c.set("spark.sql.parquet.filterPushdown", "true")
     c.set("spark.sql.parquet.aggregatePushdown", "true")
     graft.functions.VectorExpressions.register(spark)
+    // Optimizer rules can't be injected post-build via SparkSessionExtensions,
+    // but experimental.extraOptimizations is runtime-settable and runs at the
+    // end of optimization — same rule the extensions path injects.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FusePercentiles)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FusePercentiles
+    }
     spark
   }
 }

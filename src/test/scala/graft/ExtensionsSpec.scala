@@ -37,6 +37,24 @@ class ExtensionsSpec extends AnyFunSuite {
       val bs = spark.sql("SELECT graft_bytesum(CAST('AB' AS BINARY)) AS s")
         .collect()(0).getLong(0)
       assert(bs == 65L + 66L)
+
+      // FusePercentiles: four scalar percentiles over the same column must
+      // collapse to ONE array percentile, with identical values.
+      import spark.implicits._
+      val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "x")
+        .groupBy($"g")
+        .agg(
+          org.apache.spark.sql.functions.expr("percentile(x, 0.25D)").as("p25"),
+          org.apache.spark.sql.functions.expr("percentile(x, 0.5D)").as("p50"),
+          org.apache.spark.sql.functions.expr("percentile(x, 0.75D)").as("p75"),
+          org.apache.spark.sql.functions.expr("percentile(x, 0.99D)").as("p99"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      val nPercentiles = "percentile\\(".r.findAllIn(optimized).length
+      assert(nPercentiles == 1, s"expected one fused percentile, plan:\n$optimized")
+      val r = df.collect()(0)
+      assert(r.getAs[Double]("p25") == 25.75 && r.getAs[Double]("p50") == 50.5 &&
+             r.getAs[Double]("p75") == 75.25 && r.getAs[Double]("p99") == 99.01,
+        s"fused values wrong: $r")
     } finally {
       // Don't stop(): that would kill the JVM-shared SparkContext under the
       // other suites. Just restore the previous session handles.
