@@ -120,6 +120,8 @@ object SparkEntry {
     "ev_transitions" -> q((s, d) => Events.transitionMatrix(Tables.events(s, d))),
     "lake_snapshot_lineage" -> q((s, d) => Snapshots.snapshotLineage(Tables.orders(s, d))),
     "lake_bloom_pruning" -> q((s, d) => Manifest.bloomPruning(Tables.lineitem(s, d))),
+    "lake_wide_prune" -> q((s, d) => Manifest.widePrune(Tables.lineitem(s, d))),
+    "knn_recall" -> q((s, d) => Ann.lshRecall(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1006,5 +1008,48 @@ object SparkEntry {
         |      WHEN bit1_set AND bit2_set THEN 'false_positive'
         |      ELSE 'skipped' END AS class
         |FROM f ORDER BY file_id""".stripMargin,
+
+    "lake_wide_prune" ->
+      """WITH s AS (SELECT l_orderkey % 40 AS file_id,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT file_id,
+        | (max_ship >= '1997-01-01' AND min_ship <= '1997-06-30') AS ship_overlap,
+        | (max_price >= 50000.0 AND min_price <= 90000.0) AS price_overlap,
+        | (max_qty >= 30.0 AND min_qty <= 50.0) AS qty_overlap,
+        | ((max_ship >= '1997-01-01' AND min_ship <= '1997-06-30')
+        |  AND (max_price >= 50000.0 AND min_price <= 90000.0)
+        |  AND (max_qty >= 30.0 AND min_qty <= 50.0)) AS keep
+        |FROM s ORDER BY file_id""".stripMargin,
+
+    "knn_recall" -> {
+      def dot(j: Int) =
+        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $embPrepSql,
+        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
+        | sl AS (SELECT q_id, g.vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * g.nrm), 6) AS cos
+        |  FROM g JOIN q USING (bucket) WHERE g.vec_id <> q.q_id),
+        | rl AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk FROM sl),
+        | lsh AS (SELECT q_id, neighbor_id FROM rl WHERE rk <= 3),
+        | sb AS (SELECT q_id, vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n, q WHERE vec_id <> q_id),
+        | rb AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk FROM sb),
+        | ex AS (SELECT q_id, neighbor_id FROM rb WHERE rk <= 3)
+        |SELECT ex.q_id AS q_id, count(*) AS k,
+        | CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recovered,
+        | round(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+        |FROM ex LEFT JOIN lsh ON ex.q_id = lsh.q_id AND ex.neighbor_id = lsh.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -37,6 +37,29 @@ object Manifest {
         (col("max_shipdate") >= lo && col("min_shipdate") <= hi).as("keep"))
       .orderBy("file_id")
 
+  /** Wide-table multi-column pruning (the reference's headline V4 fix,
+    * `test_wide_table_pruning.py`): root-manifest min/max stats for several
+    * columns at once, pruned by a conjunctive predicate across three of
+    * them. A file survives only if every conjunct's range overlaps — the
+    * "0 footers read" planning decision, per file, with the per-conjunct
+    * overlap bits exposed. */
+  def widePrune(lineitem: DataFrame, nFiles: Int = 40): DataFrame =
+    FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg(
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .withColumn("ship_overlap", col("max_ship") >= "1997-01-01" && col("min_ship") <= "1997-06-30")
+      .withColumn("price_overlap", col("max_price") >= 50000.0 && col("min_price") <= 90000.0)
+      .withColumn("qty_overlap", col("max_qty") >= 30.0 && col("min_qty") <= 50.0)
+      .withColumn("keep", col("ship_overlap") && col("price_overlap") && col("qty_overlap"))
+      .select("file_id", "ship_overlap", "price_overlap", "qty_overlap", "keep")
+      .orderBy("file_id")
+
   /** Manifest-tree planning comparison (adaptive-tree flat vs 2-level vs
     * 3-level, `test_adaptive_metadata_tree.py:194/227/270`): for a month-range
     * query, how many index objects each structure reads and how many manifest

@@ -108,6 +108,23 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
+  /** Recall report: per query, how many of the exact top-k neighbors the
+    * bucketed LSH search recovered (the standard ANN quality metric,
+    * computed as a semi-join of the two result sets). */
+  def lshRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("hit"), lit(0L))).as("recovered"))
+      .withColumn("recall", round(col("recovered") / col("k"), 6))
+      .orderBy("q_id")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

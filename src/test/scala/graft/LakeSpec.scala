@@ -122,6 +122,14 @@ class LakeSpec extends SparkSpec {
       s"every target key is either updated or kept: $m vs $targetKeys")
   }
 
+  test("wide pruning keeps a file iff every conjunct overlaps") {
+    Manifest.widePrune(lineitem).collect().foreach { r =>
+      val expected = r.getAs[Boolean]("ship_overlap") &&
+        r.getAs[Boolean]("price_overlap") && r.getAs[Boolean]("qty_overlap")
+      assert(r.getAs[Boolean]("keep") == expected)
+    }
+  }
+
   test("bloom pruning never skips a file that actually contains the key") {
     val rows = Manifest.bloomPruning(lineitem).collect()
     assert(rows.length == 40)
