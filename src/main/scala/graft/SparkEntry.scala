@@ -121,6 +121,7 @@ object SparkEntry {
     "lake_snapshot_lineage" -> q((s, d) => Snapshots.snapshotLineage(Tables.orders(s, d))),
     "lake_bloom_pruning" -> q((s, d) => Manifest.bloomPruning(Tables.lineitem(s, d))),
     "lake_wide_prune" -> q((s, d) => Manifest.widePrune(Tables.lineitem(s, d))),
+    "lake_delete_storm" -> q((s, d) => DeleteVectors.deleteStorm(Tables.lineitem(s, d))),
     "knn_recall" -> q((s, d) => Ann.lshRecall(Tables.embeddings(s, d))),
   )
 
@@ -1024,6 +1025,19 @@ object SparkEntry {
         |  AND (max_price >= 50000.0 AND min_price <= 90000.0)
         |  AND (max_qty >= 30.0 AND min_qty <= 50.0)) AS keep
         |FROM s ORDER BY file_id""".stripMargin,
+
+    "lake_delete_storm" ->
+      s"""WITH d AS ($fileModelSql),
+        | frags AS (SELECT file_id, pos % 97 AS wave, count(*) AS n_deletes
+        |   FROM d WHERE pos % 97 < 5 GROUP BY 1, 2),
+        | f AS (SELECT file_id, count(*) AS n_fragments,
+        |   CAST(sum(n_deletes) AS BIGINT) AS total_deletes,
+        |   CAST(sum(n_deletes * 4 + 100) AS BIGINT) AS fragmented_bytes
+        |  FROM frags GROUP BY 1)
+        |SELECT file_id, n_fragments, total_deletes, fragmented_bytes,
+        | total_deletes * 4 + 100 AS folded_bytes,
+        | round(fragmented_bytes * 1.0 / (total_deletes * 4 + 100), 6) AS amplification
+        |FROM f ORDER BY file_id""".stripMargin,
 
     "knn_recall" -> {
       def dot(j: Int) =

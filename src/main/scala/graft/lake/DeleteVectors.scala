@@ -69,6 +69,32 @@ object DeleteVectors {
            sum(when(col("winning_seq") === 2, 1L).otherwise(0L)).as("from_seq2"))
       .orderBy("file_id")
 
+  /** Delete storm (test_delete_storm.py:51): `waves` successive small delete
+    * commits each add a tiny DV fragment per touched file. Storing fragments
+    * separately costs per-fragment overhead; folding them into one DV per
+    * file amortises it. Reports, per file, the fragment count and the byte
+    * amplification the storm causes before compaction — the 4 KB-inline
+    * pathology the reference measures. Wave membership is arithmetic on
+    * `pos`, so the oracle rebuilds the identical storm. */
+  def deleteStorm(lineitem: DataFrame, nFiles: Int = 40, waves: Int = 5,
+                  overheadBytes: Long = 100L): DataFrame = {
+    val base = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+    val frags = base
+      .withColumn("wave", col("pos") % 97)
+      .filter(col("wave") < waves)
+      .groupBy(col("file_id"), col("wave"))
+      .agg(count(lit(1)).as("n_deletes"))
+    frags
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_fragments"),
+           sum(col("n_deletes")).as("total_deletes"),
+           sum(col("n_deletes") * 4 + overheadBytes).as("fragmented_bytes"))
+      .withColumn("folded_bytes", col("total_deletes") * 4 + overheadBytes)
+      .withColumn("amplification",
+        round(col("fragmented_bytes") / col("folded_bytes"), 6))
+      .orderBy("file_id")
+  }
+
   /** Equality-delete resolution: a predicate-keyed delete (DELETE WHERE
     * l_partkey % 50 = 7) resolved against each file, contrasted with the
     * positional delete set on the same data — per-file counts of rows hit by
