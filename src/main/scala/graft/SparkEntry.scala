@@ -123,6 +123,9 @@ object SparkEntry {
     "lake_wide_prune" -> q((s, d) => Manifest.widePrune(Tables.lineitem(s, d))),
     "lake_delete_storm" -> q((s, d) => DeleteVectors.deleteStorm(Tables.lineitem(s, d))),
     "knn_recall" -> q((s, d) => Ann.lshRecall(Tables.embeddings(s, d))),
+    "text_repetition" -> q((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "text_contamination" -> q((s, d) => TextAnalysis.contamination(Tables.documents(s, d))),
+    "dedup_keep_best" -> q((s, d) => Components.keepBest(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -169,6 +172,19 @@ object SparkEntry {
       |   round(sum(value), 4) AS session_value,
       |   max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
       |  FROM s GROUP BY user_id, session_seq)""".stripMargin
+
+  /** Quality-score CTE chain ending in qual(doc_id, stop_ratio, punct_ratio,
+    * quality) — shared by the text_quality and dedup_keep_best oracles. */
+  private val qualityCtes: String =
+    s"""tq AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+      | q0 AS (SELECT doc_id,
+      |  len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0 / len(tk) AS stop_ratio,
+      |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+      |  len(tk) AS n_tokens
+      | FROM tq),
+      | qual AS (SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
+      |  round(0.5 * stop_ratio + 0.3 * least(n_tokens / 50.0, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality
+      | FROM q0)""".stripMargin
 
   /** Shared SQL fragment: the deterministic (file_id, pos) data-file model.
     * Single definition lives in graft.lake.FileModel next to the Scala one. */
@@ -532,15 +548,8 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
-        | q AS (SELECT doc_id,
-        |  len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0 / len(tk) AS stop_ratio,
-        |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
-        |  len(tk) AS n_tokens
-        | FROM t)
-        |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
-        | round(0.5 * stop_ratio + 0.3 * least(n_tokens / 50.0, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality
-        |FROM q ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCtes
+        |SELECT doc_id, stop_ratio, punct_ratio, quality FROM qual ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS token FROM documents),
@@ -1065,5 +1074,52 @@ object SparkEntry {
         |FROM ex LEFT JOIN lsh ON ex.q_id = lsh.q_id AND ex.neighbor_id = lsh.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | b AS (SELECT doc_id, tk, list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN x || ' ' || tk[i+1] END),
+        |   y -> y IS NOT NULL) AS bg FROM t),
+        | r AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |   round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bigram_ratio,
+        |   round(list_max(list_transform(list_distinct(tk), x -> len(list_filter(tk, y -> y = x)))) * 1.0 / len(tk), 6) AS top_token_ratio
+        |  FROM b)
+        |SELECT doc_id, n_tokens, n_bigrams, dup_bigram_ratio, top_token_ratio,
+        | (dup_bigram_ratio > 0.2 OR top_token_ratio > 0.2) AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+        |     THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] END),
+        |   y -> y IS NOT NULL)) AS sh FROM t),
+        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        | corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        | sz AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+        | h AS (SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (sh) GROUP BY 1)
+        |SELECT doc_id, n_shingles, coalesce(n_hits, 0) AS n_hits,
+        | round(coalesce(n_hits, 0) * 1.0 / n_shingles, 6) AS contamination
+        |FROM sz LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        | $qualityCtes,
+        | rkd AS (SELECT comp.comp, comp.doc_id, qual.quality,
+        |   row_number() OVER (PARTITION BY comp.comp ORDER BY qual.quality DESC, comp.doc_id) AS rk
+        |  FROM comp JOIN qual USING (doc_id))
+        |SELECT comp, count(*) AS cluster_size,
+        | min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+        | min(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+        | count(*) - 1 AS n_removed
+        |FROM rkd GROUP BY comp ORDER BY comp""".stripMargin,
   )
 }

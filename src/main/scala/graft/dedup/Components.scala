@@ -68,6 +68,28 @@ object Components {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Canonical selection — the step that turns clusters into an actual
+    * deduplicated corpus: per MinHash component keep the member with the
+    * highest quality score (ties → lowest doc_id) and account for what gets
+    * dropped. The ranking window partitions by component (high-cardinality),
+    * and quality ranks on the 6-dp-rounded score so the tie-break is
+    * identical in the DuckDB oracle. */
+  def keepBest(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = minhashComponents(documents)
+    val qual = graft.text.TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
+    comps.join(qual, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rk") === 1, col("quality"))).as("kept_quality"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy("comp")
+  }
+
   def minhashComponents(documents: DataFrame): DataFrame = {
     val g = Dedup.minhashGroups(documents)
     val comps = connectedComponents(

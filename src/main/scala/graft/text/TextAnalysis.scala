@@ -160,6 +160,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (Gopher-style): per-doc duplicate-bigram
+    * fraction and most-frequent-token share. Pure per-row array lambdas —
+    * no shuffle at all, the whole operator is one codegen'd map over the
+    * scan, so it costs a single pass at any corpus size. `flagged` is
+    * computed from the 6-dp-rounded ratios so the threshold comparison is
+    * identical on both engines. */
+  def repetition(documents: DataFrame, dupThreshold: Double = 0.2,
+                 topThreshold: Double = 0.2): DataFrame =
+    documents
+      .withColumn("t", toks)
+      .withColumn("b", expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN concat(x, ' ', t[i+1]) END), y -> y IS NOT NULL)"))
+      .withColumn("dup_bigram_ratio",
+        round(lit(1.0) - size(array_distinct(col("b"))) * 1.0 / size(col("b")), 6))
+      .withColumn("top_token_ratio", round(
+        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          * 1.0 / size(col("t")), 6))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("b")).cast("long").as("n_bigrams"),
+        col("dup_bigram_ratio"), col("top_token_ratio"),
+        (col("dup_bigram_ratio") > dupThreshold || col("top_token_ratio") > topThreshold)
+          .as("flagged"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination check: which corpus docs share a 5-token
+    * shingle with the held-out benchmark set (`doc_id % benchMod == 0` —
+    * standing in for an eval-suite n-gram index). The benchmark shingle set
+    * is small by construction (eval suites are fixed-size) → broadcast to
+    * the corpus side, so the scan over the 100 TB corpus is a single
+    * map-side semi-join pass plus one per-doc aggregation. */
+  def contamination(documents: DataFrame, benchMod: Long = 50): DataFrame = {
+    val sh = documents
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 4 < size(t) THEN concat(x, ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]) END), y -> y IS NOT NULL)"))
+        .as("sh"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % benchMod === 0).select(col("sh")).distinct()
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) * 1.0 / col("n_shingles"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level bigram frequencies (positional n-gram assembly done with
     * array lambdas — no self-join). */
   def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =

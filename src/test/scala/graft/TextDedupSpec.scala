@@ -79,6 +79,39 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("repetition ratios are bounded and flag agrees with thresholds") {
+    val rows = TextAnalysis.repetition(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_bigram_ratio")
+      val top = r.getAs[Double]("top_token_ratio")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getAs[Boolean]("flagged") == (dup > 0.2 || top > 0.2))
+    }
+  }
+
+  test("contamination excludes benchmark docs and hits never exceed shingles") {
+    val rows = TextAnalysis.contamination(docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0, "benchmark docs are not scored")
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_shingles"))
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("keep-best selects exactly one canonical doc per cluster and accounts for the rest") {
+    val rows = graft.dedup.Components.keepBest(docs).collect()
+    val totalDocs = rows.map(_.getAs[Long]("cluster_size")).sum
+    assert(totalDocs == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") == r.getAs[Long]("cluster_size") - 1)
+      assert(r.getAs[Long]("kept_doc") >= r.getAs[Long]("comp"),
+        "kept doc is a member, and comp is the min member id")
+    }
+  }
+
   test("simhash emits one 32-bit fingerprint per doc") {
     val rows = Dedup.simhash(docs).collect()
     assert(rows.length == docs.count())
