@@ -126,6 +126,11 @@ object SparkEntry {
     "text_repetition" -> q((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_contamination" -> q((s, d) => TextAnalysis.contamination(Tables.documents(s, d))),
     "dedup_keep_best" -> q((s, d) => Components.keepBest(Tables.documents(s, d))),
+    "q32_stats_agg" -> q((s, d) => Relational.priceStatistics(Tables.lineitem(s, d))),
+    "q33_fuzzy_join" -> q((s, d) => Relational.fuzzyNameMatch(Tables.part(s, d))),
+    "q34_lateral_explode" -> q((s, d) => Relational.tokenPositionStats(Tables.documents(s, d))),
+    "q35_ratio_report" -> q((s, d) =>
+      Relational.nationRevenueShare(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1121,5 +1126,43 @@ object SparkEntry {
         | min(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
         | count(*) - 1 AS n_removed
         |FROM rkd GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q32_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+        | round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+        | round(var_samp(l_discount), 6) AS disc_var,
+        | round(median(l_quantity), 4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q34_lateral_explode" ->
+      s"""WITH tok AS (SELECT unnest(list_transform($tokSql, (x, i) -> {'token': x, 'pos': i})) AS tp
+        |   FROM documents),
+        | t2 AS (SELECT tp.token AS token, CAST(tp.pos AS BIGINT) AS pos FROM tok WHERE tp.pos <= 10),
+        | c AS (SELECT pos, token, count(*) AS c FROM t2 GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY pos ORDER BY c DESC, token) AS rk FROM c)
+        |SELECT pos, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        | min(CASE WHEN rk = 1 THEN token END) AS top_token,
+        | min(CASE WHEN rk = 1 THEN c END) AS top_n
+        |FROM r GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "q35_ratio_report" ->
+      """WITH rev AS (SELECT n_name, sum(o_totalprice) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, round(rev, 4) AS revenue,
+        | round(rev * 100.0 / sum(rev) OVER (), 6) AS share_pct,
+        | CAST(rank() OVER (ORDER BY rev DESC, n_name) AS BIGINT) AS rk
+        |FROM rev ORDER BY rk, n_name""".stripMargin,
   )
 }

@@ -337,6 +337,75 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q32: statistical aggregate suite — Pearson correlation, sample
+    * covariance/stddev/variance, and exact interpolated median per group.
+    * Everything except median is algebraic (map-side partial + merge);
+    * median is the one sort-based aggregate here, with approx_percentile
+    * (q30) as the sketch path at 100 TB. */
+  def priceStatistics(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        round(var_samp(col("l_discount")), 6).as("disc_var"),
+        round(median(col("l_quantity")), 4).as("median_qty"))
+      .orderBy("l_returnflag")
+
+  /** q33: fuzzy string-similarity join — the distinct name domain self-joined
+    * under a levenshtein edit-distance band. The distinct projection bounds
+    * the quadratic factor to the value *dictionary* (names, not rows), which
+    * stays small at any data scale, and the dictionary broadcasts. */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.select(col("p_name")).distinct()
+    names.select(col("p_name").as("name_a"))
+      .join(broadcast(names.select(col("p_name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q34: LATERAL VIEW posexplode — tokens exploded with their positions,
+    * two-level aggregation plus a per-position top-token window rank. The
+    * window partitions by position (bounded key set after the maxPos
+    * filter), so no global sort appears anywhere. */
+  def tokenPositionStats(documents: DataFrame, maxPos: Int = 10): DataFrame = {
+    val tok = documents
+      .select(posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+      .filter(col("pos") <= maxPos)
+    val counts = tok.groupBy(col("pos"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("pos")).orderBy(col("c").desc, col("token"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("pos"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min(when(col("rk") === 1, col("token"))).as("top_token"),
+        min(when(col("rk") === 1, col("c"))).as("top_n"))
+      .orderBy("pos")
+  }
+
+  /** q35: ratio-to-report — each nation's share of global revenue. The
+    * unpartitioned windows run over the 25-row post-aggregation table, not
+    * the fact table; the fact scan shuffles once on the group key. */
+  def nationRevenueShare(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    rev.select(col("n_name"),
+        round(col("rev"), 4).as("revenue"),
+        round(col("rev") * 100.0 / sum(col("rev")).over(Window.partitionBy()), 6).as("share_pct"),
+        rank().over(Window.orderBy(col("rev").desc, col("n_name"))).cast("long").as("rk"))
+      .orderBy("rk", "n_name")
+  }
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem

@@ -48,6 +48,40 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected distributed top-N:\n$plan")
   }
 
+  test("q32 statistical aggregates: correlation bounded, variance consistent with stddev") {
+    val rows = Relational.priceStatistics(lineitem).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("qty_price_corr")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("price_stddev") >= 0.0)
+      assert(r.getAs[Double]("disc_var") >= 0.0)
+    }
+  }
+
+  test("q33 fuzzy join: pairs oriented, distance within band, dict side broadcast") {
+    val df = Relational.fuzzyNameMatch(Tables.part(spark, sf0001))
+    val plan = explained(df)
+    assert(plan.contains("Broadcast"), "name dictionary should broadcast")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getAs[String]("name_a") < r.getAs[String]("name_b")))
+    assert(rows.forall(_.getAs[Long]("dist") <= 3))
+  }
+
+  test("q34 lateral explode: position stats cover positions 1..10") {
+    val rows = Relational.tokenPositionStats(Tables.documents(spark, sf0001)).collect()
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (1L to 10L))
+    rows.foreach(r => assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n_tokens")))
+  }
+
+  test("q35 ratio-to-report: shares sum to 100%") {
+    val rows = Relational.nationRevenueShare(
+      Tables.orders(spark, sf0001), Tables.customer(spark, sf0001), Tables.nation(spark, sf0001)).collect()
+    val total = rows.map(_.getAs[Double]("share_pct")).sum
+    assert(math.abs(total - 100.0) < 1e-3, s"shares sum to $total")
+    assert(rows.map(_.getAs[Long]("rk")).min == 1L)
+  }
+
   test("grouping sets produce both marginals plus the grand total in one pass") {
     val rows = Relational.flagStatusGroupingSets(lineitem).collect()
     val byGid = rows.groupBy(_.getAs[Long]("gid"))
