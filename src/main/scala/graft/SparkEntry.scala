@@ -131,6 +131,9 @@ object SparkEntry {
     "q34_lateral_explode" -> q((s, d) => Relational.tokenPositionStats(Tables.documents(s, d))),
     "q35_ratio_report" -> q((s, d) =>
       Relational.nationRevenueShare(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "lake_clustering_depth" -> q((s, d) => Layout.clusteringDepth(Tables.lineitem(s, d))),
+    "lake_compaction_execute" -> q((s, d) => Snapshots.compactionExecute(Tables.lineitem(s, d))),
+    "lake_rollback_plan" -> q((s, d) => Snapshots.rollbackPlan(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1164,5 +1167,53 @@ object SparkEntry {
         | round(rev * 100.0 / sum(rev) OVER (), 6) AS share_pct,
         | CAST(rank() OVER (ORDER BY rev DESC, n_name) AS BIGINT) AS rk
         |FROM rev ORDER BY rk, n_name""".stripMargin,
+
+    "lake_clustering_depth" ->
+      """WITH g AS (SELECT min(CAST(l_shipdate AS DATE)) AS gmind, max(CAST(l_shipdate AS DATE)) AS gmaxd FROM lineitem),
+        | u AS (
+        |  SELECT 'unsorted' AS layout, l_orderkey % 40 AS file_id, CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |  UNION ALL
+        |  SELECT 'sorted',
+        |   least(CAST(floor(date_diff('day', gmind, CAST(l_shipdate AS DATE)) * 40.0
+        |     / (date_diff('day', gmind, gmaxd) + 1)) AS BIGINT), 39),
+        |   CAST(l_shipdate AS DATE)
+        |  FROM lineitem, g),
+        | f AS (SELECT layout, file_id,
+        |   date_diff('day', DATE '1970-01-01', min(d)) AS dmin,
+        |   date_diff('day', DATE '1970-01-01', max(d)) AS dmax
+        |  FROM u GROUP BY 1, 2),
+        | ev AS (SELECT layout, day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |   SELECT layout, dmin AS day, 1 AS delta FROM f
+        |   UNION ALL SELECT layout, dmax + 1, -1 FROM f) GROUP BY 1, 2),
+        | d AS (SELECT layout, day, net,
+        |   CAST(sum(net) OVER (PARTITION BY layout ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth,
+        |   lead(day) OVER (PARTITION BY layout ORDER BY day) - day AS width
+        |  FROM ev)
+        |SELECT layout, count(*) AS n_intervals, max(depth) AS max_depth,
+        | round(sum(depth * width) * 1.0 / sum(width), 4) AS avg_depth
+        |FROM d WHERE width IS NOT NULL AND depth > 0
+        |GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "lake_compaction_execute" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id, count(*) * 100 AS file_bytes,
+        |   count(*) AS file_rows, min(l_shipdate) AS fmin, max(l_shipdate) AS fmax
+        |  FROM lineitem GROUP BY 1),
+        | b AS (SELECT *, CAST(coalesce(sum(file_bytes) OVER (ORDER BY file_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bytes_before FROM f)
+        |SELECT bytes_before // 400000 AS group_id, count(*) AS n_files,
+        | CAST(sum(file_rows) AS BIGINT) AS group_rows,
+        | CAST(sum(file_bytes) AS BIGINT) AS group_bytes,
+        | strftime(min(fmin), '%Y-%m-%d') AS min_ship,
+        | strftime(max(fmax), '%Y-%m-%d') AS max_ship
+        |FROM b GROUP BY 1 ORDER BY group_id""".stripMargin,
+
+    "lake_rollback_plan" ->
+      """SELECT o_orderkey // 100 AS commit_id,
+        | count(DISTINCT o_orderkey % 40) AS files_touched,
+        | count(*) AS rows_to_remove,
+        | round(sum(o_totalprice), 4) AS bytes_to_remove
+        |FROM orders WHERE o_orderkey // 100 > 120
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

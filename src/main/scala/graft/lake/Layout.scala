@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Writer-organization / data-layout operators (SURVEY.md §2.2).
@@ -99,6 +100,51 @@ object Layout {
            round(avg((col("fymax") - col("fymin")) * 100.0 / 255.0), 4).as("avg_span_y_pct"),
            sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
            round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"))
+      .orderBy("layout")
+  }
+
+  /** Clustering-depth report: the sweep-line overlap metric clustering
+    * maintenance tools use to decide when to re-sort. Per layout, each
+    * file's [min,max] shipdate interval contributes +1/-1 boundary events;
+    * a running sum over the ordered boundaries gives how many files overlap
+    * each date — avg (day-weighted) and max depth. A well-clustered layout
+    * has depth ≈ 1 (disjoint files); an unsorted one has depth ≈ file count.
+    * The sweep is over 2·files boundary rows (metadata scale, same class as
+    * the commit-log cumulative sums — see Snapshots' scale note), not data
+    * rows; no pairwise file join ever forms. */
+  def clusteringDepth(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val global = lineitem.agg(
+      min(unix_date(to_date(col("l_shipdate")))).as("gmin"),
+      max(unix_date(to_date(col("l_shipdate")))).as("gmax"))
+    val unsorted = FileModel.withFileId(lineitem, nFiles)
+      .select(lit("unsorted").as("layout"), col("file_id"), col("l_shipdate"))
+    val sorted = lineitem.join(broadcast(global))
+      .withColumn("file_id", least(
+        floor((unix_date(to_date(col("l_shipdate"))) - col("gmin")) * nFiles /
+          (col("gmax") - col("gmin") + 1)).cast("long"),
+        lit(nFiles - 1L)))
+      .select(lit("sorted").as("layout"), col("file_id"), col("l_shipdate"))
+    val files = unsorted.unionAll(sorted)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(unix_date(to_date(col("l_shipdate")))).as("dmin"),
+           max(unix_date(to_date(col("l_shipdate")))).as("dmax"))
+    val events = files
+      .select(col("layout"), explode(array(
+        struct(col("dmin").as("day"), lit(1L).as("delta")),
+        struct((col("dmax") + 1).as("day"), lit(-1L).as("delta")))).as("e"))
+      .groupBy(col("layout"), col("e.day").as("day"))
+      .agg(sum(col("e.delta")).as("net"))
+    val wRun = Window.partitionBy(col("layout")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(col("layout")).orderBy(col("day"))
+    events
+      .withColumn("depth", sum(col("net")).over(wRun))
+      .withColumn("width", lead(col("day"), 1).over(wOrd) - col("day"))
+      .filter(col("width").isNotNull && col("depth") > 0)
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_intervals"),
+           max(col("depth")).as("max_depth"),
+           round(sum(col("depth") * col("width")) * 1.0 / sum(col("width")), 4).as("avg_depth"))
       .orderBy("layout")
   }
 

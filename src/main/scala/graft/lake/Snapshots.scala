@@ -52,6 +52,43 @@ object Snapshots {
       .orderBy("file_id")
   }
 
+  /** Compaction execution summary: the post-rewrite manifest the compaction
+    * plan produces. Each bin-packed group (same greedy assignment as
+    * compactionPlan) becomes one merged file: row/byte totals plus the
+    * merged min/max shipdate stats its new manifest entry would carry. */
+  def compactionExecute(lineitem: DataFrame, nFiles: Int = 40, targetBytes: Long = 400000): DataFrame = {
+    val files = FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg((count(lit(1)) * 100L).as("file_bytes"),
+           count(lit(1)).as("file_rows"),
+           min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
+    val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bytes_before", coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+      .withColumn("group_id", (col("bytes_before") / targetBytes).cast("long"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("file_rows")).as("group_rows"),
+           sum(col("file_bytes")).as("group_bytes"),
+           date_format(min(col("fmin")), "yyyy-MM-dd").as("min_ship"),
+           date_format(max(col("fmax")), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("group_id")
+  }
+
+  /** Rollback plan: undoing every commit after `asOf` under the append-log
+    * model — per doomed commit, the files it touched and the rows/bytes a
+    * rollback removes. The commit-id predicate prunes at the scan just like
+    * timeTravel's snapshot read. */
+  def rollbackPlan(orders: DataFrame, asOf: Long = 120L, nFiles: Int = 40): DataFrame =
+    orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .filter(col("commit_id") > asOf)
+      .groupBy(col("commit_id"))
+      .agg(countDistinct(col("o_orderkey") % nFiles).as("files_touched"),
+           count(lit(1)).as("rows_to_remove"),
+           round(sum(col("o_totalprice")), 4).as("bytes_to_remove"))
+      .orderBy("commit_id")
+
   /** Incremental read between two snapshot boundaries: what a consumer sees
     * when advancing from snapshot(t1) to snapshot(t2), summarised monthly. */
   def snapshotDiff(orders: DataFrame, t1: String, t2: String): DataFrame =

@@ -152,6 +152,30 @@ class LakeSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("lineage_depth") == 0L, "rewrite commits reset lineage"))
   }
 
+  test("clustering depth: sorted layout is ~disjoint, unsorted overlaps everywhere") {
+    val byLayout = Layout.clusteringDepth(lineitem).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(byLayout("sorted").getAs[Double]("avg_depth") <= 2.0,
+      "clustered files should barely overlap")
+    assert(byLayout("unsorted").getAs[Long]("max_depth") > byLayout("sorted").getAs[Long]("max_depth"),
+      "hash-arrival layout must overlap more than the clustered one")
+  }
+
+  test("compaction execute: merged groups conserve rows and bytes") {
+    val plan = Snapshots.compactionPlan(lineitem).collect()
+    val exec = Snapshots.compactionExecute(lineitem).collect()
+    assert(exec.map(_.getAs[Long]("n_files")).sum == plan.length, "every planned file lands in a group")
+    assert(exec.map(_.getAs[Long]("group_bytes")).sum == plan.map(_.getAs[Long]("file_bytes")).sum)
+    assert(exec.map(_.getAs[Long]("group_rows")).sum == lineitem.count())
+  }
+
+  test("rollback plan covers exactly the commits after the pin") {
+    val rows = Snapshots.rollbackPlan(orders, asOf = 5L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("commit_id") > 5L))
+    rows.foreach(r => assert(r.getAs[Long]("rows_to_remove") >= r.getAs[Long]("files_touched")))
+  }
+
   test("cdc changelog: insert and update key counts add up to active keys per month") {
     val rows = Snapshots.cdcChangelog(orders, "1998-01-01", "1999-01-01").collect()
     assert(rows.nonEmpty)
