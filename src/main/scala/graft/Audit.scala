@@ -39,8 +39,9 @@ object Audit {
         // or a bounded query set against the corpus (brute-force KNN,
         // embedding near-dup upper-triangle).
         val sanctionedBnlj = Set("q19_range_join", "q13_scalar_subquery",
-          "dedup_embedding", "knn_brute", "knn_centroid", "ev_funnel",
-          "lake_skip_rate", "lake_zorder", "lake_expiry_plan")
+          "dedup_embedding", "knn_brute", "knn_centroid", "knn_kmeans",
+          "ev_funnel", "lake_skip_rate", "lake_zorder", "lake_expiry_plan",
+          "lake_clustering_depth", "q33_fuzzy_join")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

@@ -134,6 +134,7 @@ object SparkEntry {
     "lake_clustering_depth" -> q((s, d) => Layout.clusteringDepth(Tables.lineitem(s, d))),
     "lake_compaction_execute" -> q((s, d) => Snapshots.compactionExecute(Tables.lineitem(s, d))),
     "lake_rollback_plan" -> q((s, d) => Snapshots.rollbackPlan(Tables.orders(s, d))),
+    "knn_kmeans" -> q((s, d) => Ann.kmeansCells(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1215,5 +1216,28 @@ object SparkEntry {
         | round(sum(o_totalprice), 4) AS bytes_to_remove
         |FROM orders WHERE o_orderkey // 100 > 120
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "knn_kmeans" ->
+      s"""WITH $embPrepSql,
+        | c0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n WHERE vec_id < 4),
+        | a1 AS (SELECT n.vec_id, n.label, n.v, n.nrm, c0.cell,
+        |   round(list_reduce(list_transform(list_zip(n.v, c0.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (n.nrm * c0.cn), 6) AS cos
+        |  FROM n, c0),
+        | p1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk FROM a1),
+        | m1 AS (SELECT vec_id, label, v, nrm, cell FROM p1 WHERE rk = 1),
+        | ex AS (SELECT cell, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM m1),
+        | ce AS (SELECT cell, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex GROUP BY 1, 2),
+        | cv1 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM ce GROUP BY 1),
+        | c1 AS (SELECT cell, cv,
+        |   sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b2) -> a + b2)) AS cn FROM cv1),
+        | a2 AS (SELECT n.vec_id, n.label, c1.cell,
+        |   round(list_reduce(list_transform(list_zip(n.v, c1.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (n.nrm * c1.cn), 6) AS cos
+        |  FROM n, c1),
+        | p2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk FROM a2)
+        |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
+        |FROM p2 WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

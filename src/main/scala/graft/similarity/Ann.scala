@@ -125,6 +125,43 @@ object Ann {
       .orderBy("q_id")
   }
 
+  /** Assign every vector to its max-cosine centroid (6-dp rounded, cell-id
+    * tie-break); keeps v/nrm so the result can feed a recompute round. */
+  private def assignCells(base: DataFrame, cent: DataFrame): DataFrame =
+    base.join(broadcast(cent))
+      .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+
+  /** Trained IVF: deterministic k-means (init = vectors 0..k-1, `iters`
+    * Lloyd rounds of assign → mean-recompute) and the final cell × label
+    * composition. This is the index-build path for centroid ANN — each
+    * round is one broadcast of k centroid vectors against the corpus plus
+    * one per-cell aggregation, so a round costs a single corpus pass at any
+    * scale and never materialises pairwise distances. Centroid means round
+    * to 9 dp at the aggregation boundary (engine-independent, like
+    * centroidAssign). */
+  def kmeansCells(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val base = prep(embeddings)
+    var cent = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 until iters) {
+      val assigned = assignCells(base, cent)
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x")), 9).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+        .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    }
+    assignCells(base, cent)
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("avg_cos"))
+      .orderBy("cell", "label")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

@@ -53,6 +53,19 @@ class AnnSpec extends SparkSpec {
     assert(n == emb.count())
   }
 
+  test("k-means cells cover all vectors and iterating improves cohesion") {
+    val one = Ann.kmeansCells(emb, k = 4, iters = 1).collect()
+    val two = Ann.kmeansCells(emb, k = 4, iters = 2).collect()
+    assert(one.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(two.map(_.getAs[Long]("n")).sum == emb.count())
+    def cohesion(rows: Array[org.apache.spark.sql.Row]) = {
+      val n = rows.map(_.getAs[Long]("n")).sum
+      rows.map(r => r.getAs[Double]("avg_cos") * r.getAs[Long]("n")).sum / n
+    }
+    assert(cohesion(two) >= cohesion(one) - 1e-9,
+      "a Lloyd round never decreases mean assignment similarity")
+  }
+
   test("embedding near-dup pairs are mutual high-cosine") {
     val rows = Dedup.embeddingNearDup(emb, threshold = 0.3).collect()
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
