@@ -135,6 +135,17 @@ object SparkEntry {
     "lake_compaction_execute" -> q((s, d) => Snapshots.compactionExecute(Tables.lineitem(s, d))),
     "lake_rollback_plan" -> q((s, d) => Snapshots.rollbackPlan(Tables.orders(s, d))),
     "knn_kmeans" -> q((s, d) => Ann.kmeansCells(Tables.embeddings(s, d))),
+    "q36_listagg" -> q((s, d) => Relational.segmentTopNames(Tables.customer(s, d))),
+    "q37_islands" -> q((s, d) => Relational.activityStreaks(Tables.events(s, d))),
+    "q38_histogram" -> q((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
+    "q39_mom_growth" -> q((s, d) => Relational.monthlyGrowth(Tables.orders(s, d))),
+    "q40_date_spine" -> q((s, d) =>
+      Relational.nationMonthSpine(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q41_weighted_agg" -> q((s, d) => Relational.brandWeightedPrice(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q42_regex_extract" -> q((s, d) => Relational.partNameComponents(Tables.part(s, d))),
+    "ev_rfm" -> q((s, d) => Events.rfmSegments(Tables.events(s, d))),
+    "ev_attribution" -> q((s, d) => Events.lastTouchAttribution(Tables.events(s, d))),
+    "ev_dwell" -> q((s, d) => Events.dwellTimes(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1239,5 +1250,115 @@ object SparkEntry {
         |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
         |FROM p2 WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_listagg" ->
+      """WITH r AS (SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+        | FROM customer)
+        |SELECT c_mktsegment,
+        | string_agg(c_name, ',' ORDER BY rk) AS top_names,
+        | round(sum(c_acctbal), 4) AS top_bal
+        |FROM r WHERE rk <= 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q37_islands" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | i AS (SELECT user_id, day,
+        |   date_diff('day', DATE '1970-01-01', day)
+        |     - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM daily),
+        | s AS (SELECT user_id, grp, count(*) AS streak_days, min(day) AS start_day
+        |  FROM i GROUP BY 1, 2),
+        | b AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY streak_days DESC, start_day) AS rk FROM s)
+        |SELECT user_id, streak_days AS best_streak, strftime(start_day, '%Y-%m-%d') AS streak_start
+        |FROM b WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q38_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) * 20000 AS BIGINT) AS bin_lo,
+        | count(*) AS n_orders,
+        | round(avg(o_totalprice), 4) AS avg_price,
+        | round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+
+    "q39_mom_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, round(rev, 4) AS revenue,
+        | round(rev - lag(rev) OVER (ORDER BY month), 4) AS delta,
+        | round((rev / lag(rev) OVER (ORDER BY month) - 1.0) * 100.0, 6) AS growth_pct
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q40_date_spine" ->
+      """WITH rev AS (SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |   sum(o_totalprice) AS rev, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        | b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |   date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        | months AS (SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m') AS month FROM b),
+        | spine AS (SELECT n_name, month FROM nation, months)
+        |SELECT n_name, month,
+        | round(coalesce(rev, 0.0), 4) AS revenue,
+        | CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN rev USING (n_name, month)
+        |ORDER BY n_name, month""".stripMargin,
+
+    "q41_weighted_agg" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)) / sum(l_extendedprice), 6) AS eff_price_ratio,
+        | round(sum(l_quantity), 4) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q42_regex_extract" ->
+      """WITH p AS (SELECT regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adjective,
+        |  regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun, p_retailprice FROM part)
+        |SELECT noun, count(*) AS n_parts,
+        | count(DISTINCT adjective) AS n_adjectives,
+        | round(avg(p_retailprice), 6) AS avg_retail
+        |FROM p WHERE noun <> ''
+        |GROUP BY noun ORDER BY noun""".stripMargin,
+
+    "ev_rfm" ->
+      """WITH p AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |   count(*) AS freq, sum(value) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_day
+        |  FROM events WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, date_diff('day', last_day, corpus_max_day) AS recency_days,
+        |   freq, monetary,
+        |   ntile(4) OVER (ORDER BY date_diff('day', last_day, corpus_max_day), user_id) AS r_q,
+        |   ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+        |   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |  FROM p, mx)
+        |SELECT r_q, f_q, m_q, count(*) AS users,
+        | round(avg(monetary), 6) AS avg_monetary,
+        | round(avg(recency_days), 6) AS avg_recency_days
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH t AS (SELECT event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, 'none') AS touch_type, count(*) AS purchases,
+        | round(sum(value), 4) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    "ev_dwell" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+        | FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        | round(avg(gap_ms / 60000.0), 6) AS avg_gap_min,
+        | round(median(gap_ms / 60000.0), 6) AS median_gap_min,
+        | round(max(gap_ms / 60000.0), 6) AS max_gap_min
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

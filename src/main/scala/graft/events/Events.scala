@@ -158,6 +158,68 @@ object Events {
            count(lit(1)).as("n_events"))
       .orderBy("day")
 
+  /** RFM segmentation: per purchasing user, recency (days since last
+    * purchase vs corpus max day), frequency (purchase count) and monetary
+    * (total value) are quartiled with ntile; output is the segment-level
+    * roll-up. The unpartitioned ntile windows run over the per-user
+    * aggregate (one row per purchasing user — already 4–5 orders of
+    * magnitude under the event count; at extreme user counts the quartile
+    * boundaries would come from approx_percentile instead). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+    val maxDay = purchases.agg(max(to_date(col("ts"))).as("corpus_max_day"))
+    val per = purchases
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value")).as("monetary"))
+      .join(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("corpus_max_day"), col("last_day")).cast("long"))
+    val scored = per
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+    scored
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("users"),
+        round(avg(col("monetary")), 6).as("avg_monetary"),
+        round(avg(col("recency_days")), 6).as("avg_recency_days"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * preceding non-purchase event of the same user (IGNORE NULLS last_value
+    * over a trailing frame — one per-user window, no self-join), then
+    * rolled up per touch type. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("purchases"),
+        round(sum(col("value")), 4).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  /** Inter-event dwell-time: the gap from each event back to the user's
+    * previous event (any type), aggregated per the current event's type.
+    * Median is the one sort-based aggregate; the rest are algebraic. */
+  def dwellTimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_ms") / 60000.0), 6).as("avg_gap_min"),
+        round(median(col("gap_ms") / 60000.0), 6).as("median_gap_min"),
+        round(max(col("gap_ms") / 60000.0), 6).as("max_gap_min"))
+      .orderBy("event_type")
+  }
+
   /** JSON property extraction (`props` is a JSON string column). */
   def propStats(events: DataFrame): DataFrame =
     events

@@ -406,6 +406,124 @@ object Relational {
       .orderBy("rk", "n_name")
   }
 
+  /** q36: LISTAGG / string_agg — the top-k customers by account balance per
+    * market segment with their names joined in rank order. The window
+    * partitions by segment (bounded key set) and the collect_list runs over
+    * ≤ k rows per group after the rank filter, so list state is bounded. */
+  def segmentTopNames(customer: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("rk"), col("c_name")))),
+          x => x.getField("c_name")), ",").as("top_names"),
+        round(sum(col("c_acctbal")), 4).as("top_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q37: gaps & islands — longest consecutive-day activity streak per user.
+    * The classic `day − row_number` island key, computed per user (high-
+    * cardinality partition key; no global window anywhere). */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val daily = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = daily
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_days").desc, col("start_day"))
+    islands
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_days").as("best_streak"),
+        date_format(col("start_day"), "yyyy-MM-dd").as("streak_start"))
+      .orderBy("user_id")
+  }
+
+  /** q38: histogram binning — fixed-width buckets over order value, one
+    * map-side-combinable aggregation (the bucket id is arithmetic, so the
+    * whole query is a single shuffle on a handful of bins). */
+  def priceHistogram(orders: DataFrame, binWidth: Double = 20000.0): DataFrame =
+    orders
+      .groupBy((floor(col("o_totalprice") / binWidth) * binWidth.toLong).cast("long").as("bin_lo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .orderBy("bin_lo")
+
+  /** q39: month-over-month growth — lag over the monthly revenue series.
+    * The unpartitioned window runs over the ~80-row post-aggregation table,
+    * never the fact table. */
+  def monthlyGrowth(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .select(col("month"), round(col("rev"), 4).as("revenue"),
+        round(col("rev") - lag(col("rev"), 1).over(w), 4).as("delta"),
+        round((col("rev") / lag(col("rev"), 1).over(w) - 1.0) * 100.0, 6).as("growth_pct"))
+      .orderBy("month")
+  }
+
+  /** q40: date-spine zero-fill — a generated month sequence crossed with the
+    * nation dim, left-joined to monthly revenue so empty (nation, month)
+    * cells surface as explicit zeros. The spine is generator-built (no table
+    * scan) and broadcast; the fact side aggregates before the join. */
+  def nationMonthSpine(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    val bounds = orders.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val months = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    val spine = months.crossJoin(nation.select(col("n_name")))
+    broadcast(spine)
+      .join(rev, Seq("n_name", "month"), "left")
+      .select(col("n_name"), col("month"),
+        round(coalesce(col("rev"), lit(0.0)), 4).as("revenue"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("n_name", "month")
+  }
+
+  /** q41: weighted aggregation — quantity-weighted mean unit price per brand
+    * (sum(w·x)/sum(w), pure algebraic aggregates; part dim broadcast). */
+  def brandWeightedPrice(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")), 6)
+          .as("wavg_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) /
+              sum(col("l_extendedprice")), 6).as("eff_price_ratio"),
+        round(sum(col("l_quantity")), 4).as("total_qty"))
+      .orderBy("p_brand")
+
+  /** q42: regex extraction + aggregation — part names decomposed with
+    * regexp_extract (codegen'd, stays inside WholeStageCodegen) and
+    * re-aggregated per extracted noun. */
+  def partNameComponents(part: DataFrame): DataFrame =
+    part
+      .withColumn("adjective", regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1))
+      .withColumn("noun", regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2))
+      .filter(col("noun") =!= "")
+      .groupBy(col("noun"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("adjective")).as("n_adjectives"),
+        round(avg(col("p_retailprice")), 6).as("avg_retail"))
+      .orderBy("noun")
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem

@@ -158,4 +158,63 @@ class RelationalSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(banded == lineitem.count())
   }
+
+  test("listagg ranks names in balance order and caps at k per segment") {
+    val rows = Relational.segmentTopNames(Tables.customer(spark, sf0001), k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getAs[String]("top_names").split(",")
+      assert(names.length <= 3 && names.distinct.length == names.length)
+    }
+  }
+
+  test("islands: best streak is at least 1 day and one row per active user") {
+    val ev = Tables.events(spark, sf0001)
+    val out = Relational.activityStreaks(ev)
+    val users = ev.select("user_id").distinct().count()
+    assert(out.count() == users)
+    assert(out.collect().forall(_.getAs[Long]("best_streak") >= 1L))
+  }
+
+  test("histogram bins partition all orders; spine zero-fills every nation-month") {
+    val orders = Tables.orders(spark, sf0001)
+    val hist = Relational.priceHistogram(orders)
+    assert(hist.agg(org.apache.spark.sql.functions.sum("n_orders")).collect()(0).getLong(0)
+      == orders.count())
+    val spine = Relational.nationMonthSpine(orders, Tables.customer(spark, sf0001),
+      Tables.nation(spark, sf0001))
+    val nMonths = spine.select("month").distinct().count()
+    val nNations = spine.select("n_name").distinct().count()
+    assert(spine.count() == nMonths * nNations, "spine must be the full cross product")
+  }
+
+  test("month-over-month deltas telescope to last-minus-first revenue") {
+    val rows = Relational.monthlyGrowth(Tables.orders(spark, sf0001))
+      .orderBy("month").collect()
+    val deltaSum = rows.drop(1).map(_.getAs[Double]("delta")).sum
+    val direct = rows.last.getAs[Double]("revenue") - rows.head.getAs[Double]("revenue")
+    assert(math.abs(deltaSum - direct) < 1e-2)
+  }
+
+  test("rfm/attribution/dwell: users conserved, purchases conserved, gaps positive") {
+    import graft.events.Events
+    val ev = Tables.events(spark, sf0001)
+    val sum = org.apache.spark.sql.functions.sum(_: String)
+    val purchasers = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(Events.rfmSegments(ev).agg(sum("users")).collect()(0).getLong(0) == purchasers)
+    val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(Events.lastTouchAttribution(ev).agg(sum("purchases")).collect()(0).getLong(0) == purchases)
+    assert(Events.dwellTimes(ev).collect().forall(_.getAs[Double]("avg_gap_min") >= 0.0))
+  }
+
+  test("weighted price differs from plain mean and regex extraction is total") {
+    val li = lineitem
+    val part = Tables.part(spark, sf0001)
+    val w = Relational.brandWeightedPrice(li, part).collect()
+    assert(w.forall(_.getAs[Double]("wavg_price") > 0))
+    val parts = Relational.partNameComponents(part)
+    assert(parts.agg(org.apache.spark.sql.functions.sum("n_parts")).collect()(0).getLong(0)
+      == part.count(), "every two-word part name must be classified")
+  }
 }
