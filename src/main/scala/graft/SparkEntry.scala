@@ -143,6 +143,11 @@ object SparkEntry {
       Relational.nationMonthSpine(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q41_weighted_agg" -> q((s, d) => Relational.brandWeightedPrice(Tables.lineitem(s, d), Tables.part(s, d))),
     "q42_regex_extract" -> q((s, d) => Relational.partNameComponents(Tables.part(s, d))),
+    "lake_stats_truncation" -> q((s, d) => Manifest.statsTruncation(Tables.part(s, d))),
+    "lake_small_files" -> q((s, d) => Manifest.smallFilesReport(Tables.lineitem(s, d))),
+    "lake_scan_cost" -> q((s, d) => Manifest.scanCostModel(Tables.lineitem(s, d))),
+    "lake_branch_tags" -> q((s, d) => Snapshots.branchTags(Tables.orders(s, d))),
+    "lake_wap_audit" -> q((s, d) => Snapshots.wapAudit(Tables.orders(s, d))),
     "ev_rfm" -> q((s, d) => Events.rfmSegments(Tables.events(s, d))),
     "ev_attribution" -> q((s, d) => Events.lastTouchAttribution(Tables.events(s, d))),
     "ev_dwell" -> q((s, d) => Events.dwellTimes(Tables.events(s, d))),
@@ -1250,6 +1255,80 @@ object SparkEntry {
         |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
         |FROM p2 WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_stats_truncation" ->
+      """WITH f AS (SELECT p_partkey % 20 AS file_id,
+        |  min(p_name) AS min_name, max(p_name) AS max_name
+        | FROM part GROUP BY 1),
+        | t AS (SELECT file_id, min_name, max_name,
+        |   substring(min_name, 1, 4) AS trunc_min,
+        |   substring(max_name, 1, 4) || '~' AS trunc_max FROM f)
+        |SELECT file_id, min_name, max_name, trunc_min, trunc_max,
+        | ('small gizmo' >= min_name AND 'small gizmo' <= max_name) AS keep_full,
+        | ('small gizmo' >= trunc_min AND 'small gizmo' <= trunc_max) AS keep_trunc,
+        | (('small gizmo' >= trunc_min AND 'small gizmo' <= trunc_max)
+        |   AND NOT ('small gizmo' >= min_name AND 'small gizmo' <= max_name)) AS false_keep
+        |FROM t ORDER BY file_id""".stripMargin,
+
+    "lake_small_files" ->
+      """WITH frag AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+        |   l_orderkey % 40 AS file_id, count(*) * 100 AS frag_bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        | s AS (SELECT part_month, frag_bytes,
+        |   frag_bytes * 2.0 < avg(frag_bytes) OVER (PARTITION BY part_month) AS small
+        |  FROM frag)
+        |SELECT part_month, count(*) AS n_files,
+        | CAST(sum(frag_bytes) AS BIGINT) AS partition_bytes,
+        | CAST(sum(CASE WHEN small THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        | round(sum(CASE WHEN small THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS small_pct,
+        | sum(CASE WHEN small THEN 1 ELSE 0 END) * 2 > count(*) AS should_compact
+        |FROM s GROUP BY part_month ORDER BY part_month""".stripMargin,
+
+    "lake_scan_cost" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id, count(*) AS rows_,
+        |   CAST(sum(length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS str_bytes,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+        |  FROM lineitem GROUP BY 1),
+        | k AS (SELECT *, (max_ship >= '1997-01-01' AND min_ship <= '1997-03-31') AS kept FROM f),
+        | a AS (SELECT count(*) AS all_files, CAST(sum(rows_) AS BIGINT) AS all_rows,
+        |   CAST(sum(rows_ * 68 + str_bytes) AS BIGINT) AS full_bytes,
+        |   CAST(sum(rows_ * 24) AS BIGINT) AS proj_bytes,
+        |   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_files,
+        |   CAST(sum(CASE WHEN kept THEN rows_ ELSE 0 END) AS BIGINT) AS kept_rows
+        |  FROM k)
+        |SELECT '0_full_scan' AS variant, all_files AS files_read, all_rows AS rows_scanned,
+        |  full_bytes AS bytes_read FROM a
+        |UNION ALL SELECT '1_column_pruned', all_files, all_rows, proj_bytes FROM a
+        |UNION ALL SELECT '2_column_file_pruned', kept_files, kept_rows, kept_rows * 24 FROM a
+        |ORDER BY variant""".stripMargin,
+
+    "lake_branch_tags" ->
+      """WITH c AS (SELECT o_orderkey // 100 AS commit_id, count(*) AS rows_added,
+        |   sum(o_totalprice) AS bytes_added
+        |  FROM orders GROUP BY 1),
+        | mx AS (SELECT max(commit_id) AS maxc FROM c),
+        | refs AS (
+        |  SELECT 'main' AS ref_name, 'branch' AS ref_type, maxc AS head_commit FROM mx
+        |  UNION ALL SELECT 'staging', 'branch', (maxc * 6) // 10 FROM mx
+        |  UNION ALL SELECT 'v1.0', 'tag', (maxc * 3) // 10 FROM mx)
+        |SELECT ref_name, ref_type, head_commit,
+        | count(*) AS commits_visible,
+        | CAST(sum(rows_added) AS BIGINT) AS rows_visible,
+        | round(sum(bytes_added), 4) AS bytes_visible
+        |FROM refs JOIN c ON commit_id <= head_commit
+        |GROUP BY 1, 2, 3 ORDER BY ref_name""".stripMargin,
+
+    "lake_wap_audit" ->
+      """WITH wc AS (SELECT o_orderkey // 100 AS commit_id, o_totalprice FROM orders),
+        | mx AS (SELECT max(commit_id) AS maxc FROM wc)
+        |SELECT commit_id, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_totalprice < 30000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | round(sum(CASE WHEN o_totalprice < 30000.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS bad_pct,
+        | CASE WHEN sum(CASE WHEN o_totalprice < 30000.0 THEN 1 ELSE 0 END) * 100.0 / count(*) <= 5.0
+        |   THEN 'publish' ELSE 'reject' END AS decision
+        |FROM wc, mx WHERE commit_id > maxc - 10
+        |GROUP BY commit_id ORDER BY commit_id""".stripMargin,
 
     "q36_listagg" ->
       """WITH r AS (SELECT c_mktsegment, c_name, c_acctbal, c_custkey,

@@ -192,6 +192,90 @@ object Manifest {
       .orderBy("spec")
   }
 
+  /** String-stats truncation: Iceberg manifests store *truncated* string
+    * min/max bounds (`truncate(N)` — lower bound prefix-truncated, upper
+    * bound prefix + a sentinel above the alphabet, mirroring Iceberg's
+    * increment-last-byte). Truncation keeps manifests small but widens the
+    * bounds, so point lookups can falsely keep files. Per file of the part
+    * dictionary: full vs truncated bounds and the keep / false-keep bits for
+    * one equality predicate. */
+  def statsTruncation(part: DataFrame, key: String = "small gizmo",
+                      prefixLen: Int = 4, nFiles: Int = 20): DataFrame = {
+    val k = lit(key)
+    part
+      .withColumn("file_id", col("p_partkey") % nFiles)
+      .groupBy(col("file_id"))
+      .agg(min(col("p_name")).as("min_name"), max(col("p_name")).as("max_name"))
+      .withColumn("trunc_min", substring(col("min_name"), 1, prefixLen))
+      .withColumn("trunc_max", concat(substring(col("max_name"), 1, prefixLen), lit("~")))
+      .withColumn("keep_full", k >= col("min_name") && k <= col("max_name"))
+      .withColumn("keep_trunc", k >= col("trunc_min") && k <= col("trunc_max"))
+      .withColumn("false_keep", col("keep_trunc") && !col("keep_full"))
+      .select("file_id", "min_name", "max_name", "trunc_min", "trunc_max",
+        "keep_full", "keep_trunc", "false_keep")
+      .orderBy("file_id")
+  }
+
+  /** Small-files health report per month partition: each (partition, file)
+    * fragment's byte size against the partition's own mean — a fragment
+    * under half the mean is "small", and a partition where more than half
+    * the fragments are small should compact. Thresholds are relative, so
+    * the report is scale-free (same semantics at sf0.01 and 100 TB). */
+  def smallFilesReport(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("part_month"))
+    FileModel.withFileId(lineitem, nFiles)
+      .withColumn("part_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("part_month"), col("file_id"))
+      .agg((count(lit(1)) * 100L).as("frag_bytes"))
+      .withColumn("small", col("frag_bytes") * 2.0 < avg(col("frag_bytes")).over(w))
+      .groupBy(col("part_month"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("frag_bytes")).as("partition_bytes"),
+        sum(when(col("small"), 1L).otherwise(0L)).as("n_small"))
+      .withColumn("small_pct", round(col("n_small") * 100.0 / col("n_files"), 4))
+      .withColumn("should_compact", col("n_small") * 2 > col("n_files"))
+      .orderBy("part_month")
+  }
+
+  /** Scan-cost model: planner's bytes-read estimate for three strategies
+    * over the same table — full scan, column-pruned scan (projection reaches
+    * the reader), and column + stats-file-pruned scan. Column widths are the
+    * physical encodings (8 B numerics/timestamps, 4 B ints, measured bytes
+    * for strings); the file-pruning bit reuses the min/max overlap planning
+    * of `pruneForPredicate`. */
+  def scanCostModel(lineitem: DataFrame, lo: String = "1997-01-01",
+                    hi: String = "1997-03-31", nFiles: Int = 40): DataFrame = {
+    val fixedWidth = 8L * 8 + 4L // 8 numeric/timestamp cols @8B + linenumber @4B
+    val projWidth = 24L          // l_orderkey + l_extendedprice + l_shipdate
+    val files = FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("str_bytes"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .withColumn("kept", col("max_ship") >= lo && col("min_ship") <= hi)
+    files
+      .agg(
+        count(lit(1)).as("all_files"),
+        sum(col("rows")).as("all_rows"),
+        sum(col("rows") * fixedWidth + col("str_bytes")).as("full_bytes"),
+        sum(col("rows") * projWidth).as("proj_bytes"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_files"),
+        sum(when(col("kept"), col("rows")).otherwise(0L)).as("kept_rows"))
+      .select(explode(array(
+        struct(lit("0_full_scan").as("variant"), col("all_files").as("files_read"),
+          col("all_rows").as("rows_scanned"), col("full_bytes").as("bytes_read")),
+        struct(lit("1_column_pruned").as("variant"), col("all_files").as("files_read"),
+          col("all_rows").as("rows_scanned"), col("proj_bytes").as("bytes_read")),
+        struct(lit("2_column_file_pruned").as("variant"), col("kept_files").as("files_read"),
+          col("kept_rows").as("rows_scanned"),
+          (col("kept_rows") * projWidth).as("bytes_read"))
+      )).as("s"))
+      .select(col("s.variant").as("variant"), col("s.files_read").as("files_read"),
+        col("s.rows_scanned").as("rows_scanned"), col("s.bytes_read").as("bytes_read"))
+      .orderBy("variant")
+  }
+
   /** Flat partition-grouped manifest + partition-pruned planning: the entries
     * a query for one partition actually reads (adaptive-tree flat layout). */
   def partitionManifest(lineitem: DataFrame, targetMonth: String, nFiles: Int = 40): DataFrame =

@@ -89,6 +89,55 @@ object Snapshots {
            round(sum(col("o_totalprice")), 4).as("bytes_to_remove"))
       .orderBy("commit_id")
 
+  /** Branches & tags: named refs pinned to commit heads over the append-log
+    * model (Iceberg's `refs` metadata — `main` at the log head, a staging
+    * branch behind it, an immutable release tag further back). Per ref:
+    * commits/rows/bytes visible from its head. The ref table is a literal
+    * 3-row generator, broadcast against the per-commit aggregate. */
+  def branchTags(orders: DataFrame): DataFrame = {
+    val commits = orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("rows_added"), sum(col("o_totalprice")).as("bytes_added"))
+    val refs = commits.agg(max(col("commit_id")).as("maxc"))
+      .select(explode(array(
+        struct(lit("main").as("ref_name"), lit("branch").as("ref_type"),
+          col("maxc").as("head_commit")),
+        struct(lit("staging").as("ref_name"), lit("branch").as("ref_type"),
+          floor(col("maxc") * 6 / 10).cast("long").as("head_commit")),
+        struct(lit("v1.0").as("ref_name"), lit("tag").as("ref_type"),
+          floor(col("maxc") * 3 / 10).cast("long").as("head_commit"))
+      )).as("r"))
+      .select(col("r.ref_name").as("ref_name"), col("r.ref_type").as("ref_type"),
+        col("r.head_commit").as("head_commit"))
+    broadcast(refs)
+      .join(commits, col("commit_id") <= col("head_commit"))
+      .groupBy(col("ref_name"), col("ref_type"), col("head_commit"))
+      .agg(count(lit(1)).as("commits_visible"),
+        sum(col("rows_added")).as("rows_visible"),
+        round(sum(col("bytes_added")), 4).as("bytes_visible"))
+      .orderBy("ref_name")
+  }
+
+  /** Write-audit-publish gate: the last `stagedN` commits are staged on an
+    * audit branch; each publishes only if its bad-row fraction (quality
+    * predicate `o_totalprice < badBelow`) stays within `maxBadPct`. The
+    * audit is one aggregation per staged commit — the WAP pattern's quality
+    * gate as a set-based operator, no per-commit driver loop. */
+  def wapAudit(orders: DataFrame, stagedN: Long = 10L, badBelow: Double = 30000.0,
+               maxBadPct: Double = 5.0): DataFrame = {
+    val withCommit = orders.withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+    val maxc = withCommit.agg(max(col("commit_id")).as("maxc"))
+    withCommit
+      .join(broadcast(maxc), col("commit_id") > col("maxc") - stagedN)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < badBelow, 1L).otherwise(0L)).as("n_bad"))
+      .withColumn("bad_pct", round(col("n_bad") * 100.0 / col("n_rows"), 4))
+      .withColumn("decision", when(col("bad_pct") <= maxBadPct, "publish").otherwise("reject"))
+      .orderBy("commit_id")
+  }
+
   /** Incremental read between two snapshot boundaries: what a consumer sees
     * when advancing from snapshot(t1) to snapshot(t2), summarised monthly. */
   def snapshotDiff(orders: DataFrame, t1: String, t2: String): DataFrame =

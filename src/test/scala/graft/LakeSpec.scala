@@ -176,6 +176,39 @@ class LakeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("rows_to_remove") >= r.getAs[Long]("files_touched")))
   }
 
+  test("stats truncation only widens bounds: keep_full implies keep_trunc") {
+    val rows = Manifest.statsTruncation(Tables.part(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("keep_full") || r.getAs[Boolean]("keep_trunc"),
+        "truncated bounds must be a superset of full bounds")
+      assert(r.getAs[String]("trunc_min") <= r.getAs[String]("min_name"))
+      assert(r.getAs[String]("trunc_max") >= r.getAs[String]("max_name"))
+    }
+  }
+
+  test("scan cost strictly decreases from full to column-pruned to file-pruned") {
+    val v = Manifest.scanCostModel(lineitem).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("bytes_read")).toMap
+    assert(v("0_full_scan") > v("1_column_pruned"))
+    assert(v("1_column_pruned") >= v("2_column_file_pruned"))
+  }
+
+  test("branch refs see monotonically more data toward the head; WAP decisions are total") {
+    val refs = Snapshots.branchTags(orders).collect()
+      .map(r => r.getAs[String]("ref_name") -> r.getAs[Long]("rows_visible")).toMap
+    assert(refs("v1.0") <= refs("staging") && refs("staging") <= refs("main"))
+    val wap = Snapshots.wapAudit(orders).collect()
+    assert(wap.nonEmpty)
+    assert(wap.forall(r => Set("publish", "reject")(r.getAs[String]("decision"))))
+  }
+
+  test("small-files report: a partition's small count never exceeds its file count") {
+    val rows = Manifest.smallFilesReport(lineitem).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_small") <= r.getAs[Long]("n_files")))
+  }
+
   test("cdc changelog: insert and update key counts add up to active keys per month") {
     val rows = Snapshots.cdcChangelog(orders, "1998-01-01", "1999-01-01").collect()
     assert(rows.nonEmpty)
