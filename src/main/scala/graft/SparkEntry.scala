@@ -143,6 +143,11 @@ object SparkEntry {
       Relational.nationMonthSpine(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q41_weighted_agg" -> q((s, d) => Relational.brandWeightedPrice(Tables.lineitem(s, d), Tables.part(s, d))),
     "q42_regex_extract" -> q((s, d) => Relational.partNameComponents(Tables.part(s, d))),
+    "text_zipf" -> q((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
+    "text_novelty" -> q((s, d) => TextAnalysis.bigramNovelty(Tables.documents(s, d))),
+    "dedup_containment" -> q((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    "knn_range_search" -> q((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
+    "knn_pq" -> q((s, d) => Ann.pqQuantize(Tables.embeddings(s, d))),
     "lake_stats_truncation" -> q((s, d) => Manifest.statsTruncation(Tables.part(s, d))),
     "lake_small_files" -> q((s, d) => Manifest.smallFilesReport(Tables.lineitem(s, d))),
     "lake_scan_cost" -> q((s, d) => Manifest.scanCostModel(Tables.lineitem(s, d))),
@@ -1255,6 +1260,74 @@ object SparkEntry {
         |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
         |FROM p2 WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_zipf" ->
+      s"""WITH f AS (SELECT unnest($tokSql) AS token FROM documents),
+        | fr AS (SELECT token, count(*) AS freq FROM f GROUP BY 1),
+        | r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rk FROM fr)
+        |SELECT count(*) AS n_ranks,
+        | round(regr_slope(ln(freq), ln(rk)), 6) AS zipf_slope,
+        | round(regr_intercept(ln(freq), ln(rk)), 6) AS zipf_intercept,
+        | round(regr_r2(ln(freq), ln(rk)), 6) AS fit_r2
+        |FROM r WHERE rk <= 100""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | bg AS (SELECT DISTINCT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i + 1 <= len(tk) THEN x || ' ' || tk[i+1] END),
+        |   y -> y IS NOT NULL)) AS bg FROM t),
+        | df AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1),
+        | n AS (SELECT doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM bg JOIN df USING (bg) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_novel,
+        | round(n_novel * 1.0 / n_bigrams, 6) AS novelty
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
+        |   y -> y IS NOT NULL)) AS sh FROM t),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | c AS (SELECT doc_a, doc_b, common,
+        |   round(common * 1.0 / na.n_sh, 6) AS cont_a,
+        |   round(common * 1.0 / nb.n_sh, 6) AS cont_b
+        |  FROM pairs JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, common, cont_a, cont_b
+        |FROM c WHERE greatest(cont_a, cont_b) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "knn_range_search" ->
+      s"""WITH $embPrepSql,
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+        | s AS (SELECT q_id, vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM q JOIN n ON vec_id <> q_id)
+        |SELECT q_id, neighbor_id, cos FROM s WHERE cos >= 0.35
+        |ORDER BY q_id, neighbor_id""".stripMargin,
+
+    "knn_pq" ->
+      s"""WITH $embPrepSql,
+        | subs AS (SELECT vec_id, label, sub_id,
+        |   list_slice(v, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
+        |  FROM n, range(8) AS r(sub_id)),
+        | ex AS (SELECT sub_id, label AS code,
+        |   unnest(list_transform(sv, (x, i) -> {'pos': i, 'x': x})) AS px FROM subs),
+        | ce AS (SELECT sub_id, code, px.pos AS pos, round(avg(px.x), 9) AS c
+        |  FROM ex GROUP BY 1, 2, 3),
+        | cb AS (SELECT sub_id, code, list(c ORDER BY pos) AS cv FROM ce GROUP BY 1, 2),
+        | d AS (SELECT vec_id, s.sub_id AS sub_id, code,
+        |   round(list_reduce(list_transform(list_zip(sv, cv), z -> (z[1] - z[2]) * (z[1] - z[2])),
+        |     (a, b2) -> a + b2), 9) AS sq_err
+        |  FROM subs s JOIN cb ON s.sub_id = cb.sub_id),
+        | p AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY sq_err, code) AS rk FROM d)
+        |SELECT sub_id, count(*) AS n_vectors, count(DISTINCT code) AS codes_used,
+        | round(avg(sq_err), 6) AS avg_sq_err, round(max(sq_err), 6) AS max_sq_err
+        |FROM p WHERE rk = 1 GROUP BY 1 ORDER BY sub_id""".stripMargin,
 
     "lake_stats_truncation" ->
       """WITH f AS (SELECT p_partkey % 20 AS file_id,

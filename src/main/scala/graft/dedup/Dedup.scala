@@ -63,6 +63,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-containment near-dup pairs: C(A,B) = |A∩B| / |A|. Containment
+    * catches subset duplicates (a doc embedded inside a longer one) that
+    * symmetric Jaccard under-scores — the standard complement to Jaccard in
+    * LLM-corpus dedup. Same inverted-index join as `ngramJaccardPairs`
+    * (only docs sharing a shingle pair up), thresholded on the larger of
+    * the two directional containments. */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(documents).localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
+      .withColumn("cont_a", round(col("common") * 1.0 / col("na"), 6))
+      .withColumn("cont_b", round(col("common") * 1.0 / col("nb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("cont_a"), col("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val MinhashK = 16
   val MinhashP = 10007L
   /** a/b coefficients of the k-th LCG permutation (shared with the oracle).

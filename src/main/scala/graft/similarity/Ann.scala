@@ -162,6 +162,61 @@ object Ann {
       .orderBy("cell", "label")
   }
 
+  /** Threshold (range) search: every corpus vector with cosine ≥ `minCos`
+    * for each query in the bounded query set — the "all matches above τ"
+    * complement to top-k. Brute force against the broadcast query side here;
+    * the LSH-bucket join (`lshTopK`) is the sub-linear path when the corpus
+    * outgrows a single pass. */
+  def rangeSearch(embeddings: DataFrame, nQueries: Int = 20, minCos: Double = 0.35): DataFrame = {
+    val base = prep(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
+  /** Product quantization: the vector is split into `nSub` contiguous
+    * subvectors; each subspace gets a deterministic codebook (the mean
+    * subvector per label — a "trained" codebook without iteration, rounded
+    * at the aggregation boundary like the IVF centroids) and every
+    * subvector is assigned to its nearest codeword by squared L2. The
+    * report is per-subspace quantization error + codebook usage — the
+    * memory/recall trade PQ buys at 100 TB (64 floats → 8 codes). The
+    * distance fold is the same sequential zip-fold as the oracle
+    * (bit-identical); sub/codebook tables explode by nSub, never pairwise
+    * over the corpus (codebooks broadcast). */
+  def pqQuantize(embeddings: DataFrame, nSub: Int = 8): DataFrame = {
+    val base = prep(embeddings)
+    val dim = embeddingDim(embeddings)
+    val w = dim / nSub
+    val sub = base.select(col("vec_id"), col("label"),
+      explode(expr(s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS sub_id, slice(v, s * $w + 1, $w) AS sv))"))
+        .as("p"))
+      .select(col("vec_id"), col("label"), col("p.sub_id").as("sub_id"), col("p.sv").as("sv"))
+    val codebook = sub
+      .select(col("sub_id"), col("label").as("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub_id"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+    val assigned = sub.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("sq_err",
+        round(expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub_id")).orderBy(col("sq_err"), col("code"))))
+      .filter(col("rk") === 1)
+    assigned
+      .groupBy(col("sub_id").cast("long").as("sub_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("code")).as("codes_used"),
+        round(avg(col("sq_err")), 6).as("avg_sq_err"),
+        round(max(col("sq_err")), 6).as("max_sq_err"))
+      .orderBy("sub_id")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

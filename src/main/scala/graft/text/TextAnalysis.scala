@@ -212,6 +212,44 @@ object TextAnalysis {
 
   /** Corpus-level bigram frequencies (positional n-gram assembly done with
     * array lambdas — no self-join). */
+  /** Zipf fit: linear regression of ln(freq) on ln(rank) over the top
+    * `topRanks` tokens — the rank-frequency slope (≈ −1 for natural text) is
+    * a corpus-level quality signal. regr_* aggregates are algebraic
+    * (map-side partial); the rank window runs over the bounded vocabulary. */
+  def zipfSlope(documents: DataFrame, topRanks: Int = 100): DataFrame = {
+    val freq = documents
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("token"))
+    freq
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topRanks)
+      .agg(count(lit(1)).as("n_ranks"),
+        round(expr("regr_slope(ln(freq), ln(rk))"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(ln(freq), ln(rk))"), 6).as("zipf_intercept"),
+        round(expr("regr_r2(ln(freq), ln(rk))"), 6).as("fit_r2"))
+  }
+
+  /** Bigram novelty: the fraction of each document's distinct bigrams that
+    * occur in no other document — high novelty separates original text from
+    * boilerplate. Inverted-index shape (bigram → doc frequency), the same
+    * sub-quadratic pattern as the dedup family. */
+  def bigramNovelty(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN concat(x, ' ', t[i+1]) END), y -> y IS NOT NULL)"))
+        .as("bg"))
+      .distinct()
+    val docFreq = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bg.join(docFreq, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") * 1.0 / col("n_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
   def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =
     documents
       .withColumn("t", toks)

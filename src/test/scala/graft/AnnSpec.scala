@@ -70,4 +70,27 @@ class AnnSpec extends SparkSpec {
     val rows = Dedup.embeddingNearDup(emb, threshold = 0.3).collect()
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
   }
+
+  test("range search is top-k-consistent: every result clears the threshold") {
+    val rows = Ann.rangeSearch(emb, nQueries = 5, minCos = 0.3).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
+    // brute-force rank-1 neighbors above the threshold must appear
+    val brute = Ann.bruteForceTopK(emb, nQueries = 5, k = 1).collect()
+      .filter(_.getAs[Double]("cos") >= 0.3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val range = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(brute.subsetOf(range), "range search must contain every qualifying top-1")
+  }
+
+  test("PQ quantizes every vector in every subspace with bounded error") {
+    val rows = Ann.pqQuantize(emb).collect()
+    assert(rows.length == 8, "one report row per subspace")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == emb.count())
+      assert(r.getAs[Double]("avg_sq_err") >= 0.0)
+      assert(r.getAs[Double]("max_sq_err") >= r.getAs[Double]("avg_sq_err"))
+      assert(r.getAs[Long]("codes_used") <= 10L)
+    }
+  }
 }

@@ -112,6 +112,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard on every shared-shingle pair") {
+    val cont = Dedup.containmentPairs(docs, threshold = 0.0).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      val ca = r.getAs[Double]("cont_a"); val cb = r.getAs[Double]("cont_b")
+      assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+    }
+  }
+
+  test("novelty is a proper fraction and zipf fit has a negative slope") {
+    val nov = TextAnalysis.bigramNovelty(docs).collect()
+    assert(nov.forall { r =>
+      val f = r.getAs[Double]("novelty"); f >= 0.0 && f <= 1.0
+    })
+    val z = TextAnalysis.zipfSlope(docs).collect()(0)
+    assert(z.getAs[Double]("zipf_slope") < 0.0, "rank-frequency must decay")
+    assert(z.getAs[Double]("fit_r2") >= 0.0 && z.getAs[Double]("fit_r2") <= 1.0)
+  }
+
   test("simhash emits one 32-bit fingerprint per doc") {
     val rows = Dedup.simhash(docs).collect()
     assert(rows.length == docs.count())
