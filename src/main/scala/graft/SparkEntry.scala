@@ -143,6 +143,15 @@ object SparkEntry {
       Relational.nationMonthSpine(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q41_weighted_agg" -> q((s, d) => Relational.brandWeightedPrice(Tables.lineitem(s, d), Tables.part(s, d))),
     "q42_regex_extract" -> q((s, d) => Relational.partNameComponents(Tables.part(s, d))),
+    "q43_mode" -> q((s, d) => Relational.priorityModes(Tables.orders(s, d))),
+    "q44_two_level_share" -> q((s, d) => Relational.regionNationShare(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q45_rank_ties" -> q((s, d) => Relational.busiestMonthsWithTies(Tables.orders(s, d))),
+    "q46_filtered_distinct" -> q((s, d) => Relational.yearlyDistinctCustomers(Tables.orders(s, d))),
+    "lake_pos_runs" -> q((s, d) => DeleteVectors.survivorRuns(Tables.lineitem(s, d))),
+    "lake_sort_evolution" -> q((s, d) => Layout.sortOrderEvolution(Tables.lineitem(s, d))),
+    "ev_path_trigrams" -> q((s, d) => Events.pathTrigrams(Tables.events(s, d))),
+    "mm_batch_plan" -> q((s, d) => Multimodal.batchPlan(Tables.documents(s, d))),
     "text_zipf" -> q((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
     "text_novelty" -> q((s, d) => TextAnalysis.bigramNovelty(Tables.documents(s, d))),
     "dedup_containment" -> q((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1260,6 +1269,99 @@ object SparkEntry {
         |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
         |FROM p2 WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q43_mode" ->
+      """WITH mm AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS mode_month,
+        |   count(*) AS c FROM orders GROUP BY 1, 2),
+        | m1 AS (SELECT o_orderpriority, mode_month, c AS mode_month_n,
+        |   row_number() OVER (PARTITION BY o_orderpriority ORDER BY c DESC, mode_month) AS rk FROM mm),
+        | ss AS (SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        | s1 AS (SELECT o_orderpriority, mode_status, c AS mode_status_n,
+        |   row_number() OVER (PARTITION BY o_orderpriority ORDER BY c DESC, mode_status) AS rk FROM ss)
+        |SELECT m1.o_orderpriority, mode_month, mode_month_n, mode_status, mode_status_n
+        |FROM m1 JOIN s1 ON m1.o_orderpriority = s1.o_orderpriority
+        |WHERE m1.rk = 1 AND s1.rk = 1
+        |ORDER BY m1.o_orderpriority""".stripMargin,
+
+    "q44_two_level_share" ->
+      """WITH rev AS (SELECT r_name, n_name, sum(o_totalprice) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, round(rev, 4) AS revenue,
+        | round(rev * 100.0 / sum(rev) OVER (PARTITION BY r_name), 6) AS pct_of_region,
+        | round(sum(rev) OVER (PARTITION BY r_name) * 100.0 / sum(rev) OVER (), 6) AS region_pct_of_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "q45_rank_ties" ->
+      """WITH c AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |   count(*) AS n FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, n,
+        | rank() OVER (PARTITION BY o_orderpriority ORDER BY n DESC) AS rk
+        |FROM c QUALIFY rk <= 3
+        |ORDER BY o_orderpriority, rk, month""".stripMargin,
+
+    "q46_filtered_distinct" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        | count(DISTINCT o_custkey) AS customers,
+        | count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS urgent_customers,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS finished_customers,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "lake_pos_runs" ->
+      s"""WITH fm AS ($fileModelSql),
+        | s AS (SELECT file_id, pos FROM fm WHERE (l_orderkey * 31 + l_linenumber) % 10 <> 3),
+        | i AS (SELECT file_id, pos,
+        |   pos - row_number() OVER (PARTITION BY file_id ORDER BY pos) AS grp FROM s),
+        | runs AS (SELECT file_id, grp, count(*) AS run_len FROM i GROUP BY 1, 2)
+        |SELECT file_id, count(*) AS n_runs, CAST(sum(run_len) AS BIGINT) AS survivors,
+        | max(run_len) AS longest_run, round(avg(run_len), 4) AS avg_run_len
+        |FROM runs GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    "lake_sort_evolution" ->
+      """WITH dd AS (SELECT l_orderkey,
+        |   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d FROM lineitem),
+        | g AS (SELECT min(d) AS gmin, max(d) AS gmax FROM dd),
+        | e AS (SELECT d, gmin, gmax,
+        |   CASE WHEN l_orderkey % 2 = 0 THEN 'v1_unsorted' ELSE 'v2_clustered' END AS era,
+        |   CASE WHEN l_orderkey % 2 = 0 THEN (l_orderkey // 2) % 20
+        |     ELSE least(CAST(floor((d - gmin) * 20.0 / (gmax - gmin + 1)) AS BIGINT), 19) END AS file_id
+        |  FROM dd, g),
+        | f AS (SELECT era, file_id, min(d) AS fmin, max(d) AS fmax,
+        |   min(gmin) AS gmin, min(gmax) AS gmax
+        |  FROM e GROUP BY 1, 2),
+        | k AS (SELECT era,
+        |   round((fmax - fmin) * 100.0 / (gmax - gmin), 4) AS span_pct,
+        |   (fmax < date_diff('day', DATE '1970-01-01', DATE '1997-01-01')
+        |    OR fmin > date_diff('day', DATE '1970-01-01', DATE '1997-03-31')) AS skipped
+        |  FROM f)
+        |SELECT era, count(*) AS files_total,
+        | CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        | round(sum(CASE WHEN skipped THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS skip_rate_pct,
+        | round(avg(span_pct), 4) AS avg_span_pct
+        |FROM k GROUP BY era ORDER BY era""".stripMargin,
+
+    "ev_path_trigrams" ->
+      """WITH t AS (SELECT event_type AS e3,
+        |  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        | FROM events)
+        |SELECT e1, e2, e3, count(*) AS n FROM t WHERE e1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "mm_batch_plan" ->
+      """WITH p AS (SELECT source, doc_id,
+        |   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes FROM documents),
+        | b AS (SELECT *, CAST(coalesce(sum(payload_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bytes_before FROM p),
+        | c AS (SELECT *, bytes_before // 4096 AS batch_id FROM b)
+        |SELECT source, batch_id, count(*) AS n_docs,
+        | CAST(sum(payload_bytes) AS BIGINT) AS batch_bytes,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin,
 
     "text_zipf" ->
       s"""WITH f AS (SELECT unnest($tokSql) AS token FROM documents),

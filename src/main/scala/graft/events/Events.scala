@@ -147,6 +147,21 @@ object Events {
       .limit(topN)
   }
 
+  /** Path trigrams: the most common three-step event sequences across user
+    * streams (two lags per user window, then a tiny global count) — the
+    * order-3 extension of `transitionMatrix` for funnel mining. */
+  def pathTrigrams(events: DataFrame, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topN)
+  }
+
   /** Sketch-based distinct users per day (HyperLogLog++): the 100 TB path
     * for cardinality — constant-size state per group, mergeable map-side.
     * No SQL oracle (approximate); the driver records a rows-only check and

@@ -116,6 +116,29 @@ object DeleteVectors {
       .orderBy("file_id")
   }
 
+  /** Survivor-run fragmentation: after applying the positional delete set,
+    * the surviving positions of each file form contiguous runs (islands via
+    * `pos − row_number` per file — partitioned by file_id, no global sort).
+    * Run count and length distribution decide between run-length and list
+    * DV encodings (`test_density_adaptive_policy.py` run-length arm) and
+    * quantify read amplification of a fragmented file. */
+  def survivorRuns(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
+    val survivors = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 10 =!= 3)
+      .select(col("file_id"), col("pos"))
+    val w = Window.partitionBy(col("file_id")).orderBy(col("pos"))
+    survivors
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("file_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("survivors"),
+        max(col("run_len")).as("longest_run"),
+        round(avg(col("run_len")), 4).as("avg_run_len"))
+      .orderBy("file_id")
+  }
+
   /** Density-adaptive storage policy per file: choose the cheaper encoding
     * (positional list vs bitmap), then inline/external by size thresholds. */
   def densityPolicy(lineitem: DataFrame, nFiles: Int = 40,

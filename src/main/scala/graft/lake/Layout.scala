@@ -56,6 +56,41 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Sort-order evolution: a table whose history mixes write eras — rows
+    * with even orderkey were written before the sort-order change (hash
+    * arrival layout), odd rows after (date-clustered layout). Per era:
+    * file count, average domain span and skip rate for the same range
+    * predicate — quantifying how much of the table still pays the unsorted
+    * penalty and what a rewrite of the old era would buy (Iceberg tables
+    * carry the sort-order id per file for exactly this accounting). */
+  def sortOrderEvolution(lineitem: DataFrame, lo: String = "1997-01-01",
+                         hi: String = "1997-03-31", nFilesPerEra: Int = 20): DataFrame = {
+    val global = lineitem.agg(
+      min(unix_date(to_date(col("l_shipdate")))).as("gmin"),
+      max(unix_date(to_date(col("l_shipdate")))).as("gmax"))
+    val eras = lineitem.join(broadcast(global))
+      .withColumn("d", unix_date(to_date(col("l_shipdate"))))
+      .withColumn("era", when(col("l_orderkey") % 2 === 0, "v1_unsorted").otherwise("v2_clustered"))
+      .withColumn("file_id",
+        when(col("era") === "v1_unsorted", (col("l_orderkey") / 2) % nFilesPerEra)
+          .otherwise(least(
+            floor((col("d") - col("gmin")) * nFilesPerEra / (col("gmax") - col("gmin") + 1)),
+            lit(nFilesPerEra - 1L))).cast("long"))
+    eras
+      .groupBy(col("era"), col("file_id"))
+      .agg(min(col("d")).as("fmin"), max(col("d")).as("fmax"),
+        min(col("gmin")).as("gmin"), min(col("gmax")).as("gmax"))
+      .withColumn("span_pct", round((col("fmax") - col("fmin")) * 100.0 / (col("gmax") - col("gmin")), 4))
+      .withColumn("skipped",
+        col("fmax") < unix_date(lit(lo).cast("date")) || col("fmin") > unix_date(lit(hi).cast("date")))
+      .groupBy(col("era"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+        round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"),
+        round(avg(col("span_pct")), 4).as("avg_span_pct"))
+      .orderBy("era")
+  }
+
   /** Multi-dimensional clustering comparison: linear (one-dim sort) vs
     * Z-order (bit-interleaved two-dim) file layout.
     *

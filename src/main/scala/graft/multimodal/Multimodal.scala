@@ -64,6 +64,28 @@ object Multimodal {
         expr("graft_bytesum(CAST(frame AS BINARY))").as("frame_checksum"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Decode-batch planning: pack each source's payloads into inference
+    * batches under a byte budget (greedy prefix-sum bin packing inside a
+    * per-source window — the batch-shape planning a GPU decode stage needs;
+    * same pattern as compaction bin packing, keyed by the high-cardinality
+    * source so no global sort). */
+  def batchPlan(documents: DataFrame, budgetBytes: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("source"), col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("payload_bytes"))
+      .withColumn("bytes_before", coalesce(sum(col("payload_bytes")).over(w), lit(0L)))
+      .withColumn("batch_id", (col("bytes_before") / budgetBytes).cast("long"))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("payload_bytes")).as("batch_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "batch_id")
+  }
+
   /** Oracle-checkable column-level equivalent of the typed pipeline: same
     * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
     * equal byte values; the oracle mirrors with ascii()/octet_length). */

@@ -524,6 +524,71 @@ object Relational {
         round(avg(col("p_retailprice")), 6).as("avg_retail"))
       .orderBy("noun")
 
+  /** q43: deterministic MODE — the busiest order month and the modal order
+    * status per priority, with explicit tie-breaks (count desc, value asc)
+    * instead of the engine-dependent built-in `mode`. Two grouped counts +
+    * per-priority rank windows over the tiny (priority × month) table. */
+  def priorityModes(orders: DataFrame): DataFrame = {
+    def modeOf(dim: org.apache.spark.sql.Column, name: String) = {
+      val counts = orders.groupBy(col("o_orderpriority"), dim.as(name))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("c").desc, col(name))
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("o_orderpriority"), col(name), col("c").as(s"${name}_n"))
+    }
+    modeOf(date_format(col("o_orderdate"), "yyyy-MM"), "mode_month")
+      .join(modeOf(col("o_orderstatus"), "mode_status"), Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q44: two-level percent-of-parent — nation revenue as a share of its
+    * region, and region as a share of the total, both windows running over
+    * the 25-row post-aggregation table. */
+  def regionNationShare(orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame, region: DataFrame): DataFrame = {
+    val rev = orders
+      .join(customer.select(col("c_custkey"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val wr = Window.partitionBy(col("r_name"))
+    val wt = Window.partitionBy()
+    rev.select(col("r_name"), col("n_name"),
+        round(col("rev"), 4).as("revenue"),
+        round(col("rev") * 100.0 / sum(col("rev")).over(wr), 6).as("pct_of_region"),
+        round(sum(col("rev")).over(wr) * 100.0 / sum(col("rev")).over(wt), 6).as("region_pct_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q45: top-k WITH TIES — rank() (not row_number) keeps every month tied
+    * at the boundary, the ANSI `FETCH FIRST k ROWS WITH TIES` semantics. */
+  def busiestMonthsWithTies(orders: DataFrame, k: Int = 3): DataFrame = {
+    val counts = orders.groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("n").desc)
+    counts.withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("o_orderpriority"), col("month"), col("n"), col("rk"))
+      .orderBy("o_orderpriority", "rk", "month")
+  }
+
+  /** q46: FILTER'd distinct aggregation — several conditional distinct
+    * counts in one pass (count(DISTINCT CASE WHEN ...) on both engines;
+    * Spark expands to one expand + one aggregate, still a single shuffle). */
+  def yearlyDistinctCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        countDistinct(col("o_custkey")).as("customers"),
+        countDistinct(when(col("o_orderpriority") === "1-URGENT", col("o_custkey"))).as("urgent_customers"),
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("finished_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("order_year")
+
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem
