@@ -1437,7 +1437,9 @@ object SparkEntry {
         | FROM part GROUP BY 1),
         | t AS (SELECT file_id, min_name, max_name,
         |   substring(min_name, 1, 4) AS trunc_min,
-        |   substring(max_name, 1, 4) || '~' AS trunc_max FROM f)
+        |   CASE WHEN length(max_name) <= 4 THEN max_name
+        |        ELSE substring(max_name, 1, 3) || chr(ascii(substring(max_name, 4, 1)) + 1)
+        |   END AS trunc_max FROM f)
         |SELECT file_id, min_name, max_name, trunc_min, trunc_max,
         | ('small gizmo' >= min_name AND 'small gizmo' <= max_name) AS keep_full,
         | ('small gizmo' >= trunc_min AND 'small gizmo' <= trunc_max) AS keep_trunc,

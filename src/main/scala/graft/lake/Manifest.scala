@@ -194,11 +194,12 @@ object Manifest {
 
   /** String-stats truncation: Iceberg manifests store *truncated* string
     * min/max bounds (`truncate(N)` — lower bound prefix-truncated, upper
-    * bound prefix + a sentinel above the alphabet, mirroring Iceberg's
-    * increment-last-byte). Truncation keeps manifests small but widens the
-    * bounds, so point lookups can falsely keep files. Per file of the part
-    * dictionary: full vs truncated bounds and the keep / false-keep bits for
-    * one equality predicate. */
+    * bound the prefix with its last character incremented, Iceberg's
+    * increment-last-byte rule, so the bound dominates every string sharing
+    * the prefix regardless of alphabet). Truncation keeps manifests small
+    * but widens the bounds, so point lookups can falsely keep files. Per
+    * file of the part dictionary: full vs truncated bounds and the keep /
+    * false-keep bits for one equality predicate. */
   def statsTruncation(part: DataFrame, key: String = "small gizmo",
                       prefixLen: Int = 4, nFiles: Int = 20): DataFrame = {
     val k = lit(key)
@@ -207,7 +208,10 @@ object Manifest {
       .groupBy(col("file_id"))
       .agg(min(col("p_name")).as("min_name"), max(col("p_name")).as("max_name"))
       .withColumn("trunc_min", substring(col("min_name"), 1, prefixLen))
-      .withColumn("trunc_max", concat(substring(col("max_name"), 1, prefixLen), lit("~")))
+      .withColumn("trunc_max",
+        when(length(col("max_name")) <= prefixLen, col("max_name"))
+          .otherwise(concat(substring(col("max_name"), 1, prefixLen - 1),
+            chr(ascii(substring(col("max_name"), prefixLen, 1)) + 1))))
       .withColumn("keep_full", k >= col("min_name") && k <= col("max_name"))
       .withColumn("keep_trunc", k >= col("trunc_min") && k <= col("trunc_max"))
       .withColumn("false_keep", col("keep_trunc") && !col("keep_full"))

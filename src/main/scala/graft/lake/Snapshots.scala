@@ -134,7 +134,8 @@ object Snapshots {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("o_totalprice") < badBelow, 1L).otherwise(0L)).as("n_bad"))
       .withColumn("bad_pct", round(col("n_bad") * 100.0 / col("n_rows"), 4))
-      .withColumn("decision", when(col("bad_pct") <= maxBadPct, "publish").otherwise("reject"))
+      .withColumn("decision",
+        when(col("n_bad") * 100.0 / col("n_rows") <= maxBadPct, "publish").otherwise("reject"))
       .orderBy("commit_id")
   }
 

@@ -589,10 +589,17 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("order_year")
 
-  /** Sketch-based quantiles for the 100 TB path (no oracle — approximate). */
+  /** Sketch-based quantiles for the 100 TB path (no oracle — approximate).
+    * Quantiles surfaced as scalar columns (not an array) so downstream
+    * row-wise tooling needs no array handling. */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
-      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25,0.5,0.75,0.99), $accuracy)").as("quantiles"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25,0.5,0.75,0.99), $accuracy)").as("qs"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p99"))
       .orderBy("l_returnflag")
 }

@@ -210,8 +210,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Corpus-level bigram frequencies (positional n-gram assembly done with
-    * array lambdas — no self-join). */
   /** Zipf fit: linear regression of ln(freq) on ln(rank) over the top
     * `topRanks` tokens — the rank-frequency slope (≈ −1 for natural text) is
     * a corpus-level quality signal. regr_* aggregates are algebraic
@@ -250,6 +248,8 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level bigram frequencies (positional n-gram assembly done with
+    * array lambdas — no self-join). */
   def topBigrams(documents: DataFrame, topN: Int = 15): DataFrame =
     documents
       .withColumn("t", toks)

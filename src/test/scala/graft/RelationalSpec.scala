@@ -139,7 +139,7 @@ class RelationalSpec extends SparkSpec {
     val exactQ = Relational.priceQuantiles(lineitem).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
     sketchQ.foreach { r =>
-      val p50 = r.getAs[scala.collection.Seq[Double]]("quantiles")(1)
+      val p50 = r.getAs[Double]("p50")
       val e = exactQ(r.getAs[String]("l_returnflag"))
       assert(math.abs(p50 - e) / e < 0.05, s"sketch p50 $p50 vs exact $e")
     }
