@@ -165,6 +165,12 @@ object SparkEntry {
     "ev_rfm" -> q((s, d) => Events.rfmSegments(Tables.events(s, d))),
     "ev_attribution" -> q((s, d) => Events.lastTouchAttribution(Tables.events(s, d))),
     "ev_dwell" -> q((s, d) => Events.dwellTimes(Tables.events(s, d))),
+    "q47_hash_sample" -> q((s, d) => Relational.hashSample(Tables.orders(s, d))),
+    "q48_skyline" -> q((s, d) => Relational.priceSizeSkyline(Tables.part(s, d))),
+    "q49_spearman" -> q((s, d) => Relational.spearmanPriceQty(Tables.lineitem(s, d))),
+    "q50_chi_square" -> q((s, d) => Relational.flagStatusChiSq(Tables.lineitem(s, d))),
+    "q51_strict_funnel" -> q((s, d) => Relational.strictFunnel(Tables.events(s, d))),
+    "q52_interval_concurrency" -> q((s, d) => Relational.orderConcurrency(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1616,5 +1622,69 @@ object SparkEntry {
         | round(max(gap_ms / 60000.0), 6) AS max_gap_min
         |FROM g WHERE gap_ms IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q47_hash_sample" ->
+      """WITH b AS (SELECT o_orderpriority, o_totalprice,
+        |  (o_orderkey % 1000003) * 2654435761 % 1000 AS bucket FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_pop,
+        | CAST(sum(CASE WHEN bucket < 125 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        | round(avg(o_totalprice), 4) AS pop_avg_price,
+        | round(avg(CASE WHEN bucket < 125 THEN o_totalprice END), 4) AS sample_avg_price,
+        | round(sum(CASE WHEN bucket < 125 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS sample_pct
+        |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q48_skyline" ->
+      """WITH per AS (SELECT p_size, min(p_retailprice) AS min_price FROM part GROUP BY 1),
+        | s AS (SELECT p_size, min_price,
+        |   min(min_price) OVER (ORDER BY p_size DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger FROM per)
+        |SELECT p_size, round(min_price, 4) AS skyline_price FROM s
+        |WHERE best_larger IS NULL OR min_price < best_larger
+        |ORDER BY p_size""".stripMargin,
+
+    "q49_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+        |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE) AS rp,
+        |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE) AS rq
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, round(corr(rp, rq), 6) AS spearman_rho
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_chi_square" ->
+      """WITH obs AS (SELECT l_returnflag, l_linestatus, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        | e AS (SELECT l_returnflag, l_linestatus, o,
+        |   sum(o) OVER (PARTITION BY l_returnflag) AS row_tot,
+        |   sum(o) OVER (PARTITION BY l_linestatus) AS col_tot,
+        |   sum(o) OVER () AS n FROM obs)
+        |SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS cells,
+        | CAST((count(DISTINCT l_returnflag) - 1) * (count(DISTINCT l_linestatus) - 1) AS BIGINT) AS dof,
+        | round(sum((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+        |           / (row_tot * col_tot / n)), 6) AS chi2
+        |FROM e""".stripMargin,
+
+    "q51_strict_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS users FROM s1
+        |UNION ALL SELECT '2_click_after', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase_after', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "q52_interval_concurrency" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderdate AS DATE) + 7, -1 FROM orders),
+        | daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY day),
+        | run AS (SELECT day, sum(net) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active FROM daily)
+        |SELECT strftime(day, '%Y-%m') AS month,
+        | CAST(max(active) AS BIGINT) AS peak_active,
+        | round(avg(active), 4) AS avg_active
+        |FROM run GROUP BY 1 ORDER BY month""".stripMargin,
   )
 }

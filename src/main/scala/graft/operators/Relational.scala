@@ -602,4 +602,115 @@ object Relational {
         round(element_at(col("qs"), 3), 4).as("p75"),
         round(element_at(col("qs"), 4), 4).as("p99"))
       .orderBy("l_returnflag")
+
+  /** q47: reproducible hash sampling (TABLESAMPLE you can re-run): a
+    * multiplicative hash of the key picks a fixed pseudo-random 1000-bucket
+    * slice, so the same rows are sampled on every engine and every run — no
+    * RNG, no seed drift. Per priority: population vs sample counts and means
+    * (the estimator-quality report). The key is pre-reduced mod 1000003 so
+    * the product stays far from Long overflow at any conceivable key range. */
+  def hashSample(orders: DataFrame, keepBuckets: Int = 125): DataFrame =
+    orders
+      .withColumn("bucket", (col("o_orderkey") % 1000003L) * 2654435761L % 1000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_pop"),
+        sum(when(col("bucket") < keepBuckets, 1L).otherwise(0L)).as("n_sample"),
+        round(avg(col("o_totalprice")), 4).as("pop_avg_price"),
+        round(avg(when(col("bucket") < keepBuckets, col("o_totalprice"))), 4).as("sample_avg_price"))
+      .withColumn("sample_pct", round(col("n_sample") * 100.0 / col("n_pop"), 4))
+      .orderBy("o_orderpriority")
+
+  /** q48: skyline / Pareto frontier — parts that are not dominated on
+    * (cheaper price, larger size). Reduced first to per-size minima (≤ the
+    * size domain, trivially small), so the frontier window never sees the
+    * fact table: the O(n²) dominance self-join becomes one groupBy plus a
+    * running min over a bounded dimension table. */
+  def priceSizeSkyline(part: DataFrame): DataFrame = {
+    val perSize = part.groupBy(col("p_size")).agg(min(col("p_retailprice")).as("min_price"))
+    val wLarger = Window.orderBy(col("p_size").desc).rowsBetween(Window.unboundedPreceding, -1)
+    perSize
+      .withColumn("best_larger", min(col("min_price")).over(wLarger))
+      .filter(col("best_larger").isNull || col("min_price") < col("best_larger"))
+      .select(col("p_size"), round(col("min_price"), 4).as("skyline_price"))
+      .orderBy("p_size")
+  }
+
+  /** q49: Spearman rank correlation of price vs quantity per return flag.
+    * Ranks are computed on the *distinct-value* table (min-rank = 1 +
+    * running count of strictly smaller values) and joined back, so the rank
+    * window scales with NDV per group — not with the row count — and ties
+    * get identical ranks by construction (same semantics as SQL rank()). */
+  def spearmanPriceQty(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    def minRanks(vcol: String, rname: String): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("l_returnflag"), col(vcol)).agg(count(lit(1)).as("c"))
+        .withColumn(rname, (coalesce(sum(col("c")).over(w), lit(0L)) + 1L).cast("double"))
+        .drop("c")
+    }
+    base
+      .join(minRanks("l_extendedprice", "rp"), Seq("l_returnflag", "l_extendedprice"))
+      .join(minRanks("l_quantity", "rq"), Seq("l_returnflag", "l_quantity"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(corr(col("rp"), col("rq")), 6).as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q50: chi-square independence test for returnflag × linestatus. One
+    * map-side-combinable count per cell; the margins and the statistic are
+    * windows/aggregates over the contingency table itself (a handful of
+    * rows), so nothing after the first shuffle touches fact-table volume. */
+  def flagStatusChiSq(lineitem: DataFrame): DataFrame = {
+    val obs = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("o"))
+    val expected = obs
+      .withColumn("row_tot", sum(col("o")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("col_tot", sum(col("o")).over(Window.partitionBy(col("l_linestatus"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e", col("row_tot") * col("col_tot") / col("n"))
+    expected.agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("cells"),
+        ((countDistinct(col("l_returnflag")) - 1) * (countDistinct(col("l_linestatus")) - 1)).as("dof"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"))
+  }
+
+  /** q51: strict ordered funnel (MATCH_RECOGNIZE shape): first signup, then
+    * first click strictly after it, then first purchase strictly after that
+    * — three conditional-min stages, each one user-keyed aggregation +
+    * broadcast-size join; no per-user event sorting, no session windows. */
+  def strictFunnel(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = events.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("users")).select(lit("1_signup").as("stage"), col("users"))
+      .unionAll(s2.agg(count(lit(1)).as("users")).select(lit("2_click_after").as("stage"), col("users")))
+      .unionAll(s3.agg(count(lit(1)).as("users")).select(lit("3_purchase_after").as("stage"), col("users")))
+      .orderBy("stage")
+  }
+
+  /** q52: interval-overlap concurrency — how many orders are simultaneously
+    * "active" (open for `activeDays`). Classic +1/−1 sweep: per-day net
+    * deltas (one shuffle on day), then a running sum over the *day spine*
+    * (thousands of rows for years of data — bounded, documented global
+    * window), rolled up to monthly peaks. Never materialises pairs. */
+  def orderConcurrency(orders: DataFrame, activeDays: Int = 7): DataFrame = {
+    val deltas = orders.select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+      .unionAll(orders.select(date_add(to_date(col("o_orderdate")), activeDays).as("day"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy(col("day")).agg(sum(col("delta")).as("net"))
+    val wRun = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("active", sum(col("net")).over(wRun))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(max(col("active")).as("peak_active"), round(avg(col("active")), 4).as("avg_active"))
+      .orderBy("month")
+  }
 }

@@ -217,4 +217,50 @@ class RelationalSpec extends SparkSpec {
     assert(parts.agg(org.apache.spark.sql.functions.sum("n_parts")).collect()(0).getLong(0)
       == part.count(), "every two-word part name must be classified")
   }
+
+  test("hash sample is reproducible and near the target rate") {
+    import org.apache.spark.sql.functions.sum
+    val orders = Tables.orders(spark, sf0001)
+    val a = Relational.hashSample(orders).collect()
+    val b = Relational.hashSample(orders).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted), "sampling must be deterministic")
+    val tot = a.map(_.getAs[Long]("n_pop")).sum.toDouble
+    val smp = a.map(_.getAs[Long]("n_sample")).sum.toDouble
+    assert(math.abs(smp / tot - 0.125) < 0.05, s"sample rate ${smp / tot} should be near 12.5%")
+  }
+
+  test("skyline points are mutually non-dominated") {
+    val sky = Relational.priceSizeSkyline(Tables.part(spark, sf0001)).collect()
+      .map(r => (r.getAs[Int]("p_size"), r.getAs[Double]("skyline_price")))
+    assert(sky.nonEmpty)
+    for ((s1, p1) <- sky; (s2, p2) <- sky if s1 != s2)
+      assert(!(s2 >= s1 && p2 < p1), s"($s1,$p1) dominated by ($s2,$p2)")
+  }
+
+  test("spearman rho is in [-1,1]; chi-square is non-negative with right dof") {
+    val rho = Relational.spearmanPriceQty(lineitem).collect()
+    assert(rho.nonEmpty)
+    rho.foreach(r => assert(math.abs(r.getAs[Double]("spearman_rho")) <= 1.0))
+    val chi = Relational.flagStatusChiSq(lineitem).collect()(0)
+    assert(chi.getAs[Double]("chi2") >= 0.0)
+    assert(chi.getAs[Long]("dof") == 2L * 1L) // 3 flags x 2 statuses
+  }
+
+  test("strict funnel stages are monotonically shrinking") {
+    val st = Relational.strictFunnel(Tables.events(spark, sf0001)).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(st("1_signup") >= st("2_click_after"))
+    assert(st("2_click_after") >= st("3_purchase_after"))
+  }
+
+  test("interval concurrency peaks are positive and bounded by open orders") {
+    val orders = Tables.orders(spark, sf0001)
+    val rows = Relational.orderConcurrency(orders).collect()
+    assert(rows.nonEmpty)
+    val n = orders.count()
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak_active")
+      assert(peak >= 0 && peak <= n)
+    }
+  }
 }
