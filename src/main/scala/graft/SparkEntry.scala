@@ -171,6 +171,11 @@ object SparkEntry {
     "q50_chi_square" -> q((s, d) => Relational.flagStatusChiSq(Tables.lineitem(s, d))),
     "q51_strict_funnel" -> q((s, d) => Relational.strictFunnel(Tables.events(s, d))),
     "q52_interval_concurrency" -> q((s, d) => Relational.orderConcurrency(Tables.orders(s, d))),
+    "text_entropy" -> q((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    "text_pmi" -> q((s, d) => TextAnalysis.bigramPmi(Tables.documents(s, d))),
+    "text_diversity" -> q((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
+    "text_filter_cascade" -> q((s, d) => TextAnalysis.filterCascade(Tables.documents(s, d))),
+    "text_heaps" -> q((s, d) => TextAnalysis.heapsLaw(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1686,5 +1691,70 @@ object SparkEntry {
         | CAST(max(active) AS BIGINT) AS peak_active,
         | round(avg(active), 4) AS avg_active
         |FROM run GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pmi" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | uni AS (SELECT token AS w, count(*) AS cw FROM tok GROUP BY 1),
+        | ut AS (SELECT sum(cw) AS n_uni FROM uni),
+        | t2 AS (SELECT $tokSql AS t FROM documents),
+        | bgl AS (SELECT unnest(list_filter(
+        |     list_transform(t, (x, i) -> CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END),
+        |     y -> y IS NOT NULL)) AS b FROM t2),
+        | bg AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, count(*) AS cb
+        |        FROM bgl GROUP BY 1, 2),
+        | bt AS (SELECT sum(cb) AS n_bg FROM bg)
+        |SELECT w1, w2, cb,
+        | round(ln((cb / n_bg) / ((u1.cw / n_uni) * (u2.cw / n_uni))), 6) AS pmi
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, bt, ut
+        |WHERE cb >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "text_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        | d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        | round(n_types * 1.0 / n_tokens, 6) AS ttr,
+        | round(n_hapax * 1.0 / n_types, 6) AS hapax_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_filter_cascade" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        | d AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types, max(c) AS top_c
+        |  FROM tc GROUP BY doc_id),
+        | r AS (SELECT doc_id, n_tokens,
+        |   CASE WHEN n_tokens < 20 THEN '1_too_short'
+        |        WHEN n_tokens > 500 THEN '2_too_long'
+        |        WHEN n_types * 1.0 / n_tokens < 0.2 THEN '3_low_diversity'
+        |        WHEN top_c * 1.0 / n_tokens > 0.2 THEN '4_top_token_dominates'
+        |        ELSE '5_kept' END AS rule FROM d)
+        |SELECT rule, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY rule ORDER BY rule""".stripMargin,
+
+    "text_heaps" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+        | perdoc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+        | firstdoc AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        | mx AS (SELECT max(doc_id) AS maxdoc FROM documents),
+        | cp AS (SELECT DISTINCT CAST(floor(i * maxdoc / 32.0) AS BIGINT) AS cp
+        |        FROM generate_series(1, 32) t(i), mx),
+        | ct AS (SELECT cp, sum(n_tok) AS cum_tokens FROM perdoc, cp WHERE doc_id <= cp GROUP BY cp),
+        | cv AS (SELECT cp, count(*) AS cum_vocab FROM firstdoc, cp WHERE first_doc <= cp GROUP BY cp)
+        |SELECT count(*) AS n_points,
+        | CAST(max(cum_tokens) AS BIGINT) AS corpus_tokens,
+        | CAST(max(cum_vocab) AS BIGINT) AS corpus_vocab,
+        | round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
+        | round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 6) AS heaps_k
+        |FROM ct JOIN cv USING (cp)""".stripMargin,
   )
 }

@@ -260,4 +260,109 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
+
+  /** Per-doc token Shannon entropy H = −Σ p·ln p (nats) — low entropy flags
+    * repetitive/templated text. Two map-side-combinable aggregations
+    * ((doc, token) counts → per-doc fold); the identity Σ(c/N)ln(c/N) =
+    * ln N − Σ c·ln c / N lets both stages stay algebraic. */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), round(col("h"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Corpus bigram PMI: ln(P(w1,w2) / (P(w1)·P(w2))) for bigrams seen at
+    * least `minCount` times — the classic collocation score. Unigram totals
+    * are a broadcast-size vocabulary table joined onto the bigram counts. */
+  def bigramPmi(documents: DataFrame, minCount: Long = 20L, topN: Int = 20): DataFrame = {
+    val tok = documents.withColumn("t", toks)
+    val uni = tok.select(explode(col("t")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val uniTotal = uni.agg(sum(col("cw")).as("n_uni"))
+    val bg = tok
+      .select(explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN struct(x AS w1, t[i+1] AS w2) END), y -> y IS NOT NULL)"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val bgTotal = bg.agg(sum(col("cb")).as("n_bg"))
+    bg.filter(col("cb") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), "w2")
+      .crossJoin(broadcast(bgTotal)).crossJoin(broadcast(uniTotal))
+      .withColumn("pmi",
+        round(log((col("cb") / col("n_bg")) / ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))), 6))
+      .select(col("w1"), col("w2"), col("cb"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Lexical-diversity report per doc: type-token ratio and hapax-legomena
+    * ratio (types seen exactly once / types). Same two-stage shape as
+    * entropy; a single pass over (doc, token) counts. */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", round(col("n_types") * 1.0 / col("n_tokens"), 6))
+      .withColumn("hapax_ratio", round(col("n_hapax") * 1.0 / col("n_types"), 6))
+      .orderBy("doc_id")
+
+  /** C4-style quality filter cascade: rules applied in order, each doc
+    * attributed to the *first* rule it trips (or 'kept'). One pass computes
+    * every per-doc signal; the report is a tiny groupBy over the rule label —
+    * the funnel accounting a 100 TB cleaning job needs to stay debuggable. */
+  def filterCascade(documents: DataFrame, minTokens: Int = 20, maxTokens: Int = 500,
+                    minTtr: Double = 0.2, maxTopShare: Double = 0.2): DataFrame = {
+    val perTok = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"), max(col("c")).as("top_c"))
+    perTok
+      .withColumn("rule",
+        when(col("n_tokens") < minTokens, "1_too_short")
+          .when(col("n_tokens") > maxTokens, "2_too_long")
+          .when(col("n_types") * 1.0 / col("n_tokens") < minTtr, "3_low_diversity")
+          .when(col("top_c") * 1.0 / col("n_tokens") > maxTopShare, "4_top_token_dominates")
+          .otherwise("5_kept"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("rule")
+  }
+
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over the corpus read in
+    * doc_id order. Each token contributes at its *first* document (min
+    * doc_id), and the growth curve is evaluated at `checkpoints` fixed
+    * prefix points (broadcast non-equi join + re-aggregate) — never a global
+    * running window over the doc spine, so the shape survives a
+    * billion-document corpus. β/K come from one regr fit in log space. */
+  def heapsLaw(documents: DataFrame, checkpoints: Int = 32): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(toks).as("token"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val firstDoc = tok.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val maxDoc = documents.agg(max(col("doc_id")).as("maxdoc"))
+    val cp = documents.sparkSession.range(1, checkpoints + 1)
+      .crossJoin(broadcast(maxDoc))
+      .select(floor(col("id") * col("maxdoc") / checkpoints).cast("long").as("cp"))
+      .distinct()
+    val cumTok = perDoc.join(broadcast(cp), col("doc_id") <= col("cp"))
+      .groupBy(col("cp")).agg(sum(col("n_tok")).as("cum_tokens"))
+    val cumVocab = firstDoc.join(broadcast(cp), col("first_doc") <= col("cp"))
+      .groupBy(col("cp")).agg(count(lit(1)).as("cum_vocab"))
+    cumTok.join(cumVocab, "cp")
+      .agg(count(lit(1)).as("n_points"),
+        max(col("cum_tokens")).as("corpus_tokens"),
+        max(col("cum_vocab")).as("corpus_vocab"),
+        round(expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6).as("heaps_beta"),
+        round(exp(expr("regr_intercept(ln(cum_vocab), ln(cum_tokens))")), 6).as("heaps_k"))
+  }
 }

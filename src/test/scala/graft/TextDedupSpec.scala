@@ -138,4 +138,36 @@ class TextDedupSpec extends SparkSpec {
       val h = r.getAs[Long]("simhash"); h >= 0 && h < (1L << 32)
     })
   }
+
+  test("entropy is bounded by ln(types) and diversity ratios are proper fractions") {
+    val ent = TextAnalysis.tokenEntropy(docs).collect()
+    assert(ent.nonEmpty)
+    ent.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      // 1e-6 slack: entropy is rounded to 6 dp, which can land just above ln(types)
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("n_types").toDouble) + 1e-6)
+    }
+    val div = TextAnalysis.lexicalDiversity(docs).collect()
+    div.foreach { r =>
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Double]("hapax_ratio") >= 0.0 && r.getAs[Double]("hapax_ratio") <= 1.0)
+    }
+  }
+
+  test("filter cascade partitions the corpus and pmi output is capped") {
+    val cas = TextAnalysis.filterCascade(docs).collect()
+    assert(cas.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val pmi = TextAnalysis.bigramPmi(docs).collect()
+    assert(pmi.length <= 20)
+  }
+
+  test("heaps fit: vocabulary grows sublinearly (0 <= beta < 1) with positive K") {
+    val h = TextAnalysis.heapsLaw(docs).collect()(0)
+    assert(h.getAs[Long]("corpus_vocab") <= h.getAs[Long]("corpus_tokens"))
+    // beta can be exactly 0 when the synthetic vocabulary saturates within the
+    // first checkpoint (sf0.001: 31 distinct tokens over 50 docs)
+    val beta = h.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"beta $beta out of range")
+    assert(h.getAs[Double]("heaps_k") > 0.0)
+  }
 }
