@@ -176,6 +176,11 @@ object SparkEntry {
     "text_diversity" -> q((s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "text_filter_cascade" -> q((s, d) => TextAnalysis.filterCascade(Tables.documents(s, d))),
     "text_heaps" -> q((s, d) => TextAnalysis.heapsLaw(Tables.documents(s, d))),
+    "ev_decay_score" -> q((s, d) => Events.decayScore(Tables.events(s, d))),
+    "ev_seasonality" -> q((s, d) => Events.seasonality(Tables.events(s, d))),
+    "ev_conversion_time" -> q((s, d) => Events.conversionTime(Tables.events(s, d))),
+    "ev_power_users" -> q((s, d) => Events.powerUsers(Tables.events(s, d))),
+    "ev_lifecycle" -> q((s, d) => Events.lifecycle(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1756,5 +1761,60 @@ object SparkEntry {
         | round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
         | round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 6) AS heaps_k
         |FROM ct JOIN cv USING (cp)""".stripMargin,
+
+    "ev_decay_score" ->
+      """WITH a AS (SELECT max(epoch_ms(ts)) AS t_end FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | round(sum(value), 4) AS raw_value,
+        | round(sum(value * exp(-0.1 * ((t_end - epoch_ms(ts)) / 86400000.0))), 4) AS decayed_score
+        |FROM events, a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev_seasonality" ->
+      """WITH g AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |   CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n_events,
+        |   round(avg(value), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n_events, avg_value,
+        | round(n_events * 100.0 / sum(n_events) OVER (), 4) AS share_pct
+        |FROM g ORDER BY dow, hod""".stripMargin,
+
+    "ev_conversion_time" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        | p AS (SELECT user_id, min(ts) AS t_purchase FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        | j AS (SELECT strftime(t_signup, '%Y-%m-%d') AS signup_day,
+        |   (epoch_ms(t_purchase) - epoch_ms(t_signup)) / 3600000.0 AS hours
+        |  FROM s JOIN p USING (user_id) WHERE t_purchase > t_signup)
+        |SELECT signup_day, count(*) AS n_converted,
+        | round(quantile_cont(hours, 0.25), 6) AS p25_hours,
+        | round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+        | round(quantile_cont(hours, 0.75), 6) AS p75_hours
+        |FROM j GROUP BY signup_day ORDER BY signup_day""".stripMargin,
+
+    "ev_power_users" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_events, sum(value) AS user_value
+        |  FROM events GROUP BY 1),
+        | d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile FROM pu),
+        | g AS (SELECT decile, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |   round(sum(user_value), 4) AS total_value
+        |  FROM d GROUP BY decile)
+        |SELECT decile, n_users, n_events, total_value,
+        | round(n_events * 100.0 / sum(n_events) OVER (), 4) AS event_share_pct
+        |FROM g ORDER BY decile""".stripMargin,
+
+    "ev_lifecycle" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_events,
+        |   count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |   CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS BIGINT) AS lifespan_days
+        |  FROM events GROUP BY 1),
+        | c AS (SELECT *,
+        |   CASE WHEN active_days < 26 THEN '1_light'
+        |        WHEN active_days < 29 THEN '2_regular'
+        |        ELSE '3_power' END AS status FROM pu)
+        |SELECT status, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events,
+        | round(avg(active_days), 6) AS avg_active_days,
+        | round(avg(lifespan_days), 6) AS avg_lifespan_days
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
   )
 }

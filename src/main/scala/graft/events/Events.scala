@@ -244,4 +244,90 @@ object Events {
            round(avg(col("k")), 6).as("avg_k"),
            max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  /** Exponentially time-decayed engagement score per user: each event
+    * contributes value·e^(−λ·days-before-corpus-end). The anchor (global max
+    * ts) is a one-row broadcast; the score itself is one algebraic
+    * aggregation — the standard "recency-weighted activity" feature of a
+    * ranking pipeline, computed without any per-user ordering. */
+  def decayScore(events: DataFrame, lambda: Double = 0.1): DataFrame = {
+    val anchor = events.agg(max(unix_millis(col("ts"))).as("t_end"))
+    events
+      .crossJoin(broadcast(anchor))
+      .withColumn("days_ago", (col("t_end") - unix_millis(col("ts"))) / 86400000.0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("raw_value"),
+        round(sum(col("value") * exp(lit(-lambda) * col("days_ago"))), 4).as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  /** Hour-of-day × day-of-week activity profile (the seasonality heatmap).
+    * One shuffle on the 168-cell grid; share-of-total via a window over the
+    * grid itself. */
+  def seasonality(events: DataFrame): DataFrame =
+    events
+      .groupBy(weekday(col("ts")).cast("long").as("dow"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+      .withColumn("share_pct",
+        round(col("n_events") * 100.0 / sum(col("n_events")).over(Window.partitionBy()), 4))
+      .orderBy("dow", "hod")
+
+  /** Signup→first-purchase conversion latency, summarised per signup day:
+    * exact interpolated quartiles of hours-to-convert. Two user-keyed
+    * aggregations + one join; percentile runs per day over post-agg rows. */
+  def conversionTime(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    signups.join(firstPurchase, "user_id")
+      .filter(col("t_purchase") > col("t_signup"))
+      .withColumn("hours",
+        (unix_millis(col("t_purchase")) - unix_millis(col("t_signup"))) / 3600000.0)
+      .groupBy(date_format(col("t_signup"), "yyyy-MM-dd").as("signup_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(hours, 0.25D)"), 6).as("p25_hours"),
+        round(expr("percentile(hours, 0.5D)"), 6).as("p50_hours"),
+        round(expr("percentile(hours, 0.75D)"), 6).as("p75_hours"))
+      .orderBy("signup_day")
+  }
+
+  /** Activity concentration: users deciled by event count; per decile the
+    * user/event share — the "do 10% of users generate 90% of traffic"
+    * report. The decile window runs over the per-user aggregate (bounded by
+    * the user population, already post-shuffle). */
+  def powerUsers(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("user_value"))
+    perUser
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("user_value")), 4).as("total_value"))
+      .withColumn("event_share_pct",
+        round(col("n_events") * 100.0 / sum(col("n_events")).over(Window.partitionBy()), 4))
+      .orderBy("decile")
+  }
+
+  /** User-lifecycle classification: lifespan (first→last event), active-day
+    * count, and a one-shot / casual / regular label rolled up to a census.
+    * Everything derives from one per-user aggregation. */
+  def lifecycle(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).cast("long").as("lifespan_days"))
+      .withColumn("status",
+        when(col("active_days") < 26L, "1_light")
+          .when(col("active_days") < 29L, "2_regular")
+          .otherwise("3_power"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        round(avg(col("active_days")), 6).as("avg_active_days"),
+        round(avg(col("lifespan_days")), 6).as("avg_lifespan_days"))
+      .orderBy("status")
 }

@@ -253,6 +253,25 @@ class RelationalSpec extends SparkSpec {
     assert(st("2_click_after") >= st("3_purchase_after"))
   }
 
+  test("decay/seasonality/power-user/lifecycle reports conserve events and users") {
+    import org.apache.spark.sql.functions.sum
+    val ev = Tables.events(spark, sf0001)
+    val total = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val decay = graft.events.Events.decayScore(ev).collect()
+    assert(decay.length == nUsers)
+    decay.foreach(r => assert(r.getAs[Double]("decayed_score") <= r.getAs[Double]("raw_value") + 1e-6,
+      "decay can only shrink value"))
+    assert(graft.events.Events.seasonality(ev).agg(sum("n_events")).collect()(0).getLong(0) == total)
+    assert(graft.events.Events.powerUsers(ev).agg(sum("n_events")).collect()(0).getLong(0) == total)
+    assert(graft.events.Events.lifecycle(ev).agg(sum("n_users")).collect()(0).getLong(0) == nUsers)
+    val conv = graft.events.Events.conversionTime(ev).collect()
+    conv.foreach { r =>
+      assert(r.getAs[Double]("p25_hours") <= r.getAs[Double]("p50_hours"))
+      assert(r.getAs[Double]("p50_hours") <= r.getAs[Double]("p75_hours"))
+    }
+  }
+
   test("interval concurrency peaks are positive and bounded by open orders") {
     val orders = Tables.orders(spark, sf0001)
     val rows = Relational.orderConcurrency(orders).collect()
