@@ -181,6 +181,10 @@ object SparkEntry {
     "ev_conversion_time" -> q((s, d) => Events.conversionTime(Tables.events(s, d))),
     "ev_power_users" -> q((s, d) => Events.powerUsers(Tables.events(s, d))),
     "ev_lifecycle" -> q((s, d) => Events.lifecycle(Tables.events(s, d))),
+    "lake_partition_stats" -> q((s, d) => Manifest.partitionStats(Tables.lineitem(s, d))),
+    "lake_column_ndv" -> q((s, d) => Manifest.columnNdv(Tables.lineitem(s, d))),
+    "lake_mor_cost" -> q((s, d) => DeleteVectors.morCostModel(Tables.lineitem(s, d))),
+    "lake_writer_contention" -> q((s, d) => Snapshots.writerContention(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1816,5 +1820,55 @@ object SparkEntry {
         | round(avg(active_days), 6) AS avg_active_days,
         | round(avg(lifespan_days), 6) AS avg_lifespan_days
         |FROM c GROUP BY status ORDER BY status""".stripMargin,
+
+    "lake_partition_stats" ->
+      """WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+        |   l_orderkey % 40 AS file_id, count(*) AS rows_,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS f_min,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS f_max
+        |  FROM lineitem GROUP BY 1, 2),
+        | p AS (SELECT part_month, count(*) AS n_files, CAST(sum(rows_) AS BIGINT) AS n_rows,
+        |   min(f_min) AS min_ship, max(f_max) AS max_ship
+        |  FROM f GROUP BY part_month)
+        |SELECT part_month, n_files, n_rows, min_ship, max_ship,
+        | (max_ship >= '1997-01-01' AND min_ship <= '1997-03-31') AS matches_window
+        |FROM p ORDER BY part_month""".stripMargin,
+
+    "lake_column_ndv" ->
+      """SELECT l_orderkey % 40 AS file_id, count(*) AS rows,
+        | count(DISTINCT l_partkey) AS ndv_partkey,
+        | count(DISTINCT l_suppkey) AS ndv_suppkey,
+        | round(count(DISTINCT l_partkey) * 1.0 / count(*), 6) AS partkey_ratio,
+        | round(count(DISTINCT l_suppkey) * 1.0 / count(*), 6) AS suppkey_ratio
+        |FROM lineitem GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    "lake_mor_cost" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id, count(*) AS rows_,
+        |   CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS del_rows
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT
+        |   CAST(sum((rows_ - del_rows) * 100) AS BIGINT) AS cow_read,
+        |   CAST(sum(CASE WHEN del_rows > 0 THEN rows_ * 100 ELSE 0 END) AS BIGINT) AS cow_write,
+        |   CAST(sum(CASE WHEN del_rows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+        |   CAST(sum(rows_ * 100 + del_rows * 8) AS BIGINT) AS pos_read,
+        |   CAST(sum(del_rows * 8) AS BIGINT) AS pos_write,
+        |   CAST(sum(rows_ * 100 + del_rows * 16) AS BIGINT) AS eq_read,
+        |   CAST(sum(del_rows * 16) AS BIGINT) AS eq_write
+        |  FROM f)
+        |SELECT '1_copy_on_write' AS strategy, cow_read AS read_bytes, cow_write AS write_bytes, files_touched FROM t
+        |UNION ALL SELECT '2_mor_positional', pos_read, pos_write, files_touched FROM t
+        |UNION ALL SELECT '3_mor_equality', eq_read, eq_write, files_touched FROM t
+        |ORDER BY strategy""".stripMargin,
+
+    "lake_writer_contention" ->
+      """WITH touched AS (SELECT DISTINCT l_suppkey % 6 AS writer, l_orderkey % 40 AS file_id
+        |  FROM lineitem),
+        | fp AS (SELECT writer, count(*) AS files_touched FROM touched GROUP BY 1)
+        |SELECT a.writer AS writer_a, b.writer AS writer_b,
+        | count(*) AS shared_files, CAST(max(fp.files_touched) AS BIGINT) AS files_a,
+        | round(count(*) * 100.0 / max(fp.files_touched), 4) AS overlap_pct
+        |FROM touched a JOIN touched b ON a.file_id = b.file_id AND a.writer < b.writer
+        |JOIN fp ON fp.writer = a.writer
+        |GROUP BY a.writer, b.writer ORDER BY writer_a, writer_b""".stripMargin,
   )
 }

@@ -161,4 +161,37 @@ object DeleteVectors {
       .select("file_id", "record_count", "deleted", "density", "encoding", "dv_bytes", "storage")
       .orderBy("file_id")
   }
+
+  /** Copy-on-write vs merge-on-read cost model for one delete wave (the
+    * `(l_orderkey·31+l_linenumber) % 10 = 3` rows): per strategy, the bytes
+    * a full-table reader must scan and the bytes the writer must produce.
+    * CoW rewrites every touched file (clean reads, expensive writes);
+    * positional MoR appends 8 B/position DVs; equality MoR appends 16 B/key
+    * tuples (cheap writes, amplified reads). One per-file aggregation, then
+    * a three-row strategy summary over the 40-file stats table. */
+  def morCostModel(lineitem: DataFrame, nFiles: Int = 40, rowBytes: Long = 100L): DataFrame = {
+    val files = FileModel.withFileId(lineitem, nFiles)
+      .withColumn("del", (col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("del_rows"))
+    files.agg(
+        sum((col("rows") - col("del_rows")) * rowBytes).as("cow_read"),
+        sum(when(col("del_rows") > 0, col("rows") * rowBytes).otherwise(0L)).as("cow_write"),
+        sum(when(col("del_rows") > 0, 1L).otherwise(0L)).as("files_touched"),
+        sum(col("rows") * rowBytes + col("del_rows") * 8L).as("pos_read"),
+        sum(col("del_rows") * 8L).as("pos_write"),
+        sum(col("rows") * rowBytes + col("del_rows") * 16L).as("eq_read"),
+        sum(col("del_rows") * 16L).as("eq_write"))
+      .select(explode(array(
+        struct(lit("1_copy_on_write").as("strategy"), col("cow_read").as("read_bytes"),
+          col("cow_write").as("write_bytes"), col("files_touched")),
+        struct(lit("2_mor_positional").as("strategy"), col("pos_read").as("read_bytes"),
+          col("pos_write").as("write_bytes"), col("files_touched")),
+        struct(lit("3_mor_equality").as("strategy"), col("eq_read").as("read_bytes"),
+          col("eq_write").as("write_bytes"), col("files_touched")))).as("s"))
+      .select(col("s.strategy").as("strategy"), col("s.read_bytes").as("read_bytes"),
+        col("s.write_bytes").as("write_bytes"), col("s.files_touched").as("files_touched"))
+      .orderBy("strategy")
+  }
 }

@@ -290,4 +290,40 @@ object Manifest {
            round(sum(col("l_extendedprice")), 4).as("bytes_proxy"))
       .filter(col("partition_key") === targetMonth)
       .orderBy("partition_key", "file_id")
+
+  /** Manifest-list partition summaries: the 2-level stats rollup (file stats
+    * → partition stats) that lets the planner skip whole partitions before
+    * opening any per-file manifest. Two cascaded map-side-combinable
+    * aggregations; the `matches_window` bit is the partition-level prune
+    * decision for a date-range predicate. */
+  def partitionStats(lineitem: DataFrame, lo: String = "1997-01-01",
+                     hi: String = "1997-03-31", nFiles: Int = 40): DataFrame =
+    FileModel.withFileId(lineitem, nFiles)
+      .withColumn("part_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("part_month"), col("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("f_min"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("f_max"))
+      .groupBy(col("part_month"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("rows")).as("n_rows"),
+        min(col("f_min")).as("min_ship"),
+        max(col("f_max")).as("max_ship"))
+      .withColumn("matches_window", col("max_ship") >= lo && col("min_ship") <= hi)
+      .orderBy("part_month")
+
+  /** Per-file column NDV statistics (the CBO inputs a lake planner stores in
+    * puffin/theta sketches — here exact): distinct join-key counts and the
+    * ndv/rows ratio that drives join-strategy and duplicate-factor
+    * estimates. One aggregation; Spark expands the two DISTINCTs into a
+    * single expand + aggregate pass. */
+  def columnNdv(lineitem: DataFrame, nFiles: Int = 40): DataFrame =
+    FileModel.withFileId(lineitem, nFiles)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_suppkey")).as("ndv_suppkey"))
+      .withColumn("partkey_ratio", round(col("ndv_partkey") * 1.0 / col("rows"), 6))
+      .withColumn("suppkey_ratio", round(col("ndv_suppkey") * 1.0 / col("rows"), 6))
+      .orderBy("file_id")
 }

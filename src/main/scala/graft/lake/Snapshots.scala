@@ -286,4 +286,27 @@ object Snapshots {
            round(avg(col("retries")), 6).as("avg_retries"))
       .orderBy("writer_id")
   }
+
+  /** Writer-contention matrix: per pair of concurrent writers, how many data
+    * files both touch — the file-overlap that forces optimistic-concurrency
+    * retries. Writers and files derive deterministically from lineitem
+    * (`l_suppkey % nWriters`, `l_orderkey % nFiles`); the pair join runs on
+    * the distinct (file, writer) table, bounded by nFiles × nWriters, never
+    * on the fact table. */
+  def writerContention(lineitem: DataFrame, nWriters: Int = 6, nFiles: Int = 40): DataFrame = {
+    val touched = lineitem
+      .select((col("l_suppkey") % nWriters).as("writer"), (col("l_orderkey") % nFiles).as("file_id"))
+      .distinct()
+    val a = touched.select(col("writer").as("writer_a"), col("file_id"))
+    val b = touched.select(col("writer").as("writer_b"), col("file_id"))
+    val filesPer = touched.groupBy(col("writer")).agg(count(lit(1)).as("files_touched"))
+    a.join(b, "file_id").filter(col("writer_a") < col("writer_b"))
+      .groupBy(col("writer_a"), col("writer_b"))
+      .agg(count(lit(1)).as("shared_files"))
+      .join(broadcast(filesPer.withColumnRenamed("writer", "writer_a")
+        .withColumnRenamed("files_touched", "files_a")), "writer_a")
+      .withColumn("overlap_pct", round(col("shared_files") * 100.0 / col("files_a"), 4))
+      .select("writer_a", "writer_b", "shared_files", "files_a", "overlap_pct")
+      .orderBy("writer_a", "writer_b")
+  }
 }

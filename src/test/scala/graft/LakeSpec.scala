@@ -217,4 +217,30 @@ class LakeSpec extends SparkSpec {
       assert(r.getAs[Long]("changed_rows") >= r.getAs[Long]("insert_keys") + r.getAs[Long]("update_keys"))
     }
   }
+
+  test("partition stats roll up file stats without losing rows; ndv bounded by rows") {
+    val li = lineitem
+    val parts = Manifest.partitionStats(li).collect()
+    assert(parts.map(_.getAs[Long]("n_rows")).sum == li.count())
+    parts.foreach(r => assert(r.getAs[String]("min_ship") <= r.getAs[String]("max_ship")))
+    val ndv = Manifest.columnNdv(li).collect()
+    ndv.foreach { r =>
+      assert(r.getAs[Long]("ndv_partkey") <= r.getAs[Long]("rows"))
+      assert(r.getAs[Long]("ndv_suppkey") <= r.getAs[Long]("rows"))
+    }
+  }
+
+  test("mor cost model: cow reads least but writes most; contention is symmetric-free") {
+    val costs = DeleteVectors.morCostModel(lineitem).collect()
+      .map(r => r.getAs[String]("strategy") -> (r.getAs[Long]("read_bytes"), r.getAs[Long]("write_bytes"))).toMap
+    assert(costs("1_copy_on_write")._1 <= costs("2_mor_positional")._1)
+    assert(costs("2_mor_positional")._1 <= costs("3_mor_equality")._1)
+    assert(costs("1_copy_on_write")._2 >= costs("3_mor_equality")._2)
+    val cont = Snapshots.writerContention(lineitem).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      assert(r.getAs[Long]("writer_a") < r.getAs[Long]("writer_b"))
+      assert(r.getAs[Long]("shared_files") <= r.getAs[Long]("files_a"))
+    }
+  }
 }
