@@ -185,6 +185,10 @@ object SparkEntry {
     "lake_column_ndv" -> q((s, d) => Manifest.columnNdv(Tables.lineitem(s, d))),
     "lake_mor_cost" -> q((s, d) => DeleteVectors.morCostModel(Tables.lineitem(s, d))),
     "lake_writer_contention" -> q((s, d) => Snapshots.writerContention(Tables.lineitem(s, d))),
+    "dedup_prefix" -> q((s, d) => Dedup.prefixDup(Tables.documents(s, d))),
+    "text_boilerplate" -> q((s, d) => TextAnalysis.boilerplate(Tables.documents(s, d))),
+    "knn_sq8" -> q((s, d) => Ann.sq8Quantize(Tables.embeddings(s, d))),
+    "mm_dedup" -> q((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1870,5 +1874,55 @@ object SparkEntry {
         |FROM touched a JOIN touched b ON a.file_id = b.file_id AND a.writer < b.writer
         |JOIN fp ON fp.writer = a.writer
         |GROUP BY a.writer, b.writer ORDER BY writer_a, writer_b""".stripMargin,
+
+    "dedup_prefix" ->
+      s"""WITH s AS (SELECT doc_id, $tokSql AS t FROM documents),
+        | p AS (SELECT doc_id, array_to_string(t[1:8], ' ') AS psig FROM s WHERE len(t) >= 8),
+        | g AS (SELECT doc_id,
+        |   count(*) OVER (PARTITION BY psig) AS group_size,
+        |   doc_id = min(doc_id) OVER (PARTITION BY psig) AS keep
+        |  FROM p)
+        |SELECT doc_id, group_size, keep FROM g WHERE group_size > 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+        |     THEN concat(x, ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ', tk[i+4]) END),
+        |   y -> y IS NOT NULL)) AS phrase FROM t),
+        | df AS (SELECT phrase, count(*) AS df FROM (SELECT DISTINCT doc_id, phrase FROM sh) GROUP BY 1),
+        | oc AS (SELECT phrase, count(*) AS occurrences FROM sh GROUP BY 1)
+        |SELECT phrase, df, occurrences FROM df JOIN oc USING (phrase)
+        |WHERE df >= 2 ORDER BY df DESC, phrase LIMIT 20""".stripMargin,
+
+    "knn_sq8" ->
+      """WITH b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | d0 AS (SELECT vec_id, label,
+        |   unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM b),
+        | d AS (SELECT vec_id, label, px.pos AS pos, px.x AS x FROM d0),
+        | r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1),
+        | q AS (SELECT vec_id, label,
+        |   CASE WHEN hi = lo THEN 0 ELSE CAST(least(floor((x - lo) * 255.0 / (hi - lo)), 255.0) AS BIGINT) END AS code,
+        |   x, lo, hi FROM d JOIN r USING (pos)),
+        | e AS (SELECT vec_id, label, code,
+        |   round((x - (lo + code * (hi - lo) / 255.0)) * (x - (lo + code * (hi - lo) / 255.0)), 9) AS sq
+        |  FROM q),
+        | pv AS (SELECT vec_id, label, round(avg(sq), 9) AS mse, count(DISTINCT code) AS codes_used
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vectors,
+        | round(avg(mse), 6) AS avg_mse, round(max(mse), 6) AS max_mse,
+        | round(avg(codes_used), 6) AS avg_codes_used
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS checksum
+        | FROM documents)
+        |SELECT doc_id, byte_len, checksum,
+        | count(*) OVER (PARTITION BY checksum, byte_len) AS group_size,
+        | doc_id = min(doc_id) OVER (PARTITION BY checksum, byte_len) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

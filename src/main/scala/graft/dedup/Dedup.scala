@@ -34,6 +34,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Prefix-duplicate detection: documents sharing the identical first
+    * `prefixTokens` tokens (truncation/expansion duplicates that full-text
+    * hashing misses). Same group-window shape as `exact`, keyed on the
+    * prefix signature; only docs long enough to have a full prefix play. */
+  def prefixDup(documents: DataFrame, prefixTokens: Int = 8): DataFrame = {
+    val sig = documents
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= prefixTokens)
+      .withColumn("psig", array_join(slice(col("t"), 1, prefixTokens), " "))
+    val w = Window.partitionBy(col("psig"))
+    sig
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .filter(col("group_size") > 1)
+      .select(col("doc_id"), col("group_size"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Token-trigram shingles, distinct per doc. */
   private def shingles(documents: DataFrame): DataFrame =
     documents

@@ -86,6 +86,24 @@ object Multimodal {
       .orderBy("source", "batch_id")
   }
 
+  /** Exact media dedup on (checksum, byte length) — the first gate of any
+    * multimodal ingest (identical blobs under different names). Same
+    * group-window shape as text dedup, keyed on the codegen'd byte checksum;
+    * a real pipeline would add a second content-hash pass within groups. */
+  def payloadDedup(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("checksum"), col("byte_len"))
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("graft_bytesum(payload)").as("checksum"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("byte_len"), col("checksum"), col("group_size"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checkable column-level equivalent of the typed pipeline: same
     * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
     * equal byte values; the oracle mirrors with ascii()/octet_length). */

@@ -217,6 +217,34 @@ object Ann {
       .orderBy("sub_id")
   }
 
+  /** Scalar (int8) quantization: per-dimension [min, max] over the corpus
+    * (a dim-bounded broadcast table), each component mapped to a 0..255 code
+    * by floor, dequantized back, and the reconstruction error reported per
+    * label — the 4×-compression/error trade SQ buys before PQ is needed.
+    * Ranges come from min/max (order-independent), the error terms are
+    * rounded at 9 dp before the final averages (the same double-rounding
+    * convention as the centroid/PQ codebooks). */
+  def sq8Quantize(embeddings: DataFrame): DataFrame = {
+    val base = prep(embeddings)
+    val byDim = base.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val ranges = byDim.groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val quantized = byDim.join(broadcast(ranges), "pos")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo"))), lit(255.0)).cast("long")))
+      .withColumn("deq", col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)
+      .withColumn("sq", round((col("x") - col("deq")) * (col("x") - col("deq")), 9))
+    quantized
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(avg(col("sq")), 9).as("mse"), countDistinct(col("code")).as("codes_used"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("mse")), 6).as("avg_mse"),
+        round(max(col("mse")), 6).as("max_mse"),
+        round(avg(col("codes_used")), 6).as("avg_codes_used"))
+      .orderBy("label")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

@@ -339,6 +339,25 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
+  /** Boilerplate phrase mining: 5-gram shingles that recur across many
+    * documents (headers, footers, templates — what a cleaning pipeline
+    * strips before training). Inverted-index shape: distinct (doc, shingle)
+    * → document frequency → top recurring phrases. */
+  def boilerplate(documents: DataFrame, minDf: Long = 2L, topN: Int = 20): DataFrame = {
+    val sh = documents
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 4 < size(t) THEN concat(x, ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]) END), y -> y IS NOT NULL)"))
+        .as("phrase"))
+    val perDoc = sh.distinct()
+    perDoc.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+      .join(sh.groupBy(col("phrase")).agg(count(lit(1)).as("occurrences")), "phrase")
+      .filter(col("df") >= minDf)
+      .select(col("phrase"), col("df"), col("occurrences"))
+      .orderBy(col("df").desc, col("phrase"))
+      .limit(topN)
+  }
+
   /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over the corpus read in
     * doc_id order. Each token contributes at its *first* document (min
     * doc_id), and the growth curve is evaluated at `checkpoints` fixed

@@ -93,4 +93,15 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Long]("codes_used") <= 10L)
     }
   }
+
+  test("SQ8 covers every vector with bounded reconstruction error") {
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    val rows = Ann.sq8Quantize(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_mse") >= 0.0)
+      assert(r.getAs[Double]("max_mse") >= r.getAs[Double]("avg_mse"))
+      assert(r.getAs[Double]("avg_codes_used") <= 256.0)
+    }
+  }
 }

@@ -23,4 +23,15 @@ class MultimodalSpec extends SparkSpec {
     assert(c1 == c2 && b1 == b2)
     assert(c1 == "hello".getBytes("UTF-8").map(_.toLong).sum)
   }
+
+  test("payload dedup covers every doc and keeps one canonical per group") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val rows = Multimodal.payloadDedup(docs).collect()
+    assert(rows.length == docs.count())
+    val byGroup = rows.groupBy(r => (r.getAs[Long]("checksum"), r.getAs[Long]("byte_len")))
+    byGroup.foreach { case (_, g) =>
+      assert(g.count(_.getAs[Boolean]("keep")) == 1, "exactly one keeper per group")
+      assert(g.forall(_.getAs[Long]("group_size") == g.length))
+    }
+  }
 }

@@ -161,6 +161,18 @@ class TextDedupSpec extends SparkSpec {
     assert(pmi.length <= 20)
   }
 
+  test("prefix dedup groups are consistent and boilerplate phrases recur") {
+    val pre = Dedup.prefixDup(docs).collect()
+    pre.foreach(r => assert(r.getAs[Long]("group_size") > 1))
+    val keeps = pre.count(_.getAs[Boolean]("keep"))
+    assert(keeps > 0 && keeps < pre.length || pre.isEmpty)
+    val bp = TextAnalysis.boilerplate(docs).collect()
+    bp.foreach { r =>
+      assert(r.getAs[Long]("df") >= 2L)
+      assert(r.getAs[Long]("occurrences") >= r.getAs[Long]("df"))
+    }
+  }
+
   test("heaps fit: vocabulary grows sublinearly (0 <= beta < 1) with positive K") {
     val h = TextAnalysis.heapsLaw(docs).collect()(0)
     assert(h.getAs[Long]("corpus_vocab") <= h.getAs[Long]("corpus_tokens"))
