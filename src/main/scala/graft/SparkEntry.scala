@@ -189,6 +189,9 @@ object SparkEntry {
     "text_boilerplate" -> q((s, d) => TextAnalysis.boilerplate(Tables.documents(s, d))),
     "knn_sq8" -> q((s, d) => Ann.sq8Quantize(Tables.embeddings(s, d))),
     "mm_dedup" -> q((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
+    "q53_unpivot" -> q((s, d) => Relational.yearStatusUnpivot(Tables.orders(s, d))),
+    "text_chunking" -> q((s, d) => TextAnalysis.chunkPlan(Tables.documents(s, d))),
+    "knn_matryoshka" -> q((s, d) => Ann.matryoshkaRecall(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1924,5 +1927,56 @@ object SparkEntry {
         | count(*) OVER (PARTITION BY checksum, byte_len) AS group_size,
         | doc_id = min(doc_id) OVER (PARTITION BY checksum, byte_len) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q53_unpivot" ->
+      """WITH w AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS rev_p
+        | FROM orders GROUP BY 1),
+        | u AS (
+        |  SELECT order_year, 'F' AS o_orderstatus, rev_f AS revenue FROM w
+        |  UNION ALL SELECT order_year, 'O', rev_o FROM w
+        |  UNION ALL SELECT order_year, 'P', rev_p FROM w)
+        |SELECT order_year, o_orderstatus, revenue FROM u
+        |WHERE revenue IS NOT NULL
+        |ORDER BY order_year, o_orderstatus""".stripMargin,
+
+    "text_chunking" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents),
+        | st AS (SELECT doc_id, n_tok, unnest(generate_series(1, greatest(n_tok - 32 + 24, 1), 24)) AS start
+        |  FROM d),
+        | c AS (SELECT doc_id, n_tok, least(32, n_tok - start + 1) AS chunk_len
+        |  FROM st WHERE n_tok - start + 1 > 0)
+        |SELECT doc_id, n_tok, count(*) AS n_chunks,
+        | CAST(sum(chunk_len) AS BIGINT) AS chunked_tokens,
+        | CAST(min(chunk_len) AS BIGINT) AS min_chunk_len,
+        | CAST(sum(chunk_len) - n_tok AS BIGINT) AS overlap_tokens
+        |FROM c GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin,
+
+    "knn_matryoshka" ->
+      s"""WITH $embPrepSql,
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | sf AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        | rf AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sf),
+        | tfull AS (SELECT q_id, vec_id FROM rf WHERE rk <= 5),
+        | nt AS (SELECT vec_id, list_slice(v, 1, 16) AS v,
+        |   sqrt(list_reduce(list_transform(list_slice(v, 1, 16), x -> x * x), (a, c) -> a + c)) AS nrm FROM n),
+        | qt AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nt WHERE vec_id < 10),
+        | stv AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM nt JOIN qt ON vec_id <> q_id),
+        | rt AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM stv),
+        | ttr AS (SELECT q_id, vec_id FROM rt WHERE rk <= 5),
+        | h AS (SELECT f.q_id, count(*) AS hits FROM tfull f
+        |       JOIN ttr t ON f.q_id = t.q_id AND f.vec_id = t.vec_id GROUP BY 1)
+        |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+        | round(coalesce(h.hits, 0) * 1.0 / 5, 6) AS recall_at_k
+        |FROM (SELECT DISTINCT q_id FROM tfull) q LEFT JOIN h USING (q_id)
+        |ORDER BY q_id""".stripMargin,
   )
 }

@@ -697,6 +697,21 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q53: UNPIVOT — the wide conditional-agg table (status columns per
+    * year) stacked back to long format with `stack()` (codegen'd generator,
+    * one pass; the inverse of q21's PIVOT). */
+  def yearStatusUnpivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 4).as("rev_f"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4).as("rev_o"),
+        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 4).as("rev_p"))
+      .select(col("order_year"),
+        expr("stack(3, 'F', rev_f, 'O', rev_o, 'P', rev_p) AS (o_orderstatus, revenue)"))
+      .filter(col("revenue").isNotNull)
+      .orderBy("order_year", "o_orderstatus")
+
   /** q52: interval-overlap concurrency — how many orders are simultaneously
     * "active" (open for `activeDays`). Classic +1/−1 sweep: per-day net
     * deltas (one shuffle on day), then a running sum over the *day spine*

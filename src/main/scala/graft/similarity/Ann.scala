@@ -217,6 +217,40 @@ object Ann {
       .orderBy("sub_id")
   }
 
+  /** Matryoshka truncation quality: top-k retrieval with only the first
+    * `prefixDim` dimensions vs the full vector, reported as recall@k per
+    * query — the quality/cost curve of prefix-truncated (MRL-style)
+    * embeddings, where a shorter prefix means proportionally less I/O and
+    * compute at 100 TB. Both rankings reuse the bounded-query broadcast
+    * join; the overlap is a semi-join of two k-row-per-query tables. */
+  def matryoshkaRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       prefixDim: Int = 16): DataFrame = {
+    def topk(base: DataFrame, vcol: String => String): DataFrame = {
+      val queries = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(expr(vcol("qv")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val full = topk(prep(embeddings), qv => s"graft_dot($qv, v)")
+    val truncBase = prep(embeddings)
+      .withColumn("v", expr(s"slice(v, 1, $prefixDim)"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val trunc = topk(truncBase, qv => s"graft_dot($qv, v)")
+      .select(col("q_id").as("t_q"), col("vec_id").as("t_id"))
+    val hits = full
+      .join(trunc, col("q_id") === col("t_q") && col("vec_id") === col("t_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    full.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_at_k", round(col("hits") * 1.0 / k, 6))
+      .orderBy("q_id")
+  }
+
   /** Scalar (int8) quantization: per-dimension [min, max] over the corpus
     * (a dim-bounded broadcast table), each component mapped to a 0..255 code
     * by floor, dequantized back, and the reconstruction error reported per

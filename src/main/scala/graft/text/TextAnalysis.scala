@@ -339,6 +339,25 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * `chunkTokens`-token windows every `stride` tokens (the chunk shape an
+    * embedding/RAG indexer feeds a context-limited model). Pure generator
+    * expansion (`sequence` + slice arithmetic) — per-doc, no shuffle beyond
+    * the final per-doc accounting. */
+  def chunkPlan(documents: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame =
+    documents
+      .withColumn("n_tok", size(toks).cast("long"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr(s"sequence(1L, greatest(n_tok - $chunkTokens + $stride, 1L), ${stride}L)")).as("start"))
+      .withColumn("chunk_len", least(lit(chunkTokens.toLong), col("n_tok") - col("start") + 1L))
+      .filter(col("chunk_len") > 0)
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunked_tokens"),
+        min(col("chunk_len")).as("min_chunk_len"))
+      .withColumn("overlap_tokens", col("chunked_tokens") - col("n_tok"))
+      .orderBy("doc_id")
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

@@ -94,6 +94,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka recall is a proper fraction per query and full-dim recall is 1") {
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    val rows = Ann.matryoshkaRecall(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // sanity: truncating to the full dimension must reproduce the exact top-k
+    val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+    val selfRecall = Ann.matryoshkaRecall(emb, prefixDim = dim).collect()
+    selfRecall.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+  }
+
   test("SQ8 covers every vector with bounded reconstruction error") {
     val emb = graft.tables.Tables.embeddings(spark, sf0001)
     val rows = Ann.sq8Quantize(emb).collect()

@@ -272,6 +272,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("unpivot is the exact inverse of the wide aggregate") {
+    import org.apache.spark.sql.functions.{sum, round}
+    val orders = Tables.orders(spark, sf0001)
+    val long = Relational.yearStatusUnpivot(orders)
+    val totalLong = long.agg(round(sum("revenue"), 2)).collect()(0).getDouble(0)
+    val totalWide = orders.agg(round(sum("o_totalprice"), 2)).collect()(0).getDouble(0)
+    assert(math.abs(totalLong - totalWide) < 0.05, s"$totalLong vs $totalWide")
+  }
+
   test("interval concurrency peaks are positive and bounded by open orders") {
     val orders = Tables.orders(spark, sf0001)
     val rows = Relational.orderConcurrency(orders).collect()

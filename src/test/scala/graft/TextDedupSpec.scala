@@ -173,6 +173,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("chunk plan covers every token of every doc with bounded overlap") {
+    val rows = TextAnalysis.chunkPlan(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chunked_tokens") >= r.getAs[Long]("n_tok"), "chunks must cover the doc")
+      assert(r.getAs[Long]("overlap_tokens") >= 0L)
+      assert(r.getAs[Long]("min_chunk_len") >= 1L)
+    }
+  }
+
   test("heaps fit: vocabulary grows sublinearly (0 <= beta < 1) with positive K") {
     val h = TextAnalysis.heapsLaw(docs).collect()(0)
     assert(h.getAs[Long]("corpus_vocab") <= h.getAs[Long]("corpus_tokens"))
