@@ -23,23 +23,26 @@ object Layout {
     * produces) — each file covers a narrow slice.
     */
   def skipRateReport(lineitem: DataFrame, lo: String, hi: String, nFiles: Int = 40): DataFrame = {
-    val unsorted = FileModel.withFileId(lineitem, nFiles)
-      .select(lit("unsorted").as("layout"), col("file_id"), col("l_shipdate"))
     // Clustered layout model: equal-width date buckets — pure arithmetic
     // against the (broadcast) global min/max, so unlike an ntile over a
     // global ordering it needs no single-partition sort and survives any
     // scale. (The real writer, writeSorted below, range-partitions instead;
     // both yield files covering narrow, nearly disjoint key slices.)
+    // Both layouts' file assignments are emitted from ONE fact scan (a
+    // 2-element generator per row) instead of a self-union — the shuffle
+    // volume is identical but the scan count halves.
     val global = lineitem.agg(
       min(col("l_shipdate")).as("gmin"), max(col("l_shipdate")).as("gmax"))
-    val sorted = lineitem.join(broadcast(global))
-      .withColumn("file_id", least(
-        floor((unix_date(to_date(col("l_shipdate"))) - unix_date(to_date(col("gmin")))) * nFiles /
-          (unix_date(to_date(col("gmax"))) - unix_date(to_date(col("gmin"))) + 1)).cast("long"),
-        lit(nFiles - 1L)))
-      .select(lit("sorted").as("layout"), col("file_id"), col("l_shipdate"))
-
-    unsorted.unionAll(sorted)
+    val sortedFid = least(
+      floor((unix_date(to_date(col("l_shipdate"))) - unix_date(to_date(col("gmin")))) * nFiles /
+        (unix_date(to_date(col("gmax"))) - unix_date(to_date(col("gmin"))) + 1)).cast("long"),
+      lit(nFiles - 1L))
+    lineitem.join(broadcast(global))
+      .select(col("l_shipdate"),
+        explode(array(
+          struct(lit("unsorted").as("layout"), (col("l_orderkey") % nFiles).as("file_id")),
+          struct(lit("sorted").as("layout"), sortedFid.as("file_id")))).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"), col("l_shipdate"))
       .groupBy(col("layout"), col("file_id"))
       .agg(min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
       .join(broadcast(global))

@@ -637,22 +637,23 @@ object Relational {
   }
 
   /** q49: Spearman rank correlation of price vs quantity per return flag.
-    * Ranks are computed on the *distinct-value* table (min-rank = 1 +
-    * running count of strictly smaller values) and joined back, so the rank
-    * window scales with NDV per group — not with the row count — and ties
-    * get identical ranks by construction (same semantics as SQL rank()). */
+    * Quantity ranks come from the tiny distinct-value table (min-rank = 1 +
+    * running count of smaller values, ≤ flags × qty domain) and broadcast-
+    * join back; price ranks are one rank() window — a single fact shuffle
+    * total. The per-flag window sort is the low-cardinality caveat: at
+    * 100 TB the price side becomes a two-phase rank (range-partition within
+    * flag, local rank + per-range offsets), same semantics. */
   def spearmanPriceQty(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-    def minRanks(vcol: String, rname: String): DataFrame = {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      base.groupBy(col("l_returnflag"), col(vcol)).agg(count(lit(1)).as("c"))
-        .withColumn(rname, (coalesce(sum(col("c")).over(w), lit(0L)) + 1L).cast("double"))
-        .drop("c")
-    }
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qtyRanks = base.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+      .withColumn("rq", (coalesce(sum(col("c")).over(wq), lit(0L)) + 1L).cast("double"))
+      .drop("c")
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     base
-      .join(minRanks("l_extendedprice", "rp"), Seq("l_returnflag", "l_extendedprice"))
-      .join(minRanks("l_quantity", "rq"), Seq("l_returnflag", "l_quantity"))
+      .join(broadcast(qtyRanks), Seq("l_returnflag", "l_quantity"))
+      .withColumn("rp", rank().over(wp).cast("double"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), round(corr(col("rp"), col("rq")), 6).as("spearman_rho"))
       .orderBy("l_returnflag")
