@@ -192,6 +192,9 @@ object SparkEntry {
     "q53_unpivot" -> q((s, d) => Relational.yearStatusUnpivot(Tables.orders(s, d))),
     "text_chunking" -> q((s, d) => TextAnalysis.chunkPlan(Tables.documents(s, d))),
     "knn_matryoshka" -> q((s, d) => Ann.matryoshkaRecall(Tables.embeddings(s, d))),
+    "q54_scd2_join" -> q((s, d) => Relational.scd2SupplierJoin(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "ev_rolling_active" -> q((s, d) => Events.rollingActiveUsers(Tables.events(s, d))),
+    "text_vocab_coverage" -> q((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1978,5 +1981,43 @@ object SparkEntry {
         | round(coalesce(h.hits, 0) * 1.0 / 5, 6) AS recall_at_k
         |FROM (SELECT DISTINCT q_id FROM tfull) q LEFT JOIN h USING (q_id)
         |ORDER BY q_id""".stripMargin,
+
+    "q54_scd2_join" ->
+      """WITH v AS (
+        |  SELECT s_suppkey, '1_era95' AS era, TIMESTAMP '1995-01-01' AS vfrom, TIMESTAMP '1997-01-01' AS vto FROM supplier
+        |  UNION ALL SELECT s_suppkey, '2_era97', TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01' FROM supplier
+        |  UNION ALL SELECT s_suppkey, '3_era99', TIMESTAMP '1999-01-01', TIMESTAMP '9999-12-31' FROM supplier),
+        | vr AS (SELECT *, (s_suppkey * 7 + CAST(substring(era, 1, 1) AS BIGINT)) % 5 + 1 AS rate FROM v)
+        |SELECT era, count(*) AS n_rows,
+        | count(DISTINCT s_suppkey) AS n_suppliers,
+        | round(sum(l_extendedprice * rate / 100.0), 4) AS rated_revenue
+        |FROM lineitem JOIN vr ON l_suppkey = s_suppkey
+        |  AND l_shipdate >= vfrom AND l_shipdate < vto
+        |GROUP BY era ORDER BY era""".stripMargin,
+
+    "ev_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | sp AS (SELECT DISTINCT day AS anchor FROM du)
+        |SELECT strftime(anchor, '%Y-%m-%d') AS anchor,
+        | count(DISTINCT user_id) AS wau,
+        | count(DISTINCT CASE WHEN day = anchor THEN user_id END) AS dau,
+        | round(count(DISTINCT CASE WHEN day = anchor THEN user_id END) * 1.0
+        |       / count(DISTINCT user_id), 6) AS stickiness
+        |FROM du JOIN sp ON day <= anchor AND day > anchor - 7
+        |GROUP BY anchor ORDER BY anchor""".stripMargin,
+
+    "text_vocab_coverage" ->
+      s"""WITH freq AS (SELECT token, count(*) AS freq
+        |  FROM (SELECT unnest($tokSql) AS token FROM documents) GROUP BY 1),
+        | r AS (SELECT token, freq,
+        |   CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rk,
+        |   sum(freq) OVER (ORDER BY freq DESC, token
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM freq),
+        | t AS (SELECT sum(freq) AS total FROM freq),
+        | ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 24, 31]) AS BIGINT) AS k)
+        |SELECT k, count(*) AS vocab_used, CAST(max(cum) AS BIGINT) AS covered,
+        | round(max(cum) * 100.0 / (SELECT total FROM t), 4) AS coverage_pct
+        |FROM r JOIN ks ON rk <= k
+        |GROUP BY k ORDER BY k""".stripMargin,
   )
 }

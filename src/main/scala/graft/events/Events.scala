@@ -311,6 +311,25 @@ object Events {
       .orderBy("decile")
   }
 
+  /** Rolling 7-day active users (WAU) per day — exact, not sketched: the
+    * distinct (day, user) table joins a ±window day spine (broadcast
+    * non-equi join over the bounded date dimension), then one distinct
+    * count per anchor day. The (day,user) table is the only fact-derived
+    * input, already deduplicated by the first aggregation. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val dayUser = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val spine = dayUser.select(col("day").as("anchor")).distinct()
+    dayUser
+      .join(broadcast(spine),
+        col("day") <= col("anchor") && col("day") > date_sub(col("anchor"), windowDays))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("anchor"), col("user_id"))).as("dau"))
+      .withColumn("anchor", date_format(col("anchor"), "yyyy-MM-dd"))
+      .withColumn("stickiness", round(col("dau") * 1.0 / col("wau"), 6))
+      .orderBy("anchor")
+  }
+
   /** User-lifecycle classification: lifespan (first→last event), active-day
     * count, and a one-shot / casual / regular label rolled up to a census.
     * Everything derives from one per-user aggregation. */

@@ -698,6 +698,34 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q54: SCD2 (slowly-changing-dimension) temporal join — each fact row
+    * joins the dimension *version* valid at its event date. Versions are
+    * derived deterministically (3 eras per supplier with an era-specific
+    * rate); the versioned dim is still dim-sized × versions, so it
+    * broadcasts and each fact row matches exactly one validity window —
+    * a broadcast range join, no fact-side shuffle before the final agg. */
+  def scd2SupplierJoin(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val eras = Seq(("1_era95", "1995-01-01", "1997-01-01"),
+                   ("2_era97", "1997-01-01", "1999-01-01"),
+                   ("3_era99", "1999-01-01", "9999-12-31"))
+    val versions = supplier
+      .select(col("s_suppkey"), explode(expr(s"array(${eras.map { case (e, f, t) =>
+        s"struct('$e' AS era, '$f' AS vfrom, '$t' AS vto)" }.mkString(", ")})")).as("v"))
+      .select(col("s_suppkey"), col("v.era").as("era"),
+        col("v.vfrom").cast("timestamp").as("vfrom"), col("v.vto").cast("timestamp").as("vto"))
+      .withColumn("rate", (col("s_suppkey") * 7 +
+        substring(col("era"), 1, 1).cast("long")) % 5 + 1)
+    lineitem
+      .join(broadcast(versions),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("l_shipdate") >= col("vfrom") && col("l_shipdate") < col("vto"))
+      .groupBy(col("era"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        round(sum(col("l_extendedprice") * col("rate") / 100.0), 4).as("rated_revenue"))
+      .orderBy("era")
+  }
+
   /** q53: UNPIVOT — the wide conditional-agg table (status columns per
     * year) stacked back to long format with `stack()` (codegen'd generator,
     * one pass; the inverse of q21's PIVOT). */

@@ -339,6 +339,29 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
+  /** Vocabulary coverage curve: what fraction of all token occurrences the
+    * top-k vocabulary entries cover, at fixed k checkpoints — the
+    * tokenizer-budget question (how big a vocab before coverage plateaus).
+    * Rank + running sum over the bounded vocabulary table only. */
+  def vocabCoverage(documents: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 24, 31)): DataFrame = {
+    val freq = documents.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    val kdf = documents.sparkSession.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+      .select(col("k").cast("long").as("k"))
+    ranked.join(broadcast(kdf), col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("cum")).as("covered"), count(lit(1)).as("vocab_used"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_pct", round(col("covered") * 100.0 / col("total"), 4))
+      .select(col("k"), col("vocab_used"), col("covered"), col("coverage_pct"))
+      .orderBy("k")
+  }
+
   /** Context-window chunking: split each document into overlapping
     * `chunkTokens`-token windows every `stride` tokens (the chunk shape an
     * embedding/RAG indexer feeds a context-limited model). Pure generator

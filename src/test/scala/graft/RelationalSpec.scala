@@ -272,6 +272,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("scd2 join assigns every lineitem row to exactly one dim version") {
+    import org.apache.spark.sql.functions.sum
+    val li = lineitem
+    val out = Relational.scd2SupplierJoin(li, Tables.supplier(spark, sf0001))
+    assert(out.agg(sum("n_rows")).collect()(0).getLong(0) == li.count(),
+      "validity windows must partition the timeline")
+  }
+
+  test("rolling active users: wau >= dau and stickiness in (0,1]") {
+    val rows = graft.events.Events.rollingActiveUsers(Tables.events(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("unpivot is the exact inverse of the wide aggregate") {
     import org.apache.spark.sql.functions.{sum, round}
     val orders = Tables.orders(spark, sf0001)

@@ -173,6 +173,13 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage is monotone in k and reaches 100% at the full vocabulary") {
+    val rows = TextAnalysis.vocabCoverage(docs).collect()
+    val cov = rows.map(r => r.getAs[Long]("k") -> r.getAs[Double]("coverage_pct"))
+    assert(cov.sortBy(_._1).map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(math.abs(cov.maxBy(_._1)._2 - 100.0) < 1e-6, "k = vocab size must cover everything")
+  }
+
   test("chunk plan covers every token of every doc with bounded overlap") {
     val rows = TextAnalysis.chunkPlan(docs).collect()
     assert(rows.length == docs.count())
