@@ -195,6 +195,9 @@ object SparkEntry {
     "q54_scd2_join" -> q((s, d) => Relational.scd2SupplierJoin(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "ev_rolling_active" -> q((s, d) => Events.rollingActiveUsers(Tables.events(s, d))),
     "text_vocab_coverage" -> q((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    "q55_market_basket" -> q((s, d) => Relational.marketBasket(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q56_mad_outliers" -> q((s, d) => Relational.madOutliers(Tables.lineitem(s, d))),
+    "lake_retention_ladder" -> q((s, d) => Snapshots.retentionLadder(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2019,5 +2022,51 @@ object SparkEntry {
         | round(max(cum) * 100.0 / (SELECT total FROM t), 4) AS coverage_pct
         |FROM r JOIN ks ON rk <= k
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q55_market_basket" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+        | bc AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+        | pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_co
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT brand_a, brand_b, n_co,
+        | round(n_co * 100.0 / n_orders, 4) AS support_pct,
+        | round(n_co * n_orders * 1.0 / (ba.n_b * bb.n_b), 6) AS lift
+        |FROM pr JOIN bc ba ON pr.brand_a = ba.p_brand
+        |        JOIN bc bb ON pr.brand_b = bb.p_brand, no
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+
+    "q56_mad_outliers" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        | d AS (SELECT l.l_returnflag, abs(l_extendedprice - med) AS dev, med
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
+        | md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n,
+        | round(max(med), 4) AS median_price,
+        | round(max(mad), 4) AS mad,
+        | CAST(sum(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(sum(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS outlier_pct
+        |FROM d JOIN md ON d.l_returnflag = md.l_returnflag
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    "lake_retention_ladder" ->
+      """WITH c AS (SELECT o_orderkey // 100 AS commit_id,
+        |   max(CAST(o_orderdate AS DATE)) AS commit_day
+        |  FROM orders GROUP BY 1),
+        | h AS (SELECT max(commit_id) AS head_id, max(commit_day) AS head_day FROM c),
+        | e AS (SELECT commit_id, commit_day,
+        |   CAST(date_diff('day', commit_day, head_day) AS BIGINT) AS age_days,
+        |   commit_id = max(commit_id) OVER (PARTITION BY commit_day) AS last_of_day,
+        |   commit_id = max(commit_id) OVER (PARTITION BY date_trunc('week', commit_day)) AS last_of_week,
+        |   head_id FROM c, h)
+        |SELECT commit_id, strftime(commit_day, '%Y-%m-%d') AS commit_day, age_days,
+        | CASE WHEN commit_id > head_id - 20 THEN '1_keep_recent'
+        |      WHEN age_days <= 30 AND last_of_day THEN '2_keep_daily'
+        |      WHEN age_days > 30 AND last_of_week THEN '3_keep_weekly'
+        |      ELSE '4_expire' END AS decision
+        |FROM e ORDER BY commit_id""".stripMargin,
   )
 }

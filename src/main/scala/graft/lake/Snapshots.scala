@@ -287,6 +287,35 @@ object Snapshots {
       .orderBy("writer_id")
   }
 
+  /** Snapshot-retention ladder: the keep-last-N / daily-for-a-month /
+    * weekly-forever policy every lake GC implements. Each commit gets an
+    * age (vs the head commit's day) and a decision with its reason; the
+    * "last commit of its day/week" bits are windows over the 150-row commit
+    * table. The expensive part — per-commit day aggregation — is one
+    * map-side-combinable pass over the fact table. */
+  def retentionLadder(orders: DataFrame, keepLast: Long = 20L,
+                      dailyDays: Int = 30): DataFrame = {
+    val commits = orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .groupBy(col("commit_id"))
+      .agg(max(to_date(col("o_orderdate"))).as("commit_day"))
+    val head = commits.agg(max(col("commit_id")).as("head_id"), max(col("commit_day")).as("head_day"))
+    val wDay = Window.partitionBy(col("commit_day"))
+    val wWeek = Window.partitionBy(date_trunc("week", col("commit_day")))
+    commits.join(broadcast(head))
+      .withColumn("age_days", datediff(col("head_day"), col("commit_day")).cast("long"))
+      .withColumn("last_of_day", col("commit_id") === max(col("commit_id")).over(wDay))
+      .withColumn("last_of_week", col("commit_id") === max(col("commit_id")).over(wWeek))
+      .withColumn("decision",
+        when(col("commit_id") > col("head_id") - keepLast, "1_keep_recent")
+          .when(col("age_days") <= dailyDays && col("last_of_day"), "2_keep_daily")
+          .when(col("age_days") > dailyDays && col("last_of_week"), "3_keep_weekly")
+          .otherwise("4_expire"))
+      .select(col("commit_id"), date_format(col("commit_day"), "yyyy-MM-dd").as("commit_day"),
+        col("age_days"), col("decision"))
+      .orderBy("commit_id")
+  }
+
   /** Writer-contention matrix: per pair of concurrent writers, how many data
     * files both touch — the file-overlap that forces optimistic-concurrency
     * retries. Writers and files derive deterministically from lineitem

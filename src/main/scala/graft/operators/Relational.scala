@@ -698,6 +698,58 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q55: market-basket association — brand pairs co-purchased in one
+    * order, scored by lift P(ab)/(P(a)P(b)). The pair join runs on the
+    * per-order distinct-brand table (≲ brands per order squared, never the
+    * fact table squared); brand marginals broadcast. Counts are exact
+    * integers so lift is bit-identical across engines. */
+  def marketBasket(lineitem: DataFrame, part: DataFrame,
+                   minSupport: Long = 5L, topN: Int = 20): DataFrame = {
+    val orderBrand = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = orderBrand.select(col("l_orderkey")).distinct().count()
+    val brandCounts = orderBrand.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+    val pairs = orderBrand.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(orderBrand.select(col("l_orderkey"), col("p_brand").as("brand_b")), "l_orderkey")
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+    pairs
+      .join(broadcast(brandCounts.withColumnRenamed("p_brand", "brand_a").withColumnRenamed("n_b", "n_a")), "brand_a")
+      .join(broadcast(brandCounts.withColumnRenamed("p_brand", "brand_b")), "brand_b")
+      .withColumn("support_pct", round(col("n_co") * 100.0 / nOrders, 4))
+      .withColumn("lift", round(col("n_co") * nOrders.toDouble / (col("n_a") * col("n_b")), 6))
+      .select(col("brand_a"), col("brand_b"), col("n_co"), col("support_pct"), col("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(topN)
+  }
+
+  /** q56: robust outlier detection via MAD (median absolute deviation) —
+    * per flag: the 3σ-equivalent 3·1.4826·MAD fence and the rows outside
+    * it. Medians are exact interpolated percentiles; each stage is one
+    * aggregation plus a broadcast join of the 3-row stats table. */
+  def madOutliers(lineitem: DataFrame): DataFrame = {
+    val med = lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+    val withDev = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+    val mad = withDev.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    withDev.join(broadcast(mad), "l_returnflag")
+      .withColumn("outlier", col("dev") > lit(3.0 * 1.4826) * col("mad"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median_price"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_pct", round(col("n_outliers") * 100.0 / col("n"), 4))
+      .orderBy("l_returnflag")
+  }
+
   /** q54: SCD2 (slowly-changing-dimension) temporal join — each fact row
     * joins the dimension *version* valid at its event date. Versions are
     * derived deterministically (3 eras per supplier with an era-specific

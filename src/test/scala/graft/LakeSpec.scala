@@ -230,6 +230,15 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("retention ladder covers every commit; recent commits are always kept") {
+    val rows = Snapshots.retentionLadder(orders).collect()
+    val nCommits = orders.selectExpr("o_orderkey div 100").distinct().count()
+    assert(rows.length == nCommits)
+    val headId = rows.map(_.getAs[Long]("commit_id")).max
+    rows.filter(_.getAs[Long]("commit_id") > headId - 20).foreach(r =>
+      assert(r.getAs[String]("decision") == "1_keep_recent"))
+  }
+
   test("mor cost model: cow reads least but writes most; contention is symmetric-free") {
     val costs = DeleteVectors.morCostModel(lineitem).collect()
       .map(r => r.getAs[String]("strategy") -> (r.getAs[Long]("read_bytes"), r.getAs[Long]("write_bytes"))).toMap

@@ -272,6 +272,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("market basket pairs are oriented with sane support; MAD fences are positive") {
+    val mb = Relational.marketBasket(lineitem, Tables.part(spark, sf0001), minSupport = 1L).collect()
+    assert(mb.nonEmpty)
+    mb.foreach { r =>
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(r.getAs[Double]("support_pct") > 0.0 && r.getAs[Double]("support_pct") <= 100.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    val mad = Relational.madOutliers(lineitem).collect()
+    mad.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("scd2 join assigns every lineitem row to exactly one dim version") {
     import org.apache.spark.sql.functions.sum
     val li = lineitem
