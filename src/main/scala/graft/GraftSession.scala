@@ -30,6 +30,12 @@ object GraftSession {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.FusePercentiles
     }
+    // Same post-build story for the planner strategy behind the native
+    // per-key top-k plan node (the extensions path injects it instead).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
     spark
   }
 }

@@ -198,6 +198,7 @@ object SparkEntry {
     "q55_market_basket" -> q((s, d) => Relational.marketBasket(Tables.lineitem(s, d), Tables.part(s, d))),
     "q56_mad_outliers" -> q((s, d) => Relational.madOutliers(Tables.lineitem(s, d))),
     "lake_retention_ladder" -> q((s, d) => Snapshots.retentionLadder(Tables.orders(s, d))),
+    "q57_native_topk" -> q((s, d) => TopK.nativeTopOrdersPerCustomer(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2068,5 +2069,14 @@ object SparkEntry {
         |      WHEN age_days > 30 AND last_of_week THEN '3_keep_weekly'
         |      ELSE '4_expire' END AS decision
         |FROM e ORDER BY commit_id""".stripMargin,
+
+    "q57_native_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
   )
 }

@@ -272,6 +272,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("native top-k matches the window implementation and plans heap execs, no sort") {
+    val orders = Tables.orders(spark, sf0001)
+    val native = TopK.nativeTopOrdersPerCustomer(orders).collect().map(_.toString).sorted
+    val window = TopK.topOrdersPerCustomer(orders)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect().map(_.toString).sorted
+    assert(native.sameElements(window), "native operator must reproduce the window semantics")
+    val plan = explained(TopK.nativePerKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3))
+    assert(plan.contains("TopKPerKey"), "custom exec must appear in the physical plan")
+    assert(plan.linesIterator.count(_.contains("TopKPerKey")) >= 2, "partial + final pass expected")
+    assert(!plan.contains("Window") && !plan.contains("Sort "), "no window, no sort")
+  }
+
   test("market basket pairs are oriented with sane support; MAD fences are positive") {
     val mb = Relational.marketBasket(lineitem, Tables.part(spark, sf0001), minSupport = 1L).collect()
     assert(mb.nonEmpty)
