@@ -199,6 +199,9 @@ object SparkEntry {
     "q56_mad_outliers" -> q((s, d) => Relational.madOutliers(Tables.lineitem(s, d))),
     "lake_retention_ladder" -> q((s, d) => Snapshots.retentionLadder(Tables.orders(s, d))),
     "q57_native_topk" -> q((s, d) => TopK.nativeTopOrdersPerCustomer(Tables.orders(s, d))),
+    "ev_ab_test" -> q((s, d) => Events.abTest(Tables.events(s, d))),
+    "lake_stats_freshness" -> q((s, d) => Manifest.statsFreshness(Tables.orders(s, d))),
+    "text_char_langid" -> q((s, d) => TextAnalysis.charTrigramLangId(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2078,5 +2081,57 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM r WHERE rk <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "ev_ab_test" ->
+      """WITH pu AS (SELECT user_id, user_id % 2 AS variant,
+        |   CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |        THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1),
+        | v AS (SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        |  FROM pu GROUP BY 1),
+        | w AS (SELECT
+        |   max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |   max(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+        |   max(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |   max(CASE WHEN variant = 1 THEN conv END) AS conv_b FROM v),
+        | s AS (SELECT *, conv_a * 1.0 / n_a AS ra, conv_b * 1.0 / n_b AS rb,
+        |   (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pooled FROM w)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+        | CASE WHEN pooled > 0.0 AND pooled < 1.0
+        |   THEN round((ra - rb) / sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)), 6)
+        | END AS z_stat,
+        | CASE WHEN pooled > 0.0 AND pooled < 1.0
+        |   THEN abs(round((ra - rb) / sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96
+        | END AS significant_95
+        |FROM s""".stripMargin,
+
+    "lake_stats_freshness" ->
+      """WITH wc AS (SELECT o_orderkey // 100 AS commit_id, o_orderdate FROM orders),
+        | pin AS (SELECT max(commit_id) - 30 AS stats_commit FROM wc)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+        | count(*) AS rows_total,
+        | CAST(sum(CASE WHEN commit_id > stats_commit THEN 1 ELSE 0 END) AS BIGINT) AS rows_since_stats,
+        | round(sum(CASE WHEN commit_id > stats_commit THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS stale_pct,
+        | sum(CASE WHEN commit_id > stats_commit THEN 1 ELSE 0 END) * 100.0 / count(*) > 20.0 AS needs_analyze
+        |FROM wc, pin GROUP BY part_month ORDER BY part_month""".stripMargin,
+
+    "text_char_langid" ->
+      """WITH base AS (SELECT doc_id, lang, lower(trim(text)) AS txt FROM documents
+        |  WHERE length(trim(text)) >= 3),
+        | tri AS (SELECT doc_id, lang,
+        |   unnest(list_transform(generate_series(1, length(txt) - 2), i -> substring(txt, CAST(i AS INT), 3))) AS tri
+        |  FROM base),
+        | prof AS (SELECT lang AS plang, tri FROM (
+        |   SELECT lang, tri, count(*) AS c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rk
+        |   FROM tri GROUP BY lang, tri) p WHERE rk <= 20),
+        | dt AS (SELECT DISTINCT doc_id, lang, tri FROM tri),
+        | m AS (SELECT doc_id, lang, plang, count(*) AS mt FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+        | pred AS (SELECT doc_id, lang, plang FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY mt DESC, plang) AS rk FROM m) x
+        |  WHERE rk = 1)
+        |SELECT lang AS true_lang, plang AS pred_lang, count(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -311,6 +311,37 @@ object Events {
       .orderBy("decile")
   }
 
+  /** A/B-test readout: users deterministically split by `user_id % 2`,
+    * compared on a conversion metric (≥ `minPurchases` purchases — every
+    * user here purchases at least once, so plain did-purchase would be
+    * degenerate) with the pooled two-proportion z statistic. One user-level
+    * aggregation, then a 2-row variant rollup and a single-row report —
+    * the experiment-analysis shape, all algebraic. z is NULL when the
+    * pooled rate is 0 or 1 (zero variance), mirrored in the oracle. */
+  def abTest(events: DataFrame, minPurchases: Long = 14L): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= minPurchases)
+        .cast("long").as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val variants = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    variants.agg(
+        max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 0, col("conv"))).as("conv_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 1, col("conv"))).as("conv_b"))
+      .withColumn("rate_a", col("conv_a") * 1.0 / col("n_a"))
+      .withColumn("rate_b", col("conv_b") * 1.0 / col("n_b"))
+      .withColumn("pooled", (col("conv_a") + col("conv_b")) * 1.0 / (col("n_a") + col("n_b")))
+      .withColumn("z_stat",
+        when(col("pooled") > 0.0 && col("pooled") < 1.0, round(
+          (col("rate_a") - col("rate_b")) /
+            sqrt(col("pooled") * (lit(1.0) - col("pooled")) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("rate_a"), 6).as("rate_a"), round(col("rate_b"), 6).as("rate_b"),
+        col("z_stat"), (abs(col("z_stat")) > 1.96).as("significant_95"))
+  }
+
   /** Rolling 7-day active users (WAU) per day — exact, not sketched: the
     * distinct (day, user) table joins a ±window day spine (broadcast
     * non-equi join over the bounded date dimension), then one distinct

@@ -312,6 +312,24 @@ object Manifest {
       .withColumn("matches_window", col("max_ship") >= lo && col("min_ship") <= hi)
       .orderBy("part_month")
 
+  /** Stats-freshness report: table statistics were last computed at a pinned
+    * commit; everything appended since is invisible to the CBO. Per month
+    * partition: rows covered by stats vs rows appended after the pin, and
+    * the needs-analyze flag once staleness passes `maxStalePct`. One
+    * conditional aggregation — the ANALYZE-scheduling input at any scale. */
+  def statsFreshness(orders: DataFrame, statsLagCommits: Long = 30L,
+                     maxStalePct: Double = 20.0): DataFrame = {
+    val withCommit = orders.withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+    val pin = withCommit.agg((max(col("commit_id")) - statsLagCommits).as("stats_commit"))
+    withCommit.join(broadcast(pin))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_month"))
+      .agg(count(lit(1)).as("rows_total"),
+        sum(when(col("commit_id") > col("stats_commit"), 1L).otherwise(0L)).as("rows_since_stats"))
+      .withColumn("stale_pct", round(col("rows_since_stats") * 100.0 / col("rows_total"), 4))
+      .withColumn("needs_analyze", col("rows_since_stats") * 100.0 / col("rows_total") > maxStalePct)
+      .orderBy("part_month")
+  }
+
   /** Per-file column NDV statistics (the CBO inputs a lake planner stores in
     * puffin/theta sketches — here exact): distinct join-key counts and the
     * ndv/rows ratio that drives join-strategy and duplicate-factor

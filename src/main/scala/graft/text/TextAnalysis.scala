@@ -339,6 +339,35 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
+  /** Character-trigram language ID — the classifier that survives unknown
+    * scripts and missing whitespace where token profiles fail. Same
+    * broadcast-profile/overlap-vote shape as `languageId`, but over char
+    * trigrams assembled by generator expansion (sequence + substring, no
+    * UDF). Returns the true × predicted confusion matrix. */
+  def charTrigramLangId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
+    val tri = documents
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("txt"))
+      .filter(length(col("txt")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")).as("tri"))
+    val profile = tri.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
+      .filter(col("rk") <= profileSize)
+      .select(col("lang").as("plang"), col("tri"))
+    val docTris = tri.select(col("doc_id"), col("lang"), col("tri")).distinct()
+    val matches = docTris.join(broadcast(profile), Seq("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("m"))
+    matches
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("m").desc, col("plang"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Vocabulary coverage curve: what fraction of all token occurrences the
     * top-k vocabulary entries cover, at fixed k checkpoints — the
     * tokenizer-budget question (how big a vocab before coverage plateaus).
