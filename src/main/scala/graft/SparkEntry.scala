@@ -2117,17 +2117,17 @@ object SparkEntry {
         |FROM wc, pin GROUP BY part_month ORDER BY part_month""".stripMargin,
 
     "text_char_langid" ->
-      """WITH base AS (SELECT doc_id, lang, lower(trim(text)) AS txt FROM documents
-        |  WHERE length(trim(text)) >= 3),
-        | tri AS (SELECT doc_id, lang,
-        |   unnest(list_transform(generate_series(1, length(txt) - 2), i -> substring(txt, CAST(i AS INT), 3))) AS tri
-        |  FROM base),
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS token FROM documents),
+        | tc0 AS (SELECT doc_id, lang, token, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+        | vt AS (SELECT token,
+        |   unnest(list_transform(generate_series(1, length(token) - 2), i -> substring(token, CAST(i AS INT), 3))) AS tri
+        |  FROM (SELECT DISTINCT token FROM tok) WHERE length(token) >= 3),
+        | dtc AS (SELECT doc_id, lang, tri, sum(c) AS tc FROM tc0 JOIN vt USING (token) GROUP BY 1, 2, 3),
         | prof AS (SELECT lang AS plang, tri FROM (
-        |   SELECT lang, tri, count(*) AS c,
-        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rk
-        |   FROM tri GROUP BY lang, tri) p WHERE rk <= 20),
-        | dt AS (SELECT DISTINCT doc_id, lang, tri FROM tri),
-        | m AS (SELECT doc_id, lang, plang, count(*) AS mt FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+        |   SELECT lang, tri, CAST(sum(tc) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY CAST(sum(tc) AS BIGINT) DESC, tri) AS rk
+        |   FROM dtc GROUP BY lang, tri) p WHERE rk <= 20),
+        | m AS (SELECT doc_id, lang, plang, count(*) AS mt FROM dtc JOIN prof USING (tri) GROUP BY 1, 2, 3),
         | pred AS (SELECT doc_id, lang, plang FROM (
         |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY mt DESC, plang) AS rk FROM m) x
         |  WHERE rk = 1)

@@ -705,16 +705,24 @@ object Relational {
     * integers so lift is bit-identical across engines. */
   def marketBasket(lineitem: DataFrame, part: DataFrame,
                    minSupport: Long = 5L, topN: Int = 20): DataFrame = {
-    val orderBrand = lineitem
+    // One shuffle to order grain: each order's sorted distinct-brand set is
+    // materialised once, and pairs come from an in-line combination
+    // generator over that (≤ brands-per-order²) array — no self-join of the
+    // order-brand table, no second shuffle of fact-derived rows.
+    val orderBrands = lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
-    val nOrders = orderBrand.select(col("l_orderkey")).distinct().count()
-    val brandCounts = orderBrand.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
-    val pairs = orderBrand.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-      .join(orderBrand.select(col("l_orderkey"), col("p_brand").as("brand_b")), "l_orderkey")
-      .filter(col("brand_a") < col("brand_b"))
-      .groupBy(col("brand_a"), col("brand_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+      .localCheckpoint(true)
+    val nOrders = orderBrands.count()
+    val brandCounts = orderBrands.select(explode(col("bs")).as("p_brand"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+    val pairs = orderBrands
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minSupport)
     pairs

@@ -339,24 +339,31 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
-  /** Character-trigram language ID — the classifier that survives unknown
-    * scripts and missing whitespace where token profiles fail. Same
-    * broadcast-profile/overlap-vote shape as `languageId`, but over char
-    * trigrams assembled by generator expansion (sequence + substring, no
-    * UDF). Returns the true × predicted confusion matrix. */
+  /** Character-trigram language ID (fastText-style *word-internal*
+    * subword trigrams — spaces are token boundaries, not trigram
+    * characters). The trigram expansion runs over the distinct vocabulary
+    * only (a bounded broadcast table), so per-doc trigram counts are one
+    * token-grain aggregation plus a broadcast join — the char-level explode
+    * over every document position never happens. Same
+    * broadcast-profile/overlap-vote shape as `languageId`; returns the
+    * true × predicted confusion matrix. */
   def charTrigramLangId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
-    val tri = documents
-      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("txt"))
-      .filter(length(col("txt")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")).as("tri"))
-    val profile = tri.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+    val tokCounts = documents
+      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocabTris = tokCounts.select(col("token")).distinct()
+      .filter(length(col("token")) >= 3)
+      .select(col("token"),
+        explode(expr("transform(sequence(1, length(token) - 2), i -> substring(token, i, 3))")).as("tri"))
+    val triCounts = tokCounts.join(broadcast(vocabTris), Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(sum(col("c")).as("tc"))
+    val profile = triCounts.groupBy(col("lang"), col("tri")).agg(sum(col("tc")).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
       .filter(col("rk") <= profileSize)
       .select(col("lang").as("plang"), col("tri"))
-    val docTris = tri.select(col("doc_id"), col("lang"), col("tri")).distinct()
-    val matches = docTris.join(broadcast(profile), Seq("tri"))
+    val matches = triCounts.join(broadcast(profile), Seq("tri"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("m"))
     matches
