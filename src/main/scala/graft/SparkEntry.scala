@@ -202,6 +202,8 @@ object SparkEntry {
     "ev_ab_test" -> q((s, d) => Events.abTest(Tables.events(s, d))),
     "lake_stats_freshness" -> q((s, d) => Manifest.statsFreshness(Tables.orders(s, d))),
     "text_char_langid" -> q((s, d) => TextAnalysis.charTrigramLangId(Tables.documents(s, d))),
+    "q58_percentile_disc" -> q((s, d) => Relational.quantityDiscQuartiles(Tables.lineitem(s, d))),
+    "q59_customer_growth" -> q((s, d) => Relational.customerGrowth(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2133,5 +2135,32 @@ object SparkEntry {
         |  WHERE rk = 1)
         |SELECT lang AS true_lang, plang AS pred_lang, count(*) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q58_percentile_disc" ->
+      """WITH f AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        | w AS (SELECT l_returnflag, l_quantity,
+        |   sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM f)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum >= tot * 0.25 THEN l_quantity END) AS p25_disc,
+        | min(CASE WHEN cum >= tot * 0.5 THEN l_quantity END) AS p50_disc,
+        | min(CASE WHEN cum >= tot * 0.75 THEN l_quantity END) AS p75_disc,
+        | CAST(max(tot) AS BIGINT) AS n
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q59_customer_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        | fm AS (SELECT month, count(*) AS new_customers FROM (
+        |   SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS month
+        |   FROM orders GROUP BY 1) GROUP BY month),
+        | j AS (SELECT m.month, m.n_orders, coalesce(fm.new_customers, 0) AS new_customers
+        |  FROM m LEFT JOIN fm USING (month))
+        |SELECT month, n_orders, CAST(new_customers AS BIGINT) AS new_customers,
+        | CAST(sum(new_customers) OVER (ORDER BY month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
+        |FROM j ORDER BY month""".stripMargin,
   )
 }

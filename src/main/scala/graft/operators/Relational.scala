@@ -698,6 +698,44 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q58: discrete percentiles (percentile_disc semantics: the smallest
+    * actual value whose cumulative frequency reaches p) — computed on the
+    * distinct-value frequency table, so the cumulative window is
+    * NDV-bounded, and spelled out identically in the oracle (no reliance on
+    * engine-specific disc-interpolation conventions). */
+  def quantityDiscQuartiles(lineitem: DataFrame): DataFrame = {
+    val freq = lineitem.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") >= col("tot") * 0.25, col("l_quantity"))).as("p25_disc"),
+        min(when(col("cum") >= col("tot") * 0.5, col("l_quantity"))).as("p50_disc"),
+        min(when(col("cum") >= col("tot") * 0.75, col("l_quantity"))).as("p75_disc"),
+        max(col("tot")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q59: customer-growth accounting — new vs cumulative distinct customers
+    * per month. Each customer contributes at their *first* month (one
+    * user-keyed aggregation), so the cumulative curve is a running sum over
+    * the bounded month spine — never a cumulative COUNT DISTINCT. */
+  def customerGrowth(orders: DataFrame): DataFrame = {
+    val withMonth = orders.withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val monthly = withMonth.groupBy(col("month")).agg(count(lit(1)).as("n_orders"))
+    val firstMonth = withMonth.groupBy(col("o_custkey")).agg(min(col("month")).as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("new_customers"))
+    val wRun = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, 0)
+    monthly.join(firstMonth, Seq("month"), "left")
+      .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+      .withColumn("cum_customers", sum(col("new_customers")).over(wRun))
+      .orderBy("month")
+  }
+
   /** q55: market-basket association — brand pairs co-purchased in one
     * order, scored by lift P(ab)/(P(a)P(b)). The pair join runs on the
     * per-order distinct-brand table (≲ brands per order squared, never the

@@ -272,6 +272,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("disc quartiles are actual data values in order; customer growth telescopes") {
+    val dq = Relational.quantityDiscQuartiles(lineitem).collect()
+    dq.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25_disc"), r.getAs[Double]("p50_disc"), r.getAs[Double]("p75_disc"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 == math.rint(p25), "disc percentile must be an actual (integer) quantity value")
+    }
+    val orders = Tables.orders(spark, sf0001)
+    val g = Relational.customerGrowth(orders).collect()
+    val lastCum = g.last.getAs[Long]("cum_customers")
+    assert(lastCum == orders.select("o_custkey").distinct().count(),
+      "cumulative curve must end at total distinct customers")
+    assert(g.map(_.getAs[Long]("new_customers")).sum == lastCum)
+  }
+
   test("native top-k matches the window implementation and plans heap execs, no sort") {
     val orders = Tables.orders(spark, sf0001)
     val native = TopK.nativeTopOrdersPerCustomer(orders).collect().map(_.toString).sorted
