@@ -34,14 +34,22 @@ object Audit {
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN!")
         // Sanctioned nested-loop joins — every one broadcasts a bounded side:
-        // a single-row global aggregate (funnel/skip_rate/zorder/expiry/scalar
-        // subquery), a fixed band/centroid table (range join, knn_centroid),
-        // or a bounded query set against the corpus (brute-force KNN,
-        // embedding near-dup upper-triangle).
+        // a single-row global aggregate (funnel/skip_rate/zorder/expiry/
+        // scalar subquery/decay anchor/stats pin/WAP head/PMI totals/RFM
+        // thresholds/retention head), a fixed band/centroid/era/spine table
+        // (range join, knn_centroid, sort/branch refs, date/day spines,
+        // Heaps checkpoints, coverage k-list), or a bounded query set
+        // against the corpus (brute-force KNN, embedding near-dup
+        // upper-triangle, range search, recall/matryoshka reports).
         val sanctionedBnlj = Set("q19_range_join", "q13_scalar_subquery",
           "dedup_embedding", "knn_brute", "knn_centroid", "knn_kmeans",
           "ev_funnel", "lake_skip_rate", "lake_zorder", "lake_expiry_plan",
-          "lake_clustering_depth", "q33_fuzzy_join")
+          "lake_clustering_depth", "q33_fuzzy_join",
+          "ev_decay_score", "ev_rfm", "ev_rolling_active",
+          "knn_matryoshka", "knn_range_search", "knn_recall",
+          "lake_branch_tags", "lake_retention_ladder", "lake_sort_evolution",
+          "lake_stats_freshness", "lake_wap_audit",
+          "q40_date_spine", "text_heaps", "text_pmi", "text_vocab_coverage")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {
