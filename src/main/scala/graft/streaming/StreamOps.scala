@@ -65,6 +65,16 @@ object StreamOps {
         col("s.ts").as("signup_ts"), col("p.value").as("value"))
   }
 
+  /** Streaming deduplication — the first gate of a streaming ingest
+    * pipeline (exactly-once on a content key). Watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped, state
+    * for keys older than the horizon is evicted, so memory is bounded by
+    * the key arrival rate × horizon regardless of stream length. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

@@ -101,4 +101,25 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[Long]("last_ts_ms") == 3000L)
     } finally q.stop()
   }
+
+  test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "content_key", "doc_id")
+
+    val q = StreamOps.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), "aaa", 1L), (ts(2), "aaa", 2L), (ts(3), "bbb", 3L))
+      q.processAllAvailable()
+      input.addData((ts(4), "aaa", 4L), (ts(5), "ccc", 5L))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").collect()
+      val byKey = rows.groupBy(_.getAs[String]("content_key"))
+      assert(byKey.keySet == Set("aaa", "bbb", "ccc"))
+      assert(byKey("aaa").length == 1, "duplicates within the watermark must be dropped")
+      assert(byKey("aaa").head.getAs[Long]("doc_id") == 1L, "first arrival wins")
+    } finally q.stop()
+  }
 }
