@@ -204,6 +204,8 @@ object SparkEntry {
     "text_char_langid" -> q((s, d) => TextAnalysis.charTrigramLangId(Tables.documents(s, d))),
     "q58_percentile_disc" -> q((s, d) => Relational.quantityDiscQuartiles(Tables.lineitem(s, d))),
     "q59_customer_growth" -> q((s, d) => Relational.customerGrowth(Tables.orders(s, d))),
+    "q60_feature_scaling" -> q((s, d) => Relational.featureScaling(Tables.orders(s, d))),
+    "ev_forecast_backtest" -> q((s, d) => Events.forecastBacktest(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2162,5 +2164,28 @@ object SparkEntry {
         | CAST(sum(new_customers) OVER (ORDER BY month
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_customers
         |FROM j ORDER BY month""".stripMargin,
+
+    "q60_feature_scaling" ->
+      """WITH s AS (SELECT o_orderpriority, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |   avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sigma
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority, round(o_totalprice, 2) AS o_totalprice,
+        | CASE WHEN hi > lo THEN round((o_totalprice - lo) / (hi - lo), 6) END AS minmax,
+        | CASE WHEN sigma > 0.0 THEN round((o_totalprice - mu) / sigma, 6) END AS zscore
+        |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ev_forecast_backtest" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        | d2 AS (SELECT day, n, CAST(isodow(day) - 1 AS BIGINT) AS dow FROM daily),
+        | sp AS (SELECT max(day) - 7 AS cutoff FROM daily),
+        | model AS (SELECT dow, avg(n) AS predicted FROM d2, sp WHERE day <= cutoff GROUP BY 1)
+        |SELECT dow, count(*) AS n_days,
+        | round(avg(predicted), 6) AS predicted,
+        | round(avg(n), 6) AS actual,
+        | round(avg(abs(n - predicted)), 6) AS mae,
+        | round(avg(abs(n - predicted) / n * 100.0), 6) AS mape_pct
+        |FROM d2 JOIN model USING (dow), sp WHERE day > cutoff
+        |GROUP BY dow ORDER BY dow""".stripMargin,
   )
 }

@@ -311,6 +311,30 @@ object Events {
       .orderBy("decile")
   }
 
+  /** Seasonal-naive forecast backtest: predict each day of the final week
+    * from the same-weekday mean of the preceding weeks, and report per-dow
+    * MAE/MAPE — the baseline every real forecaster must beat, and the same
+    * train/score split shape at any scale (two passes over the per-day
+    * counts table, which is date-bounded). */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", weekday(col("day")).cast("long"))
+    val split = daily.agg(date_sub(max(col("day")), 7).as("cutoff"))
+    val withSplit = daily.crossJoin(broadcast(split))
+    val model = withSplit.filter(col("day") <= col("cutoff"))
+      .groupBy(col("dow")).agg(avg(col("n")).as("predicted"))
+    withSplit.filter(col("day") > col("cutoff"))
+      .join(broadcast(model), "dow")
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("predicted")), 6).as("predicted"),
+        round(avg(col("n")), 6).as("actual"),
+        round(avg(abs(col("n") - col("predicted"))), 6).as("mae"),
+        round(avg(abs(col("n") - col("predicted")) / col("n") * 100.0), 6).as("mape_pct"))
+      .orderBy("dow")
+  }
+
   /** A/B-test readout: users deterministically split by `user_id % 2`,
     * compared on a conversion metric (≥ `minPurchases` purchases — every
     * user here purchases at least once, so plain did-purchase would be

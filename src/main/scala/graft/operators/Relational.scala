@@ -698,6 +698,26 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q60: ML feature scaling — min-max and z-score normalisation of order
+    * totals per priority group. Group stats are one aggregation broadcast
+    * back onto the rows (the fit/transform split of a feature pipeline);
+    * constant groups (max = min, σ = 0) scale to NULL rather than dividing
+    * by zero. Row-level output: the shape a trainer consumes. */
+  def featureScaling(orders: DataFrame): DataFrame = {
+    val stats = orders.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+        avg(col("o_totalprice")).as("mu"), stddev_pop(col("o_totalprice")).as("sigma"))
+    orders
+      .join(broadcast(stats), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        when(col("hi") > col("lo"),
+          round((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")), 6)).as("minmax"),
+        when(col("sigma") > 0.0,
+          round((col("o_totalprice") - col("mu")) / col("sigma"), 6)).as("zscore"))
+      .orderBy("o_orderkey")
+  }
+
   /** q58: discrete percentiles (percentile_disc semantics: the smallest
     * actual value whose cumulative frequency reaches p) — computed on the
     * distinct-value frequency table, so the cumulative window is

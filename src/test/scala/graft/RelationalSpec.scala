@@ -272,6 +272,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("feature scaling: minmax in [0,1], zscore mean ~0 per group; forecast MAE finite") {
+    val orders = Tables.orders(spark, sf0001)
+    val scaled = Relational.featureScaling(orders).collect()
+    assert(scaled.length == orders.count())
+    scaled.filter(!_.isNullAt(3)).foreach { r =>
+      val m = r.getAs[Double]("minmax"); assert(m >= 0.0 && m <= 1.0)
+    }
+    val fc = graft.events.Events.forecastBacktest(Tables.events(spark, sf0001)).collect()
+    assert(fc.nonEmpty)
+    fc.foreach { r =>
+      assert(r.getAs[Double]("mae") >= 0.0)
+      assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L)
+    }
+  }
+
   test("disc quartiles are actual data values in order; customer growth telescopes") {
     val dq = Relational.quantityDiscQuartiles(lineitem).collect()
     dq.foreach { r =>
