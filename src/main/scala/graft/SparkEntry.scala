@@ -206,6 +206,8 @@ object SparkEntry {
     "q59_customer_growth" -> q((s, d) => Relational.customerGrowth(Tables.orders(s, d))),
     "q60_feature_scaling" -> q((s, d) => Relational.featureScaling(Tables.orders(s, d))),
     "ev_forecast_backtest" -> q((s, d) => Events.forecastBacktest(Tables.events(s, d))),
+    "dedup_lsh_tuning" -> q((s, d) => Dedup.lshTuning(Tables.documents(s, d))),
+    "text_drift" -> q((s, d) => TextAnalysis.corpusDrift(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2187,5 +2189,54 @@ object SparkEntry {
         | round(avg(abs(n - predicted) / n * 100.0), 6) AS mape_pct
         |FROM d2 JOIN model USING (dow), sp WHERE day > cutoff
         |GROUP BY dow ORDER BY dow""".stripMargin,
+
+    "dedup_lsh_tuning" -> {
+      val mcols = (0 until Dedup.MinhashK).map(k => s"m$k").mkString(", ")
+      val configs = Seq(2, 4, 8)
+      val perConfig = configs.map { r =>
+        val b = Dedup.MinhashK / r
+        val bandUnion = (0 until b).map { bi =>
+          val keyCols = (bi * r until (bi + 1) * r).map(k => s"m$k").mkString(", ")
+          s"SELECT sigkey, gn, $bi AS band, concat_ws(',', $keyCols) AS bkey FROM g2"
+        }.mkString("\n   UNION ALL ")
+        s""" bands_$r AS (
+           |  $bandUnion),
+           | cand_$r AS (SELECT DISTINCT x.sigkey AS sa, y.sigkey AS sb, x.gn AS ga, y.gn AS gb
+           |  FROM bands_$r x JOIN bands_$r y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.sigkey < y.sigkey),
+           | res_$r AS (SELECT CAST($r AS BIGINT) AS band_rows, CAST($b AS BIGINT) AS n_bands,
+           |   round(power(1.0 / $b, 1.0 / $r), 6) AS s_curve_threshold,
+           |   (SELECT count(*) FROM cand_$r) AS cross_groups,
+           |   CAST((SELECT coalesce(sum(ga * gb), 0) FROM cand_$r) + intra_docs AS BIGINT) AS candidate_doc_pairs
+           |  FROM i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
+        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+        |           FROM (SELECT DISTINCT token FROM tok)),
+        | tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token)),
+        | sig AS (SELECT doc_id, $minhashSigSql FROM tt GROUP BY doc_id),
+        | g AS (SELECT $mcols, count(*) AS gn FROM sig GROUP BY $mcols),
+        | g2 AS (SELECT *, concat_ws(',', $mcols) AS sigkey FROM g),
+        | i AS (SELECT CAST(sum(gn * (gn - 1)) / 2 AS BIGINT) AS intra_docs FROM g),
+        |$perConfig
+        |SELECT * FROM res_2 UNION ALL SELECT * FROM res_4 UNION ALL SELECT * FROM res_8
+        |ORDER BY band_rows""".stripMargin
+    },
+
+    "text_drift" ->
+      s"""WITH tok AS (SELECT doc_id % 2 = 0 AS side_a, unnest($tokSql) AS token FROM documents),
+        | c AS (SELECT token,
+        |   CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |   CAST(sum(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tok GROUP BY 1),
+        | t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |   count(*) AS v FROM c),
+        | p AS (SELECT (ca + 1.0) / (na + v) AS pa, (cb + 1.0) / (nb + v) AS pb,
+        |   ((ca + 1.0) / (na + v) + (cb + 1.0) / (nb + v)) / 2.0 AS pm, na, nb, v FROM c, t)
+        |SELECT max(v) AS vocab, max(na) AS tokens_a, max(nb) AS tokens_b,
+        | round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+        | round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+        | round(sum(pa * ln(pa / pm) / 2.0 + pb * ln(pb / pm) / 2.0), 6) AS js_divergence
+        |FROM p""".stripMargin,
   )
 }

@@ -248,4 +248,42 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** LSH banding-parameter sweep: for each (bands b × rows r) split of the
+    * 16-hash signature, the s-curve threshold (1/b)^(1/r) and the candidate
+    * volume it would generate — the tuning table you consult before running
+    * dedup at 100 TB. Candidate pairs are *counted* at signature-group
+    * level (cross-group Σ gn_a·gn_b + intra-group Σ gn·(gn−1)/2), never
+    * materialised per doc; the group table is checkpointed once and each
+    * config's band join runs over it. */
+  def lshTuning(documents: DataFrame, bandRowsConfigs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val sig = signatures(documents)
+    val g = sig.groupBy((0 until MinhashK).map(k => col(s"m$k")): _*)
+      .agg(count(lit(1)).as("gn"))
+      .withColumn("sigkey", concat_ws(",", (0 until MinhashK).map(k => col(s"m$k")): _*))
+      .localCheckpoint(true)
+    val intra = g.agg((sum(col("gn") * (col("gn") - 1)) / 2).cast("long").as("intra_docs"))
+    val perConfig = bandRowsConfigs.map { r =>
+      val b = MinhashK / r
+      val bands = (0 until b).map { bi =>
+        g.select(col("sigkey"), col("gn"), lit(bi).as("band"),
+          concat_ws(",", (bi * r until (bi + 1) * r).map(k => col(s"m$k")): _*).as("bkey"))
+      }.reduce(_ unionAll _)
+      val cand = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.sigkey") < col("y.sigkey"))
+        .select(col("x.sigkey").as("sa"), col("y.sigkey").as("sb"),
+          col("x.gn").as("ga"), col("y.gn").as("gb"))
+        .distinct()
+      cand.agg(count(lit(1)).as("cross_groups"),
+          coalesce(sum(col("ga") * col("gb")), lit(0L)).as("cross_docs"))
+        .crossJoin(broadcast(intra))
+        .select(lit(r.toLong).as("band_rows"), lit(b.toLong).as("n_bands"),
+          round(pow(lit(1.0) / b, 1.0 / r), 6).as("s_curve_threshold"),
+          col("cross_groups"),
+          (col("cross_docs") + col("intra_docs")).as("candidate_doc_pairs"))
+    }
+    perConfig.reduce(_ unionAll _).orderBy("band_rows")
+  }
 }

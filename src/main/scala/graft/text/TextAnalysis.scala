@@ -375,6 +375,31 @@ object TextAnalysis {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** Corpus drift detection: KL and Jensen–Shannon divergence between the
+    * token distributions of two corpus halves (even vs odd doc ids — a
+    * scale-free split; swap for time/source buckets in production).
+    * Laplace-smoothed over the joint vocabulary so absent tokens don't blow
+    * up the log; one token-count pass plus a vocabulary-bounded reduce. */
+  def corpusDrift(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select((col("doc_id") % 2 === 0).as("side_a"), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("side_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("side_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("pa", (col("ca") + 1.0) / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + 1.0) / (col("nb") + col("v")))
+      .withColumn("pm", (col("pa") + col("pb")) / 2.0)
+      .agg(max(col("v")).as("vocab"),
+        max(col("na")).as("tokens_a"), max(col("nb")).as("tokens_b"),
+        round(sum(col("pa") * log(col("pa") / col("pb"))), 6).as("kl_ab"),
+        round(sum(col("pb") * log(col("pb") / col("pa"))), 6).as("kl_ba"),
+        round(sum(col("pa") * log(col("pa") / col("pm")) / 2.0 +
+                  col("pb") * log(col("pb") / col("pm")) / 2.0), 6).as("js_divergence"))
+  }
+
   /** Vocabulary coverage curve: what fraction of all token occurrences the
     * top-k vocabulary entries cover, at fixed k checkpoints — the
     * tokenizer-budget question (how big a vocab before coverage plateaus).

@@ -161,6 +161,26 @@ class TextDedupSpec extends SparkSpec {
     assert(pmi.length <= 20)
   }
 
+  test("lsh tuning: more bands lower the threshold and widen the candidate net") {
+    val rows = Dedup.lshTuning(docs).collect().sortBy(_.getAs[Long]("band_rows"))
+    assert(rows.length == 3)
+    // fewer rows per band (more bands) => lower s-curve threshold, >= candidates
+    val byRows = rows.map(r => (r.getAs[Long]("band_rows"), r.getAs[Double]("s_curve_threshold"),
+      r.getAs[Long]("candidate_doc_pairs")))
+    assert(byRows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "threshold must rise with rows-per-band")
+    assert(byRows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "candidates must shrink as the threshold rises")
+  }
+
+  test("corpus drift: divergences are non-negative and JS is bounded by ln 2") {
+    val d = TextAnalysis.corpusDrift(docs).collect()(0)
+    assert(d.getAs[Double]("kl_ab") >= 0.0)
+    assert(d.getAs[Double]("kl_ba") >= 0.0)
+    val js = d.getAs[Double]("js_divergence")
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+  }
+
   test("prefix dedup groups are consistent and boilerplate phrases recur") {
     val pre = Dedup.prefixDup(docs).collect()
     pre.foreach(r => assert(r.getAs[Long]("group_size") > 1))
