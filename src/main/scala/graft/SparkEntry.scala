@@ -208,6 +208,9 @@ object SparkEntry {
     "ev_forecast_backtest" -> q((s, d) => Events.forecastBacktest(Tables.events(s, d))),
     "dedup_lsh_tuning" -> q((s, d) => Dedup.lshTuning(Tables.documents(s, d))),
     "text_drift" -> q((s, d) => TextAnalysis.corpusDrift(Tables.documents(s, d))),
+    "q61_equiheight_histogram" -> q((s, d) => Relational.priceEquiHeightHistogram(Tables.orders(s, d))),
+    "q62_skew_diagnosis" -> q((s, d) => Relational.joinSkewReport(Tables.lineitem(s, d))),
+    "ev_path_entropy" -> q((s, d) => Events.pathEntropy(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2238,5 +2241,44 @@ object SparkEntry {
         | round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
         | round(sum(pa * ln(pa / pm) / 2.0 + pb * ln(pb / pm) / 2.0), 6) AS js_divergence
         |FROM p""".stripMargin,
+
+    "q61_equiheight_histogram" ->
+      """WITH e AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |   quantile_cont(o_totalprice, 0.5) AS q2,
+        |   quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+        |SELECT CASE WHEN o_totalprice <= q1 THEN 1
+        |            WHEN o_totalprice <= q2 THEN 2
+        |            WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS bucket,
+        | count(*) AS n_rows,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders, e GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q62_skew_diagnosis" ->
+      """WITH ok AS (SELECT count(*) AS ndv, CAST(sum(f) AS BIGINT) AS n_rows, CAST(max(f) AS BIGINT) AS max_freq
+        |  FROM (SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1)),
+        | pk AS (SELECT count(*) AS ndv, CAST(sum(f) AS BIGINT) AS n_rows, CAST(max(f) AS BIGINT) AS max_freq
+        |  FROM (SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1)),
+        | sk AS (SELECT count(*) AS ndv, CAST(sum(f) AS BIGINT) AS n_rows, CAST(max(f) AS BIGINT) AS max_freq
+        |  FROM (SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY 1)),
+        | u AS (
+        |  SELECT 'l_orderkey' AS join_key, ndv, n_rows, max_freq FROM ok
+        |  UNION ALL SELECT 'l_partkey', ndv, n_rows, max_freq FROM pk
+        |  UNION ALL SELECT 'l_suppkey', ndv, n_rows, max_freq FROM sk)
+        |SELECT join_key, ndv, n_rows, max_freq,
+        | round(max_freq * 100.0 / n_rows, 6) AS top_key_pct,
+        | round(max_freq * ndv * 1.0 / n_rows, 6) AS skew_factor
+        |FROM u ORDER BY join_key""".stripMargin,
+
+    "ev_path_entropy" ->
+      """WITH p AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        | c AS (SELECT event_type, next_type, count(*) AS c FROM p
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_transitions,
+        | count(*) AS n_successors,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS next_entropy
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

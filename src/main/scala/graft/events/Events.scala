@@ -311,6 +311,26 @@ object Events {
       .orderBy("decile")
   }
 
+  /** Markov path predictability: the conditional entropy H(next | current)
+    * of each event type's outgoing transition distribution — low entropy
+    * means the next step is predictable (funnel-like), high means
+    * exploratory. Transition counts are the same lag-pair aggregation as
+    * the transition matrix; entropy uses the algebraic ln N − Σc·ln c / N
+    * identity over exact integer counts. */
+  def pathEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_transitions"),
+        count(lit(1)).as("n_successors"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+          .as("next_entropy"))
+      .orderBy("event_type")
+  }
+
   /** Seasonal-naive forecast backtest: predict each day of the final week
     * from the same-weekday mean of the preceding weeks, and report per-dow
     * MAE/MAPE — the baseline every real forecaster must beat, and the same

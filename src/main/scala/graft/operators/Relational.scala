@@ -698,6 +698,46 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q61: equi-height histogram — bucket edges from exact quartiles (one
+    * fused percentile aggregate), rows assigned by comparing against the
+    * broadcast edge row; complements q38's fixed-width binning. Per bucket
+    * ≈ n/4 rows by construction, which is the property a CBO wants from
+    * height-balanced stats. */
+  def priceEquiHeightHistogram(orders: DataFrame): DataFrame = {
+    val edges = orders.agg(
+      expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q2"),
+        element_at(col("qs"), 3).as("q3"))
+    orders.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("q1"), 1L)
+          .when(col("o_totalprice") <= col("q2"), 2L)
+          .when(col("o_totalprice") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** q62: join-key skew diagnosis — the pre-join report that decides
+    * whether a key needs salting: NDV, the heaviest key's share, and the
+    * max/mean frequency ratio, for each candidate join key. Each column is
+    * one map-side-combinable frequency aggregation; the per-key tables
+    * collapse to one diagnostic row each. */
+  def joinSkewReport(lineitem: DataFrame): DataFrame = {
+    def forKey(keyCol: String): DataFrame =
+      lineitem.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("ndv"), sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_freq"))
+        .select(lit(keyCol).as("join_key"), col("ndv"), col("n_rows"), col("max_freq"),
+          round(col("max_freq") * 100.0 / col("n_rows"), 6).as("top_key_pct"),
+          round(col("max_freq") * col("ndv") * 1.0 / col("n_rows"), 6).as("skew_factor"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(forKey)
+      .reduce(_ unionAll _).orderBy("join_key")
+  }
+
   /** q60: ML feature scaling — min-max and z-score normalisation of order
     * totals per priority group. Group stats are one aggregation broadcast
     * back onto the rows (the fit/transform split of a feature pipeline);

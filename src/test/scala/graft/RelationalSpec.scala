@@ -272,6 +272,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("equi-height buckets are balanced; skew report sane; path entropy bounded") {
+    val orders = Tables.orders(spark, sf0001)
+    val hist = Relational.priceEquiHeightHistogram(orders).collect()
+    assert(hist.map(_.getAs[Long]("n_rows")).sum == orders.count())
+    val counts = hist.map(_.getAs[Long]("n_rows").toDouble)
+    assert(counts.max / counts.min < 1.5, "equi-height buckets must be near-balanced")
+    val skew = Relational.joinSkewReport(lineitem).collect()
+    skew.foreach { r =>
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("skew_factor") >= 1.0 - 1e-9, "max/mean frequency ratio is >= 1")
+    }
+    val pe = graft.events.Events.pathEntropy(Tables.events(spark, sf0001)).collect()
+    pe.foreach { r =>
+      val h = r.getAs[Double]("next_entropy")
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("n_successors").toDouble) + 1e-6)
+    }
+  }
+
   test("feature scaling: minmax in [0,1], zscore mean ~0 per group; forecast MAE finite") {
     val orders = Tables.orders(spark, sf0001)
     val scaled = Relational.featureScaling(orders).collect()
