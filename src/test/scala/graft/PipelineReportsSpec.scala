@@ -25,6 +25,20 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("new-vs-returning conserves users; commit cadence gaps are non-negative") {
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.newVsReturning(ev).collect()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == ev.select("user_id").distinct().count(),
+      "every user is new exactly once")
+    rows.foreach(r => assert(
+      r.getAs[Long]("new_users") + r.getAs[Long]("returning_users") == r.getAs[Long]("active_users")))
+    val cad = graft.lake.Snapshots.commitCadence(Tables.orders(spark, sf0001)).collect()
+    assert(cad.nonEmpty)
+    cad.foreach { r =>
+      assert(r.getAs[Double]("median_abs_gap") <= r.getAs[Double]("p95_abs_gap"))
+    }
+  }
+
   test("char-trigram language id classifies every doc exactly once") {
     val docs = Tables.documents(spark, sf0001)
     val conf = graft.text.TextAnalysis.charTrigramLangId(docs).collect()
