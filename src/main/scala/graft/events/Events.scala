@@ -175,11 +175,15 @@ object Events {
 
   /** RFM segmentation: per purchasing user, recency (days since last
     * purchase vs corpus max day), frequency (purchase count) and monetary
-    * (total value) are quartiled with ntile; output is the segment-level
-    * roll-up. The unpartitioned ntile windows run over the per-user
-    * aggregate (one row per purchasing user — already 4–5 orders of
-    * magnitude under the event count; at extreme user counts the quartile
-    * boundaries would come from approx_percentile instead). */
+    * (total cents) are binned into quartiles against *discrete-percentile
+    * thresholds* (smallest value whose cumulative frequency reaches p,
+    * computed on the NDV-bounded frequency table of each metric — the q58
+    * pattern) broadcast back over the users. No global ntile sort anywhere
+    * in the plan: the only unpartitioned windows run over per-metric
+    * frequency tables (days / small counts / distinct cent totals), and the
+    * binning itself is a broadcast-join CASE. Ties at a threshold share a
+    * bucket (standard threshold-RFM), and monetary is quantized to integer
+    * cents before thresholding so the bucket edges are exact on any engine. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
     val maxDay = purchases.agg(max(to_date(col("ts"))).as("corpus_max_day"))
@@ -187,13 +191,39 @@ object Events {
       .groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
-        sum(col("value")).as("monetary"))
+        sum(col("value")).as("monetary"),
+        sum(round(col("value") * 100, 0).cast("long")).as("monetary_c"))
       .join(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("corpus_max_day"), col("last_day")).cast("long"))
+      .localCheckpoint(true)
+    // Discrete p25/p50/p75 of one metric: cumulative window over the distinct-value
+    // frequency table (NDV-bounded), reduced to a single broadcastable row.
+    def discQuartiles(c: String, p: String): DataFrame = {
+      val freq = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      freq
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .crossJoin(broadcast(freq.groupBy().agg(sum(col("cnt")).as("tot"))))
+        .agg(
+          min(when(col("cum") >= col("tot") * 0.25, col("v"))).as(s"${p}25"),
+          min(when(col("cum") >= col("tot") * 0.50, col("v"))).as(s"${p}50"),
+          min(when(col("cum") >= col("tot") * 0.75, col("v"))).as(s"${p}75"))
+    }
     val scored = per
-      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
-      .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
-      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+      .crossJoin(broadcast(discQuartiles("recency_days", "r")))
+      .crossJoin(broadcast(discQuartiles("freq", "f")))
+      .crossJoin(broadcast(discQuartiles("monetary_c", "m")))
+      // recency: smaller is better → bucket 1 below p25; freq/monetary: larger is
+      // better → bucket 1 at-or-above p75.
+      .withColumn("r_q", (lit(1) + (col("recency_days") > col("r25")).cast("int")
+        + (col("recency_days") > col("r50")).cast("int")
+        + (col("recency_days") > col("r75")).cast("int")).cast("long"))
+      .withColumn("f_q", (lit(1) + (col("freq") < col("f75")).cast("int")
+        + (col("freq") < col("f50")).cast("int")
+        + (col("freq") < col("f25")).cast("int")).cast("long"))
+      .withColumn("m_q", (lit(1) + (col("monetary_c") < col("m75")).cast("int")
+        + (col("monetary_c") < col("m50")).cast("int")
+        + (col("monetary_c") < col("m25")).cast("int")).cast("long"))
     scored
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("users"),

@@ -346,8 +346,8 @@ object Relational {
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("qty_price_corr"),
+        (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("qty_price_covar"),
         round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
         round(var_samp(col("l_discount")), 6).as("disc_var"),
         round(median(col("l_quantity")), 4).as("median_qty"))
@@ -655,7 +655,7 @@ object Relational {
       .join(broadcast(qtyRanks), Seq("l_returnflag", "l_quantity"))
       .withColumn("rp", rank().over(wp).cast("double"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), round(corr(col("rp"), col("rq")), 6).as("spearman_rho"))
+      .agg(count(lit(1)).as("n"), (round(corr(col("rp"), col("rq")), 6) + lit(0.0)).as("spearman_rho"))
       .orderBy("l_returnflag")
   }
 
@@ -833,25 +833,49 @@ object Relational {
       .limit(topN)
   }
 
+  /** Twice the exact interpolated median of an integer-valued column, from
+    * its per-flag frequency table: v@floor((n+1)/2) + v@ceil((n+1)/2) over
+    * the cumulative counts. Integer in, integer out — no per-group value
+    * buffering, and the windows run over the NDV-bounded frequency table. */
+  private def interpMedian2(freq: DataFrame, vcol: String, out: String): DataFrame = {
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      .groupBy(col("l_returnflag"))
+      .agg((min(when(col("cum") >= expr("(tot + 1) div 2"), col(vcol)))
+          + min(when(col("cum") >= expr("(tot + 2) div 2"), col(vcol)))).as(out))
+  }
+
   /** q56: robust outlier detection via MAD (median absolute deviation) —
     * per flag: the 3σ-equivalent 3·1.4826·MAD fence and the rows outside
-    * it. Medians are exact interpolated percentiles; each stage is one
-    * aggregation plus a broadcast join of the 3-row stats table. */
+    * it. Prices are quantized to integer cents, so both medians are *exact*
+    * (interpolated, ×2 to stay integral) yet come from NDV-bounded
+    * frequency tables — no ObjectHashAggregate buffering every group value,
+    * and only two fact-table scans (the outlier roll-up itself runs on the
+    * deviation frequency table). The fence compare is integer × the 1.4826
+    * constant on both engines, so the boundary is bit-deterministic. */
   def madOutliers(lineitem: DataFrame): DataFrame = {
-    val med = lineitem.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
-    val withDev = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+    val base = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+    val pf = base.groupBy(col("l_returnflag"), col("pc")).agg(count(lit(1)).as("cnt"))
+    val med = interpMedian2(pf, "pc", "med2")
+    val devFreq = base.join(broadcast(med), "l_returnflag")
+      .withColumn("dev2", abs(col("pc") * 2 - col("med2")))
+      .groupBy(col("l_returnflag"), col("dev2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val mad = interpMedian2(devFreq, "dev2", "mad4")
+    devFreq
+      .join(broadcast(mad), "l_returnflag")
       .join(broadcast(med), "l_returnflag")
-      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-    val mad = withDev.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(dev, 0.5D)").as("mad"))
-    withDev.join(broadcast(mad), "l_returnflag")
-      .withColumn("outlier", col("dev") > lit(3.0 * 1.4826) * col("mad"))
+      .withColumn("outlier", col("dev2") * 2 > lit(3.0 * 1.4826) * col("mad4"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        round(max(col("med")), 4).as("median_price"),
-        round(max(col("mad")), 4).as("mad"),
-        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .agg(sum(col("cnt")).as("n"),
+        round(max(col("med2")) / 200.0, 4).as("median_price"),
+        round(max(col("mad4")) / 400.0, 4).as("mad"),
+        sum(when(col("outlier"), col("cnt")).otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_pct", round(col("n_outliers") * 100.0 / col("n"), 4))
       .orderBy("l_returnflag")
   }

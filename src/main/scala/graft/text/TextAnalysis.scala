@@ -223,8 +223,8 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topRanks)
       .agg(count(lit(1)).as("n_ranks"),
-        round(expr("regr_slope(ln(freq), ln(rk))"), 6).as("zipf_slope"),
-        round(expr("regr_intercept(ln(freq), ln(rk))"), 6).as("zipf_intercept"),
+        (round(expr("regr_slope(ln(freq), ln(rk))"), 6) + lit(0.0)).as("zipf_slope"),
+        (round(expr("regr_intercept(ln(freq), ln(rk))"), 6) + lit(0.0)).as("zipf_intercept"),
         round(expr("regr_r2(ln(freq), ln(rk))"), 6).as("fit_r2"))
   }
 
@@ -484,7 +484,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_points"),
         max(col("cum_tokens")).as("corpus_tokens"),
         max(col("cum_vocab")).as("corpus_vocab"),
-        round(expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6).as("heaps_beta"),
+        (round(expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6) + lit(0.0)).as("heaps_beta"),
         round(exp(expr("regr_intercept(ln(cum_vocab), ln(cum_tokens))")), 6).as("heaps_k"))
   }
 }
