@@ -41,7 +41,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost
+    // the alphabetical prefix of the per-query map), so the slowest-20 map
+    // and the totals go AFTER the full map — they always survive truncation.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"total_sec":$total%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -213,6 +213,7 @@ object SparkEntry {
     "ev_path_entropy" -> q((s, d) => Events.pathEntropy(Tables.events(s, d))),
     "ev_new_vs_returning" -> q((s, d) => Events.newVsReturning(Tables.events(s, d))),
     "lake_commit_cadence" -> q((s, d) => Snapshots.commitCadence(Tables.orders(s, d))),
+    "lake_rowgroup_prune" -> q((s, d) => Layout.rowGroupPrune(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -497,6 +498,37 @@ object SparkEntry {
         |  (fmax < TIMESTAMP '1997-01-01' OR fmin > TIMESTAMP '1997-03-31') AS skipped
         | FROM f, g) t
         |GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "lake_rowgroup_prune" ->
+      """WITH g AS (SELECT CAST(min(l_shipdate) AS DATE) AS gmind, CAST(max(l_shipdate) AS DATE) AS gmaxd
+        |  FROM lineitem),
+        | u AS (
+        |  SELECT 'unsorted' AS layout, l_orderkey % 20 AS file_id, (l_orderkey // 20) % 4 AS rg_id,
+        |   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'sorted', fine // 4, fine % 4, d FROM (
+        |   SELECT least(CAST(floor(date_diff('day', gmind, CAST(l_shipdate AS DATE)) * 80.0
+        |     / (date_diff('day', gmind, gmaxd) + 1)) AS BIGINT), 79) AS fine,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+        |   FROM lineitem, g)),
+        | rg AS (SELECT layout, file_id, rg_id, min(d) AS rmin, max(d) AS rmax FROM u GROUP BY 1, 2, 3),
+        | fr AS (SELECT *, min(rmin) OVER (PARTITION BY layout, file_id) AS fmin,
+        |   max(rmax) OVER (PARTITION BY layout, file_id) AS fmax FROM rg),
+        | fl AS (SELECT layout, file_id,
+        |   (rmax < date_diff('day', DATE '1970-01-01', DATE '1997-01-01')
+        |    OR rmin > date_diff('day', DATE '1970-01-01', DATE '1997-03-31')) AS rg_skip,
+        |   (fmax < date_diff('day', DATE '1970-01-01', DATE '1997-01-01')
+        |    OR fmin > date_diff('day', DATE '1970-01-01', DATE '1997-03-31')) AS file_skip
+        |  FROM fr)
+        |SELECT layout, count(DISTINCT file_id) AS files_total,
+        | count(DISTINCT CASE WHEN file_skip THEN file_id END) AS files_skipped,
+        | count(*) AS rowgroups_total,
+        | CAST(sum(CASE WHEN rg_skip THEN 1 ELSE 0 END) AS BIGINT) AS rowgroups_skipped,
+        | CAST(sum(CASE WHEN rg_skip AND NOT file_skip THEN 1 ELSE 0 END) AS BIGINT) AS rg_extra_skipped,
+        | round(count(DISTINCT CASE WHEN file_skip THEN file_id END) * 100.0 / count(DISTINCT file_id), 4) AS file_skip_pct,
+        | round(sum(CASE WHEN rg_skip THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS rg_skip_pct
+        |FROM fl GROUP BY layout ORDER BY layout""".stripMargin,
 
     "lake_dv_apply" ->
       s"""WITH d AS ($fileModelSql),

@@ -114,16 +114,26 @@ object Dedup {
 
   /** Per-doc MinHash signature columns m0..m15 over vocab token ids.
     *
-    * The vocab rank is an unpartitioned window, but it runs over the
-    * *distinct token vocabulary* — bounded by language, not data volume
-    * (≤ a few million rows at any corpus size). At 100 TB the rank would be
-    * swapped for a dictionary hash; the rank keeps the DuckDB oracle
-    * bit-exact (SURVEY.md §4). */
-  private def signatures(documents: DataFrame): DataFrame = {
+    * Two tid modes:
+    *  - rank (default): dense ranks over the sorted vocabulary. The rank is
+    *    an unpartitioned window, but it runs over the *distinct token
+    *    vocabulary* — bounded by language, not data volume (≤ a few million
+    *    rows at any corpus size) — and it keeps the DuckDB oracle bit-exact
+    *    (SURVEY.md §4).
+    *  - hashTid=true: dictionary hash (xxhash64 mod P) — zero windows, zero
+    *    vocab table, the setting for a 100 TB run where even the vocab rank
+    *    is unwanted coordination. Same signature algebra; identical-token
+    *    docs still collapse to identical signatures. Not oracle-matched
+    *    (DuckDB has no xxhash64), hence the flag. */
+  private def signatures(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
-    val vocab = tok.select(col("token")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
-    val tt = tok.join(broadcast(vocab), Seq("token"))
+    val tt =
+      if (hashTid) tok.withColumn("tid", pmod(xxhash64(col("token")), lit(MinhashP)))
+      else {
+        val vocab = tok.select(col("token")).distinct()
+          .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+        tok.join(broadcast(vocab), Seq("token"))
+      }
     val mins = (0 until MinhashK).map(k =>
       min((col("tid") * hashA(k) + hashB(k)) % MinhashP).as(s"m$k"))
     tt.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -146,12 +156,13 @@ object Dedup {
                                       crossQual: DataFrame, selfQual: DataFrame)
 
   private[dedup] def minhashGroups(documents: DataFrame, bandRows: Int = 4,
-                                   threshold: Double = 0.9): SigGroups = {
+                                   threshold: Double = 0.9,
+                                   hashTid: Boolean = false): SigGroups = {
     val nBands = MinhashK / bandRows
     val mcols = (0 until MinhashK).map(k => col(s"m$k"))
     // Signature table feeds both the grouping and the member mapping —
     // checkpoint so the tokenize+vocab+groupBy subtree runs once.
-    val sig = signatures(documents).localCheckpoint(true)
+    val sig = signatures(documents, hashTid).localCheckpoint(true)
     val groups = sig.groupBy(mcols: _*)
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
       .localCheckpoint(true)
@@ -190,8 +201,9 @@ object Dedup {
     * band join: same-group doc pairs always share every band (est 1.0), and
     * a cross-group doc pair is a candidate iff its signatures share a band
     * bucket, which depends only on the signatures. */
-  def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9): DataFrame = {
-    val g = minhashGroups(documents, bandRows, threshold)
+  def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9,
+                 hashTid: Boolean = false): DataFrame = {
+    val g = minhashGroups(documents, bandRows, threshold, hashTid)
     val ma = g.members.select(col("gid").as("ga"), col("doc_id").as("da"))
     val mb = g.members.select(col("gid").as("gb"), col("doc_id").as("db"))
     // Cross-group: every (a ∈ A, b ∈ B) qualifies; orient by id afterwards.

@@ -141,6 +141,61 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Row-group-granularity pruning: the catalog prunes *files*, but parquet
+    * actually skips at *row-group* granularity — the reference reads
+    * per-row-group column metadata, not just file stats
+    * (poc/test_wide_table_pruning.py:255, images/row_group_ranges.png).
+    * Model: `nFiles` files × `rgPerFile` row groups per layout. "sorted"
+    * slices the date domain into nFiles·rgPerFile equal-width fine buckets
+    * (file = bucket div rgPerFile, row group = bucket mod rgPerFile — the
+    * layout a range-partitioning sorted writer produces); "unsorted" assigns
+    * both by arrival hash. Report per layout: skip rate with file-level
+    * stats vs row-group stats, plus the row groups pruned *inside* files
+    * that file-level stats could not skip — the granularity dividend that
+    * decides whether a rewrite is worth it. One fact scan (2-element
+    * generator); every later stage runs on metadata-sized stats tables. */
+  def rowGroupPrune(lineitem: DataFrame, lo: String = "1997-01-01", hi: String = "1997-03-31",
+                    nFiles: Int = 20, rgPerFile: Int = 4): DataFrame = {
+    val nSlices = nFiles * rgPerFile
+    val global = lineitem.agg(
+      min(unix_date(to_date(col("l_shipdate")))).as("gmin"),
+      max(unix_date(to_date(col("l_shipdate")))).as("gmax"))
+    val base = lineitem.join(broadcast(global))
+      .withColumn("d", unix_date(to_date(col("l_shipdate"))))
+      .withColumn("fine", least(
+        floor((col("d") - col("gmin")) * nSlices / (col("gmax") - col("gmin") + 1)),
+        lit(nSlices - 1L)))
+      .select(col("d"), explode(array(
+        struct(lit("unsorted").as("layout"),
+          (col("l_orderkey") % nFiles).cast("long").as("file_id"),
+          expr(s"(l_orderkey div $nFiles) % $rgPerFile").cast("long").as("rg_id")),
+        struct(lit("sorted").as("layout"),
+          expr(s"fine div $rgPerFile").cast("long").as("file_id"),
+          (col("fine") % rgPerFile).cast("long").as("rg_id")))).as("a"))
+      .select(col("a.layout").as("layout"), col("a.file_id").as("file_id"),
+        col("a.rg_id").as("rg_id"), col("d"))
+    val rg = base.groupBy(col("layout"), col("file_id"), col("rg_id"))
+      .agg(min(col("d")).as("rmin"), max(col("d")).as("rmax"))
+    val wFile = Window.partitionBy(col("layout"), col("file_id"))
+    val loD = unix_date(lit(lo).cast("date"))
+    val hiD = unix_date(lit(hi).cast("date"))
+    rg
+      .withColumn("fmin", min(col("rmin")).over(wFile))
+      .withColumn("fmax", max(col("rmax")).over(wFile))
+      .withColumn("rg_skip", col("rmax") < loD || col("rmin") > hiD)
+      .withColumn("file_skip", col("fmax") < loD || col("fmin") > hiD)
+      .groupBy(col("layout"))
+      .agg(
+        countDistinct(col("file_id")).as("files_total"),
+        countDistinct(when(col("file_skip"), col("file_id"))).as("files_skipped"),
+        count(lit(1)).as("rowgroups_total"),
+        sum(when(col("rg_skip"), 1L).otherwise(0L)).as("rowgroups_skipped"),
+        sum(when(col("rg_skip") && !col("file_skip"), 1L).otherwise(0L)).as("rg_extra_skipped"))
+      .withColumn("file_skip_pct", round(col("files_skipped") * 100.0 / col("files_total"), 4))
+      .withColumn("rg_skip_pct", round(col("rowgroups_skipped") * 100.0 / col("rowgroups_total"), 4))
+      .orderBy("layout")
+  }
+
   /** Clustering-depth report: the sweep-line overlap metric clustering
     * maintenance tools use to decide when to re-sort. Per layout, each
     * file's [min,max] shipdate interval contributes +1/-1 boundary events;

@@ -13,40 +13,38 @@ import org.apache.spark.sql.functions._
   * DataFrame keyed by commit_id; growth and contention accounting are window
   * aggregations over it — per-key partitions, no driver-side loops.
   *
-  * Scale note: `commitLog` / `compactionPlan` use an unpartitioned
-  * `Window.orderBy` (single-partition cumulative sum). That is safe here *by
-  * construction*: both run over post-aggregation tables with one row per
-  * commit / per file — thousands of rows even at 100 TB, since commits and
-  * data files are coarse units, not data rows. If a deployment ever had
-  * billions of files, the scale path is the standard two-phase prefix sum
-  * (per-partition partial sums + broadcast partition offsets).
+  * Scale note: the commit-log / compaction cumulative sums run through
+  * `plans.PrefixSum` — the two-phase (bucketed partials + broadcast bucket
+  * offsets) prefix sum — so no operator here puts an unbounded input through
+  * a single-partition window, even if a deployment ever accumulates billions
+  * of commits or files. The only remaining unpartitioned windows in this
+  * file order *bounded* tables (bucket offsets, ref heads, retention rungs).
   */
 object Snapshots {
 
   /** Append-only commit log derived from orders (100 orders per commit):
-    * per-commit file/row/byte deltas + cumulative manifest growth. */
+    * per-commit file/row/byte deltas + cumulative manifest growth (two-phase
+    * distributed prefix sum — see PrefixSum). */
   def commitLog(orders: DataFrame): DataFrame = {
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
       .agg(count(lit(1)).as("files_added"),
            round(sum(col("o_totalprice")), 4).as("bytes_added"))
-    val w = Window.orderBy(col("commit_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    commits
-      .withColumn("total_files", sum(col("files_added")).over(w))
+    graft.plans.PrefixSum.prefixSum(commits, "commit_id", "files_added", "total_files")
       .withColumn("manifest_entries", col("total_files"))
       .orderBy("commit_id")
   }
 
   /** Greedy sequential bin-packing of small files into compaction groups of
-    * ~`targetBytes` (the rewrite plan of measure_compaction_cost). */
+    * ~`targetBytes` (the rewrite plan of measure_compaction_cost). The
+    * strict-prefix byte total comes from the two-phase prefix sum. */
   def compactionPlan(lineitem: DataFrame, nFiles: Int = 40, targetBytes: Long = 400000): DataFrame = {
     val files = FileModel.withFileId(lineitem, nFiles)
       .groupBy(col("file_id"))
       .agg((count(lit(1)) * 100L).as("file_bytes"))
-    val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
-    files
-      .withColumn("bytes_before", coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+    graft.plans.PrefixSum.prefixSum(files, "file_id", "file_bytes", "bytes_before",
+        inclusive = false)
       .withColumn("group_id", (col("bytes_before") / targetBytes).cast("long"))
       .select("file_id", "file_bytes", "group_id")
       .orderBy("file_id")
@@ -62,9 +60,8 @@ object Snapshots {
       .agg((count(lit(1)) * 100L).as("file_bytes"),
            count(lit(1)).as("file_rows"),
            min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
-    val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
-    files
-      .withColumn("bytes_before", coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+    graft.plans.PrefixSum.prefixSum(files, "file_id", "file_bytes", "bytes_before",
+        inclusive = false)
       .withColumn("group_id", (col("bytes_before") / targetBytes).cast("long"))
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_files"),

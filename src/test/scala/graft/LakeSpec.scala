@@ -15,6 +15,39 @@ class LakeSpec extends SparkSpec {
     assert(report("unsorted") < 10.0, s"hash layout should skip almost nothing: $report")
   }
 
+  test("two-phase prefix sum equals the single-partition running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val files = lineitem.groupBy((col("l_orderkey") % 37).as("k"))
+      .agg(count(lit(1)).as("v"))
+    val wInc = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val wExc = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+    val naive = files
+      .withColumn("inc", sum(col("v")).over(wInc))
+      .withColumn("exc", coalesce(sum(col("v")).over(wExc), lit(0L)))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("inc"), r.getAs[Long]("exc"))).toMap
+    val inc = graft.plans.PrefixSum.prefixSum(files, "k", "v", "ps", nBuckets = 5)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("ps")).toMap
+    val exc = graft.plans.PrefixSum.prefixSum(files, "k", "v", "ps",
+        inclusive = false, nBuckets = 5)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("ps")).toMap
+    naive.foreach { case (k, (i, e)) =>
+      assert(inc(k) == i, s"inclusive prefix mismatch at k=$k")
+      assert(exc(k) == e, s"exclusive prefix mismatch at k=$k")
+    }
+  }
+
+  test("row-group pruning gains over file pruning only in the sorted layout") {
+    val rows = Layout.rowGroupPrune(lineitem)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val sorted = rows("sorted"); val unsorted = rows("unsorted")
+    assert(sorted.getAs[Double]("rg_skip_pct") >= sorted.getAs[Double]("file_skip_pct"),
+      "row-group stats can only skip MORE than file stats")
+    assert(sorted.getAs[Long]("rg_extra_skipped") >= 0L)
+    assert(unsorted.getAs[Double]("rg_skip_pct") <= 5.0,
+      "hash layout has full-span row groups — nothing to skip")
+  }
+
   test("writeSorted produces files with tight non-overlapping shipdate ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted_").toString
     try {

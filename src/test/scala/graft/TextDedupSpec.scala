@@ -73,6 +73,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("hashTid minhash mode: windowless plan, deterministic, keeps exact-dup pairs") {
+    val hashed = Dedup.minhashLsh(docs, hashTid = true)
+    // The scale setting must not contain ANY unpartitioned window (the vocab
+    // rank is gone entirely in hash mode).
+    val plan = hashed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"), "hashTid mode must not rank the vocabulary")
+    val a = hashed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Dedup.minhashLsh(docs, hashTid = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b), "dictionary-hash signatures must be run-deterministic")
+    // Identical token sets hash to identical signatures regardless of tid mode,
+    // so every exact-duplicate group must still surface as est_sim = 1 pairs.
+    val exactDupDocs = Dedup.exact(docs).filter(col("group_size") > 1)
+    if (exactDupDocs.count() > 0)
+      assert(a.exists(_._3 == 1.0), "exact dups must collide in hash mode too")
+  }
+
   test("jaccard pairs are symmetric-free and above threshold") {
     val rows = Dedup.ngramJaccardPairs(docs).collect()
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
