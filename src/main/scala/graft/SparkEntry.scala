@@ -1362,7 +1362,8 @@ object SparkEntry {
         |         / (n.nrm * c1.cn), 6) AS cos
         |  FROM n, c1),
         | p2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk FROM a2)
-        |SELECT cell, label, count(*) AS n, round(avg(cos), 6) AS avg_cos
+        |SELECT cell, label, count(*) AS n,
+        | round(sum(CAST(round(cos * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS avg_cos
         |FROM p2 WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1524,7 +1525,8 @@ object SparkEntry {
         |  FROM subs s JOIN cb ON s.sub_id = cb.sub_id),
         | p AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY sq_err, code) AS rk FROM d)
         |SELECT sub_id, count(*) AS n_vectors, count(DISTINCT code) AS codes_used,
-        | round(avg(sq_err), 6) AS avg_sq_err, round(max(sq_err), 6) AS max_sq_err
+        | round(sum(CAST(round(sq_err * 1000000000) AS BIGINT)) / (count(*) * 1000000000.0), 6) AS avg_sq_err,
+        | round(max(sq_err), 6) AS max_sq_err
         |FROM p WHERE rk = 1 GROUP BY 1 ORDER BY sub_id""".stripMargin,
 
     "lake_stats_truncation" ->
@@ -2003,7 +2005,8 @@ object SparkEntry {
         | pv AS (SELECT vec_id, label, round(avg(sq), 9) AS mse, count(DISTINCT code) AS codes_used
         |  FROM e GROUP BY 1, 2)
         |SELECT label, count(*) AS n_vectors,
-        | round(avg(mse), 6) AS avg_mse, round(max(mse), 6) AS max_mse,
+        | round(sum(CAST(round(mse * 1000000000) AS BIGINT)) / (count(*) * 1000000000.0), 6) AS avg_mse,
+        | round(max(mse), 6) AS max_mse,
         | round(avg(codes_used), 6) AS avg_codes_used
         |FROM pv GROUP BY label ORDER BY label""".stripMargin,
 

@@ -278,25 +278,33 @@ object Dedup {
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .localCheckpoint(true)
     val bandStructs = (0 until EmbBands).map { b =>
       val key = (0 until EmbBandRows)
         .map(r => when(expr(embPlaneExpr(b * EmbBandRows + r, dim)) > 0, lit(1L << r)).otherwise(lit(0L)))
         .reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bands = v.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("vec_id"))
-    val cand = bands.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
-      .join(bands.select(col("band"), col("bkey"), col("vec_id").as("vec_b")), Seq("band", "bkey"))
+    // Vectors ride through the band join, the exact cosine check runs inside
+    // the join's codegen stage, and the pair-dedup (a pair can collide in
+    // several bands) happens AFTER the threshold filter — a distinct over
+    // the few qualifying pairs, not the full candidate volume. At cluster
+    // scale the broadcast becomes a shuffle equi-join on (band, bkey) and
+    // payloads would be stripped to ids before a post-distinct re-fetch; the
+    // shape (equi-key candidates, never O(n²)) is the same.
+    val bands = v.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("vec_id"), col("v"), col("nrm"))
+    val a = bands.select(col("band"), col("bkey"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = bands.select(col("band"), col("bkey"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    cand
-      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

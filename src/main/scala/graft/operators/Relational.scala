@@ -833,49 +833,74 @@ object Relational {
       .limit(topN)
   }
 
-  /** Twice the exact interpolated median of an integer-valued column, from
-    * its per-flag frequency table: v@floor((n+1)/2) + v@ceil((n+1)/2) over
-    * the cumulative counts. Integer in, integer out — no per-group value
-    * buffering, and the windows run over the NDV-bounded frequency table. */
-  private def interpMedian2(freq: DataFrame, vcol: String, out: String): DataFrame = {
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+  /** Twice the exact interpolated median (v@floor((n+1)/2) + v@ceil((n+1)/2))
+    * of an integer-valued column, per flag, via the classic two-pass
+    * distributed selection: (1) a coarse `bucketWidth`-wide histogram (one
+    * map-side-combinable aggregation — thousands of buckets, not data rows),
+    * whose cumulative counts locate the bucket holding each target rank;
+    * (2) a rescan of ONLY the straddling bucket's rows (broadcast semi-join)
+    * to pick the exact rank inside it. Bounded state everywhere, no sort of
+    * the data, works identically when the value domain is near-unique —
+    * where a distinct-value frequency table degenerates back into the fact
+    * table. k1 == k2 (odd n) is handled by weighting, not duplicating. */
+  private def kthMedian2(base: DataFrame, vcol: String, out: String,
+                         bucketWidth: Long = 1000L): DataFrame = {
+    val hist = base
+      .groupBy(col("l_returnflag"), expr(s"$vcol div $bucketWidth").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // tot rides the same (tiny) histogram through a second window column —
+    // no extra aggregation job, no extra broadcast join.
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val targets = hist
+      .withColumn("before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .select(col("l_returnflag").as("tflag"), col("bkt"), col("before"), col("cnt"),
+        explode(array(expr("(tot + 1) div 2"), expr("(tot + 2) div 2"))).as("k"))
+      .filter(col("before") < col("k") && col("before") + col("cnt") >= col("k"))
+      .groupBy(col("tflag"), col("bkt"), col("before"), col("k"))
+      .agg(count(lit(1)).as("wgt"))
+    val inBucket = base.join(broadcast(targets),
+      col("l_returnflag") === col("tflag") && expr(s"$vcol div $bucketWidth") === col("bkt"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("k")).orderBy(col(vcol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(col("l_returnflag"))
-    freq
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("tot", sum(col("cnt")).over(wTot))
+    inBucket
+      .groupBy(col("l_returnflag"), col("k"), col("wgt"), col("before"), col(vcol))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cumin", sum(col("c")).over(wIn))
+      .groupBy(col("l_returnflag"), col("k"), col("wgt"))
+      .agg(min(when(col("before") + col("cumin") >= col("k"), col(vcol))).as("vk"))
       .groupBy(col("l_returnflag"))
-      .agg((min(when(col("cum") >= expr("(tot + 1) div 2"), col(vcol)))
-          + min(when(col("cum") >= expr("(tot + 2) div 2"), col(vcol)))).as(out))
+      .agg(sum(col("vk") * col("wgt")).as(out))
   }
 
   /** q56: robust outlier detection via MAD (median absolute deviation) —
     * per flag: the 3σ-equivalent 3·1.4826·MAD fence and the rows outside
     * it. Prices are quantized to integer cents, so both medians are *exact*
-    * (interpolated, ×2 to stay integral) yet come from NDV-bounded
-    * frequency tables — no ObjectHashAggregate buffering every group value,
-    * and only two fact-table scans (the outlier roll-up itself runs on the
-    * deviation frequency table). The fence compare is integer × the 1.4826
-    * constant on both engines, so the boundary is bit-deterministic. */
+    * (interpolated, ×2 to stay integral) yet computed by two-pass bucketed
+    * selection (see kthMedian2) — no ObjectHashAggregate buffering every
+    * group value, no global sort; every shuffle in the plan is a
+    * map-side-combined histogram or a broadcast. The fence compare is
+    * integer × the 1.4826 constant on both engines, so the boundary is
+    * bit-deterministic. */
   def madOutliers(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_returnflag"),
-      round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
-    val pf = base.groupBy(col("l_returnflag"), col("pc")).agg(count(lit(1)).as("cnt"))
-    val med = interpMedian2(pf, "pc", "med2")
-    val devFreq = base.join(broadcast(med), "l_returnflag")
-      .withColumn("dev2", abs(col("pc") * 2 - col("med2")))
-      .groupBy(col("l_returnflag"), col("dev2")).agg(count(lit(1)).as("cnt"))
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
       .localCheckpoint(true)
-    val mad = interpMedian2(devFreq, "dev2", "mad4")
-    devFreq
+    val med = kthMedian2(base, "pc", "med2")
+    val dev = base.join(broadcast(med), "l_returnflag")
+      .withColumn("dev2", abs(col("pc") * 2 - col("med2")))
+      .localCheckpoint(true)
+    val mad = kthMedian2(dev, "dev2", "mad4")
+    dev
       .join(broadcast(mad), "l_returnflag")
-      .join(broadcast(med), "l_returnflag")
       .withColumn("outlier", col("dev2") * 2 > lit(3.0 * 1.4826) * col("mad4"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("cnt")).as("n"),
+      .agg(count(lit(1)).as("n"),
         round(max(col("med2")) / 200.0, 4).as("median_price"),
         round(max(col("mad4")) / 400.0, 4).as("mad"),
-        sum(when(col("outlier"), col("cnt")).otherwise(0L)).as("n_outliers"))
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_pct", round(col("n_outliers") * 100.0 / col("n"), 4))
       .orderBy("l_returnflag")
   }

@@ -156,9 +156,14 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
         .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
     }
+    // avg over already-6dp-quantized cos values goes through an exact integer
+    // sum (micro-units) — a float avg is summation-order-dependent and flips
+    // the 6dp rounding on boundary means (observed once in the oracle's
+    // parallel avg); integer sums are order-free on any engine.
     assignCells(base, cent)
       .groupBy(col("cell"), col("label"))
-      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("avg_cos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("cos") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e6), 6).as("avg_cos"))
       .orderBy("cell", "label")
   }
 
@@ -208,11 +213,13 @@ object Ann {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"), col("sub_id")).orderBy(col("sq_err"), col("code"))))
       .filter(col("rk") === 1)
+    // sq_err is 9dp-quantized → exact nano-unit integer sum for the average
+    // (order-free; see centroid avg_cos note).
     assigned
       .groupBy(col("sub_id").cast("long").as("sub_id"))
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("code")).as("codes_used"),
-        round(avg(col("sq_err")), 6).as("avg_sq_err"),
+        round(sum(round(col("sq_err") * 1e9, 0).cast("long")) / (count(lit(1)) * 1e9), 6).as("avg_sq_err"),
         round(max(col("sq_err")), 6).as("max_sq_err"))
       .orderBy("sub_id")
   }
@@ -268,12 +275,15 @@ object Ann {
           .otherwise(least(floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo"))), lit(255.0)).cast("long")))
       .withColumn("deq", col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)
       .withColumn("sq", round((col("x") - col("deq")) * (col("x") - col("deq")), 9))
+    // mse is 9dp-quantized → exact nano-unit integer sum for the per-label
+    // average (order-free; see centroid avg_cos note). codes_used is already
+    // an integer, so its avg is an exact integer sum on both engines.
     quantized
       .groupBy(col("vec_id"), col("label"))
       .agg(round(avg(col("sq")), 9).as("mse"), countDistinct(col("code")).as("codes_used"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("mse")), 6).as("avg_mse"),
+        round(sum(round(col("mse") * 1e9, 0).cast("long")) / (count(lit(1)) * 1e9), 6).as("avg_mse"),
         round(max(col("mse")), 6).as("max_mse"),
         round(avg(col("codes_used")), 6).as("avg_codes_used"))
       .orderBy("label")

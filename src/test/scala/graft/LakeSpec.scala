@@ -35,6 +35,19 @@ class LakeSpec extends SparkSpec {
       assert(inc(k) == i, s"inclusive prefix mismatch at k=$k")
       assert(exc(k) == e, s"exclusive prefix mismatch at k=$k")
     }
+    // Grouped variant: running sum restarts per group, equals the per-group window.
+    val grouped = lineitem.groupBy(col("l_returnflag").as("g"), (col("l_orderkey") % 17).as("k"))
+      .agg(count(lit(1)).as("v"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gNaive = grouped.withColumn("inc", sum(col("v")).over(wg))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("k")) -> r.getAs[Long]("inc")).toMap
+    val gPs = graft.plans.PrefixSum.prefixSum(grouped, "k", "v", "ps",
+        nBuckets = 4, partitionCols = Seq("g"))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("k")) -> r.getAs[Long]("ps")).toMap
+    gNaive.foreach { case (gk, i) =>
+      assert(gPs(gk) == i, s"grouped prefix mismatch at $gk")
+    }
   }
 
   test("row-group pruning gains over file pruning only in the sorted layout") {
