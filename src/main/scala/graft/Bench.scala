@@ -41,12 +41,29 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Opt-in write-path benchmark (SPARK_GRAFT_WRITE_BENCH=1): physical
+    // parquet write overhead of the sorted (clustered) writer vs a plain
+    // append — the reference's write-overhead study, kept out of the default
+    // run because driver queries must stay read-only.
+    val writeBench =
+      if (sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("1")) {
+        val li = graft.tables.Tables.lineitem(spark, sfDir)
+        val dir = java.nio.file.Files.createTempDirectory("graft_wb_").toString
+        def timeIt(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        try {
+          val tPlain = timeIt(li.write.mode("overwrite").parquet(s"$dir/unsorted"))
+          val tSorted = timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 8))
+          f""","write_bench":{"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,"sort_overhead_x":${tSorted / tPlain}%.3f}"""
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      } else ""
     // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost
     // the alphabetical prefix of the per-query map), so the slowest-20 map
     // and the totals go AFTER the full map — they always survive truncation.
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"total_sec":$total%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"total_sec":$total%.3f$writeBench,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

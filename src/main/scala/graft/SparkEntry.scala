@@ -214,6 +214,8 @@ object SparkEntry {
     "ev_new_vs_returning" -> q((s, d) => Events.newVsReturning(Tables.events(s, d))),
     "lake_commit_cadence" -> q((s, d) => Snapshots.commitCadence(Tables.orders(s, d))),
     "lake_rowgroup_prune" -> q((s, d) => Layout.rowGroupPrune(Tables.lineitem(s, d))),
+    "q63_pareto" -> q((s, d) => Relational.paretoRevenue(Tables.lineitem(s, d))),
+    "knn_ivfpq" -> q((s, d) => Ann.ivfPq(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -498,6 +500,54 @@ object SparkEntry {
         |  (fmax < TIMESTAMP '1997-01-01' OR fmin > TIMESTAMP '1997-03-31') AS skipped
         | FROM f, g) t
         |GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "knn_ivfpq" ->
+      s"""WITH $embPrepSql,
+        | ex AS (SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM b),
+        | ce AS (SELECT label AS clabel, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex GROUP BY 1, 2),
+        | cv AS (SELECT clabel, list(c ORDER BY pos) AS cvec FROM ce GROUP BY 1),
+        | cn2 AS (SELECT clabel, cvec,
+        |   sqrt(list_reduce(list_transform(cvec, x -> x * x), (a, c2) -> a + c2)) AS cn FROM cv),
+        | sc AS (SELECT n.vec_id, n.label, cn2.clabel, cn2.cvec, n.v,
+        |   round(list_reduce(list_transform(list_zip(n.v, cn2.cvec), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (n.nrm * cn2.cn), 6) AS cos
+        |  FROM n, cn2),
+        | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc),
+        | asg AS (SELECT vec_id, label, clabel AS cell,
+        |   list_transform(list_zip(v, cvec), z -> z[1] - z[2]) AS res FROM pr WHERE rk = 1),
+        | subs AS (SELECT vec_id, label, cell, sub_id,
+        |   list_slice(res, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
+        |  FROM asg, range(8) AS r(sub_id)),
+        | ex2 AS (SELECT sub_id, label AS code,
+        |   unnest(list_transform(sv, (x, i) -> {'pos': i, 'x': x})) AS px FROM subs),
+        | ce2 AS (SELECT sub_id, code, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex2 GROUP BY 1, 2, 3),
+        | cb AS (SELECT sub_id, code, list(c ORDER BY pos) AS cbv FROM ce2 GROUP BY 1, 2),
+        | d AS (SELECT vec_id, cell, s.sub_id AS sub_id, code,
+        |   round(list_reduce(list_transform(sv, x -> x * x), (a, b2) -> a + b2), 9) AS res_sq,
+        |   round(list_reduce(list_transform(list_zip(sv, cbv), z -> (z[1] - z[2]) * (z[1] - z[2])),
+        |     (a, b2) -> a + b2), 9) AS sq_err
+        |  FROM subs s JOIN cb ON s.sub_id = cb.sub_id),
+        | p AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY sq_err, code) AS rk FROM d),
+        | pv AS (SELECT vec_id, cell, round(sum(res_sq), 9) AS res_energy, round(sum(sq_err), 9) AS pq_err
+        |  FROM p WHERE rk = 1 GROUP BY 1, 2)
+        |SELECT cell, count(*) AS n_vectors,
+        | round(sum(CAST(round(res_energy * 1000000000) AS BIGINT)) / (count(*) * 1000000000.0), 6) AS avg_res_energy,
+        | round(sum(CAST(round(pq_err * 1000000000) AS BIGINT)) / (count(*) * 1000000000.0), 6) AS avg_pq_err
+        |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_pareto" ->
+      """WITH rev AS (SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        | c AS (SELECT rev_c, sum(rev_c) OVER (ORDER BY -rev_c
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c FROM rev),
+        | t AS (SELECT CAST(unnest([50, 80, 90, 95]) AS BIGINT) AS threshold),
+        | tot AS (SELECT sum(rev_c) AS tot_c, count(*) AS npt FROM rev)
+        |SELECT threshold,
+        | CAST(sum(CASE WHEN cum_c * 100 < threshold * tot_c THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_parts,
+        | CAST(max(npt) AS BIGINT) AS n_parts_total,
+        | round(min(CASE WHEN cum_c * 100 >= threshold * tot_c THEN cum_c END) * 100.0 / max(tot_c), 4) AS covered_pct,
+        | round((sum(CASE WHEN cum_c * 100 < threshold * tot_c THEN 1 ELSE 0 END) + 1) * 100.0 / max(npt), 4) AS pct_of_parts
+        |FROM c, t, tot GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_rowgroup_prune" ->
       """WITH g AS (SELECT CAST(min(l_shipdate) AS DATE) AS gmind, CAST(max(l_shipdate) AS DATE) AS gmaxd

@@ -905,6 +905,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q63: Pareto / ABC contribution analysis — how many parts carry 50/80/
+    * 90/95% of revenue. Revenue is exact integer cents per part; the
+    * descending cumulative runs through the two-phase distributed prefix sum
+    * (plans.PrefixSum — ordered by negated revenue, no single-partition
+    * sort), which is exactly the shape this query needs when the "part"
+    * dictionary is 200M skus instead of 20k. Threshold accounting is pure
+    * integer compares (cum·100 vs t·total), so tie order inside equal
+    * revenues cannot change any count. */
+  def paretoRevenue(lineitem: DataFrame, thresholds: Seq[Long] = Seq(50L, 80L, 90L, 95L)): DataFrame = {
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+      .withColumn("negrev", -col("rev_c"))
+    val cum = graft.plans.PrefixSum.prefixSum(rev, "negrev", "rev_c", "cum_c")
+    val tot = rev.agg(sum(col("rev_c")).as("tot_c"), count(lit(1)).as("n_parts_total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("cum_c"), col("tot_c"), col("n_parts_total"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        (sum(when(col("cum_c") * 100 < col("threshold") * col("tot_c"), 1L).otherwise(0L)) + 1L).as("n_parts"),
+        max(col("n_parts_total")).as("n_parts_total"),
+        round(min(when(col("cum_c") * 100 >= col("threshold") * col("tot_c"), col("cum_c"))) * 100.0
+          / max(col("tot_c")), 4).as("covered_pct"))
+      .withColumn("pct_of_parts", round(col("n_parts") * 100.0 / col("n_parts_total"), 4))
+      .orderBy("threshold")
+  }
+
   /** q54: SCD2 (slowly-changing-dimension) temporal join — each fact row
     * joins the dimension *version* valid at its event date. Versions are
     * derived deterministically (3 eras per supplier with an era-specific

@@ -224,6 +224,68 @@ object Ann {
       .orderBy("sub_id")
   }
 
+  /** IVF-PQ composite (the FAISS-style index shape for billion-vector ANN):
+    * vectors are assigned to label-centroid cells (IVF), the cell centroid
+    * is subtracted, and the *residual* is product-quantized — `nSub`
+    * subspaces, a deterministic per-(subspace, label) codebook of mean
+    * residual subvectors, nearest codeword by squared L2. Report per cell:
+    * membership, residual energy before quantization, and the PQ
+    * reconstruction error after — the accuracy the residual trick buys over
+    * PQ on raw vectors (same storage: 8 codes/vector). Every stage is one
+    * corpus pass + a broadcast of dim-bounded centroid/codebook tables;
+    * averages of quantized values go through exact nano-unit integer sums
+    * (order-free, see pqQuantize). */
+  def ivfPq(embeddings: DataFrame, nSub: Int = 8): DataFrame = {
+    val base = prep(embeddings)
+    val dim = embeddingDim(embeddings)
+    val w = dim / nSub
+    val exploded = base.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val centroids = exploded
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+    val cvec = centroids
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    val assigned = base.join(broadcast(cvec))
+      .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
+      .filter(col("rk") === 1)
+      .withColumn("res", expr("zip_with(v, cv, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("label"), col("clabel").as("cell"), col("res"))
+      .localCheckpoint(true)
+    val sub = assigned.select(col("vec_id"), col("label"), col("cell"),
+      explode(expr(s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS sub_id, slice(res, s * $w + 1, $w) AS sv))"))
+        .as("p"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("p.sub_id").as("sub_id"), col("p.sv").as("sv"))
+    val codebook = sub
+      .select(col("sub_id"), col("label").as("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub_id"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cbv"))
+    val coded = sub.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("res_sq",
+        round(expr("aggregate(sv, 0D, (a, b) -> a + b * b)"), 9))
+      .withColumn("sq_err",
+        round(expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub_id")).orderBy(col("sq_err"), col("code"))))
+      .filter(col("rk") === 1)
+    coded
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(round(sum(col("res_sq")), 9).as("res_energy"),
+        round(sum(col("sq_err")), 9).as("pq_err"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(round(col("res_energy") * 1e9, 0).cast("long")) / (count(lit(1)) * 1e9), 6).as("avg_res_energy"),
+        round(sum(round(col("pq_err") * 1e9, 0).cast("long")) / (count(lit(1)) * 1e9), 6).as("avg_pq_err"))
+      .orderBy("cell")
+  }
+
   /** Matryoshka truncation quality: top-k retrieval with only the first
     * `prefixDim` dimensions vs the full vector, reported as recall@k per
     * query — the quality/cost curve of prefix-truncated (MRL-style)

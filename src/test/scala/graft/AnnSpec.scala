@@ -108,6 +108,20 @@ class AnnSpec extends SparkSpec {
     selfRecall.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
   }
 
+  test("IVF-PQ covers every vector; residual PQ error never exceeds residual energy") {
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    val rows = Ann.ivfPq(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    rows.foreach { r =>
+      val energy = r.getAs[Double]("avg_res_energy")
+      val err = r.getAs[Double]("avg_pq_err")
+      assert(energy >= 0.0 && err >= 0.0)
+      // The per-(subspace, label) mean codeword makes within-group quantization
+      // error <= group variance, and nearest-code assignment only improves it.
+      assert(err <= energy + 1e-6, s"PQ error $err above residual energy $energy")
+    }
+  }
+
   test("SQ8 covers every vector with bounded reconstruction error") {
     val emb = graft.tables.Tables.embeddings(spark, sf0001)
     val rows = Ann.sq8Quantize(emb).collect()

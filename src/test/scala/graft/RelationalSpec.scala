@@ -375,6 +375,21 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(totalLong - totalWide) < 0.05, s"$totalLong vs $totalWide")
   }
 
+  test("pareto thresholds are monotone and consistent with the part dictionary") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = Relational.paretoRevenue(li).collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("covered_pct"))).toMap
+    val nParts = li.select("l_partkey").distinct().count()
+    assert(rows.keySet == Set(50L, 80L, 90L, 95L))
+    assert(rows(50)._1 <= rows(80)._1 && rows(80)._1 <= rows(90)._1 && rows(90)._1 <= rows(95)._1,
+      "higher coverage cannot need fewer parts")
+    rows.foreach { case (t, (n, covered)) =>
+      assert(n >= 1 && n <= nParts)
+      assert(covered >= t - 0.0001, s"covered $covered below threshold $t")
+    }
+  }
+
   test("interval concurrency peaks are positive and bounded by open orders") {
     val orders = Tables.orders(spark, sf0001)
     val rows = Relational.orderConcurrency(orders).collect()
