@@ -75,6 +75,47 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Stream–static enrichment: the event stream broadcast-joined against a
+    * static dimension (user → cohort) and rolled up per (window, cohort).
+    * The static side is planned once and broadcast to every micro-batch —
+    * no stream-side state beyond the windowed agg, the standard shape for
+    * attaching slowly-changing reference data to a firehose. */
+  def cohortWindowCounts(events: DataFrame, userCohorts: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(userCohorts), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("cohort"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("cohort"), col("n"), col("sum_value"))
+
+  /** Streaming quality-filter cascade — the C4-style cleaning gate as an
+    * ingest stream: per document, cheap stateless predicates (length band,
+    * mean token length, repetition) decide pass/fail, and the monitoring
+    * output is the per-window pass-rate. Stateless filters cost no state at
+    * all; only the tiny windowed pass/fail counters are stateful. Mirrors
+    * the batch text_filter_cascade semantics on the shared `text` column. */
+  def filterCascadeStream(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("mean_tok_len",
+        (length(regexp_replace(col("text"), "\\s+", "")) * 1.0) / col("n_tok"))
+      .withColumn("max_rep",
+        size(toks) - size(array_distinct(toks)))
+      .withColumn("pass",
+        col("n_tok") >= 5L && col("n_tok") <= 10000L &&
+        col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 12.0 &&
+        col("max_rep") * 1.0 / col("n_tok") <= 0.9)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n_docs"), col("n_pass"),
+        round(col("n_pass") * 100.0 / col("n_docs"), 4).as("pass_pct"))
+  }
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

@@ -102,6 +102,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension into windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val cohorts = Seq((1L, "early"), (2L, "late")).toDF("user_id", "cohort")
+
+    val q = StreamOps.cohortWindowCounts(df, cohorts)
+      .writeStream.format("memory").queryName("cohort_test").outputMode("complete").start()
+    try {
+      input.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (2L, ts(3), 5.0), (9L, ts(4), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("cohort_test").collect()
+      val byCohort = rows.map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n")).toMap
+      assert(byCohort == Map("early" -> 2L, "late" -> 1L),
+        s"unknown users drop out of the inner join: ${rows.mkString("; ")}")
+      assert(rows.find(_.getAs[String]("cohort") == "early").get.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming filter cascade reports per-window pass rates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+
+    val q = StreamOps.filterCascadeStream(df)
+      .writeStream.format("memory").queryName("cascade_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), "a clean document with enough ordinary tokens to pass easily"),
+        (ts(2), "ok"),                                       // too few tokens → fail
+        (ts(3), "word word word word word word word word"))  // repetitive but within bound → pass
+      q.processAllAvailable()
+      val row = spark.table("cascade_test").collect().head
+      assert(row.getAs[Long]("n_docs") == 3)
+      assert(row.getAs[Long]("n_pass") == 2, s"got $row")
+      assert(math.abs(row.getAs[Double]("pass_pct") - 66.6667) < 0.01)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
