@@ -50,7 +50,12 @@ object Audit {
           "knn_matryoshka", "knn_range_search", "knn_recall",
           "lake_branch_tags", "lake_retention_ladder", "lake_sort_evolution",
           "lake_stats_freshness", "lake_wap_audit",
-          "q40_date_spine", "text_heaps", "text_pmi", "text_vocab_coverage")
+          "q40_date_spine", "text_heaps", "text_pmi", "text_vocab_coverage",
+          // Two-phase prefix-sum consumers (PrefixSum broadcasts its 1-row
+          // key-range aggregate) and other single-row stat broadcasts:
+          "lake_commit_log", "lake_compaction_plan", "lake_compaction_execute",
+          "q63_pareto", "lake_rowgroup_prune", "dedup_lsh_tuning",
+          "ev_forecast_backtest", "q61_equiheight_histogram", "text_drift")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {
