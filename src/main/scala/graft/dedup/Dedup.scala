@@ -255,11 +255,13 @@ object Dedup {
   def embPlaneWeight(j: Int, p1: Int): Double =
     (((j * 73856093L + p1 * 19349663L) % 1000003L) % 21L - 10L).toDouble
 
-  /** Hyperplane projection for plane j as a constant-array graft_dot. */
-  private def embPlaneExpr(j: Int, dim: Int): String = {
-    val w = Seq.tabulate(dim)(p0 => embPlaneWeight(j, p0 + 1))
-    s"graft_dot(v, array(${w.mkString("D, ")}D))"
-  }
+  /** All 36 hyperplanes as ONE array<array<double>> literal. A per-plane
+    * `array(lit, lit, …)` expression rebuilds a 64-element array per row per
+    * plane (36 × 64 literal nodes — a codegen tree big enough that Janino
+    * compile time dominates the whole query); a single Literal costs nothing
+    * per row and the 36 projections come from one `transform` over it. */
+  private def embPlanesLit(dim: Int) = typedlit(
+    Seq.tabulate(EmbBands * EmbBandRows)(j => Seq.tabulate(dim)(p0 => embPlaneWeight(j, p0 + 1))))
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
     * sub-quadratic candidate path (same banding idea as `minhashLsh`, in
@@ -278,9 +280,12 @@ object Dedup {
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      // One pass computes every plane projection; band keys then read the
+      // precomputed array instead of re-dotting per band.
+      .withColumn("proj", transform(embPlanesLit(dim), p => call_function("graft_dot", col("v"), p)))
     val bandStructs = (0 until EmbBands).map { b =>
       val key = (0 until EmbBandRows)
-        .map(r => when(expr(embPlaneExpr(b * EmbBandRows + r, dim)) > 0, lit(1L << r)).otherwise(lit(0L)))
+        .map(r => when(element_at(col("proj"), b * EmbBandRows + r + 1) > 0, lit(1L << r)).otherwise(lit(0L)))
         .reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
@@ -322,6 +327,11 @@ object Dedup {
       .withColumn("sigkey", concat_ws(",", (0 until MinhashK).map(k => col(s"m$k")): _*))
       .localCheckpoint(true)
     val intra = g.agg((sum(col("gn") * (col("gn") - 1)) / 2).cast("long").as("intra_docs"))
+    // Per-config band joins (NOT one fused join keyed by band_rows): each
+    // config's self-join is tiny after the signature-group collapse, and
+    // fusing them was measured 1.7× slower at sf0.1 — the combined explode
+    // feeds every config's rows through one join and a wider distinct,
+    // destroying the per-config AQE sizing without saving meaningful work.
     val perConfig = bandRowsConfigs.map { r =>
       val b = MinhashK / r
       val bands = (0 until b).map { bi =>

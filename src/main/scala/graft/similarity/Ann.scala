@@ -46,29 +46,31 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
-  /** Deterministic hyperplane weight for plane j (0-based), 1-based dim p:
-    * integer in [-10, 10] — closed form shared with the oracle. The weight
-    * vector is a constant array literal sized to the actual embedding
-    * dimension, so the projection is one graft_dot against it (graft_dot
-    * throws on length mismatch, so dimension drift fails loudly). */
-  private def planeExpr(j: Int, dim: Int): String = {
-    val w = Seq.tabulate(dim)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)
-    s"graft_dot(v, array(${w.mkString("D, ")}D))"
-  }
+  /** Deterministic hyperplane weights for planes 0..7 (integer in [-10, 10],
+    * closed form shared with the oracle) as ONE array<array<double>> literal
+    * sized to the actual embedding dimension. A single Literal node beats 8
+    * per-row `array(lit, …)` constructions — the 8×dim literal tree is pure
+    * Janino compile cost (graft_dot throws on length mismatch, so dimension
+    * drift still fails loudly). */
+  private def planesLit(dim: Int) = typedlit(
+    Seq.tabulate(8)(j => Seq.tabulate(dim)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)))
 
   /** Embedding dimension read from the data (one 1-row job at plan-build
     * time; the table's dim is schema-stable so any row is authoritative). */
   private def embeddingDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
 
-  /** 8-bit LSH bucket signature for every vector. */
+  /** 8-bit LSH bucket signature for every vector (one transform over the
+    * plane-matrix literal computes all projections in a single pass). */
   def withBucket(embeddings: DataFrame): DataFrame = {
     val base = prep(embeddings)
     val dim = embeddingDim(embeddings)
+    val withProj = base.withColumn("proj",
+      transform(planesLit(dim), p => call_function("graft_dot", col("v"), p)))
     val bucket = (0 until 8)
-      .map(j => when(expr(planeExpr(j, dim)) > 0, math.pow(2, j).toLong).otherwise(0L))
+      .map(j => when(element_at(col("proj"), j + 1) > 0, math.pow(2, j).toLong).otherwise(0L))
       .reduce(_ + _)
-    base.withColumn("bucket", bucket)
+    withProj.withColumn("bucket", bucket).drop("proj")
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
@@ -127,12 +129,18 @@ object Ann {
 
   /** Assign every vector to its max-cosine centroid (6-dp rounded, cell-id
     * tie-break); keeps v/nrm so the result can feed a recompute round. */
+  /** Argmax-by-(cos desc, cell asc) per vector as a hash aggregation
+    * (max_by over the unique (cos, -cell) ordering key) — map-side partials
+    * and no per-partition sort, unlike a row_number window. */
   private def assignCells(base: DataFrame, cent: DataFrame): DataFrame =
     base.join(broadcast(cent))
       .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("label"), col("nrm"), col("v"), col("cell"), col("cos")),
+        struct(col("cos"), (-col("cell")).as("ncell"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"), col("best.nrm").as("nrm"),
+        col("best.v").as("v"), col("best.cell").as("cell"), col("best.cos").as("cos"))
 
   /** Trained IVF: deterministic k-means (init = vectors 0..k-1, `iters`
     * Lloyd rounds of assign → mean-recompute) and the final cell × label
@@ -207,12 +215,15 @@ object Ann {
       .agg(round(avg(col("x")), 9).as("c"))
       .groupBy(col("sub_id"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+    // Nearest codeword = lexicographic min of (sq_err, code) — an aggregation
+    // with map-side partials, not a window sort.
     val assigned = sub.join(broadcast(codebook), Seq("sub_id"))
       .withColumn("sq_err",
         round(expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"), 9))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub_id")).orderBy(col("sq_err"), col("code"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("sq_err"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub_id"),
+        col("best.code").as("code"), col("best.sq_err").as("sq_err"))
     // sq_err is 9dp-quantized → exact nano-unit integer sum for the average
     // (order-free; see centroid avg_cos note).
     assigned
@@ -248,13 +259,16 @@ object Ann {
       .groupBy(col("clabel"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
       .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    // Cell assignment is an argmax aggregation (see assignCells), the
+    // residual computed once on the single surviving row per vector.
     val assigned = base.join(broadcast(cvec))
       .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
-      .filter(col("rk") === 1)
-      .withColumn("res", expr("zip_with(v, cv, (a, b) -> a - b)"))
-      .select(col("vec_id"), col("label"), col("clabel").as("cell"), col("res"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("clabel"), col("v"), col("cv")),
+        struct(col("cos"), (-col("clabel")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.clabel").as("cell"),
+        expr("zip_with(best.v, best.cv, (a, b) -> a - b)").as("res"))
       .localCheckpoint(true)
     val sub = assigned.select(col("vec_id"), col("label"), col("cell"),
       explode(expr(s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS sub_id, slice(res, s * $w + 1, $w) AS sv))"))
@@ -267,14 +281,19 @@ object Ann {
       .agg(round(avg(col("x")), 9).as("c"))
       .groupBy(col("sub_id"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cbv"))
+    // res_sq depends only on the subvector (identical across candidate
+    // codes), so max() recovers it; codeword choice is the (sq_err, code)
+    // lexicographic min — both plain aggregations, no window sort.
     val coded = sub.join(broadcast(codebook), Seq("sub_id"))
       .withColumn("res_sq",
         round(expr("aggregate(sv, 0D, (a, b) -> a + b * b)"), 9))
       .withColumn("sq_err",
         round(expr("aggregate(zip_with(sv, cbv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"), 9))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub_id")).orderBy(col("sq_err"), col("code"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("sub_id"), col("cell"))
+      .agg(max(col("res_sq")).as("res_sq"),
+        min(struct(col("sq_err"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub_id"), col("cell"),
+        col("res_sq"), col("best.sq_err").as("sq_err"))
     coded
       .groupBy(col("vec_id"), col("cell"))
       .agg(round(sum(col("res_sq")), 9).as("res_energy"),
@@ -367,11 +386,12 @@ object Ann {
       .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
     val scored = base.join(broadcast(cvec))
       .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+    // Argmax per vector as a hash aggregation (see assignCells).
     scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("clabel"))))
-      .filter(col("rk") === 1)
-      .groupBy(col("label"), col("clabel").as("assigned"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("clabel")),
+        struct(col("cos"), (-col("clabel")).as("nc"))).as("best"))
+      .groupBy(col("best.label").as("label"), col("best.clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
   }
