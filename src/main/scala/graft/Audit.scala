@@ -55,7 +55,11 @@ object Audit {
           // key-range aggregate) and other single-row stat broadcasts:
           "lake_commit_log", "lake_compaction_plan", "lake_compaction_execute",
           "q63_pareto", "lake_rowgroup_prune", "dedup_lsh_tuning",
-          "ev_forecast_backtest", "q61_equiheight_histogram", "text_drift")
+          "ev_forecast_backtest", "q61_equiheight_histogram", "text_drift",
+          // Round-4 additions, all 1-row broadcast stats: benford/skew/bucket
+          // totals, the gini prefix-sum + total, the source-mix byte floor:
+          "q64_benford", "q65_gini", "lake_partition_skew",
+          "lake_bucket_pruning", "mm_source_mix")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

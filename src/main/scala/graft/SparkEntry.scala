@@ -216,6 +216,16 @@ object SparkEntry {
     "lake_rowgroup_prune" -> q((s, d) => Layout.rowGroupPrune(Tables.lineitem(s, d))),
     "q63_pareto" -> q((s, d) => Relational.paretoRevenue(Tables.lineitem(s, d))),
     "knn_ivfpq" -> q((s, d) => Ann.ivfPq(Tables.embeddings(s, d))),
+    "q64_benford" -> q((s, d) => Relational.benfordScreen(Tables.orders(s, d))),
+    "q65_gini" -> q((s, d) => Relational.giniRevenue(Tables.orders(s, d))),
+    "ev_burstiness" -> q((s, d) => Events.burstiness(Tables.events(s, d))),
+    "ev_audience_overlap" -> q((s, d) => Events.audienceOverlap(Tables.events(s, d))),
+    "ev_churn_hazard" -> q((s, d) => Events.churnHazard(Tables.events(s, d))),
+    "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
+    "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
+    "lake_partition_skew" -> q((s, d) => Layout.partitionSkew(Tables.lineitem(s, d))),
+    "knn_filtered" -> q((s, d) => Ann.filteredTopK(Tables.embeddings(s, d))),
+    "mm_source_mix" -> q((s, d) => Multimodal.sourceMix(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2444,5 +2454,140 @@ object SparkEntry {
         | round(quantile_cont(abs(gap_days), 0.95), 6) AS p95_abs_gap
         |FROM g WHERE gap_days IS NOT NULL
         |GROUP BY 1 ORDER BY commit_year""".stripMargin,
+
+    "q64_benford" -> {
+      // Expected percentages injected from the same Scala constants the
+      // DataFrame uses — no engine-side log10 whose last ulp could differ.
+      val vals = (1 to 9)
+        .map(dd => s"($dd, ${math.log10(1.0 + 1.0 / dd) * 100.0})").mkString(", ")
+      s"""WITH b AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        | c AS (SELECT digit, count(*) AS n_orders FROM b GROUP BY 1),
+        | t AS (SELECT sum(n_orders) AS n_total FROM c),
+        | e AS (SELECT CAST(digit AS BIGINT) AS digit, round(expv, 4) AS exp_pct
+        |  FROM (VALUES $vals) AS v(digit, expv)),
+        | o AS (SELECT c.digit AS digit, n_orders,
+        |   round(n_orders * 100.0 / n_total, 4) AS obs_pct, exp_pct
+        |  FROM c CROSS JOIN t JOIN e ON c.digit = e.digit)
+        |SELECT digit, n_orders, obs_pct, exp_pct,
+        | round(obs_pct - exp_pct, 4) AS deviation,
+        | round(pow(obs_pct - exp_pct, 2) / exp_pct, 6) AS chi2_contrib
+        |FROM o ORDER BY digit""".stripMargin
+    },
+
+    "q65_gini" ->
+      """WITH rev AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1),
+        | r AS (SELECT rev_c, CAST(row_number() OVER (ORDER BY rev_c) AS BIGINT) AS rk FROM rev),
+        | t AS (SELECT count(*) AS n, sum(rev_c) AS tot_c FROM rev)
+        |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        | round(sum(rk * rev_c) * 2.0 / (max(n) * 1.0 * max(tot_c)) - (max(n) + 1.0) / max(n), 6) AS gini,
+        | round(sum(CASE WHEN rk > n - n // 100 THEN rev_c ELSE 0 END) * 100.0 / max(tot_c), 4) AS top1_share_pct,
+        | round(sum(CASE WHEN rk > n - n // 10 THEN rev_c ELSE 0 END) * 100.0 / max(tot_c), 4) AS top10_share_pct
+        |FROM r CROSS JOIN t""".stripMargin,
+
+    "ev_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |  (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS gap_s
+        | FROM events),
+        | a AS (SELECT user_id, count(*) AS n_gaps, sum(gap_s) AS sg, sum(gap_s * gap_s) AS sg2
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2 AND sum(gap_s) > 0),
+        | s AS (SELECT user_id, n_gaps, sg * 1.0 / n_gaps AS mean_gap_s,
+        |   sqrt(greatest((sg2 - sg * sg / CAST(n_gaps AS DOUBLE)) / (n_gaps - 1.0), 0.0)) AS std_gap_s
+        |  FROM a)
+        |SELECT user_id, n_gaps, round(mean_gap_s, 4) AS mean_gap_s, round(std_gap_s, 4) AS std_gap_s,
+        | round((std_gap_s - mean_gap_s) / (std_gap_s + mean_gap_s), 6) AS burstiness
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "ev_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        | sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        | i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        | round(n_both * 1.0 / (sa.n + sb.n - n_both), 6) AS jaccard
+        |FROM i JOIN sz sa ON i.type_a = sa.event_type JOIN sz sb ON i.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "ev_churn_hazard" ->
+      """WITH t AS (SELECT user_id,
+        |   date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) // 7 AS tenure_wk
+        |  FROM events GROUP BY 1),
+        | h AS (SELECT tenure_wk, count(*) AS n_churned FROM t GROUP BY 1),
+        | c AS (SELECT tenure_wk, n_churned, sum(n_churned) OVER (ORDER BY tenure_wk DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk FROM h)
+        |SELECT CAST(tenure_wk AS BIGINT) AS tenure_wk, n_churned,
+        | CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        | round(n_churned * 1.0 / n_at_risk, 6) AS hazard
+        |FROM c ORDER BY tenure_wk""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH r AS (SELECT doc_id,
+        |  CAST(len($tokSql) AS BIGINT) AS n_words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4) AS flesch_ease,
+        | round(0.39 * n_words / n_sentences + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
+        |FROM r WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "lake_bucket_pruning" ->
+      """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT count(*) AS total_rows FROM lineitem),
+        | p AS (SELECT l_partkey AS probe_key, count(*) AS match_rows,
+        |   CAST(count(DISTINCT l_orderkey % 16) AS BIGINT) AS unbucketed_files_w_key
+        |  FROM lineitem WHERE l_partkey <= 10 GROUP BY 1)
+        |SELECT probe_key, probe_key % 16 AS bucket_id, match_rows,
+        | CAST(1 AS BIGINT) AS bucketed_files_scanned,
+        | bucket_rows AS bucketed_rows_scanned,
+        | CAST(16 AS BIGINT) AS unbucketed_files_scanned,
+        | total_rows AS unbucketed_rows_scanned,
+        | unbucketed_files_w_key,
+        | round(bucket_rows * 1.0 / match_rows, 4) AS bucketed_amplification,
+        | round(total_rows * 1.0 / match_rows, 4) AS unbucketed_amplification
+        |FROM p JOIN bs ON p.probe_key % 16 = bs.bucket_id CROSS JOIN t
+        |ORDER BY probe_key""".stripMargin,
+
+    "lake_partition_skew" ->
+      """WITH p AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+        |   count(*) * 100 AS part_bytes FROM lineitem GROUP BY 1),
+        | s AS (SELECT sum(part_bytes) AS tot_bytes, count(*) AS n_parts,
+        |   max(part_bytes) AS max_bytes FROM p)
+        |SELECT part_month, CAST(part_bytes AS BIGINT) AS part_bytes,
+        | round(part_bytes * 100.0 / tot_bytes, 4) AS pct_of_total,
+        | round(part_bytes * n_parts * 1.0 / tot_bytes, 4) AS ratio_to_avg,
+        | part_bytes * 2 > max_bytes AS near_hottest,
+        | part_bytes * n_parts > tot_bytes * 2 AS is_hot
+        |FROM p CROSS JOIN s ORDER BY part_month""".stripMargin,
+
+    "knn_filtered" ->
+      s"""WITH $embPrepSql,
+        | q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | s AS (SELECT q_id, CAST(label AS BIGINT) AS label, vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n JOIN q USING (label) WHERE vec_id <> q_id),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
+        |SELECT q_id, label, neighbor_id, rk, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "mm_source_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS src_bytes
+        |  FROM documents GROUP BY 1),
+        | m AS (SELECT min(src_bytes) AS min_bytes FROM s),
+        | r AS (SELECT source, least(100, (min_bytes * 100) // src_bytes) AS rate_pct
+        |  FROM s CROSS JOIN m),
+        | k AS (SELECT d.source, d.n_chars, rate_pct,
+        |   ((d.doc_id % 1000003) * 2654435761 % 100 < rate_pct) AS kept
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_bytes,
+        | CAST(max(rate_pct) AS BIGINT) AS rate_pct,
+        | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        | CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_bytes,
+        | round(sum(CASE WHEN kept THEN n_chars ELSE 0 END) * 100.0 / sum(n_chars), 4) AS achieved_pct
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -470,4 +470,77 @@ object Events {
         round(avg(col("active_days")), 6).as("avg_active_days"),
         round(avg(col("lifespan_days")), 6).as("avg_lifespan_days"))
       .orderBy("status")
+
+  /** Goh–Barabási burstiness per user: B = (σ−μ)/(σ+μ) over inter-event
+    * gaps — B→−1 for clockwork traffic, →+1 for bursty traffic; the signal
+    * that separates bots from humans. Gaps are exact integer seconds from a
+    * *partitioned* lag; mean and σ are then derived from the integer sums
+    * (Σg, Σg²) with the textbook sample-variance identity, so both engines
+    * evaluate the identical double expression over identical integers —
+    * no dependence on Welford-vs-naive variance accumulation order. One
+    * user-key shuffle; per-user state is two longs. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_s", expr("(unix_millis(ts) - prev_ms) div 1000"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"), sum(col("gap_s") * col("gap_s")).as("sg2"))
+      .filter(col("n_gaps") >= 2L && col("sg") > 0L)
+      .withColumn("mean_gap_s", col("sg") * 1.0 / col("n_gaps"))
+      .withColumn("std_gap_s", sqrt(greatest(
+        (col("sg2") - col("sg") * col("sg") / col("n_gaps").cast("double")) / (col("n_gaps") - 1.0),
+        lit(0.0))))
+      .withColumn("burstiness",
+        round((col("std_gap_s") - col("mean_gap_s")) / (col("std_gap_s") + col("mean_gap_s")), 6))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mean_gap_s"), 4).as("mean_gap_s"),
+        round(col("std_gap_s"), 4).as("std_gap_s"), col("burstiness"))
+      .orderBy("user_id")
+  }
+
+  /** Audience overlap: pairwise Jaccard between event-type user sets. The
+    * inverted-index shape — distinct (user, type) pairs self-joined on
+    * user — costs Σ_user |types|², bounded by the (tiny, enumerable) type
+    * alphabet, never by user count; set sizes broadcast onto the pair
+    * counts. The standard "do clickers also purchase" audience matrix. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a")), "type_a")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b")), "type_b")
+      .withColumn("jaccard", round(col("n_both") * 1.0 / (col("n_a") + col("n_b") - col("n_both")), 6))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Discrete churn hazard by tenure week: of the users who survived to
+    * week w, what fraction went silent that week (their last event falls in
+    * it). Per-user tenure is one user-key aggregation; the at-risk counts
+    * are a descending cumulative over the tenure-week *histogram*, whose
+    * cardinality is bounded by the calendar span of the table (weeks, not
+    * users), so the unpartitioned window runs over a provably tiny input. */
+  def churnHazard(events: DataFrame): DataFrame = {
+    val tenure = events.groupBy(col("user_id"))
+      .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).cast("long") / 7L)
+        .cast("long").as("tenure_wk"))
+    val hist = tenure.groupBy(col("tenure_wk")).agg(count(lit(1)).as("n_churned"))
+    // at-risk(w) = Σ_{v >= w} churned(v): cumulative over the weeks histogram
+    // (bounded by table calendar span — ~hundreds of rows at any data scale).
+    val wDesc = Window.orderBy(col("tenure_wk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum(col("n_churned")).over(wDesc))
+      .withColumn("hazard", round(col("n_churned") * 1.0 / col("n_at_risk"), 6))
+      .select("tenure_wk", "n_churned", "n_at_risk", "hazard")
+      .orderBy("tenure_wk")
+  }
 }

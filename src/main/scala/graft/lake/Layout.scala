@@ -241,6 +241,62 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Bucket-transform layout planning: Iceberg's `bucket(N, key)` partition
+    * transform routes each key to exactly one of N buckets, so a point
+    * lookup opens 1/N of the table; an arrival-ordered layout scatters the
+    * key everywhere and (since file stats carry no partkey locality) forces
+    * a full-file-set scan. Per probe key: matching rows, rows/files the scan
+    * touches under each layout, and the read-amplification ratio — the
+    * numbers that justify bucketing a 100 TB fact on its lookup key. The
+    * bucket function is a plain modulus (engine-portable stand-in for the
+    * transform's Murmur3) and every stage is a key-grouped aggregate over
+    * the single fact scan; probe keys and per-bucket sizes broadcast. */
+  def bucketPruning(lineitem: DataFrame, nBuckets: Int = 16, nProbes: Int = 10): DataFrame = {
+    val bucketSizes = lineitem
+      .groupBy((col("l_partkey") % nBuckets).as("bucket_id"))
+      .agg(count(lit(1)).as("bucket_rows"))
+    val tot = lineitem.agg(count(lit(1)).as("total_rows"))
+    lineitem
+      .filter(col("l_partkey") <= nProbes)
+      .groupBy(col("l_partkey").as("probe_key"))
+      .agg(count(lit(1)).as("match_rows"),
+        countDistinct(col("l_orderkey") % nBuckets).as("unbucketed_files_w_key"))
+      .withColumn("bucket_id", col("probe_key") % nBuckets)
+      .join(broadcast(bucketSizes), "bucket_id")
+      .crossJoin(broadcast(tot))
+      .select(col("probe_key"), col("bucket_id"), col("match_rows"),
+        lit(1L).as("bucketed_files_scanned"),
+        col("bucket_rows").as("bucketed_rows_scanned"),
+        lit(nBuckets.toLong).as("unbucketed_files_scanned"),
+        col("total_rows").as("unbucketed_rows_scanned"),
+        col("unbucketed_files_w_key"),
+        round(col("bucket_rows") * 1.0 / col("match_rows"), 4).as("bucketed_amplification"),
+        round(col("total_rows") * 1.0 / col("match_rows"), 4).as("unbucketed_amplification"))
+      .orderBy("probe_key")
+  }
+
+  /** Partition-size skew report: per month partition, its share of table
+    * bytes and ratio to the mean — the planner-facing answer to "is this
+    * partitioning key safe to shuffle on, and which partitions need
+    * salting/splitting". Hot partitions (>2× mean) are flagged the way AQE's
+    * skew-join detector flags shuffle blocks. One fact scan → month-key
+    * aggregate (bounded by calendar span); the stats row broadcasts. */
+  def partitionSkew(lineitem: DataFrame): DataFrame = {
+    val parts = lineitem
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part_month"))
+      .agg((count(lit(1)) * 100L).as("part_bytes"))
+    val stats = parts.agg(sum(col("part_bytes")).as("tot_bytes"),
+      count(lit(1)).as("n_parts"), max(col("part_bytes")).as("max_bytes"))
+    // Flags compare exact integers (bytes·n vs 2·total) — no double boundary.
+    parts.crossJoin(broadcast(stats))
+      .select(col("part_month"), col("part_bytes"),
+        round(col("part_bytes") * 100.0 / col("tot_bytes"), 4).as("pct_of_total"),
+        round(col("part_bytes") * col("n_parts") * 1.0 / col("tot_bytes"), 4).as("ratio_to_avg"),
+        (col("part_bytes") * 2L > col("max_bytes")).as("near_hottest"),
+        (col("part_bytes") * col("n_parts") > col("tot_bytes") * 2L).as("is_hot"))
+      .orderBy("part_month")
+  }
+
   /** The real sorted writer: range-repartition by the clustering key then
     * sort within partitions → each output parquet file holds a tight,
     * non-overlapping key range (used by LayoutSpec against a tmp dir). */

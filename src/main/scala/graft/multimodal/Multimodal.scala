@@ -104,6 +104,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Source-mix rebalancing: the training-data curation step that levels a
+    * skewed corpus — every source is deterministically downsampled to (at
+    * most) the byte budget of the smallest source, so no single crawl
+    * dominates the mixture. Rates are exact integer percentages from the
+    * per-source byte totals (broadcast back onto the fact); the keep
+    * decision is the engine-portable multiplicative hash over doc_id (the
+    * q47 sampling idiom) compared to the source's rate — reproducible
+    * across runs and engines, no RNG state. Reports per source: planned
+    * rate, achieved docs/bytes, realized share. Two aggregates and one
+    * broadcast join — no shuffle of the payload itself. */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val bySource = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("src_bytes"))
+    val minB = bySource.agg(min(col("src_bytes")).as("min_bytes"))
+    val rates = bySource.crossJoin(broadcast(minB))
+      .withColumn("rate_pct", least(lit(100L), expr("(min_bytes * 100) div src_bytes")))
+    documents
+      .join(broadcast(rates.select(col("source"), col("rate_pct"))), "source")
+      .withColumn("kept", (col("doc_id") % 1000003L) * 2654435761L % 100L < col("rate_pct"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("src_bytes"),
+        max(col("rate_pct")).as("rate_pct"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_bytes"))
+      .withColumn("achieved_pct", round(col("kept_bytes") * 100.0 / col("src_bytes"), 4))
+      .orderBy("source")
+  }
+
   /** Oracle-checkable column-level equivalent of the typed pipeline: same
     * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
     * equal byte values; the oracle mirrors with ascii()/octet_length). */

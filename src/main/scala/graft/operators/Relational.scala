@@ -991,4 +991,61 @@ object Relational {
       .agg(max(col("active")).as("peak_active"), round(avg(col("active")), 4).as("avg_active"))
       .orderBy("month")
   }
+
+  /** q64: Benford first-digit screen — the leading-digit distribution of
+    * order totals against Benford's law, a standard data-quality / fraud
+    * filter over financial facts. The first digit comes from the *decimal
+    * string of the exact integer cents* (no `log10` on doubles, whose
+    * last-ulp platform differences could flip a digit at powers of ten);
+    * expected percentages are Scala-side constants injected into both
+    * engines, so the only data-dependent math is exact integer counting.
+    * One map-side-combinable groupBy over a 9-row domain plus a broadcast
+    * total — nothing here changes shape at 100 TB. */
+  def benfordScreen(orders: DataFrame): DataFrame = {
+    val expected = (1 to 9).map(dd => dd.toLong -> math.log10(1.0 + 1.0 / dd) * 100.0).toMap
+    val expCol = (1 to 9).foldLeft(lit(0.0)) { (acc, dd) =>
+      when(col("digit") === dd.toLong, lit(expected(dd.toLong))).otherwise(acc)
+    }
+    val counts = orders
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = counts.agg(sum(col("n_orders")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("obs_pct", round(col("n_orders") * 100.0 / col("n_total"), 4))
+      .withColumn("exp_pct", round(expCol, 4))
+      .withColumn("deviation", round(col("obs_pct") - col("exp_pct"), 4))
+      .withColumn("chi2_contrib",
+        round(pow(col("obs_pct") - col("exp_pct"), 2) / col("exp_pct"), 6))
+      .select("digit", "n_orders", "obs_pct", "exp_pct", "deviation", "chi2_contrib")
+      .orderBy("digit")
+  }
+
+  /** q65: Gini concentration of customer revenue — the inequality summary a
+    * marketplace runs to know how top-heavy its demand is. Ascending revenue
+    * ranks come from the two-phase distributed prefix sum (count-of-ones
+    * ordered by exact integer cents — no single-partition `Window.orderBy`;
+    * `plans.PrefixSum` spreads the sort over 32 key-range buckets, the same
+    * plan that ranks 100M customers on a real cluster). The Gini sum
+    * `Σ rank·rev` and the top-1%/top-10% cutoffs are tie-invariant: rows
+    * with equal revenue contribute `rev·Σrank` whatever their relative
+    * order, so the arbitrary tie order inside both engines cannot move any
+    * output. Integer headroom: `Σ rank·rev_c` ≈ n²·avg_cents/2, safe in a
+    * signed 64-bit well past 1B customers × $10k lifetime revenue. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.plans.PrefixSum.prefixSum(rev, "rev_c", "one", "rk")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot_c"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n_customers"),
+        round(sum(col("rk") * col("rev_c")) * 2.0 / (max(col("n")) * 1.0 * max(col("tot_c")))
+          - (max(col("n")) + 1.0) / max(col("n")), 6).as("gini"),
+        round(sum(when(col("rk") > col("n") - floor(col("n") / 100), col("rev_c")).otherwise(0L))
+          * 100.0 / max(col("tot_c")), 4).as("top1_share_pct"),
+        round(sum(when(col("rk") > col("n") - floor(col("n") / 10), col("rev_c")).otherwise(0L))
+          * 100.0 / max(col("tot_c")), 4).as("top10_share_pct"))
+  }
 }

@@ -46,6 +46,29 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
+  /** Filtered (hybrid) search: a metadata predicate composed with vector
+    * top-k — "nearest neighbors among vectors with the same label", the
+    * filtered-ANN surface every vector store exposes. The filter lands
+    * *before* candidate scoring as a hash-join on the label key, so the
+    * pruning is planned by Catalyst like any relational predicate (at scale
+    * the label would be the partition key and the join collapses into
+    * partition pruning); scoring and ranking reuse the brute-force shape
+    * over the reduced candidate set. */
+  def filteredTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = prep(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"), col("nrm").as("qn"))
+    base.join(broadcast(queries), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("label").cast("long").as("label"),
+        col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Deterministic hyperplane weights for planes 0..7 (integer in [-10, 10],
     * closed form shared with the oracle) as ONE array<array<double>> literal
     * sized to the actual embedding dimension. A single Literal node beats 8

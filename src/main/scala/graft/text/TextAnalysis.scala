@@ -487,4 +487,28 @@ object TextAnalysis {
         (round(expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6) + lit(0.0)).as("heaps_beta"),
         round(exp(expr("regr_intercept(ln(cum_vocab), ln(cum_tokens))")), 6).as("heaps_k"))
   }
+
+  /** Flesch-style readability per document: words from the shared
+    * whitespace tokenizer, sentences and syllables from simple regex counts
+    * (terminal-punctuation runs; vowel-group runs as the classic syllable
+    * proxy — no dictionary). The score is a pure double expression over
+    * three exact integer counts, so both engines agree bit-for-bit. Row-
+    * local narrow map, no shuffle at all — the cheapest possible corpus
+    * quality column at any scale. */
+  def readability(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_words", size(toks).cast("long"))
+      .filter(col("n_words") > 0L)
+      .withColumn("n_sentences",
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"), lit(1L)))
+      .withColumn("n_syllables",
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("flesch_ease", round(
+        lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / col("n_words"), 4))
+      .withColumn("fk_grade", round(
+        lit(0.39) * col("n_words") / col("n_sentences")
+          + lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59), 4))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_ease", "fk_grade")
+      .orderBy("doc_id")
 }

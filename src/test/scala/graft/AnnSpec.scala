@@ -132,4 +132,23 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_codes_used") <= 256.0)
     }
   }
+
+  test("filtered search stays within the label predicate and under brute-force scores") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val filtered = Ann.filteredTopK(emb).collect()
+    assert(filtered.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    filtered.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neighbor_id")) == r.getAs[Long]("label"),
+        "filtered neighbor must satisfy the metadata predicate")
+      assert(labelOf(r.getAs[Long]("q_id")) == r.getAs[Long]("label"))
+    }
+    // The filtered rank-1 cosine can never beat the unfiltered rank-1 cosine.
+    val brute1 = Ann.bruteForceTopK(emb).collect()
+      .filter(_.getAs[Long]("rk") == 1L).map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    filtered.filter(_.getAs[Long]("rk") == 1L).foreach { r =>
+      assert(r.getAs[Double]("cos") <= brute1(r.getAs[Long]("q_id")) + 1e-9)
+    }
+  }
 }

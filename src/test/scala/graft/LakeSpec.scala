@@ -298,4 +298,29 @@ class LakeSpec extends SparkSpec {
       assert(r.getAs[Long]("shared_files") <= r.getAs[Long]("files_a"))
     }
   }
+
+  test("bucket pruning: bucketed scan dominates unbucketed on every probe") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = Layout.bucketPruning(li).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("match_rows") <= r.getAs[Long]("bucketed_rows_scanned"),
+        "the probe key's rows all live in its bucket")
+      assert(r.getAs[Long]("bucketed_rows_scanned") <= r.getAs[Long]("unbucketed_rows_scanned"))
+      assert(r.getAs[Long]("probe_key") % 16 == r.getAs[Long]("bucket_id"))
+      assert(r.getAs[Double]("bucketed_amplification") <= r.getAs[Double]("unbucketed_amplification"))
+    }
+  }
+
+  test("partition skew: shares sum to 100% and flags agree with exact ratios") {
+    val rows = Layout.partitionSkew(Tables.lineitem(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("pct_of_total")).sum - 100.0) < 0.01)
+    val n = rows.length.toLong
+    val tot = rows.map(_.getAs[Long]("part_bytes")).sum
+    rows.foreach { r =>
+      val hot = r.getAs[Boolean]("is_hot")
+      assert(hot == (r.getAs[Long]("part_bytes") * n > tot * 2L))
+    }
+  }
 }

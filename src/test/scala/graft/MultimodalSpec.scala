@@ -34,4 +34,23 @@ class MultimodalSpec extends SparkSpec {
       assert(g.forall(_.getAs[Long]("group_size") == g.length))
     }
   }
+
+  test("source mix: rates floor at the smallest source's bytes, kept within population") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Multimodal.sourceMix(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val minBytes = rows.map(_.getAs[Long]("src_bytes")).min
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_pct")
+      assert(rate >= 1 && rate <= 100)
+      assert(rate == math.min(100L, minBytes * 100L / r.getAs[Long]("src_bytes")),
+        "rate must be the exact integer byte-budget ratio")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_bytes") <= r.getAs[Long]("src_bytes"))
+    }
+    // The smallest source keeps everything (rate 100).
+    val smallest = rows.minBy(_.getAs[Long]("src_bytes"))
+    assert(smallest.getAs[Long]("rate_pct") == 100L)
+    assert(smallest.getAs[Long]("kept_docs") == smallest.getAs[Long]("n_docs"))
+  }
 }

@@ -45,4 +45,57 @@ class PipelineReportsSpec extends SparkSpec {
     assert(conf.map(_.getAs[Long]("n")).sum == docs.count(),
       "confusion matrix must account for every document")
   }
+
+  test("burstiness is bounded in (-1, 1) and consistent with its moments") {
+    val rows = graft.events.Events.burstiness(Tables.events(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b <= 1.0, s"burstiness $b out of range")
+      val mu = r.getAs[Double]("mean_gap_s")
+      val sd = r.getAs[Double]("std_gap_s")
+      assert(mu > 0.0 && sd >= 0.0)
+      // sign(B) == sign(σ − μ) up to the 4dp rounding of the reported moments
+      if (sd - mu > 1e-3) assert(b > 0) else if (mu - sd > 1e-3) assert(b < 0)
+    }
+  }
+
+  test("audience overlap: intersections bounded by set sizes, jaccard proper") {
+    val rows = graft.events.Events.audienceOverlap(Tables.events(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"), "pairs must be oriented")
+    }
+  }
+
+  test("churn hazard: at-risk telescopes to the user count, hazard in (0,1]") {
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.churnHazard(ev).collect()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_churned")).sum == nUsers,
+      "every user churns in exactly one tenure week")
+    assert(rows.head.getAs[Long]("n_at_risk") == nUsers ||
+      rows.minBy(_.getAs[Long]("tenure_wk")).getAs[Long]("n_at_risk") == nUsers,
+      "week-0 at-risk population is everyone")
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hazard")
+      assert(h > 0.0 && h <= 1.0)
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_at_risk"))
+    }
+  }
+
+  test("readability counts are positive and scores consistent with the formula") {
+    val rows = graft.text.TextAnalysis.readability(Tables.documents(spark, sf0001)).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val (w, s, sy) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      assert(w > 0 && s >= 1 && sy >= 0)
+      val expected = 206.835 - 1.015 * w / s - 84.6 * sy / w
+      assert(math.abs(r.getAs[Double]("flesch_ease") - expected) < 0.001)
+    }
+  }
 }

@@ -400,4 +400,30 @@ class RelationalSpec extends SparkSpec {
       assert(peak >= 0 && peak <= n)
     }
   }
+
+  test("benford digits partition all orders and percentages close") {
+    val orders = Tables.orders(spark, sf0001)
+    val rows = Relational.benfordScreen(orders).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    val obsSum = rows.map(_.getAs[Double]("obs_pct")).sum
+    assert(math.abs(obsSum - 100.0) < 0.01, s"obs_pct sums to $obsSum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_contrib") >= 0.0)
+      assert(math.abs(r.getAs[Double]("deviation")) <= 100.0)
+    }
+  }
+
+  test("gini is a proper concentration index and top shares nest") {
+    val r = Relational.giniRevenue(Tables.orders(spark, sf0001)).collect()(0)
+    val gini = r.getAs[Double]("gini")
+    val top1 = r.getAs[Double]("top1_share_pct")
+    val top10 = r.getAs[Double]("top10_share_pct")
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini out of range")
+    assert(top10 >= top1, "top-10% share must contain the top-1% share")
+    // The top decile is floor(n/10) customers, each at or above the mean,
+    // so its share is at least (floor(n/10)/n)·100 ≈ 10% (exact at n%10==0).
+    assert(top10 >= 10.0 - 100.0 / 15.0, "top decile below its proportional floor")
+    assert(top1 >= 0.0 && top10 <= 100.0)
+  }
 }
