@@ -59,7 +59,10 @@ object Audit {
           // Round-4 additions, all 1-row broadcast stats: benford/skew/bucket
           // totals, the gini prefix-sum + total, the source-mix byte floor:
           "q64_benford", "q65_gini", "lake_partition_skew",
-          "lake_bucket_pruning", "mm_source_mix")
+          "lake_bucket_pruning", "mm_source_mix",
+          // Decile lift = prefix-sum + 1-row total; probe sweep broadcasts
+          // the 10-centroid table and the 3-row nprobe spine:
+          "q66_decile_lift", "knn_probe_sweep")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

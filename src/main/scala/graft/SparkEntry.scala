@@ -226,6 +226,11 @@ object SparkEntry {
     "lake_partition_skew" -> q((s, d) => Layout.partitionSkew(Tables.lineitem(s, d))),
     "knn_filtered" -> q((s, d) => Ann.filteredTopK(Tables.embeddings(s, d))),
     "mm_source_mix" -> q((s, d) => Multimodal.sourceMix(Tables.documents(s, d))),
+    "q66_decile_lift" -> q((s, d) => Relational.decileLift(Tables.orders(s, d))),
+    "ev_markov_steady" -> q((s, d) => Events.markovSteady(Tables.events(s, d))),
+    "dedup_semantic" -> q((s, d) => Components.semanticClusters(Tables.embeddings(s, d))),
+    "knn_probe_sweep" -> q((s, d) => Ann.probeSweep(Tables.embeddings(s, d))),
+    "mm_frame_dedup" -> q((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -234,6 +239,31 @@ object SparkEntry {
     """b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       | n AS (SELECT vec_id, label, v,
       |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, c) -> a + c)) AS nrm FROM b)""".stripMargin
+  /** LSH-banded embedding near-dup candidate CTEs ending in
+    * p(vec_a, vec_b, cos) — shared by the dedup_embedding and
+    * dedup_semantic oracles. Plane weights are inlined literals from the
+    * same Scala function the Spark side uses (embeddings are dim-64 at
+    * every SF). */
+  private val embBandPairCtes: String = {
+    def pdot(j: Int) = {
+      val ws = (1 to 64).map(p1 => s"${Dedup.embPlaneWeight(j, p1)}").mkString(", ")
+      s"list_reduce(list_transform(list_zip(v, [$ws]), z -> z[1] * z[2]), (a, c) -> a + c)"
+    }
+    val bandSelects = (0 until Dedup.EmbBands).map { b =>
+      val key = (0 until Dedup.EmbBandRows)
+        .map(r => s"(CASE WHEN ${pdot(b * Dedup.EmbBandRows + r)} > 0 THEN ${1L << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM n"
+    }.mkString("\n  UNION ALL ")
+    s""" bands AS ($bandSelects),
+       | cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       | p AS (SELECT vec_a, vec_b,
+       |   round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+       |         / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)""".stripMargin
+  }
+
   private val minhashSigSql: String =
     (0 until Dedup.MinhashK)
       .map(k => s"min((tid * ${Dedup.hashA(k)} + ${Dedup.hashB(k)}) % ${Dedup.MinhashP}) AS m$k")
@@ -810,29 +840,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bitsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "dedup_embedding" -> {
-      // Plane weights inlined as literals from the same Scala function the
-      // Spark side uses (embeddings are dim-64 at every SF).
-      def pdot(j: Int) = {
-        val ws = (1 to 64).map(p1 => s"${Dedup.embPlaneWeight(j, p1)}").mkString(", ")
-        s"list_reduce(list_transform(list_zip(v, [$ws]), z -> z[1] * z[2]), (a, c) -> a + c)"
-      }
-      val bandSelects = (0 until Dedup.EmbBands).map { b =>
-        val key = (0 until Dedup.EmbBandRows)
-          .map(r => s"(CASE WHEN ${pdot(b * Dedup.EmbBandRows + r)} > 0 THEN ${1L << r} ELSE 0 END)")
-          .mkString(" + ")
-        s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM n"
-      }.mkString("\n  UNION ALL ")
+    "dedup_embedding" ->
       s"""WITH $embPrepSql,
-        | bands AS ($bandSelects),
-        | cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-        | p AS (SELECT vec_a, vec_b,
-        |   round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
-        |         / (a.nrm * b.nrm), 6) AS cos
-        |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
-    },
+        |$embBandPairCtes
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $embPrepSql,
+        |$embBandPairCtes,
+        | hits AS (SELECT vec_a, vec_b FROM p WHERE cos >= 0.45),
+        | edges AS (SELECT vec_a AS src, vec_b AS dst FROM hits
+        |           UNION ALL SELECT vec_b, vec_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS is_rep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "knn_brute" ->
       s"""WITH $embPrepSql,
@@ -2589,5 +2613,111 @@ object SparkEntry {
         | CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_bytes,
         | round(sum(CASE WHEN kept THEN n_chars ELSE 0 END) * 100.0 / sum(n_chars), 4) AS achieved_pct
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q66_decile_lift" ->
+      """WITH rev AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1),
+        | r AS (SELECT rev_c, CAST(row_number() OVER (ORDER BY -rev_c) AS BIGINT) AS rk FROM rev),
+        | t AS (SELECT count(*) AS n, sum(rev_c) AS tot_c FROM rev),
+        | d AS (SELECT ((rk - 1) * 10) // n + 1 AS decile, count(*) AS n_customers,
+        |   sum(rev_c) AS decile_rev_c, max(tot_c) AS tot_c, max(n) AS n_total
+        |  FROM r CROSS JOIN t GROUP BY 1),
+        | c AS (SELECT *, sum(decile_rev_c) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_c FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        | round(decile_rev_c * 100.0 / tot_c, 4) AS share_pct,
+        | round(cum_rev_c * 100.0 / tot_c, 4) AS cum_share_pct,
+        | round(decile_rev_c * n_total * 1.0 / (tot_c * n_customers), 4) AS lift
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "ev_markov_steady" -> {
+      // Generated from the same alphabet/constants as Events.markovSteady —
+      // fixed-order weighted sums so both engines run identical double ops.
+      val types = Events.EventTypes
+      val inList = types.map(t => s"'$t'").mkString(", ")
+      val cellSums = (for { i <- types; j <- types } yield
+        s"CAST(sum(CASE WHEN event_type = '$i' AND nxt = '$j' THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}_$j")
+        .mkString(", ")
+      val rowSums = types
+        .map(i => s"CAST(sum(CASE WHEN event_type = '$i' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i")
+        .mkString(", ")
+      val p0 = types.map(t => s"${1.0 / types.size} AS p0_$t").mkString(", ")
+      val iters = (1 to 8).map { k =>
+        val ps = types.map { j =>
+          types.map(i => s"p${k - 1}_$i * n_${i}_$j / n_$i").mkString(" + ") + s" AS p${k}_$j"
+        }.mkString(", ")
+        s"it$k AS (SELECT *, $ps FROM it${k - 1})"
+      }.mkString(",\n ")
+      val finalRows = types.map(t =>
+        s"SELECT '$t' AS event_type, n_$t AS n_out, round(p8_$t * 100, 6) AS steady_pct FROM it8")
+        .mkString("\n UNION ALL ")
+      s"""WITH pr AS (SELECT event_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        | pp AS (SELECT * FROM pr WHERE nxt IS NOT NULL
+        |   AND event_type IN ($inList) AND nxt IN ($inList)),
+        | mtx AS (SELECT $cellSums, $rowSums FROM pp),
+        | it0 AS (SELECT *, $p0 FROM mtx),
+        | $iters
+        |$finalRows
+        |ORDER BY event_type""".stripMargin
+    },
+
+    "knn_probe_sweep" ->
+      s"""WITH $embPrepSql,
+        | ex0 AS (SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM b),
+        | ce AS (SELECT label AS cell, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex0 GROUP BY 1, 2),
+        | cvt AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM ce GROUP BY 1),
+        | cnn AS (SELECT cell, cvec,
+        |   sqrt(list_reduce(list_transform(cvec, x -> x * x), (a, c2) -> a + c2)) AS cn FROM cvt),
+        | asg AS (SELECT vec_id, v, nrm, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk FROM (
+        |   SELECT n.vec_id, n.v, n.nrm, cnn.cell,
+        |     round(list_reduce(list_transform(list_zip(n.v, cnn.cvec), z -> z[1] * z[2]), (x, y) -> x + y)
+        |           / (n.nrm * cnn.cn), 6) AS cos
+        |   FROM n, cnn)),
+        | cells AS (SELECT vec_id, v, nrm, cell FROM asg WHERE rk = 1),
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | qc AS (SELECT q_id, qv, qn, cell,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cell) AS crk FROM (
+        |   SELECT q.q_id, q.qv, q.qn, cnn.cell,
+        |     round(list_reduce(list_transform(list_zip(q.qv, cnn.cvec), z -> z[1] * z[2]), (x, y) -> x + y)
+        |           / (q.qn * cnn.cn), 6) AS qcos
+        |   FROM q, cnn)),
+        | prb AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nprobe),
+        | probes AS (SELECT nprobe, q_id, qv, qn, cell FROM qc CROSS JOIN prb WHERE crk <= nprobe),
+        | ap AS (SELECT nprobe, q_id, vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY nprobe, q_id ORDER BY cos DESC, vec_id) AS rk FROM (
+        |   SELECT p2.nprobe, p2.q_id, c2.vec_id,
+        |     round(list_reduce(list_transform(list_zip(p2.qv, c2.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |           / (p2.qn * c2.nrm), 6) AS cos
+        |   FROM probes p2 JOIN cells c2 USING (cell) WHERE c2.vec_id <> p2.q_id)),
+        | apx AS (SELECT nprobe, q_id, neighbor_id FROM ap WHERE rk <= 5),
+        | sb AS (SELECT q_id, vec_id AS neighbor_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n, q WHERE vec_id <> q_id),
+        | rb AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk FROM sb),
+        | ex AS (SELECT q_id, neighbor_id FROM rb WHERE rk <= 5),
+        | exn AS (SELECT nprobe, q_id, neighbor_id FROM ex CROSS JOIN prb)
+        |SELECT exn.nprobe AS nprobe, count(DISTINCT exn.q_id) AS n_queries, count(*) AS expected,
+        | CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recovered,
+        | round(sum(CASE WHEN apx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS recall_pct
+        |FROM exn LEFT JOIN apx ON exn.nprobe = apx.nprobe AND exn.q_id = apx.q_id
+        |  AND exn.neighbor_id = apx.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id < 100),
+        | f AS (SELECT doc_id, substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
+        |  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d)),
+        | g AS (SELECT frame, count(*) AS n_frames, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |   min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM f GROUP BY 1)
+        |SELECT frame, CAST(length(frame) AS BIGINT) AS frame_len,
+        | CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS checksum,
+        | n_frames, n_docs, first_doc, last_doc
+        |FROM g WHERE n_frames > 1 ORDER BY frame""".stripMargin,
   )
 }

@@ -100,4 +100,19 @@ object Components {
       .select(col("doc_id"), col("comp"))
       .orderBy("doc_id")
   }
+
+  /** Semantic (embedding-space) dedup clusters — SemDeDup's shape: the
+    * near-duplicate graph comes from LSH-banded cosine pairs
+    * (`Dedup.embeddingNearDup`, equi-key candidates, never O(n²)), and the
+    * same min-label propagation collapses it into clusters; the minimum
+    * vec_id is the retained representative. This is the dedup that catches
+    * paraphrases exact/MinHash text matching cannot see. */
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(embeddings, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    connectedComponents(embeddings.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("is_rep"))
+      .orderBy("vec_id")
+  }
 }

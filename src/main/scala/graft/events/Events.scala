@@ -543,4 +543,47 @@ object Events {
       .select("tenure_wk", "n_churned", "n_at_risk", "hazard")
       .orderBy("tenure_wk")
   }
+
+  /** The default event-type alphabet of the synthetic stream (markovSteady
+    * pivots the transition matrix over it; shared with the oracle). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Stationary distribution of the event-type Markov chain — the traffic
+    * mix user journeys converge to, by `iters` unrolled power iterations.
+    * The transition matrix is an enumerable-alphabet aggregate pivoted into
+    * ONE row of exact integer counts; every iteration is then a scalar
+    * `select` whose weighted sums are written in one fixed textual order,
+    * so both engines evaluate the identical double expression — no
+    * parallel-reduction order can touch the result. Cost at any scale: one
+    * fact scan + a 1-row driver of 25 columns; the iterations are free. */
+  def markovSteady(events: DataFrame, types: Seq[String] = EventTypes,
+                   iters: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull &&
+        col("event_type").isin(types: _*) && col("nxt").isin(types: _*))
+    val cellAggs = for { i <- types; j <- types } yield
+      sum(when(col("event_type") === i && col("nxt") === j, 1L).otherwise(0L)).as(s"n_${i}_$j")
+    val rowAggs = types.map(i =>
+      sum(when(col("event_type") === i, 1L).otherwise(0L)).as(s"n_$i"))
+    var m = pairs.agg((cellAggs ++ rowAggs).head, (cellAggs ++ rowAggs).tail: _*)
+      .select(col("*") +: types.map(t => lit(1.0 / types.size).as(s"p_$t")): _*)
+    for (_ <- 1 to iters) {
+      val stepped = m.select(
+        m.columns.filterNot(_.startsWith("p_")).toSeq.map(col) ++
+          types.map { j =>
+            // fixed left-to-right sum over the source types — shared with the oracle
+            expr(types.map(i => s"p_$i * n_${i}_$j / n_$i").mkString(" + ")).as(s"np_$j")
+          }: _*)
+      m = stepped.select(
+        stepped.columns.filterNot(_.startsWith("np_")).toSeq.map(col) ++
+          types.map(j => col(s"np_$j").as(s"p_$j")): _*)
+    }
+    m.select(explode(array(types.map(t =>
+        struct(lit(t).as("event_type"), col(s"n_$t").as("n_out"), col(s"p_$t").as("p"))): _*)).as("s"))
+      .select(col("s.event_type").as("event_type"), col("s.n_out").as("n_out"),
+        round(col("s.p") * 100, 6).as("steady_pct"))
+      .orderBy("event_type")
+  }
 }

@@ -104,6 +104,31 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame-level dedup across payloads: aligned fixed-width frames that
+    * recur (within or across docs) — the video/image analogue of boilerplate
+    * detection, where repeated intro/outro frames shouldn't count as fresh
+    * training signal. Group key is the frame *content* (checksum reported
+    * alongside); only colliding groups are emitted. Generator expansion +
+    * one group-aggregate — the same sub-quadratic shape as text dedup,
+    * keyed by frame bytes instead of shingles. */
+  def frameDedup(documents: DataFrame, frameBytes: Int = 16, maxDocs: Int = 100): DataFrame =
+    documents
+      .filter(col("doc_id") < maxDocs)
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"), explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+      .groupBy(col("frame"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_frames") > 1L)
+      .withColumn("frame_len", length(col("frame")).cast("long"))
+      .withColumn("checksum", expr("graft_bytesum(CAST(frame AS BINARY))"))
+      .select("frame", "frame_len", "checksum", "n_frames", "n_docs", "first_doc", "last_doc")
+      .orderBy("frame")
+
   /** Source-mix rebalancing: the training-data curation step that levels a
     * skewed corpus — every source is deterministically downsampled to (at
     * most) the byte budget of the smallest source, so no single crawl

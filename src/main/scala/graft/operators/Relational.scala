@@ -1048,4 +1048,35 @@ object Relational {
         round(sum(when(col("rk") > col("n") - floor(col("n") / 10), col("rev_c")).otherwise(0L))
           * 100.0 / max(col("tot_c")), 4).as("top10_share_pct"))
   }
+
+  /** q66: decile gains/lift table — customers ranked by revenue, bucketed
+    * into ten equal-count deciles, each decile's revenue share, cumulative
+    * share and lift over the average customer. The campaign-targeting report
+    * every CRM pulls; also the discrete companion of q65's Gini. Descending
+    * ranks come from the same two-phase prefix sum (count-of-ones over
+    * negated cents — no global sort); decile membership is pure integer
+    * arithmetic on the rank, so revenue ties straddling a boundary cannot
+    * move any decile total (tied rows are interchangeable). The cumulative
+    * runs over the ten-row decile table. */
+  def decileLift(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
+      .withColumn("negrev", -col("rev_c"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.plans.PrefixSum.prefixSum(rev, "negrev", "one", "rk")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot_c"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rk - 1) * 10) div n") + 1L)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("decile_rev_c"),
+        max(col("tot_c")).as("tot_c"), max(col("n")).as("n_total"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤ 10 rows
+    dec.withColumn("cum_rev_c", sum(col("decile_rev_c")).over(wCum))
+      .select(col("decile"), col("n_customers"),
+        round(col("decile_rev_c") * 100.0 / col("tot_c"), 4).as("share_pct"),
+        round(col("cum_rev_c") * 100.0 / col("tot_c"), 4).as("cum_share_pct"),
+        round(col("decile_rev_c") * col("n_total") * 1.0 / (col("tot_c") * col("n_customers")), 4).as("lift"))
+      .orderBy("decile")
+  }
 }

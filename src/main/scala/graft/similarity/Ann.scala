@@ -198,6 +198,60 @@ object Ann {
       .orderBy("cell", "label")
   }
 
+  /** IVF probe sweep: recall@k as a function of how many coarse cells each
+    * query probes — the nprobe knob every IVF deployment tunes (probe few
+    * cells → fast but lossy; more cells → recall approaches exact). Cells
+    * are the label-mean centroids (same fragment as `centroidAssign`);
+    * vectors are assigned to their max-cosine cell, queries rank cells the
+    * same way, and for nprobe = 1..`maxProbe` the candidate set is the
+    * union of the query's top-nprobe cells. Ground truth is the exact
+    * brute-force top-k. Candidate generation is an equi-join on the cell
+    * key — the sweep never scores more than (nprobe/k_cells) of the corpus
+    * per query, which is the whole point at 100 TB. */
+  def probeSweep(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 maxProbe: Int = 3): DataFrame = {
+    val base = prep(embeddings)
+    val exploded = base.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = exploded
+      .groupBy(col("label").as("cell"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    val cells = assignCells(base, cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qcells = queries.join(broadcast(cent))
+      .withColumn("qcos", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))).cast("long"))
+      .filter(col("crk") <= maxProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("crk"))
+    val probes = qcells
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("crk"),
+        explode(array((1 to maxProbe).map(p => lit(p.toLong)): _*)).as("nprobe"))
+      .filter(col("crk") <= col("nprobe"))
+    val approx = probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+      .crossJoin(broadcast(
+        embeddings.sparkSession.range(1, maxProbe + 1).select(col("id").as("nprobe"))))
+    exact.join(approx.withColumn("hit", lit(1L)), Seq("nprobe", "q_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("recovered"))
+      .withColumn("recall_pct", round(col("recovered") * 100.0 / col("expected"), 4))
+      .orderBy("nprobe")
+  }
+
   /** Threshold (range) search: every corpus vector with cosine ≥ `minCos`
     * for each query in the bounded query set — the "all matches above τ"
     * complement to top-k. Brute force against the broadcast query side here;

@@ -133,6 +133,19 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("probe sweep: recall grows with nprobe and is a proper percentage") {
+    val rows = Ann.probeSweep(Tables.embeddings(spark, sf0001)).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 3L))
+    val recalls = rows.map(_.getAs[Double]("recall_pct"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "probing more cells can only add candidates")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recovered") <= r.getAs[Long]("expected"))
+      val rec = r.getAs[Double]("recall_pct")
+      assert(rec >= 0.0 && rec <= 100.0)
+    }
+  }
+
   test("filtered search stays within the label predicate and under brute-force scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val filtered = Ann.filteredTopK(emb).collect()

@@ -22,6 +22,19 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.count() == docs.count(), "every doc gets a component (singletons included)")
   }
 
+  test("semantic clusters: total coverage, min-id labels, pairs co-clustered") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val clusters = Components.semanticClusters(emb)
+    assert(clusters.count() == emb.count(), "every vector gets a cluster")
+    assert(clusters.filter(col("comp") > col("vec_id")).count() == 0, "label is the min reachable id")
+    assert(clusters.filter(col("is_rep") =!= (col("vec_id") === col("comp"))).count() == 0)
+    val byComp = clusters.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("comp")).toMap
+    Dedup.embeddingNearDup(emb).collect().foreach { r =>
+      assert(byComp(r.getAs[Long]("vec_a")) == byComp(r.getAs[Long]("vec_b")),
+        "near-dup pair split across clusters")
+    }
+  }
+
   test("manifest tree planning: deeper trees trade index reads for scan work") {
     val rows = Manifest.treePlanning(Tables.lineitem(spark, sf0001), "1997-01", "1997-06")
       .collect().map(r => r.getAs[String]("structure") ->

@@ -35,6 +35,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame dedup emits only colliding groups with consistent doc bounds") {
+    val rows = Multimodal.frameDedup(graft.tables.Tables.documents(spark, sf0001)).collect()
+    assert(rows.nonEmpty, "the boilerplate-heavy corpus must repeat some aligned frames")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_frames") >= 2L)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_frames"))
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      assert(r.getAs[Long]("frame_len") <= 16L)
+    }
+  }
+
   test("source mix: rates floor at the smallest source's bytes, kept within population") {
     val docs = Tables.documents(spark, sf0001)
     val rows = Multimodal.sourceMix(docs).collect()

@@ -88,6 +88,15 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("markov steady state is a probability distribution over the type alphabet") {
+    val rows = graft.events.Events.markovSteady(Tables.events(spark, sf0001)).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == graft.events.Events.EventTypes)
+    val pcts = rows.map(_.getAs[Double]("steady_pct"))
+    assert(pcts.forall(p => p > 0.0 && p < 100.0))
+    assert(math.abs(pcts.sum - 100.0) < 0.001, s"stationary mass sums to ${pcts.sum}")
+    rows.foreach(r => assert(r.getAs[Long]("n_out") > 0L))
+  }
+
   test("readability counts are positive and scores consistent with the formula") {
     val rows = graft.text.TextAnalysis.readability(Tables.documents(spark, sf0001)).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())

@@ -426,4 +426,18 @@ class RelationalSpec extends SparkSpec {
     assert(top10 >= 10.0 - 100.0 / 15.0, "top decile below its proportional floor")
     assert(top1 >= 0.0 && top10 <= 100.0)
   }
+
+  test("decile lift: shares telescope to 100%, lift decreases down the ranking") {
+    val rows = Relational.decileLift(Tables.orders(spark, sf0001)).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val shares = rows.map(_.getAs[Double]("share_pct"))
+    assert(math.abs(shares.sum - 100.0) < 0.01)
+    assert(math.abs(rows.last.getAs[Double]("cum_share_pct") - 100.0) < 0.001)
+    val cums = rows.map(_.getAs[Double]("cum_share_pct"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 }, "cumulative must be monotone")
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "deciles are revenue-ordered so lift cannot increase")
+    assert(lifts.head >= 1.0 && lifts.last <= 1.0)
+  }
 }
