@@ -62,7 +62,10 @@ object Audit {
           "lake_bucket_pruning", "mm_source_mix",
           // Decile lift = prefix-sum + 1-row total; probe sweep broadcasts
           // the 10-centroid table and the 3-row nprobe spine:
-          "q66_decile_lift", "knn_probe_sweep")
+          "q66_decile_lift", "knn_probe_sweep",
+          // Behavior kNN broadcasts its bounded probe set; the sort-key
+          // advisor broadcasts the 1-row global min/max stats:
+          "ev_behavior_knn", "lake_sort_key_choice")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

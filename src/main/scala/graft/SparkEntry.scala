@@ -231,6 +231,10 @@ object SparkEntry {
     "dedup_semantic" -> q((s, d) => Components.semanticClusters(Tables.embeddings(s, d))),
     "knn_probe_sweep" -> q((s, d) => Ann.probeSweep(Tables.embeddings(s, d))),
     "mm_frame_dedup" -> q((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
+    "dedup_incremental" -> q((s, d) => Dedup.incrementalScreen(Tables.documents(s, d))),
+    "lake_sort_key_choice" -> q((s, d) => Layout.sortKeyChoice(Tables.lineitem(s, d))),
+    "ev_behavior_knn" -> q((s, d) => Events.behaviorKnn(Tables.events(s, d))),
+    "ev_seasonal_anomaly" -> q((s, d) => Events.seasonalAnomaly(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2719,5 +2723,84 @@ object SparkEntry {
         | CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS checksum,
         | n_frames, n_docs, first_doc, last_doc
         |FROM g WHERE n_frames > 1 ORDER BY frame""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes,
+        | hits0 AS (SELECT doc_a, doc_b, round(e, 6) AS est FROM mh_pairs WHERE e >= 0.9),
+        | inc AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id, est
+        |  FROM hits0 WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+        | agg AS (SELECT doc_id, count(*) AS nm, max(est) AS be FROM inc GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(nm, 0) AS n_matches,
+        | coalesce(be, 0.0) AS best_est, (nm IS NOT NULL) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "lake_sort_key_choice" ->
+      """WITH g AS (SELECT
+        |   date_diff('day', DATE '1970-01-01', CAST(min(l_shipdate) AS DATE)) AS dmin,
+        |   date_diff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) AS dmax,
+        |   min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |   min(l_orderkey) AS omin, max(l_orderkey) AS omax
+        |  FROM lineitem),
+        | rows0 AS (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |   l_partkey, l_orderkey FROM lineitem),
+        | fl AS (
+        |  SELECT '1_shipdate' AS sort_key,
+        |   least(CAST(floor((d - dmin) * 40.0 / (dmax - dmin + 1)) AS BIGINT), 39) AS file_id, d
+        |  FROM rows0, g
+        |  UNION ALL SELECT '2_orderkey',
+        |   least(CAST(floor((l_orderkey - omin) * 40.0 / (omax - omin + 1)) AS BIGINT), 39), d
+        |  FROM rows0, g
+        |  UNION ALL SELECT '3_partkey',
+        |   least(CAST(floor((l_partkey - pmin) * 40.0 / (pmax - pmin + 1)) AS BIGINT), 39), d
+        |  FROM rows0, g),
+        | f AS (SELECT sort_key, file_id, min(d) AS fmin, max(d) AS fmax FROM fl GROUP BY 1, 2),
+        | k AS (SELECT sort_key,
+        |   (fmax < date_diff('day', DATE '1970-01-01', DATE '1997-01-01')
+        |    OR fmin > date_diff('day', DATE '1970-01-01', DATE '1997-03-31')) AS skipped,
+        |   (fmax - fmin) * 100.0 / (g.dmax - g.dmin) AS span_pct
+        |  FROM f, g)
+        |SELECT sort_key, count(*) AS files_total,
+        | CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        | round(sum(CASE WHEN skipped THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS skip_rate_pct,
+        | round(avg(span_pct), 4) AS avg_span_pct
+        |FROM k GROUP BY sort_key ORDER BY sort_key""".stripMargin,
+
+    "ev_behavior_knn" -> {
+      val types = Events.EventTypes
+      val counts = types
+        .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+        .mkString(", ")
+      def dotStr(a: String, b: String) = types.map(t => s"${a}_$t * ${b}_$t").mkString(" + ")
+      s"""WITH p AS (SELECT user_id, $counts FROM events GROUP BY 1),
+        | q AS (SELECT user_id AS q_user,
+        |   ${types.map(t => s"c_$t AS q_$t").mkString(", ")} FROM p WHERE user_id < 10),
+        | s AS (SELECT q_user, p.user_id AS neighbor_user,
+        |   round((${dotStr("c", "q")}) /
+        |     (sqrt(${dotStr("c", "c")}) * sqrt(${dotStr("q", "q")})), 6) AS cos
+        |  FROM p CROSS JOIN q WHERE p.user_id <> q.q_user),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_user ORDER BY cos DESC, neighbor_user) AS BIGINT) AS rk FROM s)
+        |SELECT q_user, neighbor_user, rk, cos FROM r WHERE rk <= 3
+        |ORDER BY q_user, rk""".stripMargin
+    },
+
+    "ev_seasonal_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS slot, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | hh AS (SELECT *, dayofweek(slot) AS dow, CAST(hour(slot) AS BIGINT) AS hod FROM h),
+        | b AS (SELECT event_type AS et, dow AS bdow, hod AS bhod,
+        |   count(*) AS cnt, sum(n) AS sn, sum(n * n) AS sn2
+        |  FROM hh GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 3 AND count(*) * sum(n * n) > sum(n) * sum(n)),
+        | j AS (SELECT hh.slot, hh.event_type, hh.n,
+        |   sn * 1.0 / cnt AS mean_n,
+        |   (hh.n - sn * 1.0 / cnt) /
+        |     sqrt((sn2 - sn * sn / CAST(cnt AS DOUBLE)) / (cnt - 1.0)) AS z
+        |  FROM hh JOIN b ON hh.event_type = b.et AND hh.dow = b.bdow AND hh.hod = b.bhod)
+        |SELECT strftime(slot, '%Y-%m-%d %H:%M') AS slot, event_type, n,
+        | round(mean_n, 4) AS baseline_mean, round(z, 4) AS z
+        |FROM j WHERE abs(z) > 2.0
+        |ORDER BY slot, event_type""".stripMargin,
   )
 }

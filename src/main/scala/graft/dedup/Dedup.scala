@@ -355,4 +355,30 @@ object Dedup {
     }
     perConfig.reduce(_ unionAll _).orderBy("band_rows")
   }
+
+  /** Incremental-ingest dedup screen: an incoming batch (docs with
+    * `doc_id % batchMod == 0` stand in for the new crawl) checked against
+    * the existing corpus through the same MinHash band buckets — the
+    * steady-state shape of production dedup, where each delivery is screened
+    * against the accumulated index instead of re-clustering the world. Per
+    * new doc: how many corpus near-dups it hit, the best estimated
+    * similarity, and the admit/reject flag. Candidates come only from
+    * band-bucket equality (the batch side of the join is delivery-sized). */
+  def incrementalScreen(documents: DataFrame, batchMod: Long = 5L,
+                        threshold: Double = 0.9): DataFrame = {
+    val inBatch = (c: org.apache.spark.sql.Column) => c % batchMod === 0L
+    val hits = minhashLsh(documents, threshold = threshold)
+      .filter(inBatch(col("doc_a")) =!= inBatch(col("doc_b")))
+      .select(when(inBatch(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        col("est_sim"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nm"), max(col("est_sim")).as("be"))
+    documents.filter(inBatch(col("doc_id"))).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        coalesce(col("be"), lit(0.0)).as("best_est"),
+        col("nm").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
 }

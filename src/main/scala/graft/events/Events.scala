@@ -548,6 +548,66 @@ object Events {
     * pivots the transition matrix over it; shared with the oracle). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Behavioral nearest neighbours: each probe user's top-k most similar
+    * users by cosine over their event-type count vector — lookalike
+    * audiences from behavior alone. The "embedding" is the enumerable-
+    * alphabet count vector (one conditional aggregate per type, exact
+    * integers), so the cosine is a fixed-order expression over integers —
+    * bit-identical across engines. Probes are a bounded set broadcast
+    * against the per-user profile table (the knn_brute shape: candidates
+    * scale linearly, never pairwise). */
+  def behaviorKnn(events: DataFrame, types: Seq[String] = EventTypes,
+                  nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val profiles = events.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    def dotExprOf(a: String, b: String) =
+      expr(types.map(t => s"${a}_$t * ${b}_$t").mkString(" + "))
+    val probes = profiles.filter(col("user_id") < nProbes)
+      .select(col("user_id").as("q_user") +: types.map(t => col(s"c_$t").as(s"q_$t")): _*)
+    profiles.crossJoin(broadcast(probes))
+      .filter(col("user_id") =!= col("q_user"))
+      .withColumn("cos", round(
+        dotExprOf("c", "q") / (sqrt(dotExprOf("c", "c")) * sqrt(dotExprOf("q", "q"))), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_user")).orderBy(col("cos").desc, col("user_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_user"), col("user_id").as("neighbor_user"), col("rk"), col("cos"))
+      .orderBy("q_user", "rk")
+  }
+
+  /** Seasonal anomaly detection: hourly event counts tested against the
+    * (event_type, weekday, hour-of-day) baseline — the residual screen that
+    * catches "Tuesday 3pm clicks doubled" where a global z-score
+    * (`anomalies`) sees nothing unusual. Baselines keep exact integer
+    * Σn/Σn² so mean and σ are the same double expression on both engines
+    * (the burstiness convention); the σ>0 guard is an exact integer
+    * compare. Two aggregates + one broadcast join of the bounded
+    * (type × 7 × 24) baseline table. */
+  def seasonalAnomaly(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val hourly = events.groupBy(
+        date_trunc("hour", col("ts")).as("slot"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("slot")).cast("long"))
+      .withColumn("hod", hour(col("slot")).cast("long"))
+    val baseline = hourly.groupBy(col("event_type").as("et"), col("dow").as("bdow"), col("hod").as("bhod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2"))
+      .filter(col("cnt") >= 3L && col("cnt") * col("sn2") > col("sn") * col("sn"))
+    hourly.join(broadcast(baseline),
+        col("event_type") === col("et") && col("dow") === col("bdow") && col("hod") === col("bhod"))
+      .withColumn("mean_n", col("sn") * 1.0 / col("cnt"))
+      .withColumn("sd_n", sqrt(
+        (col("sn2") - col("sn") * col("sn") / col("cnt").cast("double")) / (col("cnt") - 1.0)))
+      .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
+      .filter(abs(col("z")) > sigmas)
+      .select(date_format(col("slot"), "yyyy-MM-dd HH:mm").as("slot"),
+        col("event_type"), col("n"),
+        round(col("mean_n"), 4).as("baseline_mean"),
+        round(col("z"), 4).as("z"))
+      .orderBy("slot", "event_type")
+  }
+
   /** Stationary distribution of the event-type Markov chain — the traffic
     * mix user journeys converge to, by `iters` unrolled power iterations.
     * The transition matrix is an enumerable-alphabet aggregate pivoted into

@@ -275,6 +275,47 @@ object Layout {
       .orderBy("probe_key")
   }
 
+  /** Sort-key advisor: how well would clustering the table on each
+    * candidate key serve the shipdate-range workload? Each candidate layout
+    * slices its own key's domain into `nFiles` equal-width files, then the
+    * report *measures* the resulting shipdate span/skip per file instead of
+    * assuming — catching hidden correlations (arrival order ≈ time) that
+    * make a non-obvious key serve a time predicate, exactly what a layout
+    * advisor must detect before recommending an expensive rewrite. One fact
+    * scan (3-element generator over the broadcast min/max row); everything
+    * downstream is file-count-sized. */
+  def sortKeyChoice(lineitem: DataFrame, lo: String = "1997-01-01",
+                    hi: String = "1997-03-31", nFiles: Int = 40): DataFrame = {
+    val global = lineitem.agg(
+      min(unix_date(to_date(col("l_shipdate")))).as("dmin"),
+      max(unix_date(to_date(col("l_shipdate")))).as("dmax"),
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"))
+    def fid(v: org.apache.spark.sql.Column, lo0: org.apache.spark.sql.Column,
+            hi0: org.apache.spark.sql.Column) =
+      least(floor((v - lo0) * nFiles / (hi0 - lo0 + 1)), lit(nFiles - 1L)).cast("long")
+    val base = lineitem.join(broadcast(global))
+      .withColumn("d", unix_date(to_date(col("l_shipdate"))))
+      .select(col("d"), explode(array(
+        struct(lit("1_shipdate").as("sort_key"), fid(col("d"), col("dmin"), col("dmax")).as("file_id")),
+        struct(lit("2_orderkey").as("sort_key"), fid(col("l_orderkey"), col("omin"), col("omax")).as("file_id")),
+        struct(lit("3_partkey").as("sort_key"), fid(col("l_partkey"), col("pmin"), col("pmax")).as("file_id"))
+      )).as("a"))
+      .select(col("a.sort_key").as("sort_key"), col("a.file_id").as("file_id"), col("d"))
+    val loD = unix_date(lit(lo).cast("date"))
+    val hiD = unix_date(lit(hi).cast("date"))
+    base.groupBy(col("sort_key"), col("file_id"))
+      .agg(min(col("d")).as("fmin"), max(col("d")).as("fmax"))
+      .join(broadcast(global.select(col("dmin"), col("dmax"))))
+      .withColumn("skipped", col("fmax") < loD || col("fmin") > hiD)
+      .groupBy(col("sort_key"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+        round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"),
+        round(avg((col("fmax") - col("fmin")) * 100.0 / (col("dmax") - col("dmin"))), 4).as("avg_span_pct"))
+      .orderBy("sort_key")
+  }
+
   /** Partition-size skew report: per month partition, its share of table
     * bytes and ratio to the mean — the planner-facing answer to "is this
     * partitioning key safe to shuffle on, and which partitions need

@@ -299,6 +299,19 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("sort-key advisor: clustering on the predicate column wins; spans are proper") {
+    val rows = Layout.sortKeyChoice(Tables.lineitem(spark, sf0001)).collect()
+      .map(r => r.getAs[String]("sort_key") ->
+        (r.getAs[Double]("skip_rate_pct"), r.getAs[Double]("avg_span_pct"))).toMap
+    assert(rows.keySet == Set("1_shipdate", "2_orderkey", "3_partkey"))
+    assert(rows("1_shipdate")._1 >= rows("3_partkey")._1,
+      "date clustering must beat an uncorrelated key for a date predicate")
+    assert(rows("1_shipdate")._2 <= rows("3_partkey")._2, "and produce tighter spans")
+    rows.values.foreach { case (skip, span) =>
+      assert(skip >= 0.0 && skip <= 100.0 && span >= 0.0 && span <= 100.0)
+    }
+  }
+
   test("bucket pruning: bucketed scan dominates unbucketed on every probe") {
     val li = Tables.lineitem(spark, sf0001)
     val rows = Layout.bucketPruning(li).collect()

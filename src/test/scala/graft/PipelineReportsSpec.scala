@@ -97,6 +97,39 @@ class PipelineReportsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_out") > 0L))
   }
 
+  test("behavior knn: k neighbors per probe, cosine bounded and ordered") {
+    val rows = graft.events.Events.behaviorKnn(Tables.events(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getAs[Long]("q_user"))
+    byProbe.foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ranks must follow cosine")
+      cs.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    }
+    rows.foreach(r => assert(r.getAs[Long]("neighbor_user") != r.getAs[Long]("q_user")))
+  }
+
+  test("seasonal anomalies clear the z threshold against their own slot baseline") {
+    val rows = graft.events.Events.seasonalAnomaly(Tables.events(spark, sf0001)).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) > 2.0)
+      assert(r.getAs[Long]("n") >= 0L && r.getAs[Double]("baseline_mean") > 0.0)
+    }
+  }
+
+  test("incremental screen covers the whole batch; dup flags agree with matches") {
+    val rows = graft.dedup.Dedup.incrementalScreen(Tables.documents(spark, sf0001)).collect()
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.length == docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_matches")
+      assert(r.getAs[Boolean]("is_dup") == (n > 0))
+      if (n > 0) assert(r.getAs[Double]("best_est") >= 0.9 - 1e-9)
+      else assert(r.getAs[Double]("best_est") == 0.0)
+    }
+  }
+
   test("readability counts are positive and scores consistent with the formula") {
     val rows = graft.text.TextAnalysis.readability(Tables.documents(spark, sf0001)).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
