@@ -64,8 +64,8 @@ object Audit {
           // the 10-centroid table and the 3-row nprobe spine:
           "q66_decile_lift", "knn_probe_sweep",
           // Behavior kNN broadcasts its bounded probe set; the sort-key
-          // advisor broadcasts the 1-row global min/max stats:
-          "ev_behavior_knn", "lake_sort_key_choice")
+          // advisor and threshold sweep broadcast 1-row stat tables:
+          "ev_behavior_knn", "lake_sort_key_choice", "knn_threshold_sweep")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

@@ -235,6 +235,8 @@ object SparkEntry {
     "lake_sort_key_choice" -> q((s, d) => Layout.sortKeyChoice(Tables.lineitem(s, d))),
     "ev_behavior_knn" -> q((s, d) => Events.behaviorKnn(Tables.events(s, d))),
     "ev_seasonal_anomaly" -> q((s, d) => Events.seasonalAnomaly(Tables.events(s, d))),
+    "q67_reorder_cadence" -> q((s, d) => Relational.reorderCadence(Tables.customer(s, d), Tables.orders(s, d))),
+    "knn_threshold_sweep" -> q((s, d) => Dedup.embeddingThresholdSweep(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2802,5 +2804,36 @@ object SparkEntry {
         | round(mean_n, 4) AS baseline_mean, round(z, 4) AS z
         |FROM j WHERE abs(z) > 2.0
         |ORDER BY slot, event_type""".stripMargin,
+
+    "q67_reorder_cadence" ->
+      """WITH g AS (SELECT o_custkey,
+        |   date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey), CAST(o_orderdate AS DATE)) AS gap_days
+        |  FROM orders),
+        | gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL)
+        |SELECT c_mktsegment,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS repeat_customers,
+        | count(*) AS n_gaps,
+        | CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+        | CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+        | round(avg(gap_days), 4) AS avg_gap_days
+        |FROM gg JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "knn_threshold_sweep" ->
+      s"""WITH $embPrepSql,
+        |$embBandPairCtes,
+        | th AS (SELECT CAST(unnest([0.4, 0.45, 0.5, 0.55]) AS DOUBLE) AS threshold),
+        | f AS (SELECT threshold, vec_a, vec_b FROM p CROSS JOIN th WHERE cos >= threshold),
+        | np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+        | nd AS (SELECT threshold, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs_linked FROM (
+        |   SELECT threshold, vec_a AS vid FROM f UNION ALL SELECT threshold, vec_b FROM f)
+        |  GROUP BY 1),
+        | tot AS (SELECT count(*) AS n_vecs FROM embeddings)
+        |SELECT threshold, coalesce(n_pairs, 0) AS n_pairs,
+        | coalesce(n_docs_linked, 0) AS n_docs_linked,
+        | round(coalesce(n_docs_linked, 0) * 100.0 / n_vecs, 4) AS pct_linked
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold) CROSS JOIN tot
+        |ORDER BY threshold""".stripMargin,
   )
 }

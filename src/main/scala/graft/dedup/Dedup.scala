@@ -356,6 +356,37 @@ object Dedup {
     perConfig.reduce(_ unionAll _).orderBy("band_rows")
   }
 
+  /** Semantic-dedup threshold sweep: how aggressively would each cosine
+    * cutoff link the corpus? Per candidate threshold over the SAME
+    * LSH-banded pair set (one candidate generation, sweep as a 4-element
+    * generator): qualifying pairs, distinct vectors touched, and the
+    * fraction of the corpus that would be mutated — the number a curation
+    * team stares at before committing to a dedup threshold at 100 TB. */
+  def embeddingThresholdSweep(embeddings: DataFrame,
+                              thresholds: Seq[Double] = Seq(0.40, 0.45, 0.50, 0.55)): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, thresholds.min)
+    val tot = embeddings.agg(count(lit(1)).as("n_vecs"))
+    val byT = pairs.select(col("cos"), col("vec_a"), col("vec_b"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+    val nPairs = byT.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = byT
+      .select(col("threshold"), explode(array(col("vec_a"), col("vec_b"))).as("vid"))
+      .groupBy(col("threshold")).agg(countDistinct(col("vid")).as("n_docs_linked"))
+    // Spine-first so cutoffs that link nothing still report zeros.
+    val spine = embeddings.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    spine
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+        round(coalesce(col("n_docs_linked"), lit(0L)) * 100.0 / col("n_vecs"), 4).as("pct_linked"))
+      .orderBy("threshold")
+  }
+
   /** Incremental-ingest dedup screen: an incoming batch (docs with
     * `doc_id % batchMod == 0` stand in for the new crawl) checked against
     * the existing corpus through the same MinHash band buckets — the

@@ -1079,4 +1079,28 @@ object Relational {
         round(col("decile_rev_c") * col("n_total") * 1.0 / (col("tot_c") * col("n_customers")), 4).as("lift"))
       .orderBy("decile")
   }
+
+  /** q67: reorder cadence per market segment — the gap in days between a
+    * customer's consecutive orders, aggregated by segment: how fast each
+    * segment comes back, the replenishment metric CRM forecasting feeds
+    * on. One customer-key window (high cardinality — the same partitioned
+    * lag shape as sessionize) and one segment aggregate; gaps are exact
+    * integer days, so min/max/avg agree bit-for-bit with the oracle. */
+  def reorderCadence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("prev_d", lag(to_date(col("o_orderdate")), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .withColumn("gap_days", datediff(to_date(col("o_orderdate")), col("prev_d")).cast("long"))
+    gaps
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("repeat_customers"),
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"),
+        round(avg(col("gap_days")), 4).as("avg_gap_days"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -116,6 +116,28 @@ object StreamOps {
         round(col("n_pass") * 100.0 / col("n_docs"), 4).as("pass_pct"))
   }
 
+  /** Online anomaly scoring against an offline-trained baseline — the
+    * lambda shape: the batch side fits per-(event_type, weekday, hour)
+    * count baselines (`Events.seasonalAnomaly`'s moment sums), the stream
+    * side aggregates hourly windows and broadcast-joins the tiny static
+    * baseline to emit z-scores live. Stream state is only the windowed
+    * counters; the model is a broadcast dimension refreshed by redeploy. */
+  def baselineAnomalyStream(events: DataFrame, baseline: DataFrame,
+                            sigmas: Double = 2.0): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("window.start")).cast("long"))
+      .withColumn("hod", hour(col("window.start")).cast("long"))
+      .join(broadcast(baseline),
+        col("event_type") === col("et") && col("dow") === col("bdow") && col("hod") === col("bhod"))
+      .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
+      .filter(abs(col("z")) > sigmas)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), round(col("mean_n"), 4).as("baseline_mean"),
+        round(col("z"), 4).as("z"))
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

@@ -133,6 +133,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep: higher cutoffs can only shrink pairs and linked docs") {
+    val rows = Dedup.embeddingThresholdSweep(Tables.embeddings(spark, sf0001)).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 4)
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs_linked"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_linked") <= 2 * r.getAs[Long]("n_pairs"))
+      val pct = r.getAs[Double]("pct_linked")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
   test("probe sweep: recall grows with nprobe and is a proper percentage") {
     val rows = Ann.probeSweep(Tables.embeddings(spark, sf0001)).collect()
     assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 3L))

@@ -427,6 +427,25 @@ class RelationalSpec extends SparkSpec {
     assert(top1 >= 0.0 && top10 <= 100.0)
   }
 
+  test("reorder cadence: gaps are non-negative and bounded by the calendar span") {
+    val orders = Tables.orders(spark, sf0001)
+    val rows = Relational.reorderCadence(Tables.customer(spark, sf0001), orders).collect()
+    assert(rows.nonEmpty)
+    val span = orders.agg(
+      org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("o_orderdate"))),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("o_orderdate"))))
+    ).collect()(0).getInt(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_gap_days") >= 0L)
+      assert(r.getAs[Long]("min_gap_days") <= r.getAs[Long]("max_gap_days"))
+      assert(r.getAs[Long]("max_gap_days") <= span)
+      val avg = r.getAs[Double]("avg_gap_days")
+      assert(avg >= r.getAs[Long]("min_gap_days") && avg <= r.getAs[Long]("max_gap_days"))
+      assert(r.getAs[Long]("n_gaps") >= r.getAs[Long]("repeat_customers"))
+    }
+  }
+
   test("decile lift: shares telescope to 100%, lift decreases down the ranking") {
     val rows = Relational.decileLift(Tables.orders(spark, sf0001)).collect()
     assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))

@@ -163,4 +163,33 @@ class StreamingSpec extends SparkSpec {
       assert(byKey("aaa").head.getAs[Long]("doc_id") == 1L, "first arrival wins")
     } finally q.stop()
   }
+
+  test("streaming baseline anomaly flags only windows that clear the static z threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    // Static baseline for the 2024-01-01 00:00 slot (Monday, hour 0):
+    // clicks expect 1 ± 0.5 (5 observed → z = 8, flagged);
+    // views expect 5 ± 2 (4 observed → z = -0.5, quiet).
+    val dow = spark.sql("SELECT dayofweek(TIMESTAMP '2024-01-01 00:00:00')").collect()(0).getInt(0).toLong
+    val baseline = Seq(
+      ("click", dow, 0L, 1.0, 0.5),
+      ("view", dow, 0L, 5.0, 2.0)
+    ).toDF("et", "bdow", "bhod", "mean_n", "sd_n")
+    val q = StreamOps.baselineAnomalyStream(events, baseline)
+      .writeStream.format("memory").queryName("baseline_anom").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), "click"), (ts(2), "click"), (ts(3), "click"), (ts(4), "click"), (ts(5), "click"),
+        (ts(1), "view"), (ts(2), "view"), (ts(3), "view"), (ts(4), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("baseline_anom").collect()
+      assert(rows.map(_.getAs[String]("event_type")).toSet == Set("click"),
+        s"only the click window clears |z| > 2: ${rows.mkString("; ")}")
+      val r = rows.head
+      assert(r.getAs[Long]("n") == 5L)
+      assert(r.getAs[Double]("z") == 8.0)
+    } finally q.stop()
+  }
 }
