@@ -237,6 +237,7 @@ object SparkEntry {
     "ev_seasonal_anomaly" -> q((s, d) => Events.seasonalAnomaly(Tables.events(s, d))),
     "q67_reorder_cadence" -> q((s, d) => Relational.reorderCadence(Tables.customer(s, d), Tables.orders(s, d))),
     "knn_threshold_sweep" -> q((s, d) => Dedup.embeddingThresholdSweep(Tables.embeddings(s, d))),
+    "mm_chunk_align" -> q((s, d) => Multimodal.chunkAlign(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2835,5 +2836,21 @@ object SparkEntry {
         | round(coalesce(n_docs_linked, 0) * 100.0 / n_vecs, 4) AS pct_linked
         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold) CROSS JOIN tot
         |ORDER BY threshold""".stripMargin,
+
+    "mm_chunk_align" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
+        |   CAST(ceil(len(string_split_regex(trim(text), '\s+')) / 20.0) AS BIGINT) AS n_chunks
+        |  FROM documents WHERE doc_id < 50),
+        | f AS (SELECT doc_id, n_frames, n_chunks, unnest(range(0, n_frames)) AS frame_idx, text FROM d),
+        | a AS (SELECT doc_id, n_frames, n_chunks, frame_idx,
+        |   (frame_idx * n_chunks) // n_frames AS chunk_id,
+        |   CAST(length(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS BIGINT) AS frame_len
+        |  FROM f)
+        |SELECT doc_id, chunk_id, max(n_frames) AS n_frames, max(n_chunks) AS n_chunks,
+        | count(*) AS frames_in_chunk,
+        | min(frame_idx) AS first_frame, max(frame_idx) AS last_frame,
+        | CAST(sum(frame_len) AS BIGINT) AS chunk_bytes
+        |FROM a GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

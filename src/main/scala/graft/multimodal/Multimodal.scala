@@ -104,6 +104,33 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame-to-chunk alignment plan: proportionally map each payload's
+    * fixed-width frames onto its text chunks — the integer skeleton of
+    * audio/text forced alignment (each chunk owns a contiguous frame span,
+    * spans partition the frame axis). `chunk = (frame_idx * n_chunks) div
+    * n_frames` is exact integer math, so both engines agree and the spans
+    * are reproducible. Generator expansion + one (doc, chunk) aggregate —
+    * same shape as frame sampling; swap the proportional map for a real
+    * aligner's output and the downstream contract is unchanged. */
+  def chunkAlign(documents: DataFrame, frameBytes: Int = 16, tokensPerChunk: Int = 20,
+                 maxDocs: Int = 50): DataFrame =
+    documents
+      .filter(col("doc_id") < maxDocs)
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .withColumn("n_chunks",
+        ceil(size(split(trim(col("text")), "\\s+")) / lit(tokensPerChunk.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_frames"), col("n_chunks"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .withColumn("chunk_id", expr("(frame_idx * n_chunks) div n_frames"))
+      .withColumn("frame_len",
+        length(expr(s"substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)")).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(max(col("n_frames")).as("n_frames"), max(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("frames_in_chunk"),
+        min(col("frame_idx")).as("first_frame"), max(col("frame_idx")).as("last_frame"),
+        sum(col("frame_len")).as("chunk_bytes"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Frame-level dedup across payloads: aligned fixed-width frames that
     * recur (within or across docs) — the video/image analogue of boilerplate
     * detection, where repeated intro/outro frames shouldn't count as fresh

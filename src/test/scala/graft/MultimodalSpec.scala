@@ -46,6 +46,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("chunk alignment partitions every payload's frame axis into contiguous spans") {
+    val rows = Multimodal.chunkAlign(graft.tables.Tables.documents(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("chunk_id"))
+      val nFrames = sorted.head.getAs[Long]("n_frames")
+      assert(sorted.map(_.getAs[Long]("frames_in_chunk")).sum == nFrames,
+        "spans must cover every frame exactly once")
+      assert(sorted.head.getAs[Long]("first_frame") == 0L)
+      assert(sorted.last.getAs[Long]("last_frame") == nFrames - 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_frame") + 1 == b.getAs[Long]("first_frame"),
+            "spans must be contiguous and non-overlapping")
+        case _ =>
+      }
+      assert(sorted.length <= sorted.head.getAs[Long]("n_chunks"))
+    }
+  }
+
   test("source mix: rates floor at the smallest source's bytes, kept within population") {
     val docs = Tables.documents(spark, sf0001)
     val rows = Multimodal.sourceMix(docs).collect()
