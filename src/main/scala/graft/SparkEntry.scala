@@ -2555,15 +2555,26 @@ object SparkEntry {
         |FROM c ORDER BY tenure_wk""".stripMargin,
 
     "text_readability" ->
+      // 4-dp rounding via the exact integer-scaled rational (see
+      // TextAnalysis.readability): decimal-half scores are engine-ambiguous
+      // under double round, exact integer division is not.
       s"""WITH r AS (SELECT doc_id,
         |  CAST(len($tokSql) AS BIGINT) AS n_words,
         |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
-        | FROM documents)
+        | FROM documents),
+        | n AS (SELECT *, n_sentences * n_words AS den,
+        |   2068350 * n_sentences * n_words - 10150 * n_words * n_words
+        |     - 846000 * n_syllables * n_sentences AS fe_num,
+        |   3900 * n_words * n_words + 118000 * n_syllables * n_sentences
+        |     - 155900 * n_sentences * n_words AS fk_num
+        |  FROM r WHERE n_words > 0)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        | round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4) AS flesch_ease,
-        | round(0.39 * n_words / n_sentences + 11.8 * n_syllables / n_words - 15.59, 4) AS fk_grade
-        |FROM r WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+        | CAST(CASE WHEN fe_num >= 0 THEN (2 * fe_num + den) // (2 * den)
+        |   ELSE -((2 * -fe_num + den) // (2 * den)) END AS BIGINT) / 10000.0 AS flesch_ease,
+        | CAST(CASE WHEN fk_num >= 0 THEN (2 * fk_num + den) // (2 * den)
+        |   ELSE -((2 * -fk_num + den) // (2 * den)) END AS BIGINT) / 10000.0 AS fk_grade
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -491,10 +491,16 @@ object TextAnalysis {
   /** Flesch-style readability per document: words from the shared
     * whitespace tokenizer, sentences and syllables from simple regex counts
     * (terminal-punctuation runs; vowel-group runs as the classic syllable
-    * proxy — no dictionary). The score is a pure double expression over
-    * three exact integer counts, so both engines agree bit-for-bit. Row-
-    * local narrow map, no shuffle at all — the cheapest possible corpus
-    * quality column at any scale. */
+    * proxy — no dictionary). Because the coefficients are decimal
+    * rationals, the TRUE score can land exactly on a 4-dp half
+    * (e.g. 25.22625), where double `round` is engine-dependent (Spark
+    * consults the decimal repr, DuckDB the binary value — observed
+    * diverging at sf0.1). So the 4-dp rounding is done on the EXACT
+    * integer-scaled rational: numerator/denominator in int64 over the
+    * common denominator s·w, half-away-from-zero by integer division,
+    * final value = integer / 10⁴ — bit-identical on any engine. Headroom:
+    * the numerators stay under 2⁶³ past 10⁶-token documents. Row-local
+    * narrow map, no shuffle at all. */
   def readability(documents: DataFrame): DataFrame =
     documents
       .withColumn("n_words", size(toks).cast("long"))
@@ -503,12 +509,22 @@ object TextAnalysis {
         greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"), lit(1L)))
       .withColumn("n_syllables",
         size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long"))
-      .withColumn("flesch_ease", round(
-        lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences")
-          - lit(84.6) * col("n_syllables") / col("n_words"), 4))
-      .withColumn("fk_grade", round(
-        lit(0.39) * col("n_words") / col("n_sentences")
-          + lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59), 4))
+      // ×10⁴-scaled exact numerators over den = s·w:
+      //   flesch = 206.835 − 1.015·w/s − 84.6·sy/w
+      //   fk     = 0.39·w/s + 11.8·sy/w − 15.59
+      .withColumn("den", col("n_sentences") * col("n_words"))
+      .withColumn("fe_num", lit(2068350L) * col("den")
+        - lit(10150L) * col("n_words") * col("n_words")
+        - lit(846000L) * col("n_syllables") * col("n_sentences"))
+      .withColumn("fk_num", lit(3900L) * col("n_words") * col("n_words")
+        + lit(118000L) * col("n_syllables") * col("n_sentences")
+        - lit(155900L) * col("den"))
+      .withColumn("flesch_ease", expr(
+        "CASE WHEN fe_num >= 0 THEN (2 * fe_num + den) div (2 * den) " +
+          "ELSE -((2 * -fe_num + den) div (2 * den)) END") / 10000.0)
+      .withColumn("fk_grade", expr(
+        "CASE WHEN fk_num >= 0 THEN (2 * fk_num + den) div (2 * den) " +
+          "ELSE -((2 * -fk_num + den) div (2 * den)) END") / 10000.0)
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_ease", "fk_grade")
       .orderBy("doc_id")
 }
