@@ -238,6 +238,7 @@ object SparkEntry {
     "q67_reorder_cadence" -> q((s, d) => Relational.reorderCadence(Tables.customer(s, d), Tables.orders(s, d))),
     "knn_threshold_sweep" -> q((s, d) => Dedup.embeddingThresholdSweep(Tables.embeddings(s, d))),
     "mm_chunk_align" -> q((s, d) => Multimodal.chunkAlign(Tables.documents(s, d))),
+    "text_weighted_sample" -> q((s, d) => TextAnalysis.weightedSample(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2575,6 +2576,14 @@ object SparkEntry {
         | CAST(CASE WHEN fk_num >= 0 THEN (2 * fk_num + den) // (2 * den)
         |   ELSE -((2 * -fk_num + den) // (2 * den)) END AS BIGINT) / 10000.0 AS fk_grade
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |   ((doc_id % 1000003) * 2654435761 % 10000 + 0.5) / 10000.0 AS u
+        |  FROM documents),
+        | t AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 12) AS ares_key FROM s),
+        | r AS (SELECT *, CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id) AS BIGINT) AS rk FROM t)
+        |SELECT rk, doc_id, n_chars, ares_key FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -488,6 +488,30 @@ object TextAnalysis {
         round(exp(expr("regr_intercept(ln(cum_vocab), ln(cum_tokens))")), 6).as("heaps_k"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    * pick `k` documents with probability proportional to a weight — here
+    * n_chars, standing in for a quality/importance score — the curation
+    * step that upsamples high-value text when assembling a training mix.
+    * Each doc gets key ln(u)/w for a DETERMINISTIC uniform u (the q47
+    * multiplicative-hash grid + half-offset — reproducible across runs and
+    * engines, no RNG state); the global top-k keys are the sample. The
+    * top-k is a TakeOrderedAndProject (distributed heap, no global sort);
+    * keys are rounded to 12 dp with a doc_id tie-break so the selection is
+    * engine-stable (ln's last-ulp wiggle is ~1e-20 against a 1e-12 grid). */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val sampled = documents
+      .withColumn("u", ((col("doc_id") % 1000003L) * 2654435761L % 10000L + 0.5) / 10000.0)
+      .withColumn("ares_key", round(log(col("u")) / col("n_chars"), 12))
+      .orderBy(col("ares_key").desc, col("doc_id"))
+      .limit(k)
+    sampled
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ares_key").desc, col("doc_id"))).cast("long")) // ≤ k rows
+      .select(col("rk"), col("doc_id"), col("n_chars"), col("ares_key"))
+      .orderBy("rk")
+  }
+
   /** Flesch-style readability per document: words from the shared
     * whitespace tokenizer, sentences and syllables from simple regex counts
     * (terminal-punctuation runs; vowel-group runs as the classic syllable

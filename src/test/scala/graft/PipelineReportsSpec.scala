@@ -130,6 +130,19 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample is reproducible, k-sized and key-ordered") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = graft.text.TextAnalysis.weightedSample(docs).collect()
+    val b = graft.text.TextAnalysis.weightedSample(docs).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq == b.map(_.getAs[Long]("doc_id")).toSeq,
+      "deterministic uniforms must reproduce the exact sample")
+    assert(a.length == math.min(50, docs.count()).toInt)
+    assert(a.map(_.getAs[Long]("rk")).toSeq == (1L to a.length))
+    val keys = a.map(_.getAs[Double]("ares_key"))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y }, "sample ranked by A-Res key")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length == a.length, "without replacement")
+  }
+
   test("readability counts are positive and scores consistent with the formula") {
     val rows = graft.text.TextAnalysis.readability(Tables.documents(spark, sf0001)).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
