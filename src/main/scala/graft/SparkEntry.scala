@@ -239,6 +239,8 @@ object SparkEntry {
     "knn_threshold_sweep" -> q((s, d) => Dedup.embeddingThresholdSweep(Tables.embeddings(s, d))),
     "mm_chunk_align" -> q((s, d) => Multimodal.chunkAlign(Tables.documents(s, d))),
     "text_weighted_sample" -> q((s, d) => TextAnalysis.weightedSample(Tables.documents(s, d))),
+    "ev_cohort_retention" -> q((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    "q68_revenue_bridge" -> q((s, d) => Relational.revenueBridge(Tables.orders(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2584,6 +2586,44 @@ object SparkEntry {
         | t AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 12) AS ares_key FROM s),
         | r AS (SELECT *, CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id) AS BIGINT) AS rk FROM t)
         |SELECT rk, doc_id, n_chars, ares_key FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
+
+    "ev_cohort_retention" ->
+      """WITH fw AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk FROM events GROUP BY 1),
+        | aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_wk FROM events),
+        | sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM fw GROUP BY 1),
+        | m AS (SELECT f.cohort_wk AS cwk,
+        |   date_diff('day', CAST(f.cohort_wk AS DATE), CAST(a.activity_wk AS DATE)) // 7 AS week_n,
+        |   a.user_id AS uid
+        |  FROM aw a JOIN fw f USING (user_id))
+        |SELECT strftime(cwk, '%Y-%m-%d') AS cohort_wk, CAST(week_n AS BIGINT) AS week_n,
+        | sz.cohort_size AS cohort_size, CAST(count(DISTINCT uid) AS BIGINT) AS n_active,
+        | round(count(DISTINCT uid) * 100.0 / sz.cohort_size, 4) AS retention_pct
+        |FROM m JOIN sz ON m.cwk = sz.cohort_wk
+        |GROUP BY cwk, week_n, sz.cohort_size ORDER BY cohort_wk, week_n""".stripMargin,
+
+    "q68_revenue_bridge" ->
+      """WITH cm AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        | pv AS (SELECT o_custkey AS p_custkey,
+        |   strftime(CAST(month || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m') AS p_next,
+        |   rev_c AS prev_rev_c FROM cm),
+        | j AS (SELECT * FROM cm FULL OUTER JOIN pv
+        |   ON o_custkey = p_custkey AND month = p_next)
+        |SELECT coalesce(month, p_next) AS bridge_month,
+        | CAST(sum(CASE WHEN prev_rev_c IS NULL THEN coalesce(rev_c, 0) ELSE 0 END) AS BIGINT) AS new_c,
+        | CAST(sum(CASE WHEN rev_c IS NULL THEN coalesce(prev_rev_c, 0) ELSE 0 END) AS BIGINT) AS churned_c,
+        | CAST(sum(CASE WHEN rev_c IS NOT NULL AND prev_rev_c IS NOT NULL AND rev_c > prev_rev_c
+        |   THEN rev_c - prev_rev_c ELSE 0 END) AS BIGINT) AS expansion_c,
+        | CAST(sum(CASE WHEN rev_c IS NOT NULL AND prev_rev_c IS NOT NULL AND rev_c < prev_rev_c
+        |   THEN prev_rev_c - rev_c ELSE 0 END) AS BIGINT) AS contraction_c,
+        | CAST(sum(CASE WHEN prev_rev_c IS NULL THEN coalesce(rev_c, 0) ELSE 0 END)
+        |   - sum(CASE WHEN rev_c IS NULL THEN coalesce(prev_rev_c, 0) ELSE 0 END)
+        |   + sum(CASE WHEN rev_c IS NOT NULL AND prev_rev_c IS NOT NULL AND rev_c > prev_rev_c
+        |       THEN rev_c - prev_rev_c ELSE 0 END)
+        |   - sum(CASE WHEN rev_c IS NOT NULL AND prev_rev_c IS NOT NULL AND rev_c < prev_rev_c
+        |       THEN prev_rev_c - rev_c ELSE 0 END) AS BIGINT) AS net_change_c
+        |FROM j GROUP BY 1 ORDER BY bridge_month""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

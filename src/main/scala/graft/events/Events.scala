@@ -548,6 +548,31 @@ object Events {
     * pivots the transition matrix over it; shared with the oracle). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Weekly cohort-retention triangle: users grouped by signup week
+    * (first-ever event), tracked by activity week — the classic
+    * `cohort × weeks-since-signup` matrix every growth team reads. Both
+    * axes are Monday-truncated weeks, so week_n is an exact integer
+    * (day diff is always a multiple of 7); cohort sizes broadcast onto the
+    * cells. Two user-key aggregates + one join — no window at all. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstWeek = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_wk"))
+    val activeWeeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("activity_wk"))
+      .distinct()
+    val sizes = firstWeek.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    activeWeeks.join(firstWeek, Seq("user_id"))
+      .withColumn("week_n",
+        (datediff(to_date(col("activity_wk")), to_date(col("cohort_wk"))) / 7).cast("long"))
+      .groupBy(col("cohort_wk"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_wk"),
+        col("week_n"), col("cohort_size"), col("n_active"),
+        round(col("n_active") * 100.0 / col("cohort_size"), 4).as("retention_pct"))
+      .orderBy("cohort_wk", "week_n")
+  }
+
   /** Behavioral nearest neighbours: each probe user's top-k most similar
     * users by cosine over their event-type count vector — lookalike
     * audiences from behavior alone. The "embedding" is the enumerable-

@@ -1080,6 +1080,40 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q68: month-over-month revenue bridge — each month's revenue delta
+    * decomposed into NEW (customers absent last month), CHURNED (present
+    * last month, gone now), EXPANSION and CONTRACTION (present both,
+    * spending more/less). The board-deck waterfall, with the telescoping
+    * invariant new − churned + expansion − contraction = Δrevenue held in
+    * exact integer cents. One (customer, month) aggregate, self-joined on
+    * the customer key one month apart (full outer, so both absences
+    * classify) — customer-key partitioned all the way, no windows. */
+  def revenueBridge(orders: DataFrame): DataFrame = {
+    val cm = orders.groupBy(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
+    val prev = cm.select(col("o_custkey").as("p_custkey"),
+      date_format(add_months(to_date(concat(col("month"), lit("-01"))), 1), "yyyy-MM").as("p_next"),
+      col("rev_c").as("prev_rev_c"))
+    val cur = cm.select(col("o_custkey"), col("month"), col("rev_c"))
+    cur.join(prev, col("o_custkey") === col("p_custkey") && col("month") === col("p_next"), "full_outer")
+      .withColumn("bridge_month", coalesce(col("month"), col("p_next")))
+      .withColumn("cur_c", coalesce(col("rev_c"), lit(0L)))
+      .withColumn("prev_c", coalesce(col("prev_rev_c"), lit(0L)))
+      .groupBy(col("bridge_month"))
+      .agg(
+        sum(when(col("prev_rev_c").isNull, col("cur_c")).otherwise(0L)).as("new_c"),
+        sum(when(col("rev_c").isNull, col("prev_c")).otherwise(0L)).as("churned_c"),
+        sum(when(col("rev_c").isNotNull && col("prev_rev_c").isNotNull && col("cur_c") > col("prev_c"),
+          col("cur_c") - col("prev_c")).otherwise(0L)).as("expansion_c"),
+        sum(when(col("rev_c").isNotNull && col("prev_rev_c").isNotNull && col("cur_c") < col("prev_c"),
+          col("prev_c") - col("cur_c")).otherwise(0L)).as("contraction_c"))
+      .withColumn("net_change_c",
+        col("new_c") - col("churned_c") + col("expansion_c") - col("contraction_c"))
+      .select("bridge_month", "new_c", "churned_c", "expansion_c", "contraction_c", "net_change_c")
+      .orderBy("bridge_month")
+  }
+
   /** q67: reorder cadence per market segment — the gap in days between a
     * customer's consecutive orders, aggregated by segment: how fast each
     * segment comes back, the replenishment metric CRM forecasting feeds

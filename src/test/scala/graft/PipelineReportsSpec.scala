@@ -130,6 +130,24 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("cohort retention: week 0 is 100% and every cell is a proper fraction of its cohort") {
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.cohortRetention(ev).collect()
+    assert(rows.nonEmpty)
+    val week0 = rows.filter(_.getAs[Long]("week_n") == 0L)
+    week0.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"),
+        "every user is active in their own signup week")
+      assert(math.abs(r.getAs[Double]("retention_pct") - 100.0) < 1e-9)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_n") >= 0L)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+    }
+    assert(rows.map(_.getAs[Long]("cohort_size")).toSet.size == week0.length ||
+      week0.nonEmpty)
+  }
+
   test("weighted sample is reproducible, k-sized and key-ordered") {
     val docs = Tables.documents(spark, sf0001)
     val a = graft.text.TextAnalysis.weightedSample(docs).collect()

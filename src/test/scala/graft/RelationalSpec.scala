@@ -427,6 +427,24 @@ class RelationalSpec extends SparkSpec {
     assert(top1 >= 0.0 && top10 <= 100.0)
   }
 
+  test("revenue bridge telescopes: components reproduce each month's revenue delta") {
+    import org.apache.spark.sql.functions.{col, round, sum, date_format}
+    val orders = Tables.orders(spark, sf0001)
+    val bridge = Relational.revenueBridge(orders).collect()
+      .map(r => r.getAs[String]("bridge_month") -> r.getAs[Long]("net_change_c")).toMap
+    val monthly = orders.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .collect().map(r => r.getAs[String]("m") -> r.getAs[Long]("rev")).toMap
+    val months = monthly.keys.toSeq.sorted
+    months.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(bridge(b) == monthly(b) - monthly(a),
+          s"bridge($b) must equal rev($b) - rev($a)")
+      case _ =>
+    }
+    assert(bridge(months.head) == monthly(months.head), "the first month is all-new revenue")
+  }
+
   test("reorder cadence: gaps are non-negative and bounded by the calendar span") {
     val orders = Tables.orders(spark, sf0001)
     val rows = Relational.reorderCadence(Tables.customer(spark, sf0001), orders).collect()
