@@ -1196,7 +1196,7 @@ object SparkEntry {
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
-        |  FROM documents WHERE doc_id < 50),
+        |  FROM documents WHERE doc_id < 50 AND length(text) > 0),
         | f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d),
         | s AS (SELECT doc_id, frame_idx,
         |   substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
@@ -2711,7 +2711,9 @@ object SparkEntry {
       val p0 = types.map(t => s"${1.0 / types.size} AS p0_$t").mkString(", ")
       val iters = (1 to 8).map { k =>
         val ps = types.map { j =>
-          types.map(i => s"p${k - 1}_$i * n_${i}_$j / n_$i").mkString(" + ") + s" AS p${k}_$j"
+          types.map(i =>
+            s"(CASE WHEN n_$i > 0 THEN p${k - 1}_$i * n_${i}_$j / n_$i ELSE 0.0 END)")
+            .mkString(" + ") + s" AS p${k}_$j"
         }.mkString(", ")
         s"it$k AS (SELECT *, $ps FROM it${k - 1})"
       }.mkString(",\n ")
@@ -2777,7 +2779,7 @@ object SparkEntry {
     "mm_frame_dedup" ->
       """WITH d AS (SELECT doc_id, text,
         |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
-        |  FROM documents WHERE doc_id < 100),
+        |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
         | f AS (SELECT doc_id, substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
         |  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d)),
         | g AS (SELECT frame, count(*) AS n_frames, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -2822,12 +2824,12 @@ object SparkEntry {
         | k AS (SELECT sort_key,
         |   (fmax < date_diff('day', DATE '1970-01-01', DATE '1997-01-01')
         |    OR fmin > date_diff('day', DATE '1970-01-01', DATE '1997-03-31')) AS skipped,
-        |   (fmax - fmin) * 100.0 / (g.dmax - g.dmin) AS span_pct
+        |   fmax - fmin AS span_days, g.dmax - g.dmin AS dom_days
         |  FROM f, g)
         |SELECT sort_key, count(*) AS files_total,
         | CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
         | round(sum(CASE WHEN skipped THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS skip_rate_pct,
-        | round(avg(span_pct), 4) AS avg_span_pct
+        | round(sum(span_days) * 100.0 / (count(*) * max(dom_days)), 4) AS avg_span_pct
         |FROM k GROUP BY sort_key ORDER BY sort_key""".stripMargin,
 
     "ev_behavior_knn" -> {
@@ -2901,7 +2903,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, text,
         |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
         |   CAST(ceil(len(string_split_regex(trim(text), '\s+')) / 20.0) AS BIGINT) AS n_chunks
-        |  FROM documents WHERE doc_id < 50),
+        |  FROM documents WHERE doc_id < 50 AND length(text) > 0),
         | f AS (SELECT doc_id, n_frames, n_chunks, unnest(range(0, n_frames)) AS frame_idx, text FROM d),
         | a AS (SELECT doc_id, n_frames, n_chunks, frame_idx,
         |   (frame_idx * n_chunks) // n_frames AS chunk_id,

