@@ -65,7 +65,12 @@ object Audit {
           "q66_decile_lift", "knn_probe_sweep",
           // Behavior kNN broadcasts its bounded probe set; the sort-key
           // advisor and threshold sweep broadcast 1-row stat tables:
-          "ev_behavior_knn", "lake_sort_key_choice", "knn_threshold_sweep")
+          "ev_behavior_knn", "lake_sort_key_choice", "knn_threshold_sweep",
+          // Column-update cost: the medium-tier 1-row summary is broadcast
+          // onto the base-tier 1-row summary before the 4-scenario explode;
+          // power users = prefix-sum ranks + two 1-row broadcasts (uid span,
+          // population count):
+          "lake_column_update_cost", "ev_power_users")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

@@ -241,6 +241,7 @@ object SparkEntry {
     "text_weighted_sample" -> q((s, d) => TextAnalysis.weightedSample(Tables.documents(s, d))),
     "ev_cohort_retention" -> q((s, d) => Events.cohortRetention(Tables.events(s, d))),
     "q68_revenue_bridge" -> q((s, d) => Relational.revenueBridge(Tables.orders(s, d))),
+    "lake_column_update_cost" -> q((s, d) => DeleteVectors.columnUpdateCost(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -1823,9 +1824,9 @@ object SparkEntry {
         |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
         | FROM events)
         |SELECT event_type, count(*) AS n_gaps,
-        | round(avg(gap_ms / 60000.0), 6) AS avg_gap_min,
-        | round(median(gap_ms / 60000.0), 6) AS median_gap_min,
-        | round(max(gap_ms / 60000.0), 6) AS max_gap_min
+        | round(sum(gap_ms) / (count(*) * 60000.0), 6) AS avg_gap_min,
+        | round(quantile_cont(gap_ms, 0.5) / 60000.0, 6) AS median_gap_min,
+        | round(max(gap_ms) / 60000.0, 6) AS max_gap_min
         |FROM g WHERE gap_ms IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1980,12 +1981,12 @@ object SparkEntry {
         | p AS (SELECT user_id, min(ts) AS t_purchase FROM events
         |       WHERE event_type = 'purchase' GROUP BY 1),
         | j AS (SELECT strftime(t_signup, '%Y-%m-%d') AS signup_day,
-        |   (epoch_ms(t_purchase) - epoch_ms(t_signup)) / 3600000.0 AS hours
+        |   epoch_ms(t_purchase) - epoch_ms(t_signup) AS lat_ms
         |  FROM s JOIN p USING (user_id) WHERE t_purchase > t_signup)
         |SELECT signup_day, count(*) AS n_converted,
-        | round(quantile_cont(hours, 0.25), 6) AS p25_hours,
-        | round(quantile_cont(hours, 0.5), 6) AS p50_hours,
-        | round(quantile_cont(hours, 0.75), 6) AS p75_hours
+        | round(quantile_cont(lat_ms, 0.25) / 3600000.0, 6) AS p25_hours,
+        | round(quantile_cont(lat_ms, 0.5) / 3600000.0, 6) AS p50_hours,
+        | round(quantile_cont(lat_ms, 0.75) / 3600000.0, 6) AS p75_hours
         |FROM j GROUP BY signup_day ORDER BY signup_day""".stripMargin,
 
     "ev_power_users" ->
@@ -2624,6 +2625,50 @@ object SparkEntry {
         |   - sum(CASE WHEN rev_c IS NOT NULL AND prev_rev_c IS NOT NULL AND rev_c < prev_rev_c
         |       THEN prev_rev_c - rev_c ELSE 0 END) AS BIGINT) AS net_change_c
         |FROM j GROUP BY 1 ORDER BY bridge_month""".stripMargin,
+
+    "lake_column_update_cost" ->
+      """WITH pf AS (SELECT l_orderkey % 40 AS file_id,
+        |   CAST(sum(68 + length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS bytes,
+        |   CAST(sum(CASE WHEN l_orderkey % 100 < 1 THEN 1 ELSE 0 END) AS BIGINT) AS upd1,
+        |   CAST(sum(CASE WHEN l_orderkey % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS upd10,
+        |   CAST(count(*) AS BIGINT) AS upd100
+        |  FROM lineitem GROUP BY 1),
+        | b AS (SELECT CAST(sum(bytes) AS BIGINT) AS table_bytes,
+        |   CAST(sum(upd1) AS BIGINT) AS upd_rows_1,
+        |   CAST(sum(CASE WHEN upd1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS touched_1,
+        |   CAST(sum(upd10) AS BIGINT) AS upd_rows_10,
+        |   CAST(sum(CASE WHEN upd10 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS touched_10,
+        |   CAST(sum(upd100) AS BIGINT) AS upd_rows_100,
+        |   CAST(sum(CASE WHEN upd100 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS touched_100
+        |  FROM pf),
+        | pm AS (SELECT l_orderkey % 100 AS file_id,
+        |   CAST(sum(68 + length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS bytes,
+        |   CAST(sum(CASE WHEN l_orderkey % 100 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS upd5
+        |  FROM lineitem GROUP BY 1),
+        | m AS (SELECT CAST(sum(bytes) AS BIGINT) AS m_table_bytes,
+        |   CAST(sum(upd5) AS BIGINT) AS m_upd_rows_5,
+        |   CAST(sum(CASE WHEN upd5 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_touched_5
+        |  FROM pm),
+        | s AS (
+        |  SELECT 'A_small_update_1pct' AS scenario, CAST(40 AS BIGINT) AS num_files,
+        |   CAST(1.0 AS DOUBLE) AS update_pct, upd_rows_1 AS updated_rows,
+        |   touched_1 AS files_touched, table_bytes AS full_rewrite_bytes FROM b
+        |  UNION ALL SELECT 'B_partial_update_10pct', 40, CAST(10.0 AS DOUBLE),
+        |   upd_rows_10, touched_10, table_bytes FROM b
+        |  UNION ALL SELECT 'C_full_table_100pct', 40, CAST(100.0 AS DOUBLE),
+        |   upd_rows_100, touched_100, table_bytes FROM b
+        |  UNION ALL SELECT 'D_medium_table_5pct', 100, CAST(5.0 AS DOUBLE),
+        |   m_upd_rows_5, m_touched_5, m_table_bytes FROM m)
+        |SELECT scenario, num_files, update_pct, updated_rows, files_touched,
+        | full_rewrite_bytes, CAST(2 AS BIGINT) AS full_rewrite_io_ops,
+        | CAST(updated_rows * 8 + 200 AS BIGINT) AS column_update_bytes,
+        | CAST(3 AS BIGINT) AS column_update_io_ops,
+        | round((full_rewrite_bytes + 2 * 4096) * 1.0
+        |   / (updated_rows * 8 + 200 + 3 * 4096), 4) AS speedup_model,
+        | round((full_rewrite_bytes - (updated_rows * 8 + 200)) * 100.0
+        |   / full_rewrite_bytes, 4) AS bytes_saved_pct,
+        | CAST(-50.0 AS DOUBLE) AS io_reduction_pct
+        |FROM s ORDER BY scenario""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

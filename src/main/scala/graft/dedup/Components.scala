@@ -90,16 +90,20 @@ object Components {
       .orderBy("comp")
   }
 
-  def minhashComponents(documents: DataFrame): DataFrame = {
-    val g = Dedup.minhashGroups(documents)
-    val comps = connectedComponents(
-      g.groups.select(col("gid").as("doc_id")),
-      g.crossQual.select(col("ga").as("doc_a"), col("gb").as("doc_b")))
-    g.members
-      .join(broadcast(comps.withColumnRenamed("doc_id", "gid")), Seq("gid"))
-      .select(col("doc_id"), col("comp"))
-      .orderBy("doc_id")
-  }
+  def minhashComponents(documents: DataFrame): DataFrame =
+    // The label-propagation rounds are the slowest part of the dedup family
+    // and feed two queries (components, keep-best) — memoize the converged
+    // per-doc labels (checkpointed; the ordering is re-applied per caller).
+    graft.plans.Memo.memoize(documents, "dedup.components") {
+      val g = Dedup.minhashGroups(documents)
+      val comps = connectedComponents(
+        g.groups.select(col("gid").as("doc_id")),
+        g.crossQual.select(col("ga").as("doc_a"), col("gb").as("doc_b")))
+      g.members
+        .join(broadcast(comps.withColumnRenamed("doc_id", "gid")), Seq("gid"))
+        .select(col("doc_id"), col("comp"))
+        .localCheckpoint(true)
+    }.orderBy("doc_id")
 
   /** Semantic (embedding-space) dedup clusters — SemDeDup's shape: the
     * near-duplicate graph comes from LSH-banded cosine pairs

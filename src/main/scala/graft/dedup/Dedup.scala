@@ -112,7 +112,11 @@ object Dedup {
   def hashA(k: Int): Long = ((k + 1).toLong * 2654435761L) % MinhashP
   def hashB(k: Int): Long = (k.toLong * 40503L + 7919L) % MinhashP
 
-  /** Per-doc MinHash signature columns m0..m15 over vocab token ids.
+  /** Distinct (doc_id, tid) token-id pairs — the tokenize→vocab pipeline
+    * every signature-family operator starts from, computed ONCE per corpus
+    * per JVM (`plans.Memo`, checkpointed) and shared by minhash, simhash and
+    * the LSH tuner: the tokenize+explode+distinct over the corpus is the
+    * dominant cost of all three and is bit-identical across them.
     *
     * Two tid modes:
     *  - rank (default): dense ranks over the sorted vocabulary. The rank is
@@ -125,18 +129,25 @@ object Dedup {
     *    is unwanted coordination. Same signature algebra; identical-token
     *    docs still collapse to identical signatures. Not oracle-matched
     *    (DuckDB has no xxhash64), hence the flag. */
+  private[dedup] def docTokenIds(documents: DataFrame, hashTid: Boolean = false): DataFrame =
+    graft.plans.Memo.memoize(documents, s"dedup.tokids:$hashTid") {
+      val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
+      val tt =
+        if (hashTid) tok.withColumn("tid", pmod(xxhash64(col("token")), lit(MinhashP)))
+        else {
+          val vocab = tok.select(col("token")).distinct()
+            .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+          tok.join(broadcast(vocab), Seq("token"))
+        }
+      tt.select(col("doc_id"), col("tid")).localCheckpoint(true)
+    }
+
+  /** Per-doc MinHash signature columns m0..m15 over vocab token ids (see
+    * `docTokenIds` for the tid modes and the per-corpus memo). */
   private def signatures(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
-    val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
-    val tt =
-      if (hashTid) tok.withColumn("tid", pmod(xxhash64(col("token")), lit(MinhashP)))
-      else {
-        val vocab = tok.select(col("token")).distinct()
-          .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
-        tok.join(broadcast(vocab), Seq("token"))
-      }
     val mins = (0 until MinhashK).map(k =>
       min((col("tid") * hashA(k) + hashB(k)) % MinhashP).as(s"m$k"))
-    tt.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    docTokenIds(documents, hashTid).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Internal decomposition of the MinHash/LSH pair graph, factored through
@@ -157,11 +168,18 @@ object Dedup {
 
   private[dedup] def minhashGroups(documents: DataFrame, bandRows: Int = 4,
                                    threshold: Double = 0.9,
-                                   hashTid: Boolean = false): SigGroups = {
+                                   hashTid: Boolean = false): SigGroups =
+    graft.plans.Memo.memoize(documents,
+      s"dedup.groups:$bandRows:$threshold:$hashTid") {
+      minhashGroupsBuild(documents, bandRows, threshold, hashTid)
+    }
+
+  private def minhashGroupsBuild(documents: DataFrame, bandRows: Int,
+                                 threshold: Double, hashTid: Boolean): SigGroups = {
     val nBands = MinhashK / bandRows
     val mcols = (0 until MinhashK).map(k => col(s"m$k"))
     // Signature table feeds both the grouping and the member mapping —
-    // checkpoint so the tokenize+vocab+groupBy subtree runs once.
+    // checkpoint so the vocab-id groupBy subtree runs once.
     val sig = signatures(documents, hashTid).localCheckpoint(true)
     val groups = sig.groupBy(mcols: _*)
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
@@ -187,10 +205,15 @@ object Dedup {
     val agree = (0 until MinhashK)
       .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
       .reduce(_ + _)
+    // The qualifying cross-group pair set is consumed by four queries
+    // (minhash pairs, incremental screen, components, keep-best) — small
+    // after the threshold filter, so checkpoint it and let the memo share
+    // the materialised band join.
     val crossQual = cand.join(side("a"), Seq("ga")).join(side("b"), Seq("gb"))
       .withColumn("est_sim", round(agree / lit(MinhashK.toDouble), 6))
       .filter(col("est_sim") >= threshold)
       .select(col("ga"), col("gb"), col("est_sim"))
+      .localCheckpoint(true)
     val selfQual = groups.filter(col("gn") >= 2).select(col("gid"))
     SigGroups(members, groups, crossQual, selfQual)
   }
@@ -224,18 +247,17 @@ object Dedup {
     * integer bit mix, identical in the oracle).
     *
     * One groupBy with 32 conditional-sum columns (fully codegen'd) instead
-    * of exploding a 32× row blowup through two aggregations. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"), explode(toks).as("token")).distinct()
-    val vocab = tok.select(col("token")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+    * of exploding a 32× row blowup through two aggregations. `hashTid=true`
+    * swaps the rank-mode vocab ids for the window-free xxhash64 dictionary
+    * hash (see `docTokenIds`) — the 100 TB setting, not oracle-matched. */
+  def simhash(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
     val bitSums = (0 until 32).map { j =>
       sum(when((col("tid") * 2654435761L + j * 40503L) % 65536L > 32767L, 1L).otherwise(-1L)).as(s"bit$j")
     }
     val hash = (0 until 32)
       .map(j => when(col(s"bit$j") > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
-    tok.join(broadcast(vocab), Seq("token"))
+    docTokenIds(documents, hashTid)
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), hash.as("simhash"))
@@ -275,7 +297,32 @@ object Dedup {
     * volume — the `dedup_lsh_tuning` trade in cosine space). Dot products
     * keep the sequential-fold determinism contract with the oracle, which
     * mirrors the banding bit-for-bit. */
+  /** Floor below every threshold the embedding-dedup family queries with —
+    * the banded cosine-pair set is computed once at this floor per corpus
+    * per JVM (`plans.Memo`) and each consumer re-filters to its own cutoff
+    * (filter-of-a-superset ≡ direct computation, pair for pair). */
+  val EmbPairFloor = 0.40
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val pairs =
+      if (threshold >= EmbPairFloor)
+        embeddingCosPairs(embeddings, EmbPairFloor).filter(col("cos") >= threshold)
+      else embeddingCosPairs(embeddings, threshold)
+    pairs
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded hyperplane-LSH candidate pairs with exact cosine ≥ `floor`,
+    * pre-distinct (a pair may collide in several bands) — the shared stage
+    * behind dedup_embedding / dedup_semantic / knn_threshold_sweep. */
+  private def embeddingCosPairs(embeddings: DataFrame, floor: Double): DataFrame =
+    graft.plans.Memo.memoize(embeddings, s"dedup.embpairs:$floor") {
+      embeddingCosPairsBuild(embeddings, floor).localCheckpoint(true)
+    }
+
+  private def embeddingCosPairsBuild(embeddings: DataFrame, floor: Double): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -307,10 +354,8 @@ object Dedup {
     a.join(broadcast(b), Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= floor)
       .select(col("vec_a"), col("vec_b"), col("cos"))
-      .distinct()
-      .orderBy("vec_a", "vec_b")
   }
 
   /** LSH banding-parameter sweep: for each (bands b × rows r) split of the
@@ -321,11 +366,12 @@ object Dedup {
     * materialised per doc; the group table is checkpointed once and each
     * config's band join runs over it. */
   def lshTuning(documents: DataFrame, bandRowsConfigs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
-    val sig = signatures(documents)
-    val g = sig.groupBy((0 until MinhashK).map(k => col(s"m$k")): _*)
-      .agg(count(lit(1)).as("gn"))
+    // Signature groups are banding-invariant (they depend only on the 16
+    // minhashes), so the tuner reads the same memoized group table the
+    // minhash/components queries share instead of rebuilding signatures.
+    val g = minhashGroups(documents).groups
       .withColumn("sigkey", concat_ws(",", (0 until MinhashK).map(k => col(s"m$k")): _*))
-      .localCheckpoint(true)
+      .select((0 until MinhashK).map(k => col(s"m$k")) ++ Seq(col("gn"), col("sigkey")): _*)
     val intra = g.agg((sum(col("gn") * (col("gn") - 1)) / 2).cast("long").as("intra_docs"))
     // Per-config band joins (NOT one fused join keyed by band_rows): each
     // config's self-join is tiny after the signature-group collapse, and

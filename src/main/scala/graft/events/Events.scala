@@ -251,17 +251,29 @@ object Events {
 
   /** Inter-event dwell-time: the gap from each event back to the user's
     * previous event (any type), aggregated per the current event's type.
-    * Median is the one sort-based aggregate; the rest are algebraic. */
+    * The median comes from `plans.QuarterQuantiles` — two-pass bucketed
+    * selection over ms-integer gaps (1-minute-wide histogram buckets), so no
+    * aggregate buffers a group's values: at 10⁹ gaps per event type the old
+    * `median()` held ~N/|types| doubles in ObjectHashAggregate state, this
+    * holds a bounded histogram. The mean is the exact integer Σ gap_ms
+    * divided once (kills double-summation-order dependence); 4·median is
+    * exact integer, scaled by one IEEE division per engine. */
   def dwellTimes(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events
+    val gaps = events
       .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
       .filter(col("gap_ms").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        round(avg(col("gap_ms") / 60000.0), 6).as("avg_gap_min"),
-        round(median(col("gap_ms") / 60000.0), 6).as("median_gap_min"),
-        round(max(col("gap_ms") / 60000.0), 6).as("max_gap_min"))
+      .select(col("event_type"), col("gap_ms"))
+    val stats = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_ms")).as("sum_gap"),
+        max(col("gap_ms")).as("max_gap"))
+    val med = graft.plans.QuarterQuantiles.quarterQuantiles(
+      gaps, Seq("event_type"), "gap_ms", Seq(2), bucketWidth = 60000L)
+    stats.join(med, "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sum_gap") / (col("n_gaps") * 60000.0), 6).as("avg_gap_min"),
+        round(col("q2_x4") / 240000.0, 6).as("median_gap_min"),
+        round(col("max_gap") / 60000.0, 6).as("max_gap_min"))
       .orderBy("event_type")
   }
 
@@ -305,33 +317,59 @@ object Events {
 
   /** Signup→first-purchase conversion latency, summarised per signup day:
     * exact interpolated quartiles of hours-to-convert. Two user-keyed
-    * aggregations + one join; percentile runs per day over post-agg rows. */
+    * aggregations + one join; the quartiles come from
+    * `plans.QuarterQuantiles` over integer latency-ms (1-hour-wide histogram
+    * buckets) instead of `percentile()` — the old aggregate buffered every
+    * converted user's latency per signup-day group; this holds a bounded
+    * histogram per group. 4·quartile is exact integer; one IEEE division
+    * per engine converts to hours. */
   def conversionTime(events: DataFrame): DataFrame = {
     val signups = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
     val firstPurchase = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    signups.join(firstPurchase, "user_id")
+    val lat = signups.join(firstPurchase, "user_id")
       .filter(col("t_purchase") > col("t_signup"))
-      .withColumn("hours",
-        (unix_millis(col("t_purchase")) - unix_millis(col("t_signup"))) / 3600000.0)
-      .groupBy(date_format(col("t_signup"), "yyyy-MM-dd").as("signup_day"))
-      .agg(count(lit(1)).as("n_converted"),
-        round(expr("percentile(hours, 0.25D)"), 6).as("p25_hours"),
-        round(expr("percentile(hours, 0.5D)"), 6).as("p50_hours"),
-        round(expr("percentile(hours, 0.75D)"), 6).as("p75_hours"))
+      .select(date_format(col("t_signup"), "yyyy-MM-dd").as("signup_day"),
+        (unix_millis(col("t_purchase")) - unix_millis(col("t_signup"))).as("lat_ms"))
+    val n = lat.groupBy(col("signup_day")).agg(count(lit(1)).as("n_converted"))
+    val qs = graft.plans.QuarterQuantiles.quarterQuantiles(
+      lat, Seq("signup_day"), "lat_ms", Seq(1, 2, 3), bucketWidth = 3600000L)
+    n.join(qs, "signup_day")
+      .select(col("signup_day"), col("n_converted"),
+        round(col("q1_x4") / 14400000.0, 6).as("p25_hours"),
+        round(col("q2_x4") / 14400000.0, 6).as("p50_hours"),
+        round(col("q3_x4") / 14400000.0, 6).as("p75_hours"))
       .orderBy("signup_day")
   }
 
   /** Activity concentration: users deciled by event count; per decile the
     * user/event share — the "do 10% of users generate 90% of traffic"
-    * report. The decile window runs over the per-user aggregate (bounded by
-    * the user population, already post-shuffle). */
+    * report. The user population is exactly what grows at scale, so deciles
+    * come from the two-phase prefix-sum rank (`plans.PrefixSum`, as
+    * `q66_decile_lift`), not a single-partition `ntile` window: the total
+    * order (n_events desc, user_id asc) is encoded as one integer key
+    * `-n_events·(max_uid+1) + user_id` (headroom: needs n_events·(max_uid+1)
+    * < 2^63 — ~10^9 users × ~10^9 events/user before wrap), ranks are
+    * count-of-ones prefix sums over that key, and NTILE(10) bucket bounds
+    * are reproduced exactly by integer arithmetic on the rank: the first
+    * n mod 10 deciles take ⌈n/10⌉ users, the rest ⌊n/10⌋ — bit-identical to
+    * the window ntile at any population. */
   def powerUsers(events: DataFrame): DataFrame = {
     val perUser = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("user_value"))
-    perUser
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+    val span = perUser.agg((max(col("user_id")) + 1L).as("u_span"))
+    val keyed = perUser.crossJoin(broadcast(span))
+      .withColumn("ord_key", -col("n_events") * col("u_span") + col("user_id"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.plans.PrefixSum.prefixSum(keyed, "ord_key", "one", "rk")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(
+        """CASE WHEN rk <= (n % 10) * (n div 10 + 1)
+          | THEN (rk + n div 10) div (n div 10 + 1)
+          | ELSE (n % 10) + (rk - (n % 10) * (n div 10 + 1) + n div 10 - 1) div (n div 10)
+          | END""".stripMargin).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_events")).as("n_events"),

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,5 +193,100 @@ object DeleteVectors {
       .select(col("s.strategy").as("strategy"), col("s.read_bytes").as("read_bytes"),
         col("s.write_bytes").as("write_bytes"), col("s.files_touched").as("files_touched"))
       .orderBy("strategy")
+  }
+
+  /** Column-file (column-granularity) update cost model — full-table rewrite
+    * vs writing a replacement file for just the updated column. Re-expresses
+    * the reference's column-file DV-update study
+    * (`poc/results/column_file_dv_updates_results.json`; its
+    * `test_column_file_dv_updates.py` source is a 0-byte file, so the results
+    * JSON is the spec). The four scenarios mirror the reference ladder —
+    * scenarios A/B/C are the 1 / 10 / 100 % update-percentage rungs at the
+    * base file tier, D is the medium-table tier at 5 % — and the cost columns
+    * mirror the reference fields: `full_rewrite_bytes`/`_io_ops`,
+    * `column_update_bytes`/`_io_ops`, `bytes_saved_pct`, `io_reduction_pct`.
+    * The reference's `*_time_ms`/`speedup_factor` are single-node wall-clock
+    * measurements; graft's `speedup_model` is the deterministic analogue —
+    * the ratio of modeled costs with a 4 KiB byte-equivalent per io op — so
+    * both engines can reproduce it bit-exactly.
+    *
+    * Cost model (reference semantics, graft widths):
+    *  - a full rewrite writes every row at its physical width (68 B fixed +
+    *    the measured flag/status string bytes, as `Manifest.scanCostModel`)
+    *    in 2 io ops — one read pass, one write pass (the reference's constant
+    *    `full_rewrite_io_ops: 2`);
+    *  - a column update writes 8 B per updated row for the replaced numeric
+    *    column plus a 200 B metadata commit in 3 io ops — read column file,
+    *    write column file, write commit (the reference's constant
+    *    `column_update_io_ops: 3`, hence the constant -50 % io "reduction");
+    *  - rows are marked updated by the deterministic `l_orderkey % 100 < pct`
+    *    screen so the DuckDB oracle rebuilds the identical update set.
+    *
+    * Scale: one map-side-combinable per-file aggregation per file tier over
+    * the fact table, a broadcast join of the two 1-row tier summaries, and a
+    * 4-struct explode — no driver math, no value buffering; at 100 TB this is
+    * two columnar scans of (l_orderkey, l_returnflag, l_linestatus). */
+  def columnUpdateCost(lineitem: DataFrame, baseFiles: Int = 40,
+                       mediumFiles: Int = 100): DataFrame = {
+    val colBytes = 8L    // replaced column physical width (l_extendedprice)
+    val metaBytes = 200L // column-file commit metadata
+    val ioCost = 4096L   // per-io-op byte-equivalent for the modeled speedup
+
+    def tierStats(nFiles: Int, pcts: Seq[Int]): DataFrame = {
+      val rowW = length(col("l_returnflag")).cast("long") +
+        length(col("l_linestatus")).cast("long") + lit(68L)
+      val perFileAggs =
+        Seq(count(lit(1)).as("rows"), sum(rowW).as("bytes")) ++
+          pcts.map(p => sum(when(col("bucket") < p, 1L).otherwise(0L)).as(s"upd_$p"))
+      val perFile = FileModel.withFileId(lineitem, nFiles)
+        .withColumn("bucket", col("l_orderkey") % 100)
+        .groupBy(col("file_id"))
+        .agg(perFileAggs.head, perFileAggs.tail: _*)
+      val totalAggs =
+        Seq(sum(col("bytes")).as("table_bytes")) ++
+          pcts.flatMap(p => Seq(
+            sum(col(s"upd_$p")).as(s"upd_rows_$p"),
+            sum(when(col(s"upd_$p") > 0, 1L).otherwise(0L)).as(s"touched_$p")))
+      perFile.agg(totalAggs.head, totalAggs.tail: _*)
+    }
+
+    val base = tierStats(baseFiles, Seq(1, 10, 100))
+    val medium = tierStats(mediumFiles, Seq(5)).select(
+      col("table_bytes").as("m_table_bytes"),
+      col("upd_rows_5").as("m_upd_rows_5"),
+      col("touched_5").as("m_touched_5"))
+
+    def scen(label: String, nFiles: Int, pct: Double,
+             tableBytes: Column, updRows: Column, touched: Column) =
+      struct(lit(label).as("scenario"), lit(nFiles.toLong).as("num_files"),
+        lit(pct).as("update_pct"), updRows.as("updated_rows"),
+        touched.as("files_touched"), tableBytes.as("full_rewrite_bytes"),
+        (updRows * colBytes + metaBytes).as("column_update_bytes"))
+
+    base.crossJoin(broadcast(medium))
+      .select(explode(array(
+        scen("A_small_update_1pct", baseFiles, 1.0,
+          col("table_bytes"), col("upd_rows_1"), col("touched_1")),
+        scen("B_partial_update_10pct", baseFiles, 10.0,
+          col("table_bytes"), col("upd_rows_10"), col("touched_10")),
+        scen("C_full_table_100pct", baseFiles, 100.0,
+          col("table_bytes"), col("upd_rows_100"), col("touched_100")),
+        scen("D_medium_table_5pct", mediumFiles, 5.0,
+          col("m_table_bytes"), col("m_upd_rows_5"), col("m_touched_5")))).as("s"))
+      .select(col("s.*"))
+      .withColumn("full_rewrite_io_ops", lit(2L))
+      .withColumn("column_update_io_ops", lit(3L))
+      .withColumn("speedup_model",
+        round((col("full_rewrite_bytes") + lit(2L * ioCost)) /
+          (col("column_update_bytes") + lit(3L * ioCost)), 4))
+      .withColumn("bytes_saved_pct",
+        round((col("full_rewrite_bytes") - col("column_update_bytes")) * 100.0 /
+          col("full_rewrite_bytes"), 4))
+      .withColumn("io_reduction_pct", lit(-50.0))
+      .select("scenario", "num_files", "update_pct", "updated_rows",
+        "files_touched", "full_rewrite_bytes", "full_rewrite_io_ops",
+        "column_update_bytes", "column_update_io_ops", "speedup_model",
+        "bytes_saved_pct", "io_reduction_pct")
+      .orderBy("scenario")
   }
 }

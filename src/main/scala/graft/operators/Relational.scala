@@ -1032,9 +1032,10 @@ object Relational {
     * order, so the arbitrary tie order inside both engines cannot move any
     * output. Integer headroom: `Σ rank·rev_c` ≈ n²·avg_cents/2, which
     * outgrows a signed 64-bit near ~100M customers × $10k lifetime revenue
-    * (n²·avg/2 ≈ 5e21 at 1B × $10k vs int64 max 9.2e18) — so the rank·rev
-    * term accumulates in decimal(38,0), which Spark and DuckDB (int128) both
-    * sum exactly; the division to double happens once, on the final sums. */
+    * (n²·avg/2 ≈ 5e21 at 1B × $10k vs int64 max 9.2e18) — so the rank is
+    * cast to decimal(38,0) BEFORE the multiply: the whole rank·rev term and
+    * its sum stay decimal end to end (no transient int64 product), matching
+    * DuckDB's int128; the division to double happens once, on the sums. */
   def giniRevenue(orders: DataFrame): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
@@ -1044,7 +1045,7 @@ object Relational {
     ranked.crossJoin(broadcast(tot))
       .agg(
         max(col("n")).as("n_customers"),
-        round(sum((col("rk") * col("rev_c")).cast("decimal(38,0)")).cast("double") * 2.0
+        round(sum(col("rk").cast("decimal(38,0)") * col("rev_c")).cast("double") * 2.0
             / (max(col("n")) * 1.0 * max(col("tot_c")))
           - (max(col("n")) + 1.0) / max(col("n")), 6).as("gini"),
         round(sum(when(col("rk") > col("n") - floor(col("n") / 100), col("rev_c")).otherwise(0L))

@@ -336,4 +336,35 @@ class LakeSpec extends SparkSpec {
       assert(hot == (r.getAs[Long]("part_bytes") * n > tot * 2L))
     }
   }
+
+  test("column-update cost: 4-scenario ladder with monotone update costs") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = DeleteVectors.columnUpdateCost(li).collect()
+      .map(r => r.getAs[String]("scenario") -> r).toMap
+    assert(rows.keySet == Set("A_small_update_1pct", "B_partial_update_10pct",
+      "C_full_table_100pct", "D_medium_table_5pct"))
+    val total = li.count()
+    val a = rows("A_small_update_1pct"); val b = rows("B_partial_update_10pct")
+    val c = rows("C_full_table_100pct")
+    // The full-table scenario updates every row; the ladder is monotone.
+    assert(c.getAs[Long]("updated_rows") == total)
+    assert(a.getAs[Long]("updated_rows") <= b.getAs[Long]("updated_rows"))
+    assert(b.getAs[Long]("updated_rows") <= c.getAs[Long]("updated_rows"))
+    // Full rewrite bytes are scenario-invariant at a tier and dominate the
+    // column update everywhere except possibly the 100% rung.
+    assert(a.getAs[Long]("full_rewrite_bytes") == c.getAs[Long]("full_rewrite_bytes"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("column_update_bytes") ==
+        r.getAs[Long]("updated_rows") * 8L + 200L)
+      assert(r.getAs[Long]("full_rewrite_io_ops") == 2L)
+      assert(r.getAs[Long]("column_update_io_ops") == 3L)
+      assert(r.getAs[Double]("io_reduction_pct") == -50.0)
+      assert(r.getAs[Double]("bytes_saved_pct") <= 100.0)
+      assert(r.getAs[Double]("speedup_model") > 0.0)
+      assert(r.getAs[Long]("files_touched") <= r.getAs[Long]("num_files"))
+    }
+    // Small updates save more bytes than large ones.
+    assert(a.getAs[Double]("bytes_saved_pct") >= c.getAs[Double]("bytes_saved_pct"))
+    assert(a.getAs[Double]("speedup_model") >= c.getAs[Double]("speedup_model"))
+  }
 }

@@ -171,4 +171,66 @@ class PipelineReportsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("flesch_ease") - expected) < 0.001)
     }
   }
+
+  test("power users: prefix-sum deciles are bit-identical to the ntile window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf0001)
+    val naive = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("user_value"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+        round(sum(col("user_value")), 4).as("total_value"))
+      .withColumn("event_share_pct",
+        round(col("n_events") * 100.0 / sum(col("n_events")).over(Window.partitionBy()), 4))
+      .orderBy("decile").collect()
+    val scaled = graft.events.Events.powerUsers(ev).orderBy("decile").collect()
+    assert(scaled.length == naive.length)
+    scaled.zip(naive).foreach { case (s, n) =>
+      // Decile membership must be bit-identical; the value sums are doubles
+      // whose summation order may differ between the two plans.
+      assert(s.getAs[Long]("decile") == n.getAs[Long]("decile"))
+      assert(s.getAs[Long]("n_users") == n.getAs[Long]("n_users"), s"n_users @ $s vs $n")
+      assert(s.getAs[Long]("n_events") == n.getAs[Long]("n_events"), s"n_events @ $s vs $n")
+      assert(math.abs(s.getAs[Double]("total_value") - n.getAs[Double]("total_value")) < 1e-6)
+      assert(math.abs(s.getAs[Double]("event_share_pct") - n.getAs[Double]("event_share_pct")) < 1e-6)
+    }
+  }
+
+  test("quarter quantiles equal the native exact percentile on every group") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf0001)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_ms").isNotNull)
+      .select(col("event_type"), col("gap_ms"))
+    val native = gaps.groupBy(col("event_type"))
+      .agg(expr("percentile(gap_ms, 0.25D)").as("p25"),
+        expr("percentile(gap_ms, 0.5D)").as("p50"),
+        expr("percentile(gap_ms, 0.75D)").as("p75"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+    val qq = graft.plans.QuarterQuantiles.quarterQuantiles(
+        gaps, Seq("event_type"), "gap_ms", Seq(1, 2, 3), bucketWidth = 60000L)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("q1_x4"), r.getAs[Long]("q2_x4"), r.getAs[Long]("q3_x4"))).toMap
+    assert(qq.keySet == native.keySet)
+    qq.foreach { case (k, (q1, q2, q3)) =>
+      assert(q1 / 4.0 == native(k)._1, s"p25 mismatch for $k: ${q1 / 4.0} vs ${native(k)._1}")
+      assert(q2 / 4.0 == native(k)._2, s"p50 mismatch for $k: ${q2 / 4.0} vs ${native(k)._2}")
+      assert(q3 / 4.0 == native(k)._3, s"p75 mismatch for $k: ${q3 / 4.0} vs ${native(k)._3}")
+    }
+    // Tiny-group edge: quantiles of 1- and 2-row groups interpolate correctly.
+    val tiny = ev.sparkSession.createDataFrame(Seq(("a", 10L), ("b", 10L), ("b", 20L)))
+      .toDF("g", "v")
+    val tq = graft.plans.QuarterQuantiles.quarterQuantiles(tiny, Seq("g"), "v", Seq(1, 2, 3), 7L)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("q1_x4"), r.getAs[Long]("q2_x4"), r.getAs[Long]("q3_x4"))).toMap
+    assert(tq("a") == ((40L, 40L, 40L)))
+    assert(tq("b") == ((50L, 60L, 70L))) // p25 = 12.5, p50 = 15, p75 = 17.5
+  }
 }
