@@ -41,12 +41,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Opt-in write-path benchmark (SPARK_GRAFT_WRITE_BENCH=1): physical
-    // parquet write overhead of the sorted (clustered) writer vs a plain
-    // append — the reference's write-overhead study, kept out of the default
-    // run because driver queries must stay read-only.
+    // Write-path benchmark (default ON; SPARK_GRAFT_WRITE_BENCH=0 disables):
+    // physical parquet write overhead of the sorted (clustered) writer vs a
+    // plain append — the reference's write-overhead study. Writes go to a
+    // temp dir that is deleted before the JSON line prints (driver *queries*
+    // stay read-only; this is a separate timed write to scratch space), and
+    // any failure degrades to an error field, never a lost BENCH line.
     val writeBench =
-      if (sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("1")) {
+      if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0")) {
         val li = graft.tables.Tables.lineitem(spark, sfDir)
         val dir = java.nio.file.Files.createTempDirectory("graft_wb_").toString
         def timeIt(f: => Unit): Double = {
@@ -56,6 +58,8 @@ object Bench {
           val tPlain = timeIt(li.write.mode("overwrite").parquet(s"$dir/unsorted"))
           val tSorted = timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 8))
           f""","write_bench":{"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,"sort_overhead_x":${tSorted / tPlain}%.3f}"""
+        } catch {
+          case e: Throwable => s""","write_bench":{"error":"${e.getClass.getSimpleName}"}"""
         } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       } else ""
     // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost

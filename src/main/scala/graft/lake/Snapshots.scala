@@ -288,7 +288,11 @@ object Snapshots {
     * year — mean/median/p95 gap and the burstiness ratio (p95/median) that
     * tells an ops team whether writes arrive smoothly or in storms (the
     * cadence half of the single-file-commits latency study). The lag window
-    * runs over the 150-row commit table. */
+    * runs over the 150-row commit table. Exact-percentile state is BOUNDED
+    * by construction: the aggregate buffers per-year commit *gaps* — commit
+    * metadata, ≤ commits/year rows regardless of data volume (a lake doing
+    * 1 commit/second is ~3×10⁷ gaps/year of 8 B doubles ≈ 250 MB worst
+    * case, and real logs are 10³–10⁶) — not fact-table rows. */
   def commitCadence(orders: DataFrame): DataFrame = {
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))

@@ -198,8 +198,11 @@ object Relational {
   /** q20: exact interpolated percentiles per group (matches DuckDB
     * quantile_cont). One array-argument percentile aggregate — a single
     * per-group value map instead of four (4× less buffer merge work).
-    * The library also exposes approxQuantiles for the sketch-based scale
-    * path. */
+    * Scale paths, by requirement: approx → `approxPriceQuantiles` (q30,
+    * mergeable t-digest sketch, bounded state); exact at quarter points →
+    * `plans.QuarterQuantiles` over integer cents (two-pass bucketed
+    * selection, bounded state; p99 is not a quarter point, hence the value
+    * buffer stays the exact-arbitrary-p implementation here). */
   def priceQuantiles(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
@@ -340,8 +343,11 @@ object Relational {
   /** q32: statistical aggregate suite — Pearson correlation, sample
     * covariance/stddev/variance, and exact interpolated median per group.
     * Everything except median is algebraic (map-side partial + merge);
-    * median is the one sort-based aggregate here, with approx_percentile
-    * (q30) as the sketch path at 100 TB. */
+    * median is the one value-buffering aggregate here — scale paths:
+    * approx_percentile (q30, mergeable sketch) or the bounded exact
+    * `plans.QuarterQuantiles` over quantity quarter-units (the ev_dwell /
+    * ev_conversion_time rewrite); kept native here because this operator's
+    * spec is the engine-aggregate suite itself. */
   def priceStatistics(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
@@ -702,7 +708,10 @@ object Relational {
     * fused percentile aggregate), rows assigned by comparing against the
     * broadcast edge row; complements q38's fixed-width binning. Per bucket
     * ≈ n/4 rows by construction, which is the property a CBO wants from
-    * height-balanced stats. */
+    * height-balanced stats. The quartile edges are exactly the quarter
+    * points `plans.QuarterQuantiles` computes with bounded state over
+    * integer cents — the drop-in at 10⁹+ rows; the native percentile stays
+    * here for the oracle-exact interpolated edges on raw doubles. */
   def priceEquiHeightHistogram(orders: DataFrame): DataFrame = {
     val edges = orders.agg(
       expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"))

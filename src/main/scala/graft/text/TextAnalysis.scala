@@ -77,15 +77,27 @@ object TextAnalysis {
   }
 
   /** Positional rolling fingerprint: XOR over (vocab-id × 1-based position).
-    * Vocabulary ids are a dense_rank over the sorted distinct tokens — at
-    * 100 TB this would be a dictionary hash; rank keeps the oracle exact. */
-  def fingerprint(documents: DataFrame): DataFrame = {
+    * Two tid modes, mirroring `Dedup.docTokenIds`:
+    *  - rank (default): a window rank over the sorted distinct tokens — runs
+    *    over the vocabulary (bounded by language, not corpus size) and keeps
+    *    the DuckDB oracle bit-exact;
+    *  - hashTid=true: the 100 TB setting — tid = xxhash64(token) mod 2³²,
+    *    zero windows, zero vocab table, zero join; same XOR algebra, so docs
+    *    with identical token sequences still collapse to identical
+    *    fingerprints. The 32-bit reduction keeps tid·pos inside int64 under
+    *    ANSI arithmetic for docs up to 2³¹ tokens. Not oracle-matched
+    *    (DuckDB has no xxhash64), hence the flag. */
+  def fingerprint(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
     val tok = documents.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
       .withColumn("pos", col("pos0").cast("long") + 1)
-    val vocab = tok.select(col("token")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
-    tok.join(broadcast(vocab), Seq("token"))
-      .groupBy(col("doc_id"))
+    val tt =
+      if (hashTid) tok.withColumn("tid", pmod(xxhash64(col("token")), lit(1L << 32)))
+      else {
+        val vocab = tok.select(col("token")).distinct()
+          .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
+        tok.join(broadcast(vocab), Seq("token"))
+      }
+    tt.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
            expr("bit_xor(tid * pos)").as("fingerprint"))
       .orderBy("doc_id")

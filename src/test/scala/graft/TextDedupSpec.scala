@@ -26,6 +26,32 @@ class TextDedupSpec extends SparkSpec {
     assert(n > 0 && n <= docs.count())
   }
 
+  test("hashTid fingerprint/simhash modes: windowless plans, exact dups still collide") {
+    for (df <- Seq(TextAnalysis.fingerprint(docs, hashTid = true),
+                   Dedup.simhash(docs, hashTid = true))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("row_number"), "hashTid mode must not rank the vocabulary")
+    }
+    val fp = TextAnalysis.fingerprint(docs, hashTid = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fp2 = TextAnalysis.fingerprint(docs, hashTid = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fp == fp2, "dictionary-hash fingerprints must be run-deterministic")
+    val sh = Dedup.simhash(docs, hashTid = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh.size == docs.count())
+    // Docs with byte-identical text must agree in hash mode exactly as in
+    // rank mode — the tid relabeling cannot split an exact-duplicate group.
+    val sameText = docs.groupBy(col("text"))
+      .agg(org.apache.spark.sql.functions.collect_list(col("doc_id")).as("ids"))
+      .filter(org.apache.spark.sql.functions.size(col("ids")) > 1)
+      .collect().map(_.getAs[Seq[Long]]("ids"))
+    sameText.foreach { ids =>
+      assert(ids.map(fp).distinct.size == 1, s"fingerprint split an exact-dup group $ids")
+      assert(ids.map(sh).distinct.size == 1, s"simhash split an exact-dup group $ids")
+    }
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
