@@ -242,6 +242,7 @@ object SparkEntry {
     "ev_cohort_retention" -> q((s, d) => Events.cohortRetention(Tables.events(s, d))),
     "q68_revenue_bridge" -> q((s, d) => Relational.revenueBridge(Tables.orders(s, d))),
     "lake_column_update_cost" -> q((s, d) => DeleteVectors.columnUpdateCost(Tables.lineitem(s, d))),
+    "lake_fetch_latency" -> q((s, d) => Manifest.fetchLatency(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2669,6 +2670,27 @@ object SparkEntry {
         |   / full_rewrite_bytes, 4) AS bytes_saved_pct,
         | CAST(-50.0 AS DOUBLE) AS io_reduction_pct
         |FROM s ORDER BY scenario""".stripMargin,
+
+    "lake_fetch_latency" ->
+      """WITH f AS (SELECT l_orderkey % 40 AS file_id,
+        |   row_number() OVER (PARTITION BY l_orderkey % 40
+        |                      ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+        |  FROM lineitem),
+        | fr AS (SELECT file_id, pos % 97 AS wave, count(*) AS n_deletes
+        |  FROM f WHERE pos % 97 < 5 GROUP BY 1, 2),
+        | c AS (SELECT CAST(count(*) AS BIGINT) AS n_objects,
+        |   CAST(coalesce(sum(n_deletes * 4 + 100), 0) AS BIGINT) AS dv_bytes FROM fr),
+        | l AS (SELECT unnest([1, 10, 25, 50, 100]) AS threads)
+        |SELECT CAST(threads AS BIGINT) AS threads, n_objects, dv_bytes,
+        | CAST(ceil(n_objects * 1.0 / threads) AS BIGINT) AS fetch_rounds,
+        | CAST(ceil(n_objects * 1.0 / threads) AS BIGINT) * 55 AS fetch_ms,
+        | CASE WHEN n_objects > 0
+        |   THEN round((n_objects - CAST(ceil(n_objects * 1.0 / threads) AS BIGINT))
+        |     * 100.0 / n_objects, 4)
+        |   ELSE CAST(0.0 AS DOUBLE) END AS reduction_vs_sequential_pct,
+        | round(CAST(ceil(n_objects * 1.0 / threads) AS BIGINT) * 55 / 55.0, 4)
+        |   AS speedup_vs_inline_x
+        |FROM l, c ORDER BY threads""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -114,6 +114,51 @@ object Manifest {
       .orderBy("parallelism")
   }
 
+  /** External-DV fetch-latency ladder — the inline-vs-external half of the
+    * reference's parallel-fetch study (`poc/test_parallel_s3_fetching.py`,
+    * `results/parallel_s3_results.json`): a delete storm leaves one external
+    * DV object per (file, wave) fragment, and a reader must fetch ALL of
+    * them before planning, at one TTFB round-trip (55 ms in the reference's
+    * S3 model) per ceil(n/threads) sequential waves of its worker pool.
+    * Per thread-pool rung (the reference ladder 1/10/25/50/100):
+    *  - `fetch_rounds`, `fetch_ms` — the deterministic latency model
+    *    (reference `time_ms` is wall-clock of a sleep-based simulation; the
+    *    model rounds×TTFB matches it within scheduling noise);
+    *  - `reduction_vs_sequential_pct` — the reference's headline column;
+    *  - `speedup_vs_inline_x` — fetch_ms over ONE round-trip (inline MDVs
+    *    ride the manifest you already fetched), i.e. the factor the study's
+    *    "inline is 27.6× faster than 100-way parallel" conclusion reports.
+    * The fragment census is one map-side-combinable aggregation over the
+    * storm model (`DeleteVectors.deleteStorm` semantics); the ladder is a
+    * 5-element generator over the broadcast 1-row census — no driver math,
+    * shape-invariant at any corpus size. */
+  def fetchLatency(lineitem: DataFrame, nFiles: Int = 40, waves: Int = 5,
+                   ttfbMs: Long = 55L,
+                   threads: Seq[Int] = Seq(1, 10, 25, 50, 100)): DataFrame = {
+    val census = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
+      .withColumn("wave", col("pos") % 97)
+      .filter(col("wave") < waves)
+      .groupBy(col("file_id"), col("wave"))
+      .agg(count(lit(1)).as("n_deletes"))
+      .agg(count(lit(1)).as("n_objects"),
+        coalesce(sum(col("n_deletes") * 4 + 100), lit(0L)).as("dv_bytes"))
+    census
+      .select(col("n_objects"), col("dv_bytes"),
+        explode(array(threads.map(t => lit(t.toLong)): _*)).as("threads"))
+      .withColumn("fetch_rounds",
+        ceil(col("n_objects") / col("threads")).cast("long"))
+      .withColumn("fetch_ms", col("fetch_rounds") * ttfbMs)
+      .withColumn("reduction_vs_sequential_pct",
+        when(col("n_objects") > 0,
+          round((col("n_objects") - col("fetch_rounds")) * 100.0 / col("n_objects"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("speedup_vs_inline_x", round(col("fetch_ms") / (ttfbMs * 1.0), 4))
+      .select(col("threads"), col("n_objects"), col("dv_bytes"),
+        col("fetch_rounds"), col("fetch_ms"), col("reduction_vs_sequential_pct"),
+        col("speedup_vs_inline_x"))
+      .orderBy("threads")
+  }
+
   /** File-size histogram over a fixed power-of-4-ish bucket ladder — the
     * size-distribution view behind the reference's inline/external blob
     * thresholds (4 KB inline cliff, 10 MB external cap). Explicit CASE

@@ -597,7 +597,13 @@ object Relational {
 
   /** Sketch-based quantiles for the 100 TB path (no oracle — approximate).
     * Quantiles surfaced as scalar columns (not an array) so downstream
-    * row-wise tooling needs no array handling. */
+    * row-wise tooling needs no array handling. Scale contract: Spark's
+    * approx_percentile is a QuantileSummaries (Greenwald–Khanna) sketch with
+    * MERGEABLE partial state — the plan shows partial_approx_percentile on
+    * the map side and a merge on the reduce side, so executor memory is
+    * O(accuracy) per group regardless of row count; this is the documented
+    * scale twin of q20's exact value-buffering percentile (and of the exact
+    * bounded-state `plans.QuarterQuantiles` at quarter points). */
   def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))

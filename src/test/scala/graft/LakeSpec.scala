@@ -367,4 +367,25 @@ class LakeSpec extends SparkSpec {
     assert(a.getAs[Double]("bytes_saved_pct") >= c.getAs[Double]("bytes_saved_pct"))
     assert(a.getAs[Double]("speedup_model") >= c.getAs[Double]("speedup_model"))
   }
+
+  test("fetch latency ladder: monotone in threads, consistent with the TTFB model") {
+    val rows = Manifest.fetchLatency(Tables.lineitem(spark, sf0001)).collect()
+    assert(rows.map(_.getAs[Long]("threads")).toSeq == Seq(1L, 10L, 25L, 50L, 100L))
+    val n = rows.head.getAs[Long]("n_objects")
+    assert(n > 0, "the storm always fragments at least one file")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("threads"); val rounds = r.getAs[Long]("fetch_rounds")
+      assert(rounds == (n + t - 1) / t, s"rounds must be ceil(n/threads) at t=$t")
+      assert(r.getAs[Long]("fetch_ms") == rounds * 55L)
+      assert(r.getAs[Double]("speedup_vs_inline_x") == rounds.toDouble)
+    }
+    // Sequential rung fetches every object; more threads never fetch slower.
+    assert(rows.head.getAs[Long]("fetch_rounds") == n)
+    assert(rows.head.getAs[Double]("reduction_vs_sequential_pct") == 0.0)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("fetch_ms") >= hi.getAs[Long]("fetch_ms"))
+      assert(lo.getAs[Double]("reduction_vs_sequential_pct")
+        <= hi.getAs[Double]("reduction_vs_sequential_pct"))
+    }
+  }
 }
