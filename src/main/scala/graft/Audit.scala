@@ -71,7 +71,9 @@ object Audit {
           // power users = prefix-sum ranks + two 1-row broadcasts (uid span,
           // population count); fetch latency explodes a 5-rung thread ladder
           // off its broadcast 1-row fragment census:
-          "lake_column_update_cost", "ev_power_users", "lake_fetch_latency")
+          "lake_column_update_cost", "ev_power_users", "lake_fetch_latency",
+          // Inline budget rides PrefixSum's broadcast 1-row key range:
+          "lake_inline_budget")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

@@ -243,6 +243,7 @@ object SparkEntry {
     "q68_revenue_bridge" -> q((s, d) => Relational.revenueBridge(Tables.orders(s, d))),
     "lake_column_update_cost" -> q((s, d) => DeleteVectors.columnUpdateCost(Tables.lineitem(s, d))),
     "lake_fetch_latency" -> q((s, d) => Manifest.fetchLatency(Tables.lineitem(s, d))),
+    "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2691,6 +2692,28 @@ object SparkEntry {
         | round(CAST(ceil(n_objects * 1.0 / threads) AS BIGINT) * 55 / 55.0, 4)
         |   AS speedup_vs_inline_x
         |FROM l, c ORDER BY threads""".stripMargin,
+
+    "lake_inline_budget" ->
+      """WITH pf AS (SELECT l_orderkey % 40 AS file_id,
+        |   CAST(count(*) * 4 + 100 AS BIGINT) AS blob_bytes
+        |  FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % 10 = 3 GROUP BY 1),
+        | c AS (SELECT file_id, CAST(sum(blob_bytes) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+        |  FROM pf),
+        | t AS (SELECT * FROM (VALUES ('1_inline_4kb', 4096), ('2_page_64kb', 65536),
+        |   ('3_region_half_1mb', 1048576), ('4_external_10mb', 10485760))
+        |   AS v(threshold_label, threshold_bytes))
+        |SELECT threshold_label, CAST(threshold_bytes AS BIGINT) AS threshold_bytes,
+        | CAST(sum(CASE WHEN cum_bytes <= threshold_bytes THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS files_within_budget,
+        | CAST(coalesce(min(CASE WHEN cum_bytes > threshold_bytes THEN file_id END), -1)
+        |   AS BIGINT) AS crossing_file_id,
+        | CAST(coalesce(min(CASE WHEN cum_bytes > threshold_bytes THEN cum_bytes END), 0)
+        |   AS BIGINT) AS cum_bytes_at_crossing,
+        | coalesce(min(CASE WHEN cum_bytes > threshold_bytes THEN file_id END), -1) >= 0
+        |   AS crossed
+        |FROM c CROSS JOIN t
+        |GROUP BY 1, 2 ORDER BY threshold_label""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -159,6 +159,53 @@ object Manifest {
       .orderBy("threads")
   }
 
+  /** Inline-blob budget ladder — the deterministic half of the reference's
+    * GC-cliff study (`poc/test_gc_performance_cliff.py`,
+    * `results/gc_cliff_results.json`): as a table accumulates per-file DV
+    * blobs inside its inlined manifest, the blob crosses policy cliffs —
+    * the 4 KB inline threshold (`test_delete_storm.py`), a JVM G1
+    * region-half bound (allocations over half a region go humongous: the
+    * `humongous_allocations: 1` flips at ≥10 MB rungs in the reference run),
+    * and the 10 MB external cap. Per threshold: how many files fit within
+    * the budget, and the file/byte coordinate where the manifest crosses —
+    * "how long can this table keep inlining before the cliff".
+    *
+    * Cumulative blob bytes come from the two-phase `plans.PrefixSum` over
+    * the file-id order (no single-partition window — the file census is
+    * exactly what grows with the table); the threshold report is a 4-way
+    * conditional aggregation over the exploded (file × threshold) grid,
+    * which never leaves the per-file metadata grain. Thresholds that are
+    * never crossed report files_within_budget = all files and a -1/-0
+    * crossing coordinate (spine rows always present). */
+  def inlineBudget(lineitem: DataFrame, nFiles: Int = 40,
+                   headerBytes: Long = 100L): DataFrame = {
+    val thresholds = Seq(
+      ("1_inline_4kb", 4096L), ("2_page_64kb", 65536L),
+      ("3_region_half_1mb", 1048576L), ("4_external_10mb", 10485760L))
+    val perFile = FileModel.withFileId(lineitem, nFiles)
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3)
+      .groupBy(col("file_id"))
+      .agg((count(lit(1)) * 4L + headerBytes).as("blob_bytes"))
+    val cum = graft.plans.PrefixSum.prefixSum(perFile, "file_id", "blob_bytes", "cum_bytes")
+    val tStructs = thresholds.map { case (label, b) =>
+      struct(lit(label).as("threshold_label"), lit(b).as("threshold_bytes"))
+    }
+    cum
+      .select(col("file_id"), col("cum_bytes"),
+        explode(array(tStructs: _*)).as("t"))
+      .groupBy(col("t.threshold_label").as("threshold_label"),
+        col("t.threshold_bytes").as("threshold_bytes"))
+      .agg(
+        sum(when(col("cum_bytes") <= col("t.threshold_bytes"), 1L).otherwise(0L))
+          .as("files_within_budget"),
+        coalesce(min(when(col("cum_bytes") > col("t.threshold_bytes"), col("file_id"))),
+          lit(-1L)).as("crossing_file_id"),
+        coalesce(min(when(col("cum_bytes") > col("t.threshold_bytes"), col("cum_bytes"))),
+          lit(0L)).as("cum_bytes_at_crossing"))
+      .withColumn("crossed", col("crossing_file_id") >= 0)
+      .orderBy("threshold_label")
+  }
+
   /** File-size histogram over a fixed power-of-4-ish bucket ladder — the
     * size-distribution view behind the reference's inline/external blob
     * thresholds (4 KB inline cliff, 10 MB external cap). Explicit CASE

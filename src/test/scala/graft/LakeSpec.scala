@@ -388,4 +388,32 @@ class LakeSpec extends SparkSpec {
         <= hi.getAs[Double]("reduction_vs_sequential_pct"))
     }
   }
+
+  test("inline budget: wider thresholds admit more files; crossings are proper") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = Manifest.inlineBudget(li).collect()
+    assert(rows.map(_.getAs[String]("threshold_label")).toSeq ==
+      Seq("1_inline_4kb", "2_page_64kb", "3_region_half_1mb", "4_external_10mb"))
+    val nFilesWithDeletes = li
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3)
+      .select((col("l_orderkey") % 40).as("f")).distinct().count()
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("files_within_budget") <= hi.getAs[Long]("files_within_budget"))
+    }
+    rows.foreach { r =>
+      val crossed = r.getAs[Boolean]("crossed")
+      val within = r.getAs[Long]("files_within_budget")
+      if (crossed) {
+        assert(r.getAs[Long]("cum_bytes_at_crossing") > r.getAs[Long]("threshold_bytes"))
+        assert(r.getAs[Long]("crossing_file_id") >= 0)
+        assert(within < nFilesWithDeletes)
+      } else {
+        assert(within == nFilesWithDeletes, "uncrossed budget admits every file")
+        assert(r.getAs[Long]("crossing_file_id") == -1L)
+        assert(r.getAs[Long]("cum_bytes_at_crossing") == 0L)
+      }
+    }
+    // The 4KB inline cliff is always crossed by the sf0.001+ delete set.
+    assert(rows.head.getAs[Boolean]("crossed"))
+  }
 }
