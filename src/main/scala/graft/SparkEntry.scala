@@ -244,6 +244,7 @@ object SparkEntry {
     "lake_column_update_cost" -> q((s, d) => DeleteVectors.columnUpdateCost(Tables.lineitem(s, d))),
     "lake_fetch_latency" -> q((s, d) => Manifest.fetchLatency(Tables.lineitem(s, d))),
     "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
+    "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2988,6 +2989,20 @@ object SparkEntry {
         | round(coalesce(n_docs_linked, 0) * 100.0 / n_vecs, 4) AS pct_linked
         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold) CROSS JOIN tot
         |ORDER BY threshold""".stripMargin,
+
+    "knn_mutual" ->
+      s"""WITH $embPrepSql,
+        |$embBandPairCtes,
+        | hits AS (SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${Dedup.EmbPairFloor}),
+        | dir AS (SELECT vec_a AS src, vec_b AS dst, cos FROM hits
+        |         UNION ALL SELECT vec_b, vec_a, cos FROM hits),
+        | r AS (SELECT src, dst, cos,
+        |   CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rk FROM dir),
+        | tk AS (SELECT * FROM r WHERE rk <= 3)
+        |SELECT a.src AS vec_a, a.dst AS vec_b, a.cos AS cos, a.rk AS rk_a, b.rk AS rk_b
+        |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src
+        |WHERE a.src < a.dst
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

@@ -447,6 +447,35 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Mutual (reciprocal) top-k over the banded LSH candidate graph — the
+    * SemDeDup-style verification primitive: an edge survives only if each
+    * endpoint ranks the other inside its own top-`k` candidate list. One-way
+    * high-cosine hits from a hub vector (near-dup clusters, templated docs)
+    * fail the reciprocity test, which is what makes mutual-kNN the standard
+    * screen between "candidate pair" and "semantic duplicate".
+    *
+    * Scale shape: the candidate graph is the memoized banded pair set
+    * (`Dedup.embeddingNearDup` at the shared `EmbPairFloor`), so nothing here
+    * is O(n²). The per-vector ranking is a window partitioned by the source
+    * vector whose state is bounded by the LSH bucket sizes (tunable via
+    * bands/rows, see `dedup_lsh_tuning`), and the reciprocity check is an
+    * equi self-join of two rank-filtered edge sets on (src, dst). */
+  def mutualTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = graft.dedup.Dedup.embeddingNearDup(embeddings, graft.dedup.Dedup.EmbPairFloor)
+    val directed = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val ranked = directed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))).cast("long"))
+      .filter(col("rk") <= k)
+    val reverse = ranked.select(col("dst").as("src"), col("src").as("dst"), col("rk").as("rk_b"))
+    ranked.join(reverse, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("cos"),
+        col("rk").as("rk_a"), col("rk_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style centroid assignment: label centroids (rounded to 9 dp so the
     * aggregation boundary is engine-independent), each vector assigned to its
     * max-cosine centroid; returns the label × assigned confusion counts. */

@@ -71,6 +71,22 @@ class AnnSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.3))
   }
 
+  test("mutual top-k pairs are reciprocal and a subset of the near-dup candidate graph") {
+    val rows = Ann.mutualTopK(emb, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Long]("rk_a") <= 3 && r.getAs[Long]("rk_b") <= 3)
+      assert(r.getAs[Double]("cos") >= Dedup.EmbPairFloor)
+    }
+    // every mutual pair must be in the banded candidate pair set
+    val cand = Dedup.embeddingNearDup(emb, Dedup.EmbPairFloor).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(rows.forall(r => cand((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))))
+    // reciprocity: a rank-1 <-> rank-1 pair (the strongest mutual edge) exists
+    assert(rows.exists(r => r.getAs[Long]("rk_a") == 1 && r.getAs[Long]("rk_b") == 1))
+  }
+
   test("range search is top-k-consistent: every result clears the threshold") {
     val rows = Ann.rangeSearch(emb, nQueries = 5, minCos = 0.3).collect()
     assert(rows.nonEmpty)
