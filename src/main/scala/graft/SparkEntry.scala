@@ -245,6 +245,7 @@ object SparkEntry {
     "lake_fetch_latency" -> q((s, d) => Manifest.fetchLatency(Tables.lineitem(s, d))),
     "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
     "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
+    "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -3003,6 +3004,25 @@ object SparkEntry {
         |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src
         |WHERE a.src < a.dst
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "text_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |   CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        | nz AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM d WHERE n_tok > 0),
+        | c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM nz),
+        | s AS (SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS st,
+        |   CAST(cum - 1 AS BIGINT) AS en FROM c),
+        | x AS (SELECT doc_id, st, en, unnest(range(st // 512, en // 512 + 1)) AS seq_id FROM s),
+        | t AS (SELECT seq_id,
+        |   least(en, (seq_id + 1) * 512 - 1) - greatest(st, seq_id * 512) + 1 AS tok_in_seq,
+        |   (st < seq_id * 512 OR en > (seq_id + 1) * 512 - 1) AS split_doc FROM x)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(tok_in_seq) AS BIGINT) AS seq_tokens,
+        | CAST(sum(CASE WHEN split_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        | CAST(max(tok_in_seq) AS BIGINT) AS max_doc_tokens
+        |FROM t GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

@@ -454,6 +454,43 @@ object TextAnalysis {
       .withColumn("overlap_tokens", col("chunked_tokens") - col("n_tok"))
       .orderBy("doc_id")
 
+  /** Sequence packing (concat-then-chunk): lay all documents end-to-end in
+    * doc_id order on a global token axis and cut fixed `seqTokens`-token
+    * training sequences — the batch-prep step that turns a ragged corpus
+    * into equal-length model inputs with zero padding (only the tail
+    * sequence can run short). Per sequence: docs touched, token count, docs
+    * split across a boundary, and the largest single-doc contribution (the
+    * attention-contamination diagnostic — how much of a window one document
+    * dominates).
+    *
+    * The global token offset is a distributed two-phase prefix sum
+    * (`plans.PrefixSum`), not a single-partition window, and each doc
+    * explodes into only the ⌈n_tok/seqTokens⌉+1 sequences it overlaps, so
+    * the whole plan is one bounded-fan-out shuffle keyed by seq_id at any
+    * corpus size. */
+  def packPlan(documents: DataFrame, seqTokens: Int = 512): DataFrame = {
+    val B = seqTokens.toLong
+    val d = documents
+      .withColumn("n_tok",
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"))
+    graft.plans.PrefixSum.prefixSum(d, "doc_id", "n_tok", "cum")
+      .withColumn("st", col("cum") - col("n_tok"))
+      .withColumn("en", col("cum") - 1L)
+      .withColumn("seq_id", explode(expr(s"sequence(st div $B, en div $B)")))
+      .withColumn("tok_in_seq",
+        least(col("en"), (col("seq_id") + 1L) * B - 1L) - greatest(col("st"), col("seq_id") * B) + 1L)
+      .withColumn("split_doc",
+        (col("st") < col("seq_id") * B) || (col("en") > (col("seq_id") + 1L) * B - 1L))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).as("seq_tokens"),
+        sum(when(col("split_doc"), 1L).otherwise(0L)).as("n_split_docs"),
+        max(col("tok_in_seq")).as("max_doc_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

@@ -52,6 +52,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves tokens and fills every non-tail window exactly") {
+    val out = TextAnalysis.packPlan(docs, seqTokens = 512).collect()
+    assert(out.nonEmpty)
+    val totalTokens = TextAnalysis.tokenStats(docs).collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(out.map(_.getAs[Long]("seq_tokens")).sum == totalTokens,
+      "packing must conserve every token exactly once")
+    val ids = out.map(_.getAs[Long]("seq_id"))
+    assert(ids.toSeq == ids.indices.map(_.toLong), "sequence ids are dense from 0")
+    // every window except the last is exactly full
+    out.sortBy(_.getAs[Long]("seq_id")).dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("seq_tokens") == 512L)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_doc_tokens") <= r.getAs[Long]("seq_tokens"))
+      assert(r.getAs[Long]("n_split_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
