@@ -246,6 +246,7 @@ object SparkEntry {
     "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
     "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
     "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
+    "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -3023,6 +3024,32 @@ object SparkEntry {
         | CAST(sum(CASE WHEN split_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
         | CAST(max(tok_in_seq) AS BIGINT) AS max_doc_tokens
         |FROM t GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "text_shard_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |   CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        | e AS (SELECT unnest(range(0, 3)) AS epoch),
+        | sh AS (SELECT unnest(range(0, 8)) AS shard),
+        | a AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, epoch,
+        |   (((doc_id % 1000003) * 2654435761 + epoch * 40503) % 1000003) % 8 AS shard
+        |  FROM d CROSS JOIN e),
+        | p AS (SELECT doc_id, epoch + 1 AS epoch, shard AS pshard FROM a),
+        | j AS (SELECT a.*, p.pshard FROM a
+        |   LEFT JOIN p ON a.doc_id = p.doc_id AND a.epoch = p.epoch),
+        | cells AS (SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |   CAST(sum(CASE WHEN pshard = shard THEN 1 END) AS BIGINT) AS stayed_docs
+        |  FROM j GROUP BY 1, 2),
+        | tot AS (SELECT epoch, CAST(sum(tokens) AS BIGINT) AS etotal FROM cells GROUP BY 1),
+        | spine AS (SELECT epoch, shard FROM e CROSS JOIN sh)
+        |SELECT CAST(spine.epoch AS BIGINT) AS epoch, CAST(spine.shard AS BIGINT) AS shard,
+        | coalesce(n_docs, 0) AS n_docs, coalesce(tokens, 0) AS tokens, stayed_docs,
+        | round((CAST(coalesce(tokens, 0) AS DOUBLE) * 8 / etotal - 1.0) * 100.0, 4) AS dev_pct
+        |FROM spine LEFT JOIN cells ON spine.epoch = cells.epoch AND spine.shard = cells.shard
+        | JOIN tot ON tot.epoch = spine.epoch
+        |ORDER BY epoch, shard""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

@@ -491,6 +491,51 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** Deterministic epoch-shuffle shard plan: each training epoch reassigns
+    * every document to one of `nShards` shards by a seeded hash (the global
+    * shuffle a data loader needs reproducibly at 100 TB — no sort, no RNG
+    * state, any worker can recompute any assignment). Per (epoch, shard):
+    * docs, tokens, token deviation from the ideal balance, and how many
+    * docs stayed in the same shard as the previous epoch (≈ 1/nShards when
+    * the reshuffle actually decorrelates epochs).
+    *
+    * The doc id is range-reduced mod the hash prime BEFORE the multiply so
+    * the product stays < 2^63 for any 64-bit id (the ANSI-overflow rule the
+    * dedup hashTid path documents). Pure hash partitioning: the heavy side
+    * is one explode × nEpochs and two hash aggregations; the epoch×shard
+    * spine is a LEFT JOIN so empty cells survive at any SF. */
+  def shardPlan(documents: DataFrame, nShards: Int = 8, nEpochs: Int = 3): DataFrame = {
+    val P = 1000003L
+    val session = documents.sparkSession
+    val d = documents
+      .withColumn("n_tok",
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")))
+      .select(col("doc_id"), col("n_tok"))
+    val assign = d
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr(s"sequence(0L, ${nEpochs - 1}L)")).as("epoch"))
+      .withColumn("shard",
+        (((col("doc_id") % P) * 2654435761L + col("epoch") * 40503L) % P) % nShards)
+    val prev = assign.select(col("doc_id"), (col("epoch") + 1L).as("epoch"),
+      col("shard").as("pshard"))
+    val cells = assign.join(prev, Seq("doc_id", "epoch"), "left")
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        sum(when(col("pshard") === col("shard"), 1L)).as("stayed_docs"))
+    val tot = cells.groupBy(col("epoch")).agg(sum(col("tokens")).as("etotal"))
+    val spine = session.range(nEpochs).select(col("id").as("epoch"))
+      .crossJoin(session.range(nShards).select(col("id").as("shard")))
+    spine.join(cells, Seq("epoch", "shard"), "left")
+      .join(broadcast(tot), Seq("epoch"))
+      .select(col("epoch"), col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        col("stayed_docs"),
+        round((coalesce(col("tokens"), lit(0L)).cast("double") * nShards / col("etotal") - 1.0) * 100.0, 4)
+          .as("dev_pct"))
+      .orderBy("epoch", "shard")
+  }
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

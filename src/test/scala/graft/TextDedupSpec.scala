@@ -70,6 +70,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("epoch shard plan covers every doc per epoch and reshuffles between epochs") {
+    val out = TextAnalysis.shardPlan(docs, nShards = 8, nEpochs = 3).collect()
+    assert(out.length == 24, "full epoch x shard spine")
+    val nDocs = docs.count()
+    (0L until 3L).foreach { e =>
+      val cells = out.filter(_.getAs[Long]("epoch") == e)
+      assert(cells.map(_.getAs[Long]("n_docs")).sum == nDocs,
+        s"epoch $e must assign every doc exactly once")
+    }
+    // epoch 0 has no previous epoch -> stayed_docs is null
+    assert(out.filter(_.getAs[Long]("epoch") == 0L).forall(_.isNullAt(4)))
+    // the reshuffle decorrelates: docs staying put are a minority of each cell
+    val later = out.filter(r => r.getAs[Long]("epoch") > 0L && r.getAs[Long]("n_docs") > 0L)
+    val stayed = later.map(r => if (r.isNullAt(4)) 0L else r.getAs[Long]("stayed_docs")).sum
+    val total = later.map(_.getAs[Long]("n_docs")).sum
+    assert(stayed * 2 < total, s"stay rate ${stayed}/$total should be far below 1/2")
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
