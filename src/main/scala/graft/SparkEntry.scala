@@ -247,6 +247,7 @@ object SparkEntry {
     "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
     "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
     "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
+    "text_mix_plan" -> q((s, d) => TextAnalysis.mixPlan(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -3050,6 +3051,31 @@ object SparkEntry {
         |FROM spine LEFT JOIN cells ON spine.epoch = cells.epoch AND spine.shard = cells.shard
         | JOIN tot ON tot.epoch = spine.epoch
         |ORDER BY epoch, shard""".stripMargin,
+
+    "text_mix_plan" ->
+      """WITH d AS (SELECT lang,
+        |   CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        | n AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        | al AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS alpha),
+        | s AS (SELECT alpha, lang, n_tokens,
+        |   CASE WHEN alpha = 1.0 THEN CAST(n_tokens AS DOUBLE)
+        |        WHEN alpha = 0.75 THEN sqrt(CAST(n_tokens AS DOUBLE)) * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |        WHEN alpha = 0.5 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |        ELSE sqrt(sqrt(CAST(n_tokens AS DOUBLE))) END AS sv
+        |  FROM n CROSS JOIN al),
+        | m AS (SELECT alpha, max(sv) AS s_max FROM s GROUP BY 1),
+        | qt AS (SELECT s.alpha AS alpha, lang, n_tokens,
+        |   CAST(round(sv / s_max * 1e9, 0) AS BIGINT) AS s_q
+        |  FROM s JOIN m ON s.alpha = m.alpha),
+        | tot AS (SELECT alpha, CAST(sum(s_q) AS BIGINT) AS s_tot,
+        |   CAST(sum(n_tokens) AS BIGINT) AS n_tot FROM qt GROUP BY 1)
+        |SELECT qt.alpha AS alpha, lang, n_tokens,
+        | round(s_q * 100.0 / s_tot, 6) AS weight_pct,
+        | round((CAST(s_q AS DOUBLE) / s_tot) * (CAST(n_tot AS DOUBLE) / n_tokens), 6) AS boost_x
+        |FROM qt JOIN tot ON qt.alpha = tot.alpha
+        |ORDER BY alpha, lang""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

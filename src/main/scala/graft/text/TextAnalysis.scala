@@ -536,6 +536,47 @@ object TextAnalysis {
       .orderBy("epoch", "shard")
   }
 
+  /** Temperature-based source-mixing plan: sampling weights w_i ∝ n_i^α per
+    * language (source) for α ∈ {¼, ½, ¾, 1} — the data-mixture planner that
+    * trades corpus-proportional sampling (α=1) against uniform (α→0),
+    * reported as the weight share and the up/down-sampling boost each source
+    * gets. The only corpus-sized work is one token-count aggregation; the
+    * mixing table itself is |sources| × |alphas| rows.
+    *
+    * Determinism contract: n^α is computed ONLY from sqrt compositions
+    * (n^¼ = √√n, n^¾ = √n·√√n) because IEEE 754 guarantees correctly-rounded
+    * sqrt on both engines while `pow` carries no such guarantee (a last-ulp
+    * divergence would flake the hash). Weights are normalized by the
+    * per-alpha max then quantized to 1e-9 integers, so the normalizing sums
+    * are exact integer sums bounded by |sources|·1e9 regardless of corpus
+    * size (no n·1e6 long overflow at 100 TB). */
+  def mixPlan(documents: DataFrame): DataFrame = {
+    val session = documents.sparkSession
+    val n = documents
+      .withColumn("n_tok",
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+    val alphas = session.createDataFrame(Seq(0.25, 0.5, 0.75, 1.0).map(Tuple1(_))).toDF("alpha")
+    val s = n.crossJoin(broadcast(alphas))
+      .withColumn("nd", col("n_tokens").cast("double"))
+      .withColumn("sv",
+        when(col("alpha") === 1.0, col("nd"))
+          .when(col("alpha") === 0.75, sqrt(col("nd")) * sqrt(sqrt(col("nd"))))
+          .when(col("alpha") === 0.5, sqrt(col("nd")))
+          .otherwise(sqrt(sqrt(col("nd")))))
+    val m = s.groupBy(col("alpha")).agg(max(col("sv")).as("s_max"))
+    val qt = s.join(broadcast(m), Seq("alpha"))
+      .withColumn("s_q", round(col("sv") / col("s_max") * 1e9, 0).cast("long"))
+    val tot = qt.groupBy(col("alpha"))
+      .agg(sum(col("s_q")).as("s_tot"), sum(col("n_tokens")).as("n_tot"))
+    qt.join(broadcast(tot), Seq("alpha"))
+      .select(col("alpha"), col("lang"), col("n_tokens"),
+        round(col("s_q") * 100.0 / col("s_tot"), 6).as("weight_pct"),
+        round((col("s_q").cast("double") / col("s_tot")) *
+          (col("n_tot").cast("double") / col("n_tokens")), 6).as("boost_x"))
+      .orderBy("alpha", "lang")
+  }
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

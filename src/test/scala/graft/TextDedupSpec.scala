@@ -88,6 +88,24 @@ class TextDedupSpec extends SparkSpec {
     assert(stayed * 2 < total, s"stay rate ${stayed}/$total should be far below 1/2")
   }
 
+  test("mix plan: weights sum to 100, alpha=1 is proportional, lower alpha boosts small sources") {
+    val out = TextAnalysis.mixPlan(docs).collect()
+    val byAlpha = out.groupBy(_.getAs[Double]("alpha"))
+    assert(byAlpha.keySet == Set(0.25, 0.5, 0.75, 1.0))
+    byAlpha.foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Double]("weight_pct")).sum
+      assert(math.abs(total - 100.0) < 1e-3, s"weights sum to $total")
+    }
+    // at alpha=1 sampling is corpus-proportional: boost_x == 1 for every source
+    byAlpha(1.0).foreach(r => assert(math.abs(r.getAs[Double]("boost_x") - 1.0) < 1e-5))
+    // lower temperature upsamples the smallest source monotonically
+    val smallest = out.filter(_.getAs[Long]("n_tokens") ==
+      out.map(_.getAs[Long]("n_tokens")).min)
+    val boosts = smallest.sortBy(_.getAs[Double]("alpha")).map(_.getAs[Double]("boost_x"))
+    assert(boosts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(boosts.head > 1.0, "alpha<1 must upsample the smallest source")
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
