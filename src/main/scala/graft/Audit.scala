@@ -73,7 +73,15 @@ object Audit {
           // off its broadcast 1-row fragment census:
           "lake_column_update_cost", "ev_power_users", "lake_fetch_latency",
           // Inline budget rides PrefixSum's broadcast 1-row key range:
-          "lake_inline_budget")
+          "lake_inline_budget",
+          // Packing rides PrefixSum's 1-row key range; the mix plan crosses
+          // the 4-row alpha spine + 1-row totals; the shard plan's
+          // epoch×shard spine is a range()×range() cross of 3×8 rows:
+          "text_packing", "text_mix_plan", "text_shard_plan",
+          // Quality budget: 5-row target spine range-joined against the
+          // ≤1e6-row quantized-quality cumulative histogram (+ PrefixSum's
+          // 1-row key range):
+          "text_quality_budget")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

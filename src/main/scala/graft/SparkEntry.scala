@@ -248,6 +248,7 @@ object SparkEntry {
     "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
     "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
     "text_mix_plan" -> q((s, d) => TextAnalysis.mixPlan(Tables.documents(s, d))),
+    "text_quality_budget" -> q((s, d) => TextAnalysis.qualityBudget(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -3076,6 +3077,32 @@ object SparkEntry {
         | round((CAST(s_q AS DOUBLE) / s_tot) * (CAST(n_tot AS DOUBLE) / n_tokens), 6) AS boost_x
         |FROM qt JOIN tot ON qt.alpha = tot.alpha
         |ORDER BY alpha, lang""".stripMargin,
+
+    "text_quality_budget" ->
+      s"""WITH $qualityCtes,
+        | nt AS (SELECT doc_id,
+        |   CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+        |  FROM documents),
+        | dd AS (SELECT q.doc_id AS doc_id, CAST(round(quality * 1e6, 0) AS BIGINT) AS qi,
+        |   CAST(n_tok AS BIGINT) AS n_tok
+        |  FROM qual q JOIN nt ON q.doc_id = nt.doc_id),
+        | hist AS (SELECT qi, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_tok) AS BIGINT) AS tok
+        |  FROM dd GROUP BY 1),
+        | cum AS (SELECT qi, CAST(sum(n) OVER w AS BIGINT) AS cum_docs,
+        |   CAST(sum(tok) OVER w AS BIGINT) AS cum_tok
+        |  FROM hist WINDOW w AS (ORDER BY qi DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks FROM dd),
+        | spine AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS BIGINT) AS keep_pct),
+        | tg AS (SELECT keep_pct, (n_docs * keep_pct + 99) // 100 AS target, n_toks
+        |  FROM spine CROSS JOIN tot),
+        | pick AS (SELECT keep_pct, target, n_toks, max(qi) AS qi_cut
+        |  FROM tg JOIN cum ON cum_docs >= target GROUP BY 1, 2, 3)
+        |SELECT keep_pct, round(qi_cut / 1e6, 6) AS cutoff_quality,
+        | cum_docs AS docs_kept, target AS docs_target, cum_tok AS tokens_kept,
+        | round(cum_tok * 100.0 / n_toks, 4) AS tokens_pct
+        |FROM pick JOIN cum ON cum.qi = pick.qi_cut
+        |ORDER BY keep_pct""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

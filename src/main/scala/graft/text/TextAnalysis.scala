@@ -577,6 +577,49 @@ object TextAnalysis {
       .orderBy("alpha", "lang")
   }
 
+  /** Quality-budget selection curve: for each keep-fraction target (10…90%
+    * of docs), the highest quality cutoff that retains at least that many
+    * documents, and the token yield at that cutoff — the "filter the corpus
+    * down to a training budget" planner. Selection runs entirely on the
+    * quantized-quality histogram: quality is already 6-dp rounded, so
+    * grouping by `round(quality·1e6)` loses nothing and bounds every
+    * downstream structure at ≤1e6+1 rows regardless of corpus size. The
+    * descending cumulative over that histogram is a two-phase
+    * `plans.PrefixSum` (key = 1e6 − qi), not a corpus window, and the
+    * threshold pick is a broadcast range-join of the 5-row target spine
+    * against the bounded cumulative table. */
+  def qualityBudget(documents: DataFrame, keepPcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val session = documents.sparkSession
+    val nTok = documents
+      .withColumn("n_tok",
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")))
+      .select(col("doc_id"), col("n_tok"))
+    val d = qualityScore(documents).select(col("doc_id"), col("quality"))
+      .join(nTok, "doc_id")
+      .withColumn("qi", round(col("quality") * 1e6, 0).cast("long"))
+    val hist = d.groupBy(col("qi")).agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"))
+      .withColumn("negq", lit(1000000L) - col("qi"))
+    val cum = graft.plans.PrefixSum.prefixSum(
+      graft.plans.PrefixSum.prefixSum(hist, "negq", "n", "cum_docs"),
+      "negq", "tok", "cum_tok")
+      .select(col("qi"), col("cum_docs"), col("cum_tok"))
+    val tot = d.groupBy().agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+    val spine = session.createDataFrame(keepPcts.map(Tuple1(_))).toDF("p")
+      .select(col("p").cast("long").as("keep_pct"))
+    spine.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(n_docs * keep_pct + 99) div 100"))
+      .join(broadcast(cum), col("cum_docs") >= col("target"))
+      .groupBy(col("keep_pct"), col("target"), col("n_toks"))
+      .agg(max(struct(col("qi"), col("cum_docs"), col("cum_tok"))).as("cut"))
+      .select(col("keep_pct"),
+        round(col("cut.qi") / 1e6, 6).as("cutoff_quality"),
+        col("cut.cum_docs").as("docs_kept"),
+        col("target").as("docs_target"),
+        col("cut.cum_tok").as("tokens_kept"),
+        round(col("cut.cum_tok") * 100.0 / col("n_toks"), 4).as("tokens_pct"))
+      .orderBy("keep_pct")
+  }
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

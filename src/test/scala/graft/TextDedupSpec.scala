@@ -106,6 +106,27 @@ class TextDedupSpec extends SparkSpec {
     assert(boosts.head > 1.0, "alpha<1 must upsample the smallest source")
   }
 
+  test("quality budget: targets met minimally, curve monotone in docs and tokens") {
+    val out = TextAnalysis.qualityBudget(docs).collect().sortBy(_.getAs[Long]("keep_pct"))
+    assert(out.map(_.getAs[Long]("keep_pct")).toSeq == Seq(10L, 25L, 50L, 75L, 90L))
+    val nDocs = docs.count()
+    out.foreach { r =>
+      val kept = r.getAs[Long]("docs_kept")
+      val target = r.getAs[Long]("docs_target")
+      assert(target == (nDocs * r.getAs[Long]("keep_pct") + 99) / 100)
+      assert(kept >= target, "cutoff must retain at least the target")
+      assert(r.getAs[Double]("tokens_pct") > 0.0 && r.getAs[Double]("tokens_pct") <= 100.0)
+    }
+    // looser keep targets retain more docs/tokens at equal-or-lower cutoffs
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("docs_kept") <= b.getAs[Long]("docs_kept"))
+        assert(a.getAs[Long]("tokens_kept") <= b.getAs[Long]("tokens_kept"))
+        assert(a.getAs[Double]("cutoff_quality") >= b.getAs[Double]("cutoff_quality"))
+      case _ =>
+    }
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
