@@ -67,18 +67,20 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
 
   /** Decode-batch planning: pack each source's payloads into inference
-    * batches under a byte budget (greedy prefix-sum bin packing inside a
-    * per-source window — the batch-shape planning a GPU decode stage needs;
-    * same pattern as compaction bin packing, keyed by the high-cardinality
-    * source so no global sort). */
+    * batches under a byte budget — the batch-shape planning a GPU decode
+    * stage needs. The per-source running byte offset is a two-phase
+    * `plans.PrefixSum` partitioned by source (exclusive, ordered by
+    * doc_id), so a source with billions of payloads spreads over
+    * |sources|×nBuckets tasks instead of one single-threaded window
+    * partition per source — the same de-globalization the events deciles
+    * got. Results are exact integer sums, bit-identical to the window
+    * formulation. */
   def batchPlan(documents: DataFrame, budgetBytes: Long = 4096L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    documents
+    val sized = documents
       .select(col("source"), col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("payload_bytes"))
-      .withColumn("bytes_before", coalesce(sum(col("payload_bytes")).over(w), lit(0L)))
+    graft.plans.PrefixSum.prefixSum(sized, "doc_id", "payload_bytes", "bytes_before",
+        inclusive = false, partitionCols = Seq("source"))
       .withColumn("batch_id", (col("bytes_before") / budgetBytes).cast("long"))
       .groupBy(col("source"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),
