@@ -23,14 +23,27 @@ object Audit {
     println(f"${"query"}%-24s ex  bhj smj bnlj cart wsc  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        // The query wrapper re-tunes the session (AQE on) on every call, and
+        // an unexecuted AdaptiveSparkPlan string hides both the codegen
+        // stage markers and the final join choices — so flip AQE off after
+        // building the frame and before forcing the (lazy) physical plan.
+        // Join-strategy counts are then the compile-time choices; AQE can
+        // only improve them at runtime.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val plan = df.queryExecution.executedPlan.toString
         def c(s: String) = plan.linesIterator.count(_.contains(s))
         val ex = c("Exchange")
         val bhj = c("BroadcastHashJoin")
         val smj = c("SortMergeJoin")
         val bnlj = c("BroadcastNestedLoopJoin")
         val cart = c("CartesianProduct")
-        val wsc = c("WholeStageCodegen")
+        // Codegen stages render as "*(n) Op" prefixes in the tree string
+        // (the literal node name only appears in formatted explain), so
+        // count distinct stage ids, not the node name.
+        val wsc = plan.linesIterator
+          .flatMap(l => "\\*\\((\\d+)\\)".r.findFirstMatchIn(l).map(_.group(1)))
+          .toSet.size
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN!")
         // Sanctioned nested-loop joins — every one broadcasts a bounded side:
