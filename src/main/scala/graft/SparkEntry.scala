@@ -249,6 +249,7 @@ object SparkEntry {
     "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
     "text_mix_plan" -> q((s, d) => TextAnalysis.mixPlan(Tables.documents(s, d))),
     "text_quality_budget" -> q((s, d) => TextAnalysis.qualityBudget(Tables.documents(s, d))),
+    "text_pipeline_funnel" -> q((s, d) => TextAnalysis.pipelineFunnel(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -288,9 +289,11 @@ object SparkEntry {
       .mkString(", ")
 
   /** MinHash CTE chain ending in mh_pairs(doc_a, doc_b, est) — shared by the
-    * dedup_minhash and dedup_components oracles. */
-  private val minhashCtes: String =
-    s"""tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM documents),
+    * dedup_minhash and dedup_components oracles; `base` lets the funnel
+    * oracle run the identical chain over a survivor CTE (the vocabulary is
+    * rebuilt from the base corpus on both engines, keeping ids in lockstep). */
+  private def minhashCtesOver(base: String): String =
+    s"""tok AS (SELECT DISTINCT doc_id, unnest($tokSql) AS token FROM $base),
       | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
       |           FROM (SELECT DISTINCT token FROM tok)),
       | tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token)),
@@ -305,6 +308,8 @@ object SparkEntry {
       |   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
       | mh_pairs AS (SELECT doc_a, doc_b,
       |   len(list_filter(list_zip(sga, sgb), p -> p[1] = p[2])) / 16.0 AS e FROM cand)""".stripMargin
+
+  private val minhashCtes: String = minhashCtesOver("documents")
 
   /** Sessionization CTE chain ending in sess(...) — shared by ev_sessionize
     * and ev_top_sessions oracles. */
@@ -3103,6 +3108,45 @@ object SparkEntry {
         | round(cum_tok * 100.0 / n_toks, 4) AS tokens_pct
         |FROM pick JOIN cum ON cum.qi = pick.qi_cut
         |ORDER BY keep_pct""".stripMargin,
+
+    "text_pipeline_funnel" ->
+      s"""WITH RECURSIVE tc AS (SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents) GROUP BY 1, 2),
+        | stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS n_types, CAST(max(c) AS BIGINT) AS top_c
+        |  FROM tc GROUP BY 1),
+        | k1 AS (SELECT doc_id, n_tokens FROM stats
+        |  WHERE n_tokens >= 20 AND n_tokens <= 500
+        |    AND n_types * 1.0 / n_tokens >= 0.2 AND top_c * 1.0 / n_tokens <= 0.2),
+        | d1 AS (SELECT d.doc_id AS doc_id, d.text AS text
+        |  FROM documents d JOIN k1 ON d.doc_id = k1.doc_id),
+        | sg2 AS (SELECT doc_id, array_to_string(list_sort(list_distinct($tokSql)), ' ') AS sig2 FROM d1),
+        | k2 AS (SELECT min(doc_id) AS doc_id FROM sg2 GROUP BY sig2),
+        | d2 AS (SELECT d1.doc_id AS doc_id, d1.text AS text FROM d1 JOIN k2 ON d1.doc_id = k2.doc_id),
+        |${minhashCtesOver("d2")},
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM d2
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        | k3 AS (SELECT doc_id FROM comp WHERE doc_id = comp),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS raw_tokens FROM stats),
+        | st AS (
+        |   SELECT '0_raw' AS stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM stats
+        |   UNION ALL SELECT '1_quality', count(*), sum(n_tokens) FROM k1
+        |   UNION ALL SELECT '2_exact_dedup', count(*), sum(n_tokens)
+        |     FROM k2 JOIN stats USING (doc_id)
+        |   UNION ALL SELECT '3_near_dedup', count(*), sum(n_tokens)
+        |     FROM k3 JOIN stats USING (doc_id))
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | round(CAST(n_docs AS BIGINT) * 100.0 / raw_docs, 4) AS pct_docs,
+        | round(CAST(coalesce(n_tokens, 0) AS BIGINT) * 100.0 / raw_tokens, 4) AS pct_tokens
+        |FROM st CROSS JOIN tot ORDER BY stage""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

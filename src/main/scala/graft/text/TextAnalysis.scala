@@ -620,6 +620,54 @@ object TextAnalysis {
       .orderBy("keep_pct")
   }
 
+  /** End-to-end corpus-prep funnel: the canonical training-data pipeline
+    * (quality cascade → exact dedup → MinHash near-dedup) run as ONE
+    * composition, reporting docs/tokens surviving each stage and the yield
+    * against the raw corpus — the stage-attrition report every dataset card
+    * publishes. Each stage reuses the library operator it names (the C4-style
+    * cascade rules, `Dedup.exact`'s sorted-distinct-token signature,
+    * `Components.minhashComponents` on the survivor set — vocabulary and
+    * signatures rebuilt over survivors on both engines), so the funnel also
+    * proves the operators compose: the near-dedup stage is the same banded,
+    * signature-group-level pipeline with no O(n²) path, and every stage
+    * output is a doc-id set driving one hash join. */
+  def pipelineFunnel(documents: DataFrame, minTokens: Int = 20, maxTokens: Int = 500,
+                     minTtr: Double = 0.2, maxTopShare: Double = 0.2): DataFrame = {
+    val stats = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"), max(col("c")).as("top_c"))
+    val k1 = stats.filter(
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("n_types") * 1.0 / col("n_tokens") >= minTtr &&
+        col("top_c") * 1.0 / col("n_tokens") <= maxTopShare)
+      .select(col("doc_id"), col("n_tokens"))
+    val d1 = documents.join(k1.select("doc_id"), "doc_id")
+    val k2 = d1.withColumn("sig", array_join(array_sort(array_distinct(toks)), " "))
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d2 = d1.join(k2, "doc_id")
+    val k3 = graft.dedup.Components.minhashComponents(d2)
+      .filter(col("doc_id") === col("comp"))
+      .select("doc_id")
+    def stageRow(stage: String, ids: DataFrame) =
+      ids.join(stats, "doc_id")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val rows = stageRow("0_raw", stats.select("doc_id"))
+      .union(stageRow("1_quality", k1.select("doc_id")))
+      .union(stageRow("2_exact_dedup", k2))
+      .union(stageRow("3_near_dedup", k3))
+    val tot = stats.agg(count(lit(1)).as("raw_docs"), sum(col("n_tokens")).as("raw_tokens"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") * 100.0 / col("raw_docs"), 4).as("pct_docs"),
+        round(col("n_tokens") * 100.0 / col("raw_tokens"), 4).as("pct_tokens"))
+      .orderBy("stage")
+  }
+
   /** Boilerplate phrase mining: 5-gram shingles that recur across many
     * documents (headers, footers, templates — what a cleaning pipeline
     * strips before training). Inverted-index shape: distinct (doc, shingle)

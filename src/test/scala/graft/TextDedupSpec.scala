@@ -127,6 +127,21 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("pipeline funnel: stages shrink monotonically and the raw stage covers the corpus") {
+    val out = TextAnalysis.pipelineFunnel(docs).collect().sortBy(_.getAs[String]("stage"))
+    assert(out.map(_.getAs[String]("stage")).toSeq ==
+      Seq("0_raw", "1_quality", "2_exact_dedup", "3_near_dedup"))
+    assert(out.head.getAs[Long]("n_docs") == docs.count())
+    assert(math.abs(out.head.getAs[Double]("pct_docs") - 100.0) < 1e-9)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"), "stages only remove docs")
+        assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+      case _ =>
+    }
+    assert(out.last.getAs[Long]("n_docs") > 0, "a non-degenerate corpus survives the funnel")
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
