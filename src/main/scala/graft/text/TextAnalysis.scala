@@ -633,11 +633,15 @@ object TextAnalysis {
     * output is a doc-id set driving one hash join. */
   def pipelineFunnel(documents: DataFrame, minTokens: Int = 20, maxTokens: Int = 500,
                      minTtr: Double = 0.2, maxTopShare: Double = 0.2): DataFrame = {
+    // stats feeds six consumers (four stage rows, the raw totals, the
+    // cascade) — materialize once or Spark re-tokenizes the corpus per
+    // branch. One row per doc, values unchanged by the checkpoint.
     val stats = documents
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"), max(col("c")).as("top_c"))
+      .localCheckpoint(true)
     val k1 = stats.filter(
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("n_types") * 1.0 / col("n_tokens") >= minTtr &&
