@@ -2812,7 +2812,7 @@ object SparkEntry {
       val iters = (1 to 8).map { k =>
         val ps = types.map { j =>
           types.map(i =>
-            s"(CASE WHEN n_$i > 0 THEN p${k - 1}_$i * n_${i}_$j / n_$i ELSE 0.0 END)")
+            s"(CASE WHEN n_$i > 0 THEN p${k - 1}_$i * n_${i}_$j / n_$i ELSE ${if (i == j) s"p${k - 1}_$i" else "0.0"} END)")
             .mkString(" + ") + s" AS p${k}_$j"
         }.mkString(", ")
         s"it$k AS (SELECT *, $ps FROM it${k - 1})"

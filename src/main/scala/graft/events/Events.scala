@@ -677,8 +677,11 @@ object Events {
     * ONE row of exact integer counts; every iteration is then a scalar
     * `select` whose weighted sums are written in one fixed textual order,
     * so both engines evaluate the identical double expression — no
-    * parallel-reduction order can touch the result. Cost at any scale: one
-    * fact scan + a 1-row driver of 25 columns; the iterations are free. */
+    * parallel-reduction order can touch the result. A type with zero
+    * outgoing transitions is treated as a self-loop (its mass stays on
+    * itself), keeping Σ steady_pct = 100 on degenerate alphabets. Cost at
+    * any scale: one fact scan + a 1-row driver of 25 columns; the
+    * iterations are free. */
   def markovSteady(events: DataFrame, types: Seq[String] = EventTypes,
                    iters: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -698,11 +701,12 @@ object Events {
           types.map { j =>
             // Fixed left-to-right sum over the source types — shared with the
             // oracle. A type with zero outgoing transitions would make n_i = 0
-            // NULL-poison every steady_pct via Divide; the guard drops that
-            // (sink) type's mass instead — documented, loud in the totals
-            // rather than silently NULL.
+            // NULL-poison every steady_pct via Divide; the guard treats that
+            // (sink) type as a self-loop (its mass stays put), so the steady
+            // vector remains a probability distribution — Σ steady_pct = 100
+            // even on degenerate alphabets.
             expr(types.map(i =>
-              s"(CASE WHEN n_$i > 0 THEN p_$i * n_${i}_$j / n_$i ELSE 0.0 END)")
+              s"(CASE WHEN n_$i > 0 THEN p_$i * n_${i}_$j / n_$i ELSE ${if (i == j) s"p_$i" else "0.0"} END)")
               .mkString(" + ")).as(s"np_$j")
           }: _*)
       m = stepped.select(

@@ -97,6 +97,24 @@ class PipelineReportsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_out") > 0L))
   }
 
+  test("markov steady state conserves mass when a type is a sink (self-loop guard)") {
+    import spark.implicits._
+    // 'view' only ever appears as a user's last event -> zero outgoing
+    // transitions; its mass must stay on it, not vanish.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, t(0), "click"), (1L, 2L, t(1), "click"), (1L, 3L, t(2), "view"),
+      (2L, 4L, t(0), "click"), (2L, 5L, t(1), "view"),
+      (3L, 6L, t(0), "click"), (3L, 7L, t(1), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val rows = graft.events.Events.markovSteady(ev, types = Seq("click", "view")).collect()
+    val pcts = rows.map(_.getAs[Double]("steady_pct"))
+    assert(math.abs(pcts.sum - 100.0) < 1e-6, s"sink must not leak mass: ${pcts.sum}")
+    val view = rows.find(_.getAs[String]("event_type") == "view").get
+    assert(view.getAs[Double]("steady_pct") > 0.0)
+  }
+
   test("behavior knn: k neighbors per probe, cosine bounded and ordered") {
     val rows = graft.events.Events.behaviorKnn(Tables.events(spark, sf0001)).collect()
     assert(rows.nonEmpty)
