@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.{PrefixSum, QuarterQuantiles}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Randomized equivalence checks for the distributed primitives several
+  * operator families lean on: whatever the data shape, `PrefixSum` must
+  * equal the single-partition window running sum and `QuarterQuantiles`
+  * must equal the sort-based exact interpolated quantile. Seeded trials —
+  * deterministic, but exercising sizes/buckets/groups the fixed test data
+  * never hits (singleton groups, bucketWidth 1, duplicate-heavy values). */
+class PlanPrimitivesPropertySpec extends SparkSpec {
+
+  test("PrefixSum equals the window running sum across random inputs, buckets and modes") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(200)
+      val nGroups = 1 + rnd.nextInt(3)
+      val keys = rnd.shuffle((1 to 500).toList).take(n)
+      val rows = keys.map(k => (k.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(nGroups).toString))
+      val df = rows.toDF("k", "v", "g")
+      val nBuckets = Seq(1, 3, 32)(trial % 3)
+      val inclusive = trial % 2 == 0
+      val got = PrefixSum.prefixSum(df, "k", "v", "out", inclusive, nBuckets, Seq("g"))
+        .select("g", "k", "out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val w = Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+      val want = df.withColumn("out", coalesce(sum(col("v")).over(w), lit(0L)))
+        .select("g", "k", "out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"trial $trial (nBuckets=$nBuckets inclusive=$inclusive)")
+
+      val gotGlobal = PrefixSum.prefixSum(df, "k", "v", "out", inclusive, nBuckets)
+        .select("k", "out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wg = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+      val wantGlobal = df.withColumn("out", coalesce(sum(col("v")).over(wg), lit(0L)))
+        .select("k", "out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotGlobal == wantGlobal, s"global trial $trial")
+    }
+  }
+
+  test("QuarterQuantiles equals sort-based exact interpolated quantiles across random inputs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows = (0 until nGroups).flatMap { gi =>
+        val n = 1 + rnd.nextInt(300)
+        // small value range on odd trials -> heavy duplicates
+        val hi = if (trial % 2 == 1) 10 else 5000
+        (0 until n).map(_ => (gi.toString, rnd.nextInt(hi).toLong))
+      }
+      val df = rows.toDF("g", "v")
+      val bw = Seq(1L, 7L, 1000L)(trial % 3)
+      val got = QuarterQuantiles.quarterQuantiles(df, Seq("g"), "v", Seq(1, 2, 3), bw)
+        .collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("q1_x4"), r.getAs[Long]("q2_x4"), r.getAs[Long]("q3_x4")))).toMap
+      rows.groupBy(_._1).foreach { case (gk, grp) =>
+        val v = grp.map(_._2).sorted.toIndexedSeq
+        val n = v.length
+        def qx4(p: Int): Long = {
+          val pos4 = p.toLong * n + (4 - p)
+          val k = (pos4 / 4).toInt
+          val j = (pos4 % 4).toInt
+          if (j == 0) 4L * v(k - 1) else (4L - j) * v(k - 1) + j.toLong * v(k)
+        }
+        assert(got(gk) == ((qx4(1), qx4(2), qx4(3))),
+          s"group $gk trial $trial (bw=$bw n=$n): got ${got(gk)}, want ${(qx4(1), qx4(2), qx4(3))}")
+      }
+    }
+  }
+}
