@@ -250,6 +250,7 @@ object SparkEntry {
     "text_mix_plan" -> q((s, d) => TextAnalysis.mixPlan(Tables.documents(s, d))),
     "text_quality_budget" -> q((s, d) => TextAnalysis.qualityBudget(Tables.documents(s, d))),
     "text_pipeline_funnel" -> q((s, d) => TextAnalysis.pipelineFunnel(Tables.documents(s, d))),
+    "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -3147,6 +3148,28 @@ object SparkEntry {
         | round(CAST(n_docs AS BIGINT) * 100.0 / raw_docs, 4) AS pct_docs,
         | round(CAST(coalesce(n_tokens, 0) AS BIGINT) * 100.0 / raw_tokens, 4) AS pct_tokens
         |FROM st CROSS JOIN tot ORDER BY stage""".stripMargin,
+
+    "dedup_split_leakage" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        | cmp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        | a AS (SELECT doc_id, comp,
+        |   CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003) % 100 < 90 THEN 'train'
+        |        WHEN ((doc_id % 1000003) * 2654435761 % 1000003) % 100 < 95 THEN 'val'
+        |        ELSE 'test' END AS split
+        |  FROM cmp),
+        | cs AS (SELECT comp, CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+        |  FROM a GROUP BY 1)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_docs,
+        | round(CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) * 100.0 / count(*), 4) AS leaky_pct
+        |FROM a JOIN cs USING (comp) GROUP BY split ORDER BY split""".stripMargin,
 
     "mm_chunk_align" ->
       """WITH d AS (SELECT doc_id, text,

@@ -90,6 +90,34 @@ object Components {
       .orderBy("comp")
   }
 
+  /** Train/val/test split with a near-duplicate leakage audit: every doc is
+    * assigned a deterministic hash bucket (90/5/5 by default — any worker
+    * can recompute any assignment, no RNG state), then a doc is *leaky* if
+    * its MinHash dedup component straddles a split boundary — the
+    * train/test contamination that inflates eval scores when near-dups of
+    * training docs land in the test set. Per split: docs, leaky docs, leak
+    * rate. The doc id is range-reduced mod the hash prime before the
+    * multiply (ANSI-overflow rule); the component labels are the memoized
+    * corpus-wide propagation, so the audit itself is two hash aggregations
+    * and one broadcast-size join on the component key. */
+  def splitLeakage(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val P = 1000003L
+    val assigned = minhashComponents(documents)
+      .withColumn("bucket", ((col("doc_id") % P) * 2654435761L % P) % 100L)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+    val compSplits = assigned.groupBy(col("comp"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assigned.join(compSplits, "comp")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leaky_docs"))
+      .withColumn("leaky_pct", round(col("leaky_docs") * 100.0 / col("n_docs"), 4))
+      .orderBy("split")
+  }
+
   def minhashComponents(documents: DataFrame): DataFrame =
     // The label-propagation rounds are the slowest part of the dedup family
     // and feed two queries (components, keep-best) — memoize the converged

@@ -22,6 +22,31 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.count() == docs.count(), "every doc gets a component (singletons included)")
   }
 
+  test("split leakage: every doc assigned once, leak accounting consistent per split") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Components.splitLeakage(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "splits must partition the corpus")
+    out.foreach { r =>
+      val leaky = r.getAs[Long]("leaky_docs")
+      assert(leaky >= 0L && leaky <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("leaky_pct") >= 0.0 && r.getAs[Double]("leaky_pct") <= 100.0)
+    }
+    // cross-check: leaky docs are exactly members of components spanning >1 split
+    val comps = Components.minhashComponents(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp"))
+    val split = comps.map { case (d, _) =>
+      val b = (d % 1000003L) * 2654435761L % 1000003L % 100L
+      d -> (if (b < 90) "train" else if (b < 95) "val" else "test")
+    }.toMap
+    val spanning = comps.groupBy(_._2).filter(_._2.map(p => split(p._1)).distinct.length > 1)
+      .values.flatten.map(_._1).toSet
+    val wantLeaky = spanning.groupBy(split).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("leaky_docs") == wantLeaky.getOrElse(r.getAs[String]("split"), 0L))
+    }
+  }
+
   test("semantic clusters: total coverage, min-id labels, pairs co-clustered") {
     val emb = Tables.embeddings(spark, sf0001)
     val clusters = Components.semanticClusters(emb)
