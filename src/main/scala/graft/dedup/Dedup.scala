@@ -61,20 +61,30 @@ object Dedup {
         .as("sh"))
       .distinct()
 
+  /** Shared candidate-pair table behind the Jaccard and containment screens:
+    * the inverted-index self-join (only docs sharing ≥1 shingle pair up)
+    * with common-shingle counts and both set sizes — the expensive stage of
+    * either query, identical for both, so it is memoized per corpus per JVM
+    * (`plans.Memo`; the shingle table itself feeds three plan branches and
+    * is checkpointed inside the build). Each consumer applies only its own
+    * ratio arithmetic + threshold on top. */
+  private def shinglePairCommon(documents: DataFrame): DataFrame =
+    graft.plans.Memo.memoize(documents, "dedup.shinglePairs") {
+      val sh = shingles(documents).localCheckpoint(true)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
+        .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
+        .localCheckpoint(true)
+    }
+
   /** Near-dup pairs by n-gram Jaccard via inverted-index join (no cross join:
-    * only docs sharing at least one shingle are compared). The shingle table
-    * feeds three plan branches (two join sides + sizes); localCheckpoint
-    * materialises it once instead of recomputing the tokenize+explode+distinct
-    * subtree per branch. */
+    * only docs sharing at least one shingle are compared). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents).localCheckpoint(true)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
+    shinglePairCommon(documents)
       .withColumn("jaccard", round(col("common") * 1.0 / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
@@ -88,14 +98,7 @@ object Dedup {
     * (only docs sharing a shingle pair up), thresholded on the larger of
     * the two directional containments. */
   def containmentPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(documents).localCheckpoint(true)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
+    shinglePairCommon(documents)
       .withColumn("cont_a", round(col("common") * 1.0 / col("na"), 6))
       .withColumn("cont_b", round(col("common") * 1.0 / col("nb"), 6))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
