@@ -45,6 +45,30 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("native TopKPerKey equals the window top-k across random inputs, ks and directions") {
+    import spark.implicits._
+    val rnd = new Random(99)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(300)
+      val nKeys = 1 + rnd.nextInt(12)
+      // duplicate-heavy values force tie-breaks through the id column
+      val rows = (0 until n).map(i => (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val df = rows.toDF("g", "v", "id").repartition(4)
+      val k = Seq(1, 2, 5)(trial % 3)
+      val desc = trial % 2 == 0
+      val native = graft.operators.TopK.nativePerKey(df, Seq("g"), Seq(("v", desc), ("id", false)), k)
+        .select("g", "v", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("g"))
+        .orderBy(if (desc) col("v").desc else col("v").asc, col("id").asc)
+      val window = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("g", "v", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native == window, s"trial $trial (k=$k desc=$desc): " +
+        s"native-only=${(native -- window).take(3)} window-only=${(window -- native).take(3)}")
+    }
+  }
+
   test("QuarterQuantiles equals sort-based exact interpolated quantiles across random inputs") {
     import spark.implicits._
     val rnd = new Random(7)
