@@ -69,6 +69,51 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin equals the brute-force point-in-time match across random inputs") {
+    import spark.implicits._
+    val rnd = new Random(123)
+    for (trial <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val nl = 1 + rnd.nextInt(120)
+      val nr = rnd.nextInt(120) // can be tiny -> unmatched lefts
+      val left = (0 until nl).map(i => (rnd.nextInt(nKeys).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      // unique (key, rts) so the at-or-before winner is well-defined
+      val rightPairs = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 1000) yield (k.toLong, t.toLong)).toList).take(nr)
+      val right = rightPairs.zipWithIndex.map { case ((k, t), i) => (k, t, (1000 + i).toLong) }
+      val ldf = left.toDF("k", "ts", "lid").repartition(3)
+      val rdf = right.toDF("k", "rts", "rid").repartition(3)
+      val out = graft.operators.AsofJoin
+        .asofJoin(ldf, rdf, "k", "ts", "rts", Seq("rid", "rts")).collect()
+      val got = out.map { r =>
+        val asof = r.getAs[org.apache.spark.sql.Row]("asof")
+        r.getAs[Long]("lid") -> (if (asof == null) -1L else asof.getAs[Long]("rid"))
+      }.toMap
+      val byKey = right.groupBy(_._1)
+      left.foreach { case (k, ts, lid) =>
+        val want = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+        assert(got(lid) == want, s"trial $trial lid=$lid key=$k ts=$ts")
+      }
+    }
+  }
+
+  test("Memo: identical frame + tag reuses the artifact; a different tag rebuilds") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    var builds = 0
+    def build(): org.apache.spark.sql.DataFrame = {
+      builds += 1
+      df.withColumn("c", col("a") + col("b")).localCheckpoint(true)
+    }
+    val r1 = graft.plans.Memo.memoize(df, "spec.memo.a")(build())
+    val r2 = graft.plans.Memo.memoize(df, "spec.memo.a")(build())
+    assert(builds == 1, "second identical call must reuse, not rebuild")
+    assert(r1 eq r2, "memo returns the same materialized artifact")
+    graft.plans.Memo.memoize(df, "spec.memo.b")(build())
+    assert(builds == 2, "a different tag is a different artifact")
+  }
+
   test("QuarterQuantiles equals sort-based exact interpolated quantiles across random inputs") {
     import spark.implicits._
     val rnd = new Random(7)
