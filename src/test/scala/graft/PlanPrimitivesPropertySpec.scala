@@ -98,6 +98,33 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals union-find min-labels on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 5) {
+      val n = 2 + rnd.nextInt(80)
+      val nEdges = rnd.nextInt(2 * n) // sparse through mildly dense, possibly 0
+      val nodes = (0 until n).map(_.toLong)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val nodesDf = nodes.toDF("doc_id")
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val got = graft.dedup.Components.connectedComponents(nodesDf, pairsDf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp")).toMap
+      // brute-force union-find with min-label extraction
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val minLabel = nodes.groupBy(v => find(v.toInt)).map { case (_, vs) => find(vs.head.toInt) -> vs.min }
+      val want = nodes.map(v => v -> minLabel(find(v.toInt))).toMap
+      assert(got == want, s"trial $trial (n=$n edges=${edges.size})")
+    }
+  }
+
   test("Memo: identical frame + tag reuses the artifact; a different tag rebuilds") {
     import spark.implicits._
     val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
