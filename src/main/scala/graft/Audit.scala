@@ -94,7 +94,10 @@ object Audit {
           // Quality budget: 5-row target spine range-joined against the
           // ≤1e6-row quantized-quality cumulative histogram (+ PrefixSum's
           // 1-row key range):
-          "text_quality_budget")
+          "text_quality_budget",
+          // Funnel: the 4-row stage table crosses the broadcast 1-row raw
+          // totals for the pct columns:
+          "text_pipeline_funnel")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {
