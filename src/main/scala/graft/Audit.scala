@@ -96,8 +96,9 @@ object Audit {
           // 1-row key range):
           "text_quality_budget",
           // Funnel: the 4-row stage table crosses the broadcast 1-row raw
-          // totals for the pct columns:
-          "text_pipeline_funnel")
+          // totals for the pct columns; the jaccard sweep broadcasts its
+          // 4-row threshold spine + the 1-row corpus count:
+          "text_pipeline_funnel", "dedup_jaccard_sweep")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

@@ -251,6 +251,7 @@ object SparkEntry {
     "text_quality_budget" -> q((s, d) => TextAnalysis.qualityBudget(Tables.documents(s, d))),
     "text_pipeline_funnel" -> q((s, d) => TextAnalysis.pipelineFunnel(Tables.documents(s, d))),
     "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
+    "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -311,6 +312,21 @@ object SparkEntry {
       |   len(list_filter(list_zip(sga, sgb), p -> p[1] = p[2])) / 16.0 AS e FROM cand)""".stripMargin
 
   private val minhashCtes: String = minhashCtesOver("documents")
+
+  /** Shingle candidate-pair CTE chain ending in j(doc_a, doc_b, common,
+    * jaccard) — shared by the dedup_ngram_jaccard and dedup_jaccard_sweep
+    * oracles (mirror of the memoized Spark-side `Dedup.shinglePairCommon`). */
+  private val shinglePairCtes: String =
+    s"""t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+      |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
+      |   y -> y IS NOT NULL)) AS sh FROM t),
+      | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      | j AS (SELECT doc_a, doc_b, common,
+      |   round(common * 1.0 / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+      |  FROM pairs JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b)""".stripMargin
 
   /** Sessionization CTE chain ending in sess(...) — shared by ev_sessionize
     * and ev_top_sessions oracles. */
@@ -822,18 +838,24 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
-        | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
-        |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
-        |   y -> y IS NOT NULL)) AS sh FROM t),
-        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | j AS (SELECT doc_a, doc_b, common,
-        |   round(common * 1.0 / (na.n_sh + nb.n_sh - common), 6) AS jaccard
-        |  FROM pairs JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b)
+      s"""WITH $shinglePairCtes
         |SELECT doc_a, doc_b, common, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_jaccard_sweep" ->
+      s"""WITH $shinglePairCtes,
+        | th AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+        | f AS (SELECT threshold, doc_a, doc_b FROM j CROSS JOIN th WHERE jaccard >= threshold),
+        | np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+        | nd AS (SELECT threshold, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs_linked FROM (
+        |   SELECT threshold, doc_a AS vid FROM f UNION ALL SELECT threshold, doc_b FROM f)
+        |  GROUP BY 1),
+        | tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT threshold, coalesce(n_pairs, 0) AS n_pairs,
+        | coalesce(n_docs_linked, 0) AS n_docs_linked,
+        | round(coalesce(n_docs_linked, 0) * 100.0 / n_docs, 4) AS pct_linked
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold) CROSS JOIN tot
+        |ORDER BY threshold""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashCtes

@@ -81,6 +81,34 @@ object Dedup {
         .localCheckpoint(true)
     }
 
+  /** Jaccard-threshold shrink curve: for each cutoff, the qualifying shingle
+    * pairs, distinct docs linked, and the corpus fraction they cover — the
+    * "which threshold do we dedup at" policy table (the lexical twin of the
+    * cosine `knn_threshold_sweep`). All cutoffs read the one memoized
+    * candidate-pair table; the spine join is a broadcast of the threshold
+    * list, and thresholds appear via LEFT JOIN so an empty cutoff still
+    * reports a zero row at any SF. */
+  def jaccardSweep(documents: DataFrame,
+                   thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
+    val session = documents.sparkSession
+    val pairs = shinglePairCommon(documents)
+      .withColumn("jaccard", round(col("common") * 1.0 / (col("na") + col("nb") - col("common")), 6))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val th = session.createDataFrame(thresholds.map(Tuple1(_))).toDF("threshold")
+    val f = pairs.join(broadcast(th), col("jaccard") >= col("threshold"))
+    val np = f.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = f.select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("vid"))
+      .groupBy(col("threshold")).agg(countDistinct(col("vid")).as("n_docs_linked"))
+    val tot = documents.agg(count(lit(1)).as("n_docs"))
+    th.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+        round(coalesce(col("n_docs_linked"), lit(0L)) * 100.0 / col("n_docs"), 4).as("pct_linked"))
+      .orderBy("threshold")
+  }
+
   /** Near-dup pairs by n-gram Jaccard via inverted-index join (no cross join:
     * only docs sharing at least one shingle are compared). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {

@@ -142,6 +142,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out.last.getAs[Long]("n_docs") > 0, "a non-degenerate corpus survives the funnel")
   }
 
+  test("jaccard sweep: higher cutoffs only shrink pairs and linked docs") {
+    val out = Dedup.jaccardSweep(docs).collect().sortBy(_.getAs[Double]("threshold"))
+    assert(out.map(_.getAs[Double]("threshold")).toSeq == Seq(0.3, 0.5, 0.7, 0.9))
+    out.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("n_pairs") <= lo.getAs[Long]("n_pairs"))
+        assert(hi.getAs[Long]("n_docs_linked") <= lo.getAs[Long]("n_docs_linked"))
+      case _ =>
+    }
+    // consistency with the 0.5-threshold pair query
+    val at05 = out.find(_.getAs[Double]("threshold") == 0.5).get
+    assert(at05.getAs[Long]("n_pairs") == Dedup.ngramJaccardPairs(docs, 0.5).count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("pct_linked") >= 0.0 && r.getAs[Double]("pct_linked") <= 100.0)
+      assert(r.getAs[Long]("n_docs_linked") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("fingerprints are deterministic across runs") {
     val a = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     val b = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
