@@ -176,14 +176,18 @@ object Events {
   /** RFM segmentation: per purchasing user, recency (days since last
     * purchase vs corpus max day), frequency (purchase count) and monetary
     * (total cents) are binned into quartiles against *discrete-percentile
-    * thresholds* (smallest value whose cumulative frequency reaches p,
-    * computed on the NDV-bounded frequency table of each metric — the q58
-    * pattern) broadcast back over the users. No global ntile sort anywhere
-    * in the plan: the only unpartitioned windows run over per-metric
-    * frequency tables (days / small counts / distinct cent totals), and the
-    * binning itself is a broadcast-join CASE. Ties at a threshold share a
-    * bucket (standard threshold-RFM), and monetary is quantized to integer
-    * cents before thresholding so the bucket edges are exact on any engine. */
+    * thresholds* (smallest value whose cumulative frequency reaches p)
+    * broadcast back over the users. All three thresholds come from
+    * `plans.QuarterQuantiles.discreteQuartiles` — two-pass bucketed histogram
+    * selection with BOUNDED state: the only unpartitioned windows run over
+    * per-metric histograms whose row count is value-range / bucketWidth, NOT
+    * data cardinality. (The previous shape windowed over each metric's
+    * distinct-value frequency table; for `monetary_c` — integer cents summed
+    * per user — NDV ≈ the user population, a single-task sort of every user
+    * at scale.) No global ntile sort anywhere; the binning itself is a
+    * broadcast-join CASE. Ties at a threshold share a bucket (standard
+    * threshold-RFM), and monetary is quantized to integer cents before
+    * thresholding so the bucket edges are exact on any engine. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
     val maxDay = purchases.agg(max(to_date(col("ts"))).as("corpus_max_day"))
@@ -196,23 +200,17 @@ object Events {
       .join(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("corpus_max_day"), col("last_day")).cast("long"))
       .localCheckpoint(true)
-    // Discrete p25/p50/p75 of one metric: cumulative window over the distinct-value
-    // frequency table (NDV-bounded), reduced to a single broadcastable row.
-    def discQuartiles(c: String, p: String): DataFrame = {
-      val freq = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      val wCum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-      freq
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .crossJoin(broadcast(freq.groupBy().agg(sum(col("cnt")).as("tot"))))
-        .agg(
-          min(when(col("cum") >= col("tot") * 0.25, col("v"))).as(s"${p}25"),
-          min(when(col("cum") >= col("tot") * 0.50, col("v"))).as(s"${p}50"),
-          min(when(col("cum") >= col("tot") * 0.75, col("v"))).as(s"${p}75"))
-    }
+    // Discrete p25/p50/p75 of one metric, reduced to a single broadcastable
+    // row. `min v with cum(v) >= tot·p` == the value at rank ceil(p·tot),
+    // which is exactly discreteQuartiles' selection semantics.
+    def discQuartiles(c: String, p: String, bucketWidth: Long): DataFrame =
+      graft.plans.QuarterQuantiles.discreteQuartiles(per, Seq.empty, c, Seq(1, 2, 3), bucketWidth)
+        .select(col("q1_disc").as(s"${p}25"), col("q2_disc").as(s"${p}50"),
+          col("q3_disc").as(s"${p}75"))
     val scored = per
-      .crossJoin(broadcast(discQuartiles("recency_days", "r")))
-      .crossJoin(broadcast(discQuartiles("freq", "f")))
-      .crossJoin(broadcast(discQuartiles("monetary_c", "m")))
+      .crossJoin(broadcast(discQuartiles("recency_days", "r", 16L)))
+      .crossJoin(broadcast(discQuartiles("freq", "f", 16L)))
+      .crossJoin(broadcast(discQuartiles("monetary_c", "m", 1000L)))
       // recency: smaller is better → bucket 1 below p25; freq/monetary: larger is
       // better → bucket 1 at-or-above p75.
       .withColumn("r_q", (lit(1) + (col("recency_days") > col("r25")).cast("int")
@@ -349,8 +347,13 @@ object Events {
     * come from the two-phase prefix-sum rank (`plans.PrefixSum`, as
     * `q66_decile_lift`), not a single-partition `ntile` window: the total
     * order (n_events desc, user_id asc) is encoded as one integer key
-    * `-n_events·(max_uid+1) + user_id` (headroom: needs n_events·(max_uid+1)
-    * < 2^63 — ~10^9 users × ~10^9 events/user before wrap), ranks are
+    * `-n_events·(max_uid+1) + user_id`. Headroom: the encoding needs
+    * max(n_events)·(max_uid+1) < 2^62 — the factor-2 slack covers
+    * PrefixSum's internal `span + 2048` ceil-division term; there is no
+    * span×nBuckets product since PrefixSum buckets by integer division.
+    * REQUIRES user_id ≥ 0: a negative uid would flip the within-count
+    * ordering (uid is added, not subtracted) and silently desynchronize the
+    * encoded order from (n_events desc, user_id asc). Ranks are
     * count-of-ones prefix sums over that key, and NTILE(10) bucket bounds
     * are reproduced exactly by integer arithmetic on the rank: the first
     * n mod 10 deciles take ⌈n/10⌉ users, the rest ⌊n/10⌋ — bit-identical to

@@ -7,18 +7,36 @@ import org.apache.spark.sql.functions._
 /** Distributed two-phase prefix sum — the scale path for cumulative sums
   * that a single-partition `Window.orderBy` cannot survive.
   *
-  * Phase 1 buckets rows by equal-width slices of the (integer) ordering key
-  * and computes per-bucket running sums with a *partitioned* window; phase 2
-  * turns the per-bucket totals into exclusive bucket offsets (cumulative
-  * window over the ≤ `nBuckets`-row totals table — bounded by construction)
-  * and broadcasts them back. The result equals the global running sum
-  * because bucket ranges are disjoint and ordered: every row's prefix is
-  * (its in-bucket prefix) + (total of all earlier buckets).
+  * Phase 1 buckets rows by key and computes per-bucket running sums with a
+  * *partitioned* window; phase 2 turns the per-bucket totals into exclusive
+  * bucket offsets (cumulative window over the ≤ `nBuckets`-row totals table —
+  * bounded by construction) and broadcasts them back. The result equals the
+  * global running sum because bucket ranges are disjoint and ordered: every
+  * row's prefix is (its in-bucket prefix) + (total of all earlier buckets).
   *
-  * Deterministic with no reliance on physical partitioning (`bucket` is a
-  * pure function of the key, unlike `spark_partition_id()`), so the same
-  * plan is reproducible on any cluster shape. Keys are assumed unique per
-  * row (commit ids, file ids) — the usual shape of metadata logs.
+  * Bucket edges are EQUI-HEIGHT, not equal-width: a fine `64·nBuckets`-slice
+  * histogram of the key (one map-side-combinable aggregation; rows = occupied
+  * fine slices, not data rows) is folded into coarse buckets by cumulative
+  * count — coarse bucket = ⌊cumBefore·nBuckets/total⌋ — so a power-law key
+  * distribution (most rows in a narrow key band, e.g. `ev_power_users`'
+  * `-n_events·span+uid` key) still spreads over ~nBuckets equal-row buckets
+  * instead of collapsing into the one equal-width slice that covers the band.
+  * The residual imbalance is one fine slice's worth of rows: only rows whose
+  * keys collide within a single fine slice (1/(64·nBuckets) of the key range)
+  * are inseparable, because the bucket must remain a pure monotone function
+  * of the key for the phase-2 offsets to be correct.
+  *
+  * Any monotone-in-key bucket assignment yields the SAME prefix sums, so the
+  * equi-height edges change plan balance only, never results. Fine slicing
+  * uses integer division (`(key − kmin) div w`), not multiplication, so the
+  * only headroom requirement is the key span itself fitting in a long —
+  * there is no `span × nBuckets` product to overflow.
+  *
+  * Deterministic with no reliance on physical partitioning (the bucket is a
+  * pure function of the key and the key's distribution, unlike
+  * `spark_partition_id()`), so the same plan is reproducible on any cluster
+  * shape. Keys are assumed unique per row (commit ids, file ids) — the usual
+  * shape of metadata logs.
   */
 object PrefixSum {
 
@@ -31,19 +49,7 @@ object PrefixSum {
                 inclusive: Boolean = true, nBuckets: Int = 32,
                 partitionCols: Seq[String] = Nil): DataFrame = {
     val pCols = partitionCols.map(col)
-    val rng =
-      if (partitionCols.isEmpty)
-        df.groupBy().agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
-      else
-        df.groupBy(pCols: _*).agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
-    val bucketed =
-      (if (partitionCols.isEmpty) df.crossJoin(broadcast(rng))
-       else df.join(broadcast(rng), partitionCols))
-        .withColumn("bucket__ps", least(
-          floor((col(keyCol) - col("kmin__ps")) * nBuckets /
-            (col("kmax__ps") - col("kmin__ps") + 1)),
-          lit(nBuckets - 1L)))
-        .drop("kmin__ps", "kmax__ps")
+    val bucketed = equiHeightBuckets(df, keyCol, nBuckets, partitionCols)
     val endRow = if (inclusive) Window.currentRow else -1L
     val wIn = Window.partitionBy(pCols :+ col("bucket__ps"): _*).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, endRow)
@@ -58,5 +64,48 @@ object PrefixSum {
       .join(broadcast(offsets), partitionCols :+ "bucket__ps")
       .withColumn(out, col("partial__ps") + col("offset__ps"))
       .drop("bucket__ps", "partial__ps", "offset__ps")
+  }
+
+  /** Adds `bucket__ps` ∈ [0, nBuckets): an equi-height, monotone-in-`keyCol`
+    * bucket id per group. Exposed so balance is testable on its own; the
+    * guarantee is max bucket size ≤ ⌈rows/nBuckets⌉ + (largest fine-slice
+    * count) — skew narrower than 1/(64·nBuckets) of the key range (or a
+    * single repeated key value) is inseparable by any pure key function. */
+  def equiHeightBuckets(df: DataFrame, keyCol: String, nBuckets: Int,
+                        partitionCols: Seq[String] = Nil): DataFrame = {
+    val pCols = partitionCols.map(col)
+    val nFine = nBuckets.toLong * 64L
+    val rng =
+      if (partitionCols.isEmpty)
+        df.groupBy().agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
+      else
+        df.groupBy(pCols: _*).agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
+    // Fine slice: division-first (no span×n product), monotone in the key.
+    // w = ceil(span / nFine) ≥ 1, so slice indices stay within [0, nFine).
+    // Integral `div` throughout — `/` would route through double and lose
+    // exactness (and monotonicity) for keys beyond 2^53.
+    val sliceExpr = least(
+      expr(s"(`$keyCol` - kmin__ps) div ((kmax__ps - kmin__ps + ${nFine}L) div ${nFine}L)"),
+      lit(nFine - 1L))
+    val sliced =
+      (if (partitionCols.isEmpty) df.crossJoin(broadcast(rng))
+       else df.join(broadcast(rng), partitionCols))
+        .withColumn("fine__ps", sliceExpr)
+        .drop("kmin__ps", "kmax__ps")
+    // Equi-height coarse edges: cumulative fine-slice counts → bucket ids.
+    // All windows here run over the ≤ |groups|×nFine-row histogram.
+    val wFineCum = Window.partitionBy(pCols: _*).orderBy(col("fine__ps"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFineAll = Window.partitionBy(pCols: _*)
+    val sliceMap = sliced.groupBy(pCols :+ col("fine__ps"): _*)
+      .agg(count(lit(1)).as("fcnt__ps"))
+      .withColumn("fbefore__ps", coalesce(sum(col("fcnt__ps")).over(wFineCum), lit(0L)))
+      .withColumn("ftot__ps", sum(col("fcnt__ps")).over(wFineAll))
+      .withColumn("bucket__ps",
+        expr(s"(fbefore__ps * ${nBuckets}L) div ftot__ps"))
+      .select(pCols :+ col("fine__ps") :+ col("bucket__ps"): _*)
+    sliced
+      .join(broadcast(sliceMap), partitionCols :+ "fine__ps")
+      .drop("fine__ps")
   }
 }

@@ -84,4 +84,57 @@ object QuarterQuantiles {
 
   private def qAggs(quarters: Seq[Int]) = quarters.map(p =>
     sum(when(col("qid__qq") === p, col("w__qq") * col("vk__qq"))).as(s"q${p}_x4"))
+
+  /** Discrete (type-1 / `percentile_disc`-style) quarter-quantiles: for each
+    * p ∈ `quarters` returns `q{p}_disc` = the exact value of `vcol` at rank
+    * `ceil(p·n/4)` (1-based, = the smallest v whose cumulative count reaches
+    * p·n/4) — the threshold-selection semantics of `min(when(cum >= tot·p, v))`
+    * over a cumulative frequency table, but with the same bounded-state
+    * two-pass histogram plan as [[quarterQuantiles]]: no window ever runs over
+    * a table whose row count scales with the data (the histogram is bounded by
+    * value-range / bucketWidth, the rescan by one bucket's distinct values).
+    * Output column keeps `vcol`'s integral type semantics (returned as long,
+    * no ×4 scaling — discrete selection needs no interpolation). */
+  def discreteQuartiles(base: DataFrame, groupCols: Seq[String], vcol: String,
+                        quarters: Seq[Int], bucketWidth: Long = 1000L): DataFrame = {
+    require(quarters.nonEmpty && quarters.forall(p => p >= 1 && p <= 3))
+    val g = groupCols.map(col)
+    val hist = base
+      .groupBy(g :+ expr(s"$vcol div $bucketWidth").as("bkt__qq"): _*)
+      .agg(count(lit(1)).as("cnt__qq"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bkt__qq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g: _*)
+    // rank of the p/4 discrete quantile over n rows: ceil(p·n/4) = (p·n+3) div 4.
+    val qStructs = quarters.map { p =>
+      s"struct(${p}L AS qid, ((${p}L * tot__qq + 3L) div 4) AS k)"
+    }.mkString(", ")
+    val targets = hist
+      .withColumn("before__qq", coalesce(sum(col("cnt__qq")).over(wCum), lit(0L)))
+      .withColumn("tot__qq", sum(col("cnt__qq")).over(wAll))
+      .select(g ++ Seq(col("bkt__qq"), col("before__qq"), col("cnt__qq"),
+        explode(expr(s"array($qStructs)")).as("t__qq")): _*)
+      .filter(col("before__qq") < col("t__qq.k") &&
+        col("before__qq") + col("cnt__qq") >= col("t__qq.k"))
+      .select(groupCols.map(c => col(c).as(s"${c}__t")) ++ Seq(
+        col("bkt__qq").as("bkt__t"), col("before__qq"),
+        col("t__qq.qid").as("qid__qq"), col("t__qq.k").as("k__qq")): _*)
+    val joinCond = (groupCols.map(c => col(c) === col(s"${c}__t")) :+
+      (expr(s"$vcol div $bucketWidth") === col("bkt__t"))).reduce(_ && _)
+    val wIn = Window.partitionBy(g ++ Seq(col("qid__qq"), col("k__qq")): _*)
+      .orderBy(col(vcol)).rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(targets), joinCond)
+      .groupBy(g ++ Seq(col("qid__qq"), col("k__qq"), col("before__qq"), col(vcol)): _*)
+      .agg(count(lit(1)).as("c__qq"))
+      .withColumn("cumin__qq", sum(col("c__qq")).over(wIn))
+      .groupBy(g ++ Seq(col("qid__qq"), col("k__qq")): _*)
+      .agg(min(when(col("before__qq") + col("cumin__qq") >= col("k__qq"),
+        col(vcol))).as("vk__qq"))
+      .groupBy(g: _*)
+      .agg(
+        quarters.map(p =>
+          min(when(col("qid__qq") === p, col("vk__qq"))).as(s"q${p}_disc")).head,
+        quarters.map(p =>
+          min(when(col("qid__qq") === p, col("vk__qq"))).as(s"q${p}_disc")).tail: _*)
+  }
 }

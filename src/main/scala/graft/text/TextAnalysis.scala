@@ -225,15 +225,19 @@ object TextAnalysis {
   /** Zipf fit: linear regression of ln(freq) on ln(rank) over the top
     * `topRanks` tokens — the rank-frequency slope (≈ −1 for natural text) is
     * a corpus-level quality signal. regr_* aggregates are algebraic
-    * (map-side partial); the rank window runs over the bounded vocabulary. */
+    * (map-side partial). The top-`topRanks` cut is a distributed
+    * `orderBy(...).limit(...)` (TakeOrderedAndProject: per-partition heaps of
+    * `topRanks` rows merged on the driver — the q17 plan), so a web-scale
+    * vocabulary (10⁸–10⁹ distinct tokens) is never single-partition-sorted;
+    * the rank window then runs over the ≤ `topRanks`-row survivor table. */
   def zipfSlope(documents: DataFrame, topRanks: Int = 100): DataFrame = {
     val freq = documents
       .select(explode(toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("token"))
     freq
+      .orderBy(col("freq").desc, col("token")).limit(topRanks)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topRanks)
       .agg(count(lit(1)).as("n_ranks"),
         (round(expr("regr_slope(ln(freq), ln(rk))"), 6) + lit(0.0)).as("zipf_slope"),
         (round(expr("regr_intercept(ln(freq), ln(rk))"), 6) + lit(0.0)).as("zipf_intercept"),
@@ -415,12 +419,18 @@ object TextAnalysis {
   /** Vocabulary coverage curve: what fraction of all token occurrences the
     * top-k vocabulary entries cover, at fixed k checkpoints — the
     * tokenizer-budget question (how big a vocab before coverage plateaus).
-    * Rank + running sum over the bounded vocabulary table only. */
+    * Only the top `max(ks)` vocabulary rows are consumed, so the cut is a
+    * distributed `orderBy(...).limit(...)` (TakeOrderedAndProject, the q17
+    * plan) BEFORE any window — the rank + running-sum window then runs over
+    * the ≤ `max(ks)`-row survivor table, never the full vocabulary. The
+    * occurrence total still aggregates the full table (map-side-combinable
+    * sum, no window). */
   def vocabCoverage(documents: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 24, 31)): DataFrame = {
     val freq = documents.select(explode(toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val w = Window.orderBy(col("freq").desc, col("token"))
     val ranked = freq
+      .orderBy(col("freq").desc, col("token")).limit(ks.max)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     val total = freq.agg(sum(col("freq")).as("total"))

@@ -45,6 +45,70 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum stays correct AND balanced under pathological key skew") {
+    import spark.implicits._
+    val rnd = new Random(271)
+    // ≥90% of rows land in one key decile of the range [0, 100000): an
+    // equal-width bucketing would drop ~90% of rows into ~3 of 32 buckets;
+    // the equi-height edges must keep every bucket ≤ 2× the ideal share.
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 30000L + rnd.nextInt(10000) // hot decile
+              else rnd.nextInt(100000).toLong
+      (k * 1000L + i, 1L) // unique keys, skew preserved at ×1000 scale
+    }
+    val df = rows.toDF("k", "v").repartition(8)
+    // correctness under skew
+    val got = PrefixSum.prefixSum(df, "k", "v", "out")
+      .select("k", "out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("out", sum(col("v")).over(w))
+      .select("k", "out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "prefix sums must be exact under skew")
+    // balance: no bucket holds more than 2× the ideal equal share
+    val counts = PrefixSum.equiHeightBuckets(df, "k", 32)
+      .groupBy("bucket__ps").count().collect().map(_.getLong(1))
+    val ideal = math.ceil(n / 32.0)
+    assert(counts.max <= 2 * ideal,
+      s"max bucket ${counts.max} exceeds 2×ideal ($ideal); counts=${counts.sorted.reverse.take(5).mkString(",")}")
+    assert(counts.length >= 16, s"skew collapsed the spread to ${counts.length} buckets")
+  }
+
+  test("discreteQuartiles equals sort-based rank selection across random inputs") {
+    import spark.implicits._
+    val rnd = new Random(58)
+    for (trial <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows = (0 until nGroups).flatMap { gi =>
+        val n = 1 + rnd.nextInt(300)
+        val hi = if (trial % 2 == 1) 10 else 5000 // odd trials: heavy duplicates
+        (0 until n).map(_ => (gi.toString, rnd.nextInt(hi).toLong))
+      }
+      val df = rows.toDF("g", "v")
+      val bw = Seq(1L, 7L, 1000L)(trial % 3)
+      val got = QuarterQuantiles.discreteQuartiles(df, Seq("g"), "v", Seq(1, 2, 3), bw)
+        .collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("q1_disc"), r.getAs[Long]("q2_disc"), r.getAs[Long]("q3_disc")))).toMap
+      rows.groupBy(_._1).foreach { case (gk, grp) =>
+        val v = grp.map(_._2).sorted.toIndexedSeq
+        val n = v.length
+        // rank ceil(p·n/4) == the min value whose cumulative count reaches p·n/4
+        def sel(p: Int): Long = v(((p.toLong * n + 3) / 4).toInt - 1)
+        assert(got(gk) == ((sel(1), sel(2), sel(3))),
+          s"group $gk trial $trial (bw=$bw n=$n): got ${got(gk)}, want ${(sel(1), sel(2), sel(3))}")
+      }
+      // the global (no-group) form used by ev_rfm
+      val gGlobal = QuarterQuantiles.discreteQuartiles(df, Seq.empty, "v", Seq(1, 2, 3), bw)
+        .collect().map(r =>
+          (r.getAs[Long]("q1_disc"), r.getAs[Long]("q2_disc"), r.getAs[Long]("q3_disc"))).head
+      val v = rows.map(_._2).sorted.toIndexedSeq
+      val n = v.length
+      def selAll(p: Int): Long = v(((p.toLong * n + 3) / 4).toInt - 1)
+      assert(gGlobal == ((selAll(1), selAll(2), selAll(3))), s"global trial $trial")
+    }
+  }
+
   test("native TopKPerKey equals the window top-k across random inputs, ks and directions") {
     import spark.implicits._
     val rnd = new Random(99)
