@@ -1,7 +1,10 @@
 package graft.plans
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Per-JVM memo of expensive checkpointed pipeline artifacts.
   *
@@ -19,26 +22,77 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Keying: the canonicalized analyzed plan of the input (structural
   * equality, verified on every hit — a semanticHash collision cannot serve
   * the wrong corpus) + a tag encoding the function and its parameters +
-  * the owning session. Entries from a stopped SparkContext (test-suite
-  * session cycling) are recomputed, never reused. On a cluster this is the
-  * job-server pattern: shared computed artifacts live for the session, keyed
-  * by logical plan — nothing here assumes local mode. */
+  * the owning session.
+  *
+  * Lifecycle (bounded, leak-free in long-lived JVMs):
+  *  - keys whose plan contains a [[LogicalRDD]] leaf are NOT memoized — such
+  *    plans are minted fresh per call (e.g. a `localCheckpoint` upstream), so
+  *    their keys could never be re-hit and every entry would pin blocks
+  *    forever; the computation simply runs un-cached;
+  *  - entries owned by a stopped SparkContext are swept on every call
+  *    (test-suite session cycling can't accumulate);
+  *  - recomputing over a superseded key unpersists the old artifact's
+  *    checkpointed blocks before replacing it;
+  *  - the cache is capped at [[maxEntries]]; the oldest entry is evicted
+  *    (and unpersisted) to admit a new one.
+  *
+  * Cluster caveat: `localCheckpoint(true)`'s blocks are NOT replicated —
+  * losing an executor invalidates the artifact, and later family queries
+  * reading it fail with missing-block errors rather than silently
+  * recomputing. On a real cluster prefer reliable checkpointing (HDFS/object
+  * store `checkpoint`) for artifacts that must survive executor churn; this
+  * memo targets the single-JVM Bench/Verify/job-server loop where the
+  * blocks live exactly as long as the session. */
 object Memo {
 
-  private case class Entry(plan: LogicalPlan, session: SparkSession, value: AnyRef)
+  private case class Entry(plan: LogicalPlan, session: SparkSession,
+                           value: AnyRef, seq: Long)
   private val cache = new scala.collection.concurrent.TrieMap[(Int, String), Entry]
+  private val seqGen = new AtomicLong(0L)
+
+  /** Max live artifacts; far above the ~10 family pipelines a round uses,
+    * low enough that a runaway caller cannot pin unbounded block memory. */
+  val maxEntries = 64
 
   def memoize[T <: AnyRef](keyDf: DataFrame, tag: String)(compute: => T): T = {
+    sweepStopped()
     val canon = keyDf.queryExecution.analyzed.canonicalized
+    // A LogicalRDD leaf (fresh per localCheckpoint/createDataFrame call) makes
+    // the key un-re-hittable: caching it would only leak — run un-memoized.
+    if (canon.collectLeaves().exists(_.isInstanceOf[LogicalRDD])) return compute
     val key = (canon.semanticHash(), tag)
     cache.get(key) match {
       case Some(e) if (e.session eq keyDf.sparkSession) &&
           !e.session.sparkContext.isStopped && e.plan == canon =>
         e.value.asInstanceOf[T]
-      case _ =>
+      case stale =>
+        stale.foreach(unpersistArtifact) // superseded (other session / plan): drop its blocks
+        if (cache.size >= maxEntries)
+          cache.toSeq.sortBy(_._2.seq).headOption.foreach { case (k, e) =>
+            cache.remove(k); unpersistArtifact(e)
+          }
         val v = compute
-        cache.put(key, Entry(canon, keyDf.sparkSession, v))
+        cache.put(key, Entry(canon, keyDf.sparkSession, v, seqGen.incrementAndGet()))
         v
     }
+  }
+
+  /** Drop entries whose owning context is stopped (their blocks died with
+    * the executors; only the map entries linger). */
+  private def sweepStopped(): Unit =
+    cache.foreach { case (k, e) =>
+      if (e.session.sparkContext.isStopped) cache.remove(k)
+    }
+
+  /** Best-effort release of the checkpointed blocks a cached DataFrame pins:
+    * localCheckpoint artifacts are LogicalRDD-rooted, so unpersisting those
+    * leaves' RDDs frees the storage the entry held. */
+  private def unpersistArtifact(e: Entry): Unit = e.value match {
+    case ds: org.apache.spark.sql.Dataset[_] if !e.session.sparkContext.isStopped =>
+      try ds.queryExecution.analyzed.collectLeaves().foreach {
+        case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    case _ => ()
   }
 }
