@@ -244,19 +244,21 @@ object Snapshots {
   /** Snapshot lineage: the parent chain of the commit log, with rewrite
     * commits (every 10th) resetting lineage depth — the ancestry metadata a
     * rollback/branch operation walks. Depth is a running conditional max
-    * (last rewrite at-or-before each commit), not a recursive walk. */
+    * (last rewrite at-or-before each commit), not a recursive walk. The
+    * derived commit table grows with the fact table (o_orderkey/100), so
+    * both commit-ordered passes are distributed: the parent chain via
+    * `plans.PrefixSum.lagOver` and the last-rewrite via
+    * `plans.PrefixSum.prefixMax` — bucketed windows only, never one
+    * unpartitioned window over every commit. */
   def snapshotLineage(orders: DataFrame): DataFrame = {
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
       .agg(count(lit(1)).as("files_added"))
-    val wOrd = Window.orderBy(col("commit_id"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    commits
-      .withColumn("parent_id", lag(col("commit_id"), 1).over(wOrd))
       .withColumn("is_rewrite", col("commit_id") % 10 === 5)
-      .withColumn("last_rewrite",
-        max(when(col("is_rewrite"), col("commit_id"))).over(wRun))
+      .withColumn("rw_id", when(col("is_rewrite"), col("commit_id")))
+    val chained = graft.plans.PrefixSum.lagOver(commits, "commit_id", "commit_id", "parent_id")
+    graft.plans.PrefixSum.prefixMax(chained, "commit_id", "rw_id", "last_rewrite")
       .withColumn("lineage_depth",
         col("commit_id") - coalesce(col("last_rewrite"), lit(0L)))
       .select(col("commit_id"), col("parent_id"), col("is_rewrite"),
@@ -287,8 +289,11 @@ object Snapshots {
   /** Commit-cadence report: inter-commit gaps (in commit-day terms) per
     * year — mean/median/p95 gap and the burstiness ratio (p95/median) that
     * tells an ops team whether writes arrive smoothly or in storms (the
-    * cadence half of the single-file-commits latency study). The lag window
-    * runs over the 150-row commit table. Exact-percentile state is BOUNDED
+    * cadence half of the single-file-commits latency study). The commit
+    * table derives from the fact table (o_orderkey/100) and grows with it,
+    * so the previous-commit-day lookup goes through
+    * `plans.PrefixSum.lagOver` (bucketed lag + bounded carry table), not an
+    * unpartitioned lag window. Exact-percentile state is BOUNDED
     * by construction: the aggregate buffers per-year commit *gaps* — commit
     * metadata, ≤ commits/year rows regardless of data volume (a lake doing
     * 1 commit/second is ~3×10⁷ gaps/year of 8 B doubles ≈ 250 MB worst
@@ -298,10 +303,9 @@ object Snapshots {
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
       .agg(max(to_date(col("o_orderdate"))).as("commit_day"))
-    val w = Window.orderBy(col("commit_id"))
-    commits
+    graft.plans.PrefixSum.lagOver(commits, "commit_id", "commit_day", "prev_day")
       .withColumn("gap_days",
-        datediff(col("commit_day"), lag(col("commit_day"), 1).over(w)).cast("double"))
+        datediff(col("commit_day"), col("prev_day")).cast("double"))
       .filter(col("gap_days").isNotNull)
       .groupBy(year(col("commit_day")).cast("long").as("commit_year"))
       .agg(count(lit(1)).as("n_gaps"),

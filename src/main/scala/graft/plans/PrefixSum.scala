@@ -66,6 +66,60 @@ object PrefixSum {
       .drop("bucket__ps", "partial__ps", "offset__ps")
   }
 
+  /** Adds column `out` = `valCol` of the previous row in `keyCol` order
+    * (null for the first row) — the distributed form of
+    * `lag(valCol, 1) over (order by keyCol)`, built on [[equiHeightBuckets]]:
+    * in-bucket lags run under a *partitioned* window, and each bucket's first
+    * row takes the previous non-empty bucket's last value from a
+    * ≤ nBuckets-row carry table (`max_by(valCol, keyCol)` per bucket, lagged
+    * over bucket order — bounded by construction).
+    *
+    * REQUIRES unique `keyCol` per row (the carry's max_by winner must be
+    * well-defined) and non-null `valCol` (a genuine null previous value is
+    * indistinguishable from "first row of bucket" in the coalesce). */
+  def lagOver(df: DataFrame, keyCol: String, valCol: String, out: String,
+              nBuckets: Int = 32, partitionCols: Seq[String] = Nil): DataFrame = {
+    val pCols = partitionCols.map(col)
+    val bucketed = equiHeightBuckets(df, keyCol, nBuckets, partitionCols)
+    val wIn = Window.partitionBy(pCols :+ col("bucket__ps"): _*).orderBy(col(keyCol))
+    val wB = Window.partitionBy(pCols: _*).orderBy(col("bucket__ps"))
+    val carry = bucketed.groupBy(pCols :+ col("bucket__ps"): _*)
+      .agg(expr(s"max_by(`$valCol`, `$keyCol`)").as("blast__ps"))
+      .withColumn("bprev__ps", lag(col("blast__ps"), 1).over(wB))
+      .select(pCols :+ col("bucket__ps") :+ col("bprev__ps"): _*)
+    bucketed
+      .withColumn("lag__ps", lag(col(valCol), 1).over(wIn))
+      .join(broadcast(carry), partitionCols :+ "bucket__ps")
+      .withColumn(out, coalesce(col("lag__ps"), col("bprev__ps")))
+      .drop("bucket__ps", "lag__ps", "bprev__ps")
+  }
+
+  /** Adds column `out` = running max of `valCol` ordered by `keyCol`
+    * (inclusive; null until the first non-null value) — the distributed form
+    * of `max(valCol) over (order by keyCol rows unbounded preceding)`.
+    * `valCol` MAY be null (the usual conditional-max shape
+    * `when(cond, v)`): in-bucket running maxes and the exclusive cumulative
+    * bucket maxes combine with `greatest`, which skips nulls. Same bounded
+    * plan as [[prefixSum]] — per-bucket window + ≤ nBuckets-row offset table. */
+  def prefixMax(df: DataFrame, keyCol: String, valCol: String, out: String,
+                nBuckets: Int = 32, partitionCols: Seq[String] = Nil): DataFrame = {
+    val pCols = partitionCols.map(col)
+    val bucketed = equiHeightBuckets(df, keyCol, nBuckets, partitionCols)
+    val wIn = Window.partitionBy(pCols :+ col("bucket__ps"): _*).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(pCols: _*).orderBy(col("bucket__ps"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(pCols :+ col("bucket__ps"): _*)
+      .agg(max(col(valCol)).as("bmax__ps"))
+      .withColumn("offmax__ps", max(col("bmax__ps")).over(wOff))
+      .select(pCols :+ col("bucket__ps") :+ col("offmax__ps"): _*)
+    bucketed
+      .withColumn("pmax__ps", max(col(valCol)).over(wIn))
+      .join(broadcast(offsets), partitionCols :+ "bucket__ps")
+      .withColumn(out, greatest(col("pmax__ps"), col("offmax__ps")))
+      .drop("bucket__ps", "pmax__ps", "offmax__ps")
+  }
+
   /** Adds `bucket__ps` ∈ [0, nBuckets): an equi-height, monotone-in-`keyCol`
     * bucket id per group. Exposed so balance is testable on its own; the
     * guarantee is max bucket size ≤ ⌈rows/nBuckets⌉ + (largest fine-slice

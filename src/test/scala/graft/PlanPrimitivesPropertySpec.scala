@@ -74,6 +74,37 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     assert(counts.length >= 16, s"skew collapsed the spread to ${counts.length} buckets")
   }
 
+  test("lagOver and prefixMax equal their unpartitioned window forms across random inputs") {
+    import spark.implicits._
+    val rnd = new Random(314)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(250)
+      // unique keys, possibly sparse; vals null-able for the prefixMax
+      // conditional-max shape (lagOver is fed the non-null key itself)
+      val keys = rnd.shuffle((1 to 2000).toList).take(n).map(_.toLong)
+      val rows = keys.map(k => (k, if (rnd.nextInt(3) == 0) Some(k * 7) else None))
+      val df = rows.toDF("k", "cv").repartition(5)
+      val nBuckets = Seq(1, 4, 32)(trial % 3)
+
+      val gotLag = PrefixSum.lagOver(df, "k", "k", "prev", nBuckets)
+        .select("k", "prev").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val wantLag = df.withColumn("prev", lag(col("k"), 1).over(Window.orderBy("k")))
+        .select("k", "prev").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(gotLag == wantLag, s"lagOver trial $trial (nBuckets=$nBuckets)")
+
+      val gotMax = PrefixSum.prefixMax(df, "k", "cv", "runmax", nBuckets)
+        .select("k", "runmax").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val wMax = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+      val wantMax = df.withColumn("runmax", max(col("cv")).over(wMax))
+        .select("k", "runmax").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(gotMax == wantMax, s"prefixMax trial $trial (nBuckets=$nBuckets)")
+    }
+  }
+
   test("discreteQuartiles equals sort-based rank selection across random inputs") {
     import spark.implicits._
     val rnd = new Random(58)
