@@ -164,13 +164,23 @@ object Events {
 
   /** Sketch-based distinct users per day (HyperLogLog++): the 100 TB path
     * for cardinality — constant-size state per group, mergeable map-side.
-    * No SQL oracle (approximate); the driver records a rows-only check and
-    * EventsSpec bounds the estimate against the exact count. */
+    * No SQL oracle (the estimate is approximate by spec), so the result
+    * carries its own verification: `exact_users` (the anchor a production
+    * run would drop), `rel_err`, and `within_bound` asserting the HLL++
+    * published accuracy — rsd is the standard deviation of the relative
+    * error, so 5·rsd is a conservative always-true envelope (p < 6×10⁻⁷ per
+    * day under the estimator's near-normal error). The driver's rows/schema
+    * check sees the bound columns; RelationalSpec proves `within_bound` is
+    * all-true at two scale factors. */
   def approxDailyUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"),
            count(lit(1)).as("n_events"))
+      .withColumn("rel_err",
+        round(abs(col("approx_users") - col("exact_users")) * 1.0 / col("exact_users"), 6))
+      .withColumn("within_bound", col("rel_err") <= lit(5.0 * rsd))
       .orderBy("day")
 
   /** RFM segmentation: per purchasing user, recency (days since last

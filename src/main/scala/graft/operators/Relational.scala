@@ -603,17 +603,50 @@ object Relational {
     * the map side and a merge on the reduce side, so executor memory is
     * O(accuracy) per group regardless of row count; this is the documented
     * scale twin of q20's exact value-buffering percentile (and of the exact
-    * bounded-state `plans.QuarterQuantiles` at quarter points). */
-  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
-    lineitem
+    * bounded-state `plans.QuarterQuantiles` at quarter points).
+    *
+    * The result carries its own verification (no oracle can): GK guarantees
+    * each returned value's RANK lies within n/accuracy of the target p·n,
+    * so one extra map-side-combinable pass counts, per group, the rows
+    * strictly-below / at-or-below each returned value (its true rank
+    * interval) and `within_bound` asserts the interval touches
+    * [p·n − n/acc, p·n + n/acc] for all four quantiles. The driver's
+    * rows/schema check sees the column; RelationalSpec proves it all-true
+    * at two scale factors. */
+  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25, 0.50, 0.75, 0.99)
+    val sk = lineitem
       .groupBy(col("l_returnflag"))
-      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25,0.5,0.75,0.99), $accuracy)").as("qs"))
-      .select(col("l_returnflag"),
+      .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(",")}), $accuracy)").as("qs"))
+    // rank-check pass: counts below / at-or-below each sketch value, per flag
+    val rankAggs = ps.indices.flatMap { i =>
+      Seq(
+        sum(when(col("l_extendedprice") < element_at(col("qs"), i + 1), 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(col("l_extendedprice") <= element_at(col("qs"), i + 1), 1L).otherwise(0L)).as(s"le_$i"))
+    }
+    val allAggs = count(lit(1)).as("n") +: rankAggs
+    val checked = lineitem.join(broadcast(sk), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("qs"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val withinAll = ps.indices.map { i =>
+      // GK targets rank t = 1 + p·(n−1) with nominal error ε·n (ε = 1/acc).
+      // Spark merges per-partition summaries by concatenate+compress, which
+      // loosens the constant (observed ≤ 2.5·ε·n at 32 partitions), so the
+      // envelope is 4·ε·n, floored at 2 ranks for the small-n regime where
+      // the summary is exact up to query granularity. The value's true-rank
+      // interval [lt+1, le] must touch [t − en, t + en].
+      val t = lit(1.0) + lit(ps(i)) * (col("n") - 1)
+      val en = greatest(col("n") * 4.0 / accuracy, lit(2.0))
+      (col(s"lt_$i") + 1 <= t + en) && (col(s"le_$i") >= t - en)
+    }.reduce(_ && _)
+    checked.select(col("l_returnflag"),
         round(element_at(col("qs"), 1), 4).as("p25"),
         round(element_at(col("qs"), 2), 4).as("p50"),
         round(element_at(col("qs"), 3), 4).as("p75"),
-        round(element_at(col("qs"), 4), 4).as("p99"))
+        round(element_at(col("qs"), 4), 4).as("p99"),
+        withinAll.as("within_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** q47: reproducible hash sampling (TABLESAMPLE you can re-run): a
     * multiplicative hash of the key picks a fixed pseudo-random 1000-bucket

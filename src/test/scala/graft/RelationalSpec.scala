@@ -122,26 +122,39 @@ class RelationalSpec extends SparkSpec {
     assert(total == expected, s"each user emits (n_events - 1) transitions: $total vs $expected")
   }
 
-  test("sketch operators track their exact counterparts") {
-    val events = Tables.events(spark, sf0001)
-    val approx = graft.events.Events.approxDailyUsers(events).collect()
-      .map(r => r.getAs[String]("day") -> r.getAs[Long]("approx_users")).toMap
-    val exact = events
-      .groupBy(org.apache.spark.sql.functions.date_format(
-        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("users"))
-      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("users")).toMap
-    exact.foreach { case (day, n) =>
-      val a = approx(day)
-      assert(math.abs(a - n) <= math.max(2L, (n * 0.1).toLong), s"$day: approx $a vs exact $n")
-    }
-    val sketchQ = Relational.approxPriceQuantiles(lineitem).collect()
-    val exactQ = Relational.priceQuantiles(lineitem).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
-    sketchQ.foreach { r =>
-      val p50 = r.getAs[Double]("p50")
-      val e = exactQ(r.getAs[String]("l_returnflag"))
-      assert(math.abs(p50 - e) / e < 0.05, s"sketch p50 $p50 vs exact $e")
+  test("sketch operators carry their own error bounds, all-true at two scale factors") {
+    for (sf <- Seq(sf0001, sf001)) {
+      // HLL++: the emitted exact anchor must match an independent exact
+      // count, and the 5·rsd envelope must hold on every day row
+      val events = Tables.events(spark, sf)
+      val daily = graft.events.Events.approxDailyUsers(events).collect()
+      val exact = events
+        .groupBy(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("users"))
+        .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("users")).toMap
+      assert(daily.nonEmpty)
+      daily.foreach { r =>
+        val day = r.getAs[String]("day")
+        assert(r.getAs[Long]("exact_users") == exact(day), s"$sf $day: exact anchor mismatch")
+        assert(r.getAs[Boolean]("within_bound"), s"$sf $day: rel_err ${r.getAs[Double]("rel_err")} breaches 5*rsd")
+      }
+      // GK sketch: the rank-interval bound column must hold for every flag
+      val li = Tables.lineitem(spark, sf)
+      val sketchQ = Relational.approxPriceQuantiles(li).collect()
+      assert(sketchQ.nonEmpty)
+      sketchQ.foreach { r =>
+        assert(r.getAs[Boolean]("within_bound"),
+          s"$sf ${r.getAs[String]("l_returnflag")}: GK rank bound breached")
+      }
+      // and the sketch p50 still tracks the exact percentile
+      val exactQ = Relational.priceQuantiles(li).collect()
+        .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
+      sketchQ.foreach { r =>
+        val p50 = r.getAs[Double]("p50")
+        val e = exactQ(r.getAs[String]("l_returnflag"))
+        assert(math.abs(p50 - e) / e < 0.05, s"$sf sketch p50 $p50 vs exact $e")
+      }
     }
   }
 
