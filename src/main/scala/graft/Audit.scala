@@ -98,7 +98,10 @@ object Audit {
           // Funnel: the 4-row stage table crosses the broadcast 1-row raw
           // totals for the pct columns; the jaccard sweep broadcasts its
           // 4-row threshold spine + the 1-row corpus count:
-          "text_pipeline_funnel", "dedup_jaccard_sweep")
+          "text_pipeline_funnel", "dedup_jaccard_sweep",
+          // Eq-delete write path: the 1-row distinct-key count is broadcast
+          // onto the 1-row per-file cost summary before the 3-strategy explode:
+          "lake_eq_write_cost")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
       } catch {

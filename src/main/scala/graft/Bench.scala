@@ -41,33 +41,82 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // JSON-safe error rendering: class + truncated message (an error class
+    // alone is undiagnosable from a BENCH line).
+    def errStr(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+        .take(160).replaceAll("""[\\"\n\r\t]""", " ")
     // Write-path benchmark (default ON; SPARK_GRAFT_WRITE_BENCH=0 disables):
     // physical parquet write overhead of the sorted (clustered) writer vs a
-    // plain append — the reference's write-overhead study. Writes go to a
-    // temp dir that is deleted before the JSON line prints (driver *queries*
-    // stay read-only; this is a separate timed write to scratch space), and
-    // any failure degrades to an error field, never a lost BENCH line.
+    // plain write, PLUS what the overhead buys — the per-file min/max skip
+    // rate for a quarter-range shipdate predicate, measured on the files
+    // actually written. This is the reference's writer-organization study
+    // (README.md:59-62, images/skip_rates.png): sorted writes cost more and
+    // buy ~99% skip. At raw sf0.1 volume both writes finish in ~1.4 s where
+    // JVM/FS noise swamps the sort cost (r6 measured 0.99x), so the input is
+    // unioned SPARK_GRAFT_WRITE_MULT (default 8) times — enough rows that
+    // the repartitionByRange+sort stage separates from noise. Writes go to a
+    // temp dir deleted before the JSON line prints (driver *queries* stay
+    // read-only), and any failure degrades to an error field, never a lost
+    // BENCH line.
     val writeBench =
       if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0")) {
-        val li = graft.tables.Tables.lineitem(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        val mult = sys.env.get("SPARK_GRAFT_WRITE_MULT").map(_.toInt).getOrElse(8)
+        val li0 = graft.tables.Tables.lineitem(spark, sfDir)
+        val li = (1 to mult).map(i =>
+          li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong << 40))).reduce(_ union _)
         val dir = java.nio.file.Files.createTempDirectory("graft_wb_").toString
         def timeIt(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
+        // min/max file skip rate the written layout achieves for a
+        // one-quarter shipdate predicate (parquet footer stats modeled by
+        // per-file min/max — the same pruning a lake reader performs).
+        def skipRatePct(path: String, lo: String, hi: String): Double = {
+          val r = spark.read.parquet(path)
+            .select(col("l_shipdate"), input_file_name().as("f"))
+            .groupBy(col("f"))
+            .agg(min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
+            .agg(count(lit(1)).as("files"),
+              sum(when(col("fmax") < lit(lo).cast("timestamp") ||
+                       col("fmin") > lit(hi).cast("timestamp"), 1L).otherwise(0L)).as("skipped"))
+            .head()
+          r.getLong(1) * 100.0 / r.getLong(0)
+        }
         try {
+          val nRows = li.count() // materialize footer/page cache before timing
           val tPlain = timeIt(li.write.mode("overwrite").parquet(s"$dir/unsorted"))
-          val tSorted = timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 8))
-          f""","write_bench":{"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,"sort_overhead_x":${tSorted / tPlain}%.3f}"""
+          val tSorted = timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 32))
+          val skipPlain = skipRatePct(s"$dir/unsorted", "1997-01-01", "1997-03-31")
+          val skipSorted = skipRatePct(s"$dir/sorted", "1997-01-01", "1997-03-31")
+          f""","write_bench":{"rows":$nRows,"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,""" +
+            f""""sort_overhead_x":${tSorted / tPlain}%.3f,"skip_rate_plain_pct":$skipPlain%.2f,"skip_rate_sorted_pct":$skipSorted%.2f}"""
         } catch {
-          case e: Throwable => s""","write_bench":{"error":"${e.getClass.getSimpleName}"}"""
+          case e: Throwable => s""","write_bench":{"error":"${errStr(e)}"}"""
         } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      } else ""
+    // Streaming mirrors (default ON; SPARK_GRAFT_STREAM_BENCH=0 disables):
+    // rows/sec per mirror through a MemoryStream + noop sink — the measured
+    // counterpart of StreamingSpec's correctness checks.
+    val streamBench =
+      if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+        try {
+          val n = sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toInt).getOrElse(200000)
+          graft.streaming.StreamBench.run(spark, n)
+            .map { case (k, rows, sec) =>
+              f""""$k":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
+            }.mkString(""","streaming":{""", ",", "}")
+        } catch {
+          case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
+        }
       } else ""
     // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost
     // the alphabetical prefix of the per-query map), so the slowest-20 map
     // and the totals go AFTER the full map — they always survive truncation.
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"total_sec":$total%.3f$writeBench,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"total_sec":$total%.3f$writeBench$streamBench,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -244,6 +244,8 @@ object SparkEntry {
     "lake_column_update_cost" -> q((s, d) => DeleteVectors.columnUpdateCost(Tables.lineitem(s, d))),
     "lake_fetch_latency" -> q((s, d) => Manifest.fetchLatency(Tables.lineitem(s, d))),
     "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
+    "lake_health_report" -> q((s, d) => graft.lake.Health.healthReport(Tables.lineitem(s, d))),
+    "lake_eq_write_cost" -> q((s, d) => DeleteVectors.eqWriteCost(Tables.lineitem(s, d))),
     "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
     "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
     "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
@@ -2747,6 +2749,89 @@ object SparkEntry {
         |   AS crossed
         |FROM c CROSS JOIN t
         |GROUP BY 1, 2 ORDER BY threshold_label""".stripMargin,
+
+    "lake_health_report" ->
+      s"""WITH d AS ($fileModelSql),
+        | frags AS (SELECT file_id, pos % 97 AS wave, count(*) AS n_deletes
+        |   FROM d WHERE pos % 97 < 5 GROUP BY 1, 2),
+        | sf AS (SELECT file_id, count(*) AS n_fragments,
+        |    CAST(sum(n_deletes) AS BIGINT) AS total_deletes,
+        |    CAST(sum(n_deletes * 4 + 100) AS BIGINT) AS fragmented_bytes
+        |   FROM frags GROUP BY 1),
+        | storm AS (SELECT CAST(count(*) AS DOUBLE) AS files_hit,
+        |    CAST(sum(n_fragments) AS DOUBLE) AS total_fragments,
+        |    CAST(max(round(fragmented_bytes * 1.0 / (total_deletes * 4 + 100), 6)) AS DOUBLE)
+        |      AS max_amplification
+        |   FROM sf),
+        | pf AS (SELECT l_orderkey % 40 AS file_id, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos_del
+        |   FROM lineitem GROUP BY 1),
+        | cum AS (SELECT file_id, CAST(sum(pos_del * 4 + 100) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+        |   FROM pf WHERE pos_del > 0),
+        | gc AS (SELECT CAST((CASE WHEN max(cum_bytes) > 4096 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN max(cum_bytes) > 65536 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN max(cum_bytes) > 1048576 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN max(cum_bytes) > 10485760 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS thresholds_crossed,
+        |    CAST(sum(CASE WHEN cum_bytes <= 4096 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS files_within_4kb
+        |   FROM cum),
+        | dens AS (SELECT CAST(count(*) AS DOUBLE) AS total_mdvs,
+        |    CAST(sum(CASE WHEN dvb <= 4096 THEN 1 ELSE 0 END) AS DOUBLE) AS inlined_count,
+        |    CAST(sum(CASE WHEN dvb > 4096 THEN 1 ELSE 0 END) AS DOUBLE) AS spilled_count,
+        |    CAST(sum(dvb) AS DOUBLE) AS total_mdv_bytes
+        |   FROM (SELECT least(pos_del * 4, CAST(ceil(n_rows / 8.0) AS BIGINT)) AS dvb FROM pf)),
+        | dvres AS (SELECT CAST(count(*) * 16 AS DOUBLE) AS eq_bytes,
+        |    CAST(sum(pos_del) * 4 AS DOUBLE) AS pos_bytes FROM pf)
+        |SELECT 'delete_storm' AS benchmark, 'completed' AS status,
+        |  'files_hit' AS metric, files_hit AS value FROM storm
+        |UNION ALL SELECT 'delete_storm', 'completed', 'total_fragments', total_fragments FROM storm
+        |UNION ALL SELECT 'delete_storm', 'completed', 'max_amplification', max_amplification FROM storm
+        |UNION ALL SELECT 'gc_cliff', 'completed', 'thresholds_crossed', thresholds_crossed FROM gc
+        |UNION ALL SELECT 'gc_cliff', 'completed', 'files_within_4kb', files_within_4kb FROM gc
+        |UNION ALL SELECT 'density_adaptive_policy', 'completed', 'total_mdvs', total_mdvs FROM dens
+        |UNION ALL SELECT 'density_adaptive_policy', 'completed', 'inlined_count', inlined_count FROM dens
+        |UNION ALL SELECT 'density_adaptive_policy', 'completed', 'spilled_count', spilled_count FROM dens
+        |UNION ALL SELECT 'density_adaptive_policy', 'completed', 'total_mdv_bytes', total_mdv_bytes FROM dens
+        |UNION ALL SELECT 'dv_resolution', 'completed', 'eq_bytes', eq_bytes FROM dvres
+        |UNION ALL SELECT 'dv_resolution', 'completed', 'pos_bytes', pos_bytes FROM dvres
+        |UNION ALL SELECT 'dv_resolution', 'completed', 'memory_reduction_pct',
+        |  round((pos_bytes - eq_bytes) * 100.0 / pos_bytes, 4) FROM dvres
+        |ORDER BY benchmark, metric""".stripMargin,
+
+    "lake_eq_write_cost" ->
+      """WITH pf AS (SELECT l_orderkey % 40 AS file_id, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_partkey % 50 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS del_rows
+        |   FROM lineitem GROUP BY 1),
+        | s AS (SELECT
+        |    CAST(sum(CASE WHEN del_rows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+        |    CAST(sum(CASE WHEN del_rows > 0 THEN n_rows * 100 ELSE 0 END) AS BIGINT) AS touched_bytes,
+        |    CAST(sum(CASE WHEN del_rows > 0 THEN (n_rows - del_rows) * 100 ELSE 0 END) AS BIGINT)
+        |      AS survivor_bytes,
+        |    CAST(sum(del_rows * 8) AS BIGINT) AS pos_dv_bytes,
+        |    CAST(sum(del_rows * 100) AS BIGINT) AS deleted_bytes
+        |   FROM pf),
+        | k AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+        |   FROM lineitem WHERE l_partkey % 50 = 7),
+        | u AS (
+        |  SELECT '1_copy_on_write' AS strategy, files_touched AS files_read,
+        |    touched_bytes AS bytes_read, files_touched AS files_written,
+        |    survivor_bytes AS bytes_written, files_touched * 2 AS io_ops, deleted_bytes
+        |   FROM s, k
+        |  UNION ALL
+        |  SELECT '2_mor_positional', files_touched, touched_bytes, files_touched,
+        |    pos_dv_bytes, files_touched * 2, deleted_bytes FROM s, k
+        |  UNION ALL
+        |  SELECT '3_mor_equality', 0, 0, 1, n_keys * 16, 1, deleted_bytes FROM s, k)
+        |SELECT strategy, CAST(files_read AS BIGINT) AS files_read,
+        | CAST(bytes_read AS BIGINT) AS bytes_read,
+        | CAST(files_written AS BIGINT) AS files_written,
+        | CAST(bytes_written AS BIGINT) AS bytes_written,
+        | CAST(io_ops AS BIGINT) AS io_ops,
+        | round(bytes_written * 1.0 / deleted_bytes, 6) AS write_amp
+        |FROM u ORDER BY strategy""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -289,4 +289,62 @@ object DeleteVectors {
         "bytes_saved_pct", "io_reduction_pct")
       .orderBy("scenario")
   }
+
+  /** Commit-time (write-path) cost of the equality-keyed DELETE
+    * (`l_partkey % 50 = 7`, the `equalityDeletes` predicate) — the companion
+    * to `morCostModel`'s steady-state read/write summary and the write half
+    * of the reference's strategy comparison
+    * (`poc/test_dv_resolution_strategies.py`: equality deletes exist because
+    * they commit without resolving positions). Per strategy, what the
+    * *writer* pays at commit time:
+    *  - `1_copy_on_write`: read every touched file, rewrite its survivors —
+    *    2 io ops per touched file;
+    *  - `2_mor_positional`: read every touched file to resolve the predicate
+    *    into (file, pos) coordinates, then write one 8 B/position DV per
+    *    touched file — also 2 io ops per file, but the write is tiny;
+    *  - `3_mor_equality`: write ONE delete file of 16 B key tuples, one per
+    *    distinct deleted key, reading nothing — 1 io op total; the deferred
+    *    resolution cost is what `morCostModel`'s read column charges.
+    * `write_amp` = bytes_written / logically-deleted bytes (round 6) makes
+    * the amplification ladder explicit: CoW rewrites every survivor of every
+    * touched file (~49× the deleted bytes at this ~2 % hit rate), positional
+    * MoR writes 0.08× (8 B vs a 100 B row), equality MoR ~0 but defers.
+    *
+    * Scale: one map-side-combinable per-file aggregation plus one distinct
+    * count over the fact scan, broadcast-joined 1-row summaries, 3-struct
+    * explode — never leaves the per-file metadata grain. */
+  def eqWriteCost(lineitem: DataFrame, nFiles: Int = 40, rowBytes: Long = 100L): DataFrame = {
+    val files = FileModel.withFileId(lineitem, nFiles)
+      .withColumn("hit", (col("l_partkey") % 50 === 7).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("rows"), sum(col("hit")).as("del_rows"))
+    val perFile = files.agg(
+      sum(when(col("del_rows") > 0, 1L).otherwise(0L)).as("files_touched"),
+      sum(when(col("del_rows") > 0, col("rows") * rowBytes).otherwise(0L)).as("touched_bytes"),
+      sum(when(col("del_rows") > 0, (col("rows") - col("del_rows")) * rowBytes)
+        .otherwise(0L)).as("survivor_bytes"),
+      sum(col("del_rows") * 8L).as("pos_dv_bytes"),
+      sum(col("del_rows") * rowBytes).as("deleted_bytes"))
+    val keys = lineitem.filter(col("l_partkey") % 50 === 7)
+      .agg(count_distinct(col("l_partkey")).as("n_keys"))
+    perFile.crossJoin(broadcast(keys))
+      .select(explode(array(
+        struct(lit("1_copy_on_write").as("strategy"),
+          col("files_touched").as("files_read"), col("touched_bytes").as("bytes_read"),
+          col("files_touched").as("files_written"), col("survivor_bytes").as("bytes_written"),
+          (col("files_touched") * 2L).as("io_ops"), col("deleted_bytes")),
+        struct(lit("2_mor_positional").as("strategy"),
+          col("files_touched").as("files_read"), col("touched_bytes").as("bytes_read"),
+          col("files_touched").as("files_written"), col("pos_dv_bytes").as("bytes_written"),
+          (col("files_touched") * 2L).as("io_ops"), col("deleted_bytes")),
+        struct(lit("3_mor_equality").as("strategy"),
+          lit(0L).as("files_read"), lit(0L).as("bytes_read"),
+          lit(1L).as("files_written"), (col("n_keys") * 16L).as("bytes_written"),
+          lit(1L).as("io_ops"), col("deleted_bytes")))).as("s"))
+      .select(col("s.strategy").as("strategy"), col("s.files_read").as("files_read"),
+        col("s.bytes_read").as("bytes_read"), col("s.files_written").as("files_written"),
+        col("s.bytes_written").as("bytes_written"), col("s.io_ops").as("io_ops"),
+        round(col("s.bytes_written") / col("s.deleted_bytes"), 6).as("write_amp"))
+      .orderBy("strategy")
+  }
 }

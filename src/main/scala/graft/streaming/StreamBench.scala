@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** MemoryStream micro-benchmark for the streaming mirrors (Bench's
+  * `streaming` block): each mirror is fed `nRows` deterministic synthetic
+  * rows through a MemoryStream, the noop sink executes the full micro-batch
+  * plan, and `processAllAvailable` fences completion — throughput =
+  * rows / wall-clock of (addData + drain). Numbers are single-JVM
+  * micro-batch throughput (state-store + shuffle + codegen, no source IO),
+  * the streaming analogue of the noop-write batch bench. Correctness of the
+  * mirrors is pinned by StreamingSpec; this only measures them. */
+object StreamBench {
+
+  private val baseMs = 1704067200000L // 2024-01-01T00:00:00Z, fixed epoch
+
+  private def ts(i: Int): Timestamp = new Timestamp(baseMs + i.toLong * 1000L)
+  private val types = Array("click", "view", "purchase", "signup")
+
+  /** Returns (mirror, rows, seconds) per streaming mirror. */
+  def run(spark: SparkSession, nRows: Int): Seq[(String, Int, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
+
+    def ckpt(name: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_sb_$name").toString
+
+    def drain[T](name: String, rows: Int, w: DataStreamWriter[T])(feed: () => Unit): Unit = {
+      val dir = ckpt(name)
+      val q = w.option("checkpointLocation", dir).format("noop").start()
+      try {
+        val t0 = System.nanoTime()
+        feed()
+        q.processAllAvailable()
+        out += ((name, rows, (System.nanoTime() - t0) / 1e9))
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+
+    def eventRows(n: Int): Seq[(Timestamp, String, Double)] =
+      (0 until n).map(i => (ts(i), types(i % 4), (i % 100) / 10.0))
+    def userRows(n: Int): Seq[(Long, Timestamp, Double)] =
+      (0 until n).map(i => ((i % 997).toLong, ts(i), (i % 100) / 10.0))
+
+    // windowed aggregations (tumbling / hopping / session)
+    locally {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      drain("tumbling", nRows,
+        StreamOps.tumblingCounts(in.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.outputMode("complete"))(() => in.addData(eventRows(nRows)))
+    }
+    locally {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      drain("hopping", nRows,
+        StreamOps.hoppingCounts(in.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.outputMode("complete"))(() => in.addData(eventRows(nRows)))
+    }
+    locally {
+      val in = MemoryStream[(Long, Timestamp, Double)]
+      drain("session", nRows,
+        StreamOps.sessionize(in.toDF().toDF("user_id", "ts", "value"))
+          .writeStream.outputMode("complete"))(() => in.addData(userRows(nRows)))
+    }
+    // stream-stream interval join
+    locally {
+      val p = MemoryStream[(Long, Timestamp, Double)]
+      val s = MemoryStream[(Long, Timestamp, Double)]
+      drain("ss_join", nRows,
+        StreamOps.purchaseAttribution(
+            p.toDF().toDF("user_id", "ts", "value"),
+            s.toDF().toDF("user_id", "ts", "value"))
+          .writeStream.outputMode("append")) { () =>
+        s.addData(userRows(nRows / 2))
+        p.addData(userRows(nRows / 2))
+      }
+    }
+    // watermarked dedup (50% duplicate keys)
+    locally {
+      val in = MemoryStream[(Long, Timestamp)]
+      drain("dedup", nRows,
+        StreamOps.dedupStream(in.toDF().toDF("content_key", "ts"))
+          .writeStream.outputMode("append"))(() =>
+        in.addData((0 until nRows).map(i => ((i / 2).toLong, ts(i)))))
+    }
+    // stream-static enrichment
+    locally {
+      val in = MemoryStream[(Long, Timestamp, Double)]
+      val cohorts: DataFrame = (0 until 997)
+        .map(u => (u.toLong, s"c${u % 8}")).toDF("user_id", "cohort")
+      drain("cohort_enrich", nRows,
+        StreamOps.cohortWindowCounts(in.toDF().toDF("user_id", "ts", "value"), cohorts)
+          .writeStream.outputMode("complete"))(() => in.addData(userRows(nRows)))
+    }
+    // stateless filter cascade over text (heavier per-row payload)
+    locally {
+      val n = math.max(nRows / 4, 1)
+      val in = MemoryStream[(Timestamp, String)]
+      val words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+      drain("filter_cascade", n,
+        StreamOps.filterCascadeStream(in.toDF().toDF("ts", "text"))
+          .writeStream.outputMode("complete"))(() =>
+        in.addData((0 until n).map { i =>
+          (ts(i), (0 until (5 + i % 40)).map(j => words((i + j) % words.length)).mkString(" "))
+        }))
+    }
+    // lambda anomaly scoring against a static baseline
+    locally {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      val baseline: DataFrame = (for (t <- types; d <- 1 to 7; h <- 0 until 24)
+        yield (t, d.toLong, h.toLong, 50.0, 10.0))
+        .toSeq.toDF("et", "bdow", "bhod", "mean_n", "sd_n")
+      drain("anomaly", nRows,
+        StreamOps.baselineAnomalyStream(in.toDF().toDF("ts", "event_type", "value"), baseline)
+          .writeStream.outputMode("complete"))(() => in.addData(eventRows(nRows)))
+    }
+    // custom keyed state (flatMapGroupsWithState)
+    locally {
+      val in = MemoryStream[StreamOps.UserEvent]
+      drain("fmgws_totals", nRows,
+        StreamOps.runningUserTotals(spark, in.toDS())
+          .writeStream.outputMode("update"))(() =>
+        in.addData((0 until nRows).map(i =>
+          StreamOps.UserEvent((i % 997).toLong, baseMs + i.toLong * 1000L, (i % 100) / 10.0))))
+    }
+    out.toSeq
+  }
+}

@@ -416,4 +416,56 @@ class LakeSpec extends SparkSpec {
     // The 4KB inline cliff is always crossed by the sf0.001+ delete set.
     assert(rows.head.getAs[Boolean]("crossed"))
   }
+
+  test("health report: every family present, internally consistent with its source") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = Health.healthReport(li).collect()
+      .map(r => (r.getAs[String]("benchmark"), r.getAs[String]("metric")) -> r).toMap
+    assert(rows.keys.map(_._1).toSet ==
+      Set("delete_storm", "gc_cliff", "density_adaptive_policy", "dv_resolution"))
+    rows.values.foreach(r => assert(r.getAs[String]("status") == "completed"))
+    def v(b: String, m: String): Double = rows((b, m)).getAs[Double]("value")
+    // delete_storm agrees with the per-file storm model it summarizes.
+    val storm = DeleteVectors.deleteStorm(li).collect()
+    assert(v("delete_storm", "files_hit") == storm.length.toDouble)
+    assert(v("delete_storm", "total_fragments") ==
+      storm.map(_.getAs[Long]("n_fragments")).sum.toDouble)
+    assert(v("delete_storm", "max_amplification") ==
+      storm.map(_.getAs[Double]("amplification")).max)
+    // gc_cliff agrees with the inline-budget ladder.
+    val budget = Manifest.inlineBudget(li).collect()
+    assert(v("gc_cliff", "thresholds_crossed") ==
+      budget.count(_.getAs[Boolean]("crossed")).toDouble)
+    assert(v("gc_cliff", "files_within_4kb") ==
+      budget.find(_.getAs[String]("threshold_label") == "1_inline_4kb")
+        .get.getAs[Long]("files_within_budget").toDouble)
+    // density census partitions the MDV set.
+    assert(v("density_adaptive_policy", "inlined_count") +
+      v("density_adaptive_policy", "spilled_count") ==
+      v("density_adaptive_policy", "total_mdvs"))
+    // dv_resolution reduction matches its byte inputs.
+    val eq = v("dv_resolution", "eq_bytes"); val pos = v("dv_resolution", "pos_bytes")
+    assert(math.abs(v("dv_resolution", "memory_reduction_pct") -
+      math.rint((pos - eq) * 100.0 / pos * 10000) / 10000) < 1e-9)
+  }
+
+  test("eq-delete write path: equality commits blind, CoW amplifies, positional is tiny") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = DeleteVectors.eqWriteCost(li).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(rows.keySet == Set("1_copy_on_write", "2_mor_positional", "3_mor_equality"))
+    val cow = rows("1_copy_on_write"); val pos = rows("2_mor_positional")
+    val eq = rows("3_mor_equality")
+    // Equality deletes read nothing at commit time; the others scan touched files.
+    assert(eq.getAs[Long]("bytes_read") == 0L && eq.getAs[Long]("files_read") == 0L)
+    assert(cow.getAs[Long]("bytes_read") == pos.getAs[Long]("bytes_read"))
+    assert(cow.getAs[Long]("bytes_read") > 0L)
+    // Write ladder: CoW >> positional DV > equality tuple file.
+    assert(cow.getAs[Long]("bytes_written") > pos.getAs[Long]("bytes_written"))
+    assert(pos.getAs[Long]("bytes_written") > eq.getAs[Long]("bytes_written"))
+    assert(eq.getAs[Long]("io_ops") == 1L && eq.getAs[Long]("files_written") == 1L)
+    // write_amp: CoW rewrites survivors (amp >> 1), positional writes 8/100 B.
+    assert(cow.getAs[Double]("write_amp") > 1.0)
+    assert(math.abs(pos.getAs[Double]("write_amp") - 0.08) < 1e-9)
+  }
 }
