@@ -1,12 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan auditor: one line per query with the physical-operator counts that
   * matter at scale (exchanges, join strategies, codegen coverage). Flags
   * CartesianProduct / BroadcastNestedLoopJoin so unintentional quadratic
   * plans can't hide (the range join's BNLJ against a tiny band table is the
-  * one sanctioned use).
+  * one sanctioned use), and partition-less WindowExec nodes (a global window
+  * moves its whole input to one task — only legitimate over an input whose
+  * row count is bounded by a query parameter, never by data volume).
   */
 object Audit {
   def main(args: Array[String]): Unit = {
@@ -20,7 +23,7 @@ object Audit {
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.tune(spark)
 
-    println(f"${"query"}%-24s ex  bhj smj bnlj cart wsc  flags")
+    println(f"${"query"}%-24s ex  bhj smj bnlj cart wsc  win1 flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -31,7 +34,16 @@ object Audit {
         // Join-strategy counts are then the compile-time choices; AQE can
         // only improve them at runtime.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val plan = df.queryExecution.executedPlan.toString
+        val physical = df.queryExecution.executedPlan
+        // Partition-less windows from the plan OBJECT (the partition spec is
+        // not reliably greppable from the tree string): every WindowExec in
+        // the main tree with an empty partitionSpec.
+        var win1 = 0
+        physical.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty => win1 += 1
+          case _ => ()
+        }
+        val plan = physical.toString
         def c(s: String) = plan.linesIterator.count(_.contains(s))
         val ex = c("Exchange")
         val bhj = c("BroadcastHashJoin")
@@ -101,9 +113,46 @@ object Audit {
           "text_pipeline_funnel", "dedup_jaccard_sweep",
           // Eq-delete write path: the 1-row distinct-key count is broadcast
           // onto the 1-row per-file cost summary before the 3-strategy explode:
-          "lake_eq_write_cost")
+          "lake_eq_write_cost",
+          // PrefixSum/lagOver/prefixMax broadcast their 1-row key-range
+          // aggregate (commit-ordered lake queries routed through them):
+          "lake_commit_cadence", "lake_snapshot_lineage")
+        // Sanctioned partition-less windows — every one runs over an input
+        // whose row count is bounded by a QUERY PARAMETER or a fixed domain
+        // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a
+        // top-N limit, a calendar/category domain), never by data volume.
+        // Reviewed per site in this round's full-audit pass:
+        val sanctionedGlobalWindow: Set[String] = Set(
+          // plans.PrefixSum / lagOver / prefixMax internals: the ≤ nBuckets-row
+          // bucket-offset window and the ≤ 64·nBuckets-row fine-histogram
+          // windows (PrefixSum.scala:56, 151-157) — counted once per branch
+          // of the duplicated bucketed subtree:
+          "ev_power_users", "q63_pareto", "q65_gini", "q66_decile_lift",
+          "text_packing", "text_quality_budget", "lake_commit_log",
+          "lake_compaction_plan", "lake_compaction_execute",
+          "lake_inline_budget", "lake_commit_cadence", "lake_snapshot_lineage",
+          // plans.QuarterQuantiles.discreteQuartiles: windows over per-metric
+          // histograms bounded by value-range / bucketWidth (Events.rfmSegments
+          // scaladoc), not user cardinality:
+          "ev_rfm",
+          // Top-N-limited survivor tables (TakeOrderedAndProject BEFORE the
+          // window): zipf top-100, vocab top-31, weighted-sample top-50:
+          "text_zipf", "text_vocab_coverage", "text_weighted_sample",
+          // file-model nFiles-bounded (≤ 40-row) per-file summaries:
+          "lake_health_report",
+          // Fixed calendar/category domains: 168-row dow×hod grid, month and
+          // day spines, tenure weeks, 25 nations, bounded brand/size/decile
+          // sets (q44 brands, q48/q50 p_size, q66's 10 deciles, ev_power's
+          // 10 deciles share window):
+          "ev_seasonality", "ev_churn_hazard", "q35_ratio_report",
+          "q39_mom_growth", "q44_two_level_share", "q48_skyline",
+          "q50_chi_square", "q52_interval_concurrency", "q59_customer_growth",
+          // Dictionary-rank oracle mode only (flag-on hashTid removes it;
+          // TextAnalysis.scala:90 scaladoc):
+          "text_fingerprint")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
-        println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d$flags")
+        if (win1 > 0 && !sanctionedGlobalWindow(name)) flags.append(" WIN1?")
+        println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d $win1%-4d$flags")
       } catch {
         case e: Throwable => println(f"$name%-24s FAILED: ${e.getMessage.take(80)}")
       }

@@ -246,6 +246,7 @@ object SparkEntry {
     "lake_inline_budget" -> q((s, d) => Manifest.inlineBudget(Tables.lineitem(s, d))),
     "lake_health_report" -> q((s, d) => graft.lake.Health.healthReport(Tables.lineitem(s, d))),
     "lake_eq_write_cost" -> q((s, d) => DeleteVectors.eqWriteCost(Tables.lineitem(s, d))),
+    "lake_dv_strategies" -> q((s, d) => DeleteVectors.dvStrategies(Tables.lineitem(s, d))),
     "knn_mutual" -> q((s, d) => Ann.mutualTopK(Tables.embeddings(s, d))),
     "text_packing" -> q((s, d) => TextAnalysis.packPlan(Tables.documents(s, d))),
     "text_shard_plan" -> q((s, d) => TextAnalysis.shardPlan(Tables.documents(s, d))),
@@ -2832,6 +2833,34 @@ object SparkEntry {
         | CAST(io_ops AS BIGINT) AS io_ops,
         | round(bytes_written * 1.0 / deleted_bytes, 6) AS write_amp
         |FROM u ORDER BY strategy""".stripMargin,
+
+    "lake_dv_strategies" ->
+      """WITH r AS (SELECT CAST(nf AS BIGINT) AS num_files
+        |   FROM (VALUES (40), (100), (200), (400)) AS v(nf)),
+        | pf AS (SELECT num_files, l_orderkey % num_files AS file_id,
+        |    CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS del_rows
+        |   FROM lineitem CROSS JOIN r GROUP BY 1, 2),
+        | s AS (SELECT num_files, count(*) AS files_present,
+        |    CAST(sum(CASE WHEN file_id % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS dv_files,
+        |    CAST(sum(CASE WHEN file_id % 10 < 3 THEN del_rows ELSE 0 END) AS BIGINT)
+        |      AS dv_positions
+        |   FROM pf GROUP BY 1)
+        |SELECT num_files, CAST(files_present AS BIGINT) AS files_present,
+        | dv_files, dv_positions,
+        | dv_files * 200 AS hash_mem_bytes,
+        | files_present * 8 AS pos_mem_bytes,
+        | round((dv_files * 200 - files_present * 8) * 100.0 / (dv_files * 200), 4)
+        |   AS memory_reduction_pct,
+        | files_present * 200 + dv_files * 150 AS manifest_bytes,
+        | CAST(2 AS BIGINT) AS separate_requests,
+        | CAST(1 AS BIGINT) AS folded_requests,
+        | CAST(50.0 AS DOUBLE) AS io_reduction_pct,
+        | CAST(files_present AS BIGINT) AS ordered_entries,
+        | dv_files AS unordered_entries,
+        | files_present - dv_files AS null_entries,
+        | round((files_present - dv_files) * 100.0 / dv_files, 4) AS write_overhead_pct
+        |FROM s ORDER BY num_files""".stripMargin,
 
     "lake_bucket_pruning" ->
       """WITH bs AS (SELECT l_partkey % 16 AS bucket_id, count(*) AS bucket_rows

@@ -347,4 +347,60 @@ object DeleteVectors {
         round(col("s.bytes_written") / col("s.deleted_bytes"), 6).as("write_amp"))
       .orderBy("strategy")
   }
+
+  /** DV-resolution strategy ladder — the deterministic re-expression of the
+    * reference's scenario A/B/D headline fields
+    * (`poc/test_dv_resolution_strategies.py`,
+    * `results/dv_resolution_strategies_results.json`; scenario C's coalesced
+    * join is `foldManifests`). One row per manifest-size rung
+    * (40/100/200/400 pseudo files), with ~30 % of files carrying a DV
+    * (`file_id % 10 < 3` — the reference's `dv_ratio: 0.3` made
+    * deterministic):
+    *  - scenario A (hash vs positional join): hash-table memory is 200 B per
+    *    *matched* entry vs a positional array of 8 B per *file*
+    *    (`memory_bytes` 60000/300 and 8000/1000 in the reference run);
+    *    `memory_reduction_pct` reproduces the reference's ~86.7 % headline;
+    *  - scenario B (separate vs folded DV manifests): 2 manifest requests vs
+    *    1 over the same entry bytes (200 B/data entry + 150 B/DV entry) —
+    *    the constant `io_reduction_pct: 50`;
+    *  - scenario D (order-preserving manifest writes): an ordered manifest
+    *    pads a null entry for every DV-less file (`null_entries`), so its
+    *    entry count is the file count while the unordered write is just the
+    *    DV count — `write_overhead_pct` is the padding ratio.
+    *
+    * Scale: the fact scan explodes each row onto the 4-rung spine before a
+    * map-side-combinable (rung, file) aggregation, so the whole ladder is
+    * one shuffle at per-file grain; everything after is ≤ 400 rows/rung. */
+  def dvStrategies(lineitem: DataFrame,
+                   rungs: Seq[Int] = Seq(40, 100, 200, 400)): DataFrame = {
+    val perFile = lineitem
+      .select(col("l_orderkey"),
+        ((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3).cast("long").as("del"))
+      .select(explode(array(rungs.map(r => lit(r.toLong)): _*)).as("num_files"),
+        col("l_orderkey"), col("del"))
+      .withColumn("file_id", col("l_orderkey") % col("num_files"))
+      .groupBy(col("num_files"), col("file_id"))
+      .agg(sum(col("del")).as("del_rows"))
+      .withColumn("has_dv", (col("file_id") % 10 < 3).cast("long"))
+    perFile
+      .groupBy(col("num_files"))
+      .agg(count(lit(1)).as("files_present"),
+        sum(col("has_dv")).as("dv_files"),
+        sum(col("has_dv") * col("del_rows")).as("dv_positions"))
+      .withColumn("hash_mem_bytes", col("dv_files") * 200L)
+      .withColumn("pos_mem_bytes", col("files_present") * 8L)
+      .withColumn("memory_reduction_pct",
+        round((col("hash_mem_bytes") - col("pos_mem_bytes")) * 100.0 /
+          col("hash_mem_bytes"), 4))
+      .withColumn("manifest_bytes", col("files_present") * 200L + col("dv_files") * 150L)
+      .withColumn("separate_requests", lit(2L))
+      .withColumn("folded_requests", lit(1L))
+      .withColumn("io_reduction_pct", lit(50.0))
+      .withColumn("ordered_entries", col("files_present"))
+      .withColumn("unordered_entries", col("dv_files"))
+      .withColumn("null_entries", col("files_present") - col("dv_files"))
+      .withColumn("write_overhead_pct",
+        round(col("null_entries") * 100.0 / col("unordered_entries"), 4))
+      .orderBy("num_files")
+  }
 }

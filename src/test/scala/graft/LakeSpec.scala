@@ -468,4 +468,27 @@ class LakeSpec extends SparkSpec {
     assert(cow.getAs[Double]("write_amp") > 1.0)
     assert(math.abs(pos.getAs[Double]("write_amp") - 0.08) < 1e-9)
   }
+
+  test("dv strategy ladder: 30% dv ratio, ~86.7% memory reduction, proper padding") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = DeleteVectors.dvStrategies(li).collect()
+    assert(rows.map(_.getAs[Long]("num_files")).toSeq == Seq(40L, 100L, 200L, 400L))
+    rows.foreach { r =>
+      val present = r.getAs[Long]("files_present")
+      val dv = r.getAs[Long]("dv_files")
+      assert(present <= r.getAs[Long]("num_files"))
+      // file_id % 10 < 3 is exactly 30% of a full 0..num_files-1 id range.
+      assert(dv * 10 >= present * 3 - 10 && dv * 10 <= present * 3 + 10)
+      assert(r.getAs[Long]("hash_mem_bytes") == dv * 200L)
+      assert(r.getAs[Long]("pos_mem_bytes") == present * 8L)
+      // 200 B/matched-entry hash vs 8 B/file array at 30% match: ~86.7%.
+      assert(r.getAs[Double]("memory_reduction_pct") > 80.0)
+      assert(r.getAs[Long]("null_entries") == present - dv)
+      assert(r.getAs[Long]("ordered_entries") == present)
+      assert(r.getAs[Long]("unordered_entries") == dv)
+      assert(r.getAs[Long]("separate_requests") == 2L &&
+        r.getAs[Long]("folded_requests") == 1L)
+      assert(r.getAs[Double]("io_reduction_pct") == 50.0)
+    }
+  }
 }
