@@ -121,6 +121,14 @@ object StreamBench {
         StreamOps.baselineAnomalyStream(in.toDF().toDF("ts", "event_type", "value"), baseline)
           .writeStream.outputMode("complete"))(() => in.addData(eventRows(nRows)))
     }
+    // HLL-sketch distinct users per window (bounded state)
+    locally {
+      val in = MemoryStream[(Long, Timestamp)]
+      drain("approx_users", nRows,
+        StreamOps.approxUsersStream(in.toDF().toDF("user_id", "ts"))
+          .writeStream.outputMode("complete"))(() =>
+        in.addData((0 until nRows).map(i => ((i % 4999).toLong, ts(i)))))
+    }
     // custom keyed state (flatMapGroupsWithState)
     locally {
       val in = MemoryStream[StreamOps.UserEvent]

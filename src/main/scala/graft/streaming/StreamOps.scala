@@ -138,6 +138,22 @@ object StreamOps {
         col("event_type"), col("n"), round(col("mean_n"), 4).as("baseline_mean"),
         round(col("z"), 4).as("z"))
 
+  /** Streaming approximate distinct users per hourly window — the streaming
+    * mirror of `Events.approxUsers`' HLL++ sketch. `approx_count_distinct`
+    * keeps ONE fixed-size HLL sketch per open window in the state store, so
+    * state is O(open windows × sketch bytes) — never O(distinct users) — and
+    * the watermark expires windows (batch-mode distinct counting would buffer
+    * every user id). Same default rsd (0.05) as the batch query, so the two
+    * estimates agree on identical input. */
+  def approxUsersStream(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("approx_users"), col("n_events"))
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

@@ -192,4 +192,26 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("z") == 8.0)
     } finally q.stop()
   }
+
+  test("streaming approx distinct users stays within the HLL++ error bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+
+    val q = StreamOps.approxUsersStream(df)
+      .writeStream.format("memory").queryName("approx_users_test").outputMode("complete").start()
+    try {
+      // 200 distinct users, each seen twice, all inside the 00:00 hour.
+      input.addData((0 until 400).map(i => ((i % 200).toLong, ts(i % 60))))
+      q.processAllAvailable()
+      val rows = spark.table("approx_users_test").collect()
+      assert(rows.length == 1 && rows.head.getAs[String]("hour") == "2024-01-01 00:00")
+      val est = rows.head.getAs[Long]("approx_users")
+      // HLL++ rsd 0.05: 4 sigma around the true 200 distinct.
+      assert(math.abs(est - 200L) <= (4 * 0.05 * 200).toLong,
+        s"estimate $est outside the rsd bound around 200")
+      assert(rows.head.getAs[Long]("n_events") == 400L)
+    } finally q.stop()
+  }
 }
