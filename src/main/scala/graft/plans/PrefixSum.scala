@@ -47,7 +47,20 @@ object PrefixSum {
     * instead of |groups| single-threaded ones. */
   def prefixSum(df: DataFrame, keyCol: String, valCol: String, out: String,
                 inclusive: Boolean = true, nBuckets: Int = 32,
-                partitionCols: Seq[String] = Nil): DataFrame = {
+                partitionCols: Seq[String] = Nil): DataFrame =
+    prefixSums(df, keyCol, Seq(valCol -> out), inclusive, nBuckets, partitionCols)
+
+  /** Multi-value [[prefixSum]]: running sums of SEVERAL value columns over the
+    * same key order from ONE bucketed pass — one fine-histogram build, one
+    * per-bucket window operator (all partials share a window spec), one
+    * ≤ nBuckets-row offsets table. Nesting single-column calls instead would
+    * re-evaluate the whole input lineage per call (the bucketed subtree
+    * appears in both the offsets and main branches), which for a
+    * corpus-derived input means repeated corpus scans. */
+  def prefixSums(df: DataFrame, keyCol: String, valOuts: Seq[(String, String)],
+                 inclusive: Boolean = true, nBuckets: Int = 32,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    require(valOuts.nonEmpty)
     val pCols = partitionCols.map(col)
     val bucketed = equiHeightBuckets(df, keyCol, nBuckets, partitionCols)
     val endRow = if (inclusive) Window.currentRow else -1L
@@ -55,15 +68,23 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, endRow)
     val wOff = Window.partitionBy(pCols: _*).orderBy(col("bucket__ps"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(pCols :+ col("bucket__ps"): _*)
-      .agg(sum(col(valCol)).as("btot__ps"))
-      .withColumn("offset__ps", coalesce(sum(col("btot__ps")).over(wOff), lit(0L)))
-      .select(pCols :+ col("bucket__ps") :+ col("offset__ps"): _*)
-    bucketed
-      .withColumn("partial__ps", coalesce(sum(col(valCol)).over(wIn), lit(0L)))
-      .join(broadcast(offsets), partitionCols :+ "bucket__ps")
-      .withColumn(out, col("partial__ps") + col("offset__ps"))
-      .drop("bucket__ps", "partial__ps", "offset__ps")
+    val totAggs = valOuts.map { case (v, o) => sum(col(v)).as(s"btot__$o") }
+    val offsets0 = bucketed.groupBy(pCols :+ col("bucket__ps"): _*)
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offsets = valOuts.foldLeft(offsets0) { case (acc, (_, o)) =>
+        acc.withColumn(s"offset__$o",
+          coalesce(sum(col(s"btot__$o")).over(wOff), lit(0L)))
+      }
+      .select(pCols ++ (col("bucket__ps") +: valOuts.map { case (_, o) => col(s"offset__$o") }): _*)
+    val withPartials = valOuts.foldLeft(bucketed) { case (acc, (v, o)) =>
+      acc.withColumn(s"partial__$o", coalesce(sum(col(v)).over(wIn), lit(0L)))
+    }
+    valOuts.foldLeft(
+        withPartials.join(broadcast(offsets), partitionCols :+ "bucket__ps")) {
+        case (acc, (_, o)) => acc.withColumn(o, col(s"partial__$o") + col(s"offset__$o"))
+      }
+      .drop("bucket__ps" +: valOuts.flatMap { case (_, o) =>
+        Seq(s"partial__$o", s"offset__$o") }: _*)
   }
 
   /** Adds column `out` = `valCol` of the previous row in `keyCol` order

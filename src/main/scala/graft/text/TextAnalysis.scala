@@ -34,7 +34,17 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Heuristic quality score: stopword ratio + length norm + punctuation. */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame): DataFrame =
+    qualityWithTokens(documents)
+      .select(col("doc_id"), col("stop_ratio"), col("punct_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  /** One-pass quality + token count: the single tokenization both
+    * `qualityScore` (which drops the count) and `qualityBudget` (which needs
+    * it) project from — consumers joining the two would tokenize the corpus
+    * twice and shuffle on doc_id for nothing. `n_tok` carries the oracle's
+    * empty-text convention (0 tokens, where `size(split(''))` would be 1). */
+  private def qualityWithTokens(documents: DataFrame): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
     documents
       .withColumn("t", toks)
@@ -48,8 +58,9 @@ object TextAnalysis {
         round(col("punct_ratio"), 6).as("punct_ratio"),
         round(lit(0.5) * col("stop_ratio") +
               lit(0.3) * least(col("n_tokens") / 50.0, lit(1.0)) +
-              lit(0.2) * (lit(1.0) - col("punct_ratio")), 6).as("quality"))
-      .orderBy("doc_id")
+              lit(0.2) * (lit(1.0) - col("punct_ratio")), 6).as("quality"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(col("n_tokens")).as("n_tok"))
   }
 
   /** Data-derived language ID: per-language top-`profileSize` token profiles
@@ -600,20 +611,21 @@ object TextAnalysis {
     * against the bounded cumulative table. */
   def qualityBudget(documents: DataFrame, keepPcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
     val session = documents.sparkSession
-    val nTok = documents
-      .withColumn("n_tok",
-        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")))
-      .select(col("doc_id"), col("n_tok"))
-    val d = qualityScore(documents).select(col("doc_id"), col("quality"))
-      .join(nTok, "doc_id")
+    val d = qualityWithTokens(documents)
+      .select(col("doc_id"), col("quality"), col("n_tok"))
       .withColumn("qi", round(col("quality") * 1e6, 0).cast("long"))
+    // Checkpoint the ≤1e6+1-row histogram: PrefixSum's offsets/main branches
+    // both reference their input, so without the cut the corpus-level
+    // tokenize+score lineage would execute once per branch.
     val hist = d.groupBy(col("qi")).agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"))
       .withColumn("negq", lit(1000000L) - col("qi"))
-    val cum = graft.plans.PrefixSum.prefixSum(
-      graft.plans.PrefixSum.prefixSum(hist, "negq", "n", "cum_docs"),
-      "negq", "tok", "cum_tok")
+      .localCheckpoint(true)
+    val cum = graft.plans.PrefixSum.prefixSums(hist, "negq",
+        Seq("n" -> "cum_docs", "tok" -> "cum_tok"))
       .select(col("qi"), col("cum_docs"), col("cum_tok"))
-    val tot = d.groupBy().agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+    // Totals from the checkpointed histogram (Σn, Σtok), not from d — a
+    // second reference to d would re-run the corpus tokenize+score lineage.
+    val tot = hist.groupBy().agg(sum(col("n")).as("n_docs"), sum(col("tok")).as("n_toks"))
     val spine = session.createDataFrame(keepPcts.map(Tuple1(_))).toDF("p")
       .select(col("p").cast("long").as("keep_pct"))
     spine.crossJoin(broadcast(tot))

@@ -45,6 +45,27 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixSums multi-value equals independent single-value prefix sums") {
+    import spark.implicits._
+    val rnd = new Random(137)
+    for (trial <- 1 to 4) {
+      val n = 1 + rnd.nextInt(150)
+      val rows = rnd.shuffle((1 to 400).toList).take(n)
+        .map(k => (k.toLong, rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+      val df = rows.toDF("k", "a", "b")
+      val multi = PrefixSum.prefixSums(df, "k", Seq("a" -> "ca", "b" -> "cb"))
+        .select("k", "ca", "cb").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val singleA = PrefixSum.prefixSum(df, "k", "a", "ca")
+        .select("k", "ca").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val singleB = PrefixSum.prefixSum(df, "k", "b", "cb")
+        .select("k", "cb").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (k, _, _) =>
+        assert(multi(k) == ((singleA(k), singleB(k))), s"trial $trial key $k")
+      }
+    }
+  }
+
   test("PrefixSum stays correct AND balanced under pathological key skew") {
     import spark.implicits._
     val rnd = new Random(271)
