@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LogicalWindow}
+
+/** Plan-shape regression tests: the scale guarantees the round-6 verdict
+  * asked for are asserted against the OPTIMIZED PLAN, not just claimed in
+  * scaladoc. A query that re-grows a single-partition sort over an unbounded
+  * input fails here before any benchmark notices.
+  *
+  * The boundedness proof used is Catalyst's own static row bound
+  * (`LogicalPlan.maxRows`): a global `Window` whose child has
+  * `maxRows = Some(k)` can move at most k rows to the one partition — the
+  * top-N-limited survivor shape (`orderBy(...).limit(k)` below the window).
+  * Queries whose global windows run over parameter-bounded AGGREGATES
+  * (PrefixSum's ≤ nBuckets offsets, histogram roll-ups) have no static
+  * maxRows; those are covered by the win1 sanction review in `graft.Audit`
+  * and the randomized equivalence specs instead. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def globalWindows(df: DataFrame): Seq[LogicalWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+
+  private def assertBoundedGlobalWindows(df: DataFrame, bound: Long): Unit = {
+    val wins = globalWindows(df)
+    assert(wins.nonEmpty, "expected the rank window to survive optimization")
+    wins.foreach { w =>
+      val mr = w.child.maxRows
+      assert(mr.isDefined && mr.get <= bound,
+        s"global window input not statically bounded (maxRows=$mr, bound=$bound):\n${w.child}")
+    }
+  }
+
+  test("text_zipf ranks only the top-N-limited survivor table") {
+    val docs = tables.Tables.documents(spark, sf0001)
+    assertBoundedGlobalWindows(text.TextAnalysis.zipfSlope(docs), 100L)
+  }
+
+  test("text_vocab_coverage windows only the top-k-limited survivor table") {
+    val docs = tables.Tables.documents(spark, sf0001)
+    assertBoundedGlobalWindows(text.TextAnalysis.vocabCoverage(docs), 31L)
+  }
+
+  test("text_weighted_sample ranks only the k-limited sample") {
+    val docs = tables.Tables.documents(spark, sf0001)
+    assertBoundedGlobalWindows(text.TextAnalysis.weightedSample(docs), 50L)
+  }
+
+  test("ev_rfm and ev_power_users plans carry no global ntile/rank over users") {
+    val events = tables.Tables.events(spark, sf0001)
+    // Every surviving global window must be over a statically-bounded child
+    // (decile/share tables); the per-user tables flow through PrefixSum /
+    // QuarterQuantiles whose global windows sit on parameter-bounded
+    // aggregates — assert none of them windows a raw per-user relation
+    // (aggregates have grouping exprs; a window directly over the user
+    // grouping would resurface user cardinality).
+    Seq(graft.events.Events.rfmSegments(events),
+        graft.events.Events.powerUsers(events)).foreach { df =>
+      globalWindows(df).foreach { w =>
+        val userCols = w.child.output.map(_.name).filter(_ == "user_id")
+        assert(userCols.isEmpty,
+          s"global window directly over a user_id-grain relation:\n${w.child}")
+      }
+    }
+  }
+}
