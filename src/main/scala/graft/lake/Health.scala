@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,9 +38,6 @@ import org.apache.spark.sql.functions._
 object Health {
 
   def healthReport(lineitem: DataFrame, nFiles: Int = 40): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
-
     // -- delete_storm: fragment census over the 5-wave storm model.
     val frags = FileModel.withPos(FileModel.withFileId(lineitem, nFiles))
       .withColumn("wave", col("pos") % 97)

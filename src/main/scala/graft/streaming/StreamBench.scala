@@ -33,14 +33,17 @@ object StreamBench {
 
     def drain[T](name: String, rows: Int, w: DataStreamWriter[T])(feed: () => Unit): Unit = {
       val dir = ckpt(name)
-      val q = w.option("checkpointLocation", dir).format("noop").start()
+      // start() inside the try: a start-time failure must still delete the
+      // checkpoint dir (same pattern as Bench's write-bench temp dir).
+      var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
       try {
+        q = Some(w.option("checkpointLocation", dir).format("noop").start())
         val t0 = System.nanoTime()
         feed()
-        q.processAllAvailable()
+        q.get.processAllAvailable()
         out += ((name, rows, (System.nanoTime() - t0) / 1e9))
       } finally {
-        q.stop()
+        q.foreach(_.stop())
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
