@@ -212,6 +212,12 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(est - 200L) <= (4 * 0.05 * 200).toLong,
         s"estimate $est outside the rsd bound around 200")
       assert(rows.head.getAs[Long]("n_events") == 400L)
+      // The O(windows), not O(users), state claim as a measured number:
+      // one open hourly window => one state-store row holding the sketch,
+      // no matter how many distinct users passed through it.
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 2L,
+        s"expected ~1 state row (one window sketch), got $stateRows for 200 users")
     } finally q.stop()
   }
 }
