@@ -368,19 +368,27 @@ object DeleteVectors {
     *    entry count is the file count while the unordered write is just the
     *    DV count — `write_overhead_pct` is the padding ratio.
     *
-    * Scale: the fact scan explodes each row onto the 4-rung spine before a
-    * map-side-combinable (rung, file) aggregation, so the whole ladder is
-    * one shuffle at per-file grain; everything after is ≤ 400 rows/rung. */
+    * Scale: every rung divides the finest one (40/100/200 all divide 400),
+    * so `l_orderkey % r == (l_orderkey % 400) % r` — ONE map-side-combinable
+    * fact aggregation at the 400-file grain, then the coarser rungs roll up
+    * from that ≤ 400-row table (exploded 4×, still ≤ 1600 rows). No 4×
+    * fact-scan amplification; everything after the single shuffle is
+    * file-model-bounded. */
   def dvStrategies(lineitem: DataFrame,
                    rungs: Seq[Int] = Seq(40, 100, 200, 400)): DataFrame = {
-    val perFile = lineitem
-      .select(col("l_orderkey"),
+    val fine = rungs.max
+    require(rungs.forall(r => fine % r == 0), "every rung must divide the finest rung")
+    val perFine = lineitem
+      .select((col("l_orderkey") % fine).as("fine_id"),
         ((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 3).cast("long").as("del"))
+      .groupBy(col("fine_id"))
+      .agg(sum(col("del")).as("fine_del"))
+    val perFile = perFine
       .select(explode(array(rungs.map(r => lit(r.toLong)): _*)).as("num_files"),
-        col("l_orderkey"), col("del"))
-      .withColumn("file_id", col("l_orderkey") % col("num_files"))
+        col("fine_id"), col("fine_del"))
+      .withColumn("file_id", col("fine_id") % col("num_files"))
       .groupBy(col("num_files"), col("file_id"))
-      .agg(sum(col("del")).as("del_rows"))
+      .agg(sum(col("fine_del")).as("del_rows"))
       .withColumn("has_dv", (col("file_id") % 10 < 3).cast("long"))
     perFile
       .groupBy(col("num_files"))
