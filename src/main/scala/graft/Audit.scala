@@ -24,7 +24,10 @@ object Audit {
     GraftSession.tune(spark)
 
     println(f"${"query"}%-24s ex  bhj smj bnlj cart wsc  win1 flags")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn0) =>
+      // Audit the shipped shape: sketch queries are audited without their
+      // exact-anchor verification pass (same override Bench uses).
+      val fn = SparkEntry.benchVariants.getOrElse(name, fn0)
       try {
         val df = fn(spark, sfDir)
         // The query wrapper re-tunes the session (AQE on) on every call, and

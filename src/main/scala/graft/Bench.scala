@@ -23,8 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.tune(spark)
 
+    // Bench measures the shipped shape: sketch queries run their
+    // verification-free variants (SparkEntry.benchVariants), everything else
+    // the `queries` entry.
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
 
     val names = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))

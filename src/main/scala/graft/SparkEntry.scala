@@ -114,8 +114,8 @@ object SparkEntry {
     "mm_frame_sample" -> q((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     // Sketch-based operators: approximate by design, so no SQL oracle —
     // the driver records rows-only checks; specs bound them against exacts.
-    "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
-    "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
+    "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d), verify = true)),
+    "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d), verify = true)),
     "q31_range_frame" -> q((s, d) => Relational.trailingSpend(Tables.orders(s, d))),
     "ev_transitions" -> q((s, d) => Events.transitionMatrix(Tables.events(s, d))),
     "lake_snapshot_lineage" -> q((s, d) => Snapshots.snapshotLineage(Tables.orders(s, d))),
@@ -255,6 +255,19 @@ object SparkEntry {
     "text_pipeline_funnel" -> q((s, d) => TextAnalysis.pipelineFunnel(Tables.documents(s, d))),
     "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
     "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
+  )
+
+  /** Shipped-shape overrides for the two approximate sketch queries: the
+    * `queries` entries run `verify = true` so the correctness artifact
+    * carries the self-checking `within_bound` proof columns, but that
+    * verification pass buffers exact anchors (O(distinct users) state / a
+    * second scan) that a production run would drop. Bench and Audit measure
+    * THESE sketch-only variants instead, so recorded time and audited plan
+    * shape describe the query a user actually ships. Keys not present here
+    * fall through to `queries`. */
+  def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
+    "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
@@ -2850,8 +2863,9 @@ object SparkEntry {
         | dv_files, dv_positions,
         | dv_files * 200 AS hash_mem_bytes,
         | files_present * 8 AS pos_mem_bytes,
-        | round((dv_files * 200 - files_present * 8) * 100.0 / (dv_files * 200), 4)
-        |   AS memory_reduction_pct,
+        | CASE WHEN dv_files > 0 THEN
+        |   round((dv_files * 200 - files_present * 8) * 100.0 / (dv_files * 200), 4)
+        |  END AS memory_reduction_pct,
         | files_present * 200 + dv_files * 150 AS manifest_bytes,
         | CAST(2 AS BIGINT) AS separate_requests,
         | CAST(1 AS BIGINT) AS folded_requests,
@@ -2859,7 +2873,9 @@ object SparkEntry {
         | CAST(files_present AS BIGINT) AS ordered_entries,
         | dv_files AS unordered_entries,
         | files_present - dv_files AS null_entries,
-        | round((files_present - dv_files) * 100.0 / dv_files, 4) AS write_overhead_pct
+        | CASE WHEN dv_files > 0 THEN
+        |   round((files_present - dv_files) * 100.0 / dv_files, 4)
+        |  END AS write_overhead_pct
         |FROM s ORDER BY num_files""".stripMargin,
 
     "lake_bucket_pruning" ->

@@ -397,9 +397,15 @@ object DeleteVectors {
         sum(col("has_dv") * col("del_rows")).as("dv_positions"))
       .withColumn("hash_mem_bytes", col("dv_files") * 200L)
       .withColumn("pos_mem_bytes", col("files_present") * 8L)
+      // Guarded: a rung with zero DV-carrying files (conceivable only on
+      // tiny/filtered inputs) has no hash-strategy footprint to reduce —
+      // emit an explicit NULL rather than a ±Infinity ratio; LakeSpec
+      // asserts the column non-null on the real corpus so a degenerate
+      // input fails loudly instead of reading as 0.0.
       .withColumn("memory_reduction_pct",
-        round((col("hash_mem_bytes") - col("pos_mem_bytes")) * 100.0 /
-          col("hash_mem_bytes"), 4))
+        when(col("dv_files") > 0,
+          round((col("hash_mem_bytes") - col("pos_mem_bytes")) * 100.0 /
+            col("hash_mem_bytes"), 4)))
       .withColumn("manifest_bytes", col("files_present") * 200L + col("dv_files") * 150L)
       .withColumn("separate_requests", lit(2L))
       .withColumn("folded_requests", lit(1L))
@@ -408,7 +414,8 @@ object DeleteVectors {
       .withColumn("unordered_entries", col("dv_files"))
       .withColumn("null_entries", col("files_present") - col("dv_files"))
       .withColumn("write_overhead_pct",
-        round(col("null_entries") * 100.0 / col("unordered_entries"), 4))
+        when(col("dv_files") > 0,
+          round(col("null_entries") * 100.0 / col("unordered_entries"), 4)))
       .orderBy("num_files")
   }
 }

@@ -605,19 +605,38 @@ object Relational {
     * scale twin of q20's exact value-buffering percentile (and of the exact
     * bounded-state `plans.QuarterQuantiles` at quarter points).
     *
-    * The result carries its own verification (no oracle can): GK guarantees
-    * each returned value's RANK lies within n/accuracy of the target p·n,
-    * so one extra map-side-combinable pass counts, per group, the rows
-    * strictly-below / at-or-below each returned value (its true rank
-    * interval) and `within_bound` asserts the interval touches
-    * [p·n − n/acc, p·n + n/acc] for all four quantiles. The driver's
-    * rows/schema check sees the column; RelationalSpec proves it all-true
-    * at two scale factors. */
-  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame = {
+    * The shipped shape (`verify = false`, the default) is the single
+    * sketch aggregation — no second scan, no extra join. Because no oracle
+    * can check an approximate result, the correctness harness opts into
+    * `verify = true`: GK guarantees each returned value's RANK lies near
+    * the target p·n, so one extra map-side-combinable pass counts, per
+    * group, the rows strictly-below / at-or-below each returned value (its
+    * true rank interval) and `within_bound` asserts the interval touches
+    * the rank envelope for all four quantiles. Bench and Audit measure the
+    * default sketch-only plan; RelationalSpec proves `within_bound`
+    * all-true at two scale factors.
+    *
+    * Rank envelope (HEURISTIC, not a published guarantee): the in-sketch
+    * GK bound is ε·n (ε = 1/accuracy), but Spark merges per-partition
+    * summaries by concatenate+compress, whose merged-error constant is not
+    * published — observed ≤ 2.5·ε·n at 32 partitions. The envelope scales
+    * with the number of merged input summaries: (2 + log₂ s)·ε·n for s
+    * input partitions, floored at 2 ranks for the small-n regime where the
+    * summary is exact up to query granularity. A different partition count
+    * widens the envelope rather than flipping the assertion. */
+  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000,
+                           verify: Boolean = false): DataFrame = {
     val ps = Seq(0.25, 0.50, 0.75, 0.99)
     val sk = lineitem
       .groupBy(col("l_returnflag"))
       .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(",")}), $accuracy)").as("qs"))
+    val quantileCols = Seq(
+      round(element_at(col("qs"), 1), 4).as("p25"),
+      round(element_at(col("qs"), 2), 4).as("p50"),
+      round(element_at(col("qs"), 3), 4).as("p75"),
+      round(element_at(col("qs"), 4), 4).as("p99"))
+    if (!verify)
+      return sk.select(col("l_returnflag") +: quantileCols: _*).orderBy("l_returnflag")
     // rank-check pass: counts below / at-or-below each sketch value, per flag
     val rankAggs = ps.indices.flatMap { i =>
       Seq(
@@ -628,23 +647,18 @@ object Relational {
     val checked = lineitem.join(broadcast(sk), "l_returnflag")
       .groupBy(col("l_returnflag"), col("qs"))
       .agg(allAggs.head, allAggs.tail: _*)
+    // s = number of scan partitions whose summaries the merge folds; the
+    // envelope grows with log₂ s (heuristic, see scaladoc).
+    val nParts = math.max(lineitem.rdd.getNumPartitions, 2)
+    val envFactor = 2.0 + math.log(nParts.toDouble) / math.log(2.0)
     val withinAll = ps.indices.map { i =>
-      // GK targets rank t = 1 + p·(n−1) with nominal error ε·n (ε = 1/acc).
-      // Spark merges per-partition summaries by concatenate+compress, which
-      // loosens the constant (observed ≤ 2.5·ε·n at 32 partitions), so the
-      // envelope is 4·ε·n, floored at 2 ranks for the small-n regime where
-      // the summary is exact up to query granularity. The value's true-rank
-      // interval [lt+1, le] must touch [t − en, t + en].
+      // Target rank t = 1 + p·(n−1); the value's true-rank interval
+      // [lt+1, le] must touch [t − en, t + en].
       val t = lit(1.0) + lit(ps(i)) * (col("n") - 1)
-      val en = greatest(col("n") * 4.0 / accuracy, lit(2.0))
+      val en = greatest(col("n") * envFactor / accuracy, lit(2.0))
       (col(s"lt_$i") + 1 <= t + en) && (col(s"le_$i") >= t - en)
     }.reduce(_ && _)
-    checked.select(col("l_returnflag"),
-        round(element_at(col("qs"), 1), 4).as("p25"),
-        round(element_at(col("qs"), 2), 4).as("p50"),
-        round(element_at(col("qs"), 3), 4).as("p75"),
-        round(element_at(col("qs"), 4), 4).as("p99"),
-        withinAll.as("within_bound"))
+    checked.select(col("l_returnflag") +: (quantileCols :+ withinAll.as("within_bound")): _*)
       .orderBy("l_returnflag")
   }
 

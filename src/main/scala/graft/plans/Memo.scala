@@ -31,10 +31,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    forever; the computation simply runs un-cached;
   *  - entries owned by a stopped SparkContext are swept on every call
   *    (test-suite session cycling can't accumulate);
-  *  - recomputing over a superseded key unpersists the old artifact's
-  *    checkpointed blocks before replacing it;
-  *  - the cache is capped at [[maxEntries]]; the oldest entry is evicted
-  *    (and unpersisted) to admit a new one.
+  *  - superseded keys and capacity evictions drop the MAP ENTRY ONLY — the
+  *    old artifact's checkpointed blocks are deliberately NOT unpersisted,
+  *    because earlier callers may still hold the evicted DataFrame, and a
+  *    localCheckpoint truncates lineage: unpersisting under a live reference
+  *    turns a later action into a missing-block failure (it cannot
+  *    recompute), a use-after-free the put-only shape could never produce.
+  *    Evicted blocks live until their session stops; the eviction bounds the
+  *    number of entries the memo can SERVE, and the block cost is bounded in
+  *    practice by the ~10 family pipelines a round builds per corpus.
   *
   * Cluster caveat: `localCheckpoint(true)`'s blocks are NOT replicated —
   * losing an executor invalidates the artifact, and later family queries
@@ -65,11 +70,13 @@ object Memo {
       case Some(e) if (e.session eq keyDf.sparkSession) &&
           !e.session.sparkContext.isStopped && e.plan == canon =>
         e.value.asInstanceOf[T]
-      case stale =>
-        stale.foreach(unpersistArtifact) // superseded (other session / plan): drop its blocks
+      case _ =>
+        // Superseded / capacity paths drop map entries only — never the
+        // blocks (see scaladoc: an earlier caller may still reference the
+        // evicted checkpointed DataFrame, which cannot recompute).
         if (cache.size >= maxEntries)
-          cache.toSeq.sortBy(_._2.seq).headOption.foreach { case (k, e) =>
-            cache.remove(k); unpersistArtifact(e)
+          cache.toSeq.sortBy(_._2.seq).headOption.foreach { case (k, _) =>
+            cache.remove(k)
           }
         val v = compute
         cache.put(key, Entry(canon, keyDf.sparkSession, v, seqGen.incrementAndGet()))
@@ -83,16 +90,4 @@ object Memo {
     cache.foreach { case (k, e) =>
       if (e.session.sparkContext.isStopped) cache.remove(k)
     }
-
-  /** Best-effort release of the checkpointed blocks a cached DataFrame pins:
-    * localCheckpoint artifacts are LogicalRDD-rooted, so unpersisting those
-    * leaves' RDDs frees the storage the entry held. */
-  private def unpersistArtifact(e: Entry): Unit = e.value match {
-    case ds: org.apache.spark.sql.Dataset[_] if !e.session.sparkContext.isStopped =>
-      try ds.queryExecution.analyzed.collectLeaves().foreach {
-        case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-        case _ => ()
-      } catch { case _: Throwable => () }
-    case _ => ()
-  }
 }

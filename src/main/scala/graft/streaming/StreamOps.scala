@@ -141,10 +141,18 @@ object StreamOps {
   /** Streaming approximate distinct users per hourly window — the streaming
     * mirror of `Events.approxUsers`' HLL++ sketch. `approx_count_distinct`
     * keeps ONE fixed-size HLL sketch per open window in the state store, so
-    * state is O(open windows × sketch bytes) — never O(distinct users) — and
-    * the watermark expires windows (batch-mode distinct counting would buffer
-    * every user id). Same default rsd (0.05) as the batch query, so the two
-    * estimates agree on identical input. */
+    * state is O(open windows × sketch bytes) — never O(distinct users).
+    * Same default rsd (0.05) as the batch query, so the two estimates agree
+    * on identical input.
+    *
+    * Output-mode caveat: the watermark expires window state only in
+    * append/update mode — under `outputMode(complete)` (which StreamBench
+    * and StreamingSpec use so every window is observable in the memory
+    * sink) Spark retains ALL windowed-aggregation state for re-emission, so
+    * the O(open windows) bound there degrades to O(all windows × sketch
+    * bytes) — still never O(distinct users), which is what the spec's
+    * state-store row-count assertion proves. A production deployment runs
+    * append/update, where the watermark bound holds as stated. */
   def approxUsersStream(events: DataFrame, rsd: Double = 0.05): DataFrame =
     events
       .withWatermark("ts", "2 hours")

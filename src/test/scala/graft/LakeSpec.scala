@@ -482,6 +482,12 @@ class LakeSpec extends SparkSpec {
       assert(r.getAs[Long]("hash_mem_bytes") == dv * 200L)
       assert(r.getAs[Long]("pos_mem_bytes") == present * 8L)
       // 200 B/matched-entry hash vs 8 B/file array at 30% match: ~86.7%.
+      // Non-null asserted explicitly: the guarded ratios emit NULL when a
+      // rung has no DV files, and getAs[Double] would silently read a NULL
+      // as 0.0 — a degenerate corpus must fail here, not pass quietly.
+      assert(!r.isNullAt(r.fieldIndex("memory_reduction_pct")) &&
+        !r.isNullAt(r.fieldIndex("write_overhead_pct")),
+        s"guarded ratio NULL at rung ${r.getAs[Long]("num_files")} — no DV files present")
       assert(r.getAs[Double]("memory_reduction_pct") > 80.0)
       assert(r.getAs[Long]("null_entries") == present - dv)
       assert(r.getAs[Long]("ordered_entries") == present)

@@ -127,7 +127,7 @@ class RelationalSpec extends SparkSpec {
       // HLL++: the emitted exact anchor must match an independent exact
       // count, and the 5·rsd envelope must hold on every day row
       val events = Tables.events(spark, sf)
-      val daily = graft.events.Events.approxDailyUsers(events).collect()
+      val daily = graft.events.Events.approxDailyUsers(events, verify = true).collect()
       val exact = events
         .groupBy(org.apache.spark.sql.functions.date_format(
           org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"))
@@ -141,7 +141,7 @@ class RelationalSpec extends SparkSpec {
       }
       // GK sketch: the rank-interval bound column must hold for every flag
       val li = Tables.lineitem(spark, sf)
-      val sketchQ = Relational.approxPriceQuantiles(li).collect()
+      val sketchQ = Relational.approxPriceQuantiles(li, verify = true).collect()
       assert(sketchQ.nonEmpty)
       sketchQ.foreach { r =>
         assert(r.getAs[Boolean]("within_bound"),
