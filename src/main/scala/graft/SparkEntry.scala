@@ -125,6 +125,7 @@ object SparkEntry {
     "knn_recall" -> q((s, d) => Ann.lshRecall(Tables.embeddings(s, d))),
     "text_repetition" -> q((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_contamination" -> q((s, d) => TextAnalysis.contamination(Tables.documents(s, d))),
+    "text_decontaminate" -> q((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
     "dedup_keep_best" -> q((s, d) => Components.keepBest(Tables.documents(s, d))),
     "q32_stats_agg" -> q((s, d) => Relational.priceStatistics(Tables.lineitem(s, d))),
     "q33_fuzzy_join" -> q((s, d) => Relational.fuzzyNameMatch(Tables.part(s, d))),
@@ -255,6 +256,7 @@ object SparkEntry {
     "text_pipeline_funnel" -> q((s, d) => TextAnalysis.pipelineFunnel(Tables.documents(s, d))),
     "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
     "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
+    "dedup_substring" -> q((s, d) => Dedup.substringDup(Tables.documents(s, d))),
   )
 
   /** Shipped-shape overrides for the two approximate sketch queries: the
@@ -878,6 +880,61 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(e, 6) AS est_sim FROM mh_pairs WHERE e >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Exact-substring dedup: positional 8-gram anchors (1-based here,
+    // 0-based in Spark — all outputs are lengths/counts, base-invariant),
+    // occurrence-capped, diagonal islands → maximal runs ≥ 16, then an
+    // interval-union pass per pair/side so duplicated tokens count once.
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t),
+        | a AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS sh
+        |   FROM t, unnest(range(1, len(tk) - 6)) AS u(i)),
+        | keep AS (SELECT sh FROM a GROUP BY sh HAVING count(*) <= 100),
+        | af AS (SELECT a.* FROM a JOIN keep USING (sh)),
+        | m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+        |    x.pos - y.pos AS diag
+        |   FROM af x JOIN af y USING (sh) WHERE x.doc_id < y.doc_id),
+        | runs AS (SELECT doc_a, doc_b, diag, min(pa) AS sa,
+        |    count(*) + 7 AS run_len
+        |   FROM (SELECT doc_a, doc_b, diag, pa,
+        |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        |     FROM m)
+        |   GROUP BY doc_a, doc_b, diag, grp HAVING count(*) + 7 >= 16),
+        | r2 AS (SELECT doc_a, doc_b, diag, sa, run_len, sa - diag AS sb FROM runs),
+        | ia AS (SELECT doc_a, doc_b, isl, max(e) - min(s) AS cov FROM (
+        |   SELECT doc_a, doc_b, s, e,
+        |     sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_a, doc_b ORDER BY s, e, diag ROWS UNBOUNDED PRECEDING) AS isl
+        |   FROM (SELECT doc_a, doc_b, diag, sa AS s, sa + run_len AS e,
+        |      max(sa + run_len) OVER (PARTITION BY doc_a, doc_b
+        |        ORDER BY sa, sa + run_len, diag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |     FROM r2)) GROUP BY doc_a, doc_b, isl),
+        | ca AS (SELECT doc_a, doc_b, CAST(sum(cov) AS BIGINT) AS dup_tokens_a
+        |   FROM ia GROUP BY doc_a, doc_b),
+        | ib AS (SELECT doc_a, doc_b, isl, max(e) - min(s) AS cov FROM (
+        |   SELECT doc_a, doc_b, s, e,
+        |     sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_a, doc_b ORDER BY s, e, diag ROWS UNBOUNDED PRECEDING) AS isl
+        |   FROM (SELECT doc_a, doc_b, diag, sb AS s, sb + run_len AS e,
+        |      max(sb + run_len) OVER (PARTITION BY doc_a, doc_b
+        |        ORDER BY sb, sb + run_len, diag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |     FROM r2)) GROUP BY doc_a, doc_b, isl),
+        | cb AS (SELECT doc_a, doc_b, CAST(sum(cov) AS BIGINT) AS dup_tokens_b
+        |   FROM ib GROUP BY doc_a, doc_b),
+        | pr AS (SELECT doc_a, doc_b, count(*) AS n_runs, max(run_len) AS max_run
+        |   FROM r2 GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, CAST(n_runs AS BIGINT) AS n_runs,
+        | CAST(max_run AS BIGINT) AS max_run, dup_tokens_a, dup_tokens_b,
+        | round(dup_tokens_a * 1.0 / la.n_tok, 6) AS dup_frac_a,
+        | round(dup_tokens_b * 1.0 / lb.n_tok, 6) AS dup_frac_b
+        |FROM pr JOIN ca USING (doc_a, doc_b) JOIN cb USING (doc_a, doc_b)
+        | JOIN dl la ON la.doc_id = pr.doc_a JOIN dl lb ON lb.doc_id = pr.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashCtes,
         | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
@@ -1382,6 +1439,51 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, coalesce(n_hits, 0) AS n_hits,
         | round(coalesce(n_hits, 0) * 1.0 / n_shingles, 6) AS contamination
         |FROM sz LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Decontamination splice: 5-gram hit positions (1-based here, 0-based
+    // in Spark — all outputs are lengths/counts, base-invariant) expand by
+    // ±3 tokens, merge by interval union, and the clean segments re-chunk
+    // at 32 tokens with no chunk straddling a removed span.
+    "text_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+        |   WHERE doc_id % 50 <> 0),
+        | a AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(len(tk) AS BIGINT) AS n,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+        |   FROM t, unnest(range(1, len(tk) - 3)) AS u(i)),
+        | bench AS (SELECT DISTINCT sh FROM a WHERE doc_id % 50 = 0),
+        | spans AS (SELECT doc_id, n,
+        |    greatest(pos - 3, 1) AS s, least(pos + 8, n + 1) AS e
+        |   FROM a JOIN bench USING (sh) WHERE doc_id % 50 <> 0),
+        | mk AS (SELECT doc_id, n, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+        |   FROM (SELECT doc_id, n, s, e,
+        |      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |     FROM spans)),
+        | merged AS (SELECT doc_id, isl, any_value(n) AS n, min(s) AS ss, max(e) AS ee,
+        |    count(*) AS hits FROM mk GROUP BY doc_id, isl),
+        | segs AS (SELECT doc_id, n, ss, ee, hits,
+        |    ss - coalesce(lag(ee) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS seg_before
+        |   FROM merged),
+        | dirty AS (SELECT doc_id,
+        |    CAST(sum(hits) AS BIGINT) AS n_hits,
+        |    count(*) AS n_spans,
+        |    CAST(sum(ee - ss) AS BIGINT) AS tokens_removed,
+        |    CAST(sum(CASE WHEN seg_before > 0 THEN (seg_before + 31) // 32 ELSE 0 END)
+        |      + (CASE WHEN any_value(n) + 1 - max(ee) > 0
+        |         THEN (any_value(n) + 1 - max(ee) + 31) // 32 ELSE 0 END) AS BIGINT)
+        |      AS survivor_chunks
+        |   FROM segs GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        | coalesce(n_hits, 0) AS n_hits,
+        | coalesce(n_spans, 0) AS n_spans,
+        | coalesce(tokens_removed, 0) AS tokens_removed,
+        | n_tokens - coalesce(tokens_removed, 0) AS tokens_kept,
+        | coalesce(survivor_chunks, (n_tokens + 31) // 32) AS survivor_chunks,
+        | n_hits IS NOT NULL AS cleaned
+        |FROM dl LEFT JOIN dirty USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,

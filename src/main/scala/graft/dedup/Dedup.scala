@@ -489,4 +489,94 @@ object Dedup {
         col("nm").isNotNull.as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** Tokens per anchor shingle of the exact-substring screen. */
+  val SubstrAnchorLen = 8
+  /** Corpus-wide occurrence cap per anchor: anchors seen in more (doc, pos)
+    * slots are dropped before the join (the standard frequent-substring
+    * guard — a boilerplate 8-gram shared by millions of docs would turn the
+    * inverted index into a quadratic hot key; dropping it loses only runs
+    * that are ubiquitous boilerplate rather than pairwise duplication). */
+  val SubstrMaxAnchorOcc = 100
+  /** Exact-substring near-duplication: pairs of documents sharing a maximal
+    * common token run of at least `minRun` tokens — the duplication family
+    * of suffix-array corpus dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021), re-expressed as a bucketed
+    * Spark plan (a distributed suffix array is not expressible as a
+    * DataFrame program; the anchor inverted index finds the same ≥ minRun
+    * runs as long as minRun ≥ 2·anchorLen − 1, which 16 ≥ 15 satisfies:
+    * every window of anchorLen consecutive positions inside a common run
+    * contributes an anchor match, so a run of length ≥ minRun can't be
+    * missed).
+    *
+    * Pipeline, every stage equi-keyed (no all-pairs anywhere):
+    *  1. positional anchors: one 8-token shingle per token position;
+    *  2. occurrence cap: anchors in > [[SubstrMaxAnchorOcc]] (doc, pos)
+    *     slots are dropped (see above);
+    *  3. inverted-index self-join on the anchor string (doc_a < doc_b) —
+    *     only positions sharing an exact 8-gram pair up; matches of one
+    *     common run share the diagonal d = pos_a − pos_b;
+    *  4. islands per (pair, diagonal): consecutive pos_a collapse to one
+    *     maximal run (the q37 gaps-and-islands trick), run length =
+    *     anchor count + anchorLen − 1, keep runs ≥ minRun;
+    *  5. interval union per pair and side: overlapping run intervals are
+    *     merged by a running-max window (bounded by runs-per-pair) so
+    *     `dup_tokens_a/b` count each duplicated token once, then joined to
+    *     doc lengths for per-doc duplicated fractions.
+    *
+    * Windows are partitioned by (pair, diagonal) or (pair) — bounded by a
+    * single document's length, never corpus cardinality. */
+  def substringDup(documents: DataFrame, minRun: Int = 16,
+                   maxAnchorOcc: Int = SubstrMaxAnchorOcc): DataFrame = {
+    val a = SubstrAnchorLen
+    val docLen = documents.withColumn("t", toks)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+    val cat = (1 until a).map(k => s", t[i+$k]").mkString
+    val anchors = documents.withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        s"filter(transform(t, (x, i) -> CASE WHEN i + ${a - 1} < size(t) " +
+          s"THEN struct(i AS pos, concat_ws(' ', x$cat) AS sh) END), y -> y IS NOT NULL)"))
+        .as("an"))
+      .select(col("doc_id"), col("an.pos").as("pos"), col("an.sh").as("sh"))
+    val keep = anchors.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxAnchorOcc).select(col("sh"))
+    val af = anchors.join(keep, Seq("sh"))
+    val m = af.select(col("sh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(af.select(col("sh"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    // islands per (pair, diagonal): consecutive pos_a → one maximal run
+    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val runs = m
+      .withColumn("grp", col("pa") - row_number().over(wd))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("sa"), (count(lit(1)) + (a - 1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .withColumn("sb", col("sa") - col("diag"))
+    // interval union per (pair, side): each duplicated token counted once
+    def coverage(startCol: String, out: String): DataFrame = {
+      val wp = Window.partitionBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("s"), col("e"), col("diag"))
+      runs.select(col("doc_a"), col("doc_b"), col("diag"),
+          col(startCol).as("s"), (col(startCol) + col("run_len")).as("e"))
+        .withColumn("pme", max(col("e")).over(wp.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(when(col("pme").isNull || col("s") > col("pme"), 1L)
+          .otherwise(0L)).over(wp.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_a"), col("doc_b"), col("isl"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("cov")).as(out))
+    }
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+      .join(coverage("sa", "dup_tokens_a"), Seq("doc_a", "doc_b"))
+      .join(coverage("sb", "dup_tokens_b"), Seq("doc_a", "doc_b"))
+      .join(docLen.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_tok" -> "na")), Seq("doc_a"))
+      .join(docLen.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_tok" -> "nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_runs"), col("max_run"),
+        col("dup_tokens_a"), col("dup_tokens_b"),
+        round(col("dup_tokens_a") * 1.0 / col("na"), 6).as("dup_frac_a"),
+        round(col("dup_tokens_b") * 1.0 / col("nb"), 6).as("dup_frac_b"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

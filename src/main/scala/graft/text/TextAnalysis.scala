@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,6 +230,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)) * 1.0 / col("n_shingles"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination splice plan: the removal step that `contamination`
+    * only detects. Every corpus doc's 5-token shingles are matched against
+    * the broadcast benchmark shingle set (same index as `contamination`);
+    * each hit position expands to a removal span [pos − margin,
+    * pos + 5 + margin), overlapping spans merge (gaps-and-islands interval
+    * union), and what remains is re-chunked: each clean segment between
+    * merged spans packs into ⌈len / chunkSize⌉ training chunks — splicing
+    * across a removed span is forbidden (the standard span-splice rule, so
+    * no training window straddles deleted benchmark text). Per corpus doc:
+    * hit/span counts, tokens removed vs kept, and the surviving chunk
+    * count; clean docs pass through with zero spans and their full-length
+    * chunking, so the output is a total plan over the corpus, not just the
+    * contaminated tail.
+    *
+    * Scale: the benchmark side is eval-suite-sized → broadcast; the corpus
+    * scan is one pass; the merge/segment windows are partitioned per doc
+    * and bounded by a single document's hit count. */
+  def decontaminate(documents: DataFrame, benchMod: Long = 50,
+                    margin: Int = 3, chunkSize: Int = 32): DataFrame = {
+    val t = documents.withColumn("t", toks)
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val shPos = t.select(col("doc_id"), col("n_tokens"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 4 < size(t) THEN " +
+          "struct(i AS pos, concat(x, ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]) AS sh) END), " +
+          "y -> y IS NOT NULL)")).as("an"))
+      .select(col("doc_id"), col("n_tokens"), col("an.pos").as("pos"), col("an.sh").as("sh"))
+    val bench = shPos.filter(col("doc_id") % benchMod === 0).select(col("sh")).distinct()
+    val corpusDocs = t.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("n_tokens"))
+    // hit positions → clipped removal spans [s, e)
+    val spans = shPos.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("pos") - margin, lit(0)).cast("long").as("s"),
+        least(col("pos") + (5 + margin), col("n_tokens")).cast("long").as("e"))
+    // interval union per doc (order totally: clipping can tie (s, e))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("pme", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("pme").isNull || col("s") > col("pme"), 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        min(col("s")).as("ss"), max(col("e")).as("ee"), count(lit(1)).as("hits"))
+    // clean segment BEFORE each span, plus the tail segment after the last
+    val wi = Window.partitionBy(col("doc_id")).orderBy(col("ss"))
+    // ⌈seg / chunkSize⌉ in integer arithmetic (floor of a double division is
+    // exact here: segment lengths are doc-bounded, far inside 2^53)
+    val chunkUp = (seg: Column) =>
+      when(seg > 0, floor((seg + (chunkSize - 1)) / chunkSize)).otherwise(lit(0L)).cast("long")
+    val dirty = merged
+      .withColumn("seg_before", col("ss") - coalesce(lag(col("ee"), 1).over(wi), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(col("hits")).as("n_hits"),
+        count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss")).as("tokens_removed"),
+        (sum(chunkUp(col("seg_before"))) +
+          chunkUp(first(col("n_tokens")) - max(col("ee")))).as("survivor_chunks"))
+    corpusDocs.join(dirty.drop("n_tokens"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L))).as("tokens_kept"),
+        coalesce(col("survivor_chunks"), chunkUp(col("n_tokens"))).as("survivor_chunks"),
+        col("n_hits").isNotNull.as("cleaned"))
       .orderBy("doc_id")
   }
 

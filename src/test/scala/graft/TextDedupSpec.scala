@@ -242,6 +242,61 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination splice: token accounting closes and chunks never straddle spans") {
+    val out = TextAnalysis.decontaminate(docs).collect()
+    val corpusDocs = docs.filter(col("doc_id") % 50 =!= 0).count()
+    assert(out.length == corpusDocs, "one plan row per corpus (non-benchmark) doc")
+    out.foreach { r =>
+      val (n, rem, kept) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Long]("tokens_kept"))
+      assert(rem + kept == n, s"doc ${r.getAs[Long]("doc_id")}: token accounting leaks")
+      assert(r.getAs[Long]("n_spans") <= r.getAs[Long]("n_hits"))
+      assert(r.getAs[Boolean]("cleaned") == (r.getAs[Long]("n_hits") > 0))
+      val chunks = r.getAs[Long]("survivor_chunks")
+      // splice rule: segment-wise chunking can only need MORE chunks than
+      // free packing of the kept tokens, and never more than one extra per
+      // span boundary
+      val freePack = (kept + 31) / 32
+      assert(chunks >= freePack && chunks <= freePack + r.getAs[Long]("n_spans"),
+        s"doc ${r.getAs[Long]("doc_id")}: $chunks chunks vs free-pack $freePack")
+      if (!r.getAs[Boolean]("cleaned"))
+        assert(rem == 0 && chunks == (n + 31) / 32)
+    }
+    // the splice step must fire on the same docs the detector flags
+    val detector = TextAnalysis.contamination(docs).collect()
+      .filter(_.getAs[Long]("n_hits") > 0).map(_.getAs[Long]("doc_id")).toSet
+    val spliced = out.filter(_.getAs[Boolean]("cleaned")).map(_.getAs[Long]("doc_id")).toSet
+    assert(spliced == detector, s"detector/splicer disagree: $spliced vs $detector")
+    assert(spliced.nonEmpty, "synthetic corpus contains contaminated docs")
+  }
+
+  test("substring dedup: runs are real common substrings with consistent coverage") {
+    val rows = Dedup.substringDup(docs).collect()
+    assert(rows.nonEmpty, "synthetic corpus contains inserted near-duplicates")
+    val tokens = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+")).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (ta, tb) = (tokens(a), tokens(b))
+      val maxRun = r.getAs[Long]("max_run")
+      assert(maxRun >= 16, s"pair ($a,$b): reported run below minRun")
+      // a common token run of max_run length must actually exist: check via
+      // the set of max_run-grams of each doc (driver-side oracle on 500 docs)
+      def grams(t: Array[String], k: Int) = t.sliding(k).map(_.mkString(" ")).toSet
+      assert(grams(ta, maxRun.toInt).intersect(grams(tb, maxRun.toInt)).nonEmpty,
+        s"pair ($a,$b): no actual common $maxRun-token run")
+      // coverage is bounded by the doc and at least the longest run
+      for ((dt, n) <- Seq(("dup_tokens_a", ta.length), ("dup_tokens_b", tb.length))) {
+        val cov = r.getAs[Long](dt)
+        assert(cov >= maxRun && cov <= n, s"pair ($a,$b) $dt=$cov outside [$maxRun,$n]")
+      }
+      assert(r.getAs[Double]("dup_frac_a") <= 1.0 && r.getAs[Double]("dup_frac_b") <= 1.0)
+    }
+    // the near-whole-document copies the generator plants must surface
+    assert(rows.map(_.getAs[Long]("max_run")).max >= 50,
+      "expected at least one long (>=50-token) duplicated run in the corpus")
+  }
+
   test("contamination excludes benchmark docs and hits never exceed shingles") {
     val rows = TextAnalysis.contamination(docs).collect()
     rows.foreach { r =>
