@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,9 +24,9 @@ object Components {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     var labels = nodes.select(col("doc_id").as("id")).withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -37,7 +38,7 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint(true)
+        .stableCheckpoint()
       val changed = updated.filter(col("chg")).count()
       labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
@@ -130,7 +131,7 @@ object Components {
       g.members
         .join(broadcast(comps.withColumnRenamed("doc_id", "gid")), Seq("gid"))
         .select(col("doc_id"), col("comp"))
-        .localCheckpoint(true)
+        .stableCheckpoint()
     }.orderBy("doc_id")
 
   /** Semantic (embedding-space) dedup clusters — SemDeDup's shape: the

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,7 +71,7 @@ object Dedup {
     * ratio arithmetic + threshold on top. */
   private def shinglePairCommon(documents: DataFrame): DataFrame =
     graft.plans.Memo.memoize(documents, "dedup.shinglePairs") {
-      val sh = shingles(documents).localCheckpoint(true)
+      val sh = shingles(documents).stableCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -78,7 +79,7 @@ object Dedup {
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
         .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
         .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
-        .localCheckpoint(true)
+        .stableCheckpoint()
     }
 
   /** Jaccard-threshold shrink curve: for each cutoff, the qualifying shingle
@@ -170,7 +171,7 @@ object Dedup {
             .withColumn("tid", row_number().over(Window.orderBy(col("token"))).cast("long"))
           tok.join(broadcast(vocab), Seq("token"))
         }
-      tt.select(col("doc_id"), col("tid")).localCheckpoint(true)
+      tt.select(col("doc_id"), col("tid")).stableCheckpoint()
     }
 
   /** Per-doc MinHash signature columns m0..m15 over vocab token ids (see
@@ -211,10 +212,10 @@ object Dedup {
     val mcols = (0 until MinhashK).map(k => col(s"m$k"))
     // Signature table feeds both the grouping and the member mapping —
     // checkpoint so the vocab-id groupBy subtree runs once.
-    val sig = signatures(documents, hashTid).localCheckpoint(true)
+    val sig = signatures(documents, hashTid).stableCheckpoint()
     val groups = sig.groupBy(mcols: _*)
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val members = sig
       .join(broadcast(groups), (0 until MinhashK).map(k => s"m$k"))
       .select(col("doc_id"), col("gid"))
@@ -244,7 +245,7 @@ object Dedup {
       .withColumn("est_sim", round(agree / lit(MinhashK.toDouble), 6))
       .filter(col("est_sim") >= threshold)
       .select(col("ga"), col("gb"), col("est_sim"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val selfQual = groups.filter(col("gn") >= 2).select(col("gid"))
     SigGroups(members, groups, crossQual, selfQual)
   }
@@ -350,7 +351,7 @@ object Dedup {
     * behind dedup_embedding / dedup_semantic / knn_threshold_sweep. */
   private def embeddingCosPairs(embeddings: DataFrame, floor: Double): DataFrame =
     graft.plans.Memo.memoize(embeddings, s"dedup.embpairs:$floor") {
-      embeddingCosPairsBuild(embeddings, floor).localCheckpoint(true)
+      embeddingCosPairsBuild(embeddings, floor).stableCheckpoint()
     }
 
   private def embeddingCosPairsBuild(embeddings: DataFrame, floor: Double): DataFrame = {

@@ -1,5 +1,6 @@
 package graft.events
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,7 +225,7 @@ object Events {
         sum(round(col("value") * 100, 0).cast("long")).as("monetary_c"))
       .join(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("corpus_max_day"), col("last_day")).cast("long"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     // Discrete p25/p50/p75 of one metric, reduced to a single broadcastable
     // row. `min v with cum(v) >= tot·p` == the value at rank ceil(p·tot),
     // which is exactly discreteQuartiles' selection semantics.

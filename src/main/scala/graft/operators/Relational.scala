@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -874,7 +875,7 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val nOrders = orderBrands.count()
     val brandCounts = orderBrands.select(explode(col("bs")).as("p_brand"))
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
@@ -949,11 +950,11 @@ object Relational {
   def madOutliers(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_returnflag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val med = kthMedian2(base, "pc", "med2")
     val dev = base.join(broadcast(med), "l_returnflag")
       .withColumn("dev2", abs(col("pc") * 2 - col("med2")))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val mad = kthMedian2(dev, "dev2", "mad4")
     dev
       .join(broadcast(mad), "l_returnflag")

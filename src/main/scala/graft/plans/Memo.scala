@@ -44,10 +44,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Cluster caveat: `localCheckpoint(true)`'s blocks are NOT replicated —
   * losing an executor invalidates the artifact, and later family queries
   * reading it fail with missing-block errors rather than silently
-  * recomputing. On a real cluster prefer reliable checkpointing (HDFS/object
-  * store `checkpoint`) for artifacts that must survive executor churn; this
-  * memo targets the single-JVM Bench/Verify/job-server loop where the
-  * blocks live exactly as long as the session. */
+  * recomputing. Every artifact the memo serves is checkpointed through
+  * [[Checkpoints.StableCheckpoint.stableCheckpoint]], so setting
+  * `spark.graft.reliableCheckpoint=true` (+ a checkpoint dir) routes them
+  * through replicated reliable checkpoints that survive executor churn; the
+  * local default targets the single-JVM Bench/Verify/job-server loop where
+  * the blocks live exactly as long as the session. */
 object Memo {
 
   private case class Entry(plan: LogicalPlan, session: SparkSession,

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -346,7 +347,7 @@ object Ann {
       .select(col("vec_id"), col("best.label").as("label"),
         col("best.clabel").as("cell"),
         expr("zip_with(best.v, best.cv, (a, b) -> a - b)").as("res"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val sub = assigned.select(col("vec_id"), col("label"), col("cell"),
       explode(expr(s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS sub_id, slice(res, s * $w + 1, $w) AS sv))"))
         .as("p"))

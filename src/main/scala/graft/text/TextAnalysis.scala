@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -448,7 +449,7 @@ object TextAnalysis {
     val tokCounts = documents
       .select(col("doc_id"), col("lang"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("lang"), col("token")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val vocabTris = tokCounts.select(col("token")).distinct()
       .filter(length(col("token")) >= 3)
       .select(col("token"),
@@ -689,7 +690,7 @@ object TextAnalysis {
     // tokenize+score lineage would execute once per branch.
     val hist = d.groupBy(col("qi")).agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"))
       .withColumn("negq", lit(1000000L) - col("qi"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val cum = graft.plans.PrefixSum.prefixSums(hist, "negq",
         Seq("n" -> "cum_docs", "tok" -> "cum_tok"))
       .select(col("qi"), col("cum_docs"), col("cum_tok"))
@@ -733,7 +734,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"), max(col("c")).as("top_c"))
-      .localCheckpoint(true)
+      .stableCheckpoint()
     val k1 = stats.filter(
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("n_types") * 1.0 / col("n_tokens") >= minTtr &&

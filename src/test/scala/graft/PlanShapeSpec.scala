@@ -48,6 +48,32 @@ class PlanShapeSpec extends SparkSpec {
     assertBoundedGlobalWindows(text.TextAnalysis.weightedSample(docs), 50L)
   }
 
+  test("exchange-count ceilings pin the plans of the heaviest queries") {
+    // Every exchange is a shuffle or broadcast stage; a plan regression that
+    // adds one to a heavy query costs a bench round before anyone notices —
+    // so the current (audited) counts are pinned as ceilings. Counted from
+    // the physical plan OBJECT with AQE off (same protocol as graft.Audit);
+    // ReusedExchange reuse nodes are not Exchange subclasses, so shared
+    // subtrees count once. Ceilings are the counts measured at pin time.
+    val pins = Seq(
+      "dedup_lsh_tuning" -> 11, "text_pipeline_funnel" -> 10,
+      "dedup_substring" -> 9, "q56_mad_outliers" -> 9,
+      "knn_multiprobe" -> 3, "ev_power_users" -> 20,
+      "text_char_langid" -> 11, "text_repetition" -> 1,
+      "lake_snapshot_lineage" -> 25, "q68_revenue_bridge" -> 4)
+    pins.foreach { case (name, cap) =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val n = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }.length
+        info(s"$name: $n exchanges (ceiling $cap)")
+        assert(n <= cap, s"$name plans $n exchanges, ceiling $cap — a shuffle regressed")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("ev_rfm and ev_power_users plans carry no global ntile/rank over users") {
     val events = tables.Tables.events(spark, sf0001)
     // Every surviving global window must be over a statically-bounded child
