@@ -257,6 +257,7 @@ object SparkEntry {
     "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
     "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
     "dedup_substring" -> q((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    "dedup_minhash_calibration" -> q((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
   )
 
   /** Shipped-shape overrides for the two approximate sketch queries: the
@@ -934,6 +935,31 @@ object SparkEntry {
         |FROM pr JOIN ca USING (doc_a, doc_b) JOIN cb USING (doc_a, doc_b)
         | JOIN dl la ON la.doc_id = pr.doc_a JOIN dl lb ON lb.doc_id = pr.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Estimator calibration on the LSH candidate set: est deciles vs exact
+    // distinct-token-set Jaccard (computed only for candidates). Estimates
+    // are k/16 dyadic rationals → decile/threshold edges engine-invariant.
+    "dedup_minhash_calibration" ->
+      s"""WITH $minhashCtes,
+        | cp AS (SELECT doc_a, doc_b, e FROM mh_pairs WHERE e >= 0.5),
+        | sz AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY 1),
+        | iv AS (SELECT cp.doc_a, cp.doc_b, count(*) AS inter
+        |   FROM cp JOIN tok ta ON ta.doc_id = cp.doc_a
+        |   JOIN tok tb ON tb.doc_id = cp.doc_b AND tb.token = ta.token
+        |   GROUP BY 1, 2),
+        | x AS (SELECT cp.doc_a, cp.doc_b, e, coalesce(iv.inter, 0) AS inter,
+        |    na.ntok AS na, nb.ntok AS nb
+        |   FROM cp LEFT JOIN iv USING (doc_a, doc_b)
+        |   JOIN sz na ON na.doc_id = cp.doc_a JOIN sz nb ON nb.doc_id = cp.doc_b),
+        | y AS (SELECT CAST(floor(e * 10) AS BIGINT) AS bucket, e,
+        |    inter * 1.0 / (na + nb - inter) AS exact_j FROM x)
+        |SELECT bucket, count(*) AS n_pairs,
+        | round(avg(e), 6) + 0 AS mean_est,
+        | round(avg(exact_j), 6) + 0 AS mean_exact,
+        | round(avg(abs(e - exact_j)), 6) + 0 AS mean_abs_err,
+        | round(sum(CASE WHEN exact_j >= 0.7 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |   AS true_dup_rate
+        |FROM y GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashCtes,

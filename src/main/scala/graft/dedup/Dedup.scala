@@ -434,6 +434,51 @@ object Dedup {
     perConfig.reduce(_ unionAll _).orderBy("band_rows")
   }
 
+  /** MinHash estimator calibration: est-vs-exact Jaccard error measured ON
+    * THE LSH CANDIDATE SET (the lexical twin of `knn_recall`'s
+    * measure-don't-guess report). For every banded candidate pair with
+    * est ≥ `threshold`, the exact distinct-token-set Jaccard is computed by
+    * an equi-join of the two docs' token sets, and pairs aggregate into
+    * est-deciles: pair count, mean estimate, mean exact similarity, mean
+    * absolute estimator error, and the fraction of the bucket that is a
+    * true duplicate at the 0.7 exact cutoff — the table that says whether
+    * a 16-permutation signature is enough before committing a 100 TB dedup
+    * run to it.
+    *
+    * Scale: exact Jaccard is computed ONLY for LSH candidates (the small
+    * output of the banded join, never all pairs), each via a token
+    * equi-join bounded by candidate count × doc length. Recall against
+    * ground truth outside the candidate set is inherently unmeasurable at
+    * scale — that end is covered by the banding s-curve (`dedup_lsh_tuning`);
+    * this measures precision and estimator bias where candidates exist.
+    * Estimates are k/16 dyadic rationals, so decile edges and the
+    * threshold compare identically on any engine. */
+  def minhashCalibration(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cand = minhashLsh(documents, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+    val tok = documents.select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(tok.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(tok.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "ntok" -> "na")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "ntok" -> "nb")), Seq("doc_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_j", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
+      .withColumn("bucket", floor(col("est_sim") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(avg(col("est_sim")), 6) + lit(0.0)).as("mean_est"),
+        (round(avg(col("exact_j")), 6) + lit(0.0)).as("mean_exact"),
+        (round(avg(abs(col("est_sim") - col("exact_j"))), 6) + lit(0.0)).as("mean_abs_err"),
+        round(sum(when(col("exact_j") >= 0.7, 1L).otherwise(0L)) * 1.0 / count(lit(1)), 6)
+          .as("true_dup_rate"))
+      .orderBy("bucket")
+  }
+
   /** Semantic-dedup threshold sweep: how aggressively would each cosine
     * cutoff link the corpus? Per candidate threshold over the SAME
     * LSH-banded pair set (one candidate generation, sweep as a 4-element

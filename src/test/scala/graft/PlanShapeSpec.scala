@@ -74,6 +74,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("shipped sketch variants plan no exact-distinct anchor") {
+    // The benchVariants overrides exist so Bench/Audit measure sketch-only
+    // state; this pins that contract in the plan. An isDistinct aggregate
+    // (countDistinct's exact anchor) anywhere in the optimized plan means
+    // the verification pass leaked back into the shipped shape — the HLL /
+    // GK sketches themselves are plain (non-distinct) aggregate functions.
+    for (name <- Seq("ev_approx_users", "q30_approx_quantiles_sketch")) {
+      val df = SparkEntry.benchVariants(name)(spark, sf0001)
+      val agg = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty)
+      val distinctAggs = agg.flatMap(_.aggregateExpressions).flatMap(_.collect {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+          if ae.isDistinct => ae
+      })
+      assert(distinctAggs.isEmpty,
+        s"$name shipped variant buffers an exact anchor:\n${distinctAggs.mkString("\n")}")
+      // and exactly one scan: no verification re-join of the fact table
+      val scans = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(scans.size == 1, s"$name shipped variant should scan once, saw ${scans.size}")
+    }
+  }
+
   test("ev_rfm and ev_power_users plans carry no global ntile/rank over users") {
     val events = tables.Tables.events(spark, sf0001)
     // Every surviving global window must be over a statically-bounded child

@@ -220,4 +220,36 @@ class StreamingSpec extends SparkSpec {
         s"expected ~1 state row (one window sketch), got $stateRows for 200 users")
     } finally q.stop()
   }
+
+  test("append-mode watermark actually evicts closed HLL window state") {
+    // The production claim in approxUsersStream's scaladoc: in append mode
+    // the watermark EXPIRES window state (complete mode, used above for
+    // observability, retains it). Proven by advancing event time far past a
+    // window's close and checking (a) the closed window emits, (b) the
+    // state store holds only the still-open window afterwards.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = StreamOps.approxUsersStream(df)
+      .writeStream.format("memory").queryName("approx_users_append").outputMode("append").start()
+    try {
+      def at(hour: Int, minute: Int) = Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+      // window A: 150 distinct users inside hour 0
+      input.addData((0 until 150).map(i => (i.toLong, at(0, i % 60))))
+      q.processAllAvailable()
+      // advance event time to hour 6: watermark = 06:00 − 2h = 04:00, far
+      // past window A's 01:00 close → A must emit and its state must go
+      input.addData((0 until 50).map(i => (i.toLong, at(6, i % 60))))
+      q.processAllAvailable()
+      val rows = spark.table("approx_users_append").collect()
+      val hourA = rows.filter(_.getAs[String]("hour") == "2024-01-01 00:00")
+      assert(hourA.length == 1, s"closed window must emit exactly once in append mode: ${rows.toSeq}")
+      assert(math.abs(hourA.head.getAs[Long]("approx_users") - 150L) <= (4 * 0.05 * 150).toLong)
+      // only the open hour-6 window may remain in the store
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 1L,
+        s"watermark did not evict the closed window's sketch: $stateRows state rows")
+    } finally q.stop()
+  }
 }

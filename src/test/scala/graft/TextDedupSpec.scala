@@ -297,6 +297,31 @@ class TextDedupSpec extends SparkSpec {
       "expected at least one long (>=50-token) duplicated run in the corpus")
   }
 
+  test("minhash calibration: decile means bracket estimates, dup rate rises with est") {
+    val rows = Dedup.minhashCalibration(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val est = r.getAs[Double]("mean_est")
+      // decile invariant: the bucket's mean estimate lies inside the decile
+      assert(est >= b / 10.0 - 1e-9 && est <= (b + 1) / 10.0 + 1e-9,
+        s"bucket $b mean_est $est outside its decile")
+      val exact = r.getAs[Double]("mean_exact")
+      assert(exact > 0.0 && exact <= 1.0)
+      assert(r.getAs[Double]("mean_abs_err") >= 0.0)
+      val rate = r.getAs[Double]("true_dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // higher estimate deciles must be purer (weakly) — the reason the
+    // calibration table exists
+    val byBucket = rows.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("true_dup_rate"))
+    assert(byBucket.zip(byBucket.tail).forall { case (lo, hi) => hi >= lo - 0.05 },
+      s"true_dup_rate not (weakly) increasing across deciles: ${byBucket.toSeq}")
+    // candidate accounting: bucket pair counts sum to the candidate set
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == Dedup.minhashLsh(docs, threshold = 0.5).count())
+  }
+
   test("contamination excludes benchmark docs and hits never exceed shingles") {
     val rows = TextAnalysis.contamination(docs).collect()
     rows.foreach { r =>
