@@ -22,16 +22,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a nanosecond long and convert (truncating) to a
-    * microsecond TimestampType — the same ns→µs truncation DuckDB applies.
-    * Integer `div` keeps full 64-bit precision (a double division would not).
+  /** `events.ts` has shipped as two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as a nanosecond long via the legacy conf and truncate ns→µs, the
+    * same truncation DuckDB applies; integer `div` keeps full 64-bit
+    * precision) and TIMESTAMP(MICROS) isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ — value-identical cast to TimestampType under the UTC
+    * session zone every entry point pins). Branch on the loaded type so both
+    * generations produce the same TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
