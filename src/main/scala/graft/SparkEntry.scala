@@ -258,6 +258,8 @@ object SparkEntry {
     "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
     "dedup_substring" -> q((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "dedup_minhash_calibration" -> q((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
+    "dedup_bloom" -> q((s, d) => Dedup.bloomScreen(Tables.documents(s, d))),
+    "text_perplexity" -> q((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
   )
 
   /** Shipped-shape overrides for the two approximate sketch queries: the
@@ -961,6 +963,34 @@ object SparkEntry {
         |   AS true_dup_rate
         |FROM y GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "dedup_bloom" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |   unnest(list_transform($tokSql, (x, i) -> {'token': x, 'pos': i})) AS tp FROM documents),
+        | t2 AS (SELECT doc_id, tp.token AS token, CAST(tp.pos AS BIGINT) AS pos FROM tok),
+        | vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+        |           FROM (SELECT DISTINCT token FROM t2)),
+        | fp AS (SELECT doc_id, count(*) AS n_tokens, bit_xor(tid * pos) AS fingerprint
+        |        FROM t2 JOIN vocab USING (token) GROUP BY doc_id),
+        | f2 AS (SELECT doc_id, n_tokens, fingerprint, doc_id % 5 = 0 AS is_batch,
+        |     ((((fingerprint % 1000003) + 1000003) % 1000003) * 31 + n_tokens) % 1000003 AS key
+        |   FROM fp),
+        | ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        | posx AS (SELECT doc_id, is_batch,
+        |     (key * (((i + 1) * 2654435761) % 1000003) + (i * 40503 + 7919)) % 1000003 % 2048 AS pos
+        |   FROM f2 CROSS JOIN ks),
+        | bits AS (SELECT DISTINCT pos FROM posx WHERE NOT is_batch),
+        | scr AS (SELECT p.doc_id, count(DISTINCT p.pos) AS n_pos, count(DISTINCT b.pos) AS n_hit
+        |   FROM posx p LEFT JOIN bits b ON b.pos = p.pos WHERE p.is_batch GROUP BY 1),
+        | corp AS (SELECT DISTINCT fingerprint, n_tokens FROM f2 WHERE NOT is_batch),
+        | tr AS (SELECT f2.doc_id, (c.fingerprint IS NOT NULL) AS is_dup
+        |   FROM f2 LEFT JOIN corp c ON c.fingerprint = f2.fingerprint AND c.n_tokens = f2.n_tokens
+        |   WHERE f2.is_batch),
+        | fill AS (SELECT CAST(count(*) AS BIGINT) AS bits_set,
+        |          round(count(*) * 100.0 / 2048, 4) AS fill_pct FROM bits)
+        |SELECT (n_hit = n_pos) AS maybe_dup, is_dup, count(*) AS n_docs, bits_set, fill_pct
+        |FROM scr JOIN tr USING (doc_id) CROSS JOIN fill
+        |GROUP BY 1, 2, bits_set, fill_pct ORDER BY maybe_dup, is_dup""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashCtes,
         | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
@@ -1190,6 +1220,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(-ln(cb * 1.0 / cw)), 6) AS avg_nll
         |FROM b2 JOIN cb USING (w1, w2) JOIN cw USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS tk FROM documents),
+        | bg AS (SELECT doc_id, lang, unnest(list_filter(
+        |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN {'w1': x, 'w2': tk[i+1]} END),
+        |   y -> y IS NOT NULL)) AS b FROM t),
+        | b2 AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY 1, 2),
+        | cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+        | pd AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |     round(avg(-ln(cb * 1.0 / cw)), 6) AS h
+        |   FROM b2 JOIN cb USING (w1, w2) JOIN cw USING (w1) GROUP BY doc_id, lang),
+        | bn AS (SELECT doc_id, lang, n_bigrams, h, CAST(floor(h * 64) AS BIGINT) AS bin FROM pd),
+        | bc AS (SELECT lang, bin, count(*) AS n FROM bn GROUP BY 1, 2),
+        | cum AS (SELECT lang, bin, sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM bc),
+        | tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM bc GROUP BY 1),
+        | bk AS (SELECT lang, bin, CASE WHEN cum * 3 <= tot THEN 'head'
+        |     WHEN cum * 3 <= tot * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |   FROM cum JOIN tot USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        | (CAST(sum(CAST(round(h * 1e6, 0) AS BIGINT)) AS BIGINT) // count(*)) / 1000000.0
+        |   AS mean_nll,
+        | round(min(h), 6) + 0 AS min_nll, round(max(h), 6) + 0 AS max_nll
+        |FROM bn JOIN bk USING (lang, bin) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_time_travel" ->
       """SELECT o_orderstatus, count(*) AS n_rows, round(sum(o_totalprice), 4) AS total_price

@@ -625,4 +625,61 @@ object Dedup {
         round(col("dup_tokens_b") * 1.0 / col("nb"), 6).as("dup_frac_b"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Bloom-filter membership pre-screen for exact dedup (Bloom 1970; the
+    * standard first gate of a crawl-ingest pipeline — cf. the broadcast
+    * runtime bloom filters Spark itself injects for joins): the accumulated
+    * corpus publishes an mBits-wide bloom over content fingerprints, and an
+    * incoming batch (`doc_id % batchMod == 0`, the same delivery convention
+    * as [[incrementalScreen]]) is screened against it without ever joining
+    * the corpus row-for-row. Output is the 2×2 confusion matrix of
+    * (bloom says maybe-dup × exact truth) with the filter's fill ratio — the
+    * false-positive/fill tradeoff that sizes mBits, with the no-false-
+    * negative guarantee visible as an empty (false, true) cell.
+    *
+    * Everything is integer arithmetic on the 64-bit content fingerprint
+    * ([[graft.text.TextAnalysis.fingerprintCore]]): k positions per doc via
+    * independent affine hashes mod a prime, reduced mod mBits — bit-exact in
+    * the DuckDB oracle. Scale shape: the corpus side collapses to ≤ mBits
+    * distinct set-bit rows (a DataFrame `distinct` IS the distributed bloom
+    * build — per-partition partial filters union by construction), which
+    * broadcast-joins against the delivery-sized batch; the exact-truth join
+    * keys on (fingerprint, n_tokens), an equi-join the batch side bounds.
+    * Production sizing wants ~10–15 bits/key; the default mBits=2¹¹ over a
+    * few hundred corpus docs is deliberately tight (~50% fill) so the test
+    * corpus's matrix shows a nonzero false-positive cell alongside the
+    * empty false-negative one. */
+  def bloomScreen(documents: DataFrame, batchMod: Long = 5L,
+                  mBits: Long = 1L << 11, k: Int = 4): DataFrame = {
+    // A prime comfortably above mBits (MinhashP = 10007 would alias every
+    // position into its first 10007 bits); affine multipliers stay < P so
+    // key·a ≈ 10¹² never overflows int64 under ANSI arithmetic.
+    val P = 1000003L
+    val fp = graft.text.TextAnalysis.fingerprintCore(documents)
+      .withColumn("is_batch", col("doc_id") % batchMod === 0L)
+      .withColumn("key", (pmod(col("fingerprint"), lit(P)) * 31L + col("n_tokens")) % P)
+    val withPos = fp.select(col("doc_id"), col("is_batch"),
+        explode(array((0 until k).map(i =>
+          (col("key") * (((i + 1).toLong * 2654435761L) % P) +
+            (i.toLong * 40503L + 7919L)) % P % mBits): _*)).as("pos"))
+    val bits = withPos.filter(!col("is_batch")).select(col("pos")).distinct()
+    val screened = withPos.filter(col("is_batch"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("pos")).as("n_pos"),
+           count_distinct(when(col("hit").isNotNull, col("pos"))).as("n_hit"))
+      .withColumn("maybe_dup", col("n_hit") === col("n_pos"))
+    val truth = fp.filter(col("is_batch")).select(col("doc_id"), col("fingerprint"), col("n_tokens"))
+      .join(fp.filter(!col("is_batch")).select(col("fingerprint"), col("n_tokens")).distinct()
+              .withColumn("in_corpus", lit(1L)),
+            Seq("fingerprint", "n_tokens"), "left")
+      .select(col("doc_id"), col("in_corpus").isNotNull.as("is_dup"))
+    val fill = bits.agg(count(lit(1)).as("bits_set"))
+      .withColumn("fill_pct", round(col("bits_set") * 100.0 / mBits, 4))
+    screened.join(truth, Seq("doc_id"))
+      .groupBy(col("maybe_dup"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(fill))
+      .orderBy("maybe_dup", "is_dup")
+  }
 }

@@ -99,7 +99,13 @@ object TextAnalysis {
     *    fingerprints. The 32-bit reduction keeps tid·pos inside int64 under
     *    ANSI arithmetic for docs up to 2³¹ tokens. Not oracle-matched
     *    (DuckDB has no xxhash64), hence the flag. */
-  def fingerprint(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
+  def fingerprint(documents: DataFrame, hashTid: Boolean = false): DataFrame =
+    fingerprintCore(documents, hashTid).orderBy("doc_id")
+
+  /** [[fingerprint]] without the presentation sort — for consumers that
+    * re-aggregate the fingerprints (e.g. `Dedup.bloomScreen`) and would
+    * otherwise pay a useless range-partition exchange. */
+  private[graft] def fingerprintCore(documents: DataFrame, hashTid: Boolean = false): DataFrame = {
     val tok = documents.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
       .withColumn("pos", col("pos0").cast("long") + 1)
     val tt =
@@ -112,7 +118,6 @@ object TextAnalysis {
     tt.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
            expr("bit_xor(tid * pos)").as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   /** Text normalisation pipeline: lowercase → strip punctuation → collapse
@@ -182,6 +187,78 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(-log(col("cb") / col("cw"))), 6).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * `reference/README.md`'s quality-screen stage generalized): score every
+    * doc by its mean negative log-likelihood under the corpus bigram LM, then
+    * split each language's docs into head / middle / tail terciles by that
+    * score — the standard "keep the head, inspect the middle, drop the tail"
+    * pre-training filter. Output: per (lang, bucket) doc/bigram counts and
+    * NLL summary stats.
+    *
+    * Scale shape: the per-doc scoring is [[bigramLmScore]]'s two corpus
+    * aggregates + keyed joins (no broadcast hints here — at 100 TB the
+    * bigram table exceeds broadcast range, and AQE picks the right join for
+    * the actual size). The tercile cut is NOT a per-doc rank (an ntile over
+    * docs-per-lang would be an O(n)-cardinality window): docs land in
+    * 64th-nat histogram bins (bounded key space — NLL is bounded by
+    * ln(corpus bigrams), so ≤ ~1000 bins per lang even at 100 TB), the
+    * cumulative bin counts run under a window whose partitions are
+    * bins-per-lang (bounded), and every doc inherits its bin's tercile.
+    * Bins are cut on the 6-dp-rounded NLL so Spark and the oracle floor
+    * identical doubles; a bin straddling a tercile boundary goes wholly to
+    * the earlier bucket (deterministic, documented approximation — at
+    * resolution 1/64 nat the misassigned mass is at most one bin per cut).
+    * Docs with < 2 tokens have no bigrams and are out of scope, as in
+    * [[bigramLmScore]]. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .withColumn("t", toks)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN struct(x AS w1, t[i+1] AS w2) END), y -> y IS NOT NULL)"))
+        .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val perDoc = bg
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(-log(col("cb") / col("cw"))), 6).as("h"))
+      .withColumn("bin", floor(col("h") * 64).cast("long"))
+    val binCounts = perDoc.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = binCounts.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    val bucketOf = binCounts
+      .withColumn("cum", sum(col("n")).over(wb))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("bucket",
+        when(col("cum") * 3 <= col("tot"), "head")
+          .when(col("cum") * 3 <= col("tot") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("lang"), col("bin"), col("bucket"))
+    // The bucket mean averages ALREADY-6dp-rounded per-doc values, whose sums
+    // routinely land exactly on the mean's own rounding boundary — a float
+    // avg + round here flips the 6th decimal between engines (Spark rounds
+    // the shortest decimal rendering, DuckDB the binary double). So the mean
+    // never touches float rounding at all: per-doc NLLs become exact integer
+    // micro-nats, the bucket mean is their integer floor-division, and the
+    // only float op is a final exact-integer ÷ 10⁶ — bit-identical anywhere.
+    perDoc.join(broadcast(bucketOf), Seq("lang", "bin"))
+      .withColumn("hmu", round(col("h") * 1e6, 0).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bigrams")).as("n_bigrams"),
+           sum(col("hmu")).as("sum_hmu"),
+           round(min(col("h")), 6).as("min_nll"),
+           round(max(col("h")), 6).as("max_nll"))
+      .withColumn("mean_nll", expr("sum_hmu div n_docs") / 1e6)
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_bigrams"),
+        col("mean_nll"), col("min_nll"), col("max_nll"))
+      .orderBy("lang", "bucket")
   }
 
   /** Repetition quality signals (Gopher-style): per-doc duplicate-bigram

@@ -450,4 +450,44 @@ class TextDedupSpec extends SparkSpec {
     assert(beta >= 0.0 && beta < 1.0, s"beta $beta out of range")
     assert(h.getAs[Double]("heaps_k") > 0.0)
   }
+
+  test("bloom screen: no false negatives, batch conserved, fill is a proper fraction") {
+    val cells = Dedup.bloomScreen(docs).collect()
+    assert(cells.nonEmpty)
+    // Bloom's structural guarantee: a key that was inserted always probes
+    // all-hit — the (maybe_dup=false, is_dup=true) cell must not exist.
+    assert(!cells.exists(r => !r.getAs[Boolean]("maybe_dup") && r.getAs[Boolean]("is_dup")),
+      "a bloom filter cannot produce a false negative")
+    val batch = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == batch,
+      "confusion matrix must account for every batch doc exactly once")
+    val fill = cells.head.getAs[Double]("fill_pct")
+    assert(fill > 0.0 && fill < 100.0, s"fill_pct $fill out of range")
+    // The deliberately tight default sizing must actually exercise the
+    // false-positive path on the test corpus — otherwise the operator
+    // demonstrates nothing about the fill/FP tradeoff it exists to measure.
+    assert(cells.exists(r => r.getAs[Boolean]("maybe_dup") && !r.getAs[Boolean]("is_dup")),
+      "expected a nonzero false-positive cell at ~50% fill")
+  }
+
+  test("perplexity buckets: docs conserved per lang and ordered head <= middle <= tail") {
+    val out = TextAnalysis.perplexityBuckets(docs).collect()
+    val scored = docs.withColumn("t", split(trim(col("text")), "\\s+"))
+      .filter(size(col("t")) >= 2).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == scored.keySet)
+    for ((lang, rows) <- byLang) {
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == scored(lang),
+        s"$lang: bucket doc counts must sum to the scored docs")
+      val mean = rows.map(r => r.getAs[String]("bucket") -> r.getAs[Double]("mean_nll")).toMap
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").filter(mean.contains).sliding(2)
+           if mean.contains(lo) && mean.contains(hi))
+        assert(mean(lo) <= mean(hi), s"$lang: mean_nll($lo) > mean_nll($hi)")
+      // terciles by construction: no bucket may exceed 1/3 of the lang's
+      // docs by more than one histogram bin's worth; weaker invariant that
+      // survives any corpus — every bucket is nonempty when docs >= 3.
+      if (scored(lang) >= 3) assert(rows.length == 3, s"$lang: expected 3 buckets")
+    }
+  }
 }
