@@ -88,6 +88,8 @@ object Audit {
           // totals, the gini prefix-sum + total, the source-mix byte floor:
           "q64_benford", "q65_gini", "lake_partition_skew",
           "lake_bucket_pruning", "mm_source_mix",
+          // dedup_bloom attaches its 1-row bits_set/fill aggregate:
+          "dedup_bloom",
           // Decile lift = prefix-sum + 1-row total; probe sweep broadcasts
           // the 10-centroid table and the 3-row nprobe spine:
           "q66_decile_lift", "knn_probe_sweep",
@@ -150,9 +152,13 @@ object Audit {
           "ev_seasonality", "ev_churn_hazard", "q35_ratio_report",
           "q39_mom_growth", "q44_two_level_share", "q48_skyline",
           "q50_chi_square", "q52_interval_concurrency", "q59_customer_growth",
+          // lake_row_lineage's live-rows cumulative sum runs over the
+          // ≤ #months sequence spine (calendar domain):
+          "lake_row_lineage",
           // Dictionary-rank oracle mode only (flag-on hashTid removes it;
-          // TextAnalysis.scala:90 scaladoc):
-          "text_fingerprint")
+          // TextAnalysis.scala:90 scaladoc); dedup_bloom rides the same
+          // vocab-bounded fingerprint dictionary:
+          "text_fingerprint", "dedup_bloom")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         if (win1 > 0 && !sanctionedGlobalWindow(name)) flags.append(" WIN1?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d $win1%-4d$flags")

@@ -103,6 +103,7 @@ object SparkEntry {
     "lake_expiry_plan" -> q((s, d) => Snapshots.expiryPlan(Tables.orders(s, d))),
     "lake_cdc_changelog" -> q((s, d) => Snapshots.cdcChangelog(Tables.orders(s, d), "1998-01-01", "1999-01-01")),
     "lake_merge_upsert" -> q((s, d) => Snapshots.mergeUpsert(Tables.customer(s, d), Tables.orders(s, d))),
+    "lake_row_lineage" -> q((s, d) => Snapshots.rowLineage(Tables.orders(s, d))),
     "lake_file_histogram" -> q((s, d) => Manifest.fileSizeHistogram(Tables.lineitem(s, d))),
     "lake_zorder" -> q((s, d) => Layout.zorderReport(Tables.lineitem(s, d))),
     "lake_equality_deletes" -> q((s, d) => DeleteVectors.equalityDeletes(Tables.lineitem(s, d))),
@@ -943,7 +944,8 @@ object SparkEntry {
     // are k/16 dyadic rationals → decile/threshold edges engine-invariant.
     "dedup_minhash_calibration" ->
       s"""WITH $minhashCtes,
-        | cp AS (SELECT doc_a, doc_b, e FROM mh_pairs WHERE e >= 0.5),
+        | cp AS (SELECT doc_a, doc_b, e FROM mh_pairs
+        |   WHERE e >= 0.5 AND ((doc_a % 1000003) * 31 + doc_b) % 20 = 0),
         | sz AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY 1),
         | iv AS (SELECT cp.doc_a, cp.doc_b, count(*) AS inter
         |   FROM cp JOIN tok ta ON ta.doc_id = cp.doc_a
@@ -1285,6 +1287,23 @@ object SparkEntry {
         |  FROM t FULL OUTER JOIN s ON t.key = s.key)
         |SELECT action, count(*) AS n_keys, round(sum(new_balance), 4) AS sum_balance
         |FROM m GROUP BY action ORDER BY action""".stripMargin,
+
+    "lake_row_lineage" ->
+      """WITH rws AS (SELECT o_custkey,
+        |   min((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS first_seq,
+        |   max((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS last_seq
+        |  FROM orders GROUP BY 1),
+        | added AS (SELECT first_seq AS seq, count(*) AS rows_added FROM rws GROUP BY 1),
+        | upd AS (SELECT last_seq AS seq, count(*) AS rows_last_updated,
+        |    CAST(sum(last_seq - first_seq) AS BIGINT) AS age_sum
+        |   FROM rws WHERE last_seq > first_seq GROUP BY 1),
+        | spine AS (SELECT unnest(generate_series(0, (SELECT max(last_seq) FROM rws))) AS seq)
+        |SELECT seq, CAST(coalesce(rows_added, 0) AS BIGINT) AS rows_added,
+        | CAST(coalesce(rows_last_updated, 0) AS BIGINT) AS rows_last_updated,
+        | CAST(coalesce(age_sum, 0) AS BIGINT) AS age_sum,
+        | CAST(sum(coalesce(rows_added, 0)) OVER (ORDER BY seq) AS BIGINT) AS live_rows
+        |FROM spine LEFT JOIN added USING (seq) LEFT JOIN upd USING (seq)
+        |ORDER BY seq""".stripMargin,
 
     "lake_file_histogram" ->
       """WITH b AS (SELECT l_orderkey % 40 AS file_id, count(*) * 100 AS file_bytes

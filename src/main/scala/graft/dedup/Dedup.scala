@@ -257,7 +257,15 @@ object Dedup {
     * a cross-group doc pair is a candidate iff its signatures share a band
     * bucket, which depends only on the signatures. */
   def minhashLsh(documents: DataFrame, bandRows: Int = 4, threshold: Double = 0.9,
-                 hashTid: Boolean = false): DataFrame = {
+                 hashTid: Boolean = false): DataFrame =
+    minhashPairs(documents, bandRows, threshold, hashTid).orderBy("doc_a", "doc_b")
+
+  /** [[minhashLsh]] without the presentation sort — for consumers that
+    * filter/re-aggregate the pair table (a global sort of a multi-million-row
+    * candidate set is pure waste ahead of another shuffle). */
+  private[dedup] def minhashPairs(documents: DataFrame, bandRows: Int = 4,
+                                  threshold: Double = 0.9,
+                                  hashTid: Boolean = false): DataFrame = {
     val g = minhashGroups(documents, bandRows, threshold, hashTid)
     val ma = g.members.select(col("gid").as("ga"), col("doc_id").as("da"))
     val mb = g.members.select(col("gid").as("gb"), col("doc_id").as("db"))
@@ -272,7 +280,7 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(lit(1.0), 6).as("est_sim"))
-    cross.unionAll(self).orderBy("doc_a", "doc_b")
+    cross.unionAll(self)
   }
 
   /** 32-bit SimHash fingerprint over distinct vocab token ids (deterministic
@@ -453,9 +461,21 @@ object Dedup {
     * this measures precision and estimator bias where candidates exist.
     * Estimates are k/16 dyadic rationals, so decile edges and the
     * threshold compare identically on any engine. */
-  def minhashCalibration(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cand = minhashLsh(documents, threshold = threshold)
+  def minhashCalibration(documents: DataFrame, threshold: Double = 0.5,
+                         sampleMod: Long = 20L): DataFrame = {
+    // Calibration is a statistical measurement, so it runs on a
+    // deterministic 1/sampleMod hash sample of the candidate set — the only
+    // shape that survives a corpus where a low threshold qualifies a large
+    // fraction of all pairs (the sf0.1 synthetic corpus puts 58% of ALL
+    // pairs at est ≥ 0.5: 7.3M candidates, an effectively-all-pairs exact
+    // Jaccard nobody would run when a 365k-pair sample gives the same
+    // decile table to ±sampling error). The sampled table feeds two plan
+    // branches (intersection build + outer join) — checkpoint it or the
+    // 0.5-threshold LSH banding runs twice.
+    val cand = minhashPairs(documents, threshold = threshold)
+      .filter(((col("doc_a") % 1000003L) * 31L + col("doc_b")) % sampleMod === 0L)
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
+      .stableCheckpoint()
     val tok = documents.select(col("doc_id"), explode(array_distinct(toks)).as("token"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
     val inter = cand.select(col("doc_a"), col("doc_b"))
@@ -521,7 +541,7 @@ object Dedup {
   def incrementalScreen(documents: DataFrame, batchMod: Long = 5L,
                         threshold: Double = 0.9): DataFrame = {
     val inBatch = (c: org.apache.spark.sql.Column) => c % batchMod === 0L
-    val hits = minhashLsh(documents, threshold = threshold)
+    val hits = minhashPairs(documents, threshold = threshold)
       .filter(inBatch(col("doc_a")) =!= inBatch(col("doc_b")))
       .select(when(inBatch(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
         col("est_sim"))

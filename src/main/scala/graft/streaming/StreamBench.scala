@@ -31,22 +31,27 @@ object StreamBench {
     def ckpt(name: String): String =
       java.nio.file.Files.createTempDirectory(s"graft_sb_$name").toString
 
-    def drain[T](name: String, rows: Int, w: DataStreamWriter[T])(feed: () => Unit): Unit = {
-      val dir = ckpt(name)
-      // start() inside the try: a start-time failure must still delete the
-      // checkpoint dir (same pattern as Bench's write-bench temp dir).
-      var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-      try {
-        q = Some(w.option("checkpointLocation", dir).format("noop").start())
-        val t0 = System.nanoTime()
-        feed()
-        q.get.processAllAvailable()
-        out += ((name, rows, (System.nanoTime() - t0) / 1e9))
-      } finally {
-        q.foreach(_.stop())
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // Optional mirror filter for local iteration (mirrors Bench's
+    // SPARK_GRAFT_QUERIES); the driver never sets it and gets all mirrors.
+    val only = sys.env.get("SPARK_GRAFT_STREAM_QUERIES").map(_.split(",").toSet)
+
+    def drain[T](name: String, rows: Int, w: DataStreamWriter[T])(feed: () => Unit): Unit =
+      if (only.forall(_.contains(name))) {
+        val dir = ckpt(name)
+        // start() inside the try: a start-time failure must still delete the
+        // checkpoint dir (same pattern as Bench's write-bench temp dir).
+        var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+        try {
+          q = Some(w.option("checkpointLocation", dir).format("noop").start())
+          val t0 = System.nanoTime()
+          feed()
+          q.get.processAllAvailable()
+          out += ((name, rows, (System.nanoTime() - t0) / 1e9))
+        } finally {
+          q.foreach(_.stop())
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        }
       }
-    }
 
     def eventRows(n: Int): Seq[(Timestamp, String, Double)] =
       (0 until n).map(i => (ts(i), types(i % 4), (i % 100) / 10.0))

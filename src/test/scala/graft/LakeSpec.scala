@@ -497,4 +497,23 @@ class LakeSpec extends SparkSpec {
       assert(r.getAs[Double]("io_reduction_pct") == 50.0)
     }
   }
+
+  test("row lineage: rows conserved, live count monotone, ages consistent") {
+    val out = graft.lake.Snapshots.rowLineage(orders).collect()
+    val nKeys = orders.select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("rows_added")).sum == nKeys,
+      "every key's lineage must begin at exactly one sequence number")
+    assert(out.last.getAs[Long]("live_rows") == nKeys,
+      "cumulative live rows must end at the full key count")
+    assert(out.sliding(2).forall(p => p.head.getAs[Long]("live_rows") <= p.last.getAs[Long]("live_rows")))
+    for (r <- out) {
+      val (u, a) = (r.getAs[Long]("rows_last_updated"), r.getAs[Long]("age_sum"))
+      // a row counted as updated aged >= 1 commit; never an age without a row
+      assert((u == 0 && a == 0) || (u > 0 && a >= u),
+        s"seq ${r.getAs[Long]("seq")}: age_sum $a inconsistent with updated $u")
+    }
+    // no update can precede the first add
+    assert(out.takeWhile(_.getAs[Long]("rows_added") == 0)
+      .forall(_.getAs[Long]("rows_last_updated") == 0))
+  }
 }
