@@ -814,6 +814,8 @@ object SparkEntry {
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokSql AS tk FROM documents)
         |SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\p{L}\\p{N} ]+')) AS BIGINT)
+        |   AS n_subtokens,
         | CAST(length(text) AS BIGINT) AS text_len,
         | round(length(replace(text, ' ', '')) * 1.0 / len(tk), 6) AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,

@@ -23,13 +23,21 @@ object TextAnalysis {
 
   private def toks = split(trim(col("text")), "\\s+")
 
-  /** Per-doc token/char statistics (whitespace tokenizer). */
+  /** Per-doc token/char statistics: whitespace tokens plus a GPT-2-style
+    * pre-tokenizer count (`n_subtokens` — runs of letters / digits /
+    * punctuation, each with its leading space, the public BPE pre-split of
+    * Radford et al. 2019 §2.2 minus the RE2-unsupported lookahead so the
+    * DuckDB oracle matches byte-for-byte). The subtoken:word fertility ratio
+    * is the standard proxy for how a byte-pair vocabulary will segment the
+    * corpus — budget planning needs it before any real tokenizer run. */
   def tokenStats(documents: DataFrame): DataFrame =
     documents
       .withColumn("t", toks)
       .select(
         col("doc_id"), col("lang"),
         size(col("t")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, ' ?[\\\\p{L}]+| ?[\\\\p{N}]+| ?[^\\\\p{L}\\\\p{N} ]+', 0)"))
+          .cast("long").as("n_subtokens"),
         length(col("text")).cast("long").as("text_len"),
         round(length(regexp_replace(col("text"), " ", "")) * 1.0 / size(col("t")), 6).as("avg_token_len"))
       .orderBy("doc_id")

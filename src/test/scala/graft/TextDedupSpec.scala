@@ -13,6 +13,16 @@ class TextDedupSpec extends SparkSpec {
     val out = TextAnalysis.tokenStats(docs)
     assert(out.count() == docs.count())
     assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    // every whitespace token yields >= 1 BPE-pre-split subtoken, so the
+    // fertility ratio is >= 1 (== 1 on this all-letter synthetic corpus)
+    assert(out.filter(col("n_subtokens") < col("n_tokens")).count() == 0)
+    assert(TextAnalysis.tokenStats(
+      docs.limit(0).sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(1L, "a b,c 42x!", "en", "t", 10L)),
+        docs.schema))
+      .head().getAs[Long]("n_subtokens") == 7,
+      "punct/digit boundaries must split: 'a'+' b'+','+'c'+' 42'+'x'+'!' = 7")
   }
 
   test("quality score is bounded in [0, 1]") {
