@@ -60,7 +60,10 @@ class PlanShapeSpec extends SparkSpec {
       "dedup_substring" -> 9, "q56_mad_outliers" -> 9,
       "knn_multiprobe" -> 3, "ev_power_users" -> 20,
       "text_char_langid" -> 11, "text_repetition" -> 1,
-      "lake_snapshot_lineage" -> 25, "q68_revenue_bridge" -> 4)
+      "lake_snapshot_lineage" -> 25, "q68_revenue_bridge" -> 4,
+      // round-8 additions, pinned at their shipped counts:
+      "dedup_bloom" -> 17, "text_perplexity" -> 14,
+      "lake_row_lineage" -> 8, "dedup_minhash_calibration" -> 8)
     pins.foreach { case (name, cap) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
