@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *    is re-run once and the better time recorded (a genuine regression
   *    reproduces on the re-run; a contention spike does not);
   *  - the baseline ships as a classpath resource
-  *    (`graft/bench_baseline.json`, refreshed each round via
+  *    (`graft/bench_baseline_<sf>.json`, keyed by SF dir name, refreshed via
   *    SPARK_GRAFT_BASELINE_OUT=path and committed), so the artifact's
   *    defense needs no warm state on the measuring host;
   *  - `n_reruns` / `first_pass_sec` are emitted beside the totals so a
@@ -41,11 +41,14 @@ object Bench {
   val rerunFloorSec = 3.0
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
-    * empty when the resource is absent (first round after a rename). */
-  def loadBaseline(): Map[String, Double] = {
+    * keyed by scale-factor directory name — comparing an sf1 run against
+    * sf0.1 times would trip the 2× trigger on every query and silently
+    * double the wall-clock. Empty when no resource exists for the SF (the
+    * defense then degrades to the absolute floor). */
+  def loadBaseline(sfName: String): Map[String, Double] = {
     val src = sys.env.get("SPARK_GRAFT_BASELINE")
       .map(p => scala.io.Source.fromFile(p))
-      .orElse(Option(getClass.getResourceAsStream("/graft/bench_baseline.json"))
+      .orElse(Option(getClass.getResourceAsStream(s"/graft/bench_baseline_$sfName.json"))
         .map(s => scala.io.Source.fromInputStream(s)))
     src.map { s =>
       try """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(s.mkString)
@@ -86,14 +89,19 @@ object Bench {
         graft.tables.Tables.documents(spark, sfDir),
         graft.tables.Tables.embeddings(spark, sfDir)).foreach(_.count())
 
+    // A failed query's fast-fail elapsed time must never enter the baseline:
+    // min-merge would make the bogus sub-second "best" permanent and the 2×
+    // trigger would rerun the (healthy) query every round thereafter.
+    val failed = scala.collection.mutable.Set.empty[String]
     def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val baseline = loadBaseline()
+    val baseline = loadBaseline(new java.io.File(sfDir).getName)
     val firstPass = names.map(name => name -> timeQuery(name))
     // best-of-2 defense: re-run only queries whose first time is beyond the
     // contention trigger — bounded extra cost, and a real regression
@@ -108,12 +116,16 @@ object Bench {
     val firstPassTotal = firstPass.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // refresh the committed baseline from this run's best-known times
+    // refresh the committed baseline from this run's best-known times —
+    // write it to the SF-named resource path (bench_baseline_<sf>.json).
+    // Start from the loaded baseline so a SPARK_GRAFT_QUERIES-restricted
+    // run refreshes only its own entries instead of wiping the rest, and
+    // drop failed queries so a fast-fail time can't poison the min-merge.
     sys.env.get("SPARK_GRAFT_BASELINE_OUT").foreach { p =>
-      val merged = results.map { case (k, v) =>
-        k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
+      val merged = baseline ++ results.filterNot(r => failed(r._1)).map {
+        case (k, v) => k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
       }
-      val json = merged.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      val json = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -354,12 +354,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         greatest(col("pos") - margin, lit(0)).cast("long").as("s"),
         least(col("pos") + (5 + margin), col("n_tokens")).cast("long").as("e"))
-    // interval union per doc (order totally: clipping can tie (s, e))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-    val merged = spans
-      .withColumn("pme", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("isl", sum(when(col("pme").isNull || col("s") > col("pme"), 1L)
-        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // interval union per doc (shared gaps-and-islands core: plans.Intervals)
+    val merged = graft.plans.Intervals.islands(spans, keys = Seq("doc_id"))
       .groupBy(col("doc_id"), col("isl"))
       .agg(first(col("n_tokens")).as("n_tokens"),
         min(col("s")).as("ss"), max(col("e")).as("ee"), count(lit(1)).as("hits"))
