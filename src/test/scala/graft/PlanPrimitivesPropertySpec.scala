@@ -288,4 +288,33 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Intervals.islands union length equals the brute-force point-set size") {
+    import spark.implicits._
+    val rnd = new Random(271)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val rows = (1 to (1 + rnd.nextInt(120))).map { _ =>
+        val key = rnd.nextInt(nKeys).toLong
+        val s = rnd.nextInt(100).toLong
+        // include empty (e == s), unit, and long intervals; heavy overlap
+        (key, s, s + rnd.nextInt(12).toLong)
+      }
+      val df = rows.toDF("k", "s", "e")
+      // union length per key from the islands labeling (the consumers'
+      // aggregation shape: span per island, summed)
+      val got = graft.plans.Intervals.islands(df, keys = Seq("k"))
+        .groupBy(col("k"), col("isl"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("k")).agg(sum(col("cov")).as("u"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: materialize the covered integer points per key
+      val want = rows.groupBy(_._1).map { case (k, iv) =>
+        k -> iv.flatMap { case (_, s, e) => s until e }.toSet.size.toLong
+      }
+      assert(got.keySet == want.keySet, s"trial $trial keys")
+      for ((k, u) <- want)
+        assert(got(k) == u, s"trial $trial key $k: islands union ${got(k)} != brute $u")
+    }
+  }
 }
