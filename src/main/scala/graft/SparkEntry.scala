@@ -185,6 +185,7 @@ object SparkEntry {
     "ev_lifecycle" -> q((s, d) => Events.lifecycle(Tables.events(s, d))),
     "lake_partition_stats" -> q((s, d) => Manifest.partitionStats(Tables.lineitem(s, d))),
     "lake_column_ndv" -> q((s, d) => Manifest.columnNdv(Tables.lineitem(s, d))),
+    "lake_puffin_ndv" -> q((s, d) => Manifest.puffinNdv(Tables.lineitem(s, d), verify = true)),
     "lake_mor_cost" -> q((s, d) => DeleteVectors.morCostModel(Tables.lineitem(s, d))),
     "lake_writer_contention" -> q((s, d) => Snapshots.writerContention(Tables.lineitem(s, d))),
     "dedup_prefix" -> q((s, d) => Dedup.prefixDup(Tables.documents(s, d))),
@@ -274,6 +275,7 @@ object SparkEntry {
   def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
     "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
+    "lake_puffin_ndv" -> q((s, d) => Manifest.puffinNdv(Tables.lineitem(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */

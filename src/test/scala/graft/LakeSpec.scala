@@ -498,6 +498,25 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("puffin ndv: per-file sketch union lands within the HLL bound at two SFs") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val rows = graft.lake.Manifest.puffinNdv(Tables.lineitem(spark, sf), verify = true).collect()
+      assert(rows.map(_.getAs[String]("column")).toSet == Set("l_suppkey", "l_orderkey"))
+      for (r <- rows) {
+        assert(r.getAs[Boolean]("within_bound"),
+          s"$sf ${r.getAs[String]("column")}: rel_err ${r.getAs[Double]("rel_err")} beyond 5*rsd")
+        assert(r.getAs[Long]("sketch_bytes") > 0 && r.getAs[Long]("n_files") == 40)
+        // the whole point of the sketch: orders of magnitude smaller than
+        // the data it summarizes (compact HLL lgK=12 is <= ~2.5KB per file)
+        assert(r.getAs[Long]("sketch_bytes") < r.getAs[Long]("table_rows") * 8,
+          "sketch must be far smaller than a raw column copy")
+      }
+      // shipped variant carries no exact anchor columns
+      val shipped = graft.lake.Manifest.puffinNdv(Tables.lineitem(spark, sf)).columns.toSet
+      assert(!shipped.contains("exact_ndv") && !shipped.contains("within_bound"))
+    }
+  }
+
   test("row lineage: rows conserved, live count monotone, ages consistent") {
     val out = graft.lake.Snapshots.rowLineage(orders).collect()
     val nKeys = orders.select("o_custkey").distinct().count()
