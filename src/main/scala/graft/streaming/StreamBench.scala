@@ -154,6 +154,18 @@ object StreamBench {
         in.addData((0 until nRows).map(i =>
           StreamOps.UserEvent((i % 997).toLong, baseMs + i.toLong * 1000L, (i % 100) / 10.0))))
     }
+    // bounded-state heavy hitters (SpaceSaving in flatMapGroupsWithState):
+    // 32 buckets × 16 slots regardless of the 9973 distinct items fed
+    locally {
+      val in = MemoryStream[StreamOps.BucketItem]
+      drain("heavy_hitters", nRows,
+        StreamOps.heavyHittersStream(spark, in.toDS())
+          .writeStream.outputMode("update"))(() =>
+        in.addData((0 until nRows).map { i =>
+          val item = (i % 9973).toLong
+          StreamOps.BucketItem(item % 32, item)
+        }))
+    }
     out.toSeq
   }
 }

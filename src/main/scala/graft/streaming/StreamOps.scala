@@ -197,4 +197,49 @@ object StreamOps {
           Iterator.single(updated)
       }
   }
+
+  case class BucketItem(bucket: Long, item: Long)
+  case class SsSlot(item: Long, cnt: Long, err: Long)
+  case class SpaceSaver(slots: Seq[SsSlot])
+  case class HeavyHitter(bucket: Long, item: Long, est_count: Long, max_overcount: Long)
+
+  /** Streaming heavy hitters with bounded state: SpaceSaving (Metwally,
+    * Agrawal, El Abbadi 2005 — the Stream-Summary "top-k over a stream in
+    * O(k) memory" algorithm) inside flatMapGroupsWithState. The stream is
+    * pre-sharded into `nBuckets` hash buckets and each bucket's group keeps
+    * at most k counters — total state is O(nBuckets·k) REGARDLESS of item
+    * cardinality or stream length, the property that makes this runnable
+    * over an unbounded firehose where an exact per-item groupBy's state
+    * grows with distinct items. Classic update rule: hit → increment; room
+    * → insert (err 0); full → evict the minimum-count slot (tie-break on
+    * item id for run-determinism) and inherit its count as the new item's
+    * overestimate, so `est_count - max_overcount <= true <= est_count` and
+    * any item with true count > min-slot count is guaranteed present
+    * (per bucket — items never move buckets, so per-bucket guarantees are
+    * exact global ones). Update mode emits each touched bucket's current
+    * summary per batch; a reader merges buckets by taking every candidate.
+    */
+  def heavyHittersStream(spark: SparkSession, items: Dataset[BucketItem],
+                         k: Int = 16): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    items
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[SpaceSaver, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[BucketItem], state: GroupState[SpaceSaver]) =>
+          var slots = state.getOption.map(_.slots.toVector).getOrElse(Vector.empty)
+          rows.foreach { bi =>
+            val i = slots.indexWhere(_.item == bi.item)
+            if (i >= 0) slots = slots.updated(i, slots(i).copy(cnt = slots(i).cnt + 1))
+            else if (slots.size < k) slots = slots :+ SsSlot(bi.item, 1L, 0L)
+            else {
+              val j = slots.indices.minBy(ix => (slots(ix).cnt, slots(ix).item))
+              val evicted = slots(j)
+              slots = slots.updated(j, SsSlot(bi.item, evicted.cnt + 1, evicted.cnt))
+            }
+          }
+          state.update(SpaceSaver(slots))
+          slots.iterator.map(s => HeavyHitter(bucket, s.item, s.cnt, s.err))
+      }
+  }
 }

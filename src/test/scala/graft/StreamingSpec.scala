@@ -252,4 +252,46 @@ class StreamingSpec extends SparkSpec {
         s"watermark did not evict the closed window's sketch: $stateRows state rows")
     } finally q.stop()
   }
+
+  test("SpaceSaving heavy hitters: guaranteed recall, bounded error, O(k) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val input = MemoryStream[StreamOps.BucketItem]
+    val q = StreamOps.heavyHittersStream(spark, input.toDS(), k = k)
+      .writeStream.format("memory").queryName("hh_test").outputMode("update").start()
+    try {
+      // skewed feed in one bucket: item i appears 2^(9-i) times (i=0..9) —
+      // 512, 256, ..., 1; plus 60 singleton items to force evictions
+      val skew = (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(StreamOps.BucketItem(0L, i.toLong)))
+      val noise = (100L until 160L).map(StreamOps.BucketItem(0L, _))
+      // two batches with deterministic interleave so state crosses batches
+      val all = (skew ++ noise).zipWithIndex.sortBy { case (_, ix) => (ix * 2654435761L) % 1000003L }
+        .map(_._1)
+      val (b1, b2) = all.splitAt(all.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      // every batch re-emits a touched bucket's FULL summary, so the final
+      // state is exactly the last batch's rows — earlier rows are stale
+      // snapshots (evicted items keep old rows in the memory sink; their
+      // brackets held at snapshot time but not against final truth)
+      val c1 = spark.table("hh_test").count().toInt
+      input.addData(b2); q.processAllAvailable()
+      val last = spark.table("hh_test").collect().drop(c1)
+      val n = all.size.toLong
+      assert(last.length <= k, s"state exceeded k: ${last.length} candidates")
+      val byItem = last.map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("est_count"), r.getAs[Long]("max_overcount"))).toMap
+      val trueCounts = all.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+      // SpaceSaving guarantee: any item with true count > n/k is present
+      for ((item, t) <- trueCounts if t > n / k)
+        assert(byItem.contains(item), s"item $item (true $t > n/k=${n / k}) missing")
+      // and every candidate's bracket holds: est - err <= true <= est
+      for ((item, (est, err)) <- byItem) {
+        val t = trueCounts(item)
+        assert(est - err <= t && t <= est, s"item $item: true $t outside [${est - err}, $est]")
+      }
+      // bounded state in the store itself: one state row per bucket
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 1L)
+    } finally q.stop()
+  }
 }
