@@ -40,6 +40,23 @@ object Bench {
   /** Absolute re-run trigger for queries with no committed baseline. */
   val rerunFloorSec = 3.0
 
+  /** Scale-trend ABSOLUTE flag floor on cpu(16×)/cpu(4×): linear = 4,
+    * quadratic = 16. The effective threshold is
+    * max(this, 1.5 × measured linear-control ratio) — the control absorbs
+    * what a single box adds at 16× per-core volume (cache misses, agg-map
+    * growth) that a cluster scale-out would not. */
+  val scaleFlagRatio = 5.0
+
+  /** Default scale-trend set: the r8 top-20 slowest — the queries whose
+    * growth curve dominates total cost, hence the ones whose exponent the
+    * 100 TB claim rests on. */
+  val scaleTrendQueries: Seq[String] = Seq(
+    "text_pipeline_funnel", "ev_rfm", "dedup_minhash_calibration", "dedup_lsh_tuning",
+    "ev_power_users", "dedup_substring", "ev_rolling_active", "lake_commit_cadence",
+    "text_char_langid", "lake_column_update_cost", "q56_mad_outliers", "knn_ivfpq",
+    "lake_snapshot_lineage", "text_perplexity", "ev_path_trigrams", "ev_seasonal_anomaly",
+    "dedup_minhash", "q55_market_basket", "q63_pareto", "q49_spearman")
+
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
     * sf0.1 times would trip the 2× trigger on every query and silently
@@ -110,8 +127,13 @@ object Bench {
       baseline.get(name).map(b => math.max(2.0 * b, rerunFloorSec)).getOrElse(rerunFloorSec)
     var nReruns = 0
     val results = firstPass.map { case (name, t1) =>
-      if (t1 > trigger(name)) { nReruns += 1; name -> math.min(t1, timeQuery(name)) }
-      else name -> t1
+      if (t1 > trigger(name)) {
+        nReruns += 1
+        val t2 = timeQuery(name)
+        // A rerun that FAILS fast-fails: its elapsed time is bogus, so the
+        // published per-query time keeps the (successful) first pass.
+        name -> (if (failed(name)) t1 else math.min(t1, t2))
+      } else name -> t1
     }
     val firstPassTotal = firstPass.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -122,9 +144,11 @@ object Bench {
     // run refreshes only its own entries instead of wiping the rest, and
     // drop failed queries so a fast-fail time can't poison the min-merge.
     sys.env.get("SPARK_GRAFT_BASELINE_OUT").foreach { p =>
-      val merged = baseline ++ results.filterNot(r => failed(r._1)).map {
+      // Keep only live query names so renamed/removed queries don't persist
+      // in the committed artifact forever.
+      val merged = (baseline ++ results.filterNot(r => failed(r._1)).map {
         case (k, v) => k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
-      }
+      }).filter { case (k, _) => SparkEntry.queries.contains(k) }
       val json = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -210,12 +234,151 @@ object Bench {
           case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
         }
       } else ""
+    // Empirical scale trend (default ON; SPARK_GRAFT_SCALE_BENCH=0 disables):
+    // the "would this survive 100×" claim as a MEASUREMENT instead of a plan
+    // audit. The heavies run against replica-scaled copies
+    // ([[graft.tables.ScaleUp]] — per-replica statistics invariant, replicas
+    // mutually disjoint, dims fixed) of the sf0.01 sibling dir at 1×/4×/16×
+    // volume. The growth signal is EXECUTOR TASK TIME (sum of task
+    // executorRunTime), not wall-clock: at these absolute sizes per-query
+    // wall is dominated by fixed driver cost (planning + codegen measured
+    // ~2 s/query, more than the data work), which deflates wall ratios to
+    // ~1 and would make any pass vacuous. Task time excludes the driver by
+    // construction and scales with data work at any parallelism. A codegen
+    // warmup pass runs every scale query once against the base dir first,
+    // then [[graft.plans.Memo.reset]] clears the family-pipeline memos so
+    // every measured point is memo-COLD (the warmup would otherwise make
+    // the 1× point memo-warm while 4×/16× build theirs inside the
+    // measurement). `ratio_hi` is task(16×)/task(4×): linear = 4,
+    // quadratic = 16 — queries above [[scaleFlagRatio]] land in `flagged`.
+    val scaleBench =
+      if (!sys.env.get("SPARK_GRAFT_SCALE_BENCH").contains("0")) {
+        try {
+          val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
+            new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01").getPath)
+          if (!new java.io.File(base).isDirectory) ""
+          else {
+            val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,4,16")
+              .split(",").map(_.trim.toInt).toSeq.sorted
+            val qnames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+              .map(_.split(",").toSeq).getOrElse(scaleTrendQueries)
+              .filter(SparkEntry.queries.contains)
+            val tmp = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+            val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+            val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (e.taskMetrics != null) {
+                  taskMs.addAndGet(e.taskMetrics.executorRunTime)
+                  cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+                }
+            }
+            spark.sparkContext.addSparkListener(listener)
+            // Listener events arrive async: poll the counter to a fixed
+            // point so a job's tail tasks don't bleed into the next window.
+            def settledTaskMs(): Long = {
+              var prev = -1L; var cur = taskMs.get()
+              while (cur != prev) { Thread.sleep(50); prev = cur; cur = taskMs.get() }
+              cur
+            }
+            try {
+              // EVERY point — 1× included — is materialized through the same
+              // writer with the same fixed-width token salt (saltAll): the
+              // points differ in volume and nothing else (encoding, token
+              // length, file layout regime all shared).
+              val dirs = mults.map { m =>
+                val d = s"$tmp/x$m"
+                graft.tables.ScaleUp.materialize(spark, base, d, m, saltAll = true)
+                m -> d
+              }
+              def runAt(q: String, d: String): Unit =
+                SparkEntry.benchVariants.getOrElse(q, SparkEntry.queries(q))(spark, d)
+                  .write.format("noop").mode("overwrite").save()
+              // Codegen/planner warmup on the 1× dir, then memo-cold reset.
+              qnames.foreach(q => try runAt(q, dirs.head._2) catch { case _: Throwable => () })
+              graft.plans.Memo.reset()
+              // Linear CONTROL: a token histogram is linear-by-construction
+              // (one explode + one hash agg), so its measured CPU ratio
+              // captures everything a single box adds at 16× per-core volume
+              // that is NOT plan growth — cache-miss inflation, agg-map
+              // resizing, spill-path switches. Queries are flagged RELATIVE
+              // to it (see below), which is what makes a flag mean "the PLAN
+              // grows", not "the box ran out of L3".
+              def controlAt(d: String): Unit = {
+                import org.apache.spark.sql.functions._
+                graft.tables.Tables.documents(spark, d)
+                  .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+                  .groupBy(col("token")).count()
+                  .write.format("noop").mode("overwrite").save()
+              }
+              controlAt(dirs.head._2) // codegen warm
+              val controlCpu = dirs.map { case (_, d) =>
+                settledTaskMs(); val c0 = cpuNs.get()
+                controlAt(d)
+                settledTaskMs(); (cpuNs.get() - c0) / 1e9
+              }
+              // Query-major order: one query's three scale points run
+              // back-to-back under the same noise regime, which is what makes
+              // the RATIO trustworthy on a shared host.
+              val scaleFailed = scala.collection.mutable.Set.empty[String]
+              val perQuery = qnames.map { q =>
+                val times = dirs.map { case (m, d) =>
+                  val ms0 = settledTaskMs(); val c0 = cpuNs.get()
+                  val t0 = System.nanoTime()
+                  try runAt(q, d)
+                  catch { case e: Throwable =>
+                    scaleFailed += q
+                    System.err.println(s"[scale] $q x$m failed: ${e.getMessage}")
+                  }
+                  val wall = (System.nanoTime() - t0) / 1e9
+                  val task = (settledTaskMs() - ms0) / 1e3
+                  (wall, task, (cpuNs.get() - c0) / 1e9)
+                }
+                q -> times
+              }
+              val (mLo, mHi) = (mults(mults.size - 2), mults.last)
+              def ratioHi(ts: Seq[Double]): Double = ts.last / math.max(ts(ts.size - 2), 1e-3)
+              // Growth is judged on executor CPU TIME: wall is dominated by
+              // fixed driver cost at these sizes, and summed executorRunTime
+              // inflates with task count (scheduler/JIT overhead per task) —
+              // CPU is the load-bearing "data work" measure. Both others are
+              // emitted for the reader. A query is flagged when it grows
+              // BOTH beyond the absolute floor and 1.5× faster than the
+              // linear control's measured ratio on this box.
+              val ctlRatio = ratioHi(controlCpu)
+              val flagThreshold = math.max(scaleFlagRatio, 1.5 * ctlRatio)
+              val flagged = perQuery.collect {
+                case (q, ts) if !scaleFailed(q) && ratioHi(ts.map(_._3)) > flagThreshold => q
+              }
+              val qjson = perQuery.map { case (q, ts) =>
+                val cpuSec = ts.map(_._3)
+                val ex = math.log(ratioHi(cpuSec)) / math.log(mHi.toDouble / mLo)
+                "\"" + q + "\":{\"sec\":" + ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]") +
+                  ",\"task_sec\":" + ts.map(t => f"${t._2}%.3f").mkString("[", ",", "]") +
+                  ",\"cpu_sec\":" + cpuSec.map(t => f"$t%.3f").mkString("[", ",", "]") +
+                  f""","ratio_hi":${ratioHi(cpuSec)}%.2f,"exponent":$ex%.2f""" +
+                  (if (scaleFailed(q)) ",\"failed\":true" else "") + "}"
+              }.mkString("{", ",", "}")
+              s""","scale_trend":{"base":"${new java.io.File(base).getName}","mults":${
+                mults.mkString("[", ",", "]")},"control_cpu_sec":${
+                controlCpu.map(t => f"$t%.3f").mkString("[", ",", "]")},"control_ratio":${
+                f"$ctlRatio%.2f"},"flag_ratio":${f"$flagThreshold%.2f"},"flagged":${
+                flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qjson}"""
+            } finally {
+              spark.sparkContext.removeSparkListener(listener)
+              org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+            }
+          }
+        } catch {
+          case e: Throwable => s""","scale_trend":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
     // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost
     // the alphabetical prefix of the per-query map), so the slowest-20 map
     // and the totals go AFTER the full map — they always survive truncation.
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$scaleBench,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -977,12 +977,12 @@ object SparkEntry {
         |           FROM (SELECT DISTINCT token FROM t2)),
         | fp AS (SELECT doc_id, count(*) AS n_tokens, bit_xor(tid * pos) AS fingerprint
         |        FROM t2 JOIN vocab USING (token) GROUP BY doc_id),
-        | f2 AS (SELECT doc_id, n_tokens, fingerprint, doc_id % 5 = 0 AS is_batch,
+        | f2 AS (SELECT doc_id, n_tokens, fingerprint, doc_id % ${Dedup.BloomBatchMod} = 0 AS is_batch,
         |     ((((fingerprint % 1000003) + 1000003) % 1000003) * 31 + n_tokens) % 1000003 AS key
         |   FROM fp),
-        | ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        | ks AS (SELECT unnest([${(0 until Dedup.BloomK).mkString(", ")}]) AS i),
         | posx AS (SELECT doc_id, is_batch,
-        |     (key * (((i + 1) * 2654435761) % 1000003) + (i * 40503 + 7919)) % 1000003 % 2048 AS pos
+        |     (key * (((i + 1) * 2654435761) % 1000003) + (i * 40503 + 7919)) % 1000003 % ${Dedup.BloomMBits} AS pos
         |   FROM f2 CROSS JOIN ks),
         | bits AS (SELECT DISTINCT pos FROM posx WHERE NOT is_batch),
         | scr AS (SELECT p.doc_id, count(DISTINCT p.pos) AS n_pos, count(DISTINCT b.pos) AS n_hit
@@ -992,7 +992,7 @@ object SparkEntry {
         |   FROM f2 LEFT JOIN corp c ON c.fingerprint = f2.fingerprint AND c.n_tokens = f2.n_tokens
         |   WHERE f2.is_batch),
         | fill AS (SELECT CAST(count(*) AS BIGINT) AS bits_set,
-        |          round(count(*) * 100.0 / 2048, 4) AS fill_pct FROM bits)
+        |          round(count(*) * 100.0 / ${Dedup.BloomMBits}, 4) AS fill_pct FROM bits)
         |SELECT (n_hit = n_pos) AS maybe_dup, is_dup, count(*) AS n_docs, bits_set, fill_pct
         |FROM scr JOIN tr USING (doc_id) CROSS JOIN fill
         |GROUP BY 1, 2, bits_set, fill_pct ORDER BY maybe_dup, is_dup""".stripMargin,

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** [[bloomScreen]] sizing, shared with the `dedup_bloom` oracle SQL in
+    * [[graft.SparkEntry]] (spliced there, so changing a default here cannot
+    * silently diverge the oracle). */
+  val BloomBatchMod = 5L
+  val BloomMBits: Long = 1L << 11
+  val BloomK = 4
+
   private def toks = split(trim(col("text")), "\\s+")
 
   /** Exact dedup on the sorted-distinct-token signature (keep lowest id). */
@@ -136,7 +143,17 @@ object Dedup {
   }
 
   val MinhashK = 16
-  val MinhashP = 10007L
+  /** Hash modulus for the MinHash permutation family (spliced into the
+    * DuckDB oracle, so both engines move together). Sized ≫ per-doc token
+    * counts: a doc's minhash is the MIN of ~n_tokens draws over [0, P), so
+    * values concentrate in [0, P/n] — with the original P = 10007 and
+    * hundred-token docs, band keys collapsed into a tiny effective space and
+    * the group-level band self-join grew QUADRATICALLY with corpus size
+    * (caught by the r9 scale-trend harness: task-time exponent 1.47 at
+    * 16× volume, candidate counts linear). 2²⁰-3 keeps the estimator's
+    * tie-inflation negligible at any realistic doc length while tid·a stays
+    * far from int64 overflow in both engines. */
+  val MinhashP = 1048573L
   /** a/b coefficients of the k-th LCG permutation (shared with the oracle).
     * Multipliers must wrap the modulus many times over the vocab-id range or
     * every "permutation" is order-preserving and the signature degenerates to
@@ -675,9 +692,9 @@ object Dedup {
     * few hundred corpus docs is deliberately tight (~50% fill) so the test
     * corpus's matrix shows a nonzero false-positive cell alongside the
     * empty false-negative one. */
-  def bloomScreen(documents: DataFrame, batchMod: Long = 5L,
-                  mBits: Long = 1L << 11, k: Int = 4): DataFrame = {
-    // A prime comfortably above mBits (MinhashP = 10007 would alias every
+  def bloomScreen(documents: DataFrame, batchMod: Long = BloomBatchMod,
+                  mBits: Long = BloomMBits, k: Int = BloomK): DataFrame = {
+    // A prime comfortably above mBits (a small modulus would alias every
     // position into its first 10007 bits); affine multipliers stay < P so
     // key·a ≈ 10¹² never overflows int64 under ANSI arithmetic.
     val P = 1000003L

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Output carries a new `isl` column; `pme` is used as a temp and dropped.
+    * Both names are RESERVED: an input already carrying either would be
+    * silently overwritten, so this asserts they are absent. */
   def islands(df: DataFrame, keys: Seq[String], s: String = "s", e: String = "e",
               tieCols: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains("pme") && !df.columns.contains("isl"),
+      s"Intervals.islands reserves columns 'pme'/'isl'; input has ${df.columns.mkString(",")}")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((Seq(s, e) ++ tieCols).map(col): _*)
     df.withColumn("pme", max(col(e)).over(w.rowsBetween(Window.unboundedPreceding, -1)))

@@ -86,6 +86,11 @@ object Memo {
     }
   }
 
+  /** Bench-harness hook (scale-trend): drop all MAP ENTRIES so each measured
+    * scale point rebuilds its family pipeline memo-cold. Blocks are
+    * deliberately not unpersisted (same use-after-free rule as eviction). */
+  private[graft] def reset(): Unit = cache.clear()
+
   /** Drop entries whose owning context is stopped (their blocks died with
     * the executors; only the map entries linger). */
   private def sweepStopped(): Unit =
