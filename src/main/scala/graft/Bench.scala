@@ -234,6 +234,21 @@ object Bench {
           case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
         }
       } else ""
+    // Measured parallel-fetch ladder (default ON; SPARK_GRAFT_FETCH_BENCH=0
+    // disables): executor-side TTFB-sleep tasks, the measured mirror of
+    // lake.Manifest.fetchLatency's analytic ceil(n/p)×TTFB model. model_x
+    // near 1.0 per rung = the model the lake operators report is a
+    // measurement, not an assumption.
+    val fetchBench =
+      if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0")) {
+        try {
+          graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
+            f""""p$p":{"measured_sec":$meas%.3f,"modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
+          }.mkString(""","fetch_bench":{""", ",", "}")
+        } catch {
+          case e: Throwable => s""","fetch_bench":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
     // Empirical scale trend (default ON; SPARK_GRAFT_SCALE_BENCH=0 disables):
     // the "would this survive 100×" claim as a MEASUREMENT instead of a plan
     // audit. The heavies run against replica-scaled copies
@@ -378,7 +393,7 @@ object Bench {
     // and the totals go AFTER the full map — they always survive truncation.
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$scaleBench,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$fetchBench$scaleBench,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

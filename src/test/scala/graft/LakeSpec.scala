@@ -389,6 +389,24 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("measured parallel-fetch ladder agrees with the analytic TTFB model") {
+    // smaller ladder in-test (local[4] slots, sleep-bound: ~2.5 s total)
+    val rungs = graft.lake.FetchSim.ladder(spark, nObjects = 32, ttfbMs = 40L,
+      rungs = Seq(1, 4))
+    assert(rungs.map(_._1) == Seq(1, 4))
+    rungs.foreach { case (p, measured, modeled) =>
+      // sleep-based fetches are stable: generous bound still proves the
+      // model is a measurement, not an assumption
+      assert(measured >= modeled * 0.9,
+        f"p=$p measured $measured%.3f impossibly below model $modeled%.3f")
+      assert(measured <= modeled * 1.5 + 0.3,
+        f"p=$p measured $measured%.3f too far above model $modeled%.3f")
+    }
+    // and the parallel rung actually parallelizes
+    val meas = rungs.map { case (p, me, _) => p -> me }.toMap
+    assert(meas(4) < meas(1) / 2.0, s"4-way rung should at least halve wall: $meas")
+  }
+
   test("inline budget: wider thresholds admit more files; crossings are proper") {
     val li = Tables.lineitem(spark, sf0001)
     val rows = Manifest.inlineBudget(li).collect()

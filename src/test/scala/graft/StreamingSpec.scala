@@ -294,4 +294,91 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators(0).numRowsTotal <= 1L)
     } finally q.stop()
   }
+
+  // ---- append/update-mode state EXPIRY: the watermark bound is not just
+  // documented, it is demonstrated — state-store row counts must DROP after
+  // the watermark passes closed windows. (complete mode, which the
+  // result-correctness tests above use for observability, retains all
+  // windows by design; production runs append/update where these hold.)
+
+  private def tsh(hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val counts = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq)).map(_.numRowsTotal)
+    (counts.max, q.lastProgress.stateOperators(0).numRowsTotal)
+  }
+
+  test("append-mode approx-users state decays after watermark passage (O(open windows) proved)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.approxUsersStream(df)
+      .writeStream.format("memory").queryName("approx_expiry").outputMode("append").start()
+    try {
+      // two windows open (hours 0 and 1), three distinct users in hour 0
+      input.addData((tsh(0, 1), 1L), (tsh(0, 2), 2L), (tsh(0, 3), 3L), (tsh(1, 1), 4L))
+      q.processAllAvailable()
+      // hour-6 event → watermark 4:00 → hours 0–1 close, emit, and expire;
+      // a second batch lets the eviction commit land in lastProgress
+      input.addData((tsh(6, 1), 5L))
+      q.processAllAvailable()
+      input.addData((tsh(6, 2), 5L))
+      q.processAllAvailable()
+      val (peak, fin) = stateRows(q)
+      assert(peak >= 2L, s"expected >=2 open-window state rows at peak, saw $peak")
+      assert(fin == 1L, s"expected only the hour-6 window in state after expiry, saw $fin")
+      // and the closed window was emitted with the exact distinct count
+      val hour0 = spark.table("approx_expiry")
+        .filter(col("hour") === "2024-01-01 00:00").collect()
+      assert(hour0.length == 1 && hour0(0).getAs[Long]("approx_users") == 3L)
+    } finally q.stop()
+  }
+
+  test("update-mode tumbling state decays after watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling_expiry").outputMode("update").start()
+    try {
+      input.addData((tsh(0, 1), "click", 1.0), (tsh(0, 2), "view", 2.0), (tsh(1, 1), "click", 3.0))
+      q.processAllAvailable()
+      input.addData((tsh(6, 1), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((tsh(6, 2), "click", 1.0))
+      q.processAllAvailable()
+      val (peak, fin) = stateRows(q)
+      assert(peak >= 3L, s"expected >=3 (window,type) state rows at peak, saw $peak")
+      assert(fin == 1L, s"expected only the hour-6 (window,type) row in state, saw $fin")
+    } finally q.stop()
+  }
+
+  test("append-mode session state decays after watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.sessionize(df)
+      .writeStream.format("memory").queryName("session_expiry").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap > 30 min); user 2: one session
+      input.addData((1L, tsh(0, 0), 1.0), (1L, tsh(0, 5), 1.0), (1L, tsh(0, 45), 1.0),
+        (2L, tsh(0, 10), 1.0))
+      q.processAllAvailable()
+      input.addData((3L, tsh(6, 0), 1.0))
+      q.processAllAvailable()
+      input.addData((3L, tsh(6, 1), 1.0))
+      q.processAllAvailable()
+      val (peak, fin) = stateRows(q)
+      assert(peak >= 3L, s"expected >=3 session state rows at peak, saw $peak")
+      assert(fin <= 1L, s"expected only user 3's open session in state, saw $fin")
+      // the closed sessions were emitted exactly once each
+      val emitted = spark.table("session_expiry").filter(col("user_id") === 1L).collect()
+      assert(emitted.length == 2, s"user 1 should have 2 closed sessions, got ${emitted.length}")
+    } finally q.stop()
+  }
 }
