@@ -119,7 +119,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val baseline = loadBaseline(new java.io.File(sfDir).getName)
-    val firstPass = names.map(name => name -> timeQuery(name))
+    // Contention index: a fixed ~0.2 s CPU-bound calibration job interleaved
+    // every 20 queries. Its time dispersion (max/min across the run) is a
+    // property of the BOX during the run, not of any query — a reader of the
+    // artifact can see "contention_x: 4.1" and discount per-query spikes
+    // without needing a shell to re-measure (the round-7/8 adjudications
+    // each required exactly that).
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(warm: Boolean = false): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("id"))).collect()
+      if (!warm) calibSamples += (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(warm = true) // codegen/scheduler warm — not a sample
+    val firstPass = names.zipWithIndex.map { case (name, i) =>
+      if (i % 20 == 0) calibrate()
+      name -> timeQuery(name)
+    }
+    calibrate() // closing sample brackets the run
     // best-of-2 defense: re-run only queries whose first time is beyond the
     // contention trigger — bounded extra cost, and a real regression
     // reproduces while a noise spike does not.
@@ -393,7 +412,12 @@ object Bench {
     // and the totals go AFTER the full map — they always survive truncation.
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$fetchBench$scaleBench,"sf":"$sfDir"}""")
+    val contention =
+      if (calibSamples.nonEmpty)
+        f""","contention":{"samples":${calibSamples.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+          f""""x":${calibSamples.max / math.max(calibSamples.min, 1e-3)}%.2f}"""
+      else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$fetchBench$scaleBench$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,69 @@ object StreamBench {
         p.addData(userRows(nRows - 997))
       }
     }
+    // Stream-stream join state-store provider A/B at 10× volume (default
+    // ON; SPARK_GRAFT_STREAM_AB=0 disables, SPARK_GRAFT_STREAM_AB_ROWS
+    // sizes): the round-8 "provider choice is not the lever" claim carried
+    // numbers only from the 200k single-batch mirror, which never commits a
+    // watermark mid-run (state grows, nothing evicts). These arms rerun the
+    // identical join over 2M purchases in CHUNKED batches at 10 events per
+    // event-time second against a 10× signup store (9973 keys): every batch
+    // commit advances the watermark and performs real eviction scans over
+    // ~250k in-flight + ~36k sustained buffered rows — the steady-state
+    // regime a production attribution join lives in, and the one where
+    // provider write/eviction costs actually differ. (A single 2M batch
+    // instead OOMs the HDFS provider's versioned in-memory maps — the A/B
+    // must run multi-batch to be comparable at this volume at all.)
+    // Measured on this shape (idle box, r9): HDFS ~37k rows/s, RocksDB
+    // ~23k — the in-memory provider wins on raw micro-batch throughput;
+    // RocksDB's case is state ≫ heap, not speed. providerClass is read at
+    // query start, so it is set per-arm and restored after.
+    if (!sys.env.get("SPARK_GRAFT_STREAM_AB").contains("0")) {
+      val abRows = sys.env.get("SPARK_GRAFT_STREAM_AB_ROWS").map(_.toInt).getOrElse(2000000)
+      val chunk = 250000
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      for ((label, cls) <- Seq(
+          "ss_join_ab_hdfs" ->
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+          "ss_join_ab_rocksdb" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        if (only.forall(_.contains(label))) {
+          spark.conf.set(provKey, cls)
+          val dir = ckpt(label)
+          var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+          try {
+            val p = MemoryStream[(Long, Timestamp, Double)]
+            val s = MemoryStream[(Long, Timestamp, Double)]
+            q = Some(StreamOps.purchaseAttribution(
+                p.toDF().toDF("user_id", "ts", "value"),
+                s.toDF().toDF("user_id", "ts", "value"))
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", dir).format("noop").start())
+            val t0 = System.nanoTime()
+            s.addData((0 until 9973).map(u => (u.toLong, ts(u), 0.0)))
+            var fed = 9973
+            while (fed < abRows) {
+              val n = math.min(chunk, abRows - fed)
+              // 10 purchases per event-time second: the 1 h watermark keeps
+              // ~36000 event-seconds = ~360k rows buffered at steady state
+              p.addData((fed - 9973 until fed - 9973 + n).map(i =>
+                ((i % 9973).toLong, new Timestamp(baseMs + i.toLong * 100L), (i % 100) / 10.0)))
+              q.get.processAllAvailable()
+              fed += n
+            }
+            out += ((label, abRows, (System.nanoTime() - t0) / 1e9))
+          } finally {
+            q.foreach(_.stop())
+            prev match {
+              case Some(v) => spark.conf.set(provKey, v)
+              case None => spark.conf.unset(provKey)
+            }
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+          }
+        }
+      }
+    }
     // watermarked dedup (50% duplicate keys)
     locally {
       val in = MemoryStream[(Long, Timestamp)]
