@@ -128,6 +128,13 @@ object SparkEntry {
     "text_contamination" -> q((s, d) => TextAnalysis.contamination(Tables.documents(s, d))),
     "text_decontaminate" -> q((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
     "dedup_keep_best" -> q((s, d) => Components.keepBest(Tables.documents(s, d))),
+    // Full minhash→components→keep-best chain over a deterministic 1/20
+    // subsample: thin enough that the recursive-CTE oracle stays feasible at
+    // sf0.1 — the ONE dedup-family key whose DuckDB hash evidence runs at
+    // two SFs (SURVEY §5; the full-corpus variants saturate the oracle at
+    // sf0.1 on this near-dup-dense synthetic corpus).
+    "dedup_sampled_verify" -> q((s, d) => Components.keepBest(
+      Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0))),
     "q32_stats_agg" -> q((s, d) => Relational.priceStatistics(Tables.lineitem(s, d))),
     "q33_fuzzy_join" -> q((s, d) => Relational.fuzzyNameMatch(Tables.part(s, d))),
     "q34_lateral_explode" -> q((s, d) => Relational.tokenPositionStats(Tables.documents(s, d))),
@@ -369,8 +376,10 @@ object SparkEntry {
 
   /** Quality-score CTE chain ending in qual(doc_id, stop_ratio, punct_ratio,
     * quality) — shared by the text_quality and dedup_keep_best oracles. */
-  private val qualityCtes: String =
-    s"""tq AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+  /** `base` lets the sampled-verify oracle run the identical chain over a
+    * subsample CTE (same pattern as [[minhashCtesOver]]). */
+  private def qualityCtesOver(base: String): String =
+    s"""tq AS (SELECT doc_id, text, $tokSql AS tk FROM $base),
       | q0 AS (SELECT doc_id,
       |  len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0 / len(tk) AS stop_ratio,
       |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
@@ -379,6 +388,8 @@ object SparkEntry {
       | qual AS (SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(punct_ratio, 6) AS punct_ratio,
       |  round(0.5 * stop_ratio + 0.3 * least(n_tokens / 50.0, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality
       | FROM q0)""".stripMargin
+
+  private val qualityCtes: String = qualityCtesOver("documents")
 
   /** Shared SQL fragment: the deterministic (file_id, pos) data-file model.
     * Single definition lives in graft.lake.FileModel next to the Scala one. */
@@ -1587,6 +1598,27 @@ object SparkEntry {
         | coalesce(survivor_chunks, (n_tokens + 31) // 32) AS survivor_chunks,
         | n_hits IS NOT NULL AS cleaned
         |FROM dl LEFT JOIN dirty USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_sampled_verify" ->
+      s"""WITH RECURSIVE sdocs AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+        | ${minhashCtesOver("sdocs")},
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM sdocs
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        | ${qualityCtesOver("sdocs")},
+        | rkd AS (SELECT comp.comp, comp.doc_id, qual.quality,
+        |   row_number() OVER (PARTITION BY comp.comp ORDER BY qual.quality DESC, comp.doc_id) AS rk
+        |  FROM comp JOIN qual USING (doc_id))
+        |SELECT comp, count(*) AS cluster_size,
+        | min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+        | min(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+        | count(*) - 1 AS n_removed
+        |FROM rkd GROUP BY comp ORDER BY comp""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
