@@ -47,15 +47,31 @@ object Bench {
     * growth) that a cluster scale-out would not. */
   val scaleFlagRatio = 5.0
 
+  /** Sanctioned super-linear growth laws (the Audit-BNLJ-sanction pattern):
+    * queries whose DESIGNED complexity is super-linear but sub-quadratic
+    * flag only above their documented law + slack. `dedup_embedding`:
+    * corpus-adaptive hyperplane LSH ([[graft.dedup.Dedup.embBandParams]])
+    * costs n·B(r)·r with B ∝ n^0.33 (the price of holding both bucket
+    * occupancy and cos-0.8 recall as n grows) → designed 4×→16× cpu ratio
+    * 4^1.33 ≈ 6.3; 8.0 allows measurement slack while still catching any
+    * regression back toward the quadratic fixed-bucket shape (which
+    * measured 18.5 before the r9 fix). */
+  val scaleSanctionedRatio: Map[String, Double] = Map(
+    "dedup_embedding" -> 8.0)
+
   /** Default scale-trend set: the r8 top-20 slowest — the queries whose
     * growth curve dominates total cost, hence the ones whose exponent the
-    * 100 TB claim rests on. */
+    * 100 TB claim rests on — plus the two fixed-bucket LSH shapes
+    * (embedding near-dup, hyperplane top-k) whose bucket occupancy grows
+    * with corpus size by construction: the structurally likeliest
+    * quadratic risks, in the set precisely because they might flag. */
   val scaleTrendQueries: Seq[String] = Seq(
     "text_pipeline_funnel", "ev_rfm", "dedup_minhash_calibration", "dedup_lsh_tuning",
     "ev_power_users", "dedup_substring", "ev_rolling_active", "lake_commit_cadence",
     "text_char_langid", "lake_column_update_cost", "q56_mad_outliers", "knn_ivfpq",
     "lake_snapshot_lineage", "text_perplexity", "ev_path_trigrams", "ev_seasonal_anomaly",
-    "dedup_minhash", "q55_market_basket", "q63_pareto", "q49_spearman")
+    "dedup_minhash", "q55_market_basket", "q63_pareto", "q49_spearman",
+    "dedup_embedding", "knn_lsh")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
@@ -381,8 +397,10 @@ object Bench {
               // linear control's measured ratio on this box.
               val ctlRatio = ratioHi(controlCpu)
               val flagThreshold = math.max(scaleFlagRatio, 1.5 * ctlRatio)
+              def thresholdFor(q: String): Double =
+                math.max(flagThreshold, scaleSanctionedRatio.getOrElse(q, 0.0))
               val flagged = perQuery.collect {
-                case (q, ts) if !scaleFailed(q) && ratioHi(ts.map(_._3)) > flagThreshold => q
+                case (q, ts) if !scaleFailed(q) && ratioHi(ts.map(_._3)) > thresholdFor(q) => q
               }
               val qjson = perQuery.map { case (q, ts) =>
                 val cpuSec = ts.map(_._3)
@@ -391,6 +409,7 @@ object Bench {
                   ",\"task_sec\":" + ts.map(t => f"${t._2}%.3f").mkString("[", ",", "]") +
                   ",\"cpu_sec\":" + cpuSec.map(t => f"$t%.3f").mkString("[", ",", "]") +
                   f""","ratio_hi":${ratioHi(cpuSec)}%.2f,"exponent":$ex%.2f""" +
+                  scaleSanctionedRatio.get(q).map(s => f""","sanctioned_ratio":$s%.1f""").getOrElse("") +
                   (if (scaleFailed(q)) ",\"failed\":true" else "") + "}"
               }.mkString("{", ",", "}")
               s""","scale_trend":{"base":"${new java.io.File(base).getName}","mults":${

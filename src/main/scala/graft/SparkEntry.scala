@@ -293,21 +293,30 @@ object SparkEntry {
       |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, c) -> a + c)) AS nrm FROM b)""".stripMargin
   /** LSH-banded embedding near-dup candidate CTEs ending in
     * p(vec_a, vec_b, cos) — shared by the dedup_embedding and
-    * dedup_semantic oracles. Plane weights are inlined literals from the
-    * same Scala function the Spark side uses (embeddings are dim-64 at
-    * every SF). */
+    * dedup_semantic oracles. The banding is CORPUS-ADAPTIVE
+    * ([[Dedup.embBandParams]]): rows-per-band from an integer-exact
+    * power-of-two ladder over ceil(n/64), band count from the inlined
+    * B(r) table — both reproduce the Scala values bit-for-bit with no
+    * float log/pow in either engine. Plane weights are the same integer
+    * formula the Scala side inlines as literals, here computed per
+    * (plane, dim) inside list_transform (1-based i matches p1). */
   private val embBandPairCtes: String = {
-    def pdot(j: Int) = {
-      val ws = (1 to 64).map(p1 => s"${Dedup.embPlaneWeight(j, p1)}").mkString(", ")
-      s"list_reduce(list_transform(list_zip(v, [$ws]), z -> z[1] * z[2]), (a, c) -> a + c)"
-    }
-    val bandSelects = (0 until Dedup.EmbBands).map { b =>
-      val key = (0 until Dedup.EmbBandRows)
-        .map(r => s"(CASE WHEN ${pdot(b * Dedup.EmbBandRows + r)} > 0 THEN ${1L << r} ELSE 0 END)")
-        .mkString(" + ")
-      s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM n"
-    }.mkString("\n  UNION ALL ")
-    s""" bands AS ($bandSelects),
+    val rLadder = (0 to 40).map(k => s"WHEN m <= ${1L << k} THEN $k").mkString(" ")
+    val bTable = Dedup.embBandsForTable.mkString("[", ", ", "]")
+    s""" nv AS (SELECT greatest(1, (count(*) + 63) // 64) AS m FROM n),
+       | rsel AS (SELECT greatest(${Dedup.EmbBandRows}, CASE $rLadder END) AS r FROM nv),
+       | bsel AS (SELECT r, ($bTable)[CAST(least(r, 40) AS INT) + 1] AS nb FROM rsel),
+       | pl AS (SELECT gb.band AS band, gr.rk AS rk, gb.band * b.r + gr.rk AS j
+       |   FROM bsel b, generate_series(0, 4095) gb(band), generate_series(0, 40) gr(rk)
+       |   WHERE gb.band < b.nb AND gr.rk < b.r),
+       | proj AS (SELECT n.vec_id, pl.band, pl.rk,
+       |   list_reduce(list_transform(n.v,
+       |     (x, i) -> x * ((((pl.j * 73856093 + i * 19349663) % 1000003) % 21) - 10)),
+       |     (a, c) -> a + c) AS p
+       |  FROM n, pl),
+       | bands AS (SELECT vec_id, band,
+       |   CAST(sum(CASE WHEN p > 0 THEN (1 << rk) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM proj GROUP BY vec_id, band),
        | cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
        | p AS (SELECT vec_a, vec_b,

@@ -321,10 +321,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Number of hyperplane-LSH bands / sign bits per band for embedding
-    * near-dup candidate generation (36 planes total; shared with the oracle). */
+  /** MINIMUM hyperplane-LSH bands / sign bits per band for embedding
+    * near-dup candidate generation; the effective values ADAPT to corpus
+    * size via [[embBandParams]] (shared with the oracle). */
   val EmbBands = 12
   val EmbBandRows = 3
+
+  /** Corpus-adaptive banding — the fix for the defect the r9 scale-trend
+    * harness caught: with FIXED rows-per-band r, a band has only 2^r
+    * buckets, so bucket occupancy (and the band self-join) grows
+    * QUADRATICALLY with corpus size (measured: cpu exponent 2.1 at 16×
+    * volume, the one flagged query). The LSH scaling law instead holds
+    * occupancy constant by growing r with log(n) and recovers recall by
+    * growing the band count geometrically in r:
+    *  - r(n) = max(3, ceil(log2(ceil(n/64)))) — ~64 vectors per bucket at
+    *    any corpus size (integer-exact ladder, no float log, so the SQL
+    *    oracle reproduces it bit-for-bit);
+    *  - B(r) = max(12, ceil(3 / 0.795^r)) — ≥95% candidate recall at
+    *    cos ≥ 0.8 (sign-agreement prob s = 1 − θ/π = 0.795), the regime
+    *    near-dup semantics live in; below that recall degrades gracefully,
+    *    exactly the ANN trade `knn_recall`/`knn_threshold_sweep` measure.
+    *    B is precomputed per r as an integer table (inlined into the SQL
+    *    oracle) so no runtime float pow can diverge between engines.
+    * Work scales as n·B·r ≈ n^1.33·log n projections with LINEAR candidate
+    * volume — sub-quadratic end to end. */
+  def embBandParams(nVectors: Long): (Int, Int) = {
+    val m = math.max(1L, (nVectors + 63L) / 64L)
+    var r = 0
+    while ((1L << r) < m) r += 1
+    val rr = math.max(EmbBandRows, r)
+    (embBandsFor(rr), rr)
+  }
+
+  /** B(r) table, r ∈ [0, 40] (integer-exact in both engines via literal
+    * inlining; 0.795 = sign-agreement probability at cos 0.8). */
+  val embBandsForTable: IndexedSeq[Int] =
+    (0 to 40).map(r => math.max(EmbBands, math.ceil(3.0 / math.pow(0.795, r)).toInt))
+  private def embBandsFor(r: Int): Int = embBandsForTable(math.min(r, 40))
 
   /** Deterministic integer weight in [-10, 10] for plane j, 1-based dim p1.
     * The large-prime double-mod decorrelates planes — a small modulus makes
@@ -339,8 +372,8 @@ object Dedup {
     * plane (36 × 64 literal nodes — a codegen tree big enough that Janino
     * compile time dominates the whole query); a single Literal costs nothing
     * per row and the 36 projections come from one `transform` over it. */
-  private def embPlanesLit(dim: Int) = typedlit(
-    Seq.tabulate(EmbBands * EmbBandRows)(j => Seq.tabulate(dim)(p0 => embPlaneWeight(j, p0 + 1))))
+  private def embPlanesLit(dim: Int, nPlanes: Int) = typedlit(
+    Seq.tabulate(nPlanes)(j => Seq.tabulate(dim)(p0 => embPlaneWeight(j, p0 + 1))))
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
     * sub-quadratic candidate path (same banding idea as `minhashLsh`, in
@@ -381,15 +414,17 @@ object Dedup {
 
   private def embeddingCosPairsBuild(embeddings: DataFrame, floor: Double): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val (nBands, bandRows) = embBandParams(embeddings.count())
     val v = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       // One pass computes every plane projection; band keys then read the
       // precomputed array instead of re-dotting per band.
-      .withColumn("proj", transform(embPlanesLit(dim), p => call_function("graft_dot", col("v"), p)))
-    val bandStructs = (0 until EmbBands).map { b =>
-      val key = (0 until EmbBandRows)
-        .map(r => when(element_at(col("proj"), b * EmbBandRows + r + 1) > 0, lit(1L << r)).otherwise(lit(0L)))
+      .withColumn("proj", transform(embPlanesLit(dim, nBands * bandRows),
+        p => call_function("graft_dot", col("v"), p)))
+    val bandStructs = (0 until nBands).map { b =>
+      val key = (0 until bandRows)
+        .map(r => when(element_at(col("proj"), b * bandRows + r + 1) > 0, lit(1L << r)).otherwise(lit(0L)))
         .reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
