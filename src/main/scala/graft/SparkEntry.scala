@@ -266,6 +266,7 @@ object SparkEntry {
     "dedup_split_leakage" -> q((s, d) => Components.splitLeakage(Tables.documents(s, d))),
     "dedup_jaccard_sweep" -> q((s, d) => Dedup.jaccardSweep(Tables.documents(s, d))),
     "dedup_substring" -> q((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    "dedup_onion" -> q((s, d) => Dedup.onionCoverage(Tables.documents(s, d))),
     "dedup_minhash_calibration" -> q((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     "dedup_bloom" -> q((s, d) => Dedup.bloomScreen(Tables.documents(s, d))),
     "text_perplexity" -> q((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
@@ -287,6 +288,31 @@ object SparkEntry {
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
+  /** Exact-substring screen CTE chain ending in
+    * `r2(doc_a, doc_b, diag, sa, sb, run_len)` (the maximal ≥16-token
+    * cross-doc runs) and `dl(doc_id, n_tok)` — mirrors
+    * [[graft.dedup.Dedup.substrRuns]]; shared by the dedup_substring and
+    * dedup_onion oracles. Constants (8-token anchors, occurrence cap 100,
+    * min run 16) mirror SubstrAnchorLen/SubstrMaxAnchorOcc/minRun. */
+  private val substrCtes =
+    s"""t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+      | dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t),
+      | a AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS sh
+      |   FROM t, unnest(range(1, len(tk) - 6)) AS u(i)),
+      | keep AS (SELECT sh FROM a GROUP BY sh HAVING count(*) <= 100),
+      | af AS (SELECT a.* FROM a JOIN keep USING (sh)),
+      | m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+      |    x.pos - y.pos AS diag
+      |   FROM af x JOIN af y USING (sh) WHERE x.doc_id < y.doc_id),
+      | runs AS (SELECT doc_a, doc_b, diag, min(pa) AS sa,
+      |    count(*) + 7 AS run_len
+      |   FROM (SELECT doc_a, doc_b, diag, pa,
+      |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      |     FROM m)
+      |   GROUP BY doc_a, doc_b, diag, grp HAVING count(*) + 7 >= 16),
+      | r2 AS (SELECT doc_a, doc_b, diag, sa, run_len, sa - diag AS sb FROM runs)""".stripMargin
   private val embPrepSql =
     """b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       | n AS (SELECT vec_id, label, v,
@@ -913,24 +939,7 @@ object SparkEntry {
     // occurrence-capped, diagonal islands → maximal runs ≥ 16, then an
     // interval-union pass per pair/side so duplicated tokens count once.
     "dedup_substring" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
-        | dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM t),
-        | a AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
-        |    tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS sh
-        |   FROM t, unnest(range(1, len(tk) - 6)) AS u(i)),
-        | keep AS (SELECT sh FROM a GROUP BY sh HAVING count(*) <= 100),
-        | af AS (SELECT a.* FROM a JOIN keep USING (sh)),
-        | m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
-        |    x.pos - y.pos AS diag
-        |   FROM af x JOIN af y USING (sh) WHERE x.doc_id < y.doc_id),
-        | runs AS (SELECT doc_a, doc_b, diag, min(pa) AS sa,
-        |    count(*) + 7 AS run_len
-        |   FROM (SELECT doc_a, doc_b, diag, pa,
-        |      pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
-        |     FROM m)
-        |   GROUP BY doc_a, doc_b, diag, grp HAVING count(*) + 7 >= 16),
-        | r2 AS (SELECT doc_a, doc_b, diag, sa, run_len, sa - diag AS sb FROM runs),
+      s"""WITH $substrCtes,
         | ia AS (SELECT doc_a, doc_b, isl, max(e) - min(s) AS cov FROM (
         |   SELECT doc_a, doc_b, s, e,
         |     sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
@@ -962,6 +971,33 @@ object SparkEntry {
         |FROM pr JOIN ca USING (doc_a, doc_b) JOIN cb USING (doc_a, doc_b)
         | JOIN dl la ON la.doc_id = pr.doc_a JOIN dl lb ON lb.doc_id = pr.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Per-doc onion coverage: every run interval lands on BOTH endpoint
+    // docs, per-doc union via the same running-max islands, zero-coverage
+    // docs kept by the doc-length left join.
+    "dedup_onion" ->
+      s"""WITH $substrCtes,
+        | sides AS (SELECT doc_a AS doc_id, doc_b AS other, diag,
+        |    sa AS s, sa + run_len AS e FROM r2
+        |   UNION ALL SELECT doc_b, doc_a, diag, sb, sb + run_len FROM r2),
+        | u AS (SELECT doc_id, isl, max(e) - min(s) AS cov FROM (
+        |   SELECT doc_id, s, e,
+        |     sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_id ORDER BY s, e, other, diag ROWS UNBOUNDED PRECEDING) AS isl
+        |   FROM (SELECT doc_id, other, diag, s, e,
+        |      max(e) OVER (PARTITION BY doc_id ORDER BY s, e, other, diag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |     FROM sides)) GROUP BY doc_id, isl),
+        | cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens FROM u GROUP BY 1),
+        | pt AS (SELECT doc_id, CAST(count(DISTINCT other) AS BIGINT) AS n_partners
+        |   FROM sides GROUP BY 1)
+        |SELECT dl.doc_id, dl.n_tok,
+        | CAST(coalesce(pt.n_partners, 0) AS BIGINT) AS n_partners,
+        | CAST(coalesce(cv.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        | round(coalesce(cv.dup_tokens, 0) * 1.0 / dl.n_tok, 6) AS dup_frac,
+        | round(coalesce(cv.dup_tokens, 0) * 1.0 / dl.n_tok, 6) >= 0.5 AS drop_doc
+        |FROM dl LEFT JOIN cv USING (doc_id) LEFT JOIN pt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Estimator calibration on the LSH candidate set: est deciles vs exact
     // distinct-token-set Jaccard (computed only for candidates). Estimates

@@ -646,40 +646,8 @@ object Dedup {
     * single document's length, never corpus cardinality. */
   def substringDup(documents: DataFrame, minRun: Int = 16,
                    maxAnchorOcc: Int = SubstrMaxAnchorOcc): DataFrame = {
-    val a = SubstrAnchorLen
-    val docLen = documents.withColumn("t", toks)
-      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
-    val cat = (1 until a).map(k => s", t[i+$k]").mkString
-    val anchors = documents.withColumn("t", toks)
-      .select(col("doc_id"), explode(expr(
-        s"filter(transform(t, (x, i) -> CASE WHEN i + ${a - 1} < size(t) " +
-          s"THEN struct(i AS pos, concat_ws(' ', x$cat) AS sh) END), y -> y IS NOT NULL)"))
-        .as("an"))
-      .select(col("doc_id"), col("an.pos").as("pos"), col("an.sh").as("sh"))
-    val keep = anchors.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= maxAnchorOcc).select(col("sh"))
-    val af = anchors.join(keep, Seq("sh"))
-    val m = af.select(col("sh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(af.select(col("sh"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
-    // islands per (pair, diagonal): consecutive pos_a → one maximal run
-    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
-    // The run table feeds THREE plan branches (the per-pair aggregate and
-    // both coverage sides) with the anchor explode + occurrence-cap join +
-    // inverted-index self-join in its lineage. AQE's ReusedExchange already
-    // recovers most of the re-execution, so the checkpoint is not the 3×
-    // saving it looks like — measured cold 7.0 → 5.9 s at sf0.1 (reuse
-    // can't cover the post-shuffle window/agg stages), warm unchanged. It
-    // also makes the reuse explicit rather than optimizer-dependent.
-    // Qualifying runs are tiny.
-    val runs = m
-      .withColumn("grp", col("pa") - row_number().over(wd))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("sa"), (count(lit(1)) + (a - 1)).as("run_len"))
-      .filter(col("run_len") >= minRun)
-      .withColumn("sb", col("sa") - col("diag"))
-      .stableCheckpoint()
+    val docLen = substrDocLen(documents)
+    val runs = substrRuns(documents, minRun, maxAnchorOcc)
     // interval union per (pair, side): each duplicated token counted once
     // (shared gaps-and-islands core: plans.Intervals)
     def coverage(startCol: String, out: String): DataFrame =
@@ -702,6 +670,95 @@ object Dedup {
         round(col("dup_tokens_a") * 1.0 / col("na"), 6).as("dup_frac_a"),
         round(col("dup_tokens_b") * 1.0 / col("nb"), 6).as("dup_frac_b"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Token count per doc (the denominator of every coverage fraction). */
+  private def substrDocLen(documents: DataFrame): DataFrame =
+    documents.withColumn("t", toks)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+
+  /** Maximal cross-doc duplicated-run table `(doc_a, doc_b, diag, sa, sb,
+    * run_len)` — stages 1–4 of [[substringDup]]'s pipeline, checkpointed
+    * AND memoized per (corpus, params): the per-pair view
+    * ([[substringDup]]) and the per-doc onion union ([[onionCoverage]])
+    * both consume it, and within one view the table feeds three plan
+    * branches with the anchor explode + occurrence-cap join +
+    * inverted-index self-join in its lineage. AQE's ReusedExchange already
+    * recovers most of the intra-query re-execution, so the checkpoint is
+    * not the 3× saving it looks like — measured cold 7.0 → 5.9 s at sf0.1
+    * (reuse can't cover the post-shuffle window/agg stages), warm
+    * unchanged. Qualifying runs are tiny. */
+  private def substrRuns(documents: DataFrame, minRun: Int,
+                         maxAnchorOcc: Int): DataFrame =
+    graft.plans.Memo.memoize(documents, s"dedup.substr.runs:$minRun:$maxAnchorOcc") {
+      val a = SubstrAnchorLen
+      val cat = (1 until a).map(k => s", t[i+$k]").mkString
+      val anchors = documents.withColumn("t", toks)
+        .select(col("doc_id"), explode(expr(
+          s"filter(transform(t, (x, i) -> CASE WHEN i + ${a - 1} < size(t) " +
+            s"THEN struct(i AS pos, concat_ws(' ', x$cat) AS sh) END), y -> y IS NOT NULL)"))
+          .as("an"))
+        .select(col("doc_id"), col("an.pos").as("pos"), col("an.sh").as("sh"))
+      val keep = anchors.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= maxAnchorOcc).select(col("sh"))
+      val af = anchors.join(keep, Seq("sh"))
+      val m = af.select(col("sh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+        .join(af.select(col("sh"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+      // islands per (pair, diagonal): consecutive pos_a → one maximal run
+      val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+      m.withColumn("grp", col("pa") - row_number().over(wd))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(min(col("pa")).as("sa"), (count(lit(1)) + (a - 1)).as("run_len"))
+        .filter(col("run_len") >= minRun)
+        .withColumn("sb", col("sa") - col("diag"))
+        .stableCheckpoint()
+    }
+
+  /** Onion-layer duplication coverage, the per-DOCUMENT rollup of the
+    * exact-substring screen: for every document, the fraction of its token
+    * positions covered by ANY ≥ `minRun`-token run it shares with any other
+    * document — the statistic the "onion" dedup policy drops on (a document
+    * that is mostly an assembly of text duplicated elsewhere in the corpus
+    * contributes almost no novel supervision even when no single partner
+    * pair looks alarming; cf. the coverage-threshold removal policy of the
+    * suffix-array dedup family, Lee et al. 2021, reference
+    * `poc/utils` has no analogue — this is pipeline widening).
+    *
+    * Plan: the memoized [[substrRuns]] table is read once; each run
+    * contributes its interval to BOTH endpoint docs (a union of the two
+    * projections), and the per-doc interval union is one gaps-and-islands
+    * window partitioned by `doc_id` — bounded by one document's run count,
+    * never corpus cardinality. Docs with zero duplicated runs surface with
+    * coverage 0 via the doc-length left join, so the output is a total
+    * per-doc policy table: `drop_doc` marks docs whose ROUNDED coverage
+    * meets `dropFrac` (rounding first keeps the flag engine-invariant). */
+  def onionCoverage(documents: DataFrame, minRun: Int = 16,
+                    maxAnchorOcc: Int = SubstrMaxAnchorOcc,
+                    dropFrac: Double = 0.5): DataFrame = {
+    val runs = substrRuns(documents, minRun, maxAnchorOcc)
+    val sides = runs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"),
+        col("diag"), col("sa").as("s"), (col("sa") + col("run_len")).as("e"))
+      .unionByName(runs.select(col("doc_b").as("doc_id"), col("doc_a").as("other"),
+        col("diag"), col("sb").as("s"), (col("sb") + col("run_len")).as("e")))
+    val cov = graft.plans.Intervals.islands(sides, keys = Seq("doc_id"),
+        tieCols = Seq("other", "diag"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("e")) - min(col("s"))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("dup_tokens"))
+    val partners = sides.groupBy(col("doc_id"))
+      .agg(countDistinct(col("other")).as("n_partners"))
+    substrDocLen(documents)
+      .join(cov, Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) * 1.0 / col("n_tok"), 6).as("dup_frac"))
+      .withColumn("drop_doc", col("dup_frac") >= dropFrac)
+      .orderBy("doc_id")
   }
 
   /** Bloom-filter membership pre-screen for exact dedup (Bloom 1970; the

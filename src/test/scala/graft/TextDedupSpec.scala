@@ -307,6 +307,42 @@ class TextDedupSpec extends SparkSpec {
       "expected at least one long (>=50-token) duplicated run in the corpus")
   }
 
+  test("onion coverage: total per-doc table bounded by the pairwise screen") {
+    val onion = Dedup.onionCoverage(docs).collect()
+    assert(onion.length == docs.count(), "one policy row per document")
+    val pairs = Dedup.substringDup(docs).collect()
+    // per-doc per-pair coverages from the pairwise view
+    val perDoc = pairs.flatMap { r =>
+      Seq(r.getAs[Long]("doc_a") -> r.getAs[Long]("dup_tokens_a"),
+          r.getAs[Long]("doc_b") -> r.getAs[Long]("dup_tokens_b"))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val partnerCount = pairs.flatMap { r =>
+      Seq(r.getAs[Long]("doc_a") -> r.getAs[Long]("doc_b"),
+          r.getAs[Long]("doc_b") -> r.getAs[Long]("doc_a"))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    onion.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nTok, dup) = (r.getAs[Long]("n_tok"), r.getAs[Long]("dup_tokens"))
+      assert(dup >= 0 && dup <= nTok, s"doc $id coverage $dup outside [0, $nTok]")
+      assert(r.getAs[Long]("n_partners") == partnerCount.getOrElse(id, 0),
+        s"doc $id partner count disagrees with the pairwise screen")
+      perDoc.get(id) match {
+        case Some(covs) =>
+          // union of partner intervals: at least the largest single-pair
+          // coverage, at most their sum (and the doc length)
+          assert(dup >= covs.max, s"doc $id union $dup below best pair ${covs.max}")
+          assert(dup <= math.min(covs.sum, nTok), s"doc $id union $dup above bound")
+        case None =>
+          assert(dup == 0 && !r.getAs[Boolean]("drop_doc"),
+            s"doc $id has no duplicated runs but nonzero coverage/flag")
+      }
+      assert(r.getAs[Boolean]("drop_doc") == (r.getAs[Double]("dup_frac") >= 0.5))
+    }
+    // the near-whole-document copies the generator plants must be flagged
+    assert(onion.exists(_.getAs[Boolean]("drop_doc")),
+      "expected at least one mostly-duplicated doc in the synthetic corpus")
+  }
+
   test("minhash calibration: decile means bracket estimates, dup rate rises with est") {
     val rows = Dedup.minhashCalibration(docs).collect()
     assert(rows.nonEmpty)
