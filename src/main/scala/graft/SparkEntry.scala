@@ -202,6 +202,7 @@ object SparkEntry {
     "q53_unpivot" -> q((s, d) => Relational.yearStatusUnpivot(Tables.orders(s, d))),
     "text_chunking" -> q((s, d) => TextAnalysis.chunkPlan(Tables.documents(s, d))),
     "knn_matryoshka" -> q((s, d) => Ann.matryoshkaRecall(Tables.embeddings(s, d))),
+    "knn_rerank" -> q((s, d) => Ann.rerankTopK(Tables.embeddings(s, d))),
     "q54_scd2_join" -> q((s, d) => Relational.scd2SupplierJoin(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "ev_rolling_active" -> q((s, d) => Events.rollingActiveUsers(Tables.events(s, d))),
     "text_vocab_coverage" -> q((s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))),
@@ -2497,6 +2498,45 @@ object SparkEntry {
         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
         | round(coalesce(h.hits, 0) * 1.0 / 5, 6) AS recall_at_k
         |FROM (SELECT DISTINCT q_id FROM tfull) q LEFT JOIN h USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+
+    // Two-stage retrieve-then-rerank: coarse = prefix-8-dim cosine top-50,
+    // rerank = exact cosine over those 20; both scored against the exact
+    // full-scan top-5 ground truth.
+    "knn_rerank" ->
+      s"""WITH $embPrepSql,
+        | nn AS (SELECT vec_id, list_slice(v, 1, 8) AS v8,
+        |   sqrt(list_reduce(list_transform(list_slice(v, 1, 8), x -> x * x), (a, c) -> a + c)) AS n8 FROM n),
+        | qc AS (SELECT vec_id AS q_id, v8 AS qv8, n8 AS qn8 FROM nn WHERE vec_id < 10),
+        | sc AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(list_zip(qv8, v8), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn8 * n8), 6) AS ccos
+        |  FROM nn JOIN qc ON vec_id <> q_id),
+        | rc AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, vec_id) AS crk FROM sc),
+        | cand AS (SELECT q_id, vec_id, crk FROM rc WHERE crk <= 50),
+        | qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | rr AS (SELECT cand.q_id, cand.vec_id,
+        |    round(list_reduce(list_transform(list_zip(qf.qv, n.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          / (qf.qn * n.nrm), 6) AS cos
+        |   FROM cand JOIN n ON cand.vec_id = n.vec_id JOIN qf ON cand.q_id = qf.q_id),
+        | rrk AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM rr),
+        | rtop AS (SELECT q_id, vec_id FROM rrk WHERE rk <= 5),
+        | ctop AS (SELECT q_id, vec_id FROM cand WHERE crk <= 5),
+        | se AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm), 6) AS cos
+        |  FROM n JOIN qf ON vec_id <> q_id),
+        | rex AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM se),
+        | ex AS (SELECT q_id, vec_id FROM rex WHERE rk <= 5),
+        | hc AS (SELECT q_id, count(*) AS hits_coarse FROM ex JOIN ctop USING (q_id, vec_id) GROUP BY 1),
+        | hr AS (SELECT q_id, count(*) AS hits_rerank FROM ex JOIN rtop USING (q_id, vec_id) GROUP BY 1)
+        |SELECT q.q_id,
+        | CAST(coalesce(hc.hits_coarse, 0) AS BIGINT) AS hits_coarse,
+        | round(coalesce(hc.hits_coarse, 0) * 1.0 / 5, 6) AS recall_coarse,
+        | CAST(coalesce(hr.hits_rerank, 0) AS BIGINT) AS hits_rerank,
+        | round(coalesce(hr.hits_rerank, 0) * 1.0 / 5, 6) AS recall_rerank
+        |FROM (SELECT DISTINCT q_id FROM ex) q
+        | LEFT JOIN hc USING (q_id) LEFT JOIN hr USING (q_id)
         |ORDER BY q_id""".stripMargin,
 
     "q54_scd2_join" ->

@@ -417,6 +417,76 @@ object Ann {
       .orderBy("q_id")
   }
 
+  /** Two-stage retrieve-then-rerank — the production ANN serving shape: a
+    * cheap COARSE pass scores every vector with only the first `prefixDim`
+    * dimensions (the matryoshka I/O tier — at 100 TB the coarse scan reads
+    * `prefixDim/dim` of the bytes; with PQ codes it would be the ADC pass)
+    * and keeps the top `coarseC` candidates per query; only those C get the
+    * exact full-dimension rerank that produces the served top-k. Reported
+    * per query: recall@k against the exact full-scan ground truth for BOTH
+    * the coarse-only top-k and the reranked top-k — the gap between the two
+    * columns is what the rerank stage buys, and `hits_rerank ≥ hits_coarse`
+    * structurally (both rankings draw from the same candidate set; the
+    * exact ordering surfaces every true top-k member that survived the
+    * coarse cut, the coarse ordering may bury it below rank k).
+    *
+    * Scale shape: queries are a bounded broadcast; the coarse scan is the
+    * only corpus-wide pass (narrow vectors), the rerank joins `C` rows per
+    * query back to full vectors by id — an equi-join whose left side is
+    * query-bounded. Rounding/tie conventions as everywhere (6 dp, id
+    * tie-break). */
+  def rerankTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 coarseC: Int = 50, prefixDim: Int = 8): DataFrame = {
+    val base = prep(embeddings)
+    val narrow = base
+      .withColumn("v8", expr(s"slice(v, 1, $prefixDim)"))
+      .withColumn("n8", expr("sqrt(graft_dot(v8, v8))"))
+      .select(col("vec_id"), col("v8"), col("n8"))
+    val qN = narrow.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v8").as("qv8"), col("n8").as("qn8"))
+    // coarse candidates: top-C per query by prefix-dim cosine
+    val cand = narrow.join(broadcast(qN), col("vec_id") =!= col("q_id"))
+      .withColumn("ccos", round(expr("graft_dot(qv8, v8)") / (col("qn8") * col("n8")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("vec_id"))).cast("long"))
+      .filter(col("crk") <= coarseC)
+      .select(col("q_id"), col("vec_id"), col("crk"))
+    // exact rerank of the C candidates only
+    val qF = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rerank = cand
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qF), Seq("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val coarseTop = cand.filter(col("crk") <= k).select(col("q_id"), col("vec_id"))
+    // exact full-scan ground truth
+    val exact = base.join(broadcast(qF), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val hc = exact.join(coarseTop.select(col("q_id").as("cq"), col("vec_id").as("cid")),
+        col("q_id") === col("cq") && col("vec_id") === col("cid"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits_coarse"))
+    val hr = exact.join(rerank.select(col("q_id").as("rq"), col("vec_id").as("rid")),
+        col("q_id") === col("rq") && col("vec_id") === col("rid"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits_rerank"))
+    exact.select(col("q_id")).distinct()
+      .join(hc, Seq("q_id"), "left")
+      .join(hr, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits_coarse"), lit(0L)).as("hits_coarse"),
+        round(coalesce(col("hits_coarse"), lit(0L)) * 1.0 / k, 6).as("recall_coarse"),
+        coalesce(col("hits_rerank"), lit(0L)).as("hits_rerank"),
+        round(coalesce(col("hits_rerank"), lit(0L)) * 1.0 / k, 6).as("recall_rerank"))
+      .orderBy("q_id")
+  }
+
   /** Scalar (int8) quantization: per-dimension [min, max] over the corpus
     * (a dim-bounded broadcast table), each component mapped to a 0..255 code
     * by floor, dequantized back, and the reconstruction error reported per

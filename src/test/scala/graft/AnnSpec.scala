@@ -124,6 +124,27 @@ class AnnSpec extends SparkSpec {
     selfRecall.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
   }
 
+  test("rerank never loses to the coarse ranking and recovers everything the cut kept") {
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    val rows = Ann.rerankTopK(emb).collect()
+    assert(rows.length == 10, "one row per query")
+    rows.foreach { r =>
+      val (hc, hr) = (r.getAs[Long]("hits_coarse"), r.getAs[Long]("hits_rerank"))
+      assert(hc >= 0 && hc <= 5 && hr >= 0 && hr <= 5)
+      // both rankings draw from the same candidate set; the exact ordering
+      // surfaces every true top-k member that survived the coarse cut
+      assert(hr >= hc, s"query ${r.getAs[Long]("q_id")}: rerank $hr below coarse $hc")
+      assert(r.getAs[Double]("recall_coarse") == hc / 5.0)
+      assert(r.getAs[Double]("recall_rerank") == hr / 5.0)
+    }
+    // the rerank stage must buy something on this corpus (deterministic data)
+    assert(rows.map(_.getAs[Long]("hits_rerank")).sum >
+           rows.map(_.getAs[Long]("hits_coarse")).sum)
+    // widening the candidate cut to the whole corpus makes rerank exact
+    val full = Ann.rerankTopK(emb, coarseC = emb.count().toInt).collect()
+    full.foreach(r => assert(r.getAs[Double]("recall_rerank") == 1.0))
+  }
+
   test("IVF-PQ covers every vector; residual PQ error never exceeds residual energy") {
     val emb = graft.tables.Tables.embeddings(spark, sf0001)
     val rows = Ann.ivfPq(emb).collect()
