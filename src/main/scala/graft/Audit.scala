@@ -149,7 +149,7 @@ object Audit {
           // day spines, tenure weeks, 25 nations, bounded brand/size/decile
           // sets (q44 brands, q48/q50 p_size, q66's 10 deciles, ev_power's
           // 10 deciles share window):
-          "ev_seasonality", "ev_churn_hazard", "q35_ratio_report",
+          "ev_seasonality", "ev_churn_hazard", "ev_survival", "q35_ratio_report",
           "q39_mom_growth", "q44_two_level_share", "q48_skyline",
           "q50_chi_square", "q52_interval_concurrency", "q59_customer_growth",
           // lake_row_lineage's live-rows cumulative sum runs over the

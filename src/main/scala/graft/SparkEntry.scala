@@ -232,6 +232,7 @@ object SparkEntry {
     "ev_burstiness" -> q((s, d) => Events.burstiness(Tables.events(s, d))),
     "ev_audience_overlap" -> q((s, d) => Events.audienceOverlap(Tables.events(s, d))),
     "ev_churn_hazard" -> q((s, d) => Events.churnHazard(Tables.events(s, d))),
+    "ev_survival" -> q((s, d) => Events.survivalCurve(Tables.events(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
     "lake_partition_skew" -> q((s, d) => Layout.partitionSkew(Tables.lineitem(s, d))),
@@ -2960,6 +2961,38 @@ object SparkEntry {
         | t AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 12) AS ares_key FROM s),
         | r AS (SELECT *, CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id) AS BIGINT) AS rk FROM t)
         |SELECT rk, doc_id, n_chars, ares_key FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
+
+    // Kaplan–Meier time-to-conversion (signup → first later purchase),
+    // hour grain by exact integer epoch-µs division; unconverted users
+    // censored at the horizon. S(t) = exp(cumsum of 12dp-rounded log
+    // terms), zero-survival latch for the everyone-converts rung.
+    "ev_survival" ->
+      """WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        | st AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |   WHERE event_type = 'signup' GROUP BY 1),
+        | cv AS (SELECT st.user_id, min(e.ts) AS c_ts
+        |   FROM st JOIN events e ON e.user_id = st.user_id
+        |     AND e.event_type = 'purchase' AND e.ts > st.s_ts GROUP BY 1),
+        | uu AS (SELECT st.user_id, cv.c_ts IS NOT NULL AS converted,
+        |   (epoch_us(coalesce(cv.c_ts, mx.max_ts)) - epoch_us(st.s_ts)) // 3600000000 AS t_hours
+        |  FROM st LEFT JOIN cv USING (user_id), mx),
+        | h AS (SELECT CAST(t_hours AS BIGINT) AS t_hours, count(*) AS n_total,
+        |   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+        |  FROM uu GROUP BY 1),
+        | r AS (SELECT t_hours, n_total, n_events, n_total - n_events AS n_censored,
+        |   sum(n_total) OVER (ORDER BY t_hours DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk FROM h),
+        | s AS (SELECT *, CASE WHEN n_events > 0 AND n_events < n_at_risk
+        |     THEN round(ln((n_at_risk - n_events) * 1.0 / n_at_risk), 12)
+        |     ELSE 0.0 END AS term,
+        |   max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+        |     OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM r)
+        |SELECT t_hours, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+        | CAST(n_censored AS BIGINT) AS n_censored,
+        | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(sum(term)
+        |   OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
+        |FROM s ORDER BY t_hours""".stripMargin,
 
     "ev_cohort_retention" ->
       """WITH fw AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk FROM events GROUP BY 1),

@@ -611,6 +611,63 @@ object Events {
       .orderBy("tenure_wk")
   }
 
+  /** Kaplan–Meier time-to-event curve (Kaplan & Meier 1958) for the
+    * signup→purchase conversion funnel with right-censoring — the
+    * censoring-aware version of [[conversionTime]]'s summary: naive
+    * "average time to convert" is biased because users who have not
+    * converted YET contribute no observation; KM counts them at risk until
+    * the horizon. Per user: t = hours from first `fromType` event to first
+    * strictly-later `toType` event (converted) or to the table horizon
+    * (censored). S(t) = Π_{event times t_i ≤ t} (1 − d_i/n_i) — the
+    * probability of still being unconverted after t hours — computed as exp
+    * of a cumulative sum of per-step log terms (rounded at 12 dp before the
+    * sum so both engines fold identical doubles), with an explicit
+    * zero-survival latch for the everyone-at-risk-converts rung (ln 0 never
+    * evaluates). Hour bucketing is exact integer division of the
+    * microsecond epoch difference.
+    *
+    * Scale shape: two user-key aggregates collapse the stream to an
+    * HOUR-GRAIN duration histogram whose cardinality is bounded by the
+    * table's calendar span in hours — the two cumulative windows
+    * (descending at-risk, ascending product) run over that bounded
+    * histogram, the same sanction as [[churnHazard]]. */
+  def survivalCurve(events: DataFrame, fromType: String = "signup",
+                    toType: String = "purchase"): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("max_ts"))
+    val starts = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val conv = starts
+      .join(events.filter(col("event_type") === toType)
+        .select(col("user_id"), col("ts").as("c_ts")), Seq("user_id"))
+      .filter(col("c_ts") > col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("c_ts")).as("c_ts"))
+    val users = starts.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .withColumn("converted", col("c_ts").isNotNull)
+      .withColumn("end_ts", coalesce(col("c_ts"), col("max_ts")))
+      .withColumn("t_hours",
+        expr("(unix_micros(end_ts) - unix_micros(s_ts)) div 3600000000"))
+    val hist = users.groupBy(col("t_hours"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = Window.orderBy(col("t_hours").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum(col("n_total")).over(wDesc))
+      .withColumn("term", when(col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+          round(log((col("n_at_risk") - col("n_events")) * 1.0 / col("n_at_risk")), 12))
+        .otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("survival", when(col("dead") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(wAsc)), 6)))
+      .select(col("t_hours"), col("n_at_risk"), col("n_events"),
+        (col("n_total") - col("n_events")).as("n_censored"), col("survival"))
+      .orderBy("t_hours")
+  }
+
   /** The default event-type alphabet of the synthetic stream (markovSteady
     * pivots the transition matrix over it; shared with the oracle). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

@@ -88,6 +88,34 @@ class PipelineReportsSpec extends SparkSpec {
     }
   }
 
+  test("KM survival: monotone non-increasing, matches hand-rolled product, censoring-consistent") {
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.survivalCurve(ev).collect().sortBy(_.getAs[Long]("t_hours"))
+    assert(rows.nonEmpty)
+    val nStarters = ev.filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.maxBy(r => r.getAs[Long]("n_at_risk")).getAs[Long]("n_at_risk") == nStarters,
+      "first rung's at-risk population is every user who signed up")
+    // at-risk telescopes: each rung loses exactly its events + censorings
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_at_risk") ==
+          a.getAs[Long]("n_at_risk") - a.getAs[Long]("n_events") - a.getAs[Long]("n_censored"))
+      case _ =>
+    }
+    // survival is a proper non-increasing [0,1] curve equal to the running product
+    var prod = 1.0
+    var prev = 1.0
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_events"))
+      prod *= (n - d).toDouble / n
+      val s = r.getAs[Double]("survival")
+      assert(s >= 0.0 && s <= prev + 1e-12, s"survival not monotone at ${r.getAs[Long]("t_hours")}")
+      assert(math.abs(s - prod) < 1e-4, s"KM product mismatch: $s vs $prod")
+      prev = s
+    }
+  }
+
   test("markov steady state is a probability distribution over the type alphabet") {
     val rows = graft.events.Events.markovSteady(Tables.events(spark, sf0001)).collect()
     assert(rows.map(_.getAs[String]("event_type")).toSeq == graft.events.Events.EventTypes)
