@@ -158,7 +158,7 @@ object Audit {
           // Dictionary-rank oracle mode only (flag-on hashTid removes it;
           // TextAnalysis.scala:90 scaladoc); dedup_bloom rides the same
           // vocab-bounded fingerprint dictionary:
-          "text_fingerprint", "dedup_bloom")
+          "text_fingerprint", "dedup_bloom", "text_dsir")
         if (bnlj > 0 && !sanctionedBnlj(name)) flags.append(" BNLJ?")
         if (win1 > 0 && !sanctionedGlobalWindow(name)) flags.append(" WIN1?")
         println(f"$name%-24s $ex%-3d $bhj%-3d $smj%-3d $bnlj%-4d $cart%-4d $wsc%-4d $win1%-4d$flags")

@@ -272,6 +272,7 @@ object SparkEntry {
     "dedup_minhash_calibration" -> q((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     "dedup_bloom" -> q((s, d) => Dedup.bloomScreen(Tables.documents(s, d))),
     "text_perplexity" -> q((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    "text_dsir" -> q((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
   )
 
   /** Shipped-shape overrides for the two approximate sketch queries: the
@@ -2993,6 +2994,29 @@ object SparkEntry {
         | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(sum(term)
         |   OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
         |FROM s ORDER BY t_hours""".stripMargin,
+
+    // DSIR importance weights: rank-derived token ids mod 256 buckets,
+    // Laplace-smoothed target(en)-vs-raw log ratios (12dp) summed per doc.
+    "text_dsir" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, unnest($tokSql) AS token FROM documents),
+        | v AS (SELECT token,
+        |   CAST(row_number() OVER (ORDER BY token) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT DISTINCT token FROM t0)),
+        | tc AS (SELECT doc_id, lang, bucket, count(*) AS c
+        |  FROM t0 JOIN v USING (token) GROUP BY 1, 2, 3),
+        | raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM tc GROUP BY 1),
+        | tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM tc WHERE lang = 'en' GROUP BY 1),
+        | nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+        | nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+        | d AS (SELECT raw.bucket,
+        |    round(ln((coalesce(tgt.ct, 0) + 1.0) / (nt.nt + 256))
+        |        - ln((raw.cr + 1.0) / (nr.nr + 256)), 12) AS delta
+        |   FROM raw LEFT JOIN tgt USING (bucket), nr, nt)
+        |SELECT tc.doc_id, tc.lang AS lang, CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+        | round(sum(tc.c * d.delta), 6) AS log_weight,
+        | round(sum(tc.c * d.delta), 6) > 0.0 AS selected
+        |FROM tc JOIN d USING (bucket)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     "ev_cohort_retention" ->
       """WITH fw AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk FROM events GROUP BY 1),

@@ -455,6 +455,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_types"), round(col("h"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much its hashed
+    * unigram bag looks drawn from a TARGET distribution rather than the
+    * raw-corpus distribution — log w(x) = Σ_b c_b(x)·(ln p̂_target(b) −
+    * ln p̂_raw(b)) over `nBuckets` hashed-feature buckets with Laplace
+    * smoothing. The target here is the English subcorpus (`lang = 'en'`,
+    * standing in for the trusted high-quality corpus DSIR resamples
+    * toward); positive log-weight docs are the ones importance resampling
+    * would favor.
+    *
+    * Feature hashing follows the [[fingerprint]] convention: rank-derived
+    * token ids reduced mod `nBuckets` (vocab-bounded dictionary window,
+    * bit-identical in the oracle); `hashTid = true` switches to
+    * xxhash64 ids — the windowless 100 TB path where the vocabulary is
+    * unbounded and hashing is the whole point of DSIR's features.
+    *
+    * Scale shape: one token-grain aggregation; both distributions collapse
+    * to ≤ nBuckets-row broadcast tables; per-doc scoring is one more
+    * doc-key aggregation over (doc, bucket) counts. Per-bucket log deltas
+    * round at 12 dp before the per-doc sum (the entropy/PMI convention). */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 256, hashTid: Boolean = false): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val tt =
+      if (hashTid) tok.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+      else {
+        val vocab = tok.select(col("token")).distinct()
+          .withColumn("bucket",
+            pmod(row_number().over(Window.orderBy(col("token"))).cast("long"), lit(nBuckets.toLong)))
+        tok.join(broadcast(vocab), Seq("token"))
+      }
+    val counts = tt.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val raw = counts.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgt = counts.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    // smoothed log-ratio per bucket: buckets absent from the target still
+    // score via the +1 smoothing; totals broadcast as 1-row scalars
+    val delta = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+      .select(col("bucket"),
+        round(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + nBuckets))
+          - log((col("cr") + 1.0) / (col("nr") + nBuckets)), 12).as("delta"))
+    counts.join(broadcast(delta), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * col("delta")), 6).as("log_weight"))
+      .withColumn("selected", col("log_weight") > 0.0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("log_weight"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram PMI: ln(P(w1,w2) / (P(w1)·P(w2))) for bigrams seen at
     * least `minCount` times — the classic collocation score. Unigram totals
     * are a broadcast-size vocabulary table joined onto the bigram counts. */

@@ -371,6 +371,24 @@ class TextDedupSpec extends SparkSpec {
     assert(total == sampled)
   }
 
+  test("DSIR weights favor the target language; hash mode is windowless") {
+    val rows = TextAnalysis.dsirWeights(docs).collect()
+    assert(rows.length == docs.count(), "one weight per document")
+    rows.foreach(r => assert(r.getAs[Boolean]("selected") == (r.getAs[Double]("log_weight") > 0.0)))
+    // the target subcorpus must score highest on average — the whole point
+    // of importance weights toward the target distribution
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(rs => rs.map(_.getAs[Double]("log_weight")).sum / rs.length).toMap
+    byLang.filterNot(_._1 == "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"target 'en' mean ${byLang("en")} not above '$l' mean $m")
+    }
+    // hashTid mode: no vocabulary-rank window in the plan, same row count
+    val hashed = TextAnalysis.dsirWeights(docs, hashTid = true)
+    assert(!hashed.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "hash mode must not rank the vocabulary")
+    assert(hashed.count() == rows.length)
+  }
+
   test("contamination excludes benchmark docs and hits never exceed shingles") {
     val rows = TextAnalysis.contamination(docs).collect()
     rows.foreach { r =>
