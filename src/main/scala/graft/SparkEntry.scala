@@ -81,6 +81,7 @@ object SparkEntry {
     "knn_lsh" -> q((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "knn_centroid" -> q((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
     "mm_features" -> q((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "mm_payload_entropy" -> q((s, d) => Multimodal.payloadEntropy(Tables.documents(s, d))),
     "q21_pivot" -> q((s, d) => Relational.returnStatusPivot(Tables.lineitem(s, d))),
     "q22_correlated" -> q((s, d) => Relational.cheapestLinePerPart(Tables.lineitem(s, d))),
     "q23_sql_interface" -> q((s, d) => Relational.sqlNationYearRevenue(s, d)),
@@ -1146,6 +1147,23 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, byte_len, checksum, checksum % 16 AS feature_bucket
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Byte-histogram Shannon entropy triage; thresholds on the rounded
+    // bits so both engines classify identically.
+    "mm_payload_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |   FROM documents WHERE length(text) > 0),
+        | h AS (SELECT doc_id, ascii(ch) AS bv, count(*) AS c
+        |   FROM t WHERE length(ch) > 0 GROUP BY 1, 2),
+        | e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS byte_len,
+        |   CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |   round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS entropy_bits
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, byte_len, n_distinct_bytes, entropy_bits,
+        | CASE WHEN entropy_bits >= 4.15 THEN '3_high_entropy'
+        |      WHEN entropy_bits < 4.0 THEN '1_low_entropy'
+        |      ELSE '2_mid_entropy' END AS triage
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q21_pivot" ->
       """SELECT l_returnflag,

