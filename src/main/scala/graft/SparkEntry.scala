@@ -234,6 +234,9 @@ object SparkEntry {
     "ev_audience_overlap" -> q((s, d) => Events.audienceOverlap(Tables.events(s, d))),
     "ev_churn_hazard" -> q((s, d) => Events.churnHazard(Tables.events(s, d))),
     "ev_survival" -> q((s, d) => Events.survivalCurve(Tables.events(s, d))),
+    "ev_feature_lags" -> q((s, d) => Events.featureLags(Tables.events(s, d))),
+    "mm_magic_bytes" -> q((s, d) => Multimodal.magicBytes(Tables.documents(s, d))),
+    "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
     "lake_partition_skew" -> q((s, d) => Layout.partitionSkew(Tables.lineitem(s, d))),
@@ -1150,6 +1153,32 @@ object SparkEntry {
 
     // Byte-histogram Shannon entropy triage; thresholds on the rounded
     // bits so both engines classify identically.
+    "mm_magic_bytes" ->
+      """WITH h AS (SELECT source, CAST(strlen(text) AS BIGINT) AS blen,
+        |   hex(substring(text, 1, 4)) AS h8, substring(text, 1, 32) AS p32,
+        |   length(regexp_replace(substring(text, 1, 32), '[^ -~]', '', 'g')) AS printable
+        |  FROM documents),
+        | c AS (SELECT source, blen,
+        |   CASE WHEN blen = 0 THEN 'empty'
+        |        WHEN h8 = '89504E47' THEN 'png'
+        |        WHEN substring(h8, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |        WHEN h8 = '47494638' THEN 'gif'
+        |        WHEN h8 = '25504446' THEN 'pdf'
+        |        WHEN h8 = '52494646' THEN 'riff'
+        |        WHEN h8 = '504B0304' THEN 'zip'
+        |        WHEN substring(h8, 1, 4) = '1F8B' THEN 'gzip'
+        |        WHEN printable * 100 >= length(p32) * 95 THEN 'text_ascii'
+        |        ELSE 'binary_other' END AS format_class FROM h),
+        | g AS (SELECT source, format_class, count(*) AS n_payloads,
+        |   round(avg(blen), 2) AS avg_bytes FROM c GROUP BY 1, 2),
+        | spine AS (SELECT DISTINCT source, cls AS format_class FROM documents,
+        |   (VALUES ('binary_other'),('empty'),('gif'),('gzip'),('jpeg'),('pdf'),
+        |           ('png'),('riff'),('text_ascii'),('zip')) v(cls))
+        |SELECT s.source, s.format_class,
+        | coalesce(g.n_payloads, 0) AS n_payloads, g.avg_bytes
+        |FROM spine s LEFT JOIN g ON s.source = g.source AND s.format_class = g.format_class
+        |ORDER BY s.source, s.format_class""".stripMargin,
+
     "mm_payload_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         |   FROM documents WHERE length(text) > 0),
@@ -2913,6 +2942,35 @@ object SparkEntry {
         | round(sum(CASE WHEN rk > n - n // 100 THEN rev_c ELSE 0 END) * 100.0 / max(tot_c), 4) AS top1_share_pct,
         | round(sum(CASE WHEN rk > n - n // 10 THEN rev_c ELSE 0 END) * 100.0 / max(tot_c), 4) AS top10_share_pct
         |FROM r CROSS JOIN t""".stripMargin,
+
+    "ev_feature_lags" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        | w AS (SELECT event_id, user_id,
+        |   CAST(row_number() OVER uw AS BIGINT) AS purchase_idx,
+        |   round(value, 4) AS value,
+        |   round(lag(value, 1) OVER uw, 4) AS lag1_value,
+        |   round(lag(value, 2) OVER uw, 4) AS lag2_value,
+        |   round(sum(value) OVER (uw ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |     / count(*) OVER (uw ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS prev3_mean,
+        |   (epoch_us(ts) - lag(epoch_us(ts), 1) OVER uw) // 1000000 AS gap_s
+        |  FROM p WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, purchase_idx, value, lag1_value, lag2_value, prev3_mean, gap_s
+        |FROM w ORDER BY user_id, purchase_idx""".stripMargin,
+
+    "q69_weighted_quantiles" ->
+      """WITH f AS (SELECT l_returnflag, l_quantity,
+        |   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT l_returnflag, l_quantity,
+        |   sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM f)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum * 100 >= tot * 25 THEN l_quantity END) AS wp25,
+        | min(CASE WHEN cum * 100 >= tot * 50 THEN l_quantity END) AS wp50,
+        | min(CASE WHEN cum * 100 >= tot * 75 THEN l_quantity END) AS wp75,
+        | round(max(tot) / 100.0, 2) AS total_weight
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "ev_burstiness" ->
       """WITH g AS (SELECT user_id,

@@ -805,4 +805,32 @@ object Events {
         round(col("s.p") * 100, 6).as("steady_pct"))
       .orderBy("event_type")
   }
+
+  /** Lag-feature generation — the feature-engineering pass that turns an
+    * event log into per-row training examples: for each purchase, the
+    * previous two purchase values, the rolling mean of the prior 3, the
+    * seconds since the previous purchase, and the purchase ordinal. Output
+    * is row-grain (the shape a trainer consumes, like q60). All five
+    * features come from ONE user-partitioned window over the pre-filtered
+    * purchase stream — a single user-key shuffle; rows with no history keep
+    * NULL features (the trainer's "cold start" marker) rather than fake
+    * zeros. Gaps are exact integer seconds (µs div), the rolling mean is
+    * an exact ratio of a double sum over an integer count, rounded 4dp. */
+  def featureLags(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev3 = w.rowsBetween(-3, -1)
+    purchases
+      .withColumn("purchase_idx", row_number().over(w).cast("long"))
+      .withColumn("lag1_value", round(lag(col("value"), 1).over(w), 4))
+      .withColumn("lag2_value", round(lag(col("value"), 2).over(w), 4))
+      .withColumn("prev3_mean",
+        round(sum(col("value")).over(wPrev3) / count(lit(1)).over(wPrev3), 4))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) div 1000000"))
+      .select(col("event_id"), col("user_id"), col("purchase_idx"),
+        round(col("value"), 4).as("value"),
+        col("lag1_value"), col("lag2_value"), col("prev3_mean"), col("gap_s"))
+      .orderBy("user_id", "purchase_idx")
+  }
 }

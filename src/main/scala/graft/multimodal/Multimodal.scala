@@ -240,4 +240,50 @@ object Multimodal {
         expr("graft_bytesum(payload)").as("checksum"))
       .withColumn("feature_bucket", col("checksum") % 16)
       .orderBy("doc_id")
+
+  /** Magic-byte format sniffing — the first-pass classifier of any media
+    * ingest: match the leading bytes against container signatures
+    * (PNG/JPEG/GIF/PDF/RIFF/ZIP/GZIP), fall back to a printable-ASCII scan
+    * of the first 32 bytes (≥95% printable → text), else opaque binary.
+    * All per-row codegen'd expressions (hex prefix compare + one bounded
+    * regexp over a 32-char slice — never the whole payload), one
+    * map-side-combinable aggregation to (source, class) grain. The output
+    * keeps the full class spine per source so absent formats are explicit
+    * zero cells (this corpus is UTF-8 text standing in for media blobs —
+    * the signature rows are structurally empty by construction, the
+    * ASCII-scan path does the real work; point `payloads` at real media
+    * and the same plan fills them). Limitation of the string stand-in: the
+    * hex compare sees the text's UTF-8 encoding, so only signatures whose
+    * bytes are valid ASCII (PDF/GIF/RIFF/ZIP) can ever fire from a string
+    * column; high-byte magics (PNG 0x89, JPEG 0xFF, GZIP 0x1F8B) need a
+    * true `binary` ingest column — they are listed so the class alphabet
+    * is already the production one. */
+  def magicBytes(documents: DataFrame): DataFrame = {
+    val classes = Seq("binary_other", "empty", "gif", "gzip", "jpeg", "pdf",
+      "png", "riff", "text_ascii", "zip")
+    val classified = documents
+      .withColumn("blen", length(col("text").cast("binary")).cast("long"))
+      .withColumn("h8", hex(substring(col("text"), 1, 4)))
+      .withColumn("p32", substring(col("text"), 1, 32))
+      .withColumn("printable", length(regexp_replace(col("p32"), "[^ -~]", "")))
+      .withColumn("format_class",
+        when(col("blen") === 0L, "empty")
+          .when(col("h8") === "89504E47", "png")
+          .when(substring(col("h8"), 1, 6) === "FFD8FF", "jpeg")
+          .when(col("h8") === "47494638", "gif")
+          .when(col("h8") === "25504446", "pdf")
+          .when(col("h8") === "52494646", "riff")
+          .when(col("h8") === "504B0304", "zip")
+          .when(substring(col("h8"), 1, 4) === "1F8B", "gzip")
+          .when(col("printable") * 100 >= length(col("p32")) * 95, "text_ascii")
+          .otherwise("binary_other"))
+    val counts = classified.groupBy(col("source"), col("format_class"))
+      .agg(count(lit(1)).as("n_payloads"), round(avg(col("blen")), 2).as("avg_bytes"))
+    val spine = documents.select(col("source")).distinct()
+      .select(col("source"), explode(array(classes.map(lit): _*)).as("format_class"))
+    spine.join(counts, Seq("source", "format_class"), "left")
+      .select(col("source"), col("format_class"),
+        coalesce(col("n_payloads"), lit(0L)).as("n_payloads"), col("avg_bytes"))
+      .orderBy("source", "format_class")
+  }
 }

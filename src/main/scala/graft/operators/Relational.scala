@@ -1205,4 +1205,35 @@ object Relational {
         round(avg(col("gap_days")), 4).as("avg_gap_days"))
       .orderBy("c_mktsegment")
   }
+
+  /** q69: weighted discrete quantiles — the revenue-weighted p25/p50/p75 of
+    * order size per return flag ("half the revenue ships in lines of ≤ q
+    * units"), the weighted-median family every pricing/capacity analysis
+    * leans on. Weights are exact integer cents summed on the
+    * (flag, quantity) frequency table, whose cardinality is bounded by the
+    * quantity DOMAIN (≤ ~50 distinct values per flag), not by rows — so the
+    * cumulative window runs over a provably tiny input (the q58 shape,
+    * weighted), and the p·total threshold compare is pure integer
+    * arithmetic (cum·100 ≥ p%·total) with no float boundary. One
+    * map-side-combinable aggregation feeds everything. */
+  def weightedQuantiles(lineitem: DataFrame): DataFrame = {
+    val freq = lineitem
+      .select(col("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("wc"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(col("wc")).as("w"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    freq
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 100 >= col("tot") * 25, col("l_quantity"))).as("wp25"),
+        min(when(col("cum") * 100 >= col("tot") * 50, col("l_quantity"))).as("wp50"),
+        min(when(col("cum") * 100 >= col("tot") * 75, col("l_quantity"))).as("wp75"),
+        round(max(col("tot")) / 100.0, 2).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
 }

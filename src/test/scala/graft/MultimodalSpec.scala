@@ -108,4 +108,32 @@ class MultimodalSpec extends SparkSpec {
     assert(smallest.getAs[Long]("rate_pct") == 100L)
     assert(smallest.getAs[Long]("kept_docs") == smallest.getAs[Long]("n_docs"))
   }
+
+  test("magic bytes: full class spine per source, counts conserve docs, signatures fire on real magic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Multimodal.magicBytes(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources * 10, "10-class spine per source, zero cells explicit")
+    assert(rows.map(_.getAs[Long]("n_payloads")).sum == docs.count())
+    // this UTF-8 word-salad corpus: every non-empty payload is text_ascii
+    rows.filter(r => !Set("text_ascii", "empty").contains(r.getAs[String]("format_class")))
+      .foreach(r => assert(r.getAs[Long]("n_payloads") == 0L,
+        s"signature class ${r.getAs[String]("format_class")} must be structurally empty here"))
+    // and the signature path itself fires on the ASCII-representable magics
+    // (high-byte signatures like PNG's \x89 can't round-trip a UTF-8 string
+    // stand-in -- they need a true binary ingest column; scaladoc'd limit)
+    val fake = spark.createDataFrame(Seq(
+      (1L, "GIF89a....", "img"), (2L, "RIFF....WAVE", "img"),
+      (3L, "%PDF-1.7 x", "docs"), (4L, "PK\u0003\u0004zipdata", "docs"),
+      (5L, "plain words here", "docs"), (6L, "", "docs")))
+      .toDF("doc_id", "text", "source")
+    val cls = Multimodal.magicBytes(fake).collect()
+      .filter(_.getAs[Long]("n_payloads") > 0)
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("format_class")) -> r.getAs[Long]("n_payloads"))
+      .toMap
+    assert(cls(("img", "gif")) == 1L && cls(("img", "riff")) == 1L)
+    assert(cls(("docs", "pdf")) == 1L && cls(("docs", "zip")) == 1L)
+    assert(cls(("docs", "text_ascii")) == 1L && cls(("docs", "empty")) == 1L)
+  }
 }

@@ -279,4 +279,55 @@ class PipelineReportsSpec extends SparkSpec {
     assert(tq("a") == ((40L, 40L, 40L)))
     assert(tq("b") == ((50L, 60L, 70L))) // p25 = 12.5, p50 = 15, p75 = 17.5
   }
+
+  test("feature lags: row grain preserved, ordinals contiguous, features equal brute recompute") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.featureLags(ev).collect()
+    assert(rows.length == ev.filter(col("event_type") === "purchase").count(),
+      "one training row per purchase event")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("purchase_idx"))
+      assert(sorted.map(_.getAs[Long]("purchase_idx")).toSeq == (1L to rs.length).toSeq,
+        s"user $uid ordinals not contiguous")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) {
+          assert(r.isNullAt(r.fieldIndex("lag1_value")) && r.isNullAt(r.fieldIndex("gap_s")),
+            s"user $uid first purchase must have NULL history features")
+        } else {
+          assert(r.getAs[Double]("lag1_value") == sorted(i - 1).getAs[Double]("value"))
+          assert(r.getAs[Long]("gap_s") >= 0L)
+          val prev = sorted.slice(math.max(0, i - 3), i).map(_.getAs[Double]("value"))
+          assert(math.abs(r.getAs[Double]("prev3_mean") - prev.sum / prev.length) < 1e-3,
+            s"user $uid idx ${i + 1} rolling mean")
+        }
+      }
+    }
+  }
+
+  test("weighted quantiles: monotone, attained, and equal to a brute cumulative-weight scan") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val li = Tables.lineitem(spark, sf0001)
+    val out = graft.operators.Relational.weightedQuantiles(li).collect()
+    assert(out.nonEmpty)
+    val brute = li.select(col("l_returnflag"), col("l_quantity"),
+        rnd(col("l_extendedprice") * 100, 0).cast("long").as("wc"))
+      .collect().groupBy(_.getAs[String]("l_returnflag"))
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("wp25"), r.getAs[Double]("wp50"), r.getAs[Double]("wp75"))
+      assert(p25 <= p50 && p50 <= p75, "weighted quantiles must be monotone")
+      val grp = brute(r.getAs[String]("l_returnflag"))
+      val byQ = grp.groupBy(_.getAs[Double]("l_quantity")).view
+        .mapValues(_.map(_.getAs[Long]("wc")).sum).toSeq.sortBy(_._1)
+      val tot = byQ.map(_._2).sum
+      def wq(pct: Long): Double = {
+        var cum = 0L
+        byQ.find { case (_, w) => cum += w; cum * 100 >= tot * pct }.get._1
+      }
+      assert(p25 == wq(25) && p50 == wq(50) && p75 == wq(75),
+        s"brute weighted quantile mismatch for ${r.getAs[String]("l_returnflag")}")
+      assert(grp.map(_.getAs[Double]("l_quantity")).contains(p50),
+        "weighted median must be an attained value (disc semantics)")
+    }
+  }
 }
