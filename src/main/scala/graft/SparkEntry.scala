@@ -236,6 +236,7 @@ object SparkEntry {
     "ev_survival" -> q((s, d) => Events.survivalCurve(Tables.events(s, d))),
     "ev_feature_lags" -> q((s, d) => Events.featureLags(Tables.events(s, d))),
     "mm_magic_bytes" -> q((s, d) => Multimodal.magicBytes(Tables.documents(s, d))),
+    "dedup_blocks" -> q((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -908,6 +909,22 @@ object SparkEntry {
         |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN x || ' ' || tk[i+1] END),
         |   y -> y IS NOT NULL)) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin,
+
+    "dedup_blocks" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        | n AS (SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS BIGINT) AS nb FROM d),
+        | e AS (SELECT doc_id, t, unnest(range(0, nb)) AS b FROM n WHERE nb > 0),
+        | bl AS (SELECT doc_id,
+        |   md5(array_to_string(t[CAST(b * 20 + 1 AS INT):CAST(b * 20 + 20 AS INT)], ' ')) AS sig
+        |  FROM e),
+        | ds AS (SELECT sig, count(DISTINCT doc_id) AS n_docs FROM bl GROUP BY 1),
+        | r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |   CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks
+        |  FROM bl JOIN ds USING (sig) GROUP BY 1)
+        |SELECT doc_id, n_blocks, dup_blocks,
+        | round(dup_blocks * 1.0 / n_blocks, 6) AS dup_frac,
+        | round(dup_blocks * 1.0 / n_blocks, 6) >= 0.8 AS drop_doc
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH s AS (SELECT doc_id,

@@ -559,4 +559,27 @@ class TextDedupSpec extends SparkSpec {
       assert(rows.length <= 3, s"$lang: more than 3 buckets is impossible")
     }
   }
+
+  test("block dedup: per-doc counts equal a brute-force Scala block-hash recompute") {
+    val out = Dedup.blockDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("dup_blocks"), r.getAs[Boolean]("drop_doc"))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // brute force: same 20-token blocks, dup = block string appears in 2+ docs
+    val blocks = raw.toSeq.flatMap { case (id, text) =>
+      text.trim.split("\\s+").toSeq.grouped(20).map(b => (id, b.mkString(" ")))
+    }
+    val docsPerBlock = blocks.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val brute = blocks.groupBy(_._1).view.mapValues { bs =>
+      (bs.size.toLong, bs.count(b => docsPerBlock(b._2) > 1).toLong)
+    }.toMap
+    assert(out.keySet == brute.keySet, "every doc with >=1 block appears")
+    out.foreach { case (id, (nb, db, drop)) =>
+      assert((nb, db) == brute(id), s"doc $id block counts diverge from brute force")
+      assert(drop == (BigDecimal(db) / BigDecimal(nb) >= 0.8 - 5e-7), s"doc $id drop flag")
+      assert(db <= nb)
+    }
+    assert(out.values.exists(_._2 > 0), "the near-dup-salted corpus must share some blocks")
+  }
 }
