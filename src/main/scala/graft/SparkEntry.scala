@@ -237,6 +237,7 @@ object SparkEntry {
     "ev_feature_lags" -> q((s, d) => Events.featureLags(Tables.events(s, d))),
     "mm_magic_bytes" -> q((s, d) => Multimodal.magicBytes(Tables.documents(s, d))),
     "dedup_blocks" -> q((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
+    "knn_mmr" -> q((s, d) => Ann.mmrTopK(Tables.embeddings(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1118,6 +1119,43 @@ object SparkEntry {
         |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS is_rep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "knn_mmr" -> {
+      val stages = (2 to 5).map { i =>
+        val prevSel = (1 until i).map(j => s"SELECT q_id, vec_id FROM p$j").mkString(" UNION ALL ")
+        s""" sel$i AS ($prevSel),
+           | pen$i AS (SELECT s.q_id, s.d_id, max(s.sim_u) AS maxsim_u
+           |  FROM sims s JOIN sel$i t ON s.q_id = t.q_id AND s.s_id = t.vec_id
+           |  GROUP BY 1, 2),
+           | p$i AS (SELECT c.q_id, c.vec_id, c.rel_u * 7 - m.maxsim_u * 3 AS score_u
+           |  FROM cand c JOIN pen$i m ON c.q_id = m.q_id AND c.vec_id = m.d_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$i t
+           |    WHERE t.q_id = c.q_id AND t.vec_id = c.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+           |    ORDER BY c.rel_u * 7 - m.maxsim_u * 3 DESC, c.vec_id) = 1)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 5)
+        .map(i => s"SELECT q_id, vec_id, CAST($i AS BIGINT) AS pick, score_u FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $embPrepSql,
+        | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        | r0 AS (SELECT q_id, vec_id, v, nrm,
+        |   CAST(round(list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (qn * nrm) * 1e6, 0) AS BIGINT) AS rel_u
+        |  FROM n JOIN q ON vec_id <> q_id),
+        | cand AS (SELECT q_id, vec_id, v, nrm, rel_u FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel_u DESC, vec_id) AS rk FROM r0)
+        |  WHERE rk <= 20),
+        | sims AS (SELECT a.q_id AS q_id, a.vec_id AS d_id, b.vec_id AS s_id,
+        |   CAST(round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (a.nrm * b.nrm) * 1e6, 0) AS BIGINT) AS sim_u
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+        | p1 AS (SELECT q_id, vec_id, rel_u * 7 AS score_u FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel_u * 7 DESC, vec_id) = 1),
+        |$stages
+        |SELECT q_id, vec_id, pick, CAST(score_u AS DOUBLE) / 10000000 AS score
+        |FROM ($picks) ORDER BY q_id, pick""".stripMargin
+    },
 
     "knn_brute" ->
       s"""WITH $embPrepSql,

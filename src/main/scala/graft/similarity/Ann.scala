@@ -572,4 +572,60 @@ object Ann {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
   }
+
+  /** Greedy MMR (maximal-marginal-relevance) diversity rerank — the
+    * production serving step that stops a result page being five copies of
+    * the same document: pick_1 = argmax relevance; pick_i = argmax
+    * 0.7·rel(d) − 0.3·max_{s∈picked} sim(d, s). Runs entirely on the
+    * per-query top-`coarseC` candidate set (the rerank-tier shape of
+    * [[rerankTopK]]): the candidate and pairwise-sim tables are bounded by
+    * queries·C and queries·C² — independent of corpus size — and
+    * checkpointed once, so the k−1 greedy rounds (a FIXED, tiny iteration
+    * count, like the CC label-propagation rounds) each cost one broadcast
+    * join over those bounded tables. Scores are exact integers over
+    * micro-cosines (7·rel_µ − 3·max sim_µ), so comparisons and the shown
+    * score (÷1e7) carry no float half-boundary; ties break on vec_id — the
+    * greedy trajectory is bit-deterministic. */
+  def mmrTopK(embeddings: DataFrame, nQueries: Int = 10, coarseC: Int = 20,
+              k: Int = 5): DataFrame = {
+    val base = prep(embeddings)
+    val qF = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = base.join(broadcast(qF), col("vec_id") =!= col("q_id"))
+      .withColumn("rel_u", round(expr(dotExpr) / (col("qn") * col("nrm")) * 1e6, 0).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rel_u").desc, col("vec_id"))))
+      .filter(col("rk") <= coarseC)
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"), col("rel_u"))
+      .stableCheckpoint()
+    val sims = cand.as("a")
+      .join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("d_id"),
+        col("b.vec_id").as("s_id"),
+        round(expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")) * 1e6, 0)
+          .cast("long").as("sim_u"))
+      .stableCheckpoint()
+    // score_u is exact integer tenth-micros (7·rel_u − 3·sim_u); the shown
+    // score is the same integer over 1e7 — one double division both engines
+    // evaluate identically, with no half-boundary to round.
+    def top1(scored: DataFrame, pick: Int): DataFrame = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_u").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), lit(pick.toLong).as("pick"),
+        (col("score_u") / 1e7).as("score"))
+    var selected = top1(cand.withColumn("score_u", col("rel_u") * 7L), 1)
+    for (i <- 2 to k) {
+      val pen = sims
+        .join(selected.select(col("q_id"), col("vec_id").as("s_id")), Seq("q_id", "s_id"))
+        .groupBy(col("q_id"), col("d_id")).agg(max(col("sim_u")).as("maxsim_u"))
+      val next = top1(
+        cand.join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+          .join(pen.withColumnRenamed("d_id", "vec_id"), Seq("q_id", "vec_id"))
+          .withColumn("score_u", col("rel_u") * 7L - col("maxsim_u") * 3L), i)
+      selected = selected.unionAll(next)
+    }
+    selected.orderBy("q_id", "pick")
+  }
 }

@@ -216,4 +216,43 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Double]("cos") <= brute1(r.getAs[Long]("q_id")) + 1e-9)
     }
   }
+
+  test("MMR rerank: brute-force greedy trajectory match; pick1 is the relevance argmax") {
+    val rows = Ann.mmrTopK(emb).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5), "k=5 picks per query")
+    // brute force: rebuild candidates + greedy MMR from raw vectors
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }.toMap
+    def relU(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    byQ.foreach { case (qid, picks) =>
+      val qv = vecs(qid)
+      val cands = vecs.keys.filter(_ != qid).toSeq
+        .map(id => id -> relU(qv, vecs(id)))
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      val candRel = cands.toMap
+      var sel = Vector.empty[Long]
+      val expected = (1 to 5).map { _ =>
+        val pick =
+          if (sel.isEmpty) cands.head._1
+          else cands.collect { case (id, r) if !sel.contains(id) =>
+            val pen = sel.map(sid => relU(vecs(id), vecs(sid))).max
+            (id, r * 7L - pen * 3L)
+          }.sortBy { case (id, sc) => (-sc, id) }.head._1
+        sel :+= pick
+        pick
+      }
+      val got = picks.sortBy(_.getAs[Long]("pick")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == expected, s"query $qid greedy trajectory diverges: $got vs $expected")
+      // scores are monotone non-increasing along the greedy picks
+      val scores = picks.sortBy(_.getAs[Long]("pick")).map(_.getAs[Double]("score"))
+      scores.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+    }
+  }
 }
