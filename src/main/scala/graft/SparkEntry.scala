@@ -238,6 +238,7 @@ object SparkEntry {
     "mm_magic_bytes" -> q((s, d) => Multimodal.magicBytes(Tables.documents(s, d))),
     "dedup_blocks" -> q((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
     "knn_mmr" -> q((s, d) => Ann.mmrTopK(Tables.embeddings(s, d))),
+    "dedup_cdc" -> q((s, d) => Dedup.cdcDedup(Tables.documents(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -910,6 +911,27 @@ object SparkEntry {
         |   list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN x || ' ' || tk[i+1] END),
         |   y -> y IS NOT NULL)) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin,
+
+    "dedup_cdc" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        | tk AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS token FROM
+        |   (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM d)),
+        | h AS (SELECT doc_id, pos, token,
+        |   CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 16 = 0 AS bnd FROM tk),
+        | c AS (SELECT doc_id, pos, token,
+        |   coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk FROM h),
+        | ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+        |   md5(string_agg(token, ' ' ORDER BY pos)) AS sig FROM c GROUP BY 1, 2),
+        | ds AS (SELECT sig, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1),
+        | r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |   CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |   CAST(sum(CASE WHEN n_docs > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+        |  FROM ch JOIN ds USING (sig) GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_tokens, dup_chunks, dup_tokens,
+        | round(dup_tokens * 1.0 / n_tokens, 6) AS dup_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_blocks" ->
       s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),

@@ -849,4 +849,43 @@ object Dedup {
       .select(col("doc_id"), col("n_blocks"), col("dup_blocks"), col("dup_frac"), col("drop_doc"))
       .orderBy("doc_id")
   }
+
+  /** Content-defined-chunking dedup — the shift-resistant complement to
+    * [[blockDedup]]: chunk boundaries are declared wherever a token's own
+    * hash ≡ 0 (mod `modBase`), so inserting or deleting a sentence moves
+    * only the chunks it touches, while fixed-width blocks would re-align
+    * every block after the edit (the rsync/LBFS/CDC principle, applied at
+    * token grain). Boundary hash is the first 8 md5 hex digits — stable
+    * across engines, no dictionary build. The chunk id is a per-doc
+    * prefix count of boundaries (doc-length-bounded partitioned window);
+    * chunk signatures are md5 of the position-ordered token run; the
+    * cross-doc rollup is the same linear signature shuffle as blockDedup.
+    * Per doc: chunk/token counts, verbatim-shared chunks and the
+    * token-weighted duplicated fraction. */
+  def cdcDedup(documents: DataFrame, modBase: Int = 16): DataFrame = {
+    val tok = documents.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+      .withColumn("bnd",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % modBase === 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk", coalesce(sum(when(col("bnd"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, token))), x -> x.token)"),
+          " ")).as("sig"))
+    val ds = chunks.groupBy(col("sig")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(ds, "sig")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_docs") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", round(col("dup_tokens") * 1.0 / col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("dup_chunks"), col("dup_tokens"), col("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

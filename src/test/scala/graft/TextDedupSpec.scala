@@ -582,4 +582,41 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(out.values.exists(_._2 > 0), "the near-dup-salted corpus must share some blocks")
   }
+
+  test("CDC dedup: brute-force recompute matches; chunking is shift-resistant by construction") {
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isBnd(tok: String): Boolean = java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 16 == 0
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val t = text.trim.split("\\s+").toSeq
+      // chunk id = count of boundary tokens strictly before this position
+      val ids = t.scanLeft(0)((acc, tok) => acc + (if (isBnd(tok)) 1 else 0)).dropRight(1)
+      t.zip(ids).groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1))
+    }
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val perDoc = raw.view.mapValues(chunksOf).toMap
+    val docsPerSig = perDoc.toSeq.flatMap { case (id, cs) => cs.map(c => (id, c.mkString(" "))) }
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val out = Dedup.cdcDedup(docs).collect()
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val cs = perDoc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_chunks") == cs.length)
+      assert(r.getAs[Long]("n_tokens") == cs.map(_.length).sum)
+      assert(r.getAs[Long]("dup_chunks") == cs.count(c => docsPerSig(c.mkString(" ")) > 1))
+      assert(r.getAs[Long]("dup_tokens") ==
+        cs.filter(c => docsPerSig(c.mkString(" ")) > 1).map(_.length).sum)
+    }
+    // shift resistance: boundaries are token-intrinsic, so prepending a
+    // prefix changes AT MOST the pre-first-boundary chunk of the original
+    val origText = raw.values.maxBy(_.trim.split("\\s+").length)
+    val orig = chunksOf(origText).map(_.mkString(" ")).toSet
+    val shifted = chunksOf("shifted prefix tokens " + origText).map(_.mkString(" ")).toSet
+    assert((orig -- shifted).size <= 1, "at most the leading chunk may differ after a prefix edit")
+    // contrast: fixed blocks lose alignment everywhere after the same edit
+    val blocksOf = (t: String) => t.trim.split("\\s+").toSeq.grouped(20).map(_.mkString(" ")).toSet
+    assert((blocksOf(origText) -- blocksOf("shifted prefix tokens " + origText)).size > 1,
+      "fixed-width blocks are NOT shift-resistant (motivates CDC)")
+  }
 }
