@@ -229,6 +229,16 @@ object StreamBench {
           StreamOps.BucketItem(item % 32, item)
         }))
     }
+    // online lag-feature serving (append-mode fmgws, state 3 doubles/user)
+    locally {
+      val in = MemoryStream[StreamOps.PurchaseEvent]
+      drain("feature_lags", nRows,
+        StreamOps.featureLagsStream(spark, in.toDS())
+          .writeStream.outputMode("append"))(() =>
+        in.addData((0 until nRows).map(i =>
+          StreamOps.PurchaseEvent(i.toLong, (i % 997).toLong,
+            (baseMs + i.toLong * 1000L) * 1000L, (i % 100) / 10.0))))
+    }
     out.toSeq
   }
 }

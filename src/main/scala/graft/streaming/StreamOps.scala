@@ -242,4 +242,47 @@ object StreamOps {
           slots.iterator.map(s => HeavyHitter(bucket, s.item, s.cnt, s.err))
       }
   }
+
+  case class PurchaseEvent(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  case class LagState(vals: Seq[Double], last_ts_us: Long, n: Long)
+  case class FeatureRow(event_id: Long, user_id: Long, purchase_idx: Long,
+                        value: Double, lag1_value: Option[Double], lag2_value: Option[Double],
+                        prev3_mean: Option[Double], gap_s: Option[Long])
+
+  /** Online feature serving — the streaming twin of
+    * [[graft.events.Events.featureLags]]: as purchases arrive, emit the
+    * SAME training row the batch job would produce (lag1/lag2, mean of the
+    * prior ≤3, integer-second recency gap, ordinal), from per-user state
+    * that is hard-bounded at 3 doubles + 2 longs per user — the classic
+    * online feature store, where features must be available at serving
+    * time, not at the next batch run. Values kept in ascending event order
+    * so the 3-value mean accumulates in the batch window's exact addition
+    * order (bit-identical parity, asserted by the spec); within a batch,
+    * rows replay in (ts, event_id) order — the stream analogue of the
+    * batch window sort. Append mode: each feature row is final when
+    * emitted. */
+  def featureLagsStream(spark: SparkSession, purchases: Dataset[PurchaseEvent]): Dataset[FeatureRow] = {
+    import spark.implicits._
+    def r4(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    purchases
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagState, FeatureRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[PurchaseEvent], state: GroupState[LagState]) =>
+          var st = state.getOption.getOrElse(LagState(Vector.empty, Long.MinValue, 0L))
+          val out = rows.toVector.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val idx = st.n + 1
+            val row = FeatureRow(e.event_id, uid, idx, r4(e.value),
+              st.vals.lastOption.map(r4),
+              (if (st.vals.size >= 2) Some(st.vals(st.vals.size - 2)) else None).map(r4),
+              if (st.vals.isEmpty) None else Some(r4(st.vals.sum / st.vals.size)),
+              if (st.n == 0) None else Some((e.ts_us - st.last_ts_us) / 1000000L))
+            st = LagState((st.vals :+ e.value).takeRight(3), e.ts_us, idx)
+            row
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -381,4 +381,34 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.length == 2, s"user 1 should have 2 closed sessions, got ${emitted.length}")
     } finally q.stop()
   }
+
+  test("streaming feature lags: bit-exact parity with the batch feature generator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("value"))
+      .as[StreamOps.PurchaseEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[StreamOps.PurchaseEvent]
+    val q = StreamOps.featureLagsStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("featlags_test").outputMode("append").start()
+    try {
+      // two batches split mid-stream: per-user state must carry across commits
+      val (b1, b2) = purchases.splitAt(purchases.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("featlags_test").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("purchase_idx"),
+          r.getAs[Double]("value"), Option(r.get(r.fieldIndex("lag1_value"))),
+          Option(r.get(r.fieldIndex("lag2_value"))), Option(r.get(r.fieldIndex("prev3_mean"))),
+          Option(r.get(r.fieldIndex("gap_s"))))).sortBy(t => (t._2, t._3))
+      val want = graft.events.Events.featureLags(ev).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("purchase_idx"),
+          r.getAs[Double]("value"), Option(r.get(r.fieldIndex("lag1_value"))),
+          Option(r.get(r.fieldIndex("lag2_value"))), Option(r.get(r.fieldIndex("prev3_mean"))),
+          Option(r.get(r.fieldIndex("gap_s"))))).sortBy(t => (t._2, t._3))
+      assert(got.length == want.length, s"row counts: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"stream/batch feature row diverges: $g vs $w") }
+    } finally q.stop()
+  }
 }
