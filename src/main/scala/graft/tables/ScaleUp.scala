@@ -93,8 +93,15 @@ object ScaleUp {
                   tables: Seq[String] = Tables.all, saltAll: Boolean = false): Unit =
     tables.foreach { name =>
       val base = Tables.load(spark, baseDir, name)
+      // Dimension tables (part/supplier/nation/region) are NEVER replicated:
+      // they are key dictionaries, and m verbatim copies would duplicate
+      // every key so any fact⋈dim join multiplies its input m× — the scaled
+      // corpus would then measure the SCALER's m² artifact, not the plan
+      // (q55_market_basket measured cpu exponent 1.83 from exactly this
+      // before the guard; 1.0 after). Fact growth keeps dictionaries fixed.
       val out =
-        if (mult <= 1 && !(saltAll && scaledTables(name))) base
+        if (!scaledTables(name)) base
+        else if (mult <= 1 && !saltAll) base
         else (0 until mult).map(replica(name, base, _, saltAll)).reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
