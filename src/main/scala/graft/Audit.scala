@@ -121,7 +121,13 @@ object Audit {
           "lake_eq_write_cost",
           // PrefixSum/lagOver/prefixMax broadcast their 1-row key-range
           // aggregate (commit-ordered lake queries routed through them):
-          "lake_commit_cadence", "lake_snapshot_lineage")
+          "lake_commit_cadence", "lake_snapshot_lineage",
+          // Round-9 additions: the KM curve crosses its 1-row horizon
+          // aggregate; rerank joins the 10-row broadcast probe set against
+          // the corpus twice (coarse tier + exact ground truth — the
+          // knn_brute sanction, threefold); DSIR broadcasts its ≤ 256-row
+          // hashed-bucket distribution tables (target + raw):
+          "ev_survival", "knn_rerank", "text_dsir")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a
