@@ -127,7 +127,10 @@ object Audit {
           // the corpus twice (coarse tier + exact ground truth — the
           // knn_brute sanction, threefold); DSIR broadcasts its ≤ 256-row
           // hashed-bucket distribution tables (target + raw):
-          "ev_survival", "knn_rerank", "text_dsir")
+          "ev_survival", "knn_rerank", "text_dsir",
+          // IVF balance: broadcast centroid table (knn_centroid sanction)
+          // + the 1-row global stats onto the k-bounded list table:
+          "knn_ivf_balance")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a

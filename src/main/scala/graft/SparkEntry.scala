@@ -239,6 +239,8 @@ object SparkEntry {
     "dedup_blocks" -> q((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
     "knn_mmr" -> q((s, d) => Ann.mmrTopK(Tables.embeddings(s, d))),
     "dedup_cdc" -> q((s, d) => Dedup.cdcDedup(Tables.documents(s, d))),
+    "text_pii_scan" -> q((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
+    "knn_ivf_balance" -> q((s, d) => Ann.ivfBalance(Tables.embeddings(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -912,6 +914,24 @@ object SparkEntry {
         |   y -> y IS NOT NULL)) AS bigram FROM t)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin,
 
+    "text_pii_scan" -> {
+      // Patterns spliced from the shared TextAnalysis.PiiClasses vals so the
+      // oracle cannot silently diverge from the operator's regex set.
+      val cols = TextAnalysis.PiiClasses
+        .map { case (nm, re) => s"len(regexp_extract_all(text, '$re')) AS $nm" }
+        .mkString(", ")
+      val cases = TextAnalysis.PiiClasses
+        .map { case (nm, _) => s"WHEN '$nm' THEN $nm" }.mkString(" ")
+      val vals = TextAnalysis.PiiClasses.map(c => s"('${c._1}')").mkString(", ")
+      s"""WITH c AS (SELECT source, $cols FROM documents),
+        | s AS (SELECT source, cls AS pii_class, CASE cls $cases END AS hits
+        |  FROM c, (VALUES $vals) v(cls))
+        |SELECT source, pii_class,
+        | CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        | CAST(sum(hits) AS BIGINT) AS n_hits
+        |FROM s GROUP BY 1, 2 ORDER BY source, pii_class""".stripMargin
+    },
+
     "dedup_cdc" ->
       s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
         | tk AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS token FROM
@@ -1219,6 +1239,29 @@ object SparkEntry {
         | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
         |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "knn_ivf_balance" ->
+      s"""WITH $embPrepSql,
+        | ex AS (SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM b),
+        | ce AS (SELECT label AS clabel, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex GROUP BY 1, 2),
+        | cv AS (SELECT clabel, list(c ORDER BY pos) AS cvec FROM ce GROUP BY 1),
+        | cn AS (SELECT clabel, cvec,
+        |   sqrt(list_reduce(list_transform(cvec, x -> x * x), (a, c2) -> a + c2)) AS cn FROM cv),
+        | sc AS (SELECT n.vec_id, cn.clabel,
+        |   round(list_reduce(list_transform(list_zip(n.v, cn.cvec), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (n.nrm * cn.cn), 6) AS cos
+        |  FROM n, cn),
+        | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc),
+        | li AS (SELECT clabel AS assigned, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM pr WHERE rk = 1 GROUP BY 1),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS k_lists, CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |   CAST(max(n_vecs) AS BIGINT) AS max_list,
+        |   CAST(sum(n_vecs * n_vecs) AS BIGINT) AS sum_sq FROM li)
+        |SELECT assigned, n_vecs,
+        | round(n_vecs * 100.0 / n_total, 6) AS pct,
+        | round(max_list * k_lists * 1.0 / n_total, 6) AS imbalance_x,
+        | round(sum_sq * 1.0 / n_total, 4) AS exp_probe_cost
+        |FROM li, g ORDER BY assigned""".stripMargin,
 
     "mm_features" ->
       """WITH f AS (SELECT doc_id,

@@ -573,6 +573,41 @@ object Ann {
       .orderBy("label", "assigned")
   }
 
+  /** IVF list-balance audit — the index-health metric that decides when an
+    * IVF index needs retraining: per-list populations from the same
+    * argmax-cosine assignment as [[centroidAssign]], with FAISS's imbalance
+    * factor (max_list · k / N; 1.0 = perfectly even) and the expected
+    * nprobe=1 scan cost under list-mass-proportional query routing
+    * (Σ lᵢ²/N — the quantity skew actually inflates: a query landing in a
+    * hot list scans that whole list). The list table is k-bounded, so the
+    * global stats are a 1-row broadcast onto ≤ k rows; assignment itself is
+    * the linear broadcast-centroid scan. */
+  def ivfBalance(embeddings: DataFrame): DataFrame = {
+    val exploded = prep(embeddings).select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val centroids = exploded
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("c"))
+    val cvec = centroids
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    val lists = prep(embeddings).join(broadcast(cvec))
+      .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("clabel"), struct(col("cos"), (-col("clabel")).as("nc"))).as("assigned"))
+      .groupBy(col("assigned")).agg(count(lit(1)).as("n_vecs"))
+    val globals = lists.agg(count(lit(1)).as("k_lists"), sum(col("n_vecs")).as("n_total"),
+      max(col("n_vecs")).as("max_list"),
+      sum(col("n_vecs") * col("n_vecs")).as("sum_sq"))
+    lists.crossJoin(broadcast(globals))
+      .select(col("assigned"), col("n_vecs"),
+        round(col("n_vecs") * 100.0 / col("n_total"), 6).as("pct"),
+        round(col("max_list") * col("k_lists") * 1.0 / col("n_total"), 6).as("imbalance_x"),
+        round(col("sum_sq") * 1.0 / col("n_total"), 4).as("exp_probe_cost"))
+      .orderBy("assigned")
+  }
+
   /** Greedy MMR (maximal-marginal-relevance) diversity rerank — the
     * production serving step that stops a result page being five copies of
     * the same document: pick_1 = argmax relevance; pick_i = argmax

@@ -1008,4 +1008,41 @@ object TextAnalysis {
           "ELSE -((2 * -fk_num + den) div (2 * den)) END") / 10000.0)
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_ease", "fk_grade")
       .orderBy("doc_id")
+
+  /** PII pattern classes shared verbatim with the `text_pii_scan` oracle
+    * SQL (both engines' regex dialects — Java here, RE2 in DuckDB — agree
+    * on this common subset: classes, `\\b`, bounded repetition). Regex-only
+    * detection, the Dolma/CCNet redaction-pass shape; no checksum
+    * validation (a Luhn pass would be a downstream filter). */
+  val PiiClasses: Seq[(String, String)] = Seq(
+    "cc16" -> "\\b\\d{13,16}\\b",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "\\+\\d{7,15}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** PII scan — the redaction pre-pass every public-corpus pipeline runs
+    * before release: count matches of the [[PiiClasses]] regexes per
+    * document, roll up to (source, class) grain with docs-hit and total-hit
+    * counts. ONE parquet scan computes all five counters as codegen'd
+    * columns; the class axis unfolds from a per-row 5-struct array, so
+    * every (source, class) cell exists in the output and absent PII shows
+    * as an explicit zero (this synthetic corpus matches nothing — the
+    * firing path is spec-proved on planted PII rows, the mm_magic_bytes
+    * pattern). Scale: linear scan + one map-side-combinable aggregation;
+    * the regexes are the per-row cost, exactly as in production. */
+  def piiScan(documents: DataFrame): DataFrame = {
+    val counted = documents.select(
+      col("source") +: PiiClasses.map { case (nm, re) =>
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as(nm)
+      }: _*)
+    counted
+      .select(col("source"), explode(array(PiiClasses.map { case (nm, _) =>
+        struct(lit(nm).as("pii_class"), col(nm).as("hits"))
+      }: _*)).as("s"))
+      .groupBy(col("source"), col("s.pii_class").as("pii_class"))
+      .agg(sum(when(col("s.hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("s.hits")).as("n_hits"))
+      .orderBy("source", "pii_class")
+  }
 }

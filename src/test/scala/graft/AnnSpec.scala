@@ -255,4 +255,28 @@ class AnnSpec extends SparkSpec {
       scores.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
     }
   }
+
+  test("IVF balance: lists conserve the corpus, metrics agree with the confusion matrix") {
+    val rows = Ann.ivfBalance(emb).collect()
+    val nTotal = emb.count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nTotal, "every vector lands in one list")
+    val k = rows.length.toLong
+    val maxList = rows.map(_.getAs[Long]("n_vecs")).max
+    val sumSq = rows.map(r => r.getAs[Long]("n_vecs") * r.getAs[Long]("n_vecs")).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("imbalance_x") - maxList * k * 1.0 / nTotal) < 1e-6)
+      assert(math.abs(r.getAs[Double]("exp_probe_cost") - sumSq * 1.0 / nTotal) < 1e-3)
+      assert(r.getAs[Double]("pct") > 0.0)
+    }
+    assert(rows.head.getAs[Double]("imbalance_x") >= 1.0, "imbalance factor floors at even split")
+    assert(rows.head.getAs[Double]("exp_probe_cost") >= nTotal.toDouble / k - 1e-6,
+      "expected probe cost floors at N/k (even lists)")
+    // same assignment as the confusion matrix: per-assigned column sums agree
+    val confusion = Ann.centroidAssign(emb).collect()
+      .groupBy(_.getAs[Number]("assigned").longValue).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    rows.foreach(r =>
+      assert(confusion(r.getAs[Number]("assigned").longValue) == r.getAs[Long]("n_vecs"),
+        "balance lists must be the confusion matrix's column sums"))
+  }
 }

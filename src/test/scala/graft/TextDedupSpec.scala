@@ -619,4 +619,28 @@ class TextDedupSpec extends SparkSpec {
     assert((blocksOf(origText) -- blocksOf("shifted prefix tokens " + origText)).size > 1,
       "fixed-width blocks are NOT shift-resistant (motivates CDC)")
   }
+
+  test("PII scan: zero cells explicit on the clean corpus; every class fires on planted PII") {
+    val rows = TextAnalysis.piiScan(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources * TextAnalysis.PiiClasses.length,
+      "every (source, class) cell present")
+    rows.foreach(r => assert(r.getAs[Long]("n_hits") == 0L && r.getAs[Long]("docs_hit") == 0L,
+      "the synthetic word-salad corpus must contain no PII"))
+    val planted = spark.createDataFrame(Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk today", "web"),
+      (2L, "server at 192.168.10.254 and 10.0.0.1 responded", "web"),
+      (3L, "call +491512345678 now", "web"),
+      (4L, "ssn 123-45-6789 leaked", "web"),
+      (5L, "card 4111111111111111 charged", "web"),
+      (6L, "nothing sensitive here", "web")))
+      .toDF("doc_id", "text", "source")
+    val hit = TextAnalysis.piiScan(planted).collect()
+      .map(r => r.getAs[String]("pii_class") -> (r.getAs[Long]("docs_hit"), r.getAs[Long]("n_hits"))).toMap
+    assert(hit("email") == ((1L, 1L)))
+    assert(hit("ipv4") == ((1L, 2L)), "both addresses in doc 2 count")
+    assert(hit("phone") == ((1L, 1L)))
+    assert(hit("ssn") == ((1L, 1L)))
+    assert(hit("cc16") == ((1L, 1L)))
+  }
 }
