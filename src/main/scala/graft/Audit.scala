@@ -130,7 +130,10 @@ object Audit {
           "ev_survival", "knn_rerank", "text_dsir",
           // IVF balance: broadcast centroid table (knn_centroid sanction)
           // + the 1-row global stats onto the k-bounded list table:
-          "knn_ivf_balance")
+          "knn_ivf_balance",
+          // Sketch set-algebra: the type-pair stage is a non-equi join of
+          // two ALPHABET-bounded per-type sketch tables (|types|² rows):
+          "ev_approx_overlap")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a

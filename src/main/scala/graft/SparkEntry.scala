@@ -241,6 +241,8 @@ object SparkEntry {
     "dedup_cdc" -> q((s, d) => Dedup.cdcDedup(Tables.documents(s, d))),
     "text_pii_scan" -> q((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "knn_ivf_balance" -> q((s, d) => Ann.ivfBalance(Tables.embeddings(s, d))),
+    "ev_approx_overlap" -> q((s, d) =>
+      Events.approxAudienceOverlap(Tables.events(s, d), verify = true)),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -296,6 +298,7 @@ object SparkEntry {
     "ev_approx_users" -> q((s, d) => Events.approxDailyUsers(Tables.events(s, d))),
     "q30_approx_quantiles_sketch" -> q((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
     "lake_puffin_ndv" -> q((s, d) => Manifest.puffinNdv(Tables.lineitem(s, d))),
+    "ev_approx_overlap" -> q((s, d) => Events.approxAudienceOverlap(Tables.events(s, d))),
   )
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */

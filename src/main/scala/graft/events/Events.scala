@@ -833,4 +833,56 @@ object Events {
         col("lag1_value"), col("lag2_value"), col("prev3_mean"), col("gap_s"))
       .orderBy("user_id", "purchase_idx")
   }
+
+  /** HLL-sketch audience overlap — the set algebra that replaces
+    * [[audienceOverlap]]'s exact pairwise distinct counts when the user
+    * population no longer fits an exact-count budget: one datasketches HLL
+    * per event type (mergeable, the Puffin/lakehouse-native statistic),
+    * pairwise union by `hll_union`, intersection by inclusion–exclusion
+    * (|A∩B| = |A|+|B|−|A∪B|, floored at 0) and estimated Jaccard. The
+    * per-type sketch table is alphabet-bounded, so the pairwise stage is
+    * |types|² rows of O(2^lgK) sketch merges — never a user-grain join.
+    * Default ships sketch-only; `verify=true` joins the exact pair counts
+    * and asserts the conservative inclusion–exclusion envelope
+    * |est−exact| ≤ 5·rsd·(|A|+|B|+|A∪B|) with rsd = 1.04/√2^lgK (each of
+    * the three estimates contributes its own 5·rsd·true bound;
+    * RelationalSpec proves it all-true at two SFs). */
+  def approxAudienceOverlap(events: DataFrame, lgK: Int = 14,
+                            verify: Boolean = false): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sk = ut.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        count(lit(1)).as("n_exact"))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        hll_sketch_estimate(col("a.sk")).as("est_a"),
+        hll_sketch_estimate(col("b.sk")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("est_union"),
+        col("a.n_exact").as("exact_a"), col("b.n_exact").as("exact_b"))
+      .withColumn("est_inter", greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_est", round(col("est_inter") * 1.0 / col("est_union"), 6))
+    if (!verify)
+      pairs.select("type_a", "type_b", "est_a", "est_b", "est_union", "est_inter", "jaccard_est")
+        .orderBy("type_a", "type_b")
+    else {
+      val inter = ut.as("x")
+        .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val rsd = 1.04 / math.sqrt((1L << lgK).toDouble)
+      pairs.join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+        .withColumn("abs_err", abs(col("est_inter") - col("exact_inter")))
+        .withColumn("within_bound",
+          col("abs_err") <= lit(5.0 * rsd) *
+            (col("exact_a") + col("exact_b") + col("exact_union")))
+        .select("type_a", "type_b", "est_a", "est_b", "est_union", "est_inter",
+          "jaccard_est", "exact_a", "exact_b", "exact_inter", "exact_union",
+          "abs_err", "within_bound")
+        .orderBy("type_a", "type_b")
+    }
+  }
 }

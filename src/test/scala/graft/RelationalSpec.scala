@@ -139,6 +139,25 @@ class RelationalSpec extends SparkSpec {
         assert(r.getAs[Long]("exact_users") == exact(day), s"$sf $day: exact anchor mismatch")
         assert(r.getAs[Boolean]("within_bound"), s"$sf $day: rel_err ${r.getAs[Double]("rel_err")} breaches 5*rsd")
       }
+      // HLL set algebra: the inclusion-exclusion envelope must hold for
+      // every type pair, and the exact anchors must match audienceOverlap
+      val ov = graft.events.Events.approxAudienceOverlap(events, verify = true).collect()
+      val exactPairs = graft.events.Events.audienceOverlap(events).collect()
+        .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))).toMap
+      assert(ov.nonEmpty)
+      ov.foreach { r =>
+        val key = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        assert(r.getAs[Boolean]("within_bound"),
+          s"$sf $key: inclusion-exclusion envelope breached (abs_err ${r.getAs[Long]("abs_err")})")
+        val j = r.getAs[Double]("jaccard_est")
+        assert(j >= 0.0 && j <= 1.0)
+        exactPairs.get(key).foreach { case (na, nb, nboth) =>
+          assert(r.getAs[Long]("exact_a") == na && r.getAs[Long]("exact_b") == nb
+            && r.getAs[Long]("exact_inter") == nboth,
+            s"$sf $key: exact anchors diverge from audienceOverlap")
+        }
+      }
       // GK sketch: the rank-interval bound column must hold for every flag
       val li = Tables.lineitem(spark, sf)
       val sketchQ = Relational.approxPriceQuantiles(li, verify = true).collect()
