@@ -133,7 +133,10 @@ object Audit {
           "knn_ivf_balance",
           // Sketch set-algebra: the type-pair stage is a non-equi join of
           // two ALPHABET-bounded per-type sketch tables (|types|² rows):
-          "ev_approx_overlap")
+          "ev_approx_overlap",
+          // Count-Min calibration: the 1-row stream total crossed onto the
+          // topN-bounded estimate table:
+          "q70_countmin")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a

@@ -243,6 +243,7 @@ object SparkEntry {
     "knn_ivf_balance" -> q((s, d) => Ann.ivfBalance(Tables.embeddings(s, d))),
     "ev_approx_overlap" -> q((s, d) =>
       Events.approxAudienceOverlap(Tables.events(s, d), verify = true)),
+    "q70_countmin" -> q((s, d) => Relational.countMinTopK(Tables.lineitem(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1242,6 +1243,30 @@ object SparkEntry {
         | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
         |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q70_countmin" -> {
+      // Hash rows spliced from Relational.CmHashes so the two engines build
+      // the identical sketch (the dedup_bloom shared-constant pattern).
+      val hv = Relational.CmHashes
+        .map { case (j, a, b) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH h(j, a, b) AS (VALUES $hv),
+        | ctr AS (SELECT j, ((l_partkey * a + b) % ${Relational.CmP}) % 1024 AS bucket,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        | ex AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n FROM lineitem
+        |  GROUP BY 1 ORDER BY exact_n DESC, l_partkey LIMIT 20),
+        | es AS (SELECT ex.l_partkey, ex.exact_n, min(ctr.c) AS est_n
+        |  FROM ex CROSS JOIN h
+        |  JOIN ctr ON ctr.j = h.j
+        |   AND ctr.bucket = ((ex.l_partkey * h.a + h.b) % ${Relational.CmP}) % 1024
+        |  GROUP BY 1, 2),
+        | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lineitem)
+        |SELECT l_partkey, exact_n, est_n, est_n - exact_n AS overcount,
+        | CAST(ceil(2.718281828459045 * n_total / 1024) AS BIGINT) AS eps_bound,
+        | est_n - exact_n <= CAST(ceil(2.718281828459045 * n_total / 1024) AS BIGINT) AS within_eps
+        |FROM es CROSS JOIN t ORDER BY exact_n DESC, l_partkey""".stripMargin
+    },
 
     "knn_ivf_balance" ->
       s"""WITH $embPrepSql,

@@ -1236,4 +1236,50 @@ object Relational {
         round(max(col("tot")) / 100.0, 2).as("total_weight"))
       .orderBy("l_returnflag")
   }
+
+  /** [[countMinTopK]] hash rows (j, a, b) — spliced into the q70 oracle SQL
+    * so the two engines build the identical sketch. h_j(k) = ((a·k+b) mod
+    * 2³¹−1) mod w, primes far apart so the rows are pairwise-independent
+    * enough for the CM guarantee. */
+  val CmHashes: Seq[(Int, Long, Long)] =
+    Seq((0, 1299709L, 7L), (1, 15485863L, 11L), (2, 32452843L, 13L), (3, 49979687L, 17L))
+  val CmP = 2147483647L
+
+  /** q70: Count-Min sketch heavy-hitter calibration — the other classic
+    * bounded-state frequency sketch (Cormode–Muthukrishnan 2005; the batch
+    * complement of the streaming SpaceSaving mirror): d=4 hash rows ×
+    * `w` counters hold EVERY key's overestimate in O(d·w) integers
+    * regardless of key cardinality. The sketch build is one explode(d) +
+    * one map-side-combinable aggregation (the d×w counter table is then a
+    * broadcast); estimates for the exact top-`topN` keys are min over the
+    * d counters. The report carries exact anchors, the structural
+    * `overcount ≥ 0` invariant (CM never underestimates) and the ε = e/w
+    * error budget — and because the hash rows are explicit LCGs, the WHOLE
+    * sketch is engine-deterministic: this sketch query hash-matches a real
+    * DuckDB oracle instead of a rows-only self-check. */
+  def countMinTopK(lineitem: DataFrame, w: Int = 1024, topN: Int = 20): DataFrame = {
+    def bucketOf(j: Int, a: Long, b: Long) =
+      struct(lit(j).as("j"), (((col("l_partkey") * a + b) % CmP) % w).as("bucket"))
+    val keyed = lineitem.select(col("l_partkey"))
+    val counters = keyed
+      .select(explode(array(CmHashes.map { case (j, a, b) => bucketOf(j, a, b) }: _*)).as("h"))
+      .groupBy(col("h.j").as("j"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = keyed.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("l_partkey")).limit(topN)
+    val est = exact
+      .select(col("l_partkey"), col("exact_n"),
+        explode(array(CmHashes.map { case (j, a, b) => bucketOf(j, a, b) }: _*)).as("h"))
+      .join(broadcast(counters),
+        col("h.j") === col("j") && col("h.bucket") === col("bucket"))
+      .groupBy(col("l_partkey"), col("exact_n")).agg(min(col("c")).as("est_n"))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    est.crossJoin(broadcast(total))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .withColumn("eps_bound", ceil(lit(math.E) * col("n_total") / w).cast("long"))
+      .withColumn("within_eps", col("overcount") <= col("eps_bound"))
+      .select(col("l_partkey"), col("exact_n"), col("est_n"), col("overcount"),
+        col("eps_bound"), col("within_eps"))
+      .orderBy(col("exact_n").desc, col("l_partkey"))
+  }
 }

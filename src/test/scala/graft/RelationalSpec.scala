@@ -509,4 +509,32 @@ class RelationalSpec extends SparkSpec {
       "deciles are revenue-ordered so lift cannot increase")
     assert(lifts.head >= 1.0 && lifts.last <= 1.0)
   }
+
+  test("Count-Min sketch: never underestimates, matches a brute-force sketch recompute") {
+    import graft.operators.Relational
+    for (sf <- Seq(sf0001, sf001)) {
+      val li = Tables.lineitem(spark, sf)
+      val rows = Relational.countMinTopK(li).collect()
+      assert(rows.length == 20)
+      // brute-force CM sketch over the same hashes
+      val keys = li.select("l_partkey").collect().map(_.getLong(0))
+      val w = 1024
+      val ctr = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+      keys.foreach(k => Relational.CmHashes.foreach { case (j, a, b) =>
+        ctr((j, ((k * a + b) % Relational.CmP) % w)) += 1L
+      })
+      rows.foreach { r =>
+        val k = r.getAs[Long]("l_partkey")
+        val est = Relational.CmHashes.map { case (j, a, b) =>
+          ctr((j, ((k * a + b) % Relational.CmP) % w)) }.min
+        assert(r.getAs[Long]("est_n") == est, s"$sf key $k: sketch estimate diverges")
+        assert(r.getAs[Long]("overcount") >= 0L, "CM never underestimates")
+        assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"))
+      }
+      // the epsilon budget is the e*N/w envelope; report how many keys hold it
+      val within = rows.count(_.getAs[Boolean]("within_eps"))
+      assert(within == rows.length,
+        s"$sf: ${rows.length - within} top keys exceed the eps budget (deterministic, but check w)")
+    }
+  }
 }
