@@ -71,7 +71,10 @@ object Bench {
     "text_char_langid", "lake_column_update_cost", "q56_mad_outliers", "knn_ivfpq",
     "lake_snapshot_lineage", "text_perplexity", "ev_path_trigrams", "ev_seasonal_anomaly",
     "dedup_minhash", "q55_market_basket", "q63_pareto", "q49_spearman",
-    "dedup_embedding", "knn_lsh")
+    "dedup_embedding", "knn_lsh",
+    // round-9 second-half heavies: block/CDC dedup are token-grain signature
+    // shuffles (linear by design — measured to hold):
+    "dedup_blocks", "dedup_cdc")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
