@@ -244,6 +244,8 @@ object SparkEntry {
     "ev_approx_overlap" -> q((s, d) =>
       Events.approxAudienceOverlap(Tables.events(s, d), verify = true)),
     "q70_countmin" -> q((s, d) => Relational.countMinTopK(Tables.lineitem(s, d))),
+    "q71_bloom_join" -> q((s, d) =>
+      Relational.bloomJoinStats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1243,6 +1245,38 @@ object SparkEntry {
         | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
         |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q71_bloom_join" -> {
+      val P = 1000003L
+      val m = 1L << 18
+      def posSql(keyExpr: String) = (0 until 4).map { i =>
+        val a = ((i + 1).toLong * 2654435761L) % P
+        val b = i.toLong * 40503L + 7919L
+        s"((($keyExpr) % $P) * $a + $b) % $P % $m"
+      }
+      s"""WITH build AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        | bits AS (${posSql("key").map(p => s"SELECT DISTINCT $p AS pos FROM build")
+          .mkString(" UNION ")}),
+        | kc AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS rows_n
+        |  FROM lineitem GROUP BY 1),
+        | dec AS (SELECT kc.key, kc.rows_n,
+        |   ${posSql("kc.key").zipWithIndex.map { case (p, i) =>
+             s"(CASE WHEN EXISTS (SELECT 1 FROM bits WHERE pos = $p) THEN 0 ELSE 1 END)" }
+            .mkString(" + ")} AS n_miss,
+        |   EXISTS (SELECT 1 FROM build b WHERE b.key = kc.key) AS matched
+        |  FROM kc),
+        | g AS (SELECT CAST(sum(rows_n) AS BIGINT) AS probe_rows,
+        |   CAST(sum(CASE WHEN n_miss = 0 THEN rows_n ELSE 0 END) AS BIGINT) AS bloom_pass_rows,
+        |   CAST(sum(CASE WHEN matched THEN rows_n ELSE 0 END) AS BIGINT) AS matched_rows
+        |  FROM dec),
+        | nb AS (SELECT CAST(count(*) AS BIGINT) AS build_keys FROM build)
+        |SELECT probe_rows, build_keys, bloom_pass_rows, matched_rows,
+        | bloom_pass_rows - matched_rows AS fp_rows,
+        | round((probe_rows - bloom_pass_rows) * 100.0 / probe_rows, 6) AS shuffle_reduction_pct,
+        | round((bloom_pass_rows - matched_rows) * 100.0 / (probe_rows - matched_rows), 6) AS fp_pass_pct
+        |FROM g CROSS JOIN nb""".stripMargin
+    },
 
     "q70_countmin" -> {
       // Hash rows spliced from Relational.CmHashes so the two engines build

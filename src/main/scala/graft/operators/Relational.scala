@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.Checkpoints._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1281,5 +1281,50 @@ object Relational {
       .select(col("l_partkey"), col("exact_n"), col("est_n"), col("overcount"),
         col("eps_bound"), col("within_eps"))
       .orderBy(col("exact_n").desc, col("l_partkey"))
+  }
+
+  /** q71: bloom-filtered shuffle join — the runtime-filter pattern
+    * (Spark's InjectRuntimeFilter / the classic semi-join reduction) made
+    * explicit and measured: build a deterministic k=4 bloom over the
+    * filtered build side's join keys, screen the probe side BEFORE the
+    * shuffle join, and report exactly how much shuffle volume the filter
+    * saves and what it costs in false-positive pass-through. The bit table
+    * is ≤ mBits rows and broadcasts (in a real pipeline it pushes into the
+    * probe scan, as Spark's runtime filter does); screening happens at
+    * KEY grain (one map-side-combinable rollup of the probe, decisions
+    * joined back to counts), so no row-grain pass is ever added. All hash
+    * positions are the bloomScreen affine LCGs — engine-deterministic,
+    * full DuckDB oracle. */
+  def bloomJoinStats(orders: DataFrame, lineitem: DataFrame,
+                     mBits: Long = 1L << 18, k: Int = 4): DataFrame = {
+    val P = 1000003L
+    def positions(keyCol: Column) = array((0 until k).map(i =>
+      (pmod(keyCol, lit(P)) * (((i + 1).toLong * 2654435761L) % P) +
+        (i.toLong * 40503L + 7919L)) % P % mBits): _*)
+    val build = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key")).distinct()
+    val bits = build.select(explode(positions(col("key"))).as("pos")).distinct()
+    val keyCounts = lineitem.groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("rows"))
+    val decided = keyCounts
+      .select(col("key"), col("rows"), explode(positions(col("key"))).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("key"), col("rows"))
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_miss"))
+      .withColumn("pass", col("n_miss") === 0L)
+      .join(build.withColumn("matched", lit(1L)), Seq("key"), "left")
+    val nBuild = build.agg(count(lit(1)).as("build_keys"))
+    decided.agg(
+        sum(col("rows")).as("probe_rows"),
+        sum(when(col("pass"), col("rows")).otherwise(0L)).as("bloom_pass_rows"),
+        sum(when(col("matched").isNotNull, col("rows")).otherwise(0L)).as("matched_rows"))
+      .crossJoin(broadcast(nBuild))
+      .withColumn("fp_rows", col("bloom_pass_rows") - col("matched_rows"))
+      .withColumn("shuffle_reduction_pct",
+        round((col("probe_rows") - col("bloom_pass_rows")) * 100.0 / col("probe_rows"), 6))
+      .withColumn("fp_pass_pct",
+        round(col("fp_rows") * 100.0 / (col("probe_rows") - col("matched_rows")), 6))
+      .select(col("probe_rows"), col("build_keys"), col("bloom_pass_rows"),
+        col("matched_rows"), col("fp_rows"), col("shuffle_reduction_pct"), col("fp_pass_pct"))
   }
 }

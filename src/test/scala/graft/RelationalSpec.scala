@@ -537,4 +537,29 @@ class RelationalSpec extends SparkSpec {
         s"$sf: ${rows.length - within} top keys exceed the eps budget (deterministic, but check w)")
     }
   }
+
+  test("bloom join: zero false negatives, filter strictly shrinks the shuffle, fp rate sane") {
+    import graft.operators.Relational
+    for (sf <- Seq(sf0001, sf001)) {
+      val ord = Tables.orders(spark, sf); val li = Tables.lineitem(spark, sf)
+      val r = Relational.bloomJoinStats(ord, li).collect()(0)
+      val probe = r.getAs[Long]("probe_rows"); val pass = r.getAs[Long]("bloom_pass_rows")
+      val matched = r.getAs[Long]("matched_rows"); val fp = r.getAs[Long]("fp_rows")
+      assert(probe == li.count())
+      // NO false negatives: every truly-matching row passes the bloom
+      assert(pass >= matched, s"$sf: bloom dropped matching rows")
+      assert(fp == pass - matched && fp >= 0)
+      // the independent exact join agrees with matched_rows
+      val exact = li.join(ord.filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select(org.apache.spark.sql.functions.col("o_orderkey")),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"), "left_semi").count()
+      assert(matched == exact, s"$sf: matched_rows $matched vs exact semi-join $exact")
+      // the filter must actually reduce the shuffle on this selective build side
+      assert(pass < probe, s"$sf: bloom passed everything (useless filter)")
+      assert(r.getAs[Double]("shuffle_reduction_pct") > 50.0,
+        s"$sf: urgent-priority build side should prune most probe rows")
+      assert(r.getAs[Double]("fp_pass_pct") < 20.0, s"$sf: fp rate out of range for m=2^18")
+    }
+  }
 }
