@@ -246,6 +246,7 @@ object SparkEntry {
     "q70_countmin" -> q((s, d) => Relational.countMinTopK(Tables.lineitem(s, d))),
     "q71_bloom_join" -> q((s, d) =>
       Relational.bloomJoinStats(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "lake_incremental_agg" -> q((s, d) => Snapshots.incrementalAgg(Tables.orders(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1245,6 +1246,37 @@ object SparkEntry {
         | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
         |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_incremental_agg" ->
+      """WITH snap AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |   min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_c,
+        |   max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_c
+        |  FROM orders WHERE o_orderdate < '1997-01-01' GROUP BY 1),
+        | delta AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+        |   min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_c,
+        |   max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_c
+        |  FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY 1),
+        | u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+        | merged AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS merged_n,
+        |   CAST(sum(sum_c) AS BIGINT) AS merged_sum_c,
+        |   min(min_c) AS merged_min_c, max(max_c) AS merged_max_c
+        |  FROM u GROUP BY 1),
+        | test AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS full_n,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS full_sum_c,
+        |   min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS full_min_c,
+        |   max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS full_max_c
+        |  FROM orders GROUP BY 1)
+        |SELECT m.o_orderpriority, coalesce(s.n, 0) AS snap_n, coalesce(d.n, 0) AS delta_n,
+        | m.merged_n, m.merged_sum_c, m.merged_min_c, m.merged_max_c,
+        | (m.merged_n = t.full_n AND m.merged_sum_c = t.full_sum_c
+        |  AND m.merged_min_c = t.full_min_c AND m.merged_max_c = t.full_max_c) AS consistent
+        |FROM merged m
+        |LEFT JOIN snap s ON m.o_orderpriority = s.o_orderpriority
+        |LEFT JOIN delta d ON m.o_orderpriority = d.o_orderpriority
+        |JOIN test t ON m.o_orderpriority = t.o_orderpriority
+        |ORDER BY m.o_orderpriority""".stripMargin,
 
     "q71_bloom_join" -> {
       val P = 1000003L

@@ -553,4 +553,22 @@ class LakeSpec extends SparkSpec {
     assert(out.takeWhile(_.getAs[Long]("rows_added") == 0)
       .forall(_.getAs[Long]("rows_last_updated") == 0))
   }
+
+  test("incremental agg: merge equals recompute at any cutoff; counts telescope") {
+    val ord = Tables.orders(spark, sf0001)
+    for (cutoff <- Seq("1996-01-01", "1997-01-01", "1998-06-01")) {
+      val rows = graft.lake.Snapshots.incrementalAgg(ord, cutoff).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("consistent"),
+          s"cutoff $cutoff ${r.getAs[String]("o_orderpriority")}: merged state != full recompute")
+        assert(r.getAs[Long]("snap_n") + r.getAs[Long]("delta_n") == r.getAs[Long]("merged_n"))
+      }
+    }
+    // degenerate cutoffs: empty snapshot / empty delta still merge correctly
+    val allDelta = graft.lake.Snapshots.incrementalAgg(ord, "1900-01-01").collect()
+    assert(allDelta.forall(r => r.getAs[Long]("snap_n") == 0L && r.getAs[Boolean]("consistent")))
+    val allSnap = graft.lake.Snapshots.incrementalAgg(ord, "2100-01-01").collect()
+    assert(allSnap.forall(r => r.getAs[Long]("delta_n") == 0L && r.getAs[Boolean]("consistent")))
+  }
 }
