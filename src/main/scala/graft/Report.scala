@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.tables.Tables
+
+/** Self-contained HTML report — the graft mirror of the reference suite's
+  * dashboard layer (`index_original_backup.html` and the images dir): the same
+  * headline numbers the queries emit, rendered as static tables plus inline
+  * SVG bar charts, zero dependencies, one file a browser (or a CI artifact
+  * store) can open as-is.
+  *
+  * Usage: `runMain graft.Report <sfDir> <out.html>`. Everything in the page
+  * comes from `SparkEntry.queries`-registered operators (so the report can
+  * never diverge from the verified surface) plus the committed idle-box
+  * bench baseline resource.
+  */
+object Report {
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** A DataFrame as a static HTML table (bounded rows — reports page, they
+    * don't stream). */
+  def htmlTable(df: DataFrame, maxRows: Int = 60): String = {
+    val cols = df.columns
+    val rows = df.limit(maxRows).collect()
+    val head = cols.map(c => s"<th>${escape(c)}</th>").mkString
+    val body = rows.map { r =>
+      "<tr>" + cols.indices.map { i =>
+        val v = if (r.isNullAt(i)) "∅" else String.valueOf(r.get(i))
+        s"<td>${escape(v)}</td>"
+      }.mkString + "</tr>"
+    }.mkString("\n")
+    s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody></table>"
+  }
+
+  /** Horizontal SVG bar chart (label, value) — longest bar = full width. */
+  def barChart(data: Seq[(String, Double)], unit: String, width: Int = 640): String = {
+    if (data.isEmpty) return "<p>(no data)</p>"
+    val barH = 18; val gap = 4; val labelW = 220
+    val maxV = math.max(data.map(_._2).max, 1e-9)
+    val h = data.size * (barH + gap)
+    val bars = data.zipWithIndex.map { case ((label, v), i) =>
+      val y = i * (barH + gap)
+      val w = math.max(1.0, (width - labelW - 80) * v / maxV)
+      s"""<text x="${labelW - 6}" y="${y + 13}" text-anchor="end" class="lbl">${escape(label)}</text>""" +
+        s"""<rect x="$labelW" y="$y" width="${w.toInt}" height="$barH" class="bar"/>""" +
+        s"""<text x="${labelW + w.toInt + 5}" y="${y + 13}" class="val">${f"$v%.3f"} $unit</text>"""
+    }.mkString("\n")
+    s"""<svg width="$width" height="$h" role="img">$bars</svg>"""
+  }
+
+  private def section(title: String, note: String, body: String): String =
+    s"""<section><h2>${escape(title)}</h2><p class="note">${escape(note)}</p>\n$body\n</section>"""
+
+  /** Committed per-query baseline resource → slowest-N chart data. */
+  def baselineTop(n: Int): Seq[(String, Double)] = {
+    val in = getClass.getResourceAsStream("/graft/bench_baseline_sf0.1.json")
+    if (in == null) Seq.empty
+    else {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        .sortBy(-_._2).take(n)
+    }
+  }
+
+  def render(spark: SparkSession, sfDir: String): String = {
+    def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    val sections = Seq(
+      section("Pricing summary (q1)", "The flagship aggregation — the TPC-H Q1 shape.",
+        htmlTable(q("q1_pricing_summary"))),
+      section("Lake health", "Fragmentation, delete pressure, small-file and clustering posture " +
+        "— the maintenance scheduler's input (mirrors the reference's all_benchmarks_results).",
+        htmlTable(q("lake_health_report"))),
+      section("Skip rate", "File pruning for the quarter predicate on clustered vs unclustered " +
+        "layout — the reference's headline tradeoff.",
+        htmlTable(q("lake_skip_rate"))),
+      section("Compaction plan", "Which files the maintenance pass would rewrite, and why.",
+        htmlTable(q("lake_compaction_plan"))),
+      section("Training-data funnel", "Docs and tokens surviving each curation stage.",
+        htmlTable(q("text_pipeline_funnel"))),
+      section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
+        htmlTable(q("text_pii_scan"), maxRows = 20)),
+      section("Slowest queries — committed idle-box baseline (sf0.1)",
+        "Best observed per-query seconds on a quiet host; the bench artifact's defense baseline.",
+        barChart(baselineTop(20), "s")))
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft report</title>
+       |<style>
+       | body { font: 14px/1.45 system-ui, sans-serif; margin: 2rem auto; max-width: 72rem; color: #1a1a24; }
+       | h1 { font-size: 1.5rem; } h2 { font-size: 1.15rem; margin: 1.6rem 0 .2rem; }
+       | .note { color: #667; margin: .1rem 0 .6rem; }
+       | table { border-collapse: collapse; font-variant-numeric: tabular-nums; }
+       | th, td { border: 1px solid #d8d8e0; padding: .25rem .55rem; text-align: right; }
+       | th { background: #f2f2f7; } td:first-child, th:first-child { text-align: left; }
+       | .bar { fill: #5b6ee1; } .lbl { font-size: 11px; fill: #334; } .val { font-size: 11px; fill: #667; }
+       |</style></head><body>
+       |<h1>graft — engine report</h1>
+       |<p class="note">Generated from $sfDir via SparkEntry-registered queries only.</p>
+       |${sections.mkString("\n")}
+       |</body></html>""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("/tmp/graft_report.html")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val html = render(spark, sfDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"report: $out (${html.length} bytes)")
+    spark.stop()
+  }
+}

@@ -330,4 +330,21 @@ class PipelineReportsSpec extends SparkSpec {
         "weighted median must be an attained value (disc semantics)")
     }
   }
+
+  test("HTML report: every section renders, tables carry rows, baseline chart present") {
+    val html = graft.Report.render(spark, sf0001)
+    assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>"))
+    for (h <- Seq("Pricing summary", "Lake health", "Skip rate", "Compaction plan",
+                  "Training-data funnel", "PII scan", "Slowest queries"))
+      assert(html.contains(s"<h2>$h"), s"missing section $h")
+    assert("<section>".r.findAllIn(html).size == 7)
+    // every table has at least one data row
+    val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
+    assert(tables.size == 6)
+    tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
+    // the baseline chart has 20 bars with numeric values
+    assert("class=\"bar\"".r.findAllIn(html).size == 20)
+    // all dynamic text passed through the escaper (no raw angle brackets survive values)
+    assert(!html.contains("<td><"), "unescaped cell content")
+  }
 }
