@@ -247,6 +247,7 @@ object SparkEntry {
     "q71_bloom_join" -> q((s, d) =>
       Relational.bloomJoinStats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "lake_incremental_agg" -> q((s, d) => Snapshots.incrementalAgg(Tables.orders(s, d))),
+    "ev_next_event" -> q((s, d) => Events.nextEventEval(Tables.events(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1246,6 +1247,27 @@ object SparkEntry {
         | pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rk FROM sc)
         |SELECT label, clabel AS assigned, count(*) AS n FROM pr WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_next_event" ->
+      """WITH p AS (SELECT user_id, event_type AS prev_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        | pr AS (SELECT * FROM p WHERE next_type IS NOT NULL),
+        | tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        | model AS (SELECT prev_type, next_type AS predicted_next, n AS n_top FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rk
+        |   FROM tr) WHERE rk = 1),
+        | tt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_train FROM tr GROUP BY 1),
+        | ev AS (SELECT pr.prev_type, m.predicted_next,
+        |   CAST(count(*) AS BIGINT) AS n_eval,
+        |   CAST(sum(CASE WHEN pr.next_type = m.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM pr JOIN model m ON pr.prev_type = m.prev_type
+        |  WHERE pr.user_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT e.prev_type, e.predicted_next, t.n_train, e.n_eval, e.n_correct,
+        | round(e.n_correct * 1.0 / e.n_eval, 6) AS accuracy
+        |FROM ev e JOIN tt t ON e.prev_type = t.prev_type
+        |ORDER BY e.prev_type""".stripMargin,
 
     "lake_incremental_agg" ->
       """WITH snap AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -885,4 +885,39 @@ object Events {
         .orderBy("type_a", "type_b")
     }
   }
+
+  /** Next-event prediction eval — model evaluation as a query, with a real
+    * train/eval split so the accuracy is out-of-sample: the transition
+    * model (argmax next-type per prev-type, ties to the lexicographically
+    * smallest) trains on even user ids and is scored on odd users'
+    * transitions. One user-partitioned window makes the pairs; the model
+    * and its totals are alphabet-bounded broadcasts; accuracy is an exact
+    * integer ratio rounded 6dp. The pattern generalizes to any
+    * train-on-split, score-on-split evaluation a pipeline runs before
+    * shipping a heuristic. */
+  def nextEventEval(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("prev_type"), col("next_type"))
+    val train = pairs.filter(col("user_id") % 2 === 0)
+      .groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("n"))
+    val model = train
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("prev_type")).orderBy(col("n").desc, col("next_type"))))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"), col("n").as("n_top"))
+    val trainTotals = train.groupBy(col("prev_type")).agg(sum(col("n")).as("n_train"))
+    pairs.filter(col("user_id") % 2 === 1)
+      .join(broadcast(model), Seq("prev_type"))
+      .groupBy(col("prev_type"), col("predicted_next"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("next_type") === col("predicted_next"), 1L).otherwise(0L)).as("n_correct"))
+      .join(broadcast(trainTotals), Seq("prev_type"))
+      .withColumn("accuracy", round(col("n_correct") * 1.0 / col("n_eval"), 6))
+      .select(col("prev_type"), col("predicted_next"), col("n_train"),
+        col("n_eval"), col("n_correct"), col("accuracy"))
+      .orderBy("prev_type")
+  }
 }

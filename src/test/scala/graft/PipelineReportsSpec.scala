@@ -347,4 +347,34 @@ class PipelineReportsSpec extends SparkSpec {
     // all dynamic text passed through the escaper (no raw angle brackets survive values)
     assert(!html.contains("<td><"), "unescaped cell content")
   }
+
+  test("next-event eval: out-of-sample split honored, accuracy equals brute recompute") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+    val rows = graft.events.Events.nextEventEval(ev).collect()
+    assert(rows.nonEmpty)
+    // brute force from raw events
+    val raw = ev.select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val pairs = raw.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      es.sortBy(e => (e._3, e._2)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (uid, a, b) }.toSeq
+    }
+    val train = pairs.filter(_._1 % 2 == 0).groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong)
+    val model = train.keys.groupBy(_._1).view.mapValues { ks =>
+      ks.toSeq.map(k => (k._2, train(k))).sortBy { case (nt, n) => (-n, nt) }.head._1
+    }.toMap
+    val evalPairs = pairs.filter(_._1 % 2 == 1)
+    rows.foreach { r =>
+      val pt = r.getAs[String]("prev_type")
+      assert(r.getAs[String]("predicted_next") == model(pt), s"$pt: argmax diverges")
+      val ep = evalPairs.filter(_._2 == pt)
+      assert(r.getAs[Long]("n_eval") == ep.size.toLong)
+      assert(r.getAs[Long]("n_correct") == ep.count(_._3 == model(pt)).toLong)
+      assert(r.getAs[Long]("n_train") == train.filter(_._1._1 == pt).values.sum)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
 }
