@@ -135,8 +135,9 @@ object Audit {
           // two ALPHABET-bounded per-type sketch tables (|types|² rows):
           "ev_approx_overlap",
           // Count-Min calibration: the 1-row stream total crossed onto the
-          // topN-bounded estimate table:
-          "q70_countmin")
+          // topN-bounded estimate table; bloom-join report crosses its
+          // 1-row build-key count onto the 1-row probe summary:
+          "q70_countmin", "q71_bloom_join")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a
