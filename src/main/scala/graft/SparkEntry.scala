@@ -248,6 +248,7 @@ object SparkEntry {
       Relational.bloomJoinStats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "lake_incremental_agg" -> q((s, d) => Snapshots.incrementalAgg(Tables.orders(s, d))),
     "ev_next_event" -> q((s, d) => Events.nextEventEval(Tables.events(s, d))),
+    "dedup_soft" -> q((s, d) => Components.softDedupWeights(Tables.documents(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1127,6 +1128,24 @@ object SparkEntry {
         |SELECT (n_hit = n_pos) AS maybe_dup, is_dup, count(*) AS n_docs, bits_set, fill_pct
         |FROM scr JOIN tr USING (doc_id) CROSS JOIN fill
         |GROUP BY 1, 2, bits_set, fill_pct ORDER BY maybe_dup, is_dup""".stripMargin,
+
+    "dedup_soft" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        | hits AS (SELECT doc_a, doc_b FROM mh_pairs WHERE e >= 0.9),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+        |           UNION ALL SELECT doc_b, doc_a FROM hits),
+        | reach(id, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        | cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size FROM comp GROUP BY 1),
+        | tl AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT c.doc_id, c.comp, s.comp_size,
+        | round(1.0 / s.comp_size, 6) AS weight, t.n_tokens,
+        | round(t.n_tokens * 1.0 / s.comp_size, 6) AS eff_tokens
+        |FROM comp c JOIN cs s ON c.comp = s.comp JOIN tl t ON c.doc_id = t.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -148,4 +148,38 @@ object Components {
         (col("doc_id") === col("comp")).as("is_rep"))
       .orderBy("vec_id")
   }
+
+  /** SoftDeDup-style down-weighting — keep every document, divide its
+    * training weight by its near-duplicate cluster size instead of
+    * dropping survivors (the soft alternative the 2024 SoftDeDup line
+    * argues preserves tail knowledge the hard drop destroys): weight =
+    * 1/|component| over the SAME memoized MinHash components as
+    * `dedup_components`, so the two policies are directly comparable on
+    * one clustering. Per doc: component, cluster size, weight and
+    * effective (weighted) token mass; Σ weight over a cluster is exactly 1,
+    * so Σ weights corpus-wide = #components — the effective corpus size
+    * the hard drop would keep, now reached without deleting anything. */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val comps = graft.plans.Memo.memoize(documents, "dedup.components") {
+      // (memo key shared with minhashComponents — computed once per corpus)
+      val g = Dedup.minhashGroups(documents)
+      val cc = connectedComponents(
+        g.groups.select(col("gid").as("doc_id")),
+        g.crossQual.select(col("ga").as("doc_a"), col("gb").as("doc_b")))
+      g.members
+        .join(broadcast(cc.withColumnRenamed("doc_id", "gid")), Seq("gid"))
+        .select(col("doc_id"), col("comp"))
+        .stableCheckpoint()
+    }
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    val toks = documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    comps.join(sizes, Seq("comp"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("weight", round(lit(1.0) / col("comp_size"), 6))
+      .withColumn("eff_tokens", round(col("n_tokens") * 1.0 / col("comp_size"), 6))
+      .select(col("doc_id"), col("comp"), col("comp_size"), col("weight"),
+        col("n_tokens"), col("eff_tokens"))
+      .orderBy("doc_id")
+  }
 }

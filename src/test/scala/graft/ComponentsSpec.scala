@@ -69,4 +69,27 @@ class ComponentsSpec extends SparkSpec {
     assert(rows("two_level")._2 < rows("flat")._2, "partition pruning must cut scanned entries")
     assert(rows("three_level")._1 >= rows("two_level")._1)
   }
+
+  test("soft dedup: cluster weights sum to one, totals equal the hard-drop survivor count") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val rows = graft.dedup.Components.softDedupWeights(docs).collect()
+    assert(rows.length == docs.count(), "soft dedup keeps every document")
+    val byComp = rows.groupBy(_.getAs[Long]("comp"))
+    byComp.foreach { case (c, g) =>
+      assert(g.forall(_.getAs[Long]("comp_size") == g.length),
+        s"comp $c: size column disagrees with the actual cluster")
+      assert(math.abs(g.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4,
+        s"comp $c: weights must sum to 1")
+    }
+    // total effective docs = number of components = what a hard keep-best drop retains
+    val comps = graft.dedup.Components.minhashComponents(docs).collect()
+      .map(_.getAs[Long]("comp")).distinct.length
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - comps) < 1e-3)
+    // singletons carry full weight; every weight in (0, 1]
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(w > 0.0 && w <= 1.0)
+      if (r.getAs[Long]("comp_size") == 1L) assert(w == 1.0)
+    }
+  }
 }
