@@ -137,7 +137,10 @@ object Audit {
           // Count-Min calibration: the 1-row stream total crossed onto the
           // topN-bounded estimate table; bloom-join report crosses its
           // 1-row build-key count onto the 1-row probe summary:
-          "q70_countmin", "q71_bloom_join")
+          "q70_countmin", "q71_bloom_join",
+          // LM backoff: the 1-row train-token total broadcasts onto the
+          // scored eval stream:
+          "text_lm_backoff")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a

@@ -249,6 +249,7 @@ object SparkEntry {
     "lake_incremental_agg" -> q((s, d) => Snapshots.incrementalAgg(Tables.orders(s, d))),
     "ev_next_event" -> q((s, d) => Events.nextEventEval(Tables.events(s, d))),
     "dedup_soft" -> q((s, d) => Components.softDedupWeights(Tables.documents(s, d))),
+    "text_lm_backoff" -> q((s, d) => TextAnalysis.lmBackoffScore(Tables.documents(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1128,6 +1129,37 @@ object SparkEntry {
         |SELECT (n_hit = n_pos) AS maybe_dup, is_dup, count(*) AS n_docs, bits_set, fill_pct
         |FROM scr JOIN tr USING (doc_id) CROSS JOIN fill
         |GROUP BY 1, 2, bits_set, fill_pct ORDER BY maybe_dup, is_dup""".stripMargin,
+
+    "text_lm_backoff" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        | tk0 AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS token FROM
+        |   (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM d)),
+        | tk AS (SELECT doc_id, pos, token,
+        |   lag(token, 1) OVER dw AS w2, lag(token, 2) OVER dw AS w1
+        |  FROM tk0 WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        | tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        | c3 AS (SELECT w1, w2, token, CAST(count(*) AS BIGINT) AS c3 FROM tr
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        | c2 AS (SELECT w2 AS b1, token AS b2, CAST(count(*) AS BIGINT) AS c2 FROM tr
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        | c1 AS (SELECT token AS u, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        | nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tr),
+        | ev AS (SELECT e.doc_id,
+        |   CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / cx.c2
+        |        WHEN cb.c2 IS NOT NULL THEN 0.4 * cb.c2 / u2.c1
+        |        WHEN uw.c1 IS NOT NULL THEN 0.16 * uw.c1 / nt.n_train
+        |        ELSE 0.16 / nt.n_train END AS score
+        |  FROM tk e
+        |  LEFT JOIN c3 ON c3.w1 = e.w1 AND c3.w2 = e.w2 AND c3.token = e.token
+        |  LEFT JOIN c2 cx ON cx.b1 = e.w1 AND cx.b2 = e.w2
+        |  LEFT JOIN c2 cb ON cb.b1 = e.w2 AND cb.b2 = e.token
+        |  LEFT JOIN c1 u2 ON u2.u = e.w2
+        |  LEFT JOIN c1 uw ON uw.u = e.token
+        |  CROSS JOIN nt
+        |  WHERE e.doc_id % 2 = 1 AND e.w1 IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        | round(avg(round(log10(score), 12)), 6) AS avg_log10
+        |FROM ev GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_soft" ->
       s"""WITH RECURSIVE $minhashCtes,

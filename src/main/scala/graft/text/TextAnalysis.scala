@@ -1045,4 +1045,51 @@ object TextAnalysis {
         sum(col("s.hits")).as("n_hits"))
       .orderBy("source", "pii_class")
   }
+
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 — "Large
+    * Language Models in Machine Translation", THE web-scale LM recipe:
+    * no discounting, a fixed 0.4 backoff multiplier, count ratios only) —
+    * with a real train/eval doc split so the scores are out-of-sample:
+    * even doc ids build the trigram/bigram/unigram tables, odd docs are
+    * scored. S(w|w₁w₂) = c₃/c₂(w₁w₂), else 0.4·c₂(w₂w)/c₁(w₂), else
+    * 0.4²·c₁(w)/N, else the 0.4²/N OOV floor. All scores are ratios of
+    * exact integers (identical doubles on both engines); per-token log₁₀
+    * rounds at 12 dp before the per-doc mean (the entropy/PMI summation
+    * convention), mean at 6 dp. Scale: n-gram tables are hash aggregations
+    * joined at token grain — linear, shuffle on n-gram keys; the scalar N
+    * broadcasts. The per-doc mean log-score is the quality signal CCNet
+    * buckets on — this is its n-gram-LM incarnation. */
+  def lmBackoffScore(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+      .withColumn("w2", lag(col("token"), 1).over(w))
+      .withColumn("w1", lag(col("token"), 2).over(w))
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val c3 = train.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("token")).agg(count(lit(1)).as("c3"))
+    val c2 = train.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("b1"), col("token").as("b2")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("token").as("u")).agg(count(lit(1)).as("c1"))
+    val n = train.agg(count(lit(1)).as("n_train"))
+    tok.filter(col("doc_id") % 2 === 1 && col("w1").isNotNull)
+      .join(c3, Seq("w1", "w2", "token"), "left")
+      .join(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("b1").as("w2"), col("b2").as("token"), col("c2").as("c2bo")),
+        Seq("w2", "token"), "left")
+      .join(c1.select(col("u").as("w2"), col("c1").as("c1ctx")), Seq("w2"), "left")
+      .join(c1.select(col("u").as("token"), col("c1").as("c1w")), Seq("token"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        when(col("c3").isNotNull, col("c3") * 1.0 / col("c2ctx"))
+          .when(col("c2bo").isNotNull, lit(0.4) * col("c2bo") / col("c1ctx"))
+          .when(col("c1w").isNotNull, lit(0.16) * col("c1w") / col("n_train"))
+          .otherwise(lit(0.16) / col("n_train")))
+      .withColumn("lg", round(log10(col("score")), 12))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"), round(avg(col("lg")), 6).as("avg_log10"))
+      .orderBy("doc_id")
+  }
 }

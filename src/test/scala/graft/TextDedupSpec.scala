@@ -643,4 +643,42 @@ class TextDedupSpec extends SparkSpec {
     assert(hit("ssn") == ((1L, 1L)))
     assert(hit("cc16") == ((1L, 1L)))
   }
+
+  test("stupid-backoff LM: out-of-sample scoring equals a brute-force recompute") {
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val train = raw.filter(_._1 % 2 == 0).values.toSeq
+    val c1 = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = train.flatMap(_.sliding(2).filter(_.size == 2).map(s => (s(0), s(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = train.flatMap(_.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = train.map(_.size).sum.toDouble
+    def score(w1: String, w2: String, t: String): Double =
+      c3.get((w1, w2, t)) match {
+        case Some(x) => x.toDouble / c2((w1, w2))
+        case None => c2.get((w2, t)) match {
+          case Some(x) => 0.4 * x / c1(w2)
+          case None => c1.get(t) match {
+            case Some(x) => 0.16 * x / n
+            case None => 0.16 / n
+          }
+        }
+      }
+    val rows = TextAnalysis.lmBackoffScore(docs).collect()
+    val expectedDocs = raw.filter { case (id, t) => id % 2 == 1 && t.size >= 3 }
+    assert(rows.length == expectedDocs.size, "every odd doc with a full trigram is scored")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = raw(id)
+      assert(r.getAs[Long]("n_scored") == t.size - 2)
+      val logs = t.sliding(3).filter(_.size == 3)
+        .map(s => BigDecimal(math.log10(score(s(0), s(1), s(2))))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      val want = logs.sum / logs.size
+      val got = r.getAs[Double]("avg_log10")
+      assert(math.abs(got - want) < 1e-5, s"doc $id: $got vs brute $want")
+      assert(got <= 0.0, "all backoff scores are <= 1 so log10 <= 0")
+    }
+  }
 }
