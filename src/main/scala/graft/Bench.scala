@@ -3,7 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the query suite at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, writes the FULL benchmark artifact to a JSON file
+  * and prints ONE COMPACT (<2 KB) JSON summary line as the LAST stdout
+  * line.
+  *
+  * Stdout contract (learned the hard way): the driver keeps only the
+  * trailing ~4 KB of stdout, and rounds 1–9 printed the whole artifact as
+  * one line that outgrew that buffer — every BENCH_r0*.json came back
+  * `parsed: null` because the kept tail started mid-line. The full
+  * per-query map, write/stream/fetch/scale/memory blocks therefore go to
+  * SPARK_GRAFT_BENCH_OUT (default `bench_artifact.json`, committed per
+  * round), and stdout carries only: totals, n_queries, n_reruns, the
+  * top-10 slowest, write-bench headline, scale-trend flags with measured
+  * exponents, contention_x, and the artifact path.
   *
   * Each query is materialised with a noop-format write so the full plan
   * executes (a bare count() lets Spark prune projections and under-reports).
@@ -29,11 +41,28 @@ import org.apache.spark.sql.SparkSession
   *    cost lives in the first pass (where r7 attributed it to whichever
   *    family query ran first) while `total_sec`/per-query times describe
   *    the steady state.
+  *
+  * Phase ORDER matters for the scale trend: it runs FIRST (right after
+  * warmup), not last — the r9 driver artifact measured q55 at "exponent
+  * 2.99" because its 16× points ran in a heap carrying 247 queries' worth
+  * of accumulated checkpoint blocks (a fresh JVM measures 1.02). Running
+  * the trend in a young heap, and unpersisting memo-owned blocks at its
+  * phase boundaries ([[graft.plans.Memo.reset]]), makes the artifact
+  * measure PLANS instead of heap history.
+  *
   * The write bench interleaves plain/sorted writes A/B/A/B… and reports
   * per-arm MEDIANS: interleaving puts both arms under the same noise
   * regime, and the median of 3 discards a single contended rep (the r7
   * driver artifact recorded sort_overhead_x 0.91 — a physical
   * impossibility — from one inflated plain write).
+  *
+  * Per-query MEMORY columns (`mem` block in the artifact): max task
+  * `peakExecutionMemory` and summed `memoryBytesSpilled`+`diskBytesSpilled`
+  * per query — the Spark-native mirror of the reference's per-benchmark RSS
+  * tracking (poc/utils/metrics_collector.py:51,77). Attribution is
+  * snapshot-based (no per-query event settling — that would add ~25 s across
+  * 247 queries); a straggler task's metrics may land on the next query,
+  * which bounds the error to one task's worth.
   */
 object Bench {
 
@@ -61,9 +90,9 @@ object Bench {
 
   /** Default scale-trend set: the r8 top-20 slowest — the queries whose
     * growth curve dominates total cost, hence the ones whose exponent the
-    * 100 TB claim rests on — plus the two fixed-bucket LSH shapes
-    * (embedding near-dup, hyperplane top-k) whose bucket occupancy grows
-    * with corpus size by construction: the structurally likeliest
+    * 100 TB claim rests on — plus the adaptive LSH shapes (embedding
+    * near-dup, hyperplane top-k) whose bucket occupancy is held by a
+    * corpus-adaptive ladder by construction: the structurally likeliest
     * quadratic risks, in the set precisely because they might flag. */
   val scaleTrendQueries: Seq[String] = Seq(
     "text_pipeline_funnel", "ev_rfm", "dedup_minhash_calibration", "dedup_lsh_tuning",
@@ -92,6 +121,7 @@ object Bench {
       finally s.close()
     }.getOrElse(Map.empty)
   }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -125,185 +155,28 @@ object Bench {
         graft.tables.Tables.documents(spark, sfDir),
         graft.tables.Tables.embeddings(spark, sfDir)).foreach(_.count())
 
-    // A failed query's fast-fail elapsed time must never enter the baseline:
-    // min-merge would make the bogus sub-second "best" permanent and the 2×
-    // trigger would rerun the (healthy) query every round thereafter.
-    val failed = scala.collection.mutable.Set.empty[String]
-    def timeQuery(name: String): Double = {
-      val t0 = System.nanoTime()
-      try run(name) catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val baseline = loadBaseline(new java.io.File(sfDir).getName)
-    // Contention index: a fixed ~0.2 s CPU-bound calibration job interleaved
-    // every 20 queries. Its time dispersion (max/min across the run) is a
-    // property of the BOX during the run, not of any query — a reader of the
-    // artifact can see "contention_x: 4.1" and discount per-query spikes
-    // without needing a shell to re-measure (the round-7/8 adjudications
-    // each required exactly that).
-    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def calibrate(warm: Boolean = false): Unit = {
-      val t0 = System.nanoTime()
-      spark.range(400000000L)
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("id"))).collect()
-      if (!warm) calibSamples += (System.nanoTime() - t0) / 1e9
-    }
-    calibrate(warm = true) // codegen/scheduler warm — not a sample
-    val firstPass = names.zipWithIndex.map { case (name, i) =>
-      if (i % 20 == 0) calibrate()
-      name -> timeQuery(name)
-    }
-    calibrate() // closing sample brackets the run
-    // best-of-2 defense: re-run only queries whose first time is beyond the
-    // contention trigger — bounded extra cost, and a real regression
-    // reproduces while a noise spike does not.
-    def trigger(name: String): Double =
-      baseline.get(name).map(b => math.max(2.0 * b, rerunFloorSec)).getOrElse(rerunFloorSec)
-    var nReruns = 0
-    val results = firstPass.map { case (name, t1) =>
-      if (t1 > trigger(name)) {
-        nReruns += 1
-        val t2 = timeQuery(name)
-        // A rerun that FAILS fast-fails: its elapsed time is bogus, so the
-        // published per-query time keeps the (successful) first pass.
-        name -> (if (failed(name)) t1 else math.min(t1, t2))
-      } else name -> t1
-    }
-    val firstPassTotal = firstPass.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // refresh the committed baseline from this run's best-known times —
-    // write it to the SF-named resource path (bench_baseline_<sf>.json).
-    // Start from the loaded baseline so a SPARK_GRAFT_QUERIES-restricted
-    // run refreshes only its own entries instead of wiping the rest, and
-    // drop failed queries so a fast-fail time can't poison the min-merge.
-    sys.env.get("SPARK_GRAFT_BASELINE_OUT").foreach { p =>
-      // Keep only live query names so renamed/removed queries don't persist
-      // in the committed artifact forever.
-      val merged = (baseline ++ results.filterNot(r => failed(r._1)).map {
-        case (k, v) => k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
-      }).filter { case (k, _) => SparkEntry.queries.contains(k) }
-      val json = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
     // JSON-safe error rendering: class + truncated message (an error class
-    // alone is undiagnosable from a BENCH line).
+    // alone is undiagnosable from a BENCH artifact).
     def errStr(e: Throwable): String =
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .take(160).replaceAll("""[\\"\n\r\t]""", " ")
-    // Write-path benchmark (default ON; SPARK_GRAFT_WRITE_BENCH=0 disables):
-    // physical parquet write overhead of the sorted (clustered) writer vs a
-    // plain write, PLUS what the overhead buys — the per-file min/max skip
-    // rate for a quarter-range shipdate predicate, measured on the files
-    // actually written. This is the reference's writer-organization study
-    // (README.md:59-62, images/skip_rates.png): sorted writes cost more and
-    // buy ~99% skip. At raw sf0.1 volume both writes finish in ~1.4 s where
-    // JVM/FS noise swamps the sort cost (r6 measured 0.99x), so the input is
-    // unioned SPARK_GRAFT_WRITE_MULT (default 8) times — enough rows that
-    // the repartitionByRange+sort stage separates from noise. Writes go to a
-    // temp dir deleted before the JSON line prints (driver *queries* stay
-    // read-only), and any failure degrades to an error field, never a lost
-    // BENCH line.
-    val writeBench =
-      if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0")) {
-        import org.apache.spark.sql.functions._
-        val mult = sys.env.get("SPARK_GRAFT_WRITE_MULT").map(_.toInt).getOrElse(8)
-        val li0 = graft.tables.Tables.lineitem(spark, sfDir)
-        val li = (1 to mult).map(i =>
-          li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong << 40))).reduce(_ union _)
-        val dir = java.nio.file.Files.createTempDirectory("graft_wb_").toString
-        def timeIt(f: => Unit): Double = {
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }
-        // min/max file skip rate the written layout achieves for a
-        // one-quarter shipdate predicate (parquet footer stats modeled by
-        // per-file min/max — the same pruning a lake reader performs).
-        def skipRatePct(path: String, lo: String, hi: String): Double = {
-          val r = spark.read.parquet(path)
-            .select(col("l_shipdate"), input_file_name().as("f"))
-            .groupBy(col("f"))
-            .agg(min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
-            .agg(count(lit(1)).as("files"),
-              sum(when(col("fmax") < lit(lo).cast("timestamp") ||
-                       col("fmin") > lit(hi).cast("timestamp"), 1L).otherwise(0L)).as("skipped"))
-            .head()
-          r.getLong(1) * 100.0 / r.getLong(0)
-        }
-        try {
-          val nRows = li.count() // materialize footer/page cache before timing
-          // Interleaved A/B/A/B…: both arms sample the same noise regime,
-          // and the per-arm MEDIAN discards a single contended rep — the
-          // only way a shell-less reader can trust sort_overhead_x.
-          val reps = sys.env.get("SPARK_GRAFT_WRITE_REPS").map(_.toInt).getOrElse(3)
-          val (plainTs, sortedTs) = (1 to reps).map { _ =>
-            (timeIt(li.write.mode("overwrite").parquet(s"$dir/unsorted")),
-             timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 32)))
-          }.unzip
-          def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-          val (tPlain, tSorted) = (median(plainTs), median(sortedTs))
-          def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-          val skipPlain = skipRatePct(s"$dir/unsorted", "1997-01-01", "1997-03-31")
-          val skipSorted = skipRatePct(s"$dir/sorted", "1997-01-01", "1997-03-31")
-          f""","write_bench":{"rows":$nRows,"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,""" +
-            f""""plain_secs":${arr(plainTs)},"sorted_secs":${arr(sortedTs)},""" +
-            f""""sort_overhead_x":${tSorted / tPlain}%.3f,"skip_rate_plain_pct":$skipPlain%.2f,"skip_rate_sorted_pct":$skipSorted%.2f}"""
-        } catch {
-          case e: Throwable => s""","write_bench":{"error":"${errStr(e)}"}"""
-        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      } else ""
-    // Streaming mirrors (default ON; SPARK_GRAFT_STREAM_BENCH=0 disables):
-    // rows/sec per mirror through a MemoryStream + noop sink — the measured
-    // counterpart of StreamingSpec's correctness checks.
-    val streamBench =
-      if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
-        try {
-          val n = sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toInt).getOrElse(200000)
-          graft.streaming.StreamBench.run(spark, n)
-            .map { case (k, rows, sec) =>
-              f""""$k":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
-            }.mkString(""","streaming":{""", ",", "}")
-        } catch {
-          case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
-        }
-      } else ""
-    // Measured parallel-fetch ladder (default ON; SPARK_GRAFT_FETCH_BENCH=0
-    // disables): executor-side TTFB-sleep tasks, the measured mirror of
-    // lake.Manifest.fetchLatency's analytic ceil(n/p)×TTFB model. model_x
-    // near 1.0 per rung = the model the lake operators report is a
-    // measurement, not an assumption.
-    val fetchBench =
-      if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0")) {
-        try {
-          graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
-            f""""p$p":{"measured_sec":$meas%.3f,"modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
-          }.mkString(""","fetch_bench":{""", ",", "}")
-        } catch {
-          case e: Throwable => s""","fetch_bench":{"error":"${errStr(e)}"}"""
-        }
-      } else ""
-    // Empirical scale trend (default ON; SPARK_GRAFT_SCALE_BENCH=0 disables):
-    // the "would this survive 100×" claim as a MEASUREMENT instead of a plan
-    // audit. The heavies run against replica-scaled copies
-    // ([[graft.tables.ScaleUp]] — per-replica statistics invariant, replicas
-    // mutually disjoint, dims fixed) of the sf0.01 sibling dir at 1×/4×/16×
-    // volume. The growth signal is EXECUTOR TASK TIME (sum of task
-    // executorRunTime), not wall-clock: at these absolute sizes per-query
-    // wall is dominated by fixed driver cost (planning + codegen measured
-    // ~2 s/query, more than the data work), which deflates wall ratios to
-    // ~1 and would make any pass vacuous. Task time excludes the driver by
-    // construction and scales with data work at any parallelism. A codegen
-    // warmup pass runs every scale query once against the base dir first,
-    // then [[graft.plans.Memo.reset]] clears the family-pipeline memos so
-    // every measured point is memo-COLD (the warmup would otherwise make
-    // the 1× point memo-warm while 4×/16× build theirs inside the
-    // measurement). `ratio_hi` is task(16×)/task(4×): linear = 4,
-    // quadratic = 16 — queries above [[scaleFlagRatio]] land in `flagged`.
+
+    // ---- Phase 1: empirical scale trend (FIRST — young heap; see scaladoc).
+    // Default ON; SPARK_GRAFT_SCALE_BENCH=0 disables. The "would this
+    // survive 100×" claim as a MEASUREMENT: heavies run against
+    // replica-scaled copies ([[graft.tables.ScaleUp]] — per-replica
+    // statistics invariant, replicas mutually disjoint, dims fixed) of the
+    // sf0.01 sibling dir at 1×/4×/16× volume. Growth is judged on executor
+    // CPU time (wall is dominated by fixed driver cost at these sizes;
+    // summed executorRunTime inflates with task count). A codegen warmup
+    // pass runs every scale query once against the base dir first, then
+    // Memo.reset() (which now also unpersists) makes every measured point
+    // memo-COLD; a second reset at phase end releases the scaled dirs'
+    // blocks before the main suite runs.
+    var scaleFlagged: Seq[String] = Seq.empty
+    var scaleExponents: Map[String, Double] = Map.empty
+    var scaleCtl: Double = 0.0
+    var scaleThreshold: Double = 0.0
     val scaleBench =
       if (!sys.env.get("SPARK_GRAFT_SCALE_BENCH").contains("0")) {
         try {
@@ -391,13 +264,6 @@ object Bench {
               }
               val (mLo, mHi) = (mults(mults.size - 2), mults.last)
               def ratioHi(ts: Seq[Double]): Double = ts.last / math.max(ts(ts.size - 2), 1e-3)
-              // Growth is judged on executor CPU TIME: wall is dominated by
-              // fixed driver cost at these sizes, and summed executorRunTime
-              // inflates with task count (scheduler/JIT overhead per task) —
-              // CPU is the load-bearing "data work" measure. Both others are
-              // emitted for the reader. A query is flagged when it grows
-              // BOTH beyond the absolute floor and 1.5× faster than the
-              // linear control's measured ratio on this box.
               val ctlRatio = ratioHi(controlCpu)
               val flagThreshold = math.max(scaleFlagRatio, 1.5 * ctlRatio)
               def thresholdFor(q: String): Double =
@@ -405,9 +271,15 @@ object Bench {
               val flagged = perQuery.collect {
                 case (q, ts) if !scaleFailed(q) && ratioHi(ts.map(_._3)) > thresholdFor(q) => q
               }
+              scaleFlagged = flagged
+              scaleCtl = ctlRatio
+              scaleThreshold = flagThreshold
+              scaleExponents = perQuery.map { case (q, ts) =>
+                q -> math.log(ratioHi(ts.map(_._3))) / math.log(mHi.toDouble / mLo)
+              }.toMap
               val qjson = perQuery.map { case (q, ts) =>
                 val cpuSec = ts.map(_._3)
-                val ex = math.log(ratioHi(cpuSec)) / math.log(mHi.toDouble / mLo)
+                val ex = scaleExponents(q)
                 "\"" + q + "\":{\"sec\":" + ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]") +
                   ",\"task_sec\":" + ts.map(t => f"${t._2}%.3f").mkString("[", ",", "]") +
                   ",\"cpu_sec\":" + cpuSec.map(t => f"$t%.3f").mkString("[", ",", "]") +
@@ -422,6 +294,11 @@ object Bench {
                 flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qjson}"""
             } finally {
               spark.sparkContext.removeSparkListener(listener)
+              // Release every block the scale phase pinned (scaled-dir
+              // memos would never be re-hit by the sf0.1 suite — they'd
+              // only distort its heap the way the old end-of-run order
+              // distorted the trend's).
+              graft.plans.Memo.reset()
               org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
             }
           }
@@ -429,9 +306,198 @@ object Bench {
           case e: Throwable => s""","scale_trend":{"error":"${errStr(e)}"}"""
         }
       } else ""
-    // The driver keeps only the trailing ~4 KB of this line (BENCH_r03 lost
-    // the alphabetical prefix of the per-query map), so the slowest-20 map
-    // and the totals go AFTER the full map — they always survive truncation.
+
+    // ---- Phase 2: the main per-query suite, with memory attribution.
+    // A failed query's fast-fail elapsed time must never enter the baseline:
+    // min-merge would make the bogus sub-second "best" permanent and the 2×
+    // trigger would rerun the (healthy) query every round thereafter.
+    val failed = scala.collection.mutable.Set.empty[String]
+    val memPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          memPeak.accumulateAndGet(e.taskMetrics.peakExecutionMemory, Math.max _)
+          memSpill.addAndGet(e.taskMetrics.memoryBytesSpilled + e.taskMetrics.diskBytesSpilled)
+        }
+    }
+    spark.sparkContext.addSparkListener(memListener)
+    val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def timeQuery(name: String, recordMem: Boolean = false): Double = {
+      if (recordMem) { memPeak.set(0L); memSpill.set(0L) }
+      val t0 = System.nanoTime()
+      try run(name) catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (recordMem) memStats(name) = (memPeak.get(), memSpill.get())
+      sec
+    }
+    val baseline = loadBaseline(new java.io.File(sfDir).getName)
+    // Contention index: a fixed ~0.2 s CPU-bound calibration job interleaved
+    // every 20 queries. Its time dispersion (max/min across the run) is a
+    // property of the BOX during the run, not of any query — a reader of the
+    // artifact can see "contention_x: 4.1" and discount per-query spikes
+    // without needing a shell to re-measure (the round-7/8 adjudications
+    // each required exactly that).
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(warm: Boolean = false): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("id"))).collect()
+      if (!warm) calibSamples += (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(warm = true) // codegen/scheduler warm — not a sample
+    val firstPass = names.zipWithIndex.map { case (name, i) =>
+      if (i % 20 == 0) calibrate()
+      name -> timeQuery(name, recordMem = true)
+    }
+    calibrate() // closing sample brackets the run
+    // best-of-2 defense: re-run only queries whose first time is beyond the
+    // contention trigger — bounded extra cost, and a real regression
+    // reproduces while a noise spike does not.
+    def trigger(name: String): Double =
+      baseline.get(name).map(b => math.max(2.0 * b, rerunFloorSec)).getOrElse(rerunFloorSec)
+    var nReruns = 0
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 > trigger(name)) {
+        nReruns += 1
+        val t2 = timeQuery(name)
+        // A rerun that FAILS fast-fails: its elapsed time is bogus, so the
+        // published per-query time keeps the (successful) first pass.
+        name -> (if (failed(name)) t1 else math.min(t1, t2))
+      } else name -> t1
+    }
+    val firstPassTotal = firstPass.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // refresh the committed baseline from this run's best-known times —
+    // write it to the SF-named resource path (bench_baseline_<sf>.json).
+    // Start from the loaded baseline so a SPARK_GRAFT_QUERIES-restricted
+    // run refreshes only its own entries instead of wiping the rest, and
+    // drop failed queries so a fast-fail time can't poison the min-merge.
+    sys.env.get("SPARK_GRAFT_BASELINE_OUT").foreach { p =>
+      // Keep only live query names so renamed/removed queries don't persist
+      // in the committed artifact forever.
+      val merged = (baseline ++ results.filterNot(r => failed(r._1)).map {
+        case (k, v) => k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
+      }).filter { case (k, _) => SparkEntry.queries.contains(k) }
+      val json = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // Per-query memory block: peak task execution memory (MB) and spilled
+    // bytes (MB), from the first (memo-cold) pass — the pass whose memory
+    // story matches a fresh production run.
+    val memJson = memStats.map { case (q, (peak, spill)) =>
+      "\"" + q + f"""\":{"peak_mb":${peak / 1048576.0}%.1f,"spill_mb":${spill / 1048576.0}%.1f}"""
+    }.mkString("{", ",", "}")
+    val memTop = memStats.toSeq.sortBy(-_._2._1).take(5)
+      .map { case (q, (peak, _)) => "\"" + q + f"\":${peak / 1048576.0}%.1f" }
+      .mkString("{", ",", "}")
+
+    // ---- Phase 3: write/stream/fetch/OCC micro-benches.
+    var writeHeadline = ""
+    val writeBench =
+      if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0")) {
+        import org.apache.spark.sql.functions._
+        val mult = sys.env.get("SPARK_GRAFT_WRITE_MULT").map(_.toInt).getOrElse(8)
+        val li0 = graft.tables.Tables.lineitem(spark, sfDir)
+        val li = (1 to mult).map(i =>
+          li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong << 40))).reduce(_ union _)
+        val dir = java.nio.file.Files.createTempDirectory("graft_wb_").toString
+        def timeIt(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // min/max file skip rate the written layout achieves for a
+        // one-quarter shipdate predicate (parquet footer stats modeled by
+        // per-file min/max — the same pruning a lake reader performs).
+        def skipRatePct(path: String, lo: String, hi: String): Double = {
+          val r = spark.read.parquet(path)
+            .select(col("l_shipdate"), input_file_name().as("f"))
+            .groupBy(col("f"))
+            .agg(min(col("l_shipdate")).as("fmin"), max(col("l_shipdate")).as("fmax"))
+            .agg(count(lit(1)).as("files"),
+              sum(when(col("fmax") < lit(lo).cast("timestamp") ||
+                       col("fmin") > lit(hi).cast("timestamp"), 1L).otherwise(0L)).as("skipped"))
+            .head()
+          r.getLong(1) * 100.0 / r.getLong(0)
+        }
+        try {
+          val nRows = li.count() // materialize footer/page cache before timing
+          // Interleaved A/B/A/B…: both arms sample the same noise regime,
+          // and the per-arm MEDIAN discards a single contended rep — the
+          // only way a shell-less reader can trust sort_overhead_x.
+          val reps = sys.env.get("SPARK_GRAFT_WRITE_REPS").map(_.toInt).getOrElse(3)
+          val (plainTs, sortedTs) = (1 to reps).map { _ =>
+            (timeIt(li.write.mode("overwrite").parquet(s"$dir/unsorted")),
+             timeIt(graft.lake.Layout.writeSorted(li, "l_shipdate", s"$dir/sorted", 32)))
+          }.unzip
+          def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+          val (tPlain, tSorted) = (median(plainTs), median(sortedTs))
+          def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+          val skipPlain = skipRatePct(s"$dir/unsorted", "1997-01-01", "1997-03-31")
+          val skipSorted = skipRatePct(s"$dir/sorted", "1997-01-01", "1997-03-31")
+          writeHeadline =
+            f""","sort_overhead_x":${tSorted / tPlain}%.2f,"skip_sorted_pct":$skipSorted%.1f"""
+          f""","write_bench":{"rows":$nRows,"plain_sec":$tPlain%.3f,"sorted_sec":$tSorted%.3f,""" +
+            f""""plain_secs":${arr(plainTs)},"sorted_secs":${arr(sortedTs)},""" +
+            f""""sort_overhead_x":${tSorted / tPlain}%.3f,"skip_rate_plain_pct":$skipPlain%.2f,"skip_rate_sorted_pct":$skipSorted%.2f}"""
+        } catch {
+          case e: Throwable => s""","write_bench":{"error":"${errStr(e)}"}"""
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      } else ""
+    // Streaming mirrors (default ON; SPARK_GRAFT_STREAM_BENCH=0 disables):
+    // rows/sec per mirror through a MemoryStream + noop sink — the measured
+    // counterpart of StreamingSpec's correctness checks.
+    val streamBench =
+      if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+        try {
+          val n = sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toInt).getOrElse(200000)
+          graft.streaming.StreamBench.run(spark, n)
+            .map { case (k, rows, sec) =>
+              f""""$k":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
+            }.mkString(""","streaming":{""", ",", "}")
+        } catch {
+          case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
+    // Measured parallel-fetch ladder (default ON; SPARK_GRAFT_FETCH_BENCH=0
+    // disables): executor-side TTFB-sleep tasks, the measured mirror of
+    // lake.Manifest.fetchLatency's analytic ceil(n/p)×TTFB model. model_x
+    // near 1.0 per rung = the model the lake operators report is a
+    // measurement, not an assumption.
+    val fetchBench =
+      if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0")) {
+        try {
+          graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
+            f""""p$p":{"measured_sec":$meas%.3f,"modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
+          }.mkString(""","fetch_bench":{""", ",", "}")
+        } catch {
+          case e: Throwable => s""","fetch_bench":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
+    // Threaded OCC commit micro-harness (default ON; SPARK_GRAFT_OCC_BENCH=0
+    // disables): real Thread writers racing atomic commit-file creation with
+    // conflict retries — the MEASURED counterpart of the modeled
+    // `lake_concurrent_commits` (the reference's test_concurrent_writers.py
+    // shape: threads + lock + retry loop).
+    val occBench =
+      if (!sys.env.get("SPARK_GRAFT_OCC_BENCH").contains("0")) {
+        try {
+          graft.lake.OccBench.ladder().map { r =>
+            f""""w${r.writers}":{"commits":${r.commits},"conflicts":${r.conflicts},""" +
+              f""""sec":${r.sec}%.3f,"commits_per_sec":${r.commits / r.sec}%.1f,""" +
+              f""""mean_retries":${r.conflicts.toDouble / r.commits}%.2f}"""
+          }.mkString(""","occ_bench":{""", ",", "}")
+        } catch {
+          case e: Throwable => s""","occ_bench":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
+
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val contention =
@@ -439,7 +505,38 @@ object Bench {
         f""","contention":{"samples":${calibSamples.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
           f""""x":${calibSamples.max / math.max(calibSamples.min, 1e-3)}%.2f}"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,"n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f$writeBench$streamBench$fetchBench$scaleBench$contention,"sf":"$sfDir"}""")
+    val contentionX =
+      if (calibSamples.nonEmpty) calibSamples.max / math.max(calibSamples.min, 1e-3) else 0.0
+
+    // ---- Full artifact → file; compact summary → stdout (LAST line).
+    val artifact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
+        f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
+        f""""first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f""" +
+        s"""$writeBench$streamBench$fetchBench$occBench$scaleBench$contention,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_artifact.json"
+      else "bench_artifact.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Compact (<2 KB) driver line: totals, defense counters, top-10 slowest,
+    // memory top-5, write/scale/contention headlines, artifact path. Flagged
+    // scale queries carry their measured exponent inline.
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val flaggedJson = scaleFlagged
+      .map(q => "\"" + q + f"\":${scaleExponents.getOrElse(q, 0.0)}%.2f")
+      .mkString("{", ",", "}")
+    val scaleSummary =
+      if (scaleBench.isEmpty) ""
+      else if (scaleBench.contains("\"error\"")) s""","scale_error":true"""
+      else f""","scale_flagged":$flaggedJson,"scale_control_ratio":$scaleCtl%.2f,"scale_flag_ratio":$scaleThreshold%.2f"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f,""" +
+        f""""n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,""" +
+        f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
+        writeHeadline + scaleSummary +
+        f""","contention_x":$contentionX%.2f,"artifact":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -831,13 +831,20 @@ object Dedup {
     * duplicated fraction, and the C4-style drop flag at ≥ `dropFrac`. */
   def blockDedup(documents: DataFrame, blockTokens: Int = 20,
                  dropFrac: Double = 0.8): DataFrame = {
+    // Token grain via posexplode + `pos div blockTokens` grouping (the
+    // cdcDedup shape): every exploded row carries ONE token, and the block
+    // text is reassembled by a position-ordered hash agg. The previous
+    // shape exploded a block index and carried the doc's FULL token array
+    // through the generate to slice per block row — O(tokens²/blockTokens)
+    // bytes per doc through the exchange, which the scale harness measured
+    // as cpu exponent 1.85 at 16× volume (this shape re-measures linear).
     val blocks = documents
-      .withColumn("t", toks)
-      .withColumn("nb", ceil(size(col("t")) / lit(blockTokens.toDouble)).cast("long"))
-      .filter(col("nb") > 0)
-      .select(col("doc_id"), col("t"), explode(expr("sequence(0L, nb - 1)")).as("b"))
-      .withColumn("sig", md5(array_join(
-        slice(col("t"), (col("b") * blockTokens + 1).cast("int"), lit(blockTokens)), " ")))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .withColumn("b", (col("pos") / blockTokens).cast("long"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(md5(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, token))), x -> x.token)"),
+        " ")).as("sig"))
       .select(col("doc_id"), col("sig"))
     val dupSigs = blocks.groupBy(col("sig")).agg(countDistinct(col("doc_id")).as("n_docs"))
     blocks.join(dupSigs, "sig")

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -86,10 +86,40 @@ object Memo {
     }
   }
 
-  /** Bench-harness hook (scale-trend): drop all MAP ENTRIES so each measured
-    * scale point rebuilds its family pipeline memo-cold. Blocks are
-    * deliberately not unpersisted (same use-after-free rule as eviction). */
-  private[graft] def reset(): Unit = cache.clear()
+  /** Bench-harness hook (scale-trend): drop all map entries AND unpersist
+    * the checkpointed blocks the memo owns, so each measured scale point
+    * rebuilds its family pipeline memo-cold in a heap that is not carrying
+    * the previous phase's block history (the r9 driver artifact measured a
+    * 63× outlier on q55 purely because the 16× points ran in a
+    * 250-query-old heap; a fresh JVM measures 1.02×).
+    *
+    * Unpersisting here does NOT violate the eviction-path use-after-free
+    * rule (scaladoc above): reset() is a PHASE BOUNDARY hook — the harness
+    * calls it only between benchmark phases, after every prior caller's
+    * result has been fully materialized (noop-written) and no evicted
+    * DataFrame reference is live. The per-call eviction path still drops
+    * map entries only. */
+  private[graft] def reset(): Unit = {
+    cache.values.foreach { e =>
+      if (!e.session.sparkContext.isStopped)
+        datasetsOf(e.value).foreach { d =>
+          d.queryExecution.analyzed.collectLeaves().foreach {
+            case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        }
+    }
+    cache.clear()
+  }
+
+  /** Memo values are either checkpointed Datasets or small case classes
+    * holding them (e.g. the MinHash group bundle) — surface every Dataset
+    * so reset() can release its blocks. */
+  private def datasetsOf(v: AnyRef): Seq[Dataset[_]] = v match {
+    case d: Dataset[_] => Seq(d)
+    case p: Product => p.productIterator.collect { case d: Dataset[_] => d }.toSeq
+    case _ => Seq.empty
+  }
 
   /** Drop entries whose owning context is stopped (their blocks died with
     * the executors; only the map entries linger). */
