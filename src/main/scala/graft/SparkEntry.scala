@@ -373,6 +373,29 @@ object SparkEntry {
        |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)""".stripMargin
   }
 
+  /** Adaptive-LSH bucket CTEs ending in g(vec_id, v, nrm, bucket), with
+    * pj(j) = the selected plane ids (multi-probe flips one per plane) —
+    * mirrors [[graft.similarity.Ann.lshPlanes]] / `lshPlaneWeight`
+    * bit-for-bit: the plane count comes from the same integer power-of-two
+    * ladder over ceil(n/64) (no float log in either engine) and the plane
+    * weights from the same large-prime double-mod inlined as literals
+    * (1-based list_transform index i matches the Scala side's p1). */
+  private val lshBucketCtes: String = {
+    val ladder = (0 to 48).map(k => s"WHEN m <= ${1L << k} THEN $k").mkString(" ")
+    s""" nv AS (SELECT greatest(1, (count(*) + 63) // 64) AS m FROM n),
+       | psel AS (SELECT least(48, greatest(3, CASE $ladder ELSE 49 END)) AS np FROM nv),
+       | pj AS (SELECT gj.j AS j FROM psel p, generate_series(0, 47) gj(j) WHERE gj.j < p.np),
+       | proj AS (SELECT n.vec_id, pj.j,
+       |   list_reduce(list_transform(n.v,
+       |     (x, i) -> x * ((((pj.j * 15485863 + i * 32452843) % 1000003) % 21) - 10)),
+       |     (a, c) -> a + c) AS p
+       |  FROM n, pj),
+       | gb AS (SELECT vec_id,
+       |   CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       | g AS (SELECT n.vec_id, n.v, n.nrm, gb.bucket FROM n JOIN gb USING (vec_id))""".stripMargin
+  }
+
   private val minhashSigSql: String =
     (0 until Dedup.MinhashK)
       .map(k => s"min((tid * ${Dedup.hashA(k)} + ${Dedup.hashB(k)}) % ${Dedup.MinhashP}) AS m$k")
@@ -1268,21 +1291,16 @@ object SparkEntry {
         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
         |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
-    "knn_lsh" -> {
-      def dot(j: Int) =
-        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    "knn_lsh" ->
       s"""WITH $embPrepSql,
-        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        |$lshBucketCtes,
         | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
         | s AS (SELECT q_id, g.bucket AS bucket, g.vec_id AS neighbor_id,
         |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |         / (qn * g.nrm), 6) AS cos
         |  FROM g JOIN q USING (bucket) WHERE g.vec_id <> q.q_id),
         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
-        |SELECT q_id, bucket, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
-    },
+        |SELECT q_id, bucket, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "knn_centroid" ->
       s"""WITH $embPrepSql,
@@ -1745,23 +1763,19 @@ object SparkEntry {
         | CAST(sum(CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 = 3 THEN 1 ELSE 0 END) * 4 AS BIGINT) AS pos_bytes
         |FROM lineitem GROUP BY 1 ORDER BY file_id""".stripMargin,
 
-    "knn_multiprobe" -> {
-      def dot(j: Int) =
-        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      val probes = ("bucket" +: (0 until 8).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+    "knn_multiprobe" ->
       s"""WITH $embPrepSql,
-        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        |$lshBucketCtes,
         | q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
-        | q AS (SELECT q_id, qv, qn, unnest([$probes]) AS bucket FROM q0),
+        | q AS (SELECT q_id, qv, qn, bucket FROM q0
+        |       UNION ALL
+        |       SELECT q_id, qv, qn, xor(bucket, (CAST(1 AS BIGINT) << j)) FROM q0, pj),
         | s AS (SELECT q_id, g.vec_id AS neighbor_id,
         |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |         / (qn * g.nrm), 6) AS cos
         |  FROM g JOIN q USING (bucket) WHERE g.vec_id <> q.q_id),
         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk FROM s)
-        |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
-    },
+        |SELECT q_id, neighbor_id, rk, cos FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "lake_fetch_plan" ->
       """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS part_month, l_orderkey % 40 AS file_id,
@@ -1882,13 +1896,9 @@ object SparkEntry {
         | round(fragmented_bytes * 1.0 / (total_deletes * 4 + 100), 6) AS amplification
         |FROM f ORDER BY file_id""".stripMargin,
 
-    "knn_recall" -> {
-      def dot(j: Int) =
-        s"list_reduce(list_transform(v, (x, i) -> x * (($j * 73 + i * 37) % 21 - 10)), (a, c) -> a + c)"
-      val bucket = (0 until 8)
-        .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    "knn_recall" ->
       s"""WITH $embPrepSql,
-        | g AS (SELECT vec_id, v, nrm, CAST($bucket AS BIGINT) AS bucket FROM n),
+        |$lshBucketCtes,
         | q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM g WHERE vec_id < 10),
         | sl AS (SELECT q_id, g.vec_id AS neighbor_id,
         |   round(list_reduce(list_transform(list_zip(qv, g.v), z -> z[1] * z[2]), (x, y) -> x + y)
@@ -1906,8 +1916,7 @@ object SparkEntry {
         | CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recovered,
         | round(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
         |FROM ex LEFT JOIN lsh ON ex.q_id = lsh.q_id AND ex.neighbor_id = lsh.neighbor_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),

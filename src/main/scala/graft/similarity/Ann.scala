@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *    the corpus (the query side broadcasts; the corpus streams). Linear per
   *    query, the reference answer for recall measurement.
   *  - `lshTopK`: deterministic random-hyperplane LSH — corpus is bucketed by
-  *    an 8-bit signature, candidates come only from the query's bucket.
-  *    Sub-linear; the 100 TB path (bucket count scales with corpus size).
+  *    a CORPUS-ADAPTIVE signature ([[lshPlanes]]: plane count grows with
+  *    log₂(n/64) so per-bucket occupancy stays ~64), candidates come only
+  *    from the query's bucket. Sub-linear; the 100 TB path (bucket count
+  *    scales with corpus size, so candidate volume per query does not).
   *  - `centroidTopK`-style IVF assignment (`centroidAssign`): partition the
   *    corpus into cells around label centroids; search only within a cell.
   *
@@ -70,36 +72,66 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
-  /** Deterministic hyperplane weights for planes 0..7 (integer in [-10, 10],
-    * closed form shared with the oracle) as ONE array<array<double>> literal
-    * sized to the actual embedding dimension. A single Literal node beats 8
-    * per-row `array(lit, …)` constructions — the 8×dim literal tree is pure
+  /** Corpus-adaptive hyperplane count — the fix for the defect the r9
+    * scale-trend harness flagged on `knn_lsh` (cpu exponent 1.50): with a
+    * FIXED 8-plane/256-bucket signature, per-bucket occupancy grows ∝ n, so
+    * candidates per query — and total join work — grow linearly in corpus
+    * size and the "index" degrades into a 1/256 scan at 100 TB. The same
+    * scaling law as [[graft.dedup.Dedup.embBandParams]] instead holds
+    * occupancy at ~64 vectors per bucket by growing the plane count with
+    * log₂(ceil(n/64)) — an integer-exact ladder (no float log) so the SQL
+    * oracle reproduces it bit-for-bit. Clamped to [3, 48]: ≥3 keeps the
+    * signature meaningful on toy corpora, ≤48 keeps `1L << j` and the
+    * bucket sum comfortably inside int64. */
+  def lshPlanes(nVectors: Long): Int = {
+    val m = math.max(1L, (nVectors + 63L) / 64L)
+    var p = 0
+    while ((1L << p) < m) p += 1
+    math.min(48, math.max(3, p))
+  }
+
+  /** Deterministic integer weight in [-10, 10] for plane j, 1-based dim p1.
+    * Large-prime double-mod (15485863 = the 10⁶th prime, 32452843 = the
+    * 2·10⁶th) decorrelates planes at ANY plane count — the previous
+    * `(j*73 + i*37) % 21` form repeats planes with period 21 in j, which a
+    * fixed 8-plane signature never noticed but an adaptive ladder would
+    * (identical planes = duplicate signature bits = collapsed buckets).
+    * Shared with the oracle, which inlines the same literals. */
+  def lshPlaneWeight(j: Int, p1: Int): Double =
+    (((j * 15485863L + p1 * 32452843L) % 1000003L) % 21L - 10L).toDouble
+
+  /** All hyperplanes as ONE array<array<double>> literal sized to the actual
+    * embedding dimension. A single Literal node beats per-row
+    * `array(lit, …)` constructions — the nPlanes×dim literal tree is pure
     * Janino compile cost (graft_dot throws on length mismatch, so dimension
     * drift still fails loudly). */
-  private def planesLit(dim: Int) = typedlit(
-    Seq.tabulate(8)(j => Seq.tabulate(dim)(p0 => ((j * 73 + (p0 + 1) * 37) % 21 - 10).toDouble)))
+  private def planesLit(dim: Int, nPlanes: Int) = typedlit(
+    Seq.tabulate(nPlanes)(j => Seq.tabulate(dim)(p0 => lshPlaneWeight(j, p0 + 1))))
 
   /** Embedding dimension read from the data (one 1-row job at plan-build
     * time; the table's dim is schema-stable so any row is authoritative). */
   private def embeddingDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).head().getInt(0)
 
-  /** 8-bit LSH bucket signature for every vector (one transform over the
-    * plane-matrix literal computes all projections in a single pass). */
-  def withBucket(embeddings: DataFrame): DataFrame = {
+  /** Adaptive LSH bucket signature for every vector (one transform over the
+    * plane-matrix literal computes all projections in a single pass);
+    * returns the bucketed frame plus the plane count the corpus selected
+    * (multi-probe needs it for its Hamming-1 expansion). */
+  def withBucket(embeddings: DataFrame): (DataFrame, Int) = {
     val base = prep(embeddings)
     val dim = embeddingDim(embeddings)
+    val nPlanes = lshPlanes(embeddings.count())
     val withProj = base.withColumn("proj",
-      transform(planesLit(dim), p => call_function("graft_dot", col("v"), p)))
-    val bucket = (0 until 8)
-      .map(j => when(element_at(col("proj"), j + 1) > 0, math.pow(2, j).toLong).otherwise(0L))
+      transform(planesLit(dim, nPlanes), p => call_function("graft_dot", col("v"), p)))
+    val bucket = (0 until nPlanes)
+      .map(j => when(element_at(col("proj"), j + 1) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    withProj.withColumn("bucket", bucket).drop("proj")
+    (withProj.withColumn("bucket", bucket).drop("proj"), nPlanes)
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val bucketed = withBucket(embeddings)
+    val (bucketed, _) = withBucket(embeddings)
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     bucketed.join(queries, Seq("bucket"))
@@ -112,17 +144,19 @@ object Ann {
       .orderBy("q_id", "rk")
   }
 
-  /** Multi-probe LSH: each query probes its own bucket plus the 8 buckets at
+  /** Multi-probe LSH: each query probes its own bucket plus every bucket at
     * Hamming distance 1 (one hyperplane flipped) — the standard recall
     * recovery for bucketed ANN without rebuilding the index. Probe expansion
-    * is a 9-element generator on the query side (queries are the small side),
-    * candidates still come only from bucket-equality joins. */
+    * is an (nPlanes+1)-element generator on the query side (queries are the
+    * small side), candidates still come only from bucket-equality joins; the
+    * flip count tracks the adaptive plane ladder so probe volume stays
+    * O(log n) per query. */
   def multiProbeTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val bucketed = withBucket(embeddings)
+    val (bucketed, nPlanes) = withBucket(embeddings)
     val probes = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
       .select(col("q_id"), col("qv"), col("qn"),
-        explode(array(col("bucket") +: (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+        explode(array(col("bucket") +: (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
           .as("bucket"))
     bucketed.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -24,10 +24,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("LSH buckets partition the corpus") {
-    val bucketed = Ann.withBucket(emb)
+  test("LSH buckets partition the corpus and the plane ladder tracks corpus size") {
+    val (bucketed, nPlanes) = Ann.withBucket(emb)
     assert(bucketed.count() == emb.count())
     assert(bucketed.select("bucket").distinct().count() > 1, "all vectors in one bucket = useless LSH")
+    assert(nPlanes == Ann.lshPlanes(emb.count()))
+    // The corpus-adaptive law: plane count grows with log2(n/64) so bucket
+    // occupancy stays ~64 — the property whose absence made fixed-8-plane
+    // LSH degrade into a 1/256 scan at scale.
+    assert(Ann.lshPlanes(100) == 3)
+    assert(Ann.lshPlanes(64 * 1024) == 10)
+    assert(Ann.lshPlanes(64L * 1024 * 1024) == 20)
+    assert(Ann.lshPlanes(Long.MaxValue / 2) == 48, "ladder clamps at 48 planes")
+    // occupancy bound: n / 2^planes ≤ 64 for any n in the unclamped range
+    Seq(1L, 500L, 8000L, 1000000L, 1L << 40).foreach { n =>
+      val p = Ann.lshPlanes(n)
+      if (p < 48) assert(n.toDouble / (1L << p) <= 64.0, s"occupancy blows up at n=$n")
+    }
   }
 
   test("LSH top-k neighbors share the query's bucket and appear in brute-force order") {
