@@ -429,9 +429,12 @@ object SparkEntry {
     * oracles (mirror of the memoized Spark-side `Dedup.shinglePairCommon`). */
   private val shinglePairCtes: String =
     s"""t AS (SELECT doc_id, $tokSql AS tk FROM documents),
-      | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+      | sh0 AS (SELECT DISTINCT doc_id, unnest(list_filter(
       |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
       |   y -> y IS NOT NULL)) AS sh FROM t),
+      | keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1)
+      |          WHERE df <= ${Dedup.ShingleMaxDf}),
+      | sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
       | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
       |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -2258,13 +2261,7 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
-        | sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
-        |   list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk) THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
-        |   y -> y IS NOT NULL)) AS sh FROM t),
-        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      s"""WITH $shinglePairCtes,
         | c AS (SELECT doc_a, doc_b, common,
         |   round(common * 1.0 / na.n_sh, 6) AS cont_a,
         |   round(common * 1.0 / nb.n_sh, 6) AS cont_b

@@ -69,16 +69,52 @@ object Dedup {
         .as("sh"))
       .distinct()
 
+  /** Document-frequency cap for the shingle inverted index. A shingle in
+    * df documents contributes ~df²/2 candidate pairs to the self-join, so
+    * ONE boilerplate trigram ("all rights reserved") shared by 10⁶ docs is
+    * a 10¹²-pair bomb at 100 TB — the quadratic failure mode the substring
+    * family already caps via [[SubstrMaxAnchorOcc]]. Shingles with
+    * df > cap are stop-shingles: they carry no near-dup evidence (sharing
+    * boilerplate is not similarity) and are removed from the WHOLE
+    * similarity universe — pair evidence AND per-doc set sizes — so
+    * Jaccard/containment are computed consistently over the df-filtered
+    * shingle space. Spliced into the jaccard/containment/sweep oracles;
+    * sized far above any real df in the test corpora (max measured df is
+    * 25 at sf0.1) so the cap is protection, not a result change — the
+    * planted-boilerplate spec proves it fires. */
+  val ShingleMaxDf = 128
+
+  /** Cap observability: total distinct shingles, how many the df cap
+    * removed, and how many documents contained at least one removed
+    * shingle — the removal accounting that makes a silent candidate cap
+    * auditable (the SubstrMaxAnchorOcc convention). */
+  def shingleDfCapStats(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val dropped = df.filter(col("df") > ShingleMaxDf)
+    val affected = sh.join(dropped.select(col("sh")), Seq("sh"))
+      .select(countDistinct(col("doc_id")).as("docs_affected"))
+    df.agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > ShingleMaxDf, 1L).otherwise(0L)).as("n_capped"),
+        max(col("df")).as("max_df"))
+      .crossJoin(affected)
+  }
+
   /** Shared candidate-pair table behind the Jaccard and containment screens:
     * the inverted-index self-join (only docs sharing ≥1 shingle pair up)
     * with common-shingle counts and both set sizes — the expensive stage of
     * either query, identical for both, so it is memoized per corpus per JVM
     * (`plans.Memo`; the shingle table itself feeds three plan branches and
     * is checkpointed inside the build). Each consumer applies only its own
-    * ratio arithmetic + threshold on top. */
+    * ratio arithmetic + threshold on top. The [[ShingleMaxDf]] stop-shingle
+    * cap bounds every posting list BEFORE the self-join, which is what
+    * keeps the candidate volume linear in corpus size. */
   private def shinglePairCommon(documents: DataFrame): DataFrame =
     graft.plans.Memo.memoize(documents, "dedup.shinglePairs") {
-      val sh = shingles(documents).stableCheckpoint()
+      val sh0 = shingles(documents).stableCheckpoint()
+      val keep = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleMaxDf).select(col("sh"))
+      val sh = sh0.join(keep, Seq("sh"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh"))

@@ -240,6 +240,30 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("shingle df cap: a planted 100%-df boilerplate shingle contributes no pairs") {
+    import spark.implicits._
+    // 200 docs sharing exactly ONE trigram ("copyright all rights") whose df
+    // (200) exceeds ShingleMaxDf (128); every other trigram contains a
+    // per-doc unique token. Without the cap these docs alone would produce
+    // 200·199/2 = 19 900 candidate pairs from zero real similarity — the
+    // quadratic boilerplate bomb the cap exists to defuse.
+    val boiler = (1 to 200).map(i => (1000L + i, s"copyright all rights u${i}a u${i}b u${i}c"))
+    // Plus one genuine near-dup pair sharing 3 of their 4 trigrams (df=2,
+    // under the cap) — proof the cap removes boilerplate evidence ONLY.
+    val dups = Seq((1L, "alpha beta gamma delta epsilon qa"),
+                   (2L, "alpha beta gamma delta epsilon qb"))
+    val planted = (dups ++ boiler).toDF("doc_id", "text")
+    val stats = Dedup.shingleDfCapStats(planted).head()
+    assert(stats.getAs[Long]("n_capped") == 1L)
+    assert(stats.getAs[Long]("max_df") == 200L)
+    assert(stats.getAs[Long]("docs_affected") == 200L)
+    val pairs = Dedup.ngramJaccardPairs(planted, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == Set((1L, 2L)), "boilerplate-only co-occurrence must not produce pairs")
+    val cont = Dedup.containmentPairs(planted, threshold = 0.5).collect()
+    assert(cont.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == Set((1L, 2L)))
+  }
+
   test("repetition ratios are bounded and flag agrees with thresholds") {
     val rows = TextAnalysis.repetition(docs).collect()
     assert(rows.length == docs.count())
