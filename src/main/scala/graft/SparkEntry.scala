@@ -56,6 +56,7 @@ object SparkEntry {
     "lake_dv_apply" -> q((s, d) => DeleteVectors.applyDeletes(Tables.lineitem(s, d))),
     "lake_dv_fold" -> q((s, d) => DeleteVectors.foldManifests(Tables.lineitem(s, d))),
     "lake_dv_density" -> q((s, d) => DeleteVectors.densityPolicy(Tables.lineitem(s, d))),
+    "lake_dv_roaring" -> q((s, d) => DeleteVectors.roaringDvModel(Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -808,6 +809,36 @@ object SparkEntry {
         |      WHEN least(deleted * 4, CAST(ceil(record_count / 8.0) AS BIGINT)) <= 10485760 THEN 'external'
         |      ELSE 'partitioned' END AS storage
         |FROM pf ORDER BY file_id""".stripMargin,
+
+    "lake_dv_roaring" ->
+      s"""WITH fm AS ($fileModelSql),
+        | d AS (SELECT file_id, pos FROM fm WHERE (l_orderkey * 31 + l_linenumber) % 10 = 3),
+        | rc AS (SELECT file_id, count(*) AS record_count FROM fm GROUP BY 1),
+        | c AS (SELECT file_id, pos // 65536 AS hi, pos FROM d),
+        | i AS (SELECT file_id, hi, pos,
+        |   pos - row_number() OVER (PARTITION BY file_id, hi ORDER BY pos) AS grp FROM c),
+        | cont AS (SELECT file_id, hi, count(*) AS card, count(DISTINCT grp) AS n_runs
+        |   FROM i GROUP BY 1, 2),
+        | e AS (SELECT file_id, card, n_runs,
+        |   CASE WHEN n_runs * 4 + 2 < least(card * 2, 8192) THEN 'run'
+        |        WHEN card < 4096 THEN 'array' ELSE 'bitmap' END AS ctype FROM cont),
+        | e2 AS (SELECT *, CASE ctype WHEN 'run' THEN n_runs * 4 + 2
+        |                             WHEN 'array' THEN card * 2 ELSE 8192 END AS cbytes FROM e),
+        | f AS (SELECT file_id, CAST(sum(card) AS BIGINT) AS deleted,
+        |   count(*) AS n_containers,
+        |   CAST(sum(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+        |   CAST(sum(CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT) AS n_bitmap,
+        |   CAST(sum(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS BIGINT) AS n_run,
+        |   CAST(sum(cbytes) AS BIGINT) AS container_bytes FROM e2 GROUP BY 1),
+        | g AS (SELECT f.file_id, deleted, n_containers, n_array, n_bitmap, n_run,
+        |   CAST(8 + ceil(n_containers / 8.0) + n_containers * 4 + container_bytes AS BIGINT) AS roaring_bytes,
+        |   CAST(least(deleted * 4, CAST(ceil(record_count / 8.0) AS BIGINT)) AS BIGINT) AS naive_bytes
+        |  FROM f JOIN rc ON f.file_id = rc.file_id)
+        |SELECT file_id, deleted, n_containers, n_array, n_bitmap, n_run,
+        | roaring_bytes, naive_bytes,
+        | round(naive_bytes * 1.0 / roaring_bytes, 4) AS compression_x,
+        | CASE WHEN roaring_bytes <= 4096 THEN 'inline' ELSE 'external' END AS storage
+        |FROM g ORDER BY file_id""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

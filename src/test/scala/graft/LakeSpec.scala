@@ -113,6 +113,39 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("roaring DV model: dense deletes pick one run container, scattered pick array") {
+    import spark.implicits._
+    // File 1: 5000 rows (l_orderkey=1, l_linenumber=2 → (31+2)%10=3) — every
+    // row deleted, positions 0..4999 contiguous → ONE run container, 6 B of
+    // container data (2 B header + 4 B × 1 run): the reference's
+    // partition-drop scenario (run containers stay inline no matter how many
+    // rows they cover). File 2: 1000 rows with every 10th deleted
+    // ((62+l)%10=3 ⇔ l≡1 mod 10) → 100 isolated positions → array container
+    // (200 B beats 402 B run / 8192 B bitmap): the fragmented-CDC scenario.
+    val dense = (0 until 5000).map(_ => (1L, 2))
+    val sparse = (0 until 1000).map(l => (2L, l))
+    val synthetic = (dense ++ sparse).toDF("l_orderkey", "l_linenumber")
+    val rows = DeleteVectors.roaringDvModel(synthetic, nFiles = 40)
+      .collect().map(r => r.getAs[Long]("file_id") -> r).toMap
+    val f1 = rows(1L)
+    assert(f1.getAs[Long]("deleted") == 5000L)
+    assert(f1.getAs[Long]("n_run") == 1L && f1.getAs[Long]("n_containers") == 1L)
+    assert(f1.getAs[Long]("roaring_bytes") == 8L + 1L + 4L + 6L)
+    assert(f1.getAs[String]("storage") == "inline")
+    val f2 = rows(2L)
+    assert(f2.getAs[Long]("deleted") == 100L)
+    assert(f2.getAs[Long]("n_array") == 1L && f2.getAs[Long]("n_containers") == 1L)
+    assert(f2.getAs[Long]("roaring_bytes") == 8L + 1L + 4L + 200L)
+    // the dense file's run encoding crushes the naive estimate (min of
+    // 4 B-list / bitset = 625 B vs 19 B roaring); on the tiny sparse file
+    // the naive bitset (ceil(1000/8) = 125 B) legitimately beats roaring's
+    // framed array (213 B) — the model must report that honestly rather
+    // than assume roaring always wins
+    assert(f1.getAs[Double]("compression_x") > 30.0)
+    assert(f2.getAs[Long]("naive_bytes") == 125L)
+    assert(f2.getAs[Double]("compression_x") == math.round(125.0 / 213.0 * 10000) / 10000.0)
+  }
+
   test("compaction plan groups are contiguous and bounded") {
     val rows = Snapshots.compactionPlan(lineitem).collect()
     val groups = rows.map(_.getAs[Long]("group_id"))
