@@ -53,15 +53,28 @@ object Report {
   private def section(title: String, note: String, body: String): String =
     s"""<section><h2>${escape(title)}</h2><p class="note">${escape(note)}</p>\n$body\n</section>"""
 
-  /** Committed per-query baseline resource → slowest-N chart data. */
+  /** Committed per-query baseline resource → slowest-N chart data.
+    *
+    * The resource is the FLAT one-level object Bench writes (query name →
+    * seconds), so a regex parse is adequate — but guarded, not trusting:
+    * any nesting/array syntax rejects the file outright (a restructured
+    * resource must fail loudly, not render wrong bars), values must be
+    * plain decimals (scientific notation would silently mis-parse), only
+    * registered query names count, and at least half the registry must
+    * parse (catches truncation). */
   def baselineTop(n: Int): Seq[(String, Double)] = {
     val in = getClass.getResourceAsStream("/graft/bench_baseline_sf0.1.json")
     if (in == null) Seq.empty
     else {
       val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        .sortBy(-_._2).take(n)
+      require(!txt.drop(1).exists(c => c == '{' || c == '['),
+        "bench baseline resource is no longer a flat object — update this parser")
+      val pairs = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)(?![0-9eE.])""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      val known = pairs.filter(p => SparkEntry.queries.contains(p._1))
+      require(known.size * 2 >= SparkEntry.queries.size,
+        s"parsed only ${known.size} baseline entries for ${SparkEntry.queries.size} registered queries")
+      known.sortBy(-_._2).take(n)
     }
   }
 

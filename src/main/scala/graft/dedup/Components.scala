@@ -172,8 +172,9 @@ object Components {
         .stableCheckpoint()
     }
     val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-    val toks = documents.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // shared tokenizer (NOT a local re-split): keeps this operator's token
+    // counts in lockstep with the dedup_soft oracle's len(tokSql) splice
+    val toks = Dedup.tokenCounts(documents)
     comps.join(sizes, Seq("comp"))
       .join(toks, Seq("doc_id"))
       .withColumn("weight", round(lit(1.0) / col("comp_size"), 6))

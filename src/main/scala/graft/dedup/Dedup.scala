@@ -31,6 +31,14 @@ object Dedup {
 
   private def toks = split(trim(col("text")), "\\s+")
 
+  /** Whitespace token count per doc — THE shared token-count definition
+    * (mirror of the oracle's `len($tokSql)`). Consumers outside this file
+    * (e.g. `Components.softDedupWeights`) must use this rather than
+    * re-inlining the split, so a tokenizer change can never silently
+    * diverge one operator from its oracle's splice. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+
   /** Exact dedup on the sorted-distinct-token signature (keep lowest id). */
   def exact(documents: DataFrame): DataFrame = {
     val sig = documents.withColumn("sig", array_join(array_sort(array_distinct(toks)), " "))

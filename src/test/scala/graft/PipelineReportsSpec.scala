@@ -353,10 +353,16 @@ class PipelineReportsSpec extends SparkSpec {
     val ev = Tables.events(spark, sf0001)
     val rows = graft.events.Events.nextEventEval(ev).collect()
     assert(rows.nonEmpty)
-    // brute force from raw events
-    val raw = ev.select("user_id", "event_id", "ts", "event_type").collect()
+    // brute force from raw events — ordered by MICROsecond ts (unix_micros)
+    // to match the operator's window order exactly: Timestamp.getTime is
+    // millisecond-truncated, so two same-user events inside one millisecond
+    // whose event_id order differs from their microsecond order would make
+    // a ms-ordered brute model diverge (latent flake, not a real failure)
+    val raw = ev.select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
-        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+        r.getAs[Long]("us"), r.getAs[String]("event_type")))
     val pairs = raw.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
       es.sortBy(e => (e._3, e._2)).map(_._4).toSeq.sliding(2)
         .collect { case Seq(a, b) => (uid, a, b) }.toSeq

@@ -54,8 +54,58 @@ def main():
         ok, msg = compare(act, exp)
         if ok: n_pass += 1; print(f"PASS {name} ({len(act)} rows)")
         else: n_fail += 1; print(f"FAIL {name}: {msg}")
+    # Planted-PII fixture: the synthetic corpus contains no PII, so the main
+    # compare only ever exercises text_pii_scan's zero path — a Java-regex vs
+    # RE2 dialect divergence on the FIRING path would go undetected. Build a
+    # tiny documents fixture with known hits per class (plus the adversarial
+    # 17-digit run where backtracking and leftmost-longest semantics could
+    # disagree on \b\d{13,16}\b), run the Spark query on it, and hash-compare
+    # against the same oracle SQL over the fixture. Skipped under --nosbt
+    # (needs an sbt run against the fixture dir).
+    if not args.nosbt and (only is None or "text_pii_scan" in only):
+        ok = pii_fixture_check(oracle["text_pii_scan"], args.out)
+        if ok: n_pass += 1
+        else: n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
+PII_FIXTURE_ROWS = [
+    (1, "contact john.doe@example.com or admin@test.org today", "en", "web"),
+    (2, "card 4111111111111111 expires soon", "en", "web"),
+    (3, "servers 192.168.1.1 and 10.0.0.255 are up", "en", "code"),
+    (4, "call +14155552671 for help", "en", "web"),
+    (5, "ssn 123-45-6789 on file", "en", "forum"),
+    (6, "digits 12345678901234567 run seventeen long", "en", "forum"),  # adversarial for cc16
+    (7, "no pii here at all just words", "en", "web"),
+    (8, "mixed a@b.co 10.0.0.1 +12345678 999-99-9999", "en", "code"),
+]
+
+def pii_fixture_check(sql: str, out: str) -> bool:
+    import subprocess
+    fx = os.path.join(out, "pii_fixture")
+    os.makedirs(fx, exist_ok=True)
+    df = pd.DataFrame(PII_FIXTURE_ROWS, columns=["doc_id", "text", "lang", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    fcon = duckdb.connect()
+    fcon.sql("CREATE TABLE documents AS SELECT * FROM df")
+    fcon.sql(f"COPY documents TO '{fx}/documents.parquet' (FORMAT PARQUET)")
+    pii_out = os.path.join(out, "pii_fixture_out")
+    r = subprocess.run(["sbt", f'runMain graft.Verify {fx} {pii_out} text_pii_scan'],
+                       cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0 or not glob.glob(f"{pii_out}/text_pii_scan/*.parquet"):
+        print("FAIL text_pii_scan[fixture]: verify run failed")
+        sys.stdout.write(r.stdout[-2000:])
+        return False
+    exp = fcon.sql(sql).df()
+    act = fcon.sql(f"SELECT * FROM '{pii_out}/text_pii_scan/*.parquet'").df()
+    if not (exp["n_hits"].sum() > 0):
+        print("FAIL text_pii_scan[fixture]: fixture produced no oracle hits (fixture broken)")
+        return False
+    ok, msg = compare(act, exp)
+    if ok: print(f"PASS text_pii_scan[fixture] ({len(act)} rows, {int(exp['n_hits'].sum())} planted hits)")
+    else: print(f"FAIL text_pii_scan[fixture]: {msg}")
+    return ok
 
 def compare(act: pd.DataFrame, exp: pd.DataFrame):
     if sorted(act.columns) != sorted(exp.columns):
