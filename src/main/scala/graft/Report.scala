@@ -78,6 +78,10 @@ object Report {
     }
   }
 
+  /** One panel per reference study family (the 11-tab dashboard of
+    * `run_all_benchmarks.py` / `benchmark-results.html`), every panel
+    * rendered from a REGISTERED query — the report can never show numbers
+    * the correctness gate doesn't check. */
   def render(spark: SparkSession, sfDir: String): String = {
     def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
     val sections = Seq(
@@ -89,6 +93,41 @@ object Report {
       section("Skip rate", "File pruning for the quarter predicate on clustered vs unclustered " +
         "layout — the reference's headline tradeoff.",
         htmlTable(q("lake_skip_rate"))),
+      section("Delete storm", "Accumulating DV waves per file: resolution cost growth and the " +
+        "compaction trigger point (reference suite 1, test_delete_storm).",
+        htmlTable(q("lake_delete_storm"), maxRows = 20)),
+      section("Inline budget (GC cliff)", "Manifest inline-payload budget vs the 4KB/10MB " +
+        "thresholds the reference validates against S3 TTFB and G1GC humongous objects " +
+        "(suite 2, test_gc_performance_cliff).",
+        htmlTable(q("lake_inline_budget"), maxRows = 20)),
+      section("Density-adaptive policy", "Per-file DV encoding choice and inline/external " +
+        "decision (suite 3, test_density_adaptive_policy).",
+        htmlTable(q("lake_dv_density"), maxRows = 20)),
+      section("Roaring container model", "Byte-accurate array/bitmap/run container accounting " +
+        "per DV — the measured-size refinement of the density policy (suite 3's pyroaring sizes).",
+        htmlTable(q("lake_dv_roaring"), maxRows = 20)),
+      section("DV resolution strategies", "Hash-join vs positional memory, folded-manifest IO " +
+        "and write-overhead ladder per manifest-size rung (suite 4, test_dv_resolution_strategies).",
+        htmlTable(q("lake_dv_strategies"))),
+      section("Commit cadence (single-file commits)", "Streaming commit-rate study: snapshot " +
+        "metadata growth per commit cadence (suite 5, test_single_file_commits).",
+        htmlTable(q("lake_commit_cadence"), maxRows = 20)),
+      section("Adaptive metadata tree", "Manifest-tree depth/fan-out trade at growing file " +
+        "counts (suite 6, test_adaptive_metadata_tree).",
+        htmlTable(q("lake_manifest_tree"), maxRows = 20)),
+      section("Wide-table pruning", "Column-statistics payload vs pruning benefit on wide " +
+        "schemas (suite 7, test_wide_table_pruning).",
+        htmlTable(q("lake_wide_prune"), maxRows = 20)),
+      section("Concurrent writers", "Optimistic-concurrency conflict/retry model per writer " +
+        "count (suite 8, test_concurrent_writers; the bench's occ_bench block measures the " +
+        "same ladder with real racing threads).",
+        htmlTable(q("lake_concurrent_commits"))),
+      section("Parallel fetch", "Manifest fetch latency vs parallelism — the ceil(n/p)×TTFB " +
+        "ladder (test_parallel_s3_fetching; the bench's fetch_bench block measures it).",
+        htmlTable(q("lake_fetch_latency"))),
+      section("Column/file DV update cost", "Per-column update amplification across file-count " +
+        "tiers (test_column_file_dv_updates).",
+        htmlTable(q("lake_column_update_cost"), maxRows = 20)),
       section("Compaction plan", "Which files the maintenance pass would rewrite, and why.",
         htmlTable(q("lake_compaction_plan"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",

@@ -334,13 +334,19 @@ class PipelineReportsSpec extends SparkSpec {
   test("HTML report: every section renders, tables carry rows, baseline chart present") {
     val html = graft.Report.render(spark, sf0001)
     assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>"))
-    for (h <- Seq("Pricing summary", "Lake health", "Skip rate", "Compaction plan",
+    // one panel per reference study family (run_all_benchmarks.py's tabs)
+    // plus the engine headline panels and the baseline chart
+    for (h <- Seq("Pricing summary", "Lake health", "Skip rate", "Delete storm",
+                  "Inline budget", "Density-adaptive policy", "Roaring container model",
+                  "DV resolution strategies", "Commit cadence", "Adaptive metadata tree",
+                  "Wide-table pruning", "Concurrent writers", "Parallel fetch",
+                  "Column/file DV update cost", "Compaction plan",
                   "Training-data funnel", "PII scan", "Slowest queries"))
       assert(html.contains(s"<h2>$h"), s"missing section $h")
-    assert("<section>".r.findAllIn(html).size == 7)
+    assert("<section>".r.findAllIn(html).size == 18)
     // every table has at least one data row
     val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
-    assert(tables.size == 6)
+    assert(tables.size == 17)
     tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
     // the baseline chart has 20 bars with numeric values
     assert("class=\"bar\"".r.findAllIn(html).size == 20)
