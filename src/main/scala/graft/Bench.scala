@@ -103,7 +103,13 @@ object Bench {
     "dedup_embedding", "knn_lsh",
     // round-9 second-half heavies: block/CDC dedup are token-grain signature
     // shuffles (linear by design — measured to hold):
-    "dedup_blocks", "dedup_cdc")
+    "dedup_blocks", "dedup_cdc",
+    // round-10 additions — the next tier of structural risk, in the set
+    // precisely because they might flag: the post-df-cap shingle self-join,
+    // the chunk-grain roaring window, the three-table n-gram LM joins, the
+    // anchor-capped substring union, and the full-corpus survivor window:
+    "dedup_ngram_jaccard", "lake_dv_roaring", "text_lm_backoff",
+    "dedup_onion", "lake_pos_runs")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
