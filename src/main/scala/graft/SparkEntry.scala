@@ -251,6 +251,7 @@ object SparkEntry {
     "ev_next_event" -> q((s, d) => Events.nextEventEval(Tables.events(s, d))),
     "dedup_soft" -> q((s, d) => Components.softDedupWeights(Tables.documents(s, d))),
     "text_lm_backoff" -> q((s, d) => TextAnalysis.lmBackoffScore(Tables.documents(s, d))),
+    "text_kneser_ney" -> q((s, d) => TextAnalysis.kneserNeyScore(Tables.documents(s, d))),
     "q69_weighted_quantiles" -> q((s, d) => Relational.weightedQuantiles(Tables.lineitem(s, d))),
     "text_readability" -> q((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "lake_bucket_pruning" -> q((s, d) => Layout.bucketPruning(Tables.lineitem(s, d))),
@@ -1186,6 +1187,33 @@ object SparkEntry {
         |SELECT (n_hit = n_pos) AS maybe_dup, is_dup, count(*) AS n_docs, bits_set, fill_pct
         |FROM scr JOIN tr USING (doc_id) CROSS JOIN fill
         |GROUP BY 1, 2, bits_set, fill_pct ORDER BY maybe_dup, is_dup""".stripMargin,
+
+    "text_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        | tk0 AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS token FROM
+        |   (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM d)),
+        | tk AS (SELECT doc_id, pos, token,
+        |   lag(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS u FROM tk0),
+        | tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0 AND u IS NOT NULL),
+        | c2 AS (SELECT u, token, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
+        | c1 AS (SELECT u, CAST(sum(c2) AS BIGINT) AS c1,
+        |   CAST(count(*) AS BIGINT) AS n1p_right FROM c2 GROUP BY 1),
+        | cont AS (SELECT token, CAST(count(*) AS BIGINT) AS n1p_left FROM c2 GROUP BY 1),
+        | tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c2),
+        | ev AS (SELECT e.doc_id,
+        |   CASE WHEN c1.c1 IS NOT NULL THEN
+        |     greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / c1.c1 +
+        |       0.75 * c1.n1p_right / c1.c1 * (coalesce(cont.n1p_left, 1) * 1.0 / tt.t_types)
+        |   ELSE coalesce(cont.n1p_left, 1) * 1.0 / tt.t_types END AS score
+        |  FROM tk e
+        |  LEFT JOIN c2 ON c2.u = e.u AND c2.token = e.token
+        |  LEFT JOIN c1 ON c1.u = e.u
+        |  LEFT JOIN cont ON cont.token = e.token
+        |  CROSS JOIN tt
+        |  WHERE e.doc_id % 2 = 1 AND e.u IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        | round(avg(round(log10(score), 12)), 6) AS avg_log10
+        |FROM ev GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_lm_backoff" ->
       s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),

@@ -1092,4 +1092,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_scored"), round(avg(col("lg")), 6).as("avg_log10"))
       .orderBy("doc_id")
   }
+
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995, the
+    * Chen & Goodman 1999 interpolated form with a single absolute discount
+    * D = 0.75 — the smoothing every n-gram toolkit defaults to, and the
+    * methodological counterpart of [[lmBackoffScore]]'s web-scale stupid
+    * backoff): the lower-order distribution is the CONTINUATION
+    * probability, not raw unigram frequency — the fix for the "San
+    * Francisco" pathology (seeing "Francisco" often teaches you nothing
+    * about P(Francisco | novel context), because it only ever follows
+    * "San").
+    *
+    * Same out-of-sample protocol as lm_backoff: even docs train, odd docs
+    * score. With exact integer counts (T = distinct train bigram types,
+    * N1+(·w) = contexts w follows, N1+(u·) = continuations of u):
+    *  - Pcont(w) = N1+(·w)/T, floored at 1/T for OOV w;
+    *  - seen context u: P(w|u) = max(c2(u,w)−D, 0)/c1(u)
+    *      + D·N1+(u·)/c1(u) · Pcont(w);
+    *  - unseen context: P(w|u) = Pcont(w).
+    * Every term is a ratio of exact integers with the literal D, so both
+    * engines evaluate identical doubles; per-token log₁₀ rounds at 12 dp
+    * before the 6-dp per-doc mean (the summation convention). Scale:
+    * bigram/continuation tables are hash aggregations joined at token
+    * grain — linear, one shuffle per table; the scalar T broadcasts. */
+  def kneserNeyScore(documents: DataFrame): DataFrame = {
+    val D = 0.75
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+      .withColumn("u", lag(col("token"), 1).over(w))
+    val train = tok.filter(col("doc_id") % 2 === 0 && col("u").isNotNull)
+    val c2 = train.groupBy(col("u"), col("token")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("u"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_right"))
+    val cont = c2.groupBy(col("token")).agg(count(lit(1)).as("n1p_left"))
+    val t = c2.agg(count(lit(1)).as("t_types"))
+    tok.filter(col("doc_id") % 2 === 1 && col("u").isNotNull)
+      .join(c2, Seq("u", "token"), "left")
+      .join(c1, Seq("u"), "left")
+      .join(cont, Seq("token"), "left")
+      .crossJoin(broadcast(t))
+      .withColumn("pcont",
+        coalesce(col("n1p_left"), lit(1L)) * 1.0 / col("t_types"))
+      .withColumn("score",
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("c2"), lit(0L)) - lit(D), lit(0.0)) / col("c1") +
+            lit(D) * col("n1p_right") / col("c1") * col("pcont"))
+          .otherwise(col("pcont")))
+      .withColumn("lg", round(log10(col("score")), 12))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"), round(avg(col("lg")), 6).as("avg_log10"))
+      .orderBy("doc_id")
+  }
 }

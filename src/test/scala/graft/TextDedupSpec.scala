@@ -264,6 +264,23 @@ class TextDedupSpec extends SparkSpec {
     assert(cont.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == Set((1L, 2L)))
   }
 
+  test("kneser-ney scores are valid log-probabilities over every eval bigram") {
+    val rows = TextAnalysis.kneserNeyScore(docs).collect()
+    assert(rows.nonEmpty)
+    // every scored doc is an odd (eval) doc; every per-token P ≤ 1 so the
+    // mean log10 is ≤ 0 and finite (the 1/T floor keeps it finite even OOV)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1)
+      val lg = r.getAs[Double]("avg_log10")
+      assert(lg <= 0.0 && !lg.isNaN && !lg.isInfinite)
+    }
+    // n_scored per doc = token count − 1 (every bigram position scored)
+    val nTok = Dedup.tokenCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_scored") == nTok(r.getAs[Long]("doc_id")) - 1))
+  }
+
   test("repetition ratios are bounded and flag agrees with thresholds") {
     val rows = TextAnalysis.repetition(docs).collect()
     assert(rows.length == docs.count())
