@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.operators._
 import graft.lake.{DeleteVectors, FileModel, Layout, Manifest, Snapshots}
+import graft.lake.iceberg
 import graft.events.Events
 import graft.text.TextAnalysis
 import graft.dedup.{Components, Dedup}
@@ -57,6 +58,8 @@ object SparkEntry {
     "lake_dv_fold" -> q((s, d) => DeleteVectors.foldManifests(Tables.lineitem(s, d))),
     "lake_dv_density" -> q((s, d) => DeleteVectors.densityPolicy(Tables.lineitem(s, d))),
     "lake_dv_roaring" -> q((s, d) => DeleteVectors.roaringDvModel(Tables.lineitem(s, d))),
+    "iceberg_roundtrip" -> q((s, d) => iceberg.IcebergOps.roundtripScan(s, Tables.lineitem(s, d))),
+    "iceberg_snapshots" -> q((s, d) => iceberg.IcebergOps.snapshotLog(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -840,6 +843,37 @@ object SparkEntry {
         | round(naive_bytes * 1.0 / roaring_bytes, 4) AS compression_x,
         | CASE WHEN roaring_bytes <= 4096 THEN 'inline' ELSE 'external' END AS storage
         |FROM g ORDER BY file_id""".stripMargin,
+
+    // The iceberg_* oracles check the REAL IcebergTable metadata layer:
+    // the table layout is a deterministic function of lineitem (one file
+    // per month per snapshot, one manifest per snapshot, split at
+    // SnapshotCut), so DuckDB can recompute every census number the
+    // metadata tree reports without reading any Avro.
+    "iceberg_roundtrip" ->
+      s"""WITH mt AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS files_total
+        |   FROM lineitem),
+        | sc AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS files_scanned
+        |   FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03')
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | mt.files_total, sc.files_scanned,
+        | CAST(2 AS BIGINT) AS manifests_total, CAST(1 AS BIGINT) AS manifests_read,
+        | CAST(2 AS BIGINT) AS n_snapshots
+        |FROM lineitem, mt, sc
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
+        |GROUP BY 1, mt.files_total, sc.files_scanned ORDER BY 1""".stripMargin,
+
+    "iceberg_snapshots" ->
+      s"""WITH b AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |     THEN 1 ELSE 2 END AS sid,
+        |   strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | p AS (SELECT sid, CAST(count(*) AS BIGINT) AS added_rows,
+        |   CAST(count(DISTINCT m) AS BIGINT) AS added_files FROM b GROUP BY 1)
+        |SELECT CAST(sid AS BIGINT) AS snapshot_id, CAST(sid AS BIGINT) AS sequence_number,
+        | 'append' AS operation, CAST(sid AS BIGINT) AS n_manifests,
+        | added_files, added_rows,
+        | CAST(sum(added_rows) OVER (ORDER BY sid) AS BIGINT) AS total_rows
+        |FROM p ORDER BY snapshot_id""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

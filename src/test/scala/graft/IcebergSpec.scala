@@ -1,0 +1,81 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.lake.iceberg.IcebergTable
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Protocol-level invariants of the from-scratch Iceberg layer: the
+  * HadoopTables version-hint commit protocol, manifest reuse across
+  * snapshots, two-level pruning, time travel, and full roundtrip
+  * fidelity. */
+class IcebergSpec extends SparkSpec {
+
+  private def lineitem = Tables.lineitem(spark, sf0001)
+
+  private lazy val loc: String = {
+    val l = Files.createTempDirectory("graft_iceberg_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    l
+  }
+
+  test("HadoopTables layout: versioned metadata JSON + version hint advance per commit") {
+    assert(new File(s"$loc/metadata/v1.metadata.json").exists())
+    assert(new File(s"$loc/metadata/v2.metadata.json").exists())
+    val hint = new String(Files.readAllBytes(
+      new File(s"$loc/metadata/version-hint.text").toPath)).trim
+    assert(hint == "2")
+    val meta = IcebergTable.readMetadata(loc)
+    assert(meta.formatVersion == 2)
+    assert(meta.currentSnapshotId == 2L)
+    assert(meta.snapshots.map(_.id) == Seq(1L, 2L))
+  }
+
+  test("snapshot 2's manifest list REUSES snapshot 1's manifest (append = new list, old manifests untouched)") {
+    val meta = IcebergTable.readMetadata(loc)
+    val list2 = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == 2).get.manifestList)
+    assert(list2.size == 2)
+    assert(list2.map(_.addedSnapshotId).sorted == Seq(1L, 2L))
+    val list1 = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == 1).get.manifestList)
+    assert(list1.size == 1 && list1.head.addedSnapshotId == 1L)
+    // the shared manifest is literally the same file
+    assert(list2.find(_.addedSnapshotId == 1L).get.path == list1.head.path)
+  }
+
+  test("roundtrip fidelity: full read returns exactly the source rows") {
+    val src = lineitem.agg(count(lit(1)), round(sum(col("l_quantity")), 4)).head()
+    val got = IcebergTable.read(spark, loc)
+      .agg(count(lit(1)), round(sum(col("l_quantity")), 4)).head()
+    assert(got.getLong(0) == src.getLong(0))
+    assert(got.getDouble(1) == src.getDouble(1))
+  }
+
+  test("two-level pruning: the pre-cut manifest is skipped without being opened") {
+    val plan = IcebergTable.planFiles(loc, None, Some("1997-01"), Some("1997-03"))
+    assert(plan.manifestsTotal == 2)
+    assert(plan.manifestsRead == 1, "snapshot-1 summary ends before 1997-01 — prune by list alone")
+    assert(plan.filesSelected == 3, "one file per month, three months selected")
+    assert(plan.files.forall(f => f.partition >= "1997-01" && f.partition <= "1997-03"))
+    // file-level stats carry real date bounds inside the partition
+    plan.files.foreach { f =>
+      assert(f.loShip.startsWith(f.partition) && f.hiShip.startsWith(f.partition))
+      assert(f.recordCount > 0 && f.fileSizeBytes > 0)
+    }
+  }
+
+  test("time travel: reading snapshot 1 sees only pre-cut rows") {
+    val expected = lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
+    val planned = IcebergTable.planFiles(loc, Some(1L))
+    assert(planned.files.map(_.recordCount).sum == expected,
+      "manifest stats count the snapshot without reading data")
+    assert(IcebergTable.read(spark, loc, Some(1L)).count() == expected)
+  }
+}
