@@ -60,6 +60,7 @@ object SparkEntry {
     "lake_dv_roaring" -> q((s, d) => DeleteVectors.roaringDvModel(Tables.lineitem(s, d))),
     "iceberg_roundtrip" -> q((s, d) => iceberg.IcebergOps.roundtripScan(s, Tables.lineitem(s, d))),
     "iceberg_snapshots" -> q((s, d) => iceberg.IcebergOps.snapshotLog(s, Tables.lineitem(s, d))),
+    "iceberg_mor_read" -> q((s, d) => iceberg.IcebergOps.morRead(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -874,6 +875,21 @@ object SparkEntry {
         | added_files, added_rows,
         | CAST(sum(added_rows) OVER (ORDER BY sid) AS BIGINT) AS total_rows
         |FROM p ORDER BY snapshot_id""".stripMargin,
+
+    "iceberg_mor_read" ->
+      s"""WITH sc AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+        |     AS data_files_scanned
+        |   FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'),
+        | dk AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS deleted_keys
+        |   FROM lineitem WHERE l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} = 3)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | sc.data_files_scanned, CAST(1 AS BIGINT) AS delete_files, dk.deleted_keys,
+        | CAST(3 AS BIGINT) AS n_snapshots
+        |FROM lineitem, sc, dk
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
+        |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> 3
+        |GROUP BY 1, sc.data_files_scanned, dk.deleted_keys ORDER BY 1""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

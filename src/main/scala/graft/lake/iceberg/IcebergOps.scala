@@ -59,6 +59,44 @@ object IcebergOps {
       .orderBy("l_returnflag")
   }
 
+  /** Delete-key predicate for the MOR table (spliced into the oracle):
+    * orders with l_orderkey ≡ 3 (mod 10) are equality-deleted. */
+  val DeleteKeyMod = 10L
+
+  private def morTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.mor") {
+      val loc = Files.createTempDirectory("graft_iceberg_mor_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.appendEqualityDeletes(spark,
+        lineitem.filter(col("l_orderkey") % DeleteKeyMod === 3L)
+          .select(col("l_orderkey")).distinct(), loc)
+      new String(loc)
+    }
+
+  /** Merge-on-read over the real format: two data snapshots + one
+    * equality-delete snapshot (spec content = 2); the scan applies the
+    * delete file as an ANTI join at read time and reports the census —
+    * live rows, data files scanned, delete files applied, deleted keys.
+    * This is the lake_equality_deletes / lake_mor_cost semantics executed
+    * against REAL manifests instead of a modeled file map. */
+  def morRead(spark: SparkSession, lineitem: DataFrame,
+              monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
+    val loc = morTableFor(spark, lineitem)
+    val (live, plan, deletes) = IcebergTable.readMor(spark, loc, Some(monthLo), Some(monthHi))
+    live
+      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
+      .withColumn("delete_files", lit(deletes.size.toLong))
+      .withColumn("deleted_keys", lit(deletes.map(_.recordCount).sum))
+      .withColumn("n_snapshots", lit(IcebergTable.readMetadata(loc).snapshots.size.toLong))
+      .orderBy("l_returnflag")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

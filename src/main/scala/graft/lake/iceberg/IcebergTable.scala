@@ -58,9 +58,13 @@ import org.apache.spark.sql.functions._
   * cluster the same byte layouts go through the Hadoop FileSystem API. */
 object IcebergTable {
 
-  /** Planned data file: partition value + stats a scan can prune on. */
+  /** Planned file: partition value + stats a scan can prune on. `content`
+    * follows the spec: 0 = data, 2 = equality deletes (1, position
+    * deletes, needs stable in-file row order — modeled instead by
+    * `lake.DeleteVectors`). */
   final case class DataFileEntry(path: String, partition: String, recordCount: Long,
-                                 fileSizeBytes: Long, loShip: String, hiShip: String)
+                                 fileSizeBytes: Long, loShip: String, hiShip: String,
+                                 content: Int = 0)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -176,12 +180,21 @@ object IcebergTable {
     // manifest list: previous snapshot's manifests + the new one
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
-    val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
     val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
       stats.length, stats.map(_.recordCount).sum,
       stats.map(_.partition).min, stats.map(_.partition).max)
+    commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append")
+  }
+
+  /** Write the manifest list, the vN metadata JSON and flip the version
+    * hint — the HadoopTables commit protocol (readers always enter via
+    * the hint, so a crash before the flip leaves the old version live). */
+  private def commitSnapshot(location: String, prev: Option[TableMetadata], snapshotId: Long,
+                             manifests: Seq[ManifestInfo], operation: String): Long = {
+    val mdir = metadataDir(location)
+    val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
     val listFile = new File(mdir, f"snap-$snapshotId%05d.avro")
-    writeAvro(ManifestFileSchema, listFile, (prevManifests :+ newInfo).map { m =>
+    writeAvro(ManifestFileSchema, listFile, manifests.map { m =>
       val s = new GenericData.Record(summarySchema)
       s.put("contains_null", false)
       s.put("lower_bound", m.partLo)
@@ -196,10 +209,8 @@ object IcebergTable {
       r.put("partitions", Seq[GenericRecord](s).asJava)
       r: GenericRecord
     })
-    // table metadata JSON + version hint (HadoopTables commit protocol:
-    // write vN, then flip the hint — readers always enter via the hint)
-    val snap = SnapshotInfo(snapshotId, sequence, snapshotId * 1000L,
-      listFile.getPath, "append")
+    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
+      listFile.getPath, operation)
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
@@ -209,7 +220,7 @@ object IcebergTable {
         s""""summary":{"operation":"${s.operation}"}}""").mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$location",
-         |"last-sequence-number":$sequence,"last-updated-ms":${snap.timestampMs},
+         |"last-sequence-number":$snapshotId,"last-updated-ms":${snap.timestampMs},
          |"schemas":[{"schema-id":0,"type":"struct","fields":[
          | {"id":1,"name":"l_shipdate","required":false,"type":"timestamp"},
          | {"id":2,"name":"p_month","required":false,"type":"string"}]}],
@@ -281,7 +292,8 @@ object IcebergTable {
         df.get("partition").asInstanceOf[GenericRecord].get("p_month").toString,
         df.get("record_count").asInstanceOf[Long],
         df.get("file_size_in_bytes").asInstanceOf[Long],
-        lo("l_shipdate"), hi("l_shipdate"))
+        lo.getOrElse("l_shipdate", ""), hi.getOrElse("l_shipdate", ""),
+        df.get("content").asInstanceOf[Int])
     }
 
   /** Plan a scan: manifest-list pruning by partition summary, then
@@ -297,10 +309,73 @@ object IcebergTable {
     def overlaps(lo: String, hi: String): Boolean =
       monthLo.forall(l => hi >= l) && monthHi.forall(h => lo <= h)
     val live = manifests.filter(m => overlaps(m.partLo, m.partHi))
-    val files = live.flatMap(m => readManifest(m.path))
+    val files = live.flatMap(m => readManifest(m.path)).filter(_.content == 0)
     val selected = files.filter(f => overlaps(f.partition, f.partition))
     ScanPlan(selected, manifests.size, live.size, manifests.map(_.addedFiles.toLong).sum,
       selected.size)
+  }
+
+  /** Commit an equality-delete snapshot (spec content = 2): `keys` is a
+    * one-column DataFrame of l_orderkey values whose rows are deleted from
+    * every data file with a lower sequence number — the cheap-write /
+    * read-amplifying arm of merge-on-read (the trade
+    * `lake.DeleteVectors.morCostModel` prices). The delete file is global
+    * (its manifest's partition summary spans every month), so planning
+    * never partition-prunes it away from a scan it applies to. */
+  def appendEqualityDeletes(spark: SparkSession, keys: DataFrame, location: String): Long = {
+    val prev = readMetadata(location)
+    val snapshotId = prev.currentSnapshotId + 1L
+    val dataDir = s"$location/data/snap-$snapshotId"
+    keys.select(col(keys.columns.head).cast("long").as("key"))
+      .coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val stats = spark.read.parquet(dataDir)
+      .agg(count(lit(1)).as("n"), min(col("key")).as("lo"), max(col("key")).as("hi")).head()
+    val file = new File(dataDir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mdir = metadataDir(location)
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val part = new GenericData.Record(partSchema)
+    part.put("p_month", "")
+    val dfr = new GenericData.Record(dataFileSchema)
+    dfr.put("content", 2) // equality deletes
+    dfr.put("file_path", file.getPath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", part)
+    dfr.put("record_count", stats.getAs[Long]("n"))
+    dfr.put("file_size_in_bytes", file.length())
+    dfr.put("lower_bounds", Map("l_orderkey" -> stats.getAs[Long]("lo").toString).asJava)
+    dfr.put("upper_bounds", Map("l_orderkey" -> stats.getAs[Long]("hi").toString).asJava)
+    val e = new GenericData.Record(ManifestEntrySchema)
+    e.put("status", 1)
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", snapshotId)
+    e.put("data_file", dfr)
+    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, Seq[GenericRecord](e))
+    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+    val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
+      1, stats.getAs[Long]("n"), "0000-00", "9999-99")
+    commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
+  }
+
+  /** MOR read: pruned data scan ANTI-JOINed against every equality-delete
+    * file the snapshot carries (delete sequence > data sequence — true by
+    * construction in this append-then-delete log). Returns the live rows
+    * plus the planning census. */
+  def readMor(spark: SparkSession, location: String,
+              monthLo: Option[String] = None, monthHi: Option[String] = None)
+      : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
+    val meta = readMetadata(location)
+    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val deletes = manifests.flatMap(m => readManifest(m.path)).filter(_.content == 2)
+    val plan = planFiles(location, None, monthLo, monthHi)
+    require(plan.files.nonEmpty, "scan planned zero files")
+    var df = spark.read.parquet(plan.files.map(_.path): _*)
+    if (deletes.nonEmpty) {
+      val keys = spark.read.parquet(deletes.map(_.path): _*)
+      df = df.join(broadcast(keys), df("l_orderkey") === keys("key"), "left_anti")
+    }
+    (df, plan, deletes)
   }
 
   /** Read the (pruned) snapshot as a DataFrame. Data files are listed

@@ -70,6 +70,27 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("equality-delete MOR: anti-join applies the delete file, data plan unchanged") {
+    val l = Files.createTempDirectory("graft_iceberg_mor_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.appendEqualityDeletes(spark,
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select(col("l_orderkey")).distinct(), l)
+    val meta = IcebergTable.readMetadata(l)
+    assert(meta.snapshots.map(_.operation) == Seq("append", "append", "delete"))
+    val (live, plan, deletes) = IcebergTable.readMor(spark, l)
+    assert(deletes.size == 1 && deletes.head.content == 2)
+    // the delete snapshot adds no DATA files: content=2 entries are
+    // excluded from the data plan (planFiles filters on content)
+    assert(plan.files.forall(_.content == 0))
+    val expectedLive = lineitem.filter(col("l_orderkey") % 10 =!= 3L).count()
+    assert(live.count() == expectedLive)
+    // deleting is monotone: live rows < total, and exactly the keyed rows go
+    assert(expectedLive < lineitem.count())
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
