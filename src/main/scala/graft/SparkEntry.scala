@@ -61,6 +61,7 @@ object SparkEntry {
     "iceberg_roundtrip" -> q((s, d) => iceberg.IcebergOps.roundtripScan(s, Tables.lineitem(s, d))),
     "iceberg_snapshots" -> q((s, d) => iceberg.IcebergOps.snapshotLog(s, Tables.lineitem(s, d))),
     "iceberg_mor_read" -> q((s, d) => iceberg.IcebergOps.morRead(s, Tables.lineitem(s, d))),
+    "iceberg_compact" -> q((s, d) => iceberg.IcebergOps.compactionSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -890,6 +891,16 @@ object SparkEntry {
         |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
         |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> 3
         |GROUP BY 1, sc.data_files_scanned, dk.deleted_keys ORDER BY 1""".stripMargin,
+
+    "iceberg_compact" ->
+      s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |   l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} AS k FROM lineitem)
+        |SELECT CAST((SELECT count(DISTINCT m) FROM t) AS BIGINT) AS data_files_before,
+        | CAST(1 AS BIGINT) AS delete_files_before,
+        | CAST((SELECT count(DISTINCT m) FROM t WHERE k <> 3) AS BIGINT) AS data_files_after,
+        | CAST(0 AS BIGINT) AS delete_files_after,
+        | CAST((SELECT count(*) FROM t WHERE k <> 3) AS BIGINT) AS live_rows,
+        | CAST(4 AS BIGINT) AS n_snapshots""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

@@ -97,6 +97,44 @@ object IcebergOps {
       .orderBy("l_returnflag")
   }
 
+  private def compactTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.compact") {
+      val loc = Files.createTempDirectory("graft_iceberg_compact_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.appendEqualityDeletes(spark,
+        lineitem.filter(col("l_orderkey") % DeleteKeyMod === 3L)
+          .select(col("l_orderkey")).distinct(), loc)
+      IcebergTable.rewriteCompact(spark, loc)
+      new String(loc)
+    }
+
+  /** Compaction before/after census, read from metadata alone: the delete
+    * snapshot's live tree (data files + the delete file a reader must
+    * merge) vs the rewritten head (clean files, zero delete cost). The
+    * after-state live-row count comes from manifest statistics — proof the
+    * replace snapshot carries the merged truth without any data read. */
+  def compactionSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = compactTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val deleteHead = meta.snapshots.find(_.operation == "delete").get
+    val before = IcebergTable.planFiles(loc, Some(deleteHead.id))
+    val beforeDeletes = IcebergTable.readManifestList(deleteHead.manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path)).count(_.content == 2)
+    val after = IcebergTable.planFiles(loc)
+    val afterDeletes = IcebergTable.readManifestList(
+        meta.snapshots.find(_.id == meta.currentSnapshotId).get.manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path)).count(_.content == 2)
+    import spark.implicits._
+    Seq((before.filesSelected.toLong, beforeDeletes.toLong,
+        after.filesSelected.toLong, afterDeletes.toLong,
+        after.files.map(_.recordCount).sum, meta.snapshots.size.toLong))
+      .toDF("data_files_before", "delete_files_before", "data_files_after",
+        "delete_files_after", "live_rows", "n_snapshots")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

@@ -132,6 +132,32 @@ object IcebergTable {
   def append(spark: SparkSession, lineitem: DataFrame, location: String): Long = {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(_.currentSnapshotId).getOrElse(0L) + 1L
+    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId)
+    val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+      .getOrElse(Seq.empty)
+    commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append")
+  }
+
+  /** Compaction rewrite (the maintenance op the reference's compaction
+    * studies model): materialize the current MOR view — data files with
+    * every equality delete applied — as a fresh set of month-partitioned
+    * data files, and commit a snapshot whose manifest list contains ONLY
+    * the rewritten manifest ("replace" semantics: old data AND delete
+    * files drop out of the live tree together; they stay on disk for
+    * time travel until an expiry pass). After compaction a reader pays
+    * zero merge cost — the read-amplification arm of the MoR trade
+    * converted back into clean scans. */
+  def rewriteCompact(spark: SparkSession, location: String): Long = {
+    val prev = readMetadata(location)
+    val (live, _, _) = readMor(spark, location)
+    val snapshotId = prev.currentSnapshotId + 1L
+    val newInfo = writeDataSnapshot(spark, live, location, snapshotId)
+    commitSnapshot(location, Some(prev), snapshotId, Seq(newInfo), "replace")
+  }
+
+  /** Write one snapshot's data files + manifest; returns its list entry. */
+  private def writeDataSnapshot(spark: SparkSession, lineitem: DataFrame,
+                                location: String, snapshotId: Long): ManifestInfo = {
     val sequence = snapshotId
     val dataDir = s"$location/data/snap-$snapshotId"
     // one file per partition: hash-repartition on the partition key means a
@@ -177,13 +203,9 @@ object IcebergTable {
       e: GenericRecord
     }
     val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toSeq)
-    // manifest list: previous snapshot's manifests + the new one
-    val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
-      .getOrElse(Seq.empty)
-    val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
+    ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
       stats.length, stats.map(_.recordCount).sum,
       stats.map(_.partition).min, stats.map(_.partition).max)
-    commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append")
   }
 
   /** Write the manifest list, the vN metadata JSON and flip the version

@@ -91,6 +91,34 @@ class IcebergSpec extends SparkSpec {
     assert(expectedLive < lineitem.count())
   }
 
+  test("compaction rewrite: replace snapshot carries merged truth, old snapshots stay time-travelable") {
+    val l = Files.createTempDirectory("graft_iceberg_compact_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.appendEqualityDeletes(spark,
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select(col("l_orderkey")).distinct(), l)
+    IcebergTable.rewriteCompact(spark, l)
+    val meta = IcebergTable.readMetadata(l)
+    assert(meta.snapshots.map(_.operation) == Seq("append", "append", "delete", "replace"))
+    // the replace head has ONE manifest and no delete files
+    val headList = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == meta.currentSnapshotId).get.manifestList)
+    assert(headList.size == 1)
+    val headEntries = headList.flatMap(m => IcebergTable.readManifest(m.path))
+    assert(headEntries.forall(_.content == 0))
+    // manifest stats alone count the merged truth...
+    val expectedLive = lineitem.filter(col("l_orderkey") % 10 =!= 3L).count()
+    assert(IcebergTable.planFiles(l).files.map(_.recordCount).sum == expectedLive)
+    // ...and the rewritten files read back clean with zero merge cost
+    val (live, _, deletes) = IcebergTable.readMor(spark, l)
+    assert(deletes.isEmpty)
+    assert(live.count() == expectedLive)
+    // time travel still sees the pre-compaction world
+    assert(IcebergTable.read(spark, l, Some(2L)).count() == lineitem.count())
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
