@@ -62,6 +62,7 @@ object SparkEntry {
     "iceberg_snapshots" -> q((s, d) => iceberg.IcebergOps.snapshotLog(s, Tables.lineitem(s, d))),
     "iceberg_mor_read" -> q((s, d) => iceberg.IcebergOps.morRead(s, Tables.lineitem(s, d))),
     "iceberg_compact" -> q((s, d) => iceberg.IcebergOps.compactionSummary(s, Tables.lineitem(s, d))),
+    "iceberg_expire" -> q((s, d) => iceberg.IcebergOps.expirySummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -901,6 +902,16 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS delete_files_after,
         | CAST((SELECT count(*) FROM t WHERE k <> 3) AS BIGINT) AS live_rows,
         | CAST(4 AS BIGINT) AS n_snapshots""".stripMargin,
+
+    "iceberg_expire" ->
+      s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |   l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} AS k FROM lineitem)
+        |SELECT CAST(3 AS BIGINT) AS snapshots_removed,
+        | CAST(3 AS BIGINT) AS manifest_lists_deleted,
+        | CAST(3 AS BIGINT) AS manifests_deleted,
+        | CAST((SELECT count(DISTINCT m) FROM t) AS BIGINT) AS data_files_deleted,
+        | CAST(1 AS BIGINT) AS delete_files_deleted,
+        | CAST((SELECT count(*) FROM t WHERE k <> 3) AS BIGINT) AS live_rows_after""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

@@ -135,6 +135,33 @@ object IcebergOps {
         "delete_files_after", "live_rows", "n_snapshots")
   }
 
+  /** Expiry census: build append/append/delete/replace, then expire all
+    * but the live head — snapshot GC with physical orphan deletion, the
+    * executed counterpart of the modeled `lake_expiry_plan` +
+    * `lake_orphan_files`. The surviving head must still plan the full
+    * live-row count from its manifest stats after the old files are gone. */
+  def expirySummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val (loc, rep) = graft.plans.Memo.memoize(lineitem, "iceberg.table.expire") {
+      val l = Files.createTempDirectory("graft_iceberg_expire_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), l)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), l)
+      IcebergTable.appendEqualityDeletes(spark,
+        lineitem.filter(col("l_orderkey") % DeleteKeyMod === 3L)
+          .select(col("l_orderkey")).distinct(), l)
+      IcebergTable.rewriteCompact(spark, l)
+      (l, IcebergTable.expireSnapshots(l, keepLast = 1))
+    }
+    import spark.implicits._
+    Seq((rep.snapshotsRemoved.toLong, rep.manifestListsDeleted.toLong,
+        rep.manifestsDeleted.toLong, rep.dataFilesDeleted.toLong,
+        rep.deleteFilesDeleted.toLong,
+        IcebergTable.planFiles(loc).files.map(_.recordCount).sum))
+      .toDF("snapshots_removed", "manifest_lists_deleted", "manifests_deleted",
+        "data_files_deleted", "delete_files_deleted", "live_rows_after")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

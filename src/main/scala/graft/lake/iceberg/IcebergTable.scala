@@ -236,13 +236,31 @@ object IcebergTable {
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
-    val snapsJson = allSnaps.map(s =>
+    writeMetadataJson(location, uuid, allSnaps, snapshotId)
+    snapshotId
+  }
+
+  private def readVersionHint(location: String): Long = {
+    val hint = new File(s"$location/metadata/version-hint.text")
+    if (!hint.exists()) 0L
+    else new String(Files.readAllBytes(hint.toPath), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Write the next metadata version and flip the hint. The version counter
+    * advances independently of snapshot ids (an expiry writes a metadata-
+    * only version with no new snapshot, exactly as the real library does). */
+  private def writeMetadataJson(location: String, uuid: String,
+                                snapshots: Seq[SnapshotInfo], currentId: Long): Unit = {
+    val mdir = metadataDir(location)
+    val version = readVersionHint(location) + 1
+    val snapsJson = snapshots.map(s =>
       s"""{"snapshot-id":${s.id},"sequence-number":${s.sequenceNumber},""" +
         s""""timestamp-ms":${s.timestampMs},"manifest-list":"${s.manifestList}",""" +
         s""""summary":{"operation":"${s.operation}"}}""").mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$location",
-         |"last-sequence-number":$snapshotId,"last-updated-ms":${snap.timestampMs},
+         |"last-sequence-number":${snapshots.map(_.sequenceNumber).max},
+         |"last-updated-ms":${snapshots.map(_.timestampMs).max},
          |"schemas":[{"schema-id":0,"type":"struct","fields":[
          | {"id":1,"name":"l_shipdate","required":false,"type":"timestamp"},
          | {"id":2,"name":"p_month","required":false,"type":"string"}]}],
@@ -250,13 +268,45 @@ object IcebergTable {
          |"partition-specs":[{"spec-id":0,"fields":[
          | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}],
          |"default-spec-id":0,
-         |"current-snapshot-id":$snapshotId,
+         |"current-snapshot-id":$currentId,
          |"snapshots":$snapsJson}""".stripMargin
-    Files.write(Paths.get(mdir.getPath, s"v$snapshotId.metadata.json"),
+    Files.write(Paths.get(mdir.getPath, s"v$version.metadata.json"),
       json.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(mdir.getPath, "version-hint.text"),
-      snapshotId.toString.getBytes(StandardCharsets.UTF_8))
-    snapshotId
+      version.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** What an expiry pass removed (and proved unreachable first). */
+  final case class ExpiryReport(snapshotsRemoved: Int, manifestListsDeleted: Int,
+                                manifestsDeleted: Int, dataFilesDeleted: Int,
+                                deleteFilesDeleted: Int)
+
+  /** Expire all but the last `keepLast` snapshots: compute the file set
+    * reachable from the survivors, physically delete every manifest list /
+    * manifest / data file only the dropped snapshots referenced, and write
+    * a metadata-only version with the pruned snapshot log — the real GC
+    * semantics (`expire_snapshots` + orphan cleanup): time travel to the
+    * dropped snapshots is gone, the live head is untouched. */
+  def expireSnapshots(location: String, keepLast: Int = 1): ExpiryReport = {
+    val meta = readMetadata(location)
+    val keep = meta.snapshots.sortBy(_.id).takeRight(keepLast)
+    val drop = meta.snapshots.sortBy(_.id).dropRight(keepLast)
+    require(keep.exists(_.id == meta.currentSnapshotId),
+      "refusing to expire the current snapshot")
+    val keptManifests = keep.flatMap(s => readManifestList(s.manifestList)).map(_.path).toSet
+    val keptFiles = keep.flatMap(s => readManifestList(s.manifestList))
+      .flatMap(m => readManifest(m.path)).map(_.path).toSet
+    val dropManifestPaths = drop.flatMap(s => readManifestList(s.manifestList))
+      .map(_.path).distinct.filterNot(keptManifests)
+    val orphanEntries = dropManifestPaths.flatMap(readManifest)
+      .filterNot(e => keptFiles(e.path))
+      .groupBy(_.path).map(_._2.head).toSeq
+    orphanEntries.foreach(e => new File(e.path).delete())
+    dropManifestPaths.foreach(p => new File(p).delete())
+    drop.foreach(s => new File(s.manifestList).delete())
+    writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId)
+    ExpiryReport(drop.size, drop.size, dropManifestPaths.size,
+      orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
 
   /** Read table metadata via the version hint (None if no table yet). */

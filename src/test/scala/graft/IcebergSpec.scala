@@ -119,6 +119,29 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, l, Some(2L)).count() == lineitem.count())
   }
 
+  test("expiry: orphans physically deleted, head intact, dropped time travel gone") {
+    val l = Files.createTempDirectory("graft_iceberg_expire_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.appendEqualityDeletes(spark,
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select(col("l_orderkey")).distinct(), l)
+    IcebergTable.rewriteCompact(spark, l)
+    val headFiles = IcebergTable.planFiles(l).files.map(_.path)
+    val rep = IcebergTable.expireSnapshots(l, keepLast = 1)
+    assert(rep.snapshotsRemoved == 3 && rep.manifestsDeleted == 3)
+    assert(rep.deleteFilesDeleted == 1)
+    // head data files still on disk; table still plans and reads
+    headFiles.foreach(p => assert(new File(p).exists(), s"head file deleted: $p"))
+    val meta = IcebergTable.readMetadata(l)
+    assert(meta.snapshots.map(_.operation) == Seq("replace"))
+    val expectedLive = lineitem.filter(col("l_orderkey") % 10 =!= 3L).count()
+    assert(IcebergTable.read(spark, l).count() == expectedLive)
+    // dropped snapshots are unreachable by id
+    intercept[IllegalArgumentException] { IcebergTable.planFiles(l, Some(1L)) }
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
