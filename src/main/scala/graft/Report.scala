@@ -130,6 +130,12 @@ object Report {
         htmlTable(q("lake_column_update_cost"), maxRows = 20)),
       section("Compaction plan", "Which files the maintenance pass would rewrite, and why.",
         htmlTable(q("lake_compaction_plan"))),
+      section("Iceberg table format (real metadata)", "Snapshot log of the from-scratch " +
+        "Iceberg implementation — real metadata.json / Avro manifests, read with zero data IO.",
+        htmlTable(q("iceberg_snapshots"))),
+      section("Iceberg compaction", "Merge-on-read materialized into a replace snapshot: " +
+        "data/delete file census before vs after, live rows from manifest stats.",
+        htmlTable(q("iceberg_compact"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

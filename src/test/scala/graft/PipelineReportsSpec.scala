@@ -341,12 +341,13 @@ class PipelineReportsSpec extends SparkSpec {
                   "DV resolution strategies", "Commit cadence", "Adaptive metadata tree",
                   "Wide-table pruning", "Concurrent writers", "Parallel fetch",
                   "Column/file DV update cost", "Compaction plan",
+                  "Iceberg table format", "Iceberg compaction",
                   "Training-data funnel", "PII scan", "Slowest queries"))
       assert(html.contains(s"<h2>$h"), s"missing section $h")
-    assert("<section>".r.findAllIn(html).size == 18)
+    assert("<section>".r.findAllIn(html).size == 20)
     // every table has at least one data row
     val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
-    assert(tables.size == 17)
+    assert(tables.size == 19)
     tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
     // the baseline chart has 20 bars with numeric values
     assert("class=\"bar\"".r.findAllIn(html).size == 20)
