@@ -142,6 +142,40 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IcebergTable.planFiles(l, Some(1L)) }
   }
 
+  test("streaming ingest: foreachBatch commits one real snapshot per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val l = Files.createTempDirectory("graft_iceberg_stream_").toString
+    val ckpt = Files.createTempDirectory("graft_iceberg_stream_ckpt_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("l_orderkey", "l_shipdate", "l_quantity")
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { IcebergTable.append(spark, batch, l); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((1L, ts("1997-01-05 00:00:00"), 1.0), (2L, ts("1997-02-10 00:00:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("1997-02-20 00:00:00"), 3.0))
+      q.processAllAvailable()
+      val meta = IcebergTable.readMetadata(l)
+      assert(meta.snapshots.size == 2, "one snapshot per non-empty micro-batch")
+      assert(meta.snapshots.forall(_.operation == "append"))
+      assert(IcebergTable.read(spark, l).count() == 3)
+      // month files accumulate per batch without rewriting earlier ones:
+      // batch 1 wrote 1997-01 + 1997-02, batch 2 wrote its own 1997-02 file
+      val files = IcebergTable.planFiles(l).files
+      assert(files.map(_.partition).sorted == Seq("1997-01", "1997-02", "1997-02"))
+      // partition pruning across streamed commits
+      val feb = IcebergTable.planFiles(l, None, Some("1997-02"), Some("1997-02"))
+      assert(feb.filesSelected == 2 && feb.files.map(_.recordCount).sum == 2)
+    } finally q.stop()
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
