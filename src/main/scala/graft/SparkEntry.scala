@@ -63,6 +63,7 @@ object SparkEntry {
     "iceberg_mor_read" -> q((s, d) => iceberg.IcebergOps.morRead(s, Tables.lineitem(s, d))),
     "iceberg_compact" -> q((s, d) => iceberg.IcebergOps.compactionSummary(s, Tables.lineitem(s, d))),
     "iceberg_expire" -> q((s, d) => iceberg.IcebergOps.expirySummary(s, Tables.lineitem(s, d))),
+    "iceberg_stats_prune" -> q((s, d) => iceberg.IcebergOps.statsPruneScan(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -912,6 +913,20 @@ object SparkEntry {
         | CAST((SELECT count(DISTINCT m) FROM t) AS BIGINT) AS data_files_deleted,
         | CAST(1 AS BIGINT) AS delete_files_deleted,
         | CAST((SELECT count(*) FROM t WHERE k <> 3) AS BIGINT) AS live_rows_after""".stripMargin,
+
+    "iceberg_stats_prune" ->
+      s"""WITH fs AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS fmin,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS fmax
+        |  FROM lineitem GROUP BY 1),
+        | ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM fs),
+        | sc AS (SELECT CAST(count(*) AS BIGINT) AS files_scanned FROM fs
+        |        WHERE fmin <= '1997-02-15' AND fmax >= '1997-02-05')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 4) AS sum_qty,
+        | ft.files_total, sc.files_scanned
+        |FROM lineitem, ft, sc
+        |WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1997-02-05' AND '1997-02-15'
+        |GROUP BY ft.files_total, sc.files_scanned""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

@@ -162,6 +162,25 @@ object IcebergOps {
         "data_files_deleted", "delete_files_deleted", "live_rows_after")
   }
 
+  /** Column-stats file skipping: a mid-month date predicate planned
+    * against the l_shipdate bounds each manifest entry carries — the
+    * manifest-stats analogue of parquet footer min/max skipping
+    * (`lake_skip_rate`), executed against real metadata: only files whose
+    * [min,max] date range overlaps the window are opened, and the census
+    * proves it (files_scanned ≪ files_total for an 11-day window). */
+  def statsPruneScan(spark: SparkSession, lineitem: DataFrame,
+                     dateLo: String = "1997-02-05", dateHi: String = "1997-02-15"): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val plan = IcebergTable.planFiles(loc, None, None, None, Some(dateLo), Some(dateHi))
+    val full = IcebergTable.planFiles(loc)
+    require(plan.files.nonEmpty, "stats pruning removed every file")
+    spark.read.parquet(plan.files.map(_.path): _*)
+      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(dateLo, dateHi))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("files_total", lit(full.filesTotal))
+      .withColumn("files_scanned", lit(plan.filesSelected.toLong))
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

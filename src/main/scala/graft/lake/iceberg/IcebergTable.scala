@@ -368,21 +368,28 @@ object IcebergTable {
         df.get("content").asInstanceOf[Int])
     }
 
-  /** Plan a scan: manifest-list pruning by partition summary, then
-    * file-level pruning by partition value — metadata-only, the two-level
-    * skip the format exists to provide. Bounds are inclusive month strings
-    * (identity transform ⇒ lexicographic compare is date compare). */
+  /** Plan a scan: manifest-list pruning by partition summary, file-level
+    * pruning by partition value, and (optionally) file-level pruning by
+    * the l_shipdate COLUMN BOUNDS the manifests carry — metadata-only,
+    * the two-level skip plus stats-skip the format exists to provide.
+    * Month bounds are inclusive `yyyy-MM`, date bounds inclusive
+    * `yyyy-MM-dd` (identity transform + ISO strings ⇒ lexicographic
+    * compare is date compare). */
   def planFiles(location: String, snapshotId: Option[Long] = None,
-                monthLo: Option[String] = None, monthHi: Option[String] = None): ScanPlan = {
+                monthLo: Option[String] = None, monthHi: Option[String] = None,
+                dateLo: Option[String] = None, dateHi: Option[String] = None): ScanPlan = {
     val meta = readMetadata(location)
     val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id"))).getOrElse(currentSnapshot(meta))
     val manifests = readManifestList(snap.manifestList)
     def overlaps(lo: String, hi: String): Boolean =
       monthLo.forall(l => hi >= l) && monthHi.forall(h => lo <= h)
+    def dateOverlaps(lo: String, hi: String): Boolean =
+      dateLo.forall(l => hi >= l) && dateHi.forall(h => lo <= h)
     val live = manifests.filter(m => overlaps(m.partLo, m.partHi))
     val files = live.flatMap(m => readManifest(m.path)).filter(_.content == 0)
-    val selected = files.filter(f => overlaps(f.partition, f.partition))
+    val selected = files.filter(f =>
+      overlaps(f.partition, f.partition) && dateOverlaps(f.loShip, f.hiShip))
     ScanPlan(selected, manifests.size, live.size, manifests.map(_.addedFiles.toLong).sum,
       selected.size)
   }
