@@ -64,6 +64,7 @@ object SparkEntry {
     "iceberg_compact" -> q((s, d) => iceberg.IcebergOps.compactionSummary(s, Tables.lineitem(s, d))),
     "iceberg_expire" -> q((s, d) => iceberg.IcebergOps.expirySummary(s, Tables.lineitem(s, d))),
     "iceberg_stats_prune" -> q((s, d) => iceberg.IcebergOps.statsPruneScan(s, Tables.lineitem(s, d))),
+    "iceberg_partition_evolution" -> q((s, d) => iceberg.IcebergOps.partitionEvolution(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -927,6 +928,31 @@ object SparkEntry {
         |FROM lineitem, ft, sc
         |WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1997-02-05' AND '1997-02-15'
         |GROUP BY ft.files_total, sc.files_scanned""".stripMargin,
+
+    "iceberg_partition_evolution" ->
+      s"""WITH mo AS (SELECT strftime(l_shipdate, '%Y-%m') AS p,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS fmin,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS fmax
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}' GROUP BY 1),
+        | wk AS (SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d') AS p,
+        |   strftime(min(l_shipdate), '%Y-%m-%d') AS fmin,
+        |   strftime(max(l_shipdate), '%Y-%m-%d') AS fmax
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}' GROUP BY 1),
+        | m AS (SELECT CAST(0 AS BIGINT) AS spec_id, 'monthly' AS era,
+        |   CAST((SELECT count(*) FROM mo) AS BIGINT) AS files_total,
+        |   CAST((SELECT count(*) FROM mo WHERE fmin <= '1996-06-15' AND fmax >= '1996-06-05')
+        |     AS BIGINT) AS files_scanned,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1996-06-05' AND '1996-06-15') AS n_rows),
+        | w AS (SELECT CAST(1 AS BIGINT) AS spec_id, 'weekly' AS era,
+        |   CAST((SELECT count(*) FROM wk) AS BIGINT) AS files_total,
+        |   CAST((SELECT count(*) FROM wk WHERE fmin <= '1997-02-15' AND fmax >= '1997-02-05')
+        |     AS BIGINT) AS files_scanned,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1997-02-05' AND '1997-02-15') AS n_rows)
+        |SELECT era, spec_id, files_total, files_scanned, n_rows FROM m
+        |UNION ALL SELECT era, spec_id, files_total, files_scanned, n_rows FROM w
+        |ORDER BY era""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

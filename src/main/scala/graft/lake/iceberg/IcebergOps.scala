@@ -181,6 +181,42 @@ object IcebergOps {
       .withColumn("files_scanned", lit(plan.filesSelected.toLong))
   }
 
+  /** Partition evolution over the real format: snapshot 1 written under
+    * spec 0 (identity month), snapshot 2 under spec 1 (identity ISO
+    * week-start) — the manifest list records each manifest's spec id, and
+    * scan planning stays correct across the boundary by pruning on the
+    * spec-independent l_shipdate file bounds (exactly how readers survive
+    * spec changes: partition values differ per spec, column stats do not).
+    * Per era: its spec id, file census, files a mid-era 11-day window
+    * opens, and the rows read — the weekly era opens ~2 week-files where
+    * the monthly era opens a whole month. */
+  def partitionEvolution(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.evo") {
+      val l = Files.createTempDirectory("graft_iceberg_evo_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), l)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), l, weekly = true)
+      new String(l)
+    }
+    val meta = IcebergTable.readMetadata(loc)
+    val manifests = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == meta.currentSnapshotId).get.manifestList)
+    def era(label: String, specId: Int, lo: String, hi: String) = {
+      val filesTotal = manifests.filter(_.specId == specId).map(_.addedFiles.toLong).sum
+      val planned = IcebergTable.planFiles(loc, None, None, None, Some(lo), Some(hi))
+      val nRows = spark.read.parquet(planned.files.map(_.path): _*)
+        .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(lo, hi))
+        .count()
+      (label, specId.toLong, filesTotal, planned.filesSelected.toLong, nRows)
+    }
+    import spark.implicits._
+    Seq(era("monthly", 0, "1996-06-05", "1996-06-15"),
+        era("weekly", 1, "1997-02-05", "1997-02-15"))
+      .toDF("era", "spec_id", "files_total", "files_scanned", "n_rows")
+      .orderBy("era")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

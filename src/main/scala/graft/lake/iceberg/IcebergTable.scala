@@ -69,7 +69,7 @@ object IcebergTable {
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
                                 addedFiles: Int, addedRows: Long,
-                                partLo: String, partHi: String)
+                                partLo: String, partHi: String, specId: Int = 0)
 
   final case class SnapshotInfo(id: Long, sequenceNumber: Long, timestampMs: Long,
                                 manifestList: String, operation: String)
@@ -129,10 +129,11 @@ object IcebergTable {
 
   /** Append `lineitem` rows as a new snapshot, partitioned by identity
     * month(l_shipdate). Returns the new snapshot id. */
-  def append(spark: SparkSession, lineitem: DataFrame, location: String): Long = {
+  def append(spark: SparkSession, lineitem: DataFrame, location: String,
+             weekly: Boolean = false): Long = {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(_.currentSnapshotId).getOrElse(0L) + 1L
-    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId)
+    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
     commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append")
@@ -157,18 +158,31 @@ object IcebergTable {
 
   /** Write one snapshot's data files + manifest; returns its list entry. */
   private def writeDataSnapshot(spark: SparkSession, lineitem: DataFrame,
-                                location: String, snapshotId: Long): ManifestInfo = {
+                                location: String, snapshotId: Long,
+                                weekly: Boolean = false): ManifestInfo = {
     val sequence = snapshotId
+    // Partition evolution (spec §Partition Evolution): spec 0 = identity
+    // month, spec 1 = identity ISO week-start date. The partition VALUE
+    // rides in the same manifest slot; the manifest-list entry records
+    // which spec produced it, and cross-spec scan planning prunes on the
+    // spec-independent l_shipdate file bounds.
+    val partExpr =
+      if (weekly) date_format(date_trunc("week", col("l_shipdate")), "yyyy-MM-dd")
+      else date_format(col("l_shipdate"), "yyyy-MM")
+    val specId = if (weekly) 1 else 0
     val dataDir = s"$location/data/snap-$snapshotId"
     // one file per partition: hash-repartition on the partition key means a
     // month's rows land in exactly one task, so partitionBy emits one file
     lineitem
-      .withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .withColumn("p_month", partExpr)
       .repartition(col("p_month"))
       .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
     // per-file stats: ONE distributed aggregation at data-file grain
     val stats = spark.read.parquet(dataDir)
-      .select(input_file_name().as("file_path"), col("p_month"),
+      // cast: weekly partition values look like dates and Spark's partition
+      // inference types the directory value as DATE — the manifest stores
+      // the spec's string form either way
+      .select(input_file_name().as("file_path"), col("p_month").cast("string").as("p_month"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
       .groupBy(col("file_path"), col("p_month"))
       .agg(count(lit(1)).as("record_count"), min(col("d")).as("lo"), max(col("d")).as("hi"))
@@ -205,7 +219,7 @@ object IcebergTable {
     val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toSeq)
     ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
       stats.length, stats.map(_.recordCount).sum,
-      stats.map(_.partition).min, stats.map(_.partition).max)
+      stats.map(_.partition).min, stats.map(_.partition).max, specId)
   }
 
   /** Write the manifest list, the vN metadata JSON and flip the version
@@ -224,7 +238,7 @@ object IcebergTable {
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", m.path)
       r.put("manifest_length", m.length)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.specId)
       r.put("added_snapshot_id", m.addedSnapshotId)
       r.put("added_files_count", m.addedFiles)
       r.put("added_rows_count", m.addedRows)
@@ -350,7 +364,8 @@ object IcebergTable {
         r.get("added_snapshot_id").asInstanceOf[Long],
         r.get("added_files_count").asInstanceOf[Int],
         r.get("added_rows_count").asInstanceOf[Long],
-        parts.head.get("lower_bound").toString, parts.head.get("upper_bound").toString)
+        parts.head.get("lower_bound").toString, parts.head.get("upper_bound").toString,
+        r.get("partition_spec_id").asInstanceOf[Int])
     }
 
   def readManifest(path: String): Seq[DataFileEntry] =

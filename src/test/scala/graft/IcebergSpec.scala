@@ -176,6 +176,30 @@ class IcebergSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partition evolution: weekly-spec files are week-grain, planning prunes across both specs") {
+    val l = Files.createTempDirectory("graft_iceberg_evo_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l, weekly = true)
+    val meta = IcebergTable.readMetadata(l)
+    val manifests = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == meta.currentSnapshotId).get.manifestList)
+    assert(manifests.map(_.specId).sorted == Seq(0, 1))
+    // weekly partition values are ISO week-start dates, monthly are months
+    val bySpec = manifests.map(m => m.specId -> IcebergTable.readManifest(m.path)).toMap
+    assert(bySpec(0).forall(_.partition.length == 7))
+    assert(bySpec(1).forall(_.partition.length == 10))
+    assert(bySpec(1).size > bySpec(0).size / 2, "week grain is finer than month grain")
+    // cross-spec date-bounds planning: an 11-day window in the weekly era
+    // opens at most 3 week files, never a whole month's worth of rows
+    val plan = IcebergTable.planFiles(l, None, None, None, Some("1997-02-05"), Some("1997-02-15"))
+    assert(plan.files.nonEmpty && plan.files.forall(_.partition.length == 10))
+    assert(plan.filesSelected <= 3)
+    // full read across both specs still returns every row
+    assert(IcebergTable.read(spark, l).count() == lineitem.count())
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
