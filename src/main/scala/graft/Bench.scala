@@ -253,8 +253,8 @@ object Bench {
               // back-to-back under the same noise regime, which is what makes
               // the RATIO trustworthy on a shared host.
               val scaleFailed = scala.collection.mutable.Set.empty[String]
-              val perQuery = qnames.map { q =>
-                val times = dirs.map { case (m, d) =>
+              def measure(q: String): Seq[(Double, Double, Double)] =
+                dirs.map { case (m, d) =>
                   val ms0 = settledTaskMs(); val c0 = cpuNs.get()
                   val t0 = System.nanoTime()
                   try runAt(q, d)
@@ -266,17 +266,35 @@ object Bench {
                   val task = (settledTaskMs() - ms0) / 1e3
                   (wall, task, (cpuNs.get() - c0) / 1e9)
                 }
-                q -> times
-              }
+              val firstMeasure = qnames.map(q => q -> measure(q))
               val (mLo, mHi) = (mults(mults.size - 2), mults.last)
               def ratioHi(ts: Seq[Double]): Double = ts.last / math.max(ts(ts.size - 2), 1e-3)
               val ctlRatio = ratioHi(controlCpu)
               val flagThreshold = math.max(scaleFlagRatio, 1.5 * ctlRatio)
               def thresholdFor(q: String): Double =
                 math.max(flagThreshold, scaleSanctionedRatio.getOrElse(q, 0.0))
-              val flagged = perQuery.collect {
-                case (q, ts) if !scaleFailed(q) && ratioHi(ts.map(_._3)) > thresholdFor(q) => q
+              def isFlagged(q: String, ts: Seq[(Double, Double, Double)]): Boolean =
+                !scaleFailed(q) && ratioHi(ts.map(_._3)) > thresholdFor(q)
+              // Best-of-2 for flagged queries — the same defense the main
+              // suite applies per query: a single noisy point (contention
+              // only ever INFLATES cpu) can push a linear query's 16×/4×
+              // ratio over the threshold, and a genuine super-linear plan
+              // reproduces on the re-run while noise does not. Keep the
+              // per-point MIN across the two passes. Memos are reset first
+              // so the re-measure is as cold as the first pass.
+              val rerunCount = new java.util.concurrent.atomic.AtomicInteger(0)
+              val perQuery = firstMeasure.map { case (q, ts) =>
+                if (!isFlagged(q, ts)) q -> ts
+                else {
+                  rerunCount.incrementAndGet()
+                  graft.plans.Memo.reset()
+                  val ts2 = measure(q)
+                  q -> ts.zip(ts2).map { case ((w1, t1, c1), (w2, t2, c2)) =>
+                    (math.min(w1, w2), math.min(t1, t2), math.min(c1, c2))
+                  }
+                }
               }
+              val flagged = perQuery.collect { case (q, ts) if isFlagged(q, ts) => q }
               scaleFlagged = flagged
               scaleCtl = ctlRatio
               scaleThreshold = flagThreshold
@@ -296,7 +314,8 @@ object Bench {
               s""","scale_trend":{"base":"${new java.io.File(base).getName}","mults":${
                 mults.mkString("[", ",", "]")},"control_cpu_sec":${
                 controlCpu.map(t => f"$t%.3f").mkString("[", ",", "]")},"control_ratio":${
-                f"$ctlRatio%.2f"},"flag_ratio":${f"$flagThreshold%.2f"},"flagged":${
+                f"$ctlRatio%.2f"},"flag_ratio":${f"$flagThreshold%.2f"},"n_reruns":${
+                rerunCount.get()},"flagged":${
                 flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qjson}"""
             } finally {
               spark.sparkContext.removeSparkListener(listener)
