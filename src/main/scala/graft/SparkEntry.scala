@@ -65,6 +65,7 @@ object SparkEntry {
     "iceberg_expire" -> q((s, d) => iceberg.IcebergOps.expirySummary(s, Tables.lineitem(s, d))),
     "iceberg_stats_prune" -> q((s, d) => iceberg.IcebergOps.statsPruneScan(s, Tables.lineitem(s, d))),
     "iceberg_partition_evolution" -> q((s, d) => iceberg.IcebergOps.partitionEvolution(s, Tables.lineitem(s, d))),
+    "iceberg_refs" -> q((s, d) => iceberg.IcebergOps.refsSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -953,6 +954,16 @@ object SparkEntry {
         |SELECT era, spec_id, files_total, files_scanned, n_rows FROM m
         |UNION ALL SELECT era, spec_id, files_total, files_scanned, n_rows FROM w
         |ORDER BY era""".stripMargin,
+
+    "iceberg_refs" ->
+      s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |   CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS pre FROM lineitem)
+        |SELECT 'main' AS ref, 'branch' AS ref_type, CAST(2 AS BIGINT) AS snapshot_id,
+        | total AS n_rows FROM c
+        |UNION ALL
+        |SELECT 'v1', 'tag', CAST(1 AS BIGINT), pre FROM c
+        |ORDER BY ref""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

@@ -217,6 +217,30 @@ object IcebergOps {
       .orderBy("era")
   }
 
+  /** Branches and tags over the real metadata (spec §Refs): `main`
+    * advances with every commit; a release tag pins snapshot 1. Per ref:
+    * its type, target snapshot and the row count a read through the ref
+    * plans from manifest statistics — zero data IO, and the executed
+    * counterpart of the modeled `lake_branch_tags`. */
+  def refsSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.refs") {
+      val l = Files.createTempDirectory("graft_iceberg_refs_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), l)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), l)
+      IcebergTable.setRef(l, "v1", 1L, "tag")
+      new String(l)
+    }
+    val meta = IcebergTable.readMetadata(loc)
+    val rows = meta.refs.toSeq.sortBy(_._1).map { case (name, r) =>
+      (name, r.refType, r.snapshotId,
+        IcebergTable.planFiles(loc, Some(r.snapshotId)).files.map(_.recordCount).sum)
+    }
+    import spark.implicits._
+    rows.toDF("ref", "ref_type", "snapshot_id", "n_rows").orderBy("ref")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

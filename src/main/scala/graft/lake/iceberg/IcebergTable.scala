@@ -74,8 +74,13 @@ object IcebergTable {
   final case class SnapshotInfo(id: Long, sequenceNumber: Long, timestampMs: Long,
                                 manifestList: String, operation: String)
 
+  /** A named ref (spec §Refs): `main` is maintained automatically on every
+    * commit; tags and extra branches pin snapshots against expiry. */
+  final case class RefInfo(snapshotId: Long, refType: String)
+
   final case class TableMetadata(formatVersion: Int, tableUuid: String, location: String,
-                                 currentSnapshotId: Long, snapshots: Seq[SnapshotInfo])
+                                 currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
+                                 refs: Map[String, RefInfo] = Map.empty)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -250,9 +255,29 @@ object IcebergTable {
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
-    writeMetadataJson(location, uuid, allSnaps, snapshotId)
+    // every commit advances `main` (the spec's implicit branch); other
+    // refs ride along untouched
+    val refs = prev.map(_.refs).getOrElse(Map.empty) +
+      ("main" -> RefInfo(snapshotId, "branch"))
+    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs)
     snapshotId
   }
+
+  /** Create or move a named ref (tag or branch) to an existing snapshot —
+    * a metadata-only commit. Tags pin their snapshot against expiry. */
+  def setRef(location: String, name: String, snapshotId: Long,
+             refType: String = "tag"): Unit = {
+    val meta = readMetadata(location)
+    require(meta.snapshots.exists(_.id == snapshotId), s"no snapshot $snapshotId")
+    require(refType == "tag" || refType == "branch", "ref type must be tag or branch")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)))
+  }
+
+  /** Resolve a ref name to its snapshot id. */
+  def snapshotForRef(location: String, name: String): Long =
+    readMetadata(location).refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref $name")).snapshotId
 
   private def readVersionHint(location: String): Long = {
     val hint = new File(s"$location/metadata/version-hint.text")
@@ -264,9 +289,13 @@ object IcebergTable {
     * advances independently of snapshot ids (an expiry writes a metadata-
     * only version with no new snapshot, exactly as the real library does). */
   private def writeMetadataJson(location: String, uuid: String,
-                                snapshots: Seq[SnapshotInfo], currentId: Long): Unit = {
+                                snapshots: Seq[SnapshotInfo], currentId: Long,
+                                refs: Map[String, RefInfo] = Map.empty): Unit = {
     val mdir = metadataDir(location)
     val version = readVersionHint(location) + 1
+    val refsJson = refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      s""""$n":{"snapshot-id":${r.snapshotId},"type":"${r.refType}"}"""
+    }.mkString("{", ",", "}")
     val snapsJson = snapshots.map(s =>
       s"""{"snapshot-id":${s.id},"sequence-number":${s.sequenceNumber},""" +
         s""""timestamp-ms":${s.timestampMs},"manifest-list":"${s.manifestList}",""" +
@@ -283,6 +312,7 @@ object IcebergTable {
          | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}],
          |"default-spec-id":0,
          |"current-snapshot-id":$currentId,
+         |"refs":$refsJson,
          |"snapshots":$snapsJson}""".stripMargin
     Files.write(Paths.get(mdir.getPath, s"v$version.metadata.json"),
       json.getBytes(StandardCharsets.UTF_8))
@@ -303,8 +333,16 @@ object IcebergTable {
     * dropped snapshots is gone, the live head is untouched. */
   def expireSnapshots(location: String, keepLast: Int = 1): ExpiryReport = {
     val meta = readMetadata(location)
-    val keep = meta.snapshots.sortBy(_.id).takeRight(keepLast)
-    val drop = meta.snapshots.sortBy(_.id).dropRight(keepLast)
+    // ref-pinned snapshots survive regardless of age (the spec's retention
+    // rule: a tagged or branched snapshot is never expired from under its
+    // ref)
+    val pinned = meta.refs.values.map(_.snapshotId).toSet
+    val (keepTail, dropCand) = {
+      val sorted = meta.snapshots.sortBy(_.id)
+      (sorted.takeRight(keepLast), sorted.dropRight(keepLast))
+    }
+    val keep = (dropCand.filter(s => pinned(s.id)) ++ keepTail).sortBy(_.id)
+    val drop = dropCand.filterNot(s => pinned(s.id))
     require(keep.exists(_.id == meta.currentSnapshotId),
       "refusing to expire the current snapshot")
     val keptManifests = keep.flatMap(s => readManifestList(s.manifestList)).map(_.path).toSet
@@ -318,7 +356,7 @@ object IcebergTable {
     orphanEntries.foreach(e => new File(e.path).delete())
     dropManifestPaths.foreach(p => new File(p).delete())
     drop.foreach(s => new File(s.manifestList).delete())
-    writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId)
+    writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId, meta.refs)
     ExpiryReport(drop.size, drop.size, dropManifestPaths.size,
       orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
@@ -343,10 +381,16 @@ object IcebergTable {
           (s \ "manifest-list").extract[String],
           (s \ "summary" \ "operation").extract[String])
       }
+      val refs = (j \ "refs") match {
+        case JObject(fields) => fields.map { case (n, v) =>
+          n -> RefInfo((v \ "snapshot-id").extract[Long], (v \ "type").extract[String])
+        }.toMap
+        case _ => Map.empty[String, RefInfo]
+      }
       Some(TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
-        (j \ "current-snapshot-id").extract[Long], snaps))
+        (j \ "current-snapshot-id").extract[Long], snaps, refs))
     }
   }
 

@@ -200,6 +200,25 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, l).count() == lineitem.count())
   }
 
+  test("refs: main tracks the head, a tag pins its snapshot against expiry") {
+    val l = Files.createTempDirectory("graft_iceberg_refs_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    assert(IcebergTable.snapshotForRef(l, "main") == 2L, "main follows every commit")
+    IcebergTable.setRef(l, "v1", 1L, "tag")
+    assert(IcebergTable.snapshotForRef(l, "v1") == 1L)
+    intercept[IllegalArgumentException] { IcebergTable.setRef(l, "bad", 99L) }
+    // expiry must NOT remove the tagged snapshot even though keepLast=1
+    val rep = IcebergTable.expireSnapshots(l, keepLast = 1)
+    assert(rep.snapshotsRemoved == 0, "tag pins snapshot 1 against expiry")
+    val preCut = lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(IcebergTable.read(spark, l,
+      Some(IcebergTable.snapshotForRef(l, "v1"))).count() == preCut)
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
