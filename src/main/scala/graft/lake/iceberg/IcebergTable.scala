@@ -80,7 +80,8 @@ object IcebergTable {
 
   final case class TableMetadata(formatVersion: Int, tableUuid: String, location: String,
                                  currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
-                                 refs: Map[String, RefInfo] = Map.empty)
+                                 refs: Map[String, RefInfo] = Map.empty,
+                                 schemas: Seq[Seq[String]] = Seq.empty)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -141,7 +142,8 @@ object IcebergTable {
     val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
-    commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append")
+    commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append",
+      lineitem.columns.toSeq.sorted)
   }
 
   /** Compaction rewrite (the maintenance op the reference's compaction
@@ -231,7 +233,16 @@ object IcebergTable {
     * hint — the HadoopTables commit protocol (readers always enter via
     * the hint, so a crash before the flip leaves the old version live). */
   private def commitSnapshot(location: String, prev: Option[TableMetadata], snapshotId: Long,
-                             manifests: Seq[ManifestInfo], operation: String): Long = {
+                             manifests: Seq[ManifestInfo], operation: String,
+                             newSchema: Seq[String] = Seq.empty): Long = {
+    // Schema evolution (spec §Schema Evolution): every distinct committed
+    // column set becomes a schema entry; current-schema-id points at the
+    // latest. Old data files simply lack the newer fields — a merge-schema
+    // read null-fills them, which is exactly the spec's add-column rule.
+    val prevSchemas = prev.map(_.schemas).getOrElse(Seq.empty)
+    val schemas =
+      if (newSchema.isEmpty || prevSchemas.contains(newSchema)) prevSchemas
+      else prevSchemas :+ newSchema
     val mdir = metadataDir(location)
     val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
     val listFile = new File(mdir, f"snap-$snapshotId%05d.avro")
@@ -259,7 +270,7 @@ object IcebergTable {
     // refs ride along untouched
     val refs = prev.map(_.refs).getOrElse(Map.empty) +
       ("main" -> RefInfo(snapshotId, "branch"))
-    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs)
+    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas)
     snapshotId
   }
 
@@ -271,7 +282,7 @@ object IcebergTable {
     require(meta.snapshots.exists(_.id == snapshotId), s"no snapshot $snapshotId")
     require(refType == "tag" || refType == "branch", "ref type must be tag or branch")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots,
-      meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)))
+      meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)), meta.schemas)
   }
 
   /** Resolve a ref name to its snapshot id. */
@@ -290,9 +301,20 @@ object IcebergTable {
     * only version with no new snapshot, exactly as the real library does). */
   private def writeMetadataJson(location: String, uuid: String,
                                 snapshots: Seq[SnapshotInfo], currentId: Long,
-                                refs: Map[String, RefInfo] = Map.empty): Unit = {
+                                refs: Map[String, RefInfo] = Map.empty,
+                                schemas: Seq[Seq[String]] = Seq.empty): Unit = {
     val mdir = metadataDir(location)
     val version = readVersionHint(location) + 1
+    val schemasJson =
+      if (schemas.isEmpty)
+        """[{"schema-id":0,"type":"struct","fields":[
+          | {"id":1,"name":"l_shipdate","required":false,"type":"timestamp"}]}]""".stripMargin
+      else schemas.zipWithIndex.map { case (cols, sid) =>
+        val fields = cols.zipWithIndex.map { case (c, i) =>
+          s"""{"id":${i + 1},"name":"$c","required":false,"type":"string"}"""
+        }.mkString("[", ",", "]")
+        s"""{"schema-id":$sid,"type":"struct","fields":$fields}"""
+      }.mkString("[", ",", "]")
     val refsJson = refs.toSeq.sortBy(_._1).map { case (n, r) =>
       s""""$n":{"snapshot-id":${r.snapshotId},"type":"${r.refType}"}"""
     }.mkString("{", ",", "}")
@@ -304,10 +326,8 @@ object IcebergTable {
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$location",
          |"last-sequence-number":${snapshots.map(_.sequenceNumber).max},
          |"last-updated-ms":${snapshots.map(_.timestampMs).max},
-         |"schemas":[{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"l_shipdate","required":false,"type":"timestamp"},
-         | {"id":2,"name":"p_month","required":false,"type":"string"}]}],
-         |"current-schema-id":0,
+         |"schemas":$schemasJson,
+         |"current-schema-id":${math.max(0, schemas.size - 1)},
          |"partition-specs":[{"spec-id":0,"fields":[
          | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}],
          |"default-spec-id":0,
@@ -356,7 +376,8 @@ object IcebergTable {
     orphanEntries.foreach(e => new File(e.path).delete())
     dropManifestPaths.foreach(p => new File(p).delete())
     drop.foreach(s => new File(s.manifestList).delete())
-    writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId, meta.refs)
+    writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId, meta.refs,
+      meta.schemas)
     ExpiryReport(drop.size, drop.size, dropManifestPaths.size,
       orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
@@ -381,6 +402,9 @@ object IcebergTable {
           (s \ "manifest-list").extract[String],
           (s \ "summary" \ "operation").extract[String])
       }
+      val schemas = (j \ "schemas").children.map { sc =>
+        (sc \ "fields").children.map(f => (f \ "name").extract[String])
+      }
       val refs = (j \ "refs") match {
         case JObject(fields) => fields.map { case (n, v) =>
           n -> RefInfo((v \ "snapshot-id").extract[Long], (v \ "type").extract[String])
@@ -390,7 +414,7 @@ object IcebergTable {
       Some(TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
-        (j \ "current-snapshot-id").extract[Long], snaps, refs))
+        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas))
     }
   }
 
