@@ -67,6 +67,7 @@ object SparkEntry {
     "iceberg_partition_evolution" -> q((s, d) => iceberg.IcebergOps.partitionEvolution(s, Tables.lineitem(s, d))),
     "iceberg_refs" -> q((s, d) => iceberg.IcebergOps.refsSummary(s, Tables.lineitem(s, d))),
     "iceberg_schema_evolution" -> q((s, d) => iceberg.IcebergOps.schemaEvolution(s, Tables.lineitem(s, d))),
+    "iceberg_wap" -> q((s, d) => iceberg.IcebergOps.wapSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -975,6 +976,13 @@ object SparkEntry {
         |SELECT total AS n_rows, wd AS rows_with_discount, total - wd AS rows_null_discount,
         | sd AS sum_discount, CAST(2 AS BIGINT) AS n_schemas,
         | CAST(1 AS BIGINT) AS current_schema_id FROM c""".stripMargin,
+
+    "iceberg_wap" ->
+      s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |   CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS pre FROM lineitem)
+        |SELECT CAST(2 AS BIGINT) AS staged_snapshot_id, pre AS main_rows_before,
+        | total AS staged_rows, total AS main_rows_after FROM c""".stripMargin,
 
     "lake_manifest_prune" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS partition_key, l_orderkey % 40 AS file_id,

@@ -270,6 +270,33 @@ object IcebergOps {
       .withColumn("current_schema_id", lit(math.max(0, meta.schemas.size - 1).toLong))
   }
 
+  /** Write-audit-publish over real metadata: the post-cut append is STAGED
+    * (a full snapshot main does not advance to), audited by reading it
+    * through its id while default reads still see the old head, then
+    * published as a metadata-only fast-forward of main. The census captures
+    * all three states — the executed counterpart of the modeled
+    * `lake_wap_audit`. */
+  def wapSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val (loc, stagedId, mainBefore, stagedRows) =
+      graft.plans.Memo.memoize(lineitem, "iceberg.table.wap") {
+        val l = Files.createTempDirectory("graft_iceberg_wap_").toString
+        IcebergTable.append(spark, lineitem
+          .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), l)
+        val staged = IcebergTable.appendStaged(spark, lineitem
+          .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), l)
+        // audit phase: default reads still plan the old head; the staged
+        // snapshot is readable by id (and via the staging ref)
+        val mb = IcebergTable.planFiles(l).files.map(_.recordCount).sum
+        val sr = IcebergTable.planFiles(l, Some(staged)).files.map(_.recordCount).sum
+        IcebergTable.publishStaged(l, staged)
+        (new String(l), staged, mb, sr)
+      }
+    val mainAfter = IcebergTable.planFiles(loc).files.map(_.recordCount).sum
+    import spark.implicits._
+    Seq((stagedId, mainBefore, stagedRows, mainAfter))
+      .toDF("staged_snapshot_id", "main_rows_before", "staged_rows", "main_rows_after")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

@@ -138,12 +138,42 @@ object IcebergTable {
   def append(spark: SparkSession, lineitem: DataFrame, location: String,
              weekly: Boolean = false): Long = {
     val prev = readMetadataOpt(location)
-    val snapshotId = prev.map(_.currentSnapshotId).getOrElse(0L) + 1L
+    val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
     commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append",
       lineitem.columns.toSeq.sorted)
+  }
+
+  /** Write-audit-publish (the reference's WAP study, executed for real):
+    * stage an append as a full snapshot that `main` does NOT advance to —
+    * it lives in the snapshot log under a `staging` ref where audit
+    * queries can read it by id/ref, while every default read still sees
+    * the old head. [[publishStaged]] is the audit-passed publish: a
+    * metadata-only commit that fast-forwards `main` (and the current
+    * snapshot pointer) to the staged snapshot — no data moves. An
+    * audit-failed stage is simply never published; expiry collects it
+    * (once the staging ref is dropped) like any unreachable snapshot. */
+  def appendStaged(spark: SparkSession, lineitem: DataFrame, location: String): Long = {
+    val prev = readMetadata(location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId)
+    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
+      writeManifestList(location, snapshotId, prevManifests :+ newInfo), "stage")
+    writeMetadataJson(location, prev.tableUuid, prev.snapshots :+ snap,
+      prev.currentSnapshotId, // main/current do NOT move
+      prev.refs + ("staging" -> RefInfo(snapshotId, "branch")), prev.schemas)
+    snapshotId
+  }
+
+  /** Publish a staged snapshot: fast-forward main + the current pointer. */
+  def publishStaged(location: String, stagedId: Long): Unit = {
+    val meta = readMetadata(location)
+    require(meta.snapshots.exists(_.id == stagedId), s"no snapshot $stagedId")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots, stagedId,
+      meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas)
   }
 
   /** Compaction rewrite (the maintenance op the reference's compaction
@@ -243,9 +273,24 @@ object IcebergTable {
     val schemas =
       if (newSchema.isEmpty || prevSchemas.contains(newSchema)) prevSchemas
       else prevSchemas :+ newSchema
-    val mdir = metadataDir(location)
+    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
+      writeManifestList(location, snapshotId, manifests), operation)
+    val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
+    val uuid = prev.map(_.tableUuid).getOrElse(
+      java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
+    // every commit advances `main` (the spec's implicit branch); other
+    // refs ride along untouched
+    val refs = prev.map(_.refs).getOrElse(Map.empty) +
+      ("main" -> RefInfo(snapshotId, "branch"))
+    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas)
+    snapshotId
+  }
+
+  /** Write one snapshot's manifest-list Avro; returns its path. */
+  private def writeManifestList(location: String, snapshotId: Long,
+                                manifests: Seq[ManifestInfo]): String = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
-    val listFile = new File(mdir, f"snap-$snapshotId%05d.avro")
+    val listFile = new File(metadataDir(location), f"snap-$snapshotId%05d.avro")
     writeAvro(ManifestFileSchema, listFile, manifests.map { m =>
       val s = new GenericData.Record(summarySchema)
       s.put("contains_null", false)
@@ -261,17 +306,7 @@ object IcebergTable {
       r.put("partitions", Seq[GenericRecord](s).asJava)
       r: GenericRecord
     })
-    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
-      listFile.getPath, operation)
-    val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
-    val uuid = prev.map(_.tableUuid).getOrElse(
-      java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
-    // every commit advances `main` (the spec's implicit branch); other
-    // refs ride along untouched
-    val refs = prev.map(_.refs).getOrElse(Map.empty) +
-      ("main" -> RefInfo(snapshotId, "branch"))
-    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas)
-    snapshotId
+    listFile.getPath
   }
 
   /** Create or move a named ref (tag or branch) to an existing snapshot —

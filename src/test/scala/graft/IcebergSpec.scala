@@ -219,6 +219,25 @@ class IcebergSpec extends SparkSpec {
       Some(IcebergTable.snapshotForRef(l, "v1"))).count() == preCut)
   }
 
+  test("write-audit-publish: staged snapshot invisible to default reads until published") {
+    val l = Files.createTempDirectory("graft_iceberg_wap_spec_").toString
+    val preCut = lineitem.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    IcebergTable.append(spark, preCut, l)
+    val staged = IcebergTable.appendStaged(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    // default reads still see the old head; main has not moved
+    assert(IcebergTable.read(spark, l).count() == preCut.count())
+    assert(IcebergTable.snapshotForRef(l, "main") == 1L)
+    assert(IcebergTable.snapshotForRef(l, "staging") == staged)
+    // audit reads the staged snapshot by id
+    assert(IcebergTable.read(spark, l, Some(staged)).count() == lineitem.count())
+    // publish: metadata-only fast-forward — now everyone sees it
+    IcebergTable.publishStaged(l, staged)
+    assert(IcebergTable.snapshotForRef(l, "main") == staged)
+    assert(IcebergTable.read(spark, l).count() == lineitem.count())
+    assert(!IcebergTable.readMetadata(l).refs.contains("staging"))
+  }
+
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
     val expected = lineitem
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
