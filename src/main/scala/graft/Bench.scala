@@ -213,6 +213,21 @@ object Bench {
               while (cur != prev) { Thread.sleep(50); prev = cur; cur = taskMs.get() }
               cur
             }
+            // Scale-phase contention bracket: the same fixed CPU-bound
+            // calibration job as the main suite's index, sampled before and
+            // after the trend measurements. BENCH_r10 was judged "weak
+            // evidence" precisely because its flags carried no in-artifact
+            // contention context (contention_x 5.53 was measured in phase 2,
+            // an hour after the trend ran) — the trend now records its OWN
+            // box state so a flag and its noise regime ship together.
+            val scCal = scala.collection.mutable.ArrayBuffer.empty[Double]
+            def scCalibrate(): Unit = {
+              val t0 = System.nanoTime()
+              spark.range(400000000L)
+                .agg(org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.col("id"))).collect()
+              scCal += (System.nanoTime() - t0) / 1e9
+            }
             try {
               // EVERY point — 1× included — is materialized through the same
               // writer with the same fixed-width token salt (saltAll): the
@@ -244,6 +259,7 @@ object Bench {
                   .write.format("noop").mode("overwrite").save()
               }
               controlAt(dirs.head._2) // codegen warm
+              scCalibrate() // opening contention sample (post-warm)
               val controlCpu = dirs.map { case (_, d) =>
                 settledTaskMs(); val c0 = cpuNs.get()
                 controlAt(d)
@@ -283,15 +299,33 @@ object Bench {
               // per-point MIN across the two passes. Memos are reset first
               // so the re-measure is as cold as the first pass.
               val rerunCount = new java.util.concurrent.atomic.AtomicInteger(0)
+              // Per-flag defense record: first-pass ratio, best-of-2 ratio
+              // and the verdict the artifact itself can defend — "confirmed"
+              // (reproduced on an isolated re-measure) vs "cleared" (a
+              // contention spike that did not reproduce). A re-measure that
+              // FAILS keeps the first pass's measurements AND flag status: a
+              // min-merge with a fast-fail's near-zero points would silently
+              // unflag a genuinely super-linear query.
+              val defense = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, String)]
               val perQuery = firstMeasure.map { case (q, ts) =>
                 if (!isFlagged(q, ts)) q -> ts
                 else {
                   rerunCount.incrementAndGet()
                   graft.plans.Memo.reset()
+                  val failedBefore = scaleFailed.contains(q)
                   val ts2 = measure(q)
-                  q -> ts.zip(ts2).map { case ((w1, t1, c1), (w2, t2, c2)) =>
-                    (math.min(w1, w2), math.min(t1, t2), math.min(c1, c2))
-                  }
+                  val rerunFailed = scaleFailed.contains(q) && !failedBefore
+                  val merged =
+                    if (rerunFailed) { scaleFailed -= q; ts } // keep valid first pass
+                    else ts.zip(ts2).map { case ((w1, t1, c1), (w2, t2, c2)) =>
+                      (math.min(w1, w2), math.min(t1, t2), math.min(c1, c2))
+                    }
+                  val r1 = ratioHi(ts.map(_._3))
+                  val rBest = ratioHi(merged.map(_._3))
+                  defense(q) = (r1, rBest,
+                    if (rerunFailed) "rerun-failed-kept-first-pass"
+                    else if (rBest > thresholdFor(q)) "confirmed" else "cleared")
+                  q -> merged
                 }
               }
               val flagged = perQuery.collect { case (q, ts) if isFlagged(q, ts) => q }
@@ -301,6 +335,7 @@ object Bench {
               scaleExponents = perQuery.map { case (q, ts) =>
                 q -> math.log(ratioHi(ts.map(_._3))) / math.log(mHi.toDouble / mLo)
               }.toMap
+              scCalibrate() // closing contention sample brackets the trend
               val qjson = perQuery.map { case (q, ts) =>
                 val cpuSec = ts.map(_._3)
                 val ex = scaleExponents(q)
@@ -311,11 +346,19 @@ object Bench {
                   scaleSanctionedRatio.get(q).map(s => f""","sanctioned_ratio":$s%.1f""").getOrElse("") +
                   (if (scaleFailed(q)) ",\"failed\":true" else "") + "}"
               }.mkString("{", ",", "}")
+              val defJson = defense.map { case (q, (r1, rb, v)) =>
+                "\"" + q + f"""\":{"first_ratio":$r1%.2f,"best_ratio":$rb%.2f,""" +
+                  f""""control":$ctlRatio%.2f,"threshold":${thresholdFor(q)}%.2f,"verdict":"$v"}"""
+              }.mkString("{", ",", "}")
+              val scContentionX =
+                if (scCal.nonEmpty) scCal.max / math.max(scCal.min, 1e-3) else 0.0
               s""","scale_trend":{"base":"${new java.io.File(base).getName}","mults":${
                 mults.mkString("[", ",", "]")},"control_cpu_sec":${
                 controlCpu.map(t => f"$t%.3f").mkString("[", ",", "]")},"control_ratio":${
                 f"$ctlRatio%.2f"},"flag_ratio":${f"$flagThreshold%.2f"},"n_reruns":${
-                rerunCount.get()},"flagged":${
+                rerunCount.get()},"contention_samples":${
+                scCal.map(t => f"$t%.3f").mkString("[", ",", "]")},"contention_x":${
+                f"$scContentionX%.2f"},"defense":$defJson,"flagged":${
                 flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qjson}"""
             } finally {
               spark.sparkContext.removeSparkListener(listener)
@@ -347,16 +390,27 @@ object Bench {
         }
     }
     spark.sparkContext.addSparkListener(memListener)
-    val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // Driver-JVM GC time per query (collection-time deltas across all
+    // collectors) — the Spark-native mirror of the reference's per-benchmark
+    // GC tracking (poc/utils/metrics_collector.py:66 collect_gc_metrics).
+    // local-mode executors share the JVM, so this is the whole GC story here;
+    // on a cluster the same beans run per executor.
+    def gcTotalMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def timeQuery(name: String, recordMem: Boolean = false): Double = {
       if (recordMem) { memPeak.set(0L); memSpill.set(0L) }
+      val gc0 = if (recordMem) gcTotalMs() else 0L
       val t0 = System.nanoTime()
       try run(name) catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (recordMem) memStats(name) = (memPeak.get(), memSpill.get())
+      if (recordMem) memStats(name) = (memPeak.get(), memSpill.get(), gcTotalMs() - gc0)
       sec
     }
     val baseline = loadBaseline(new java.io.File(sfDir).getName)
@@ -417,11 +471,11 @@ object Bench {
     // Per-query memory block: peak task execution memory (MB) and spilled
     // bytes (MB), from the first (memo-cold) pass — the pass whose memory
     // story matches a fresh production run.
-    val memJson = memStats.map { case (q, (peak, spill)) =>
-      "\"" + q + f"""\":{"peak_mb":${peak / 1048576.0}%.1f,"spill_mb":${spill / 1048576.0}%.1f}"""
+    val memJson = memStats.map { case (q, (peak, spill, gc)) =>
+      "\"" + q + f"""\":{"peak_mb":${peak / 1048576.0}%.1f,"spill_mb":${spill / 1048576.0}%.1f,"gc_ms":$gc}"""
     }.mkString("{", ",", "}")
     val memTop = memStats.toSeq.sortBy(-_._2._1).take(5)
-      .map { case (q, (peak, _)) => "\"" + q + f"\":${peak / 1048576.0}%.1f" }
+      .map { case (q, (peak, _, _)) => "\"" + q + f"\":${peak / 1048576.0}%.1f" }
       .mkString("{", ",", "}")
 
     // ---- Phase 3: write/stream/fetch/OCC micro-benches.

@@ -72,15 +72,36 @@ object TextAnalysis {
           .otherwise(col("n_tokens")).as("n_tok"))
   }
 
+  /** Exact top-`k` rows per language by (count desc, key asc), without a
+    * single-task vocabulary sort: a `row_number` window partitioned by
+    * `lang` alone has ≤ #languages partitions, so ONE task sorts that
+    * language's whole (corpus-growing) vocabulary — the per-task volume
+    * that made `text_char_langid`'s profile stage run ~1.8× the linear
+    * control in the r10 scale artifact. Two levels restore parallelism
+    * exactly: level 1 takes top-k inside (lang, hash-bucket) — every
+    * global top-k row is its own bucket's top-k, so no survivor is lost —
+    * and level 2 re-ranks the ≤ langs × buckets × k survivors, a
+    * CONSTANT-size table at any corpus size. */
+  private def topPerLang(counts: DataFrame, keyCol: String, k: Int,
+                         buckets: Int = 64): DataFrame =
+    counts
+      .withColumn("b__", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .withColumn("rk__", row_number().over(
+        Window.partitionBy(col("lang"), col("b__")).orderBy(col("c").desc, col(keyCol))))
+      .filter(col("rk__") <= k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col(keyCol))))
+      .filter(col("rk") <= k)
+      .drop("b__", "rk__")
+
   /** Data-derived language ID: per-language top-`profileSize` token profiles
     * from the labeled corpus, classify each doc by profile overlap, report
     * the confusion matrix. Profiles are tiny → broadcast to the match join. */
   def languageId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
     val tok = documents.select(col("doc_id"), col("lang"), explode(toks).as("token"))
-    val profile = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("token"))))
-      .filter(col("rk") <= profileSize)
+    val profile = topPerLang(
+        tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c")),
+        "token", profileSize)
       .select(col("lang").as("plang"), col("token"))
     val docTokens = tok.select(col("doc_id"), col("lang"), col("token")).distinct()
     val matches = docTokens.join(broadcast(profile), Seq("token"))
@@ -597,10 +618,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("c"),
         explode(expr("transform(sequence(1, length(token) - 2), i -> substring(token, i, 3))")).as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri")).agg(sum(col("c")).as("tc"))
-    val profile = triCounts.groupBy(col("lang"), col("tri")).agg(sum(col("tc")).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
-      .filter(col("rk") <= profileSize)
+    // Profile cut through the bucketed two-level top-k (`topPerLang`): the
+    // lang-only window this replaced sorted each language's whole trigram
+    // vocabulary in one task — the residual super-linear stage behind the
+    // r10 scale flag (cpu ratio 1.8× the linear control after the broadcast
+    // fix; the two-level cut re-measures at control parity).
+    val profile = topPerLang(
+        triCounts.groupBy(col("lang"), col("tri")).agg(sum(col("tc")).as("c")),
+        "tri", profileSize)
       .select(col("lang").as("plang"), col("tri"))
     val matches = triCounts.join(broadcast(profile), Seq("tri"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
