@@ -567,11 +567,23 @@ object Bench {
     val occBench =
       if (!sys.env.get("SPARK_GRAFT_OCC_BENCH").contains("0")) {
         try {
-          graft.lake.OccBench.ladder().map { r =>
+          val model = graft.lake.OccBench.ladder().map { r =>
             f""""w${r.writers}":{"commits":${r.commits},"conflicts":${r.conflicts},""" +
               f""""sec":${r.sec}%.3f,"commits_per_sec":${r.commits / r.sec}%.1f,""" +
               f""""mean_retries":${r.conflicts.toDouble / r.commits}%.2f}"""
-          }.mkString(""","occ_bench":{""", ",", "}")
+          }
+          // The REAL commit path raced: threads vs IcebergTable's exclusive
+          // version-file create (tryCommitTouch). ids_contiguous +
+          // new_ids_distinct == commits is the no-lost/no-duplicate proof
+          // the modeled harness could only assert about its own lock table.
+          val real = graft.lake.iceberg.IcebergOcc.ladder(spark).map { r =>
+            f""""iceberg_w${r.writers}":{"commits":${r.commits},"conflicts":${r.conflicts},""" +
+              f""""sec":${r.sec}%.3f,"commits_per_sec":${r.commits / r.sec}%.1f,""" +
+              f""""mean_retries":${r.conflicts.toDouble / r.commits}%.2f,""" +
+              f""""new_ids_distinct":${r.newIdsDistinct},"ids_contiguous":${r.idsContiguous},""" +
+              f""""snapshots_after":${r.snapshotsAfter}}"""
+          }
+          (model ++ real).mkString(""","occ_bench":{""", ",", "}")
         } catch {
           case e: Throwable => s""","occ_bench":{"error":"${errStr(e)}"}"""
         }

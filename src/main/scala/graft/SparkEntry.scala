@@ -68,6 +68,8 @@ object SparkEntry {
     "iceberg_refs" -> q((s, d) => iceberg.IcebergOps.refsSummary(s, Tables.lineitem(s, d))),
     "iceberg_schema_evolution" -> q((s, d) => iceberg.IcebergOps.schemaEvolution(s, Tables.lineitem(s, d))),
     "iceberg_wap" -> q((s, d) => iceberg.IcebergOps.wapSummary(s, Tables.lineitem(s, d))),
+    "iceberg_pos_dv" -> q((s, d) => iceberg.IcebergOps.posDvRead(s, Tables.lineitem(s, d))),
+    "iceberg_catalog" -> q((s, d) => iceberg.IcebergOps.catalogSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -897,6 +899,39 @@ object SparkEntry {
         |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
         |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> 3
         |GROUP BY 1, sc.data_files_scanned, dk.deleted_keys ORDER BY 1""".stripMargin,
+
+    // Position deletes: the deleted POSITIONS were picked by predicate over
+    // the immutable files, so the survivors are exactly the predicate's
+    // complement and the delete file's cardinality is the predicate's count.
+    "iceberg_pos_dv" ->
+      s"""WITH sc AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+        |     AS data_files_scanned
+        |   FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'),
+        | dp AS (SELECT CAST(count(*) AS BIGINT) AS deleted_positions
+        |   FROM lineitem WHERE l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} = ${iceberg.IcebergOps.PosDeleteResidue})
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | sc.data_files_scanned, CAST(1 AS BIGINT) AS pos_delete_files, dp.deleted_positions,
+        | CAST(3 AS BIGINT) AS n_snapshots
+        |FROM lineitem, sc, dp
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
+        |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> ${iceberg.IcebergOps.PosDeleteResidue}
+        |GROUP BY 1, sc.data_files_scanned, dp.deleted_positions ORDER BY 1""".stripMargin,
+
+    // Catalog census: two committed tables (pre/post-cut halves) under one
+    // namespace; the dropped scratch table must leave no trace.
+    "iceberg_catalog" ->
+      s"""WITH pre AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS f
+        |   FROM lineitem WHERE l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'),
+        | post AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS f
+        |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}')
+        |SELECT 'li_post' AS table_name, CAST(1 AS BIGINT) AS n_snapshots,
+        |   post.f AS n_files, post.n AS n_rows, CAST(2 AS BIGINT) AS n_tables FROM post
+        |UNION ALL
+        |SELECT 'li_pre', CAST(1 AS BIGINT), pre.f, pre.n, CAST(2 AS BIGINT) FROM pre
+        |ORDER BY table_name""".stripMargin,
 
     "iceberg_compact" ->
       s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,

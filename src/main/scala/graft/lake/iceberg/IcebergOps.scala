@@ -297,6 +297,82 @@ object IcebergOps {
       .toDF("staged_snapshot_id", "main_rows_before", "staged_rows", "main_rows_after")
   }
 
+  /** Position-delete predicate (spliced into the oracle): rows with
+    * l_orderkey ≡ 7 (mod [[DeleteKeyMod]]) are position-deleted. */
+  val PosDeleteResidue = 7L
+
+  private def posDvTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.posdv") {
+      val loc = Files.createTempDirectory("graft_iceberg_posdv_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.appendPositionDeletes(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)) === PosDeleteResidue)
+      new String(loc)
+    }
+
+  /** Merge-on-read with POSITION deletes (spec content = 1) over the real
+    * format — the delete form the reference's DV corpus is built on
+    * (`test_dv_resolution_strategies.py:139` benchmark_positional_join):
+    * a content=1 file of real (file_path, row_index) pairs is committed
+    * against the two data snapshots, and the scan resolves it as a
+    * positional anti-join. The oracle can check every number because the
+    * deleted POSITIONS were chosen by a predicate over the immutable
+    * files — so the surviving rows are exactly the predicate's complement,
+    * whatever physical positions they occupy. */
+  def posDvRead(spark: SparkSession, lineitem: DataFrame,
+                monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
+    val loc = posDvTableFor(spark, lineitem)
+    val (live, plan, dvs) = IcebergTable.readMorPositional(spark, loc, Some(monthLo), Some(monthHi))
+    live
+      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
+      .withColumn("pos_delete_files", lit(dvs.size.toLong))
+      .withColumn("deleted_positions", lit(dvs.map(_.recordCount).sum))
+      .withColumn("n_snapshots", lit(IcebergTable.readMetadata(loc).snapshots.size.toLong))
+      .orderBy("l_returnflag")
+  }
+
+  /** Catalog census over a local HadoopCatalog-style warehouse
+    * ([[IcebergCatalog]]): two tables committed under one namespace (the
+    * pre/post-cut halves), a scratch table created and dropped, and the
+    * per-table census — snapshots, files, rows — read from each table's
+    * METADATA alone (#tables × three metadata files, no data IO). The
+    * executed slice of the catalog-API north star: list/create/drop +
+    * per-table atomic version swap. */
+  def catalogSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val wh = graft.plans.Memo.memoize(lineitem, "iceberg.catalog") {
+      val w = Files.createTempDirectory("graft_iceberg_cat_").toString
+      IcebergCatalog.createNamespace(w, "analytics")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")),
+        IcebergCatalog.createTable(w, "analytics", "li_pre"))
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")),
+        IcebergCatalog.createTable(w, "analytics", "li_post"))
+      // a created-then-dropped scratch table must leave no census trace
+      IcebergTable.append(spark, lineitem.limit(10),
+        IcebergCatalog.createTable(w, "analytics", "scratch"))
+      IcebergCatalog.dropTable(w, "analytics", "scratch")
+      new String(w)
+    }
+    val tables = IcebergCatalog.listTables(wh, "analytics")
+    val rows = tables.map { t =>
+      val loc = IcebergCatalog.tableLocation(wh, "analytics", t)
+      val meta = IcebergTable.readMetadata(loc)
+      val plan = IcebergTable.planFiles(loc)
+      (t, meta.snapshots.size.toLong, plan.filesSelected.toLong,
+        plan.files.map(_.recordCount).sum, tables.size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "n_snapshots", "n_files", "n_rows", "n_tables")
+      .orderBy("table_name")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

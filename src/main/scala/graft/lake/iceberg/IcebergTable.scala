@@ -59,12 +59,14 @@ import org.apache.spark.sql.functions._
 object IcebergTable {
 
   /** Planned file: partition value + stats a scan can prune on. `content`
-    * follows the spec: 0 = data, 2 = equality deletes (1, position
-    * deletes, needs stable in-file row order — modeled instead by
-    * `lake.DeleteVectors`). */
+    * follows the spec: 0 = data, 1 = position deletes (file_path + pos
+    * rows over the immutable data files), 2 = equality deletes.
+    * `sequence` is the manifest entry's data sequence number — the field
+    * that scopes which deletes apply to which data files (spec: a delete
+    * file applies only to data files with strictly LOWER sequence). */
   final case class DataFileEntry(path: String, partition: String, recordCount: Long,
                                  fileSizeBytes: Long, loShip: String, hiShip: String,
-                                 content: Int = 0)
+                                 content: Int = 0, sequence: Long = 0L)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -134,12 +136,19 @@ object IcebergTable {
   private def metadataDir(location: String) = { val d = new File(location, "metadata"); d.mkdirs(); d }
 
   /** Append `lineitem` rows as a new snapshot, partitioned by identity
-    * month(l_shipdate). Returns the new snapshot id. */
+    * month(l_shipdate). Returns the new snapshot id.
+    * `targetRecordsPerFile` bounds file size: a month larger than the
+    * target splits into multiple files written by PARALLEL tasks (the
+    * default single-file-per-month layout is kept for the oracle fixtures,
+    * whose census DuckDB re-derives from the deterministic
+    * one-file-per-month function — see [[writeDataSnapshot]]). */
   def append(spark: SparkSession, lineitem: DataFrame, location: String,
-             weekly: Boolean = false): Long = {
+             weekly: Boolean = false,
+             targetRecordsPerFile: Option[Long] = None): Long = {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
-    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly)
+    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly,
+      targetRecordsPerFile)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
     commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append",
@@ -188,15 +197,33 @@ object IcebergTable {
   def rewriteCompact(spark: SparkSession, location: String): Long = {
     val prev = readMetadata(location)
     val (live, _, _) = readMor(spark, location)
-    val snapshotId = prev.currentSnapshotId + 1L
+    // max(id)+1, NOT current+1: a staged snapshot (appendStaged) sits in the
+    // log above current, and current+1 would reuse its id — overwriting the
+    // staged data dir, manifests and manifest list, and appending a
+    // duplicate id to the snapshot log.
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
     val newInfo = writeDataSnapshot(spark, live, location, snapshotId)
     commitSnapshot(location, Some(prev), snapshotId, Seq(newInfo), "replace")
   }
 
-  /** Write one snapshot's data files + manifest; returns its list entry. */
+  /** Write one snapshot's data files + manifest; returns its list entry.
+    *
+    * File layout: by default ONE file per partition — a deterministic
+    * function of the data that lets the DuckDB oracle re-derive every
+    * census number without reading Avro (the fixture contract). That
+    * default is a WRITE bottleneck at scale (one file per month = one task
+    * per month — a hot month serializes through a single writer), so
+    * `targetRecordsPerFile` turns on the scale path: per-month row counts
+    * (one metadata-grain aggregation, broadcast back) derive a bucket
+    * count ceil(rows/target) per month, rows salt into buckets by
+    * l_orderkey, and the (month, bucket) repartition spreads a hot month
+    * across tasks — partitionBy still routes each task's rows to the right
+    * directory, and the manifest builder below is ALREADY at file grain,
+    * so nothing else changes. */
   private def writeDataSnapshot(spark: SparkSession, lineitem: DataFrame,
                                 location: String, snapshotId: Long,
-                                weekly: Boolean = false): ManifestInfo = {
+                                weekly: Boolean = false,
+                                targetRecordsPerFile: Option[Long] = None): ManifestInfo = {
     val sequence = snapshotId
     // Partition evolution (spec §Partition Evolution): spec 0 = identity
     // month, spec 1 = identity ISO week-start date. The partition VALUE
@@ -208,12 +235,33 @@ object IcebergTable {
       else date_format(col("l_shipdate"), "yyyy-MM")
     val specId = if (weekly) 1 else 0
     val dataDir = s"$location/data/snap-$snapshotId"
-    // one file per partition: hash-repartition on the partition key means a
-    // month's rows land in exactly one task, so partitionBy emits one file
-    lineitem
-      .withColumn("p_month", partExpr)
-      .repartition(col("p_month"))
-      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    val withPart = lineitem.withColumn("p_month", partExpr)
+    val arranged = targetRecordsPerFile match {
+      case None =>
+        // one file per partition: hash-repartition on the partition key
+        // means a month's rows land in exactly one task, so partitionBy
+        // emits one file (the deterministic oracle-fixture layout)
+        withPart.repartition(col("p_month"))
+      case Some(target) =>
+        val counts = withPart.groupBy(col("p_month"))
+          .agg(count(lit(1)).as("__cnt"))
+        // total bucket count (metadata-grain collect) sizes the shuffle
+        // EXPLICITLY: without a user-pinned partition count AQE coalesces
+        // the small fixture shuffle back into one task and the split never
+        // happens — and at scale the bucket count IS the right task count.
+        val nBuckets = counts
+          .agg(sum(greatest(lit(1L),
+            ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
+          .head().getLong(0)
+        withPart.join(broadcast(counts), Seq("p_month"))
+          .withColumn("__fb", pmod(col("l_orderkey").cast("long"),
+            greatest(lit(1L), ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
+          .drop("__cnt")
+          .repartition(math.min(math.max(nBuckets, 1L), 20000L).toInt,
+            col("p_month"), col("__fb"))
+          .drop("__fb")
+    }
+    arranged.write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
     // per-file stats: ONE distributed aggregation at data-file grain
     val stats = spark.read.parquet(dataDir)
       // cast: weekly partition values look like dates and Spark's partition
@@ -286,11 +334,16 @@ object IcebergTable {
     snapshotId
   }
 
-  /** Write one snapshot's manifest-list Avro; returns its path. */
+  /** Write one snapshot's manifest-list Avro; returns its path. `unique`
+    * appends a UUID (the real library always does): two writers racing the
+    * same next snapshot id must not clobber each other's list file before
+    * the metadata CAS picks the winner. */
   private def writeManifestList(location: String, snapshotId: Long,
-                                manifests: Seq[ManifestInfo]): String = {
+                                manifests: Seq[ManifestInfo],
+                                unique: Boolean = false): String = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
-    val listFile = new File(metadataDir(location), f"snap-$snapshotId%05d.avro")
+    val suffix = if (unique) "-" + java.util.UUID.randomUUID().toString.take(8) else ""
+    val listFile = new File(metadataDir(location), f"snap-$snapshotId%05d$suffix.avro")
     writeAvro(ManifestFileSchema, listFile, manifests.map { m =>
       val s = new GenericData.Record(summarySchema)
       s.put("contains_null", false)
@@ -325,21 +378,67 @@ object IcebergTable {
     readMetadata(location).refs.getOrElse(name,
       throw new IllegalArgumentException(s"no ref $name")).snapshotId
 
+  /** One OPTIMISTIC commit attempt against the real version-file CAS — the
+    * unit the concurrent-writer study races (the reference's
+    * test_concurrent_writers.py:57 OptimisticLockManager loop, executed
+    * against the actual metadata swap instead of a modeled lock table):
+    * read the metadata AND the version it lives at, build the next
+    * snapshot (a metadata-only touch that re-points the head manifest
+    * list — commit content is irrelevant to the protocol), then try to
+    * publish version+1 exclusively. Returns the new snapshot id, or None
+    * on conflict (someone else published version+1 first — re-read and
+    * retry, which is exactly what [[graft.lake.iceberg.IcebergOcc]]
+    * measures). The loser's uniquely-named manifest list is deleted. */
+  def tryCommitTouch(location: String): Option[Long] = {
+    val (meta, version) = readMetadataWithVersion(location)
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val headManifests = readManifestList(currentSnapshot(meta).manifestList)
+    val listPath = writeManifestList(location, snapshotId, headManifests, unique = true)
+    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath, "occ-touch")
+    try {
+      writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
+        meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
+        atVersion = Some(version + 1))
+      Some(snapshotId)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        new File(listPath).delete()
+        None
+    }
+  }
+
   private def readVersionHint(location: String): Long = {
     val hint = new File(s"$location/metadata/version-hint.text")
     if (!hint.exists()) 0L
-    else new String(Files.readAllBytes(hint.toPath), StandardCharsets.UTF_8).trim.toLong
+    else {
+      val txt = new String(Files.readAllBytes(hint.toPath), StandardCharsets.UTF_8).trim
+      // transiently unreadable hints (a concurrent flip in flight) degrade
+      // to 0 — readMetadataWithVersion's forward probe recovers the truth
+      // from the version files themselves, which are the ground truth
+      try txt.toLong catch { case _: NumberFormatException => 0L }
+    }
   }
 
   /** Write the next metadata version and flip the hint. The version counter
     * advances independently of snapshot ids (an expiry writes a metadata-
-    * only version with no new snapshot, exactly as the real library does). */
+    * only version with no new snapshot, exactly as the real library does).
+    *
+    * The version file is created EXCLUSIVELY (`CREATE_NEW`) — the
+    * HadoopTables commit CAS: when two writers race the same next version,
+    * the filesystem admits exactly one, and the loser gets
+    * `FileAlreadyExistsException` (surfaced as the conflict
+    * [[tryCommitTouch]] retries on). `atVersion` pins the version to the
+    * one the caller READ its metadata at (+1) — computing it from the hint
+    * at write time would let a writer that lost the race silently publish
+    * over a snapshot log it never saw (lost update, no conflict raised).
+    * The hint flip after the create is best-effort and never regresses. */
   private def writeMetadataJson(location: String, uuid: String,
                                 snapshots: Seq[SnapshotInfo], currentId: Long,
                                 refs: Map[String, RefInfo] = Map.empty,
-                                schemas: Seq[Seq[String]] = Seq.empty): Unit = {
+                                schemas: Seq[Seq[String]] = Seq.empty,
+                                atVersion: Option[Long] = None): Unit = {
     val mdir = metadataDir(location)
-    val version = readVersionHint(location) + 1
+    val version = atVersion.getOrElse(readVersionHint(location) + 1)
     val schemasJson =
       if (schemas.isEmpty)
         """[{"schema-id":0,"type":"struct","fields":[
@@ -357,22 +456,59 @@ object IcebergTable {
       s"""{"snapshot-id":${s.id},"sequence-number":${s.sequenceNumber},""" +
         s""""timestamp-ms":${s.timestampMs},"manifest-list":"${s.manifestList}",""" +
         s""""summary":{"operation":"${s.operation}"}}""").mkString("[", ",", "]")
+    // partition-specs must DEFINE every spec the manifest tree references
+    // (a weekly append records partition_spec_id 1 in its manifest-list
+    // rows; a metadata file that only defines spec 0 breaks any
+    // spec-following reader). Used specs come from the surviving
+    // snapshots' manifest lists — metadata-grain reads, ≤ snapshots files.
+    val usedSpecs = (snapshots.flatMap { s =>
+      try readManifestList(s.manifestList).map(_.specId)
+      catch { case _: Exception => Seq(0) }
+    }.toSet + 0).toSeq.sorted
+    val specJson = usedSpecs.map {
+      case 0 =>
+        """{"spec-id":0,"fields":[
+          | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
+      case sid =>
+        s"""{"spec-id":$sid,"fields":[
+           | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
+    }.mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$location",
          |"last-sequence-number":${snapshots.map(_.sequenceNumber).max},
          |"last-updated-ms":${snapshots.map(_.timestampMs).max},
          |"schemas":$schemasJson,
          |"current-schema-id":${math.max(0, schemas.size - 1)},
-         |"partition-specs":[{"spec-id":0,"fields":[
-         | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}],
-         |"default-spec-id":0,
+         |"partition-specs":$specJson,
+         |"default-spec-id":${usedSpecs.max},
          |"current-snapshot-id":$currentId,
          |"refs":$refsJson,
          |"snapshots":$snapsJson}""".stripMargin
-    Files.write(Paths.get(mdir.getPath, s"v$version.metadata.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(mdir.getPath, "version-hint.text"),
-      version.toString.getBytes(StandardCharsets.UTF_8))
+    // Atomic publish: write the FULL content to a temp file, then hard-LINK
+    // it to the version path. Link creation is the CAS (fails with
+    // FileAlreadyExistsException when the version is taken) AND makes the
+    // content visible atomically — a bare CREATE_NEW+write exposes an
+    // empty/partial JSON between create and flush, which a racing reader's
+    // forward probe would parse and die on (observed: raced writer threads
+    // killed by truncated-JSON parses before this used the link protocol).
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    val tmp = Paths.get(mdir.getPath,
+      s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
+    Files.write(tmp, bytes)
+    try Files.createLink(Paths.get(mdir.getPath, s"v$version.metadata.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+    // never regress the hint, and flip it ATOMICALLY (write-temp + rename):
+    // a truncate-then-write would expose an empty hint to concurrent
+    // readers mid-flip, and a slow winner of version N flipping after a
+    // faster writer already published N+1 must not point readers backward
+    if (readVersionHint(location) < version) {
+      val tmp = Paths.get(mdir.getPath,
+        s"version-hint.text.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(mdir.getPath, "version-hint.text"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** What an expiry pass removed (and proved unreachable first). */
@@ -417,12 +553,32 @@ object IcebergTable {
       orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
 
-  /** Read table metadata via the version hint (None if no table yet). */
+  /** Read table metadata via the version hint (None if no table yet).
+    * Probes forward past a stale hint like [[readMetadataWithVersion]] —
+    * free when no successor exists, and keeps readers consistent while a
+    * racing writer's hint flip is in flight. */
   def readMetadataOpt(location: String): Option[TableMetadata] = {
     val hint = new File(s"$location/metadata/version-hint.text")
     if (!hint.exists()) None
-    else {
-      val v = new String(Files.readAllBytes(hint.toPath), StandardCharsets.UTF_8).trim
+    else Some(readMetadataWithVersion(location)._1)
+  }
+
+  /** Metadata + the version it was read at — the OCC token a committer
+    * hands back to [[writeMetadataJson]] so the CAS rejects any commit
+    * built on a stale snapshot log. The hint is best-effort (a slow
+    * writer's flip can briefly lag or regress), so this probes FORWARD to
+    * the newest version file actually present — HadoopTables' own reader
+    * fallback, and what keeps racing committers livelock-free: without the
+    * probe, a regressed hint would pin every retry at a version whose
+    * successor already exists. */
+  def readMetadataWithVersion(location: String): (TableMetadata, Long) = {
+    var v = readVersionHint(location)
+    while (Files.exists(Paths.get(s"$location/metadata/v${v + 1}.metadata.json"))) v += 1
+    (parseMetadataVersion(location, v), v)
+  }
+
+  private def parseMetadataVersion(location: String, v: Long): TableMetadata = {
+    {
       val txt = new String(
         Files.readAllBytes(Paths.get(s"$location/metadata/v$v.metadata.json")),
         StandardCharsets.UTF_8)
@@ -446,10 +602,10 @@ object IcebergTable {
         }.toMap
         case _ => Map.empty[String, RefInfo]
       }
-      Some(TableMetadata((j \ "format-version").extract[Int],
+      TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
-        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas))
+        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas)
     }
   }
 
@@ -483,7 +639,8 @@ object IcebergTable {
         df.get("record_count").asInstanceOf[Long],
         df.get("file_size_in_bytes").asInstanceOf[Long],
         lo.getOrElse("l_shipdate", ""), hi.getOrElse("l_shipdate", ""),
-        df.get("content").asInstanceOf[Int])
+        df.get("content").asInstanceOf[Int],
+        r.get("sequence_number").asInstanceOf[Long])
     }
 
   /** Plan a scan: manifest-list pruning by partition summary, file-level
@@ -500,14 +657,35 @@ object IcebergTable {
     val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id"))).getOrElse(currentSnapshot(meta))
     val manifests = readManifestList(snap.manifestList)
-    def overlaps(lo: String, hi: String): Boolean =
-      monthLo.forall(l => hi >= l) && monthHi.forall(h => lo <= h)
+    // Month-bound pruning must not compare weekly-spec partition values
+    // ('yyyy-MM-dd' week starts, partition evolution) lexicographically
+    // against 'yyyy-MM' bounds — a week file in the monthHi boundary month
+    // would be silently pruned ('1997-03-04' > '1997-03'). Spec-0 values
+    // compare exactly; spec≠0 entries prune on month-normalized values
+    // with one month of slack on the hi side (a week extends ≤ 6 days past
+    // its start, so at most into the next month) at manifest level, and on
+    // the spec-independent l_shipdate FILE bounds at file level (exact —
+    // the bounds are real dates, so their months need no slack).
+    def nextMonth(m: String): String = {
+      val y = m.take(4).toInt; val mo = m.slice(5, 7).toInt
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }
+    def monthOverlaps(lo: String, hi: String, specId: Int): Boolean =
+      if (specId == 0) monthLo.forall(l => hi >= l) && monthHi.forall(h => lo <= h)
+      else monthLo.forall(l => nextMonth(hi.take(7)) >= l) &&
+        monthHi.forall(h => lo.take(7) <= h)
     def dateOverlaps(lo: String, hi: String): Boolean =
       dateLo.forall(l => hi >= l) && dateHi.forall(h => lo <= h)
-    val live = manifests.filter(m => overlaps(m.partLo, m.partHi))
-    val files = live.flatMap(m => readManifest(m.path)).filter(_.content == 0)
-    val selected = files.filter(f =>
-      overlaps(f.partition, f.partition) && dateOverlaps(f.loShip, f.hiShip))
+    def fileMonthOverlaps(f: DataFileEntry, specId: Int): Boolean =
+      if (specId == 0) monthOverlaps(f.partition, f.partition, 0)
+      else monthLo.forall(l => f.hiShip.take(7) >= l) &&
+        monthHi.forall(h => f.loShip.take(7) <= h)
+    val live = manifests.filter(m => monthOverlaps(m.partLo, m.partHi, m.specId))
+    val files = live.flatMap(m => readManifest(m.path).map(f => (f, m.specId)))
+      .filter(_._1.content == 0)
+    val selected = files.collect {
+      case (f, specId) if fileMonthOverlaps(f, specId) && dateOverlaps(f.loShip, f.hiShip) => f
+    }
     ScanPlan(selected, manifests.size, live.size, manifests.map(_.addedFiles.toLong).sum,
       selected.size)
   }
@@ -521,7 +699,9 @@ object IcebergTable {
     * never partition-prunes it away from a scan it applies to. */
   def appendEqualityDeletes(spark: SparkSession, keys: DataFrame, location: String): Long = {
     val prev = readMetadata(location)
-    val snapshotId = prev.currentSnapshotId + 1L
+    // max(id)+1 like every other commit path — current+1 would collide with
+    // a staged snapshot's id (see rewriteCompact).
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
     val dataDir = s"$location/data/snap-$snapshotId"
     keys.select(col(keys.columns.head).cast("long").as("key"))
       .coalesce(1).write.mode("overwrite").parquet(dataDir)
@@ -555,10 +735,116 @@ object IcebergTable {
     commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
   }
 
-  /** MOR read: pruned data scan ANTI-JOINed against every equality-delete
-    * file the snapshot carries (delete sequence > data sequence — true by
-    * construction in this append-then-delete log). Returns the live rows
-    * plus the planning census. */
+  /** Commit a POSITION-delete snapshot (spec content = 1): the delete file's
+    * rows are (file_path, pos) pairs addressing row ordinals inside the
+    * immutable data files — the delete form the reference's whole DV corpus
+    * uses (`test_dv_resolution_strategies.py:139` benchmark_positional_join,
+    * `:234` coalesced positional resolution; `test_delete_storm.py:51`).
+    * Positions are REAL in-file row indexes (parquet `_metadata.row_index`),
+    * found by one distributed scan of the current snapshot's planned files
+    * under `predicate` — the victim list a MERGE/DELETE produces. The file
+    * is written sorted by (file_path, pos) as the spec requires; `shards`
+    * > 1 is the 100 TB path (delete rows are data-grain, so a single
+    * coalesced file would bottleneck one task — shard by file_path hash,
+    * each shard sorted within itself). */
+  def appendPositionDeletes(spark: SparkSession, location: String,
+                            predicate: org.apache.spark.sql.Column,
+                            shards: Int = 1): Long = {
+    val prev = readMetadata(location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val plan = planFiles(location)
+    val dataDir = s"$location/data/snap-$snapshotId"
+    val victims = spark.read.parquet(plan.files.map(_.path): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").cast("long").as("pos"))
+    (if (shards <= 1) victims.coalesce(1).sortWithinPartitions("file_path", "pos")
+     else victims.repartition(shards, col("file_path"))
+       .sortWithinPartitions("file_path", "pos"))
+      .write.mode("overwrite").parquet(dataDir)
+    // per-delete-file stats: one distributed aggregation at file grain
+    val stats = spark.read.parquet(dataDir)
+      .select(input_file_name().as("file_path"), col("pos"))
+      .groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .collect()
+      .map(r => (r.getAs[String]("file_path").stripPrefix("file:"),
+        r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    val mdir = metadataDir(location)
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val entries = stats.map { case (path, n, lo, hi) =>
+      val part = new GenericData.Record(partSchema)
+      part.put("p_month", "")
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 1) // position deletes
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", part)
+      dfr.put("record_count", n)
+      dfr.put("file_size_in_bytes", new File(path).length())
+      dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
+      dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", snapshotId)
+      e.put("data_file", dfr)
+      e: GenericRecord
+    }
+    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toSeq)
+    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+    val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
+      stats.length, stats.map(_._2).sum, "0000-00", "9999-99")
+    commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
+  }
+
+  /** MOR read applying POSITION deletes (content = 1): data rows carry
+    * their provenance ((`_metadata.file_path`, `row_index`) — the same
+    * coordinates the delete file recorded against the immutable files), and
+    * deletion is one anti-join on that pair, scoped like equality deletes
+    * to delete sequence > data-file sequence. The join is a plain shuffle
+    * join (delete rows are data-grain — AQE broadcasts when small), the
+    * distributed form of the reference's positional-join resolution
+    * strategy. */
+  def readMorPositional(spark: SparkSession, location: String,
+                        monthLo: Option[String] = None, monthHi: Option[String] = None)
+      : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
+    val meta = readMetadata(location)
+    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val posDeletes = manifests.flatMap(m => readManifest(m.path)).filter(_.content == 1)
+    val plan = planFiles(location, None, monthLo, monthHi)
+    require(plan.files.nonEmpty, "scan planned zero files")
+    val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      var df = spark.read.parquet(fs.map(_.path): _*)
+      val applicable = posDeletes.filter(_.sequence > seq)
+      if (applicable.nonEmpty) {
+        val dv = spark.read.parquet(applicable.map(_.path): _*)
+          .select(col("file_path").as("dv_file"), col("pos").as("dv_pos"))
+        df = df
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index").cast("long"))
+          .join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
+            "left_anti")
+          .drop("__file", "__pos")
+      }
+      df
+    }
+    (parts.reduce(_ unionByName _), plan, posDeletes)
+  }
+
+  /** MOR read: pruned data scan with the snapshot's delete files applied,
+    * scoped by sequence number per the spec — an equality delete (content=2)
+    * removes matching keys only from data files with strictly LOWER
+    * sequence, so a key re-appended AFTER a delete commit survives the
+    * read (the ADVICE-flagged case: the old unscoped anti-join would have
+    * dropped it forever via rewriteCompact). Data files are grouped by
+    * their manifest sequence (≤ #snapshots groups — metadata-grain), each
+    * group anti-joined against only the deletes newer than it. Position
+    * deletes (content=1) are applied by [[readMorPositional]]. Returns the
+    * live rows plus the planning census. */
   def readMor(spark: SparkSession, location: String,
               monthLo: Option[String] = None, monthHi: Option[String] = None)
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
@@ -567,12 +853,16 @@ object IcebergTable {
     val deletes = manifests.flatMap(m => readManifest(m.path)).filter(_.content == 2)
     val plan = planFiles(location, None, monthLo, monthHi)
     require(plan.files.nonEmpty, "scan planned zero files")
-    var df = spark.read.parquet(plan.files.map(_.path): _*)
-    if (deletes.nonEmpty) {
-      val keys = spark.read.parquet(deletes.map(_.path): _*)
-      df = df.join(broadcast(keys), df("l_orderkey") === keys("key"), "left_anti")
+    val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      var df = spark.read.parquet(fs.map(_.path): _*)
+      val applicable = deletes.filter(_.sequence > seq)
+      if (applicable.nonEmpty) {
+        val keys = spark.read.parquet(applicable.map(_.path): _*)
+        df = df.join(broadcast(keys), df("l_orderkey") === keys("key"), "left_anti")
+      }
+      df
     }
-    (df, plan, deletes)
+    (parts.reduce(_ unionByName _), plan, deletes)
   }
 
   /** Read the (pruned) snapshot as a DataFrame. Data files are listed
