@@ -109,7 +109,11 @@ object Bench {
     // the chunk-grain roaring window, the three-table n-gram LM joins, the
     // anchor-capped substring union, and the full-corpus survivor window:
     "dedup_ngram_jaccard", "lake_dv_roaring", "text_lm_backoff",
-    "dedup_onion", "lake_pos_runs")
+    "dedup_onion", "lake_pos_runs",
+    // round-11 addition: the clustered Iceberg write's per-month rank
+    // window is the one new shape with structural risk (per-group sort);
+    // the other new iceberg queries are metadata-grain or plain scans:
+    "iceberg_sort_skipping")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against

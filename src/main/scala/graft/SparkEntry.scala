@@ -70,6 +70,10 @@ object SparkEntry {
     "iceberg_wap" -> q((s, d) => iceberg.IcebergOps.wapSummary(s, Tables.lineitem(s, d))),
     "iceberg_pos_dv" -> q((s, d) => iceberg.IcebergOps.posDvRead(s, Tables.lineitem(s, d))),
     "iceberg_catalog" -> q((s, d) => iceberg.IcebergOps.catalogSummary(s, Tables.lineitem(s, d))),
+    "iceberg_incremental" -> q((s, d) => iceberg.IcebergOps.incrementalRead(s, Tables.lineitem(s, d))),
+    "iceberg_puffin" -> q((s, d) => iceberg.IcebergOps.puffinNdv(s, Tables.lineitem(s, d))),
+    "iceberg_sort_skipping" -> q((s, d) => iceberg.IcebergOps.sortSkipping(s, Tables.lineitem(s, d))),
+    "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -932,6 +936,111 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'li_pre', CAST(1 AS BIGINT), pre.f, pre.n, CAST(2 AS BIGINT) FROM pre
         |ORDER BY table_name""".stripMargin,
+
+    // Real Puffin statistics file: the KMV hash is plain integer SQL, so
+    // DuckDB recomputes each column's k-th minimum distinct hash and lands
+    // on the identical NDV estimate; blob lengths/offsets follow from the
+    // per-column distinct-hash counts (8 bytes per retained min, blobs
+    // packed after the 4-byte magic in column order).
+    "iceberg_puffin" -> {
+      val k = iceberg.IcebergOps.PuffinK
+      val mult = iceberg.Puffin.KmvHashMult
+      val mod = iceberg.Puffin.KmvHashMod
+      val cols = iceberg.IcebergOps.PuffinColumns
+      val hCtes = cols.zipWithIndex.map { case (c, i) =>
+        s"h$i AS (SELECT DISTINCT ($c * $mult) % $mod AS h FROM lineitem)"
+      }.mkString(",\n ")
+      val sCtes = cols.indices.map { i =>
+        s"""s$i AS (SELECT count(*) AS n,
+           |  (SELECT h FROM h$i ORDER BY h LIMIT 1 OFFSET ${k - 1}) AS hk FROM h$i)""".stripMargin
+      }.mkString(",\n ")
+      val eRows = cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT ${i + 1} AS ord, '$c' AS column_name, n, hk, " +
+          s"(SELECT count(DISTINCT $c) FROM lineitem) AS ndv_exact FROM s$i"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $hCtes,
+        | $sCtes,
+        | e AS ($eRows),
+        | x AS (SELECT ord, column_name,
+        |   CAST(LEAST(n, $k) AS BIGINT) AS n_mins,
+        |   CAST(8 * LEAST(n, $k) AS BIGINT) AS blob_length,
+        |   CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+        |        ELSE ${k - 1} * $mod.0 / hk END AS est,
+        |   CAST(ndv_exact AS BIGINT) AS ndv_exact
+        |  FROM e)
+        |SELECT column_name, CAST($k AS BIGINT) AS k, n_mins, blob_length,
+        | CAST(4 + sum(blob_length) OVER (ORDER BY ord) - blob_length AS BIGINT)
+        |   AS blob_offset,
+        | ndv_exact, round(abs(est - ndv_exact) / ndv_exact, 6) AS rel_err,
+        | round(est, 4) AS ndv_est, CAST(${cols.size} AS BIGINT) AS n_blobs
+        |FROM x ORDER BY column_name""".stripMargin
+    },
+
+    // Sort-order skipping: both layouts are deterministic functions of
+    // lineitem — clustered files are ship-date rank blocks of
+    // ceil(cnt/FPM) rows per month, hashed files are orderkey%FPM groups —
+    // so DuckDB re-derives every file's bounds and replays the
+    // bounds-overlap planning rule.
+    "iceberg_sort_skipping" -> {
+      val fpm = iceberg.IcebergOps.ClusterFilesPerMonth
+      val lo = iceberg.IcebergOps.SkipDateLo
+      val hi = iceberg.IcebergOps.SkipDateHi
+      s"""WITH t AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |    strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | c AS (SELECT m, count(*) AS cnt FROM t GROUP BY m),
+        | rk AS (SELECT t.m, t.l_shipdate,
+        |    CAST(floor((row_number() OVER (PARTITION BY t.m
+        |      ORDER BY t.l_shipdate, t.l_orderkey, t.l_linenumber) - 1)
+        |      / ceil(c.cnt / $fpm.0)) AS INT) AS fid
+        |   FROM t JOIN c ON t.m = c.m),
+        | fs AS (SELECT m, fid, count(*) AS cnt,
+        |    strftime(min(l_shipdate), '%Y-%m-%d') AS lo,
+        |    strftime(max(l_shipdate), '%Y-%m-%d') AS hi
+        |   FROM rk GROUP BY m, fid),
+        | fh AS (SELECT m, l_orderkey % $fpm AS fid, count(*) AS cnt,
+        |    strftime(min(l_shipdate), '%Y-%m-%d') AS lo,
+        |    strftime(max(l_shipdate), '%Y-%m-%d') AS hi
+        |   FROM t GROUP BY m, fid),
+        | mt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matching FROM t
+        |   WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '$lo' AND '$hi')
+        |SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(count(*) FILTER (WHERE hi >= '$lo' AND lo <= '$hi') AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(coalesce(sum(cnt) FILTER (WHERE hi >= '$lo' AND lo <= '$hi'), 0) AS BIGINT)
+        |    AS rows_planned,
+        |  mt.rows_matching
+        |FROM fs, mt GROUP BY mt.rows_matching
+        |UNION ALL
+        |SELECT 'hashed', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE hi >= '$lo' AND lo <= '$hi') AS BIGINT),
+        |  CAST(coalesce(sum(cnt) FILTER (WHERE hi >= '$lo' AND lo <= '$hi'), 0) AS BIGINT),
+        |  mt.rows_matching
+        |FROM fh, mt GROUP BY mt.rows_matching
+        |ORDER BY layout""".stripMargin
+    },
+
+    // Incremental append scan: snapshot 2 is by construction the post-cut
+    // half, and each post-cut month is one added file; snapshot 1's
+    // manifest is skipped by lineage (manifests_read 1 of 2).
+    "iceberg_incremental" ->
+      s"""WITH inc AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, l_quantity
+        |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'),
+        | c AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS files_added FROM inc)
+        |SELECT m AS ship_month, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty, c.files_added,
+        | CAST(2 AS BIGINT) AS manifests_total, CAST(1 AS BIGINT) AS manifests_read
+        |FROM inc, c GROUP BY 1, c.files_added ORDER BY 1""".stripMargin,
+
+    // `partitions` metadata table: the cut is a month boundary, so each
+    // month lives entirely in one snapshot = one file; bounds are the
+    // month's min/max ship dates.
+    "iceberg_meta_tables" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS p_month,
+        | CAST(1 AS BIGINT) AS n_files, CAST(count(*) AS BIGINT) AS n_rows,
+        | strftime(min(l_shipdate), '%Y-%m-%d') AS lo_shipdate,
+        | strftime(max(l_shipdate), '%Y-%m-%d') AS hi_shipdate,
+        | CAST(2 AS BIGINT) AS n_manifests, CAST(2 AS BIGINT) AS n_snapshots
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "iceberg_compact" ->
       s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,

@@ -373,6 +373,159 @@ object IcebergOps {
       .orderBy("table_name")
   }
 
+  /** Incremental append scan over the real format (Iceberg's
+    * incremental-read contract — the scan behind "what arrived since
+    * snapshot X" CDC consumers, executed against real manifests instead of
+    * the modeled `lake_cdc_changelog` file map): plan ONLY the files
+    * snapshots (1, 2] added via [[IcebergTable.planIncremental]], read
+    * them, and aggregate per month alongside the planning census. The
+    * oracle checks every number because snapshot 2 is by construction the
+    * post-[[SnapshotCut]] half of lineitem, and the manifest-level skip is
+    * visible as manifests_read < manifests_total (snapshot 1's manifest is
+    * skipped WITHOUT being opened — lineage-keyed, not partition-keyed). */
+  def incrementalRead(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val plan = IcebergTable.planIncremental(loc, fromId = 1L, toId = 2L)
+    spark.read.parquet(plan.files.map(_.path): _*)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("files_added", lit(plan.filesSelected.toLong))
+      .withColumn("manifests_total", lit(plan.manifestsTotal.toLong))
+      .withColumn("manifests_read", lit(plan.manifestsRead.toLong))
+      .orderBy("ship_month")
+  }
+
+  /** The `partitions` metadata table (the inspection surface Iceberg
+    * exposes as `SELECT * FROM tbl.partitions`, answered from the real
+    * metadata tree with ZERO data IO): per partition, its live file and
+    * row counts plus the l_shipdate bounds the manifests carry — exactly
+    * what a user consults to judge layout health before a query. Census
+    * columns prove the read grain: n_manifests/n_snapshots come from the
+    * manifest list and snapshot log, and every per-partition number is
+    * oracle-checkable because the layout is the deterministic
+    * one-file-per-month-per-snapshot function of lineitem. */
+  def partitionsMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val manifests = IcebergTable.readManifestList(
+      meta.snapshots.find(_.id == meta.currentSnapshotId).get.manifestList)
+    val plan = IcebergTable.planFiles(loc)
+    val rows = plan.files.groupBy(_.partition).toSeq.map { case (p, fs) =>
+      (p, fs.size.toLong, fs.map(_.recordCount).sum,
+        fs.map(_.loShip).min, fs.map(_.hiShip).max,
+        manifests.size.toLong, meta.snapshots.size.toLong)
+    }.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("p_month", "n_files", "n_rows", "lo_shipdate", "hi_shipdate",
+      "n_manifests", "n_snapshots")
+      .orderBy("p_month")
+  }
+
+  /** KMV sketch size for the Puffin NDV blobs (spliced into the oracle). */
+  val PuffinK = 64
+
+  /** Columns sketched into the Puffin file, in blob order (field ids are
+    * their 1-based positions here — spliced into the oracle's offset
+    * arithmetic via blob order). */
+  val PuffinColumns = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** NDV statistics via a REAL Puffin file (spec: iceberg.apache.org/
+    * puffin-spec — the format the reference's stats tooling assumes and
+    * the modeled `lake_puffin_ndv` prices): one `graft-kmv-v1` blob per
+    * column is computed from the table (a distinct→take-ordered top-k per
+    * column — distributed, k-bounded), written into a spec-layout Puffin
+    * file (magic/blobs/JSON footer), bound to the current snapshot through
+    * the metadata `statistics` field ([[IcebergTable.setStatistics]]), and
+    * then READ BACK footer-first from the file to estimate each column's
+    * NDV. Unlike the usual sketch queries this one IS oracle-checkable:
+    * the KMV hash is plain integer SQL, so DuckDB recomputes the k-th
+    * minimum and lands on the identical estimate — while the blob offsets
+    * and lengths prove the byte layout. */
+  def puffinNdv(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    graft.plans.Memo.memoize(lineitem, "iceberg.puffin") {
+      val meta = IcebergTable.readMetadata(loc)
+      val snapId = meta.currentSnapshotId
+      val data = IcebergTable.read(spark, loc)
+      val blobs = PuffinColumns.zipWithIndex.map { case (c, i) =>
+        val mins = data.select(pmod(col(c).cast("long") * lit(Puffin.KmvHashMult),
+            lit(Puffin.KmvHashMod)).as("h"))
+          .distinct().orderBy("h").limit(PuffinK)
+          .collect().map(_.getLong(0)).toSeq
+        ("graft-kmv-v1", Seq(i + 1), snapId, snapId, Puffin.kmvPayload(mins))
+      }
+      val f = new java.io.File(s"$loc/metadata", f"$snapId%05d-stats.puffin")
+      val (size, footerSize) = Puffin.write(f, blobs, Map("created-by" -> "graft"))
+      IcebergTable.setStatistics(loc,
+        IcebergTable.StatsFileInfo(snapId, f.getPath, size, footerSize))
+      new String(f.getPath)
+    }
+    val sf = IcebergTable.readMetadata(loc).statistics.head
+    val (fm, payloadOf) = Puffin.read(new java.io.File(sf.path))
+    val data = IcebergTable.read(spark, loc)
+    val exact = data.agg(
+      countDistinct(col(PuffinColumns(0))).as("e0"),
+      countDistinct(col(PuffinColumns(1))).as("e1"),
+      countDistinct(col(PuffinColumns(2))).as("e2")).head()
+    val rows = fm.blobs.zipWithIndex.map { case (b, i) =>
+      val mins = Puffin.kmvDecode(payloadOf(b))
+      (PuffinColumns(i), PuffinK.toLong, mins.size.toLong, b.length, b.offset,
+        Puffin.kmvEstimate(mins, PuffinK), exact.getLong(i))
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "k", "n_mins", "blob_length", "blob_offset", "est", "ndv_exact")
+      .withColumn("rel_err", round(abs(col("est") - col("ndv_exact")) / col("ndv_exact"), 6))
+      .withColumn("ndv_est", round(col("est"), 4))
+      .withColumn("n_blobs", lit(fm.blobs.size.toLong))
+      .drop("est")
+      .orderBy("column_name")
+  }
+
+  /** Files per month for the sort-order study (spliced into the oracle).
+    * 8 makes the skip visible: a two-week probe needs ~half a month's rank
+    * blocks but overlaps EVERY hash file of the month. */
+  val ClusterFilesPerMonth = 8
+
+  /** Date-range probe for the sort-order study (a two-week sub-month
+    * window — the range where clustering pays). */
+  val SkipDateLo = "1997-02-08"
+  val SkipDateHi = "1997-02-21"
+
+  /** Sort-order clustering vs hash layout on the real format (the
+    * clustering/z-order trade the modeled `lake_zorder` /
+    * `lake_sort_key_choice` price, executed against real manifests): two
+    * tables with IDENTICAL file counts — one clustered by ship-date rank
+    * blocks (file bounds tile each month), one split by orderkey hash
+    * (every file spans its whole month) — are planned for the same
+    * two-week date range using only the l_shipdate bounds the manifests
+    * carry. The census shows the clustered layout scanning a fraction of
+    * the hashed layout's files/rows for the same matching row count —
+    * file-level stats skipping, the reason sorted writes exist. */
+  def sortSkipping(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    def build(key: String, byRank: Boolean) =
+      graft.plans.Memo.memoize(lineitem, key) {
+        val loc = Files.createTempDirectory(s"graft_iceberg_${key.replace('.', '_')}_").toString
+        IcebergTable.append(spark, lineitem, loc,
+          clusterFiles = Some((ClusterFilesPerMonth, byRank)))
+        new String(loc)
+      }
+    val locS = build("iceberg.table.sorted", byRank = true)
+    val locH = build("iceberg.table.hashed", byRank = false)
+    val matching = lineitem
+      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(SkipDateLo, SkipDateHi))
+      .count()
+    val rows = Seq(("clustered", locS), ("hashed", locH)).map { case (layout, loc) =>
+      val full = IcebergTable.planFiles(loc)
+      val plan = IcebergTable.planFiles(loc, None, None, None,
+        Some(SkipDateLo), Some(SkipDateHi))
+      (layout, full.filesTotal, plan.filesSelected.toLong,
+        plan.files.map(_.recordCount).sum, matching)
+    }
+    import spark.implicits._
+    rows.toDF("layout", "files_total", "files_scanned", "rows_planned", "rows_matching")
+      .orderBy("layout")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

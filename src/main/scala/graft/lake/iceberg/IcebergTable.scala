@@ -80,10 +80,16 @@ object IcebergTable {
     * commit; tags and extra branches pin snapshots against expiry. */
   final case class RefInfo(snapshotId: Long, refType: String)
 
+  /** A `statistics` entry (spec §Table Statistics): one Puffin file of
+    * sketches bound to the snapshot it was computed at. */
+  final case class StatsFileInfo(snapshotId: Long, path: String,
+                                 fileSizeBytes: Long, footerSizeBytes: Long)
+
   final case class TableMetadata(formatVersion: Int, tableUuid: String, location: String,
                                  currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
                                  refs: Map[String, RefInfo] = Map.empty,
-                                 schemas: Seq[Seq[String]] = Seq.empty)
+                                 schemas: Seq[Seq[String]] = Seq.empty,
+                                 statistics: Seq[StatsFileInfo] = Seq.empty)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -144,11 +150,12 @@ object IcebergTable {
     * one-file-per-month function — see [[writeDataSnapshot]]). */
   def append(spark: SparkSession, lineitem: DataFrame, location: String,
              weekly: Boolean = false,
-             targetRecordsPerFile: Option[Long] = None): Long = {
+             targetRecordsPerFile: Option[Long] = None,
+             clusterFiles: Option[(Int, Boolean)] = None): Long = {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly,
-      targetRecordsPerFile)
+      targetRecordsPerFile, clusterFiles)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
     commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append",
@@ -173,7 +180,8 @@ object IcebergTable {
       writeManifestList(location, snapshotId, prevManifests :+ newInfo), "stage")
     writeMetadataJson(location, prev.tableUuid, prev.snapshots :+ snap,
       prev.currentSnapshotId, // main/current do NOT move
-      prev.refs + ("staging" -> RefInfo(snapshotId, "branch")), prev.schemas)
+      prev.refs + ("staging" -> RefInfo(snapshotId, "branch")), prev.schemas,
+      statistics = prev.statistics)
     snapshotId
   }
 
@@ -182,7 +190,8 @@ object IcebergTable {
     val meta = readMetadata(location)
     require(meta.snapshots.exists(_.id == stagedId), s"no snapshot $stagedId")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots, stagedId,
-      meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas)
+      meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas,
+      statistics = meta.statistics)
   }
 
   /** Compaction rewrite (the maintenance op the reference's compaction
@@ -223,7 +232,8 @@ object IcebergTable {
   private def writeDataSnapshot(spark: SparkSession, lineitem: DataFrame,
                                 location: String, snapshotId: Long,
                                 weekly: Boolean = false,
-                                targetRecordsPerFile: Option[Long] = None): ManifestInfo = {
+                                targetRecordsPerFile: Option[Long] = None,
+                                clusterFiles: Option[(Int, Boolean)] = None): ManifestInfo = {
     val sequence = snapshotId
     // Partition evolution (spec §Partition Evolution): spec 0 = identity
     // month, spec 1 = identity ISO week-start date. The partition VALUE
@@ -236,32 +246,62 @@ object IcebergTable {
     val specId = if (weekly) 1 else 0
     val dataDir = s"$location/data/snap-$snapshotId"
     val withPart = lineitem.withColumn("p_month", partExpr)
-    val arranged = targetRecordsPerFile match {
-      case None =>
-        // one file per partition: hash-repartition on the partition key
-        // means a month's rows land in exactly one task, so partitionBy
-        // emits one file (the deterministic oracle-fixture layout)
-        withPart.repartition(col("p_month"))
-      case Some(target) =>
-        val counts = withPart.groupBy(col("p_month"))
-          .agg(count(lit(1)).as("__cnt"))
-        // total bucket count (metadata-grain collect) sizes the shuffle
-        // EXPLICITLY: without a user-pinned partition count AQE coalesces
-        // the small fixture shuffle back into one task and the split never
-        // happens — and at scale the bucket count IS the right task count.
-        val nBuckets = counts
-          .agg(sum(greatest(lit(1L),
-            ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
-          .head().getLong(0)
-        withPart.join(broadcast(counts), Seq("p_month"))
-          .withColumn("__fb", pmod(col("l_orderkey").cast("long"),
-            greatest(lit(1L), ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
-          .drop("__cnt")
-          .repartition(math.min(math.max(nBuckets, 1L), 20000L).toInt,
-            col("p_month"), col("__fb"))
-          .drop("__fb")
+    // `clusterFiles = Some((filesPerMonth, byRank))` is the sort-order
+    // study's layout: every month splits into exactly filesPerMonth files,
+    // keyed either by ship-date RANK blocks (byRank — a clustered layout
+    // whose file bounds tile the month, so date-range scans skip files) or
+    // by orderkey hash (the unclustered control — every file spans the
+    // whole month). The p_fid directory column makes the file split a
+    // deterministic function of the data (one file per (month, fid) dir —
+    // each group lands in one task via the repartition, and distinct
+    // groups colliding in a task still write to distinct dirs), which is
+    // what lets the DuckDB oracle re-derive per-file bounds. The rank
+    // window per month is the oracle-deterministic FIXTURE path; the
+    // cluster-scale equivalent is repartitionByRange(p_month, l_shipdate)
+    // + maxRecordsPerFile — same skipping behavior, sampled (so
+    // nondeterministic) boundaries.
+    val (arranged, partCols) = clusterFiles match {
+      case Some((fpm, byRank)) =>
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy(col("p_month"))
+        val fid =
+          if (byRank) {
+            val rn = row_number().over(wAll.orderBy(
+              col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+            val blk = ceil(count(lit(1)).over(wAll).cast("double") / fpm.toDouble)
+            floor((rn - lit(1)).cast("double") / blk).cast("int")
+          } else pmod(col("l_orderkey").cast("long"), lit(fpm.toLong)).cast("int")
+        (withPart.withColumn("p_fid", fid)
+          .repartition(col("p_month"), col("p_fid"))
+          .sortWithinPartitions("p_month", "p_fid", "l_shipdate"),
+          Seq("p_month", "p_fid"))
+      case None => targetRecordsPerFile match {
+        case None =>
+          // one file per partition: hash-repartition on the partition key
+          // means a month's rows land in exactly one task, so partitionBy
+          // emits one file (the deterministic oracle-fixture layout)
+          (withPart.repartition(col("p_month")), Seq("p_month"))
+        case Some(target) =>
+          val counts = withPart.groupBy(col("p_month"))
+            .agg(count(lit(1)).as("__cnt"))
+          // total bucket count (metadata-grain collect) sizes the shuffle
+          // EXPLICITLY: without a user-pinned partition count AQE coalesces
+          // the small fixture shuffle back into one task and the split never
+          // happens — and at scale the bucket count IS the right task count.
+          val nBuckets = counts
+            .agg(sum(greatest(lit(1L),
+              ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
+            .head().getLong(0)
+          (withPart.join(broadcast(counts), Seq("p_month"))
+            .withColumn("__fb", pmod(col("l_orderkey").cast("long"),
+              greatest(lit(1L), ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
+            .drop("__cnt")
+            .repartition(math.min(math.max(nBuckets, 1L), 20000L).toInt,
+              col("p_month"), col("__fb"))
+            .drop("__fb"), Seq("p_month"))
+      }
     }
-    arranged.write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    arranged.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
     // per-file stats: ONE distributed aggregation at data-file grain
     val stats = spark.read.parquet(dataDir)
       // cast: weekly partition values look like dates and Spark's partition
@@ -330,7 +370,8 @@ object IcebergTable {
     // refs ride along untouched
     val refs = prev.map(_.refs).getOrElse(Map.empty) +
       ("main" -> RefInfo(snapshotId, "branch"))
-    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas)
+    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
+      statistics = prev.map(_.statistics).getOrElse(Seq.empty))
     snapshotId
   }
 
@@ -370,7 +411,21 @@ object IcebergTable {
     require(meta.snapshots.exists(_.id == snapshotId), s"no snapshot $snapshotId")
     require(refType == "tag" || refType == "branch", "ref type must be tag or branch")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots,
-      meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)), meta.schemas)
+      meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)), meta.schemas,
+      statistics = meta.statistics)
+  }
+
+  /** Bind a Puffin statistics file to a snapshot (spec §Table Statistics)
+    * — a metadata-only commit, like the real library's
+    * `updateStatistics()`: the new entry replaces any prior entry for the
+    * same snapshot, everything else in the table is untouched. */
+  def setStatistics(location: String, stats: StatsFileInfo): Unit = {
+    val meta = readMetadata(location)
+    require(meta.snapshots.exists(_.id == stats.snapshotId),
+      s"no snapshot ${stats.snapshotId}")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots, meta.currentSnapshotId,
+      meta.refs, meta.schemas,
+      statistics = meta.statistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats)
   }
 
   /** Resolve a ref name to its snapshot id. */
@@ -398,7 +453,7 @@ object IcebergTable {
     try {
       writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
         meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
-        atVersion = Some(version + 1))
+        atVersion = Some(version + 1), statistics = meta.statistics)
       Some(snapshotId)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -436,7 +491,8 @@ object IcebergTable {
                                 snapshots: Seq[SnapshotInfo], currentId: Long,
                                 refs: Map[String, RefInfo] = Map.empty,
                                 schemas: Seq[Seq[String]] = Seq.empty,
-                                atVersion: Option[Long] = None): Unit = {
+                                atVersion: Option[Long] = None,
+                                statistics: Seq[StatsFileInfo] = Seq.empty): Unit = {
     val mdir = metadataDir(location)
     val version = atVersion.getOrElse(readVersionHint(location) + 1)
     val schemasJson =
@@ -473,6 +529,10 @@ object IcebergTable {
         s"""{"spec-id":$sid,"fields":[
            | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
     }.mkString("[", ",", "]")
+    val statsJson = statistics.map(s =>
+      s"""{"snapshot-id":${s.snapshotId},"statistics-path":"${s.path}",""" +
+        s""""file-size-in-bytes":${s.fileSizeBytes},""" +
+        s""""file-footer-size-in-bytes":${s.footerSizeBytes}}""").mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$location",
          |"last-sequence-number":${snapshots.map(_.sequenceNumber).max},
@@ -481,8 +541,11 @@ object IcebergTable {
          |"current-schema-id":${math.max(0, schemas.size - 1)},
          |"partition-specs":$specJson,
          |"default-spec-id":${usedSpecs.max},
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"default-sort-order-id":0,
          |"current-snapshot-id":$currentId,
          |"refs":$refsJson,
+         |"statistics":$statsJson,
          |"snapshots":$snapsJson}""".stripMargin
     // Atomic publish: write the FULL content to a temp file, then hard-LINK
     // it to the version path. Link creation is the CAS (fails with
@@ -547,8 +610,13 @@ object IcebergTable {
     orphanEntries.foreach(e => new File(e.path).delete())
     dropManifestPaths.foreach(p => new File(p).delete())
     drop.foreach(s => new File(s.manifestList).delete())
+    // statistics ride with their snapshot: a Puffin file bound to an
+    // expired snapshot is unreachable metadata — GC it with the rest
+    val keptIds = keep.map(_.id).toSet
+    val (keepStats, dropStats) = meta.statistics.partition(s => keptIds(s.snapshotId))
+    dropStats.foreach(s => new File(s.path).delete())
     writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId, meta.refs,
-      meta.schemas)
+      meta.schemas, statistics = keepStats)
     ExpiryReport(drop.size, drop.size, dropManifestPaths.size,
       orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
@@ -602,10 +670,16 @@ object IcebergTable {
         }.toMap
         case _ => Map.empty[String, RefInfo]
       }
+      val stats = (j \ "statistics").children.map { s =>
+        StatsFileInfo((s \ "snapshot-id").extract[Long],
+          (s \ "statistics-path").extract[String],
+          (s \ "file-size-in-bytes").extract[Long],
+          (s \ "file-footer-size-in-bytes").extract[Long])
+      }
       TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
-        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas)
+        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas, stats)
     }
   }
 
@@ -688,6 +762,33 @@ object IcebergTable {
     }
     ScanPlan(selected, manifests.size, live.size, manifests.map(_.addedFiles.toLong).sum,
       selected.size)
+  }
+
+  /** Plan an INCREMENTAL append scan: the data files added by snapshots in
+    * (`fromId`, `toId`] — Iceberg's incremental-read contract (the scan
+    * behind CDC-style "what arrived since snapshot X" consumers, which the
+    * modeled `lake.Snapshots.cdcChangelog` / `incrementalAgg` queries price;
+    * here it executes against the real metadata tree). Planning is
+    * metadata-only: `toId`'s manifest list already carries every live
+    * manifest with its `added_snapshot_id`, so manifests added at or before
+    * `fromId` are skipped WITHOUT being opened (the same two-level skip as
+    * [[planFiles]], keyed by snapshot lineage instead of partition bounds),
+    * and the opened ones contribute only their ADDED (status=1) data
+    * entries in the id range. Append-only manifests make this exact: a
+    * file's manifest membership never changes until a replace/compaction,
+    * whose "replace" snapshot an incremental consumer must treat as a
+    * boundary (its manifest carries the full rewritten file set). */
+  def planIncremental(location: String, fromId: Long, toId: Long): ScanPlan = {
+    val meta = readMetadata(location)
+    val snap = meta.snapshots.find(_.id == toId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toId"))
+    require(meta.snapshots.exists(_.id == fromId) || fromId == 0L, s"no snapshot $fromId")
+    val manifests = readManifestList(snap.manifestList)
+    val live = manifests.filter(m => m.addedSnapshotId > fromId && m.addedSnapshotId <= toId)
+    val files = live.flatMap(m => readManifest(m.path))
+      .filter(f => f.content == 0 && f.sequence > fromId && f.sequence <= toId)
+    ScanPlan(files, manifests.size, live.size,
+      manifests.map(_.addedFiles.toLong).sum, files.size)
   }
 
   /** Commit an equality-delete snapshot (spec content = 2): `keys` is a

@@ -412,4 +412,117 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergCatalog.listTables(wh, "analytics") == Seq("a"))
     assert(!IcebergCatalog.dropTable(wh, "analytics", "b"), "double drop reports false")
   }
+
+  test("Puffin roundtrip: spec byte layout (magics, footer, offsets) survives write→read") {
+    import graft.lake.iceberg.Puffin
+    val f = Files.createTempFile("graft_puffin_", ".puffin").toFile
+    val b1 = Puffin.kmvPayload(Seq(3L, 7L, 11L))
+    val b2 = Array.fill[Byte](5)(42)
+    val (size, footerSize) = Puffin.write(f,
+      Seq(("graft-kmv-v1", Seq(1), 2L, 2L, b1), ("other-blob", Seq(2, 3), 2L, 2L, b2)),
+      Map("created-by" -> "graft"))
+    assert(f.length() == size)
+    val (fm, payloadOf) = Puffin.read(f)
+    assert(fm.blobs.size == 2 && fm.properties == Map("created-by" -> "graft"))
+    val m1 = fm.blobs.head
+    assert(m1.blobType == "graft-kmv-v1" && m1.fields == Seq(1))
+    assert(m1.offset == 4 && m1.length == b1.length, "first blob follows the head magic")
+    assert(fm.blobs(1).offset == 4 + b1.length)
+    assert(payloadOf(m1).toSeq == b1.toSeq && payloadOf(fm.blobs(1)).toSeq == b2.toSeq)
+    assert(Puffin.kmvDecode(payloadOf(m1)) == Seq(3L, 7L, 11L))
+    // the raw bytes really carry the spec structure: PFA1 at both ends,
+    // and the little-endian footer-payload size 12 bytes from the tail
+    val bytes = Files.readAllBytes(f.toPath)
+    assert(bytes.take(4).toSeq == Puffin.Magic.toSeq)
+    assert(bytes.takeRight(4).toSeq == Puffin.Magic.toSeq)
+    val ps = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(ps == footerSize)
+  }
+
+  test("KMV estimate: exact below k, within 15% on a saturated sketch of 10k keys") {
+    import graft.lake.iceberg.Puffin
+    assert(Puffin.kmvEstimate(Seq(5L, 9L), 64) == 2.0)
+    val hashes = (1L to 10000L).map(v => (v * Puffin.KmvHashMult) % Puffin.KmvHashMod)
+      .distinct.sorted.take(64)
+    val est = Puffin.kmvEstimate(hashes, 64)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"estimate $est too far from 10000")
+  }
+
+  test("statistics entry: bound to its snapshot via metadata, GC'd with it on expiry") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_stats_").toString
+    T.append(spark, lineitem.limit(100), l)
+    T.append(spark, lineitem.limit(200), l)
+    val p1 = new File(s"$l/metadata/s1.puffin")
+    val p2 = new File(s"$l/metadata/s2.puffin")
+    graft.lake.iceberg.Puffin.write(p1, Seq(("graft-kmv-v1", Seq(1), 1L, 1L, Array[Byte](1))))
+    graft.lake.iceberg.Puffin.write(p2, Seq(("graft-kmv-v1", Seq(1), 2L, 2L, Array[Byte](2))))
+    T.setStatistics(l, T.StatsFileInfo(1L, p1.getPath, p1.length(), 0L))
+    T.setStatistics(l, T.StatsFileInfo(2L, p2.getPath, p2.length(), 0L))
+    assert(T.readMetadata(l).statistics.map(_.snapshotId).sorted == Seq(1L, 2L))
+    // statistics survive unrelated commits (an append re-reads and carries them)
+    T.append(spark, lineitem.limit(50), l)
+    assert(T.readMetadata(l).statistics.size == 2)
+    // expiry drops snapshot 1 and 2's stats files... keepLast=1 keeps snap 3
+    T.expireSnapshots(l, keepLast = 1)
+    assert(T.readMetadata(l).statistics.isEmpty)
+    assert(!p1.exists() && !p2.exists(), "orphaned Puffin files are GC'd")
+  }
+
+  test("clustered write: rank-block files tile each month and date scans skip; hashed files don't") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val data = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM")
+      .between("1997-01", "1997-03"))
+    val ls = Files.createTempDirectory("graft_iceberg_cl_").toString
+    val lh = Files.createTempDirectory("graft_iceberg_ha_").toString
+    T.append(spark, data, ls, clusterFiles = Some((4, true)))
+    T.append(spark, data, lh, clusterFiles = Some((4, false)))
+    val fullS = T.planFiles(ls)
+    val fullH = T.planFiles(lh)
+    // identical file counts: 3 months × 4 files
+    assert(fullS.filesTotal == fullH.filesTotal)
+    assert(fullS.filesTotal == 12)
+    // both layouts hold exactly the source rows
+    assert(fullS.files.map(_.recordCount).sum == data.count())
+    assert(fullH.files.map(_.recordCount).sum == data.count())
+    // clustered file bounds within a month are (near-)disjoint rank blocks;
+    // hashed bounds all span the month — a mid-month probe separates them
+    val planS = T.planFiles(ls, None, None, None, Some("1997-02-08"), Some("1997-02-21"))
+    val planH = T.planFiles(lh, None, None, None, Some("1997-02-08"), Some("1997-02-21"))
+    assert(planH.filesSelected == 4, "every hashed Feb file overlaps the probe")
+    assert(planS.filesSelected < planH.filesSelected,
+      s"clustering must skip files: ${planS.filesSelected} vs ${planH.filesSelected}")
+    // planning is sound: planned rows cover all matching rows
+    val matching = data.filter(date_format(col("l_shipdate"), "yyyy-MM-dd")
+      .between("1997-02-08", "1997-02-21")).count()
+    assert(planS.files.map(_.recordCount).sum >= matching)
+  }
+
+  test("incremental scan (1,2]: exactly snapshot 2's files, snapshot 1's manifest skipped by lineage") {
+    val inc = IcebergTable.planIncremental(loc, 1L, 2L)
+    // lineage-keyed two-level skip: the pre-cut manifest is never opened
+    assert(inc.manifestsTotal == 2 && inc.manifestsRead == 1)
+    // planned rows = exactly the post-cut half
+    val expect = lineitem.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")).count()
+    assert(inc.files.map(_.recordCount).sum == expect)
+    assert(inc.files.forall(_.partition >= "1997-01"))
+    // (0,1] is the complement, and (0,2] is the full table
+    val first = IcebergTable.planIncremental(loc, 0L, 1L)
+    assert(first.files.map(_.recordCount).sum == lineitem.count() - expect)
+    val full = IcebergTable.planIncremental(loc, 0L, 2L)
+    assert(full.files.map(_.recordCount).sum == lineitem.count())
+    // incremental union reproduces the current snapshot's full plan
+    assert((first.files ++ inc.files).map(_.path).toSet ==
+      IcebergTable.planFiles(loc).files.map(_.path).toSet)
+  }
+
+  test("partitions metadata table: per-month census from metadata alone matches the data") {
+    val pm = graft.lake.iceberg.IcebergOps.partitionsMeta(spark, lineitem)
+    val got = pm.select(sum(col("n_rows")), sum(col("n_files")), count(lit(1))).head()
+    val months = lineitem.select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    assert(got.getLong(0) == lineitem.count())
+    assert(got.getLong(1) == months, "one file per month (cut is a month boundary)")
+    assert(got.getLong(2) == months)
+  }
 }
