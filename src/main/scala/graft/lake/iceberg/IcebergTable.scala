@@ -302,8 +302,15 @@ object IcebergTable {
       }
     }
     arranged.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
-    // per-file stats: ONE distributed aggregation at data-file grain
-    val stats = spark.read.parquet(dataDir)
+    val stats = collectFileStats(spark, dataDir)
+    writeManifestAvro(location, snapshotId, sequence, stats, specId)
+  }
+
+  /** Per-file stats over a just-written data directory: ONE distributed
+    * aggregation at data-file grain (metadata-grain output — the same
+    * collect every real Iceberg committer does). */
+  private def collectFileStats(spark: SparkSession, dataDir: String): Seq[DataFileEntry] =
+    spark.read.parquet(dataDir)
       // cast: weekly partition values look like dates and Spark's partition
       // inference types the directory value as DATE — the manifest stores
       // the spec's string form either way
@@ -316,10 +323,16 @@ object IcebergTable {
         val p = r.getAs[String]("file_path").stripPrefix("file:")
         DataFileEntry(p, r.getAs[String]("p_month"), r.getAs[Long]("record_count"),
           new File(p).length(), r.getAs[String]("lo"), r.getAs[String]("hi"))
-      }.sortBy(_.partition)
-    // manifest: one Avro file with this snapshot's entries
+      }.sortBy(_.partition).toSeq
+
+  /** Write one snapshot's manifest Avro from collected file stats;
+    * `suffix` uniquifies the name for OCC retries (two writers may race
+    * the same next snapshot id — their manifests must not clobber). */
+  private def writeManifestAvro(location: String, snapshotId: Long, sequence: Long,
+                                stats: Seq[DataFileEntry], specId: Int,
+                                suffix: String = ""): ManifestInfo = {
     val mdir = metadataDir(location)
-    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0$suffix.avro")
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     val entries = stats.map { f =>
@@ -341,10 +354,52 @@ object IcebergTable {
       e.put("data_file", df)
       e: GenericRecord
     }
-    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toSeq)
+    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries)
     ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
       stats.length, stats.map(_.recordCount).sum,
       stats.map(_.partition).min, stats.map(_.partition).max, specId)
+  }
+
+  /** OPTIMISTIC data append — the full commit protocol the real library
+    * runs for every write (`tryCommitTouch` races metadata-only commits;
+    * this races DATA commits): the expensive work happens ONCE outside the
+    * retry loop (data files written to a writer-unique directory, per-file
+    * stats collected — data files are immutable and carry no snapshot id,
+    * exactly why the spec separates them from metadata), then each attempt
+    * rebuilds only driver-side metadata against the freshly-read table
+    * state — new snapshot id, manifest Avro, manifest list — and tries the
+    * version CAS. A conflict costs two small metadata files (deleted) and
+    * a re-read, never a data rewrite. Returns (snapshotId, conflicts). */
+  def appendOcc(spark: SparkSession, lineitem: DataFrame, location: String,
+                maxRetries: Int = 50): (Long, Int) = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$location/data/app-$token"
+    lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .repartition(col("p_month"))
+      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    val stats = collectFileStats(spark, dataDir)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val (meta, version) = readMetadataWithVersion(location)
+      val snapshotId = meta.snapshots.map(_.id).max + 1L
+      val newInfo = writeManifestAvro(location, snapshotId, snapshotId, stats, 0, s"-$token")
+      val headManifests = readManifestList(currentSnapshot(meta).manifestList)
+      val listPath = writeManifestList(location, snapshotId, headManifests :+ newInfo,
+        unique = true)
+      val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath, "append")
+      try {
+        writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
+          meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
+          atVersion = Some(version + 1), statistics = meta.statistics)
+        return (snapshotId, attempt)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new File(listPath).delete()
+          new File(newInfo.path).delete()
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"appendOcc: gave up after $maxRetries conflicts")
   }
 
   /** Write the manifest list, the vN metadata JSON and flip the version

@@ -470,6 +470,37 @@ class IcebergSpec extends SparkSpec {
     assert(!p1.exists() && !p2.exists(), "orphaned Puffin files are GC'd")
   }
 
+  test("concurrent appendOcc: six racing DATA commits all land — no lost updates, contiguous ids") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    import scala.jdk.CollectionConverters._
+    val l = Files.createTempDirectory("graft_iceberg_occ_append_").toString
+    val base = lineitem.filter(col("l_orderkey") % 13 === 0L)
+    T.append(spark, base, l)
+    val slices = (1 to 6).map(i => lineitem.filter(col("l_orderkey") % 13 === i.toLong))
+    val counts = slices.map(_.count())
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.map { s =>
+      new Thread(() => {
+        try results.add(T.appendOcc(spark, s, l))
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"racing append died: ${failures.asScala.headOption}")
+    val meta = T.readMetadata(l)
+    // all six commits landed as distinct, contiguous snapshots
+    assert(meta.snapshots.map(_.id).sorted == (1L to 7L))
+    assert(results.asScala.map(_._1).toSet.size == 6)
+    // no lost update: the table holds every slice's rows exactly once
+    assert(T.read(spark, l).count() == base.count() + counts.sum)
+    // the head manifest list reaches all seven manifests
+    val head = T.readManifestList(meta.snapshots.maxBy(_.id).manifestList)
+    assert(head.size == 7)
+    assert(head.map(_.addedRows).sum == base.count() + counts.sum)
+  }
+
   test("clustered write: rank-block files tile each month and date scans skip; hashed files don't") {
     import graft.lake.iceberg.{IcebergTable => T}
     val data = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM")
