@@ -846,6 +846,29 @@ object IcebergTable {
       manifests.map(_.addedFiles.toLong).sum, files.size)
   }
 
+  /** One micro-batch of a snapshot TAILER — the consumption pattern behind
+    * Iceberg's Structured Streaming source (which likewise advances an
+    * offset of snapshot ids and plans each batch with an incremental
+    * scan): given the last snapshot the consumer has processed, return the
+    * new watermark plus the rows appended after it (None when caught up).
+    * Exactly-once falls out of the format: append-only manifests make
+    * [[planIncremental]]'s (from, head] file set disjoint across
+    * successive calls, so draining batches partitions the table. The
+    * driver loop (scheduling, checkpointing the watermark) belongs to the
+    * caller — a `foreachBatch` writer would persist `newWatermark`
+    * transactionally with its output. */
+  def tailDelta(spark: SparkSession, location: String,
+                fromSnapshot: Long): (Long, Option[DataFrame]) = {
+    val meta = readMetadata(location)
+    val head = meta.currentSnapshotId
+    if (head == fromSnapshot) (fromSnapshot, None)
+    else {
+      val plan = planIncremental(location, fromSnapshot, head)
+      (head, if (plan.files.isEmpty) None
+             else Some(spark.read.parquet(plan.files.map(_.path): _*)))
+    }
+  }
+
   /** Commit an equality-delete snapshot (spec content = 2): `keys` is a
     * one-column DataFrame of l_orderkey values whose rows are deleted from
     * every data file with a lower sequence number — the cheap-write /

@@ -470,6 +470,31 @@ class IcebergSpec extends SparkSpec {
     assert(!p1.exists() && !p2.exists(), "orphaned Puffin files are GC'd")
   }
 
+  test("snapshot tailer: successive deltas partition the table exactly-once, then report caught-up") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_tail_").toString
+    val s1 = lineitem.filter(col("l_orderkey") % 3 === 0L)
+    val s2 = lineitem.filter(col("l_orderkey") % 3 === 1L)
+    val s3 = lineitem.filter(col("l_orderkey") % 3 === 2L)
+    T.append(spark, s1, l)
+    // first batch: everything up to the current head
+    val (w1, b1) = T.tailDelta(spark, l, 0L)
+    assert(w1 == 1L && b1.get.count() == s1.count())
+    // two appends land before the consumer polls again — one batch drains both
+    T.append(spark, s2, l)
+    T.append(spark, s3, l)
+    val (w2, b2) = T.tailDelta(spark, l, w1)
+    assert(w2 == 3L && b2.get.count() == s2.count() + s3.count())
+    // exactly-once: the drained batches partition the table
+    assert(b1.get.count() + b2.get.count() == T.read(spark, l).count())
+    // and no overlap: each batch carries only its slices' residue classes
+    assert(b1.get.filter(col("l_orderkey") % 3 =!= 0L).count() == 0)
+    assert(b2.get.filter(col("l_orderkey") % 3 === 0L).count() == 0)
+    // caught up: no new snapshot, no batch
+    val (w3, b3) = T.tailDelta(spark, l, w2)
+    assert(w3 == w2 && b3.isEmpty)
+  }
+
   test("concurrent appendOcc: six racing DATA commits all land — no lost updates, contiguous ids") {
     import graft.lake.iceberg.{IcebergTable => T}
     import scala.jdk.CollectionConverters._
