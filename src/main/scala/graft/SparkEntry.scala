@@ -73,6 +73,7 @@ object SparkEntry {
     "iceberg_incremental" -> q((s, d) => iceberg.IcebergOps.incrementalRead(s, Tables.lineitem(s, d))),
     "iceberg_puffin" -> q((s, d) => iceberg.IcebergOps.puffinNdv(s, Tables.lineitem(s, d))),
     "iceberg_sort_skipping" -> q((s, d) => iceberg.IcebergOps.sortSkipping(s, Tables.lineitem(s, d))),
+    "iceberg_mixed_deletes" -> q((s, d) => iceberg.IcebergOps.mixedDeletesRead(s, Tables.lineitem(s, d))),
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -1018,6 +1019,28 @@ object SparkEntry {
         |FROM fh, mt GROUP BY mt.rows_matching
         |ORDER BY layout""".stripMargin
     },
+
+    // General MOR: equality (keys ≡ 3 mod 10) AND positional (keys ≡ 7
+    // mod 10) deletes on one table; survivors are the complement of both.
+    "iceberg_mixed_deletes" ->
+      s"""WITH sc AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+        |     AS data_files_scanned
+        |   FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'),
+        | dk AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS deleted_keys
+        |   FROM lineitem WHERE l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} = 3),
+        | dp AS (SELECT CAST(count(*) AS BIGINT) AS deleted_positions
+        |   FROM lineitem WHERE l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} = ${iceberg.IcebergOps.PosDeleteResidue})
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | sc.data_files_scanned, CAST(1 AS BIGINT) AS eq_delete_files,
+        | CAST(1 AS BIGINT) AS pos_delete_files, dk.deleted_keys, dp.deleted_positions,
+        | CAST(4 AS BIGINT) AS n_snapshots
+        |FROM lineitem, sc, dk, dp
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
+        |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> 3
+        |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> ${iceberg.IcebergOps.PosDeleteResidue}
+        |GROUP BY 1, sc.data_files_scanned, dk.deleted_keys, dp.deleted_positions
+        |ORDER BY 1""".stripMargin,
 
     // Incremental append scan: snapshot 2 is by construction the post-cut
     // half, and each post-cut month is one added file; snapshot 1's

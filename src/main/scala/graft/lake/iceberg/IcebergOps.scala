@@ -337,6 +337,46 @@ object IcebergOps {
       .orderBy("l_returnflag")
   }
 
+  private def mixedTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.mixed") {
+      val loc = Files.createTempDirectory("graft_iceberg_mixed_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.appendEqualityDeletes(spark,
+        lineitem.filter(col("l_orderkey") % DeleteKeyMod === 3L)
+          .select(col("l_orderkey")).distinct(), loc)
+      IcebergTable.appendPositionDeletes(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)) === PosDeleteResidue)
+      new String(loc)
+    }
+
+  /** The GENERAL merge-on-read case: one snapshot carrying BOTH delete
+    * contents — an equality-delete file (content=2, keys ≡ 3 mod 10) and a
+    * positional-delete file (content=1, real (file_path, row_index) pairs
+    * for keys ≡ 7 mod 10) — resolved in a single scan by
+    * [[IcebergTable.readMorUnified]], each delete type sequence-scoped per
+    * the spec. Survivors are the complement of both predicates, so the
+    * oracle checks every number. */
+  def mixedDeletesRead(spark: SparkSession, lineitem: DataFrame,
+                       monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
+    val loc = mixedTableFor(spark, lineitem)
+    val (live, plan, eqs, poss) =
+      IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
+    live
+      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
+      .withColumn("eq_delete_files", lit(eqs.size.toLong))
+      .withColumn("pos_delete_files", lit(poss.size.toLong))
+      .withColumn("deleted_keys", lit(eqs.map(_.recordCount).sum))
+      .withColumn("deleted_positions", lit(poss.map(_.recordCount).sum))
+      .withColumn("n_snapshots", lit(IcebergTable.readMetadata(loc).snapshots.size.toLong))
+      .orderBy("l_returnflag")
+  }
+
   /** Catalog census over a local HadoopCatalog-style warehouse
     * ([[IcebergCatalog]]): two tables committed under one namespace (the
     * pre/post-cut halves), a scratch table created and dropped, and the

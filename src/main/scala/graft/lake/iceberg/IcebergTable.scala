@@ -1014,6 +1014,47 @@ object IcebergTable {
     (parts.reduce(_ unionByName _), plan, posDeletes)
   }
 
+  /** MOR read applying BOTH delete contents in one scan — the general
+    * case (spec: a snapshot's delete set may mix content=1 positional and
+    * content=2 equality files; every real v2 reader resolves both): data
+    * files group by manifest sequence (metadata-grain), each group
+    * anti-joined first against newer positional deletes on the
+    * (file_path, row ordinal) pair, then against newer equality deletes on
+    * the key — each scoped to sequence > the data file's, per the spec.
+    * Returns live rows + planning census + both delete-file sets. */
+  def readMorUnified(spark: SparkSession, location: String,
+                     monthLo: Option[String] = None, monthHi: Option[String] = None)
+      : (DataFrame, ScanPlan, Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    val meta = readMetadata(location)
+    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val all = manifests.flatMap(m => readManifest(m.path))
+    val eqDeletes = all.filter(_.content == 2)
+    val posDeletes = all.filter(_.content == 1)
+    val plan = planFiles(location, None, monthLo, monthHi)
+    require(plan.files.nonEmpty, "scan planned zero files")
+    val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      var df = spark.read.parquet(fs.map(_.path): _*)
+      val posApp = posDeletes.filter(_.sequence > seq)
+      if (posApp.nonEmpty) {
+        val dv = spark.read.parquet(posApp.map(_.path): _*)
+          .select(col("file_path").as("dv_file"), col("pos").as("dv_pos"))
+        df = df
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index").cast("long"))
+          .join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
+            "left_anti")
+          .drop("__file", "__pos")
+      }
+      val eqApp = eqDeletes.filter(_.sequence > seq)
+      if (eqApp.nonEmpty) {
+        val keys = spark.read.parquet(eqApp.map(_.path): _*)
+        df = df.join(broadcast(keys), df("l_orderkey") === keys("key"), "left_anti")
+      }
+      df
+    }
+    (parts.reduce(_ unionByName _), plan, eqDeletes, posDeletes)
+  }
+
   /** MOR read: pruned data scan with the snapshot's delete files applied,
     * scoped by sequence number per the spec — an equality delete (content=2)
     * removes matching keys only from data files with strictly LOWER
