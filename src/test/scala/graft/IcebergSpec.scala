@@ -440,6 +440,36 @@ class IcebergSpec extends SparkSpec {
     assert(ps == footerSize)
   }
 
+  test("Puffin property: random blob sets roundtrip byte-exactly (seeded trials)") {
+    import graft.lake.iceberg.Puffin
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val nBlobs = 1 + rnd.nextInt(5)
+      val blobs = (0 until nBlobs).map { i =>
+        val payload = Array.fill[Byte](rnd.nextInt(2000))(rnd.nextInt().toByte)
+        (s"type-$i", Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(100)),
+          rnd.nextLong().abs, rnd.nextLong().abs, payload)
+      }
+      val props = (0 until rnd.nextInt(3)).map(i => s"k$i" -> s"v${rnd.nextInt(99)}").toMap
+      val f = Files.createTempFile(s"graft_puffin_prop_$trial", ".puffin").toFile
+      val (size, _) = Puffin.write(f, blobs, props)
+      assert(f.length() == size, s"trial $trial: reported size")
+      val (fm, payloadOf) = Puffin.read(f)
+      assert(fm.properties == props, s"trial $trial: properties")
+      assert(fm.blobs.size == nBlobs, s"trial $trial: blob count")
+      fm.blobs.zip(blobs).foreach { case (m, (t, fields, snap, seq, payload)) =>
+        assert(m.blobType == t && m.fields == fields &&
+          m.snapshotId == snap && m.sequenceNumber == seq, s"trial $trial: metadata")
+        assert(payloadOf(m).toSeq == payload.toSeq, s"trial $trial: payload bytes")
+      }
+      // offsets tile the blob section contiguously from the head magic
+      val expectOffsets = blobs.map(_._5.length.toLong)
+        .scanLeft(4L)(_ + _).init
+      assert(fm.blobs.map(_.offset) == expectOffsets, s"trial $trial: offsets")
+      f.delete()
+    }
+  }
+
   test("KMV estimate: exact below k, within 15% on a saturated sketch of 10k keys") {
     import graft.lake.iceberg.Puffin
     assert(Puffin.kmvEstimate(Seq(5L, 9L), 64) == 2.0)
