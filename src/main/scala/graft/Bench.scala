@@ -587,7 +587,18 @@ object Bench {
               f""""new_ids_distinct":${r.newIdsDistinct},"ids_contiguous":${r.idsContiguous},""" +
               f""""snapshots_after":${r.snapshotsAfter}}"""
           }
-          (model ++ real).mkString(""","occ_bench":{""", ",", "}")
+          // DATA commits raced (appendOcc): parquet written once per
+          // writer outside the retry loop, metadata CAS'd with retries —
+          // the no-lost-update proof at data grain (rows_actual must equal
+          // rows_expected).
+          val dataReal = Seq(2, 4).map { w =>
+            val r = graft.lake.iceberg.IcebergOcc.dataRace(spark, w)
+            f""""iceberg_data_w${r.writers}":{"commits":${r.commits},""" +
+              f""""conflicts":${r.conflicts},"sec":${r.sec}%.3f,""" +
+              f""""rows_expected":${r.rowsExpected},"rows_actual":${r.rowsActual},""" +
+              f""""ids_contiguous":${r.idsContiguous}}"""
+          }
+          (model ++ real ++ dataReal).mkString(""","occ_bench":{""", ",", "}")
         } catch {
           case e: Throwable => s""","occ_bench":{"error":"${errStr(e)}"}"""
         }

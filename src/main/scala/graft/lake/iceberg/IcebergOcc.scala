@@ -60,6 +60,43 @@ object IcebergOcc {
       newIds.distinct.size, contiguous)
   }
 
+  final case class DataRaceResult(writers: Int, commits: Int, conflicts: Int, sec: Double,
+                                  rowsExpected: Long, rowsActual: Long,
+                                  idsContiguous: Boolean)
+
+  /** Race `writers` threads each committing ONE real DATA append of a
+    * disjoint slice ([[IcebergTable.appendOcc]] — parquet written once
+    * outside the retry loop, metadata rebuilt per attempt against the
+    * CAS). The no-lost-update proof is at DATA grain: the final table
+    * must hold every slice's rows exactly once. */
+  def dataRace(spark: org.apache.spark.sql.SparkSession, writers: Int): DataRaceResult = {
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_iceberg_docc_").toString
+    def slice(i: Int) = spark.range(100)
+      .select((col("id") * writers + i).as("l_orderkey"),
+        lit("1997-01-15").cast("timestamp").as("l_shipdate"),
+        lit(1.0).as("l_quantity"))
+    IcebergTable.append(spark, slice(0), loc)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val t0 = System.nanoTime()
+    val threads = (1 to writers).map { i =>
+      new Thread(() => {
+        val (id, retries) = IcebergTable.appendOcc(spark, slice(i), loc)
+        committed.add(id)
+        conflicts.addAndGet(retries)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    val meta = IcebergTable.readMetadata(loc)
+    val ids = meta.snapshots.map(_.id).sorted
+    val contiguous = ids == (ids.head to ids.last)
+    DataRaceResult(writers, committed.size(), conflicts.get(), sec,
+      100L * (writers + 1), IcebergTable.read(spark, loc).count(), contiguous)
+  }
+
   /** Bench ladder over a fresh throwaway table: 2/4/8 writers × 5 commits.
     * The fixture table is one tiny single-month append — commit cost is
     * metadata-grain by construction, so the ladder measures the PROTOCOL
