@@ -136,6 +136,21 @@ object Report {
       section("Iceberg compaction", "Merge-on-read materialized into a replace snapshot: " +
         "data/delete file census before vs after, live rows from manifest stats.",
         htmlTable(q("iceberg_compact"))),
+      section("Iceberg incremental scan", "What arrived since snapshot 1 — the tailer's " +
+        "per-batch view, planned from lineage-scoped manifests alone.",
+        htmlTable(q("iceberg_incremental"), maxRows = 20)),
+      section("Iceberg partitions metadata table", "Per-partition file/row census + manifest " +
+        "bounds, read with zero data IO (the tbl.partitions inspection surface).",
+        htmlTable(q("iceberg_meta_tables"), maxRows = 20)),
+      section("Puffin NDV statistics", "Real Puffin file (spec byte layout) carrying KMV NDV " +
+        "sketches per column, bound to its snapshot via the metadata statistics field.",
+        htmlTable(q("iceberg_puffin"))),
+      section("Sort-order skipping", "Clustered (rank-block) vs hashed layout at identical " +
+        "file counts: files/rows planned for the same two-week probe.",
+        htmlTable(q("iceberg_sort_skipping"))),
+      section("Mixed delete resolution", "Equality + positional delete files applied in one " +
+        "sequence-scoped MOR scan — the general v2 reader case.",
+        htmlTable(q("iceberg_mixed_deletes"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
