@@ -75,6 +75,7 @@ object SparkEntry {
     "iceberg_sort_skipping" -> q((s, d) => iceberg.IcebergOps.sortSkipping(s, Tables.lineitem(s, d))),
     "iceberg_mixed_deletes" -> q((s, d) => iceberg.IcebergOps.mixedDeletesRead(s, Tables.lineitem(s, d))),
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
+    "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -1041,6 +1042,67 @@ object SparkEntry {
         |  AND l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} <> ${iceberg.IcebergOps.PosDeleteResidue}
         |GROUP BY 1, sc.data_files_scanned, dk.deleted_keys, dp.deleted_positions
         |ORDER BY 1""".stripMargin,
+
+    // Iceberg v3 deletion vectors: the DV fixture's sorted writes pin every
+    // row's in-file POSITION to its (l_orderkey, l_linenumber) rank within
+    // the (era, month) file, so DuckDB re-derives the victim position sets
+    // and replays the RoaringFormatSpec arithmetic — container typing by
+    // the runOptimize rule, standard-format framing, the deletion-vector-v1
+    // blob envelope (+24 bytes: length word, magic, one-key portable64
+    // wrapper, CRC) and the cumulative blob offsets inside the Puffin file.
+    "iceberg_dv_puffin" ->
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS p_month,
+        |   CASE WHEN l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |        THEN 1 ELSE 2 END AS era
+        |   FROM lineitem),
+        | pos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_month
+        |     ORDER BY l_orderkey, l_linenumber) - 1 AS pos FROM base),
+        | vict AS (SELECT p_month, pos FROM pos
+        |   WHERE l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod} = ${iceberg.IcebergOps.DvDeleteResidue}),
+        | runs AS (SELECT p_month, pos // 65536 AS hi, pos,
+        |   pos - ROW_NUMBER() OVER (PARTITION BY p_month, pos // 65536 ORDER BY pos) AS grp
+        |   FROM vict),
+        | cont AS (SELECT p_month, hi, count(*) AS card, count(DISTINCT grp) AS n_runs
+        |   FROM runs GROUP BY 1, 2),
+        | typed AS (SELECT p_month, card,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 'run'
+        |        WHEN card <= 4096 THEN 'array' ELSE 'bitmap' END AS ctype,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 2 + 4*n_runs
+        |        WHEN card <= 4096 THEN 2*card ELSE 8192 END AS cbytes
+        |   FROM cont),
+        | perdv AS (SELECT p_month, CAST(sum(card) AS BIGINT) AS dv_cardinality,
+        |   CAST(count(*) AS BIGINT) AS n_containers,
+        |   CAST(sum(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+        |   CAST(sum(CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT) AS n_bitmap,
+        |   CAST(sum(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS BIGINT) AS n_run,
+        |   sum(cbytes) AS cont_bytes,
+        |   max(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS has_run
+        |   FROM typed GROUP BY 1),
+        | sized AS (SELECT *, CAST(24 + CASE WHEN has_run = 1
+        |     THEN 4 + (n_containers + 7) // 8 + 4*n_containers +
+        |          CASE WHEN n_containers >= 4 THEN 4*n_containers ELSE 0 END
+        |     ELSE 8 + 8*n_containers END + cont_bytes AS BIGINT) AS dv_blob_bytes
+        |   FROM perdv),
+        | offs AS (SELECT *, CAST(4 + COALESCE(sum(dv_blob_bytes) OVER (ORDER BY p_month
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS content_offset
+        |   FROM sized),
+        | files AS (SELECT p_month, CAST(max(era) AS BIGINT) AS era,
+        |   CAST(count(*) AS BIGINT) AS file_rows,
+        |   CAST(sum(CASE WHEN l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod}
+        |     <> ${iceberg.IcebergOps.DvDeleteResidue} THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
+        |   round(sum(CASE WHEN l_orderkey % ${iceberg.IcebergOps.DeleteKeyMod}
+        |     <> ${iceberg.IcebergOps.DvDeleteResidue} THEN l_quantity END), 4) AS sum_qty_live
+        |   FROM base GROUP BY 1)
+        |SELECT f.p_month, f.era, f.file_rows,
+        | COALESCE(o.dv_cardinality, 0) AS dv_cardinality, f.live_rows, f.sum_qty_live,
+        | COALESCE(o.n_containers, 0) AS n_containers, COALESCE(o.n_array, 0) AS n_array,
+        | COALESCE(o.n_bitmap, 0) AS n_bitmap, COALESCE(o.n_run, 0) AS n_run,
+        | COALESCE(o.dv_blob_bytes, 0) AS dv_blob_bytes,
+        | COALESCE(o.content_offset, -1) AS content_offset,
+        | TRUE AS footer_consistent, CAST(3 AS BIGINT) AS n_snapshots
+        |FROM files f LEFT JOIN offs o ON o.p_month = f.p_month
+        |ORDER BY f.p_month""".stripMargin,
 
     // Incremental append scan: snapshot 2 is by construction the post-cut
     // half, and each post-cut month is one added file; snapshot 1's

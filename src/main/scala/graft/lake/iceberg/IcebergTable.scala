@@ -66,7 +66,9 @@ object IcebergTable {
     * file applies only to data files with strictly LOWER sequence). */
   final case class DataFileEntry(path: String, partition: String, recordCount: Long,
                                  fileSizeBytes: Long, loShip: String, hiShip: String,
-                                 content: Int = 0, sequence: Long = 0L)
+                                 content: Int = 0, sequence: Long = 0L,
+                                 referencedDataFile: Option[String] = None,
+                                 contentOffset: Long = -1L, contentSize: Long = -1L)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -109,7 +111,10 @@ object IcebergTable {
       | {"name":"record_count","type":"long"},
       | {"name":"file_size_in_bytes","type":"long"},
       | {"name":"lower_bounds","type":{"type":"map","values":"string"}},
-      | {"name":"upper_bounds","type":{"type":"map","values":"string"}}]}}
+      | {"name":"upper_bounds","type":{"type":"map","values":"string"}},
+      | {"name":"referenced_data_file","type":["null","string"],"default":null},
+      | {"name":"content_offset","type":["null","long"],"default":null},
+      | {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}
       |]}""".stripMargin)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
@@ -151,11 +156,12 @@ object IcebergTable {
   def append(spark: SparkSession, lineitem: DataFrame, location: String,
              weekly: Boolean = false,
              targetRecordsPerFile: Option[Long] = None,
-             clusterFiles: Option[(Int, Boolean)] = None): Long = {
+             clusterFiles: Option[(Int, Boolean)] = None,
+             sorted: Boolean = false): Long = {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId, weekly,
-      targetRecordsPerFile, clusterFiles)
+      targetRecordsPerFile, clusterFiles, sorted)
     val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
       .getOrElse(Seq.empty)
     commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo, "append",
@@ -233,7 +239,8 @@ object IcebergTable {
                                 location: String, snapshotId: Long,
                                 weekly: Boolean = false,
                                 targetRecordsPerFile: Option[Long] = None,
-                                clusterFiles: Option[(Int, Boolean)] = None): ManifestInfo = {
+                                clusterFiles: Option[(Int, Boolean)] = None,
+                                sorted: Boolean = false): ManifestInfo = {
     val sequence = snapshotId
     // Partition evolution (spec §Partition Evolution): spec 0 = identity
     // month, spec 1 = identity ISO week-start date. The partition VALUE
@@ -279,8 +286,15 @@ object IcebergTable {
         case None =>
           // one file per partition: hash-repartition on the partition key
           // means a month's rows land in exactly one task, so partitionBy
-          // emits one file (the deterministic oracle-fixture layout)
-          (withPart.repartition(col("p_month")), Seq("p_month"))
+          // emits one file (the deterministic oracle-fixture layout).
+          // `sorted` additionally fixes the IN-FILE row order to the
+          // (l_orderkey, l_linenumber) unique key — a sort-order write that
+          // makes row POSITIONS a deterministic function of the data, which
+          // is what lets the deletion-vector oracle recompute per-position
+          // roaring bytes (and is the layout a real sorted table has).
+          val one = withPart.repartition(col("p_month"))
+          (if (sorted) one.sortWithinPartitions("p_month", "l_orderkey", "l_linenumber")
+           else one, Seq("p_month"))
         case Some(target) =>
           val counts = withPart.groupBy(col("p_month"))
             .agg(count(lit(1)).as("__cnt"))
@@ -763,13 +777,20 @@ object IcebergTable {
         .map { case (k, v) => k.toString -> v.toString }
       val hi = df.get("upper_bounds").asInstanceOf[java.util.Map[Any, Any]].asScala
         .map { case (k, v) => k.toString -> v.toString }
+      // v3 DV fields — optional-with-default, so manifests written before
+      // the fields existed read back as None/-1 (standard Avro evolution)
+      def opt(name: String): Option[AnyRef] =
+        Option(df.getSchema.getField(name)).flatMap(f => Option(df.get(f.pos())))
       DataFileEntry(df.get("file_path").toString,
         df.get("partition").asInstanceOf[GenericRecord].get("p_month").toString,
         df.get("record_count").asInstanceOf[Long],
         df.get("file_size_in_bytes").asInstanceOf[Long],
         lo.getOrElse("l_shipdate", ""), hi.getOrElse("l_shipdate", ""),
         df.get("content").asInstanceOf[Int],
-        r.get("sequence_number").asInstanceOf[Long])
+        r.get("sequence_number").asInstanceOf[Long],
+        opt("referenced_data_file").map(_.toString),
+        opt("content_offset").map(_.asInstanceOf[Long]).getOrElse(-1L),
+        opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L))
     }
 
   /** Plan a scan: manifest-list pruning by partition summary, file-level
@@ -1012,6 +1033,131 @@ object IcebergTable {
       df
     }
     (parts.reduce(_ unionByName _), plan, posDeletes)
+  }
+
+  /** Commit an Iceberg v3 DELETION-VECTOR snapshot: the same positional
+    * delete set [[appendPositionDeletes]] writes as v2 (file_path, pos)
+    * parquet rows, stored instead as ONE Roaring bitmap per data file
+    * packed into a single Puffin file (blob type `deletion-vector-v1`,
+    * spec framing + CRC — [[RoaringDv]]), which is v3's on-disk form of
+    * the reference's whole DV corpus (`test_dv_resolution_strategies.py`,
+    * `test_delete_storm.py`). Each manifest entry is content=1 with
+    * file_format=PUFFIN and the v3 fields: `referenced_data_file` names
+    * the data file the vector covers and `content_offset`/
+    * `content_size_in_bytes` locate its blob inside the shared Puffin
+    * file; `record_count` is the vector's cardinality.
+    *
+    * Scale shape: victims are found by one DISTRIBUTED predicate scan;
+    * per-file position lists aggregate in the executors (bounded by rows
+    * per data file — the boundedness every real DV writer relies on) and
+    * only the roaring-COMPRESSED blobs (KB-grain) plus one row per file
+    * reach the driver, which writes Puffin at metadata grain exactly like
+    * the manifest writer. */
+  def appendDvPuffin(spark: SparkSession, location: String,
+                     predicate: org.apache.spark.sql.Column): Long = {
+    val prev = readMetadata(location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val plan = planFiles(location)
+    // file coordinate via input_file_name() — the same normalization the
+    // manifest writer (collectFileStats) records, so referenced_data_file
+    // matches the manifest's data-file paths exactly
+    val victims = spark.read.parquet(plan.files.map(_.path): _*)
+      .filter(predicate)
+      .select(input_file_name().as("file_path"),
+        col("_metadata.row_index").cast("long").as("pos"))
+      .groupBy(col("file_path"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .collect()
+      .map(r => (r.getAs[String]("file_path").stripPrefix("file:"),
+        r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(victims.nonEmpty, "deletion-vector commit with zero victims")
+    val mdir = metadataDir(location)
+    val puffinFile = new File(mdir, f"dv-snap-$snapshotId%05d.puffin")
+    val blobs = victims.map { case (path, ps) =>
+      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
+        RoaringDv.serializeDvBlob(ps),
+        Map("referenced-data-file" -> path, "cardinality" -> ps.length.toString))
+    }
+    val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
+      Map("created-by" -> "graft"))
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val entries = victims.zip(metas).map { case ((path, ps), m) =>
+      val part = new GenericData.Record(partSchema)
+      part.put("p_month", "")
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 1) // position deletes (a DV is positional)
+      dfr.put("file_path", puffinFile.getPath)
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("partition", part)
+      dfr.put("record_count", ps.length.toLong) // = blob cardinality
+      dfr.put("file_size_in_bytes", puffinSize)
+      dfr.put("lower_bounds", Map("pos" -> ps.head.toString).asJava)
+      dfr.put("upper_bounds", Map("pos" -> ps.last.toString).asJava)
+      dfr.put("referenced_data_file", path)
+      dfr.put("content_offset", m.offset)
+      dfr.put("content_size_in_bytes", m.length)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", snapshotId)
+      e.put("data_file", dfr)
+      e: GenericRecord
+    }
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
+    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toIndexedSeq)
+    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+    val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
+      victims.length, victims.map(_._2.length.toLong).sum, "0000-00", "9999-99")
+    commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
+  }
+
+  /** MOR read resolving v3 DELETION VECTORS: delete manifests point at
+    * Puffin blobs; the driver reads each blob's compressed bytes (KB-grain
+    * metadata IO, footer-verified CRC), ships them to executors, and the
+    * positions EXPLODE distributedly (a typed flatMap decode — the one
+    * data-grain step stays in the cluster). Resolution is then the same
+    * sequence-scoped positional anti-join as [[readMorPositional]] — the
+    * v2 and v3 delete representations converge to one plan shape. */
+  def readMorDv(spark: SparkSession, location: String,
+                monthLo: Option[String] = None, monthHi: Option[String] = None)
+      : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
+    val meta = readMetadata(location)
+    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val dvEntries = manifests.flatMap(m => readManifest(m.path))
+      .filter(e => e.content == 1 && e.referencedDataFile.isDefined)
+    val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+    def blobBytes(e: DataFileEntry): Array[Byte] = {
+      val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
+      slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+        e.contentOffset, e.contentSize))
+    }
+    val plan = planFiles(location, None, monthLo, monthHi)
+    require(plan.files.nonEmpty, "scan planned zero files")
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      var df = spark.read.parquet(fs.map(_.path): _*)
+      val applicable = dvEntries.filter(_.sequence > seq)
+      if (applicable.nonEmpty) {
+        val rows = applicable.map(e => (e.referencedDataFile.get, blobBytes(e)))
+        val dv = spark.createDataset(rows)(tupleEnc)
+          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
+          .toDF("dv_file", "dv_pos")
+        // referenced-data-file carries the manifest-normalized path (no
+        // "file:" scheme, input_file_name() form) — use the same source
+        df = df
+          .withColumn("__file", regexp_replace(input_file_name(), "^file:", ""))
+          .withColumn("__pos", col("_metadata.row_index").cast("long"))
+          .join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
+            "left_anti")
+          .drop("__file", "__pos")
+      }
+      df
+    }
+    (parts.reduce(_ unionByName _), plan, dvEntries)
   }
 
   /** MOR read applying BOTH delete contents in one scan — the general

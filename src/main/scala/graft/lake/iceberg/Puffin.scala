@@ -41,35 +41,59 @@ object Puffin {
 
   val Magic: Array[Byte] = Array(0x50, 0x46, 0x41, 0x31).map(_.toByte)
 
-  /** Spec BlobMetadata (the JSON footer entry describing one blob). */
+  /** Spec BlobMetadata (the JSON footer entry describing one blob).
+    * `properties` is the spec's optional per-blob map — the
+    * `deletion-vector-v1` type REQUIRES `referenced-data-file` and
+    * `cardinality` entries there; statistics blobs leave it empty (and the
+    * footer JSON then omits it, keeping pre-existing files byte-identical). */
   final case class BlobMetadata(blobType: String, fields: Seq[Int], snapshotId: Long,
-                                sequenceNumber: Long, offset: Long, length: Long)
+                                sequenceNumber: Long, offset: Long, length: Long,
+                                properties: Map[String, String] = Map.empty)
 
   final case class FileMetadata(blobs: Seq[BlobMetadata], properties: Map[String, String])
+
+  /** One blob to write: payload + the footer metadata describing it. */
+  final case class BlobSpec(blobType: String, fields: Seq[Int], snapshotId: Long,
+                            sequenceNumber: Long, payload: Array[Byte],
+                            properties: Map[String, String] = Map.empty)
 
   /** Write a Puffin file; `blobs` are (type, field-ids, snapshot-id,
     * sequence-number, payload). Returns (fileSize, footerPayloadSize) —
     * the two numbers the table metadata's `statistics` entry records. */
   def write(file: File, blobs: Seq[(String, Seq[Int], Long, Long, Array[Byte])],
             properties: Map[String, String] = Map.empty): (Long, Long) = {
+    val (size, footer, _) = writeBlobs(file,
+      blobs.map { case (t, f, s, q, p) => BlobSpec(t, f, s, q, p) }, properties)
+    (size, footer)
+  }
+
+  /** Write a Puffin file from [[BlobSpec]]s, returning the per-blob footer
+    * metadata too — a delete-file manifest entry needs each DV blob's
+    * (offset, length) as its v3 `content_offset`/`content_size_in_bytes`. */
+  def writeBlobs(file: File, blobs: Seq[BlobSpec],
+                 properties: Map[String, String] = Map.empty)
+      : (Long, Long, Seq[BlobMetadata]) = {
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
     try {
       out.write(Magic)
       var offset = Magic.length.toLong
-      val metas = blobs.map { case (t, fields, snapId, seq, payload) =>
-        out.write(payload)
-        val m = BlobMetadata(t, fields, snapId, seq, offset, payload.length.toLong)
-        offset += payload.length
+      val metas = blobs.map { b =>
+        out.write(b.payload)
+        val m = BlobMetadata(b.blobType, b.fields, b.snapshotId, b.sequenceNumber,
+          offset, b.payload.length.toLong, b.properties)
+        offset += b.payload.length
         m
       }
+      def propsJsonOf(props: Map[String, String]): String = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
       val blobsJson = metas.map { m =>
         s"""{"type":"${m.blobType}","fields":${m.fields.mkString("[", ",", "]")},""" +
           s""""snapshot-id":${m.snapshotId},"sequence-number":${m.sequenceNumber},""" +
-          s""""offset":${m.offset},"length":${m.length}}"""
+          s""""offset":${m.offset},"length":${m.length}""" +
+          (if (m.properties.nonEmpty) s""","properties":${propsJsonOf(m.properties)}""" else "") +
+          "}"
       }.mkString("[", ",", "]")
-      val propsJson = properties.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-      val payload = s"""{"blobs":$blobsJson,"properties":$propsJson}"""
+      val payload = s"""{"blobs":$blobsJson,"properties":${propsJsonOf(properties)}}"""
         .getBytes(StandardCharsets.UTF_8)
       out.write(Magic)
       out.write(payload)
@@ -78,7 +102,7 @@ object Puffin {
       out.write(tail)
       out.write(Array[Byte](0, 0, 0, 0)) // flags: footer payload uncompressed
       out.write(Magic)
-      (offset + 4 + payload.length + 4 + 4 + 4, payload.length.toLong)
+      (offset + 4 + payload.length + 4 + 4 + 4, payload.length.toLong, metas)
     } finally out.close()
   }
 
@@ -109,7 +133,11 @@ object Puffin {
         (b \ "snapshot-id").extract[Long],
         (b \ "sequence-number").extract[Long],
         (b \ "offset").extract[Long],
-        (b \ "length").extract[Long])
+        (b \ "length").extract[Long],
+        (b \ "properties") match {
+          case JObject(fields) => fields.map { case (k, v) => k -> v.extract[String] }.toMap
+          case _ => Map.empty[String, String]
+        })
     }
     val props = (j \ "properties") match {
       case JObject(fields) => fields.map { case (k, v) => k -> v.extract[String] }.toMap
