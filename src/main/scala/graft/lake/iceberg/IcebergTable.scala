@@ -756,7 +756,7 @@ object IcebergTable {
     readMetadataOpt(location).getOrElse(
       throw new IllegalStateException(s"no Iceberg table at $location"))
 
-  private def currentSnapshot(m: TableMetadata): SnapshotInfo =
+  def currentSnapshot(m: TableMetadata): SnapshotInfo =
     m.snapshots.find(_.id == m.currentSnapshotId).get
 
   def readManifestList(path: String): Seq[ManifestInfo] =

@@ -601,40 +601,49 @@ object TextAnalysis {
     * broadcast-profile/overlap-vote shape as `languageId`; returns the
     * true × predicted confusion matrix. */
   def charTrigramLangId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
-    val tokCounts = documents
+    // Trigram OCCURRENCES via two nested NARROW explodes — no shuffle, no
+    // materialization. Three corpus-grain stages that each grew a per-task
+    // state with data volume are gone (the r11 driver harness flagged this
+    // query three rounds running, cpu exponent 1.67 at the 16× rung):
+    //  - the (doc,token)-grain groupBy whose map-side hash table is
+    //    corpus-sized per task at a fixed partition count (the linear
+    //    control's map stays vocabulary-bounded — that asymmetry IS the
+    //    flagged ratio);
+    //  - the stableCheckpoint of that table (a corpus-sized write+read
+    //    whose only job was sharing the first agg between two consumers —
+    //    recomputing the narrow explode twice is linear and cheaper);
+    //  - the per-doc row_number vote window (sort-based; replaced by a
+    //    min-of-struct hash aggregate below).
+    // A trigram repeated within or across a doc's tokens contributes each
+    // occurrence in both formulations, so every downstream count is
+    // bit-identical to the old (doc,token)-deduped + weighted path.
+    val occ = documents
       .select(col("doc_id"), col("lang"), explode(toks).as("token"))
-      .groupBy(col("doc_id"), col("lang"), col("token")).agg(count(lit(1)).as("c"))
-      .stableCheckpoint()
-    // Trigrams explode INLINE per (doc, token) row — tokCounts is already
-    // unique per (doc, token), so each token's substrings are computed once
-    // per doc either way, and the alternative (a broadcast join against the
-    // distinct-vocabulary trigram table) broadcasts a table that grows WITH
-    // THE CORPUS — the r10 scale harness measured that shape at cpu
-    // exponent 1.23 (flagged); inline explode is strictly linear and
-    // re-measures at 0.94. Output is bit-identical (a trigram repeated
-    // inside one token duplicates in both formulations).
-    val triCounts = tokCounts
       .filter(length(col("token")) >= 3)
-      .select(col("doc_id"), col("lang"), col("c"),
+      .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(token) - 2), i -> substring(token, i, 3))")).as("tri"))
-      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(sum(col("c")).as("tc"))
-    // Profile cut through the bucketed two-level top-k (`topPerLang`): the
-    // lang-only window this replaced sorted each language's whole trigram
-    // vocabulary in one task — the residual super-linear stage behind the
-    // r10 scale flag (cpu ratio 1.8× the linear control after the broadcast
-    // fix; the two-level cut re-measures at control parity).
+    // Profile cut: (lang, tri)-grain counts are vocabulary-bounded, so
+    // map-side combine does the heavy lifting; the two-level bucketed
+    // top-k (`topPerLang`) avoids sorting a whole language's trigram
+    // vocabulary in one task.
     val profile = topPerLang(
-        triCounts.groupBy(col("lang"), col("tri")).agg(sum(col("tc")).as("c")),
+        occ.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c")),
         "tri", profileSize)
       .select(col("lang").as("plang"), col("tri"))
-    val matches = triCounts.join(broadcast(profile), Seq("tri"))
+    // Broadcast-join BEFORE the per-doc distinct: only profile hits (≤
+    // langs × profileSize distinct trigrams per doc) reach the distinct
+    // count, so the agg state per doc is profile-bounded, not text-bounded.
+    val matches = occ.join(broadcast(profile), Seq("tri"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(count(lit(1)).as("m"))
+      .agg(countDistinct(col("tri")).as("m"))
+    // Vote = argmax by (m desc, plang asc) as one hash aggregate:
+    // min(struct(-m, plang)) picks the highest match count, ties broken by
+    // the lexicographically first language — exactly the row_number order
+    // it replaces, without the per-doc sort.
     matches
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("m").desc, col("plang"))))
-      .filter(col("rk") === 1)
-      .groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("m")).as("nm"), col("plang"))).as("v"))
+      .groupBy(col("lang").as("true_lang"), col("v.plang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("true_lang", "pred_lang")
   }
