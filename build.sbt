@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNWRAPPED: sbt's default logger prefixes
+// every forked stdout line with "[info] ", which is why 12 rounds of the
+// driver's BENCH tail came back parsed:null — the compact JSON contract line
+// was never a bare line. StdoutOutput hands the child's stdout/stderr to the
+// parent's streams verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

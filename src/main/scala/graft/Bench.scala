@@ -271,9 +271,24 @@ object Bench {
               }
               // Query-major order: one query's three scale points run
               // back-to-back under the same noise regime, which is what makes
-              // the RATIO trustworthy on a shared host.
+              // the RATIO trustworthy on a shared host. Memo.reset() BEFORE
+              // every query (not just at phase boundaries): r12 measured
+              // dedup_onion at "exponent 2.41" because its 1×/4× points hit
+              // the memoized substrRuns build from dedup_substring's earlier
+              // measurement while its 16× point missed and paid the full
+              // rebuild — an attribution artifact, not a plan shape (cold
+              // standalone it measures 0.50). Resetting per query makes all
+              // three rungs of every query EQUALLY memo-cold (build included,
+              // the honest production-cold shape) and releases the previous
+              // queries' checkpoint blocks, so late-list queries measure in
+              // a young heap instead of one carrying 25 queries × 3 rungs of
+              // block history (the q55 "exponent 2.99" failure mode). Safe
+              // here for the same reason the phase-boundary reset is: every
+              // prior query's result is fully noop-materialized, no evicted
+              // DataFrame reference is live.
               val scaleFailed = scala.collection.mutable.Set.empty[String]
-              def measure(q: String): Seq[(Double, Double, Double)] =
+              def measure(q: String): Seq[(Double, Double, Double)] = {
+                graft.plans.Memo.reset()
                 dirs.map { case (m, d) =>
                   val ms0 = settledTaskMs(); val c0 = cpuNs.get()
                   val t0 = System.nanoTime()
@@ -286,6 +301,7 @@ object Bench {
                   val task = (settledTaskMs() - ms0) / 1e3
                   (wall, task, (cpuNs.get() - c0) / 1e9)
                 }
+              }
               val firstMeasure = qnames.map(q => q -> measure(q))
               val (mLo, mHi) = (mults(mults.size - 2), mults.last)
               def ratioHi(ts: Seq[Double]): Double = ts.last / math.max(ts(ts.size - 2), 1e-3)
@@ -303,19 +319,22 @@ object Bench {
               // per-point MIN across the two passes. Memos are reset first
               // so the re-measure is as cold as the first pass.
               val rerunCount = new java.util.concurrent.atomic.AtomicInteger(0)
-              // Per-flag defense record: first-pass ratio, best-of-2 ratio
-              // and the verdict the artifact itself can defend — "confirmed"
-              // (reproduced on an isolated re-measure) vs "cleared" (a
-              // contention spike that did not reproduce). A re-measure that
-              // FAILS keeps the first pass's measurements AND flag status: a
-              // min-merge with a fast-fail's near-zero points would silently
-              // unflag a genuinely super-linear query.
-              val defense = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, String)]
+              // Per-flag defense record: first-pass ratio, the RE-RUN'S OWN
+              // ratio (second_ratio — an independent isolated measurement;
+              // the r12 artifact recorded only first/best and a min-merge
+              // that kept every first-pass point made "confirmed" look like
+              // "never re-measured"), best-of-2 ratio, and the verdict the
+              // artifact itself can defend — "confirmed" (reproduced on an
+              // isolated re-measure) vs "cleared" (a contention spike that
+              // did not reproduce). A re-measure that FAILS keeps the first
+              // pass's measurements AND flag status: a min-merge with a
+              // fast-fail's near-zero points would silently unflag a
+              // genuinely super-linear query.
+              val defense = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, String)]
               val perQuery = firstMeasure.map { case (q, ts) =>
                 if (!isFlagged(q, ts)) q -> ts
                 else {
                   rerunCount.incrementAndGet()
-                  graft.plans.Memo.reset()
                   val failedBefore = scaleFailed.contains(q)
                   val ts2 = measure(q)
                   val rerunFailed = scaleFailed.contains(q) && !failedBefore
@@ -325,8 +344,9 @@ object Bench {
                       (math.min(w1, w2), math.min(t1, t2), math.min(c1, c2))
                     }
                   val r1 = ratioHi(ts.map(_._3))
+                  val r2 = if (rerunFailed) Double.NaN else ratioHi(ts2.map(_._3))
                   val rBest = ratioHi(merged.map(_._3))
-                  defense(q) = (r1, rBest,
+                  defense(q) = (r1, r2, rBest,
                     if (rerunFailed) "rerun-failed-kept-first-pass"
                     else if (rBest > thresholdFor(q)) "confirmed" else "cleared")
                   q -> merged
@@ -350,8 +370,9 @@ object Bench {
                   scaleSanctionedRatio.get(q).map(s => f""","sanctioned_ratio":$s%.1f""").getOrElse("") +
                   (if (scaleFailed(q)) ",\"failed\":true" else "") + "}"
               }.mkString("{", ",", "}")
-              val defJson = defense.map { case (q, (r1, rb, v)) =>
-                "\"" + q + f"""\":{"first_ratio":$r1%.2f,"best_ratio":$rb%.2f,""" +
+              val defJson = defense.map { case (q, (r1, r2, rb, v)) =>
+                val second = if (r2.isNaN) "null" else f"$r2%.2f"
+                "\"" + q + f"""\":{"first_ratio":$r1%.2f,"second_ratio":$second,"best_ratio":$rb%.2f,""" +
                   f""""control":$ctlRatio%.2f,"threshold":${thresholdFor(q)}%.2f,"verdict":"$v"}"""
               }.mkString("{", ",", "}")
               val scContentionX =

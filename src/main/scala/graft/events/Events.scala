@@ -499,17 +499,23 @@ object Events {
         col("z_stat"), (abs(col("z_stat")) > 1.96).as("significant_95"))
   }
 
-  /** Rolling 7-day active users (WAU) per day — exact, not sketched: the
-    * distinct (day, user) table joins a ±window day spine (broadcast
-    * non-equi join over the bounded date dimension), then one distinct
-    * count per anchor day. The (day,user) table is the only fact-derived
-    * input, already deduplicated by the first aggregation. */
+  /** Rolling 7-day active users (WAU) per day — exact, not sketched: each
+    * distinct (day, user) row explodes into the `windowDays` anchor days it
+    * contributes to (`sequence(day, day+w−1)` — a NARROW fixed-w× expansion,
+    * linear in the fact table), anchors are restricted to OBSERVED days by a
+    * broadcast semi-join against the bounded day spine, then one distinct
+    * count per anchor day. The r12 driver artifact flagged the previous
+    * shape (a broadcast non-equi range join: a BroadcastNestedLoopJoin
+    * evaluating rows × |spine| predicates, cpu exponent 1.67) — the explode
+    * produces the identical (day, user, anchor) tuple set with zero
+    * per-spine-row predicate work. */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val dayUser = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val spine = dayUser.select(col("day").as("anchor")).distinct()
     dayUser
-      .join(broadcast(spine),
-        col("day") <= col("anchor") && col("day") > date_sub(col("anchor"), windowDays))
+      .select(col("day"), col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("anchor"))
+      .join(broadcast(spine), Seq("anchor"), "semi")
       .groupBy(col("anchor"))
       .agg(countDistinct(col("user_id")).as("wau"),
         countDistinct(when(col("day") === col("anchor"), col("user_id"))).as("dau"))

@@ -343,10 +343,20 @@ object Snapshots {
     * over the cumulative frequency — one map-side-combinable aggregation
     * plus windows over the bounded histogram, nothing value-buffering. */
   def commitCadence(orders: DataFrame): DataFrame = {
+    // The commit table is METADATA-grain (|orders|/100 rows) but its lineage
+    // is a full fact-table aggregation — and lagOver/equiHeightBuckets
+    // reference their input from ~5 plan branches (range agg, slice
+    // histogram, carry, main), so without a lineage cut the orders shuffle
+    // re-executes per branch: the dominant, fact-sized term of this query's
+    // growth (r12 driver artifact: cpu exponent 1.69 from exactly that).
+    // One eager checkpoint makes every downstream branch read the tiny
+    // materialized table instead.
+    import graft.plans.Checkpoints.StableCheckpoint
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
       .agg(max(to_date(col("o_orderdate"))).as("commit_day"))
+      .stableCheckpoint()
     val gaps = graft.plans.PrefixSum.lagOver(commits, "commit_id", "commit_day", "prev_day")
       .withColumn("gap_days",
         datediff(col("commit_day"), col("prev_day")).cast("double"))
