@@ -35,12 +35,13 @@ import org.apache.spark.sql.SparkSession
   *    SPARK_GRAFT_BASELINE_OUT=path and committed), so the artifact's
   *    defense needs no warm state on the measuring host;
   *  - `n_reruns` / `first_pass_sec` are emitted beside the totals so a
-  *    reader can see how much the defense fired. `first_pass_sec` is also
-  *    the honest COLD total: for the memoized dedup-family heads a re-run
-  *    measures the memo-warm path, so the one-time shared pipeline build
-  *    cost lives in the first pass (where r7 attributed it to whichever
-  *    family query ran first) while `total_sec`/per-query times describe
-  *    the steady state.
+  *    reader can see how much the defense fired. One-time fixture builds
+  *    (iceberg physical tables, memoized dedup/LSH pipelines) run in a
+  *    RECORDED `setup` phase before the suite (`setup` block in the
+  *    artifact, `setup_sec` in the compact line), so `first_pass_sec` and
+  *    the per-query times both describe the steady state a user's Nth
+  *    query sees; the cold story is setup_sec plus the (deliberately
+  *    memo-cold) scale-trend points.
   *
   * Phase ORDER matters for the scale trend: it runs FIRST (right after
   * warmup), not last — the r9 driver artifact measured q55 at "exponent
@@ -113,7 +114,12 @@ object Bench {
     // round-11 addition: the clustered Iceberg write's per-month rank
     // window is the one new shape with structural risk (per-group sort);
     // the other new iceberg queries are metadata-grain or plain scans:
-    "iceberg_sort_skipping")
+    "iceberg_sort_skipping",
+    // round-13 addition: the real DV delete storm — five sequential
+    // appendDvPuffin commits (scan → executor-side roaring serialize →
+    // puffin/manifest write) per measured point; in the set because the
+    // commit loop is the new structurally-risky shape:
+    "iceberg_delete_storm")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
@@ -400,6 +406,31 @@ object Bench {
         }
       } else ""
 
+    // ---- Phase 1.5: RECORDED setup — build every memoized shared fixture
+    // (iceberg physical tables, dedup/LSH pipelines) by running one
+    // representative query per fixture, timed into a `setup` artifact block
+    // that is NOT part of any per-query number. Before this existed, the
+    // one-time build landed on whichever family query ran first, which is
+    // what made iceberg_mor_read-class queries read as 3–5× their committed
+    // baseline on a fresh box (r11 item 8 / r12 adjudication). The cold
+    // build story now lives HERE (setup_sec) and in the scale trend (whose
+    // points are deliberately memo-cold); the suite measures steady state.
+    // SPARK_GRAFT_SETUP_BENCH=0 disables (the suite then re-pays builds).
+    var setupJson = ""
+    if (!sys.env.get("SPARK_GRAFT_SETUP_BENCH").contains("0")) {
+      val setupTimes = SparkEntry.benchSetupQueries.filter(names.contains).map { q =>
+        val t0 = System.nanoTime()
+        try run(q) catch { case e: Throwable =>
+          System.err.println(s"[setup] $q failed: ${e.getMessage}")
+        }
+        q -> (System.nanoTime() - t0) / 1e9
+      }
+      if (setupTimes.nonEmpty) {
+        val m = setupTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+        setupJson = f""","setup":{"sec":${setupTimes.map(_._2).sum}%.3f,"queries":$m}"""
+      }
+    }
+
     // ---- Phase 2: the main per-query suite, with memory attribution.
     // A failed query's fast-fail elapsed time must never enter the baseline:
     // min-merge would make the bogus sub-second "best" permanent and the 2×
@@ -577,9 +608,32 @@ object Bench {
     val fetchBench =
       if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0")) {
         try {
-          graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
+          val sim = graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
             f""""p$p":{"measured_sec":$meas%.3f,"modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
-          }.mkString(""","fetch_bench":{""", ",", "}")
+          }
+          // REAL metadata tree fetch ladder: a one-manifest-per-month table
+          // (appendGrouped(1)) planned through the actual planFiles fetch
+          // path with an injected per-manifest-open TTFB — the reference's
+          // parallel-S3-fetch study run against the real planner instead of
+          // a modeled file list. model = ceil(n/p) x delay.
+          val treeDir = java.nio.file.Files.createTempDirectory("graft_fetch_tree_").toString
+          val real = try {
+            import graft.lake.iceberg.IcebergTable
+            IcebergTable.appendGrouped(spark,
+              graft.tables.Tables.lineitem(spark, sfDir), treeDir, groupMonths = 1)
+            val n = IcebergTable.readManifestList(IcebergTable.currentSnapshot(
+              IcebergTable.readMetadata(treeDir)).manifestList).size
+            val delayMs = 2L
+            Seq(1, 4, 16).map { p =>
+              val t0 = System.nanoTime()
+              IcebergTable.planFiles(treeDir, fetchParallelism = p, fetchDelayMs = delayMs)
+              val meas = (System.nanoTime() - t0) / 1e9
+              val model = math.ceil(n.toDouble / p) * delayMs / 1000.0
+              f""""iceberg_p$p":{"manifests":$n,"measured_sec":$meas%.3f,""" +
+                f""""modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
+            }
+          } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(treeDir))
+          (sim ++ real).mkString(""","fetch_bench":{""", ",", "}")
         } catch {
           case e: Throwable => s""","fetch_bench":{"error":"${errStr(e)}"}"""
         }
@@ -640,7 +694,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
         f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
         f""""first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f""" +
-        s"""$writeBench$streamBench$fetchBench$occBench$scaleBench$contention,"sf":"$sfDir"}"""
+        s"""$setupJson$writeBench$streamBench$fetchBench$occBench$scaleBench$contention,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_artifact.json"
       else "bench_artifact.json")
@@ -658,9 +712,13 @@ object Bench {
       if (scaleBench.isEmpty) ""
       else if (scaleBench.contains("\"error\"")) s""","scale_error":true"""
       else f""","scale_flagged":$flaggedJson,"scale_control_ratio":$scaleCtl%.2f,"scale_flag_ratio":$scaleThreshold%.2f"""
+    val setupHeadline =
+      if (setupJson.isEmpty) ""
+      else setupJson.replaceAll(""","setup":\{"sec":([0-9.]+).*""", ""","setup_sec":$1""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f,""" +
-        f""""n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f""" +
+        setupHeadline +
+        f""","n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,""" +
         f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
         writeHeadline + scaleSummary +
         f""","contention_x":$contentionX%.2f,"artifact":"$outPath","sf":"$sfDir"}""")

@@ -76,6 +76,8 @@ object SparkEntry {
     "iceberg_mixed_deletes" -> q((s, d) => iceberg.IcebergOps.mixedDeletesRead(s, Tables.lineitem(s, d))),
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
     "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
+    "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
+    "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -328,6 +330,37 @@ object SparkEntry {
     "lake_puffin_ndv" -> q((s, d) => Manifest.puffinNdv(Tables.lineitem(s, d))),
     "ev_approx_overlap" -> q((s, d) => Events.approxAudienceOverlap(Tables.events(s, d))),
   )
+
+  /** One representative query per MEMOIZED shared fixture (the iceberg
+    * physical-table builders and the dedup/LSH family pipelines —
+    * everything `plans.Memo` serves): the bench runs these once in a
+    * RECORDED `setup` phase before the timed suite, so per-query times
+    * measure the QUERY (scan/plan/agg) instead of whichever family member
+    * happened to run first paying the one-time fixture build (the r11/r12
+    * verdicts traced every spurious >2×-baseline row to exactly that
+    * attribution). Keep in sync with the `Memo.memoize` call sites. */
+  val benchSetupQueries: Seq[String] = Seq(
+    "iceberg_roundtrip",           // iceberg.table
+    "iceberg_mor_read",            // iceberg.table.mor
+    "iceberg_compact",             // iceberg.table.compact
+    "iceberg_expire",              // iceberg.table.expire
+    "iceberg_wap",                 // iceberg.table.wap
+    "iceberg_refs",                // iceberg.table.refs
+    "iceberg_schema_evolution",    // iceberg.table.schema
+    "iceberg_partition_evolution", // iceberg.table.evo
+    "iceberg_pos_dv",              // iceberg.table.posdv
+    "iceberg_mixed_deletes",       // iceberg.table.mixed
+    "iceberg_dv_puffin",           // iceberg.table.dvpuffin
+    "iceberg_manifest_tree",       // iceberg.table.tree
+    "iceberg_delete_storm",        // iceberg.table.storm
+    "iceberg_catalog",             // iceberg.catalog
+    "iceberg_puffin",              // iceberg.puffin
+    "iceberg_sort_skipping",       // the two sort-layout tables
+    "dedup_minhash",               // dedup.tokids + the MinHash bundle
+    "dedup_embedding",             // dedup.embpairs banded cosine pairs
+    "dedup_ngram_jaccard",         // dedup.shinglePairs
+    "dedup_substring",             // dedup.substr.runs
+    "dedup_components")            // dedup.components
 
   /** Shared oracle fragments (documents tokenizer + embedding prep). */
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
@@ -1103,6 +1136,122 @@ object SparkEntry {
         | TRUE AS footer_consistent, CAST(3 AS BIGINT) AS n_snapshots
         |FROM files f LEFT JOIN offs o ON o.p_month = f.p_month
         |ORDER BY f.p_month""".stripMargin,
+
+    // 2-level manifest tree: data files are one-per-month, branch manifests
+    // group TreeGroupMonths consecutive months; the grouped layout's planner
+    // opens only the branches whose bounds overlap the target month, the
+    // flat layout parses every entry of its single manifest.
+    "iceberg_manifest_tree" -> {
+      val t = iceberg.IcebergOps.TreeTargetMonth
+      val g = iceberg.IcebergOps.TreeGroupMonths
+      s"""WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS pm,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        | mg AS (SELECT pm, cnt, (CAST(substr(pm, 1, 4) AS INT) * 12 +
+        |     CAST(substr(pm, 6, 2) AS INT) - 1) // $g AS grp FROM m),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM m),
+        | grps AS (SELECT grp, CAST(count(*) AS BIGINT) AS files,
+        |     min(pm) AS lo, max(pm) AS hi FROM mg GROUP BY 1),
+        | ng AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM grps),
+        | op AS (SELECT CAST(count(*) AS BIGINT) AS manifests_read,
+        |     CAST(coalesce(sum(files), 0) AS BIGINT) AS entries
+        |   FROM grps WHERE lo <= '$t' AND hi >= '$t'),
+        | tgt AS (SELECT CAST(count(*) AS BIGINT) AS files_sel,
+        |     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS rows_planned
+        |   FROM m WHERE pm = '$t')
+        |SELECT '1_flat' AS layout, CAST(1 AS BIGINT) AS manifests_total,
+        | CAST(1 AS BIGINT) AS manifests_read, tot.files_total,
+        | tot.files_total AS entries_parsed, tgt.files_sel AS files_selected,
+        | tgt.rows_planned
+        |FROM tot, tgt
+        |UNION ALL
+        |SELECT '2_grouped', ng.n_groups, op.manifests_read, tot.files_total,
+        | op.entries, tgt.files_sel, tgt.rows_planned
+        |FROM tot, ng, op, tgt
+        |ORDER BY layout""".stripMargin
+    },
+
+    // Real DV delete storm: per-wave fragment growth + REAL Puffin blob
+    // bytes (the same RoaringFormatSpec arithmetic as iceberg_dv_puffin,
+    // replayed per wave residue), the 4 KB inline cliff, and the fold
+    // step's byte amplification over the union of every wave.
+    "iceberg_delete_storm" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rs = iceberg.IcebergOps.StormResidues
+      val inline = iceberg.IcebergOps.StormInlineBytes
+      val waveVals = rs.zipWithIndex.map { case (r, i) => s"(${i + 1}, $r)" }.mkString(", ")
+      val foldStep = s"${rs.size + 1}_fold"
+      s"""WITH waves(w, r) AS (VALUES $waveVals),
+        | base AS (SELECT l_orderkey, l_linenumber,
+        |   strftime(l_shipdate, '%Y-%m') AS p_month FROM lineitem),
+        | pos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_month
+        |     ORDER BY l_orderkey, l_linenumber) - 1 AS pos FROM base),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM base),
+        | vict AS (SELECT w.w AS w, p.p_month, p.pos FROM pos p
+        |   JOIN waves w ON p.l_orderkey % $mod = w.r),
+        | runs AS (SELECT w, p_month, pos // 65536 AS hi, pos,
+        |   pos - ROW_NUMBER() OVER (PARTITION BY w, p_month, pos // 65536
+        |     ORDER BY pos) AS grp FROM vict),
+        | cont AS (SELECT w, p_month, hi, count(*) AS card,
+        |   count(DISTINCT grp) AS n_runs FROM runs GROUP BY 1, 2, 3),
+        | typed AS (SELECT w, p_month, card,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 2 + 4*n_runs
+        |        WHEN card <= 4096 THEN 2*card ELSE 8192 END AS cbytes,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 1 ELSE 0 END AS is_run
+        |   FROM cont),
+        | perdv AS (SELECT w, p_month, sum(card) AS card, count(*) AS n_containers,
+        |   sum(cbytes) AS cont_bytes, max(is_run) AS has_run FROM typed GROUP BY 1, 2),
+        | sized AS (SELECT w, p_month, card, CAST(24 + CASE WHEN has_run = 1
+        |     THEN 4 + (n_containers + 7) // 8 + 4*n_containers +
+        |          CASE WHEN n_containers >= 4 THEN 4*n_containers ELSE 0 END
+        |     ELSE 8 + 8*n_containers END + cont_bytes AS BIGINT) AS bytes FROM perdv),
+        | perw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_dv_blobs,
+        |   CAST(sum(card) AS BIGINT) AS dv_cardinality,
+        |   CAST(sum(bytes) AS BIGINT) AS blob_bytes,
+        |   CAST(count(*) FILTER (WHERE bytes <= $inline) AS BIGINT) AS n_inline
+        |   FROM sized GROUP BY 1),
+        | fr AS (SELECT w1.w AS w, s.p_month, CAST(count(*) AS BIGINT) AS frags
+        |   FROM (SELECT DISTINCT w FROM waves) w1 JOIN sized s ON s.w <= w1.w
+        |   GROUP BY 1, 2),
+        | frm AS (SELECT w, max(frags) AS max_frag FROM fr GROUP BY 1),
+        | cum AS (SELECT w, sum(blob_bytes) OVER (ORDER BY w) AS cum_bytes,
+        |   sum(dv_cardinality) OVER (ORDER BY w) AS cum_card FROM perw),
+        | fvict AS (SELECT p_month, pos FROM pos
+        |   WHERE l_orderkey % $mod IN (${rs.mkString(", ")})),
+        | fruns AS (SELECT p_month, pos // 65536 AS hi, pos,
+        |   pos - ROW_NUMBER() OVER (PARTITION BY p_month, pos // 65536
+        |     ORDER BY pos) AS grp FROM fvict),
+        | fcont AS (SELECT p_month, hi, count(*) AS card,
+        |   count(DISTINCT grp) AS n_runs FROM fruns GROUP BY 1, 2),
+        | ftyped AS (SELECT p_month, card,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 2 + 4*n_runs
+        |        WHEN card <= 4096 THEN 2*card ELSE 8192 END AS cbytes,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 1 ELSE 0 END AS is_run
+        |   FROM fcont),
+        | fperdv AS (SELECT p_month, sum(card) AS card, count(*) AS n_containers,
+        |   sum(cbytes) AS cont_bytes, max(is_run) AS has_run FROM ftyped GROUP BY 1),
+        | fsized AS (SELECT p_month, card, CAST(24 + CASE WHEN has_run = 1
+        |     THEN 4 + (n_containers + 7) // 8 + 4*n_containers +
+        |          CASE WHEN n_containers >= 4 THEN 4*n_containers ELSE 0 END
+        |     ELSE 8 + 8*n_containers END + cont_bytes AS BIGINT) AS bytes FROM fperdv),
+        | fperw AS (SELECT CAST(count(*) AS BIGINT) AS n_dv_blobs,
+        |   CAST(sum(card) AS BIGINT) AS dv_cardinality,
+        |   CAST(sum(bytes) AS BIGINT) AS blob_bytes,
+        |   CAST(count(*) FILTER (WHERE bytes <= $inline) AS BIGINT) AS n_inline
+        |   FROM fsized)
+        |SELECT CAST(p.w AS VARCHAR) || '_wave' AS step, p.n_dv_blobs,
+        | p.dv_cardinality, frm.max_frag AS max_frag_per_file, p.blob_bytes,
+        | CAST(c.cum_bytes AS BIGINT) AS cum_wave_bytes, p.n_inline AS n_inline_4kb,
+        | tot.total_rows - CAST(c.cum_card AS BIGINT) AS live_rows,
+        | CAST(NULL AS DOUBLE) AS amplification_x
+        |FROM perw p JOIN frm ON frm.w = p.w JOIN cum c ON c.w = p.w, tot
+        |UNION ALL
+        |SELECT '$foldStep', f.n_dv_blobs, f.dv_cardinality, CAST(1 AS BIGINT),
+        | f.blob_bytes, (SELECT CAST(max(cum_bytes) AS BIGINT) FROM cum),
+        | f.n_inline, tot.total_rows - f.dv_cardinality,
+        | round((SELECT max(cum_bytes) FROM cum) * 1.0 / f.blob_bytes, 4)
+        |FROM fperw f, tot
+        |ORDER BY step""".stripMargin
+    },
 
     // Incremental append scan: snapshot 2 is by construction the post-cut
     // half, and each post-cut month is one added file; snapshot 1's

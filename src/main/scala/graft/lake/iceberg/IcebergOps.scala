@@ -660,4 +660,142 @@ object IcebergOps {
         col("footer_consistent"), col("n_snapshots"))
       .orderBy("p_month")
   }
+
+  /** Target month of the manifest-tree planning study (spliced into the
+    * oracle): one month ⇒ one data file ⇒ the grouped layout should open
+    * exactly one branch manifest. */
+  val TreeTargetMonth = "1997-03"
+
+  /** Months per branch manifest in the grouped layout (12 = one manifest
+    * per calendar year). */
+  val TreeGroupMonths = 12
+
+  /** Two REAL single-snapshot tables over the same rows: `flat` (the
+    * default one-manifest append) and `grouped` ([[IcebergTable
+    * .appendGrouped]] — one manifest per year). */
+  private def treeTablesFor(spark: SparkSession, lineitem: DataFrame): (String, String) =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.tree") {
+      val flat = Files.createTempDirectory("graft_iceberg_tree_flat_").toString
+      IcebergTable.append(spark, lineitem, flat)
+      val grouped = Files.createTempDirectory("graft_iceberg_tree_grp_").toString
+      IcebergTable.appendGrouped(spark, lineitem, grouped, TreeGroupMonths)
+      (new String(flat), new String(grouped))
+    }
+
+  /** The reference's adaptive-metadata-tree study
+    * (`test_adaptive_metadata_tree.py:194/227/270` — flat vs multi-level
+    * planning cost) executed against the REAL format: the same one-month
+    * scan planned on a flat single-manifest table and on a 2-level
+    * grouped-manifest table ([[IcebergTable.appendGrouped]]), reporting
+    * what each layout actually paid — manifests opened and manifest
+    * entries parsed (the planner's IO), files selected and rows planned
+    * (identical across layouts, proving the tree changes COST, not
+    * results). Every number is a deterministic function of lineitem's
+    * month census, so the oracle replays both layouts in SQL. */
+  def manifestTreePlan(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val (flat, grouped) = treeTablesFor(spark, lineitem)
+    val rows = Seq("1_flat" -> flat, "2_grouped" -> grouped).map { case (layout, loc) =>
+      val meta = IcebergTable.readMetadata(loc)
+      val manifests = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      val plan = IcebergTable.planFiles(loc, None,
+        Some(TreeTargetMonth), Some(TreeTargetMonth))
+      // entries PARSED = the added_files of every manifest planning opened
+      // (the manifest-list bounds decide which are opened; planFiles
+      // applies the same overlap rule)
+      val opened = manifests.filter(m =>
+        m.partHi >= TreeTargetMonth && m.partLo <= TreeTargetMonth)
+      (layout, manifests.size.toLong, plan.manifestsRead.toLong,
+        plan.filesTotal, opened.map(_.addedFiles.toLong).sum,
+        plan.filesSelected.toLong, plan.files.map(_.recordCount).sum)
+    }
+    import spark.implicits._
+    rows.toDF("layout", "manifests_total", "manifests_read", "files_total",
+      "entries_parsed", "files_selected", "rows_planned")
+      .orderBy("layout")
+  }
+
+  /** The delete-storm wave predicates (spliced into the oracle): wave i
+    * DV-deletes l_orderkey ≡ residue (mod [[DeleteKeyMod]]); residues are
+    * distinct so waves are disjoint and the fold is their exact union. */
+  val StormResidues: Seq[Long] = Seq(1L, 3L, 5L, 7L)
+
+  /** Inline-DV policy cliff (the reference's `test_delete_storm.py` /
+    * `test_gc_performance_cliff.py:56` 4 KB threshold): a DV blob at or
+    * under this rides inline with metadata; above it, external. */
+  val StormInlineBytes = 4096L
+
+  /** REAL delete-storm fixture: a sorted 2-era table, then one tiny
+    * [[IcebergTable.appendDvPuffin]] commit per wave residue, then one
+    * FOLD commit whose per-file blobs cover the union of every wave —
+    * the maintenance pass the storm study says must eventually run. */
+  private def stormTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.storm") {
+      val loc = Files.createTempDirectory("graft_iceberg_storm_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc, sorted = true)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc, sorted = true)
+      StormResidues.foreach { r =>
+        IcebergTable.appendDvPuffin(spark, loc,
+          pmod(col("l_orderkey"), lit(DeleteKeyMod)) === r)
+      }
+      IcebergTable.appendDvPuffin(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)).isin(StormResidues: _*))
+      new String(loc)
+    }
+
+  /** The reference's delete storm (`test_delete_storm.py:51`) executed on
+    * REAL v3 deletion vectors: N tiny DV commits accumulate one fragment
+    * per (wave, data file) — per step, the census reads fragment growth,
+    * the wave's REAL Puffin blob bytes and their cumulative total, and the
+    * 4 KB inline-cliff verdict per blob, all from the manifests the
+    * commits actually wrote. The final `5_fold` step is the maintenance
+    * fold: one blob per file covering the union of every wave — its bytes
+    * against the fragments' cumulative bytes is the storm's byte
+    * amplification, and its live-row count comes from the REAL DV-merged
+    * scan (the one data read in the query). Waves are disjoint residues,
+    * so every byte count is RoaringFormatSpec arithmetic DuckDB replays
+    * position-for-position (sorted appends pin positions). */
+  def dvDeleteStorm(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = stormTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val manifests = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+    val entries = manifests.flatMap(m =>
+      IcebergTable.readManifest(m.path).map(e => (m.addedSnapshotId, e)))
+    val dataRows = entries.collect { case (_, e) if e.content == 0 => e.recordCount }.sum
+    val dv = entries.filter(_._2.content == 1)
+    val firstWave = 3L // snapshots 1..2 are the data eras
+    val n = StormResidues.size
+    val steps = (0 until n).map { i =>
+      val sid = firstWave + i
+      val wave = dv.filter(_._1 == sid).map(_._2)
+      val cumWaves = dv.filter(e => e._1 >= firstWave && e._1 <= sid).map(_._2)
+      val maxFrag = cumWaves.groupBy(_.referencedDataFile.get).values.map(_.size).max.toLong
+      (f"${i + 1}_wave", wave.size.toLong, wave.map(_.recordCount).sum,
+        maxFrag, wave.map(_.contentSize).sum, cumWaves.map(_.contentSize).sum,
+        wave.count(_.contentSize <= StormInlineBytes).toLong,
+        dataRows - cumWaves.map(_.recordCount).sum)
+    }
+    val foldSid = firstWave + n
+    val fold = dv.filter(_._1 == foldSid).map(_._2)
+    val waveCum = dv.filter(e => e._1 >= firstWave && e._1 < foldSid).map(_._2)
+      .map(_.contentSize).sum
+    // the one data read: live rows from the real DV-merged scan (every DV
+    // applies; fold ⊇ waves, so the anti-join's union is the fold set)
+    val liveReal = IcebergTable.readMorDv(spark, loc)._1.count()
+    val foldRow = (f"${n + 1}_fold", fold.size.toLong, fold.map(_.recordCount).sum,
+      fold.groupBy(_.referencedDataFile.get).values.map(_.size).max.toLong,
+      fold.map(_.contentSize).sum, waveCum,
+      fold.count(_.contentSize <= StormInlineBytes).toLong, liveReal)
+    import spark.implicits._
+    (steps :+ foldRow)
+      .toDF("step", "n_dv_blobs", "dv_cardinality", "max_frag_per_file",
+        "blob_bytes", "cum_wave_bytes", "n_inline_4kb", "live_rows")
+      .withColumn("amplification_x",
+        when(col("step") === f"${n + 1}_fold",
+          round(col("cum_wave_bytes") * 1.0 / col("blob_bytes"), 4)))
+      .orderBy("step")
+  }
 }

@@ -168,6 +168,47 @@ object IcebergTable {
       lineitem.columns.toSeq.sorted)
   }
 
+  /** Append with a GROUPED manifest layer — the 2-level metadata tree of
+    * the reference's adaptive-tree study (`test_adaptive_metadata_tree.py`:
+    * root → branch manifests → files) executed in the REAL format: data
+    * files are written exactly like the default [[append]] (one file per
+    * month), but instead of ONE manifest holding every entry, files group
+    * by month RANGE (`groupMonths` consecutive calendar months per
+    * manifest — 12 ⇒ one manifest per year) and each group becomes its own
+    * manifest with its own partition bounds in the manifest list. That is
+    * precisely what makes [[planFiles]]' two-level skip effective on a
+    * single-snapshot table: a one-month query opens only the one group
+    * manifest whose bounds overlap, where the flat layout parses every
+    * entry — the planning-cost trade the reference's tree study measures,
+    * here priced in real Avro manifests (`manifests_read`/entries parsed).
+    * At 100 TB this is the difference between a planner reading one
+    * KB-grain branch vs one monolithic manifest of every file ever
+    * written. */
+  def appendGrouped(spark: SparkSession, lineitem: DataFrame, location: String,
+                    groupMonths: Int = 12): Long = {
+    require(groupMonths >= 1, "groupMonths must be >= 1")
+    val prev = readMetadataOpt(location)
+    val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
+    val dataDir = s"$location/data/snap-$snapshotId"
+    lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .repartition(col("p_month"))
+      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    val stats = collectFileStats(spark, dataDir)
+    // epoch-month index / groupMonths — for groupMonths = 12 the group IS
+    // the calendar year; any value keeps groups contiguous in month order,
+    // so each manifest's [partLo, partHi] ranges are disjoint.
+    def groupOf(m: String): Int =
+      (m.take(4).toInt * 12 + (m.slice(5, 7).toInt - 1)) / groupMonths
+    val infos = stats.groupBy(f => groupOf(f.partition)).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((_, fs), i) =>
+        writeManifestAvro(location, snapshotId, snapshotId, fs, 0, f"-g$i%03d")
+      }
+    val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+      .getOrElse(Seq.empty)
+    commitSnapshot(location, prev, snapshotId, prevManifests ++ infos, "append",
+      lineitem.columns.toSeq.sorted)
+  }
+
   /** Write-audit-publish (the reference's WAP study, executed for real):
     * stage an append as a full snapshot that `main` does NOT advance to —
     * it lives in the snapshot log under a `staging` ref where audit
@@ -757,7 +798,9 @@ object IcebergTable {
       throw new IllegalStateException(s"no Iceberg table at $location"))
 
   def currentSnapshot(m: TableMetadata): SnapshotInfo =
-    m.snapshots.find(_.id == m.currentSnapshotId).get
+    m.snapshots.find(_.id == m.currentSnapshotId).getOrElse(throw new IllegalStateException(
+      s"no current snapshot (current-snapshot-id=${m.currentSnapshotId}; " +
+        s"a table with no snapshots is legal per the spec — callers must check)"))
 
   def readManifestList(path: String): Seq[ManifestInfo] =
     readAvro(new File(path)).map { r =>
@@ -793,16 +836,48 @@ object IcebergTable {
         opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L))
     }
 
+  /** Default manifest-fetch concurrency for [[planFiles]]. */
+  val FetchParallelism = 8
+
+  /** Read several manifests CONCURRENTLY (bounded pool), preserving input
+    * order so every consumer stays deterministic. On an object store every
+    * manifest open is a full round-trip, so a wide snapshot's planning
+    * cost is dominated by SERIAL TTFB — the reference's parallel-fetch
+    * study (`test_parallel_s3_fetching.py`) applied to the real planner.
+    * `fetchDelayMs` injects a per-open latency so the bench can measure
+    * the ladder the way the reference does (local disk shows no TTFB). */
+  def readManifestsParallel(paths: Seq[String],
+                            parallelism: Int = FetchParallelism,
+                            fetchDelayMs: Long = 0L): Seq[Seq[DataFileEntry]] = {
+    def one(p: String): Seq[DataFileEntry] = {
+      if (fetchDelayMs > 0) Thread.sleep(fetchDelayMs)
+      readManifest(p)
+    }
+    if (paths.size <= 1 || parallelism <= 1) paths.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, paths.size))
+      try paths.map(p => pool.submit(new java.util.concurrent.Callable[Seq[DataFileEntry]] {
+          def call(): Seq[DataFileEntry] = one(p)
+        })).map(_.get())
+      finally pool.shutdown()
+    }
+  }
+
   /** Plan a scan: manifest-list pruning by partition summary, file-level
     * pruning by partition value, and (optionally) file-level pruning by
     * the l_shipdate COLUMN BOUNDS the manifests carry — metadata-only,
     * the two-level skip plus stats-skip the format exists to provide.
     * Month bounds are inclusive `yyyy-MM`, date bounds inclusive
     * `yyyy-MM-dd` (identity transform + ISO strings ⇒ lexicographic
-    * compare is date compare). */
+    * compare is date compare). Surviving manifests are opened through
+    * [[readManifestsParallel]] — fetch-bound planning scales with the
+    * pool, result order stays input order. */
   def planFiles(location: String, snapshotId: Option[Long] = None,
                 monthLo: Option[String] = None, monthHi: Option[String] = None,
-                dateLo: Option[String] = None, dateHi: Option[String] = None): ScanPlan = {
+                dateLo: Option[String] = None, dateHi: Option[String] = None,
+                fetchParallelism: Int = FetchParallelism,
+                fetchDelayMs: Long = 0L): ScanPlan = {
     val meta = readMetadata(location)
     val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id"))).getOrElse(currentSnapshot(meta))
@@ -831,7 +906,8 @@ object IcebergTable {
       else monthLo.forall(l => f.hiShip.take(7) >= l) &&
         monthHi.forall(h => f.loShip.take(7) <= h)
     val live = manifests.filter(m => monthOverlaps(m.partLo, m.partHi, m.specId))
-    val files = live.flatMap(m => readManifest(m.path).map(f => (f, m.specId)))
+    val files = readManifestsParallel(live.map(_.path), fetchParallelism, fetchDelayMs)
+      .zip(live).flatMap { case (es, m) => es.map(f => (f, m.specId)) }
       .filter(_._1.content == 0)
     val selected = files.collect {
       case (f, specId) if fileMonthOverlaps(f, specId) && dateOverlaps(f.loShip, f.hiShip) => f
@@ -1050,66 +1126,86 @@ object IcebergTable {
     * Scale shape: victims are found by one DISTRIBUTED predicate scan;
     * per-file position lists aggregate in the executors (bounded by rows
     * per data file — the boundedness every real DV writer relies on) and
-    * only the roaring-COMPRESSED blobs (KB-grain) plus one row per file
-    * reach the driver, which writes Puffin at metadata grain exactly like
-    * the manifest writer. */
+    * the Roaring serialization ALSO runs executor-side (a typed map over
+    * the grouped Dataset), so only the roaring-COMPRESSED blobs (KB-grain)
+    * plus one stats row per data file cross to the driver, which writes
+    * Puffin at metadata grain exactly like the manifest writer. `shards`
+    * > 1 is the very-large-delete-wave path: blobs split by file_path
+    * hash into one Puffin file per shard (mirroring
+    * [[appendPositionDeletes]]'s sharded delete files), bounding any
+    * single Puffin write while the manifest indexes every blob by
+    * (file, offset) regardless of shard. */
   def appendDvPuffin(spark: SparkSession, location: String,
-                     predicate: org.apache.spark.sql.Column): Long = {
+                     predicate: org.apache.spark.sql.Column,
+                     shards: Int = 1): Long = {
     val prev = readMetadata(location)
     val snapshotId = prev.snapshots.map(_.id).max + 1L
     val plan = planFiles(location)
+    import spark.implicits._
     // file coordinate via input_file_name() — the same normalization the
     // manifest writer (collectFileStats) records, so referenced_data_file
-    // matches the manifest's data-file paths exactly
-    val victims = spark.read.parquet(plan.files.map(_.path): _*)
-      .filter(predicate)
-      .select(input_file_name().as("file_path"),
-        col("_metadata.row_index").cast("long").as("pos"))
-      .groupBy(col("file_path"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .collect()
-      .map(r => (r.getAs[String]("file_path").stripPrefix("file:"),
-        r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    // matches the manifest's data-file paths exactly. The serializeDvBlob
+    // call sits INSIDE the typed map, i.e. in the executors: the full
+    // uncompressed position arrays never leave the cluster.
+    val victims: Array[(String, Array[Byte], Long, Long, Long)] =
+      spark.read.parquet(plan.files.map(_.path): _*)
+        .filter(predicate)
+        .select(input_file_name().as("file_path"),
+          col("_metadata.row_index").cast("long").as("pos"))
+        .groupBy(col("file_path"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .as[(String, Array[Long])]
+        .map { case (path, ps) => (path.stripPrefix("file:"),
+          RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last) }
+        .collect()
+        .sortBy(_._1)
     require(victims.nonEmpty, "deletion-vector commit with zero victims")
     val mdir = metadataDir(location)
-    val puffinFile = new File(mdir, f"dv-snap-$snapshotId%05d.puffin")
-    val blobs = victims.map { case (path, ps) =>
-      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
-        RoaringDv.serializeDvBlob(ps),
-        Map("referenced-data-file" -> path, "cardinality" -> ps.length.toString))
-    }
-    val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
-      Map("created-by" -> "graft"))
+    val nShards = math.max(1, shards)
+    // Shard → its victims (file_path-hash routed; shards=1 keeps the
+    // legacy single-file name so existing tables/oracles are unchanged).
+    val byShard = victims.groupBy(v => math.floorMod(v._1.hashCode, nShards))
+      .toSeq.sortBy(_._1)
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val entries = victims.zip(metas).map { case ((path, ps), m) =>
-      val part = new GenericData.Record(partSchema)
-      part.put("p_month", "")
-      val dfr = new GenericData.Record(dataFileSchema)
-      dfr.put("content", 1) // position deletes (a DV is positional)
-      dfr.put("file_path", puffinFile.getPath)
-      dfr.put("file_format", "PUFFIN")
-      dfr.put("partition", part)
-      dfr.put("record_count", ps.length.toLong) // = blob cardinality
-      dfr.put("file_size_in_bytes", puffinSize)
-      dfr.put("lower_bounds", Map("pos" -> ps.head.toString).asJava)
-      dfr.put("upper_bounds", Map("pos" -> ps.last.toString).asJava)
-      dfr.put("referenced_data_file", path)
-      dfr.put("content_offset", m.offset)
-      dfr.put("content_size_in_bytes", m.length)
-      val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1)
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", snapshotId)
-      e.put("data_file", dfr)
-      e: GenericRecord
+    val entries = byShard.flatMap { case (shard, vs) =>
+      val puffinFile = new File(mdir,
+        if (nShards == 1) f"dv-snap-$snapshotId%05d.puffin"
+        else f"dv-snap-$snapshotId%05d-$shard%03d.puffin")
+      val blobs = vs.map { case (path, blob, card, _, _) =>
+        Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
+          blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
+      }
+      val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
+        Map("created-by" -> "graft"))
+      vs.zip(metas).map { case ((path, _, card, lo, hi), m) =>
+        val part = new GenericData.Record(partSchema)
+        part.put("p_month", "")
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("content", 1) // position deletes (a DV is positional)
+        dfr.put("file_path", puffinFile.getPath)
+        dfr.put("file_format", "PUFFIN")
+        dfr.put("partition", part)
+        dfr.put("record_count", card) // = blob cardinality
+        dfr.put("file_size_in_bytes", puffinSize)
+        dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
+        dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
+        dfr.put("referenced_data_file", path)
+        dfr.put("content_offset", m.offset)
+        dfr.put("content_size_in_bytes", m.length)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", snapshotId)
+        e.put("data_file", dfr)
+        e: GenericRecord
+      }
     }
     val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
     val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toIndexedSeq)
     val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
     val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
-      victims.length, victims.map(_._2.length.toLong).sum, "0000-00", "9999-99")
+      victims.length, victims.map(_._3).sum, "0000-00", "9999-99")
     commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
   }
 

@@ -594,12 +594,17 @@ object TextAnalysis {
 
   /** Character-trigram language ID (fastText-style *word-internal*
     * subword trigrams — spaces are token boundaries, not trigram
-    * characters). The trigram expansion runs over the distinct vocabulary
-    * only (a bounded broadcast table), so per-doc trigram counts are one
-    * token-grain aggregation plus a broadcast join — the char-level explode
-    * over every document position never happens. Same
-    * broadcast-profile/overlap-vote shape as `languageId`; returns the
-    * true × predicted confusion matrix. */
+    * characters). Trigram occurrences come from a nested NARROW double
+    * explode (token → its in-token trigrams) per token OCCURRENCE — no
+    * corpus-grain shuffle or checkpoint in the expansion; everything that
+    * aggregates afterwards is either vocabulary-bounded ((lang, tri)
+    * profile counts) or profile-bounded (per-doc match counts after the
+    * broadcast profile join). Assumes a deterministic `documents` source:
+    * the `occ` lineage is recomputed independently by the profile and
+    * match branches, so a nondeterministic input (sampling, unstable
+    * reads) could feed them different data — cache `occ` first if that
+    * ever applies. Same broadcast-profile/overlap-vote shape as
+    * `languageId`; returns the true × predicted confusion matrix. */
   def charTrigramLangId(documents: DataFrame, profileSize: Int = 20): DataFrame = {
     // Trigram OCCURRENCES via two nested NARROW explodes — no shuffle, no
     // materialization. Three corpus-grain stages that each grew a per-task

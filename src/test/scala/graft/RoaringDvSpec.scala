@@ -113,6 +113,33 @@ class RoaringDvSpec extends SparkSpec {
       lineitem.filter(col("l_orderkey") % 10 === 6L).count())
   }
 
+  test("sharded DV commit: blobs split across >=2 Puffin files by file_path hash, MOR read unchanged") {
+    val l = Files.createTempDirectory("graft_dv_shard_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    IcebergTable.appendDvPuffin(spark, l,
+      pmod(col("l_orderkey"), lit(10L)) === 6L, shards = 4)
+    val meta = IcebergTable.readMetadata(l)
+    val dvEntries = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path)).filter(_.content == 1)
+    val puffins = dvEntries.map(_.path).distinct
+    assert(puffins.size >= 2,
+      s"forced 4-shard commit must write >=2 Puffin files, got ${puffins.size}")
+    // every blob's manifest coordinates resolve inside ITS shard's file
+    dvEntries.foreach { e =>
+      val (fm, payloadOf) = Puffin.read(new java.io.File(e.path))
+      val b = fm.blobs.find(_.properties("referenced-data-file") ==
+        e.referencedDataFile.get).get
+      assert(b.offset == e.contentOffset && b.length == e.contentSize)
+      assert(RoaringDv.deserializeDvBlob(payloadOf(b)).length.toLong == e.recordCount)
+    }
+    val (live, _, _) = IcebergTable.readMorDv(spark, l)
+    assert(live.count() == lineitem.filter(col("l_orderkey") % 10 =!= 6L).count())
+  }
+
   test("sorted append: in-file positions equal the (l_orderkey, l_linenumber) rank per month") {
     // read one data file back and check positions follow the sort key
     val plan = IcebergTable.planFiles(dvLoc)

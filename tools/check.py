@@ -66,8 +66,31 @@ def main():
         ok = pii_fixture_check(oracle["text_pii_scan"], args.out)
         if ok: n_pass += 1
         else: n_fail += 1
+    # Registry ≡ SURVEY §2: every key SparkEntry.queries registers (visible
+    # as a dump directory) must have a §2 inventory row and vice versa —
+    # the r11/r12 verdicts flagged iceberg_dv_puffin shipping for two rounds
+    # with no §2 row ("§2 is the deliverable inventory" doc drift).
+    if only is None:
+        ok, msg = survey_registry_check(args.out)
+        if ok: n_pass += 1; print(f"PASS survey_registry ({msg})")
+        else: n_fail += 1; print(f"FAIL survey_registry: {msg}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
+def survey_registry_check(out: str):
+    import re
+    text = open("/root/repo/SURVEY.md").read()
+    s2 = text.split("## §2", 1)[1].split("\n## ", 1)[0]
+    survey = set(re.findall(r"^\| `([a-z0-9_]+)` \|", s2, re.M))
+    dumped = {os.path.basename(d) for d in glob.glob(f"{out}/*")
+              if os.path.isdir(d) and glob.glob(f"{d}/*.parquet")}
+    dumped -= {"pii_fixture", "pii_fixture_out"}
+    missing_rows = dumped - survey
+    missing_impl = survey - dumped
+    if missing_rows or missing_impl:
+        return False, (f"registry keys with no SURVEY §2 row: {sorted(missing_rows)}; "
+                       f"SURVEY §2 rows with no registry dump: {sorted(missing_impl)}")
+    return True, f"{len(survey)} keys match"
 
 PII_FIXTURE_ROWS = [
     (1, "contact john.doe@example.com or admin@test.org today", "en", "web"),
