@@ -151,6 +151,14 @@ object Report {
       section("Mixed delete resolution", "Equality + positional delete files applied in one " +
         "sequence-scoped MOR scan — the general v2 reader case.",
         htmlTable(q("iceberg_mixed_deletes"))),
+      section("Iceberg 2-level manifest tree", "The adaptive-tree study on real metadata: " +
+        "flat vs year-grouped branch manifests planning the same one-month scan — identical " +
+        "results, a fraction of the planner IO.",
+        htmlTable(q("iceberg_manifest_tree"))),
+      section("Iceberg DV delete storm", "Real v3 deletion-vector waves: fragment growth, " +
+        "actual Puffin blob bytes vs the 4KB inline cliff, and the fold commit's byte " +
+        "amplification (test_delete_storm on the real format).",
+        htmlTable(q("iceberg_delete_storm"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

@@ -345,12 +345,13 @@ class PipelineReportsSpec extends SparkSpec {
                   "Iceberg incremental scan", "Iceberg partitions metadata table",
                   "Puffin NDV statistics", "Sort-order skipping",
                   "Mixed delete resolution",
+                  "Iceberg 2-level manifest tree", "Iceberg DV delete storm",
                   "Training-data funnel", "PII scan", "Slowest queries"))
       assert(html.contains(s"<h2>$h"), s"missing section $h")
-    assert("<section>".r.findAllIn(html).size == 25)
+    assert("<section>".r.findAllIn(html).size == 27)
     // every table has at least one data row
     val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
-    assert(tables.size == 24)
+    assert(tables.size == 26)
     tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
     // the baseline chart has 20 bars with numeric values
     assert("class=\"bar\"".r.findAllIn(html).size == 20)
