@@ -78,6 +78,7 @@ object SparkEntry {
     "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
     "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
+    "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -353,6 +354,7 @@ object SparkEntry {
     "iceberg_dv_puffin",           // iceberg.table.dvpuffin
     "iceberg_manifest_tree",       // iceberg.table.tree
     "iceberg_delete_storm",        // iceberg.table.storm
+    "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1168,6 +1170,38 @@ object SparkEntry {
         | op.entries, tgt.files_sel, tgt.rows_planned
         |FROM tot, ng, op, tgt
         |ORDER BY layout""".stripMargin
+    },
+
+    // rewrite_manifests: before = the flat append's single manifest, after
+    // = the metadata-only regroup into year branches; same planned files
+    // and rows at both snapshots, different planner IO.
+    "iceberg_rewrite_manifests" -> {
+      val t = iceberg.IcebergOps.TreeTargetMonth
+      val g = iceberg.IcebergOps.TreeGroupMonths
+      s"""WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS pm,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        | mg AS (SELECT pm, cnt, (CAST(substr(pm, 1, 4) AS INT) * 12 +
+        |     CAST(substr(pm, 6, 2) AS INT) - 1) // $g AS grp FROM m),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM m),
+        | grps AS (SELECT grp, CAST(count(*) AS BIGINT) AS files,
+        |     min(pm) AS lo, max(pm) AS hi FROM mg GROUP BY 1),
+        | ng AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM grps),
+        | op AS (SELECT CAST(count(*) AS BIGINT) AS manifests_read,
+        |     CAST(coalesce(sum(files), 0) AS BIGINT) AS entries
+        |   FROM grps WHERE lo <= '$t' AND hi >= '$t'),
+        | tgt AS (SELECT CAST(count(*) AS BIGINT) AS files_sel,
+        |     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS rows_planned
+        |   FROM m WHERE pm = '$t')
+        |SELECT '1_before' AS state, CAST(1 AS BIGINT) AS manifests_total,
+        | CAST(1 AS BIGINT) AS manifests_read, tot.files_total,
+        | tot.files_total AS entries_parsed, tgt.files_sel AS files_selected,
+        | tgt.rows_planned, TRUE AS files_identical
+        |FROM tot, tgt
+        |UNION ALL
+        |SELECT '2_after', ng.n_groups, op.manifests_read, tot.files_total,
+        | op.entries, tgt.files_sel, tgt.rows_planned, TRUE
+        |FROM tot, ng, op, tgt
+        |ORDER BY state""".stripMargin
     },
 
     // Real DV delete storm: per-wave fragment growth + REAL Puffin blob

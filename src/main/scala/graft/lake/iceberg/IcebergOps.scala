@@ -715,6 +715,47 @@ object IcebergOps {
       .orderBy("layout")
   }
 
+  /** Flat append, then the real `rewrite_manifests` maintenance commit. */
+  private def rewriteTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.rewrite") {
+      val loc = Files.createTempDirectory("graft_iceberg_rw_").toString
+      IcebergTable.append(spark, lineitem, loc)
+      IcebergTable.rewriteManifests(loc, TreeGroupMonths)
+      new String(loc)
+    }
+
+  /** Iceberg's `rewrite_manifests` action measured on the real format: the
+    * head snapshot before (one flat manifest) vs after (year-grouped
+    * branch manifests) the metadata-only rewrite, planning the same
+    * one-month scan at both snapshots. `files_identical` is the
+    * metadata-only proof — the two plans select the exact same data file
+    * paths (entry sequence numbers survive, so delete scoping would too);
+    * what changes is planner IO: manifests opened and entries parsed. */
+  def rewriteManifestsSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = rewriteTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val snaps = meta.snapshots.sortBy(_.id)
+    val states = Seq("1_before" -> snaps.head, "2_after" -> snaps.last)
+    val planned = states.map { case (state, s) =>
+      val manifests = IcebergTable.readManifestList(s.manifestList)
+      val plan = IcebergTable.planFiles(loc, Some(s.id),
+        Some(TreeTargetMonth), Some(TreeTargetMonth))
+      val opened = manifests.filter(m =>
+        m.partHi >= TreeTargetMonth && m.partLo <= TreeTargetMonth)
+      (state, manifests.size.toLong, plan.manifestsRead.toLong, plan.filesTotal,
+        opened.map(_.addedFiles.toLong).sum, plan.filesSelected.toLong,
+        plan.files.map(_.recordCount).sum)
+    }
+    val identical =
+      IcebergTable.planFiles(loc, Some(snaps.head.id)).files.map(_.path).toSet ==
+        IcebergTable.planFiles(loc, Some(snaps.last.id)).files.map(_.path).toSet
+    import spark.implicits._
+    planned.toDF("state", "manifests_total", "manifests_read", "files_total",
+      "entries_parsed", "files_selected", "rows_planned")
+      .withColumn("files_identical", lit(identical))
+      .orderBy("state")
+  }
+
   /** The delete-storm wave predicates (spliced into the oracle): wave i
     * DV-deletes l_orderkey ≡ residue (mod [[DeleteKeyMod]]); residues are
     * distinct so waves are disjoint and the fold is their exact union. */

@@ -209,6 +209,64 @@ object IcebergTable {
       lineitem.columns.toSeq.sorted)
   }
 
+  /** Iceberg's `rewrite_manifests` maintenance action executed for real: a
+    * METADATA-ONLY commit that regroups the current snapshot's live DATA
+    * entries into partition-range branch manifests ([[appendGrouped]]'s
+    * layout) without touching a single data file — the ADAPTIVE half of
+    * the reference's tree study: as file count grows, a flat manifest is
+    * re-binned into bounded branches so planning cost stays proportional
+    * to the partition range scanned, not to table history. Per the spec's
+    * rewritten-manifest rules, every entry keeps its ORIGINAL data
+    * sequence number (delete-file scoping must survive the rewrite;
+    * status=0 EXISTING), while the manifest-list rows record this
+    * snapshot as the adder. Delete manifests ride along unchanged. */
+  def rewriteManifests(location: String, groupMonths: Int = 12): Long = {
+    require(groupMonths >= 1, "groupMonths must be >= 1")
+    val prev = readMetadata(location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val head = readManifestList(currentSnapshot(prev).manifestList)
+    val byManifest = head.map(m => m -> readManifest(m.path))
+    val dataEntries = byManifest.flatMap(_._2).filter(_.content == 0)
+    val deleteManifests = byManifest.collect {
+      case (m, es) if es.exists(_.content != 0) => m
+    }
+    require(dataEntries.nonEmpty, "rewriteManifests on a table with no data files")
+    def groupOf(m: String): Int =
+      (m.take(4).toInt * 12 + (m.slice(5, 7).toInt - 1)) / groupMonths
+    val mdir = metadataDir(location)
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val grouped = dataEntries.groupBy(f => groupOf(f.partition)).toSeq.sortBy(_._1)
+    val infos = grouped.zipWithIndex.map { case ((_, fs), i) =>
+      val sortedFs = fs.sortBy(f => (f.partition, f.path))
+      val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-rw$i%03d.avro")
+      val entries = sortedFs.map { f =>
+        val part = new GenericData.Record(partSchema)
+        part.put("p_month", f.partition)
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("content", 0)
+        dfr.put("file_path", f.path)
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", part)
+        dfr.put("record_count", f.recordCount)
+        dfr.put("file_size_in_bytes", f.fileSizeBytes)
+        dfr.put("lower_bounds", Map("l_shipdate" -> f.loShip).asJava)
+        dfr.put("upper_bounds", Map("l_shipdate" -> f.hiShip).asJava)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 0) // EXISTING — the rewrite adds no data
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", f.sequence) // scoping survives the rewrite
+        e.put("data_file", dfr)
+        e: GenericRecord
+      }
+      val len = writeAvro(ManifestEntrySchema, manifestFile, entries)
+      ManifestInfo(manifestFile.getPath, len, snapshotId,
+        sortedFs.length, sortedFs.map(_.recordCount).sum,
+        sortedFs.map(_.partition).min, sortedFs.map(_.partition).max)
+    }
+    commitSnapshot(location, Some(prev), snapshotId, infos ++ deleteManifests, "replace")
+  }
+
   /** Write-audit-publish (the reference's WAP study, executed for real):
     * stage an append as a full snapshot that `main` does NOT advance to —
     * it lives in the snapshot log under a `staging` ref where audit
@@ -937,7 +995,7 @@ object IcebergTable {
     require(meta.snapshots.exists(_.id == fromId) || fromId == 0L, s"no snapshot $fromId")
     val manifests = readManifestList(snap.manifestList)
     val live = manifests.filter(m => m.addedSnapshotId > fromId && m.addedSnapshotId <= toId)
-    val files = live.flatMap(m => readManifest(m.path))
+    val files = readManifestsParallel(live.map(_.path)).flatten
       .filter(f => f.content == 0 && f.sequence > fromId && f.sequence <= toId)
     ScanPlan(files, manifests.size, live.size,
       manifests.map(_.addedFiles.toLong).sum, files.size)
@@ -1090,7 +1148,7 @@ object IcebergTable {
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
-    val posDeletes = manifests.flatMap(m => readManifest(m.path)).filter(_.content == 1)
+    val posDeletes = readManifestsParallel(manifests.map(_.path)).flatten.filter(_.content == 1)
     val plan = planFiles(location, None, monthLo, monthHi)
     require(plan.files.nonEmpty, "scan planned zero files")
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
@@ -1221,7 +1279,7 @@ object IcebergTable {
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
-    val dvEntries = manifests.flatMap(m => readManifest(m.path))
+    val dvEntries = readManifestsParallel(manifests.map(_.path)).flatten
       .filter(e => e.content == 1 && e.referencedDataFile.isDefined)
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
     def blobBytes(e: DataFileEntry): Array[Byte] = {
@@ -1269,7 +1327,7 @@ object IcebergTable {
       : (DataFrame, ScanPlan, Seq[DataFileEntry], Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
-    val all = manifests.flatMap(m => readManifest(m.path))
+    val all = readManifestsParallel(manifests.map(_.path)).flatten
     val eqDeletes = all.filter(_.content == 2)
     val posDeletes = all.filter(_.content == 1)
     val plan = planFiles(location, None, monthLo, monthHi)
@@ -1312,7 +1370,7 @@ object IcebergTable {
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
-    val deletes = manifests.flatMap(m => readManifest(m.path)).filter(_.content == 2)
+    val deletes = readManifestsParallel(manifests.map(_.path)).flatten.filter(_.content == 2)
     val plan = planFiles(location, None, monthLo, monthHi)
     require(plan.files.nonEmpty, "scan planned zero files")
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>

@@ -91,6 +91,37 @@ class IcebergSpec extends SparkSpec {
     assert(expectedLive < lineitem.count())
   }
 
+  test("rewrite_manifests: metadata-only regroup — same files/rows, fewer manifests opened, delete scoping survives") {
+    val l = Files.createTempDirectory("graft_iceberg_rw_spec_").toString
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    IcebergTable.appendEqualityDeletes(spark,
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select(col("l_orderkey")).distinct(), l)
+    val liveBefore = IcebergTable.readMor(spark, l)._1.count()
+    val planBefore = IcebergTable.planFiles(l)
+    IcebergTable.rewriteManifests(l, groupMonths = 12)
+    val meta = IcebergTable.readMetadata(l)
+    assert(meta.snapshots.last.operation == "replace")
+    // metadata-only: identical data file paths, identical per-entry sequence
+    val planAfter = IcebergTable.planFiles(l)
+    assert(planAfter.files.map(_.path).toSet == planBefore.files.map(_.path).toSet)
+    assert(planAfter.files.map(f => f.path -> f.sequence).toMap ==
+      planBefore.files.map(f => f.path -> f.sequence).toMap,
+      "rewritten entries must keep their original data sequence numbers")
+    // grouped layout: a one-month probe opens ONE branch manifest (plus the
+    // delete manifest, which carries no partition range worth pruning on)
+    val probe = IcebergTable.planFiles(l, None, Some("1997-03"), Some("1997-03"))
+    val manifests = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+    assert(manifests.count(_.addedSnapshotId == meta.currentSnapshotId) > 1,
+      "rewrite must produce multiple branch manifests")
+    assert(probe.filesSelected == 1)
+    // delete scoping survives: MOR after the rewrite sees the same live set
+    assert(IcebergTable.readMor(spark, l)._1.count() == liveBefore)
+  }
+
   test("compaction rewrite: replace snapshot carries merged truth, old snapshots stay time-travelable") {
     val l = Files.createTempDirectory("graft_iceberg_compact_spec_").toString
     IcebergTable.append(spark, lineitem
