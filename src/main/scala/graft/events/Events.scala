@@ -163,39 +163,37 @@ object Events {
       .limit(topN)
   }
 
-  /** Sketch-based distinct users per day (HyperLogLog++): the 100 TB path
-    * for cardinality — constant-size state per group, mergeable map-side.
-    * The shipped shape (`verify = false`, the default) keeps SKETCH-ONLY
-    * aggregation state: one HLL register array per day, never
-    * O(distinct users).
-    *
-    * No SQL oracle exists (the estimate is approximate by spec), so the
-    * correctness harness opts into `verify = true`, which adds an exact
-    * `countDistinct` anchor plus `rel_err`/`within_bound` asserting the
-    * HLL++ published accuracy — rsd is the standard deviation of the
-    * relative error, so 5·rsd is a conservative always-true envelope
-    * (p < 6×10⁻⁷ per day under the estimator's near-normal error). The
-    * anchor buffers O(distinct users per day) and exists only to be
-    * checked: Bench and Audit run the default so the measured query is the
-    * one a production pipeline ships; RelationalSpec proves `within_bound`
-    * all-true at two scale factors. */
-  def approxDailyUsers(events: DataFrame, rsd: Double = 0.02,
-                       verify: Boolean = false): DataFrame = {
-    val sketch =
-      events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+  /** Sketch-based distinct users per day — [[graft.plans.CrossSketch]]'s
+    * cross-engine deterministic HLL: the 100 TB path for cardinality
+    * (register state at (day, bucket) grain — 1024 rows per day, never
+    * O(distinct users) — merged map-side), with an estimate ANY engine
+    * recomputes bit-for-bit, so the DuckDB oracle checks the estimate
+    * itself, not just an error envelope. The shipped shape (`verify =
+    * false`, the default) is sketch-only; `verify = true` joins the exact
+    * `countDistinct` anchor and asserts the 5·rsd envelope
+    * (rsd = 1.04/√1024; RelationalSpec proves it all-true at two SFs).
+    * Bench and Audit run the default so measured time and audited plan
+    * shape describe the query a production pipeline ships. */
+  def approxDailyUsers(events: DataFrame, verify: Boolean = false): DataFrame = {
+    import graft.plans.CrossSketch._
+    val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
+    val regs = events
+      .select(day, hash31(col("user_id")).as("h"))
+      .groupBy(col("day"), hllBucket(col("h")).as("bucket"))
+      .agg(max(hllRank(col("h"))).as("r"))
+    val est = regs.groupBy(col("day"))
+      .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+      .select(col("day"), hllEstimate(col("s"), col("v")).as("approx_users"))
+    val counts = events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
     if (!verify)
-      sketch
-        .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
-             count(lit(1)).as("n_events"))
+      est.join(counts.agg(count(lit(1)).as("n_events")), "day")
         .orderBy("day")
     else
-      sketch
-        .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
-             countDistinct(col("user_id")).as("exact_users"),
-             count(lit(1)).as("n_events"))
+      est.join(counts.agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events")), "day")
         .withColumn("rel_err",
           round(abs(col("approx_users") - col("exact_users")) * 1.0 / col("exact_users"), 6))
-        .withColumn("within_bound", col("rel_err") <= lit(5.0 * rsd))
+        .withColumn("within_bound", col("rel_err") <= lit(HllErrBound))
         .orderBy("day")
   }
 
@@ -842,48 +840,68 @@ object Events {
 
   /** HLL-sketch audience overlap — the set algebra that replaces
     * [[audienceOverlap]]'s exact pairwise distinct counts when the user
-    * population no longer fits an exact-count budget: one datasketches HLL
-    * per event type (mergeable, the Puffin/lakehouse-native statistic),
-    * pairwise union by `hll_union`, intersection by inclusion–exclusion
-    * (|A∩B| = |A|+|B|−|A∪B|, floored at 0) and estimated Jaccard. The
-    * per-type sketch table is alphabet-bounded, so the pairwise stage is
-    * |types|² rows of O(2^lgK) sketch merges — never a user-grain join.
-    * Default ships sketch-only; `verify=true` joins the exact pair counts
-    * and asserts the conservative inclusion–exclusion envelope
-    * |est−exact| ≤ 5·rsd·(|A|+|B|+|A∪B|) with rsd = 1.04/√2^lgK (each of
-    * the three estimates contributes its own 5·rsd·true bound;
-    * RelationalSpec proves it all-true at two SFs). */
-  def approxAudienceOverlap(events: DataFrame, lgK: Int = 14,
-                            verify: Boolean = false): DataFrame = {
-    val ut = events.select(col("user_id"), col("event_type")).distinct()
-    val sk = ut.groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
-        count(lit(1)).as("n_exact"))
-    val pairs = sk.as("a")
-      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-        hll_sketch_estimate(col("a.sk")).as("est_a"),
-        hll_sketch_estimate(col("b.sk")).as("est_b"),
-        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("est_union"),
-        col("a.n_exact").as("exact_a"), col("b.n_exact").as("exact_b"))
+    * population no longer fits an exact-count budget: one
+    * [[graft.plans.CrossSketch]] deterministic HLL register table per
+    * event type (mergeable, the Puffin/lakehouse-native statistic),
+    * pairwise union by per-bucket register MAX, intersection by
+    * inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|, floored at 0) and
+    * estimated Jaccard. The register table is alphabet-bounded
+    * (|types| × 1024 rows), so the pairwise stage is |types|² small
+    * aggregations — never a user-grain join — and, because the sketch is
+    * cross-engine deterministic, the DuckDB oracle recomputes every
+    * ESTIMATE bit-for-bit. Default ships sketch-only; `verify=true` joins
+    * the exact pair counts and asserts the conservative
+    * inclusion–exclusion envelope |est−exact| ≤ 5·rsd·(|A|+|B|+|A∪B|)
+    * with rsd = 1.04/√1024 (each of the three estimates contributes its
+    * own 5·rsd·true bound; RelationalSpec proves it all-true at two
+    * SFs). */
+  def approxAudienceOverlap(events: DataFrame, verify: Boolean = false): DataFrame = {
+    import graft.plans.CrossSketch._
+    val regs = events
+      .select(col("event_type"), hash31(col("user_id")).as("h"))
+      .groupBy(col("event_type"), hllBucket(col("h")).as("bucket"))
+      .agg(max(hllRank(col("h"))).as("r"))
+    val perType = regs.groupBy(col("event_type"))
+      .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+      .select(col("event_type"), hllEstimate(col("s"), col("v")).as("est"))
+    val typePairs = perType.select(col("event_type").as("type_a")).as("a")
+      .join(perType.select(col("event_type").as("type_b")).as("b"),
+        col("type_a") < col("type_b"))
+    val unionRegs = typePairs.join(regs, col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("bucket"), col("r"))
+      .unionAll(typePairs.join(regs, col("event_type") === col("type_b"))
+        .select(col("type_a"), col("type_b"), col("bucket"), col("r")))
+      .groupBy(col("type_a"), col("type_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val unionEst = unionRegs.groupBy(col("type_a"), col("type_b"))
+      .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+      .select(col("type_a"), col("type_b"),
+        hllEstimate(col("s"), col("v")).as("est_union"))
+    val pairs = unionEst
+      .join(perType.select(col("event_type").as("type_a"), col("est").as("est_a")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"), col("est").as("est_b")), "type_b")
       .withColumn("est_inter", greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
       .withColumn("jaccard_est", round(col("est_inter") * 1.0 / col("est_union"), 6))
     if (!verify)
       pairs.select("type_a", "type_b", "est_a", "est_b", "est_union", "est_inter", "jaccard_est")
         .orderBy("type_a", "type_b")
     else {
+      val ut = events.select(col("user_id"), col("event_type")).distinct()
+      val exact = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
       val inter = ut.as("x")
         .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
         .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
         .agg(count(lit(1)).as("exact_inter"))
-      val rsd = 1.04 / math.sqrt((1L << lgK).toDouble)
-      pairs.join(inter, Seq("type_a", "type_b"), "left")
+      pairs
+        .join(exact.select(col("event_type").as("type_a"), col("n_exact").as("exact_a")), "type_a")
+        .join(exact.select(col("event_type").as("type_b"), col("n_exact").as("exact_b")), "type_b")
+        .join(inter, Seq("type_a", "type_b"), "left")
         .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
         .withColumn("abs_err", abs(col("est_inter") - col("exact_inter")))
         .withColumn("within_bound",
-          col("abs_err") <= lit(5.0 * rsd) *
+          col("abs_err") <= lit(HllErrBound) *
             (col("exact_a") + col("exact_b") + col("exact_union")))
         .select("type_a", "type_b", "est_a", "est_b", "est_union", "est_inter",
           "jaccard_est", "exact_a", "exact_b", "exact_inter", "exact_union",

@@ -445,39 +445,52 @@ object Manifest {
     * makes stats maintenance O(new files) at 100 TB: a commit unions the new
     * files' sketches into the table blob instead of recounting history, and
     * the union is associative so any subset (partition, branch, snapshot
-    * diff) aggregates the same way. Here: per-file `hll_sketch_agg` (the
-    * built-in Datasketches HLL, the same family Puffin serializes) over two
-    * cardinality regimes (l_suppkey moderate, l_orderkey ~rows/4), merged by
-    * `hll_union_agg`; output one row per column with the sketch estimate,
-    * the total sketch bytes a writer would persist, and the per-file mean.
+    * diff) aggregates the same way. Here: one per-file HLL register table
+    * (the same statistic family Puffin serializes) over two
+    * cardinality regimes (l_suppkey moderate, l_orderkey ~rows/4), merged
+    * by per-bucket register MAX (the HLL union); output one row per column
+    * with the sketch estimate, the total sketch bytes a writer would
+    * persist (dense encoding: one byte per register, m bytes per file),
+    * and the per-file mean.
     *
-    * Approximate by design → no DuckDB oracle (rows-only driver check), so
-    * with `verify = true` (the correctness harness / specs) each row carries
-    * its own proof: exact NDV from a countDistinct anchor, relative error,
-    * and `within_bound` against the HLL++ envelope (5·rsd for lgConfigK 12,
-    * rsd = 1.04/√2¹² ≈ 1.6%). Bench/Audit run the sketch-only variant a
-    * production writer ships — see SparkEntry.benchVariants. */
+    * The sketch is [[graft.plans.CrossSketch]]'s cross-engine
+    * deterministic HLL, so the DuckDB oracle recomputes the per-file
+    * registers, the union and the ESTIMATE bit-for-bit — a fully
+    * hash-checked approximate statistic. With `verify = true` (the
+    * correctness harness / specs) each row additionally carries its own
+    * accuracy proof: exact NDV from a countDistinct anchor, relative
+    * error, and `within_bound` against the 5·rsd envelope
+    * (rsd = 1.04/√1024 ≈ 3.25%). Bench/Audit run the sketch-only variant
+    * a production writer ships — see SparkEntry.benchVariants. */
   def puffinNdv(lineitem: DataFrame, nFiles: Int = 40, verify: Boolean = false): DataFrame = {
+    import graft.plans.CrossSketch._
     val files = FileModel.withFileId(lineitem, nFiles)
     def onecol(c: String): DataFrame = {
-      val perFile = files.groupBy(col("file_id"))
-        .agg(hll_sketch_agg(col(c)).as("sk"), count(lit(1)).as("rows"))
-      val base = perFile.agg(
-          count(lit(1)).as("n_files"),
-          sum(col("rows")).as("table_rows"),
-          round(hll_sketch_estimate(hll_union_agg(col("sk")))).cast("long").as("est_ndv"),
-          sum(length(col("sk"))).as("sketch_bytes"))
+      // per-file registers — the sketch a writer would persist per file…
+      val perFile = files
+        .select(col("file_id"), hash31(col(c)).as("h"))
+        .groupBy(col("file_id"), hllBucket(col("h")).as("bucket"))
+        .agg(max(hllRank(col("h"))).as("r"))
+      // …unioned to table grain by per-bucket MAX (associative, O(new
+      // files) maintenance), never a re-scan of history.
+      val tableRegs = perFile.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      val est = tableRegs.agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+        .select(hllEstimate(col("s"), col("v")).as("est_ndv"))
+      val census = files.agg(
+          countDistinct(col("file_id")).as("n_files"),
+          count(lit(1)).as("table_rows"))
+      val base = census.crossJoin(broadcast(est))
         .select(lit(c).as("column"), col("n_files"), col("table_rows"),
-          col("est_ndv"), col("sketch_bytes"),
-          round(col("sketch_bytes") * 1.0 / col("n_files"), 2).as("bytes_per_file"))
+          col("est_ndv"), (col("n_files") * lit(HllM.toLong)).as("sketch_bytes"))
+        .withColumn("bytes_per_file",
+          round(col("sketch_bytes") * 1.0 / col("n_files"), 2))
       if (!verify) base
       else {
-        val rsd = 1.04 / math.sqrt(1 << 12)
         val exact = lineitem.agg(countDistinct(col(c)).as("exact_ndv"))
         base.crossJoin(broadcast(exact))
           .withColumn("rel_err",
             round(abs(col("est_ndv") - col("exact_ndv")) * 1.0 / col("exact_ndv"), 6))
-          .withColumn("within_bound", col("rel_err") <= lit(5 * rsd))
+          .withColumn("within_bound", col("rel_err") <= lit(HllErrBound))
       }
     }
     onecol("l_suppkey").unionAll(onecol("l_orderkey")).orderBy("column")

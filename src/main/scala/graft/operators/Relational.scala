@@ -596,70 +596,65 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("order_year")
 
-  /** Sketch-based quantiles for the 100 TB path (no oracle — approximate).
+  /** Sketch-based quantiles for the 100 TB path — a log-linear (HDR-style,
+    * [[graft.plans.CrossSketch]]) histogram sketch that is CROSS-ENGINE
+    * DETERMINISTIC, so the DuckDB oracle recomputes the estimates
+    * bit-for-bit (the GK `approx_percentile` this replaces was bound to
+    * Spark's merge order and could only ever be envelope-checked).
     * Quantiles surfaced as scalar columns (not an array) so downstream
-    * row-wise tooling needs no array handling. Scale contract: Spark's
-    * approx_percentile is a QuantileSummaries (Greenwald–Khanna) sketch with
-    * MERGEABLE partial state — the plan shows partial_approx_percentile on
-    * the map side and a merge on the reduce side, so executor memory is
-    * O(accuracy) per group regardless of row count; this is the documented
-    * scale twin of q20's exact value-buffering percentile (and of the exact
-    * bounded-state `plans.QuarterQuantiles` at quarter points).
+    * row-wise tooling needs no array handling.
     *
-    * The shipped shape (`verify = false`, the default) is the single
-    * sketch aggregation — no second scan, no extra join. Because no oracle
-    * can check an approximate result, the correctness harness opts into
-    * `verify = true`: GK guarantees each returned value's RANK lies near
-    * the target p·n, so one extra map-side-combinable pass counts, per
-    * group, the rows strictly-below / at-or-below each returned value (its
-    * true rank interval) and `within_bound` asserts the interval touches
-    * the rank envelope for all four quantiles. Bench and Audit measure the
-    * default sketch-only plan; RelationalSpec proves `within_bound`
-    * all-true at two scale factors.
+    * Mechanics: prices quantized to integer cents, bucketed by
+    * (octave = floor(log₂) via the binary string, 32 linear sub-buckets
+    * per octave) — pure integer arithmetic every engine computes
+    * identically. Per flag the bucket histogram is EXACT (a count per
+    * bucket), so the smallest bucket whose cumulative count reaches the
+    * discrete target rank ⌈p·n⌉ PROVABLY contains the rank-t value; the
+    * estimate is that bucket's midpoint, giving a guaranteed relative
+    * error ≤ 1/(2·idx) ≤ 1/65 — `max_rel_halfwidth` carries the realized
+    * bound and `within_bound` asserts it (structural, not statistical).
+    * Target ranks use ⌈num·n/den⌉ in integer arithmetic — no float
+    * boundary can flip a rank.
     *
-    * Rank envelope (HEURISTIC, not a published guarantee): the in-sketch
-    * GK bound is ε·n (ε = 1/accuracy), but Spark merges per-partition
-    * summaries by concatenate+compress, whose merged-error constant is not
-    * published — observed ≤ 2.5·ε·n at 32 partitions. The envelope scales
-    * with the number of merged input summaries: (2 + log₂ s)·ε·n for s
-    * input partitions, floored at 2 ranks for the small-n regime where the
-    * summary is exact up to query granularity. A different partition count
-    * widens the envelope rather than flipping the assertion. */
-  def approxPriceQuantiles(lineitem: DataFrame, accuracy: Int = 10000,
-                           verify: Boolean = false): DataFrame = {
-    val ps = Seq(0.25, 0.50, 0.75, 0.99)
-    val sk = lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(",")}), $accuracy)").as("qs"))
-    val quantileCols = Seq(
-      round(element_at(col("qs"), 1), 4).as("p25"),
-      round(element_at(col("qs"), 2), 4).as("p50"),
-      round(element_at(col("qs"), 3), 4).as("p75"),
-      round(element_at(col("qs"), 4), 4).as("p99"))
-    if (!verify)
-      return sk.select(col("l_returnflag") +: quantileCols: _*).orderBy("l_returnflag")
-    // rank-check pass: counts below / at-or-below each sketch value, per flag
-    val rankAggs = ps.indices.flatMap { i =>
-      Seq(
-        sum(when(col("l_extendedprice") < element_at(col("qs"), i + 1), 1L).otherwise(0L)).as(s"lt_$i"),
-        sum(when(col("l_extendedprice") <= element_at(col("qs"), i + 1), 1L).otherwise(0L)).as(s"le_$i"))
+    * Scale contract: sketch state is the (flag, oct, idx) histogram —
+    * ≤ ~32·octaves rows per flag, constant in row count, merged map-side;
+    * the only window runs over that bounded per-flag histogram, never
+    * over data. This is the documented scale twin of q20's exact
+    * value-buffering percentile (and of the exact bounded-state
+    * `plans.QuarterQuantiles` at quarter points). */
+  def approxPriceQuantiles(lineitem: DataFrame): DataFrame = {
+    import graft.plans.CrossSketch.{SubBucketBits, SubBuckets}
+    val ps = Seq(("p25", 25), ("p50", 50), ("p75", 75), ("p99", 99))
+    val hist = lineitem
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("oct", length(bin(col("cents"))) - lit(1))
+      .withColumn("idx", expr(s"shiftright(cents, oct - $SubBucketBits)"))
+      .groupBy(col("l_returnflag"), col("oct"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded windows: ≤ 32·octaves histogram rows per flag
+    val byBucket = Window.partitionBy("l_returnflag").orderBy("oct", "idx")
+    val perFlag = Window.partitionBy("l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .withColumn("n", sum(col("cnt")).over(perFlag))
+      .withColumn("mid", expr(s"shiftleft(2 * idx + 1, oct - $SubBucketBits)") / lit(200.0))
+      .withColumn("lo", expr(s"shiftleft(idx, oct - $SubBucketBits)"))
+      .withColumn("hi", expr(s"shiftleft(idx + 1, oct - $SubBucketBits)"))
+    def t(num: Int) = expr(s"($num * n + 99) DIV 100")
+    val qCols = ps.map { case (name, num) =>
+      round(min(when(col("cum") >= t(num), col("mid"))), 4).as(name)
     }
-    val allAggs = count(lit(1)).as("n") +: rankAggs
-    val checked = lineitem.join(broadcast(sk), "l_returnflag")
-      .groupBy(col("l_returnflag"), col("qs"))
-      .agg(allAggs.head, allAggs.tail: _*)
-    // s = number of scan partitions whose summaries the merge folds; the
-    // envelope grows with log₂ s (heuristic, see scaladoc).
-    val nParts = math.max(lineitem.rdd.getNumPartitions, 2)
-    val envFactor = 2.0 + math.log(nParts.toDouble) / math.log(2.0)
-    val withinAll = ps.indices.map { i =>
-      // Target rank t = 1 + p·(n−1); the value's true-rank interval
-      // [lt+1, le] must touch [t − en, t + en].
-      val t = lit(1.0) + lit(ps(i)) * (col("n") - 1)
-      val en = greatest(col("n") * envFactor / accuracy, lit(2.0))
-      (col(s"lt_$i") + 1 <= t + en) && (col(s"le_$i") >= t - en)
-    }.reduce(_ && _)
-    checked.select(col("l_returnflag") +: (quantileCols :+ withinAll.as("within_bound")): _*)
+    // realized guarantee: the chosen bucket's halfwidth over its midpoint,
+    // (hi−lo)/(hi+lo) = 1/(2·idx+1); lo/hi are monotone so min() selects
+    // the same bucket the estimate came from
+    val relW = ps.map { case (_, num) =>
+      (min(when(col("cum") >= t(num), col("hi"))) - min(when(col("cum") >= t(num), col("lo")))) * 1.0 /
+        (min(when(col("cum") >= t(num), col("hi"))) + min(when(col("cum") >= t(num), col("lo"))))
+    }.reduce((a, b) => greatest(a, b))
+    cum.groupBy(col("l_returnflag"))
+      .agg(qCols.head, qCols.tail :+ round(relW, 6).as("max_rel_halfwidth"): _*)
+      .withColumn("within_bound", col("max_rel_halfwidth") <= lit(1.0 / (2 * SubBuckets)))
       .orderBy("l_returnflag")
   }
 

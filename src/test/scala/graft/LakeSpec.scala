@@ -557,8 +557,8 @@ class LakeSpec extends SparkSpec {
         assert(r.getAs[Boolean]("within_bound"),
           s"$sf ${r.getAs[String]("column")}: rel_err ${r.getAs[Double]("rel_err")} beyond 5*rsd")
         assert(r.getAs[Long]("sketch_bytes") > 0 && r.getAs[Long]("n_files") == 40)
-        // the whole point of the sketch: orders of magnitude smaller than
-        // the data it summarizes (compact HLL lgK=12 is <= ~2.5KB per file)
+        // the whole point of the sketch: far smaller than the data it
+        // summarizes (dense CrossSketch HLL: 1024 bytes per file)
         assert(r.getAs[Long]("sketch_bytes") < r.getAs[Long]("table_rows") * 8,
           "sketch must be far smaller than a raw column copy")
       }

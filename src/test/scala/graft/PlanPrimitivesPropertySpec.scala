@@ -317,4 +317,34 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
         assert(got(k) == u, s"trial $trial key $k: islands union ${got(k)} != brute $u")
     }
   }
+
+  test("CrossSketch HLL: estimate within 5*rsd across random cardinalities, ranks well-formed") {
+    import graft.plans.CrossSketch._
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 6) {
+      // cardinalities spanning linear-counting and raw-HLL regimes
+      val n = Seq(17, 200, 900, 3000, 20000, 120000)(trial - 1)
+      val keys = rnd.shuffle((1L to 400000L).toList).take(n)
+      val df = keys.toDF("k")
+      val regs = df.select(hash31(col("k")).as("h"))
+        .select(hllBucket(col("h")).as("bucket"), hllRank(col("h")).as("r"))
+      // ranks live in [1, RankCap], buckets in [0, m)
+      val mm = regs.agg(min("bucket"), max("bucket"), min("r"), max("r")).head()
+      assert(mm.getLong(0) >= 0 && mm.getLong(1) < HllM)
+      assert(mm.getInt(2) >= 1 && mm.getInt(3) <= HllRankCap)
+      val est = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+        .select(hllEstimate(col("s"), col("v")).as("est")).head().getLong(0)
+      val rel = math.abs(est - n).toDouble / n
+      assert(rel <= HllErrBound, s"trial $trial n=$n est=$est rel=$rel > $HllErrBound")
+      // duplicate-insensitivity: unioning the data with itself cannot move
+      // a single register (same key -> same (bucket, rank))
+      val est2 = df.unionAll(df).select(hash31(col("k")).as("h"))
+        .groupBy(hllBucket(col("h")).as("bucket")).agg(max(hllRank(col("h"))).as("r"))
+        .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
+        .select(hllEstimate(col("s"), col("v")).as("est")).head().getLong(0)
+      assert(est2 == est, s"trial $trial: duplicates moved the estimate $est -> $est2")
+    }
+  }
 }

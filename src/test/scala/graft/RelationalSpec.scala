@@ -158,13 +158,14 @@ class RelationalSpec extends SparkSpec {
             s"$sf $key: exact anchors diverge from audienceOverlap")
         }
       }
-      // GK sketch: the rank-interval bound column must hold for every flag
+      // HDR histogram sketch: the structural relative-halfwidth bound must
+      // hold for every flag (chosen bucket halfwidth ≤ 1/64 of midpoint)
       val li = Tables.lineitem(spark, sf)
-      val sketchQ = Relational.approxPriceQuantiles(li, verify = true).collect()
+      val sketchQ = Relational.approxPriceQuantiles(li).collect()
       assert(sketchQ.nonEmpty)
       sketchQ.foreach { r =>
         assert(r.getAs[Boolean]("within_bound"),
-          s"$sf ${r.getAs[String]("l_returnflag")}: GK rank bound breached")
+          s"$sf ${r.getAs[String]("l_returnflag")}: HDR halfwidth bound breached")
       }
       // and the sketch p50 still tracks the exact percentile
       val exactQ = Relational.priceQuantiles(li).collect()
