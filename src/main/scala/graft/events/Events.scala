@@ -177,20 +177,21 @@ object Events {
   def approxDailyUsers(events: DataFrame, verify: Boolean = false): DataFrame = {
     import graft.plans.CrossSketch._
     val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
+    // one scan: the register pass carries the event count alongside each
+    // bucket's max rank, so n_events is a rollup of sketch-grain state
     val regs = events
       .select(day, hash31(col("user_id")).as("h"))
       .groupBy(col("day"), hllBucket(col("h")).as("bucket"))
-      .agg(max(hllRank(col("h"))).as("r"))
+      .agg(max(hllRank(col("h"))).as("r"), count(lit(1)).as("c"))
     val est = regs.groupBy(col("day"))
-      .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
-      .select(col("day"), hllEstimate(col("s"), col("v")).as("approx_users"))
-    val counts = events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(hllSumCol.as("s"), hllZerosCol.as("v"), sum(col("c")).as("n_events"))
+      .select(col("day"), hllEstimate(col("s"), col("v")).as("approx_users"),
+        col("n_events"))
     if (!verify)
-      est.join(counts.agg(count(lit(1)).as("n_events")), "day")
-        .orderBy("day")
+      est.orderBy("day")
     else
-      est.join(counts.agg(countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n_events")), "day")
+      est.join(events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users")), "day")
         .withColumn("rel_err",
           round(abs(col("approx_users") - col("exact_users")) * 1.0 / col("exact_users"), 6))
         .withColumn("within_bound", col("rel_err") <= lit(HllErrBound))

@@ -84,7 +84,9 @@ class PlanShapeSpec extends SparkSpec {
     // the verification pass leaked back into the shipped shape — the HLL /
     // GK sketches themselves are plain (non-distinct) aggregate functions.
     for (name <- Seq("ev_approx_users", "q30_approx_quantiles_sketch")) {
-      val df = SparkEntry.benchVariants(name)(spark, sf0001)
+      // q30's checked shape IS its shipped shape (no exact anchor), so it
+      // has no benchVariants override and falls through to `queries`
+      val df = SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))(spark, sf0001)
       val agg = df.queryExecution.optimizedPlan.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       }
