@@ -79,6 +79,7 @@ object SparkEntry {
     "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
+    "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -359,6 +360,7 @@ object SparkEntry {
     "iceberg_manifest_tree",       // iceberg.table.tree
     "iceberg_delete_storm",        // iceberg.table.storm
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
+    "iceberg_commit_series",       // iceberg.table.series
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1205,6 +1207,35 @@ object SparkEntry {
         |SELECT '2_after', ng.n_groups, op.manifests_read, tot.files_total,
         | op.entries, tgt.files_sel, tgt.rows_planned, TRUE
         |FROM tot, ng, op, tgt
+        |ORDER BY state""".stripMargin
+    },
+
+    // commit_series: 24 single-month commits — the manifest list grows
+    // linearly (manifests_total = files_total = k), the range-pruned
+    // probe always opens ONE 1-entry manifest; the fold re-bins into
+    // year groups (n_groups manifests, probe parses its group's entries).
+    "iceberg_commit_series" -> {
+      val n = iceberg.IcebergOps.SeriesMonths
+      val g = iceberg.IcebergOps.SeriesGroupMonths
+      s"""WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS pm,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        | r AS (SELECT pm, cnt, CAST(row_number() OVER (ORDER BY pm) AS BIGINT) AS k FROM m),
+        | probe AS (SELECT cnt AS rows_planned FROM r WHERE k = 1),
+        | ser AS (SELECT k FROM r WHERE k <= $n),
+        | grp AS (SELECT (CAST(substr(pm, 1, 4) AS INT) * 12 +
+        |     CAST(substr(pm, 6, 2) AS INT) - 1) // $g AS grp FROM r WHERE k <= $n),
+        | ng AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM grp),
+        | fg AS (SELECT CAST(count(*) AS BIGINT) AS probe_group_files FROM grp
+        |   WHERE grp = (SELECT min(grp) FROM grp))
+        |SELECT printf('c%02d', k) AS state, k AS manifests_total,
+        | CAST(1 AS BIGINT) AS manifests_read, k AS files_total,
+        | CAST(1 AS BIGINT) AS entries_parsed, CAST(1 AS BIGINT) AS files_selected,
+        | probe.rows_planned
+        |FROM ser, probe
+        |UNION ALL
+        |SELECT 'fold', ng.n_groups, CAST(1 AS BIGINT), CAST($n AS BIGINT),
+        | fg.probe_group_files, CAST(1 AS BIGINT), probe.rows_planned
+        |FROM ng, fg, probe
         |ORDER BY state""".stripMargin
     },
 

@@ -756,6 +756,66 @@ object IcebergOps {
       .orderBy("state")
   }
 
+  /** Number of single-month commits in the commit-series study. */
+  val SeriesMonths = 24
+  /** Months per branch manifest in the series' fold commit. */
+  val SeriesGroupMonths = 12
+
+  /** [[SeriesMonths]] tiny real commits (one month → one data file each),
+    * then the real `rewrite_manifests` fold. Memoized per corpus. */
+  private def commitSeriesTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.series") {
+      val loc = Files.createTempDirectory("graft_iceberg_series_").toString
+      val months = lineitem
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("pm")).distinct()
+        .orderBy("pm").limit(SeriesMonths).collect().map(_.getString(0))
+      months.foreach { m =>
+        IcebergTable.append(spark,
+          lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === m), loc)
+      }
+      IcebergTable.rewriteManifests(loc, SeriesGroupMonths)
+      new String(loc)
+    }
+
+  /** The reference's single-file-commits study (`test_single_file_commits
+    * .py:68,111,153` — commit-by-commit metadata growth, then compaction
+    * payoff) executed on the REAL format: [[SeriesMonths]] appends of one
+    * month each (the pathological small-commit cadence: every commit adds
+    * ONE data file and ONE manifest, so the manifest list grows linearly
+    * with commit count), each historical snapshot re-planned for the
+    * table's first month from its own real metadata — manifest-list
+    * length, manifests the range-pruned planner opens, entries parsed,
+    * files/rows planned — followed by the real `rewrite_manifests` fold
+    * ([[IcebergTable.rewriteManifests]]) that re-bins the accumulated
+    * entries into year branches: manifest count collapses 24 → 2 while
+    * the probe's planner IO trades 1-manifest/1-entry for
+    * 1-manifest/12-entries (the adaptive-tree trade, measured, not
+    * asserted). Every number is a deterministic function of lineitem's
+    * month census, so DuckDB replays the whole trajectory. */
+  def commitSeries(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = commitSeriesTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val snaps = meta.snapshots.sortBy(_.id)
+    val appends = snaps.filter(_.operation == "append")
+    // probe = the table's first month, read from the FIRST commit's real
+    // manifest bounds (zero data IO — the census never scans parquet)
+    val probe = IcebergTable.readManifestList(appends.head.manifestList).map(_.partLo).min
+    val states = appends.zipWithIndex.map { case (s, i) => (f"c${i + 1}%02d", s) } :+
+      ("fold", snaps.last)
+    val rows = states.map { case (state, s) =>
+      val manifests = IcebergTable.readManifestList(s.manifestList)
+      val plan = IcebergTable.planFiles(loc, Some(s.id), Some(probe), Some(probe))
+      val opened = manifests.filter(m => m.partHi >= probe && m.partLo <= probe)
+      (state, manifests.size.toLong, plan.manifestsRead.toLong, plan.filesTotal,
+        opened.map(_.addedFiles.toLong).sum, plan.filesSelected.toLong,
+        plan.files.map(_.recordCount).sum)
+    }
+    import spark.implicits._
+    rows.toDF("state", "manifests_total", "manifests_read", "files_total",
+      "entries_parsed", "files_selected", "rows_planned")
+      .orderBy("state")
+  }
+
   /** The delete-storm wave predicates (spliced into the oracle): wave i
     * DV-deletes l_orderkey ≡ residue (mod [[DeleteKeyMod]]); residues are
     * distinct so waves are disjoint and the fold is their exact union. */

@@ -122,6 +122,29 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.readMor(spark, l)._1.count() == liveBefore)
   }
 
+  test("commit series: manifest list grows one per commit, fold collapses it, probe IO stays flat") {
+    val out = graft.lake.iceberg.IcebergOps.commitSeries(spark, lineitem).collect()
+    val series = out.filter(_.getAs[String]("state") != "fold")
+    assert(series.length == graft.lake.iceberg.IcebergOps.SeriesMonths)
+    series.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("manifests_total") == i + 1, s"commit ${i + 1}: list must grow by 1")
+      assert(r.getAs[Long]("files_total") == i + 1)
+      // range pruning keeps the probe's planner IO CONSTANT while the
+      // table's metadata grows — the property that makes tiny commits
+      // survivable at all
+      assert(r.getAs[Long]("manifests_read") == 1 && r.getAs[Long]("entries_parsed") == 1)
+      assert(r.getAs[Long]("files_selected") == 1)
+    }
+    val fold = out.find(_.getAs[String]("state") == "fold").get
+    assert(fold.getAs[Long]("manifests_total") < graft.lake.iceberg.IcebergOps.SeriesMonths,
+      "fold must collapse the manifest list")
+    assert(fold.getAs[Long]("files_total") == graft.lake.iceberg.IcebergOps.SeriesMonths)
+    assert(fold.getAs[Long]("manifests_read") == 1)
+    // identical planned rows at every state: metadata reorganization never
+    // changes results
+    assert(out.map(_.getAs[Long]("rows_planned")).toSet.size == 1)
+  }
+
   test("compaction rewrite: replace snapshot carries merged truth, old snapshots stay time-travelable") {
     val l = Files.createTempDirectory("graft_iceberg_compact_spec_").toString
     IcebergTable.append(spark, lineitem
