@@ -80,6 +80,7 @@ object SparkEntry {
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
+    "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -1208,6 +1209,28 @@ object SparkEntry {
         | op.entries, tgt.files_sel, tgt.rows_planned, TRUE
         |FROM tot, ng, op, tgt
         |ORDER BY state""".stripMargin
+    },
+
+    // wide_prune: per-(month, snapshot) file bounds — including the wide
+    // integer-canonical stats — are deterministic aggregates of lineitem,
+    // so the 3-conjunct overlap bits recompute exactly.
+    "iceberg_wide_prune" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS p_month,
+        |   CASE WHEN l_shipdate < TIMESTAMP '$cut' THEN 1 ELSE 2 END AS seq,
+        |   CAST(count(*) AS BIGINT) AS record_count,
+        |   min(strftime(l_shipdate, '%Y-%m-%d')) AS lo_ship,
+        |   max(strftime(l_shipdate, '%Y-%m-%d')) AS hi_ship,
+        |   min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lo_price,
+        |   min(CAST(round(l_quantity) AS BIGINT)) AS lo_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_month, CAST(seq AS BIGINT) AS seq, record_count,
+        | (hi_ship >= '${iceberg.IcebergOps.WideShipLo}'
+        |    AND lo_ship <= '${iceberg.IcebergOps.WideShipHi}') AS ship_overlap,
+        | lo_price <= ${iceberg.IcebergOps.WidePriceHiCents} AS price_overlap,
+        | lo_qty <= ${iceberg.IcebergOps.WideQtyHi} AS qty_overlap,
+        | (ship_overlap AND price_overlap AND qty_overlap) AS keep
+        |FROM f ORDER BY p_month, seq""".stripMargin
     },
 
     // commit_series: 24 single-month commits — the manifest list grows

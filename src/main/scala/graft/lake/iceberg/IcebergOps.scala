@@ -756,6 +756,49 @@ object IcebergOps {
       .orderBy("state")
   }
 
+  /** Wide-table pruning predicate constants (spliced into the oracle):
+    * ship month window, price ceiling in integer cents, quantity floor
+    * window — three conjuncts over three different manifest statistics. */
+  val WideShipLo = "1997-01-01"
+  val WideShipHi = "1997-06-30"
+  val WidePriceHiCents = 100000L // l_extendedprice <= $1000
+  val WideQtyHi = 2L // l_quantity <= 2
+
+  /** The reference's wide-table pruning study (`test_wide_table_pruning
+    * .py:193,236` — aggregated column stats in the root manifest answer a
+    * multi-column predicate with ZERO data-footer reads) executed on the
+    * REAL format: [[IcebergTable]] manifests carry lower/upper bound maps
+    * for l_shipdate PLUS the wide-stats set (l_orderkey,
+    * l_extendedprice_cents, l_quantity — integer-canonical encodings, see
+    * `IcebergTable.WideBoundCols`), and this census evaluates a
+    * 3-conjunct predicate per data file from those real Avro bounds
+    * alone: per-conjunct overlap bits and the conjunctive keep verdict,
+    * one row per (month, snapshot) file. Every bound is a deterministic
+    * aggregate of lineitem's (month × snapshot-half) grain, so DuckDB
+    * recomputes bits and verdicts exactly — and the proof that no parquet
+    * footer was touched is structural: the census reads manifests only. */
+  def widePruneReal(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val manifests = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+    val entries = IcebergTable.readManifestsParallel(manifests.map(_.path))
+      .flatten.filter(_.content == 0)
+    val rows = entries.map { f =>
+      val (priceLo, _) = f.wideBounds("l_extendedprice_cents") match {
+        case (a, b) => (a.toLong, b.toLong) }
+      val (qtyLo, _) = f.wideBounds("l_quantity") match { case (a, b) => (a.toLong, b.toLong) }
+      val ship = f.hiShip >= WideShipLo && f.loShip <= WideShipHi
+      val price = priceLo <= WidePriceHiCents
+      val qty = qtyLo <= WideQtyHi
+      (f.partition, f.sequence, f.recordCount, ship, price, qty, ship && price && qty)
+    }.sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("p_month", "seq", "record_count",
+      "ship_overlap", "price_overlap", "qty_overlap", "keep")
+      .orderBy("p_month", "seq")
+  }
+
   /** Number of single-month commits in the commit-series study. */
   val SeriesMonths = 24
   /** Months per branch manifest in the series' fold commit. */

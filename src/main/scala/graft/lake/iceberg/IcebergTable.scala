@@ -68,7 +68,8 @@ object IcebergTable {
                                  fileSizeBytes: Long, loShip: String, hiShip: String,
                                  content: Int = 0, sequence: Long = 0L,
                                  referencedDataFile: Option[String] = None,
-                                 contentOffset: Long = -1L, contentSize: Long = -1L)
+                                 contentOffset: Long = -1L, contentSize: Long = -1L,
+                                 wideBounds: Map[String, (String, String)] = Map.empty)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -250,8 +251,11 @@ object IcebergTable {
         dfr.put("partition", part)
         dfr.put("record_count", f.recordCount)
         dfr.put("file_size_in_bytes", f.fileSizeBytes)
-        dfr.put("lower_bounds", Map("l_shipdate" -> f.loShip).asJava)
-        dfr.put("upper_bounds", Map("l_shipdate" -> f.hiShip).asJava)
+        // stats survive the rewrite wholesale — wide bounds included
+        dfr.put("lower_bounds",
+          (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
+        dfr.put("upper_bounds",
+          (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 0) // EXISTING — the rewrite adds no data
         e.put("snapshot_id", snapshotId)
@@ -422,21 +426,44 @@ object IcebergTable {
   /** Per-file stats over a just-written data directory: ONE distributed
     * aggregation at data-file grain (metadata-grain output — the same
     * collect every real Iceberg committer does). */
-  private def collectFileStats(spark: SparkSession, dataDir: String): Seq[DataFileEntry] =
-    spark.read.parquet(dataDir)
+  /** Wide-stats columns recorded in every data manifest entry's bound
+    * maps beyond l_shipdate (the wide-table-pruning statistic set):
+    * integer-canonical string encodings so bound compares are exact on
+    * any engine. Columns absent from a written schema are skipped. */
+  val WideBoundCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+    "l_orderkey" -> (c => c.cast("long")),
+    "l_extendedprice_cents" -> (c => round(c * 100).cast("long")),
+    "l_quantity" -> (c => round(c).cast("long")))
+  private val WideBoundSource = Map(
+    "l_orderkey" -> "l_orderkey",
+    "l_extendedprice_cents" -> "l_extendedprice",
+    "l_quantity" -> "l_quantity")
+
+  private def collectFileStats(spark: SparkSession, dataDir: String): Seq[DataFileEntry] = {
+    val base = spark.read.parquet(dataDir)
+    val present = WideBoundCols.filter { case (k, _) => base.columns.contains(WideBoundSource(k)) }
+    val wideSel = present.map { case (k, enc) => enc(col(WideBoundSource(k))).as(k) }
+    val wideAggs = present.flatMap { case (k, _) =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) }
+    base
       // cast: weekly partition values look like dates and Spark's partition
       // inference types the directory value as DATE — the manifest stores
       // the spec's string form either way
-      .select(input_file_name().as("file_path"), col("p_month").cast("string").as("p_month"),
-        date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
+      .select(Seq(input_file_name().as("file_path"), col("p_month").cast("string").as("p_month"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("d")) ++ wideSel: _*)
       .groupBy(col("file_path"), col("p_month"))
-      .agg(count(lit(1)).as("record_count"), min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .agg(count(lit(1)).as("record_count"),
+        (Seq(min(col("d")).as("lo"), max(col("d")).as("hi")) ++ wideAggs): _*)
       .collect()
       .map { r =>
         val p = r.getAs[String]("file_path").stripPrefix("file:")
+        val wide = present.map { case (k, _) =>
+          k -> (r.getAs[Long](s"__lo_$k").toString, r.getAs[Long](s"__hi_$k").toString) }.toMap
         DataFileEntry(p, r.getAs[String]("p_month"), r.getAs[Long]("record_count"),
-          new File(p).length(), r.getAs[String]("lo"), r.getAs[String]("hi"))
+          new File(p).length(), r.getAs[String]("lo"), r.getAs[String]("hi"),
+          wideBounds = wide)
       }.sortBy(_.partition).toSeq
+  }
 
   /** Write one snapshot's manifest Avro from collected file stats;
     * `suffix` uniquifies the name for OCC retries (two writers may race
@@ -458,8 +485,10 @@ object IcebergTable {
       df.put("partition", part)
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.fileSizeBytes)
-      df.put("lower_bounds", Map("l_shipdate" -> f.loShip).asJava)
-      df.put("upper_bounds", Map("l_shipdate" -> f.hiShip).asJava)
+      df.put("lower_bounds",
+        (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
+      df.put("upper_bounds",
+        (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // 1 = ADDED
       e.put("snapshot_id", snapshotId)
@@ -882,6 +911,9 @@ object IcebergTable {
       // the fields existed read back as None/-1 (standard Avro evolution)
       def opt(name: String): Option[AnyRef] =
         Option(df.getSchema.getField(name)).flatMap(f => Option(df.get(f.pos())))
+      // every non-shipdate key present in BOTH maps is a wide-stats bound
+      val wide = (lo.keySet & hi.keySet).filter(_ != "l_shipdate")
+        .map(k => k -> (lo(k), hi(k))).toMap
       DataFileEntry(df.get("file_path").toString,
         df.get("partition").asInstanceOf[GenericRecord].get("p_month").toString,
         df.get("record_count").asInstanceOf[Long],
@@ -891,7 +923,8 @@ object IcebergTable {
         r.get("sequence_number").asInstanceOf[Long],
         opt("referenced_data_file").map(_.toString),
         opt("content_offset").map(_.asInstanceOf[Long]).getOrElse(-1L),
-        opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L))
+        opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
+        wideBounds = wide)
     }
 
   /** Default manifest-fetch concurrency for [[planFiles]]. */

@@ -110,6 +110,11 @@ class IcebergSpec extends SparkSpec {
     assert(planAfter.files.map(f => f.path -> f.sequence).toMap ==
       planBefore.files.map(f => f.path -> f.sequence).toMap,
       "rewritten entries must keep their original data sequence numbers")
+    assert(planAfter.files.forall(f => f.wideBounds.keySet ==
+      Set("l_orderkey", "l_extendedprice_cents", "l_quantity")),
+      "wide column stats must survive the rewrite wholesale")
+    assert(planAfter.files.map(f => f.path -> f.wideBounds).toMap ==
+      planBefore.files.map(f => f.path -> f.wideBounds).toMap)
     // grouped layout: a one-month probe opens ONE branch manifest (plus the
     // delete manifest, which carries no partition range worth pruning on)
     val probe = IcebergTable.planFiles(l, None, Some("1997-03"), Some("1997-03"))
