@@ -159,6 +159,17 @@ object Report {
         "actual Puffin blob bytes vs the 4KB inline cliff, and the fold commit's byte " +
         "amplification (test_delete_storm on the real format).",
         htmlTable(q("iceberg_delete_storm"))),
+      section("Iceberg rewrite_manifests", "Metadata-only maintenance commit re-binning the " +
+        "head snapshot's entries into year branches: identical planned files, a fraction of " +
+        "the planner IO.",
+        htmlTable(q("iceberg_rewrite_manifests"))),
+      section("Iceberg commit series", "24 single-month commits: linear manifest-list growth " +
+        "with CONSTANT probe IO (range pruning), then the rewrite fold's collapse " +
+        "(test_single_file_commits on the real format).",
+        htmlTable(q("iceberg_commit_series"), maxRows = 26)),
+      section("Iceberg wide-table pruning", "A 3-conjunct predicate answered from real " +
+        "manifest bound maps alone (wide integer-canonical stats, zero parquet footers read).",
+        htmlTable(q("iceberg_wide_prune"), maxRows = 20)),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

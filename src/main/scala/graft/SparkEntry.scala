@@ -4862,14 +4862,16 @@ object SparkEntry {
       s"""WITH c AS (SELECT l_returnflag,
         |     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
         | b AS (SELECT l_returnflag, cents, length(bin(cents)) - 1 AS oct FROM c),
-        | g AS (SELECT l_returnflag, oct, cents >> (oct - $SubBucketBits) AS idx,
-        |     count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        | b2 AS (SELECT l_returnflag, cents, oct,
+        |     greatest(oct - $SubBucketBits, 0) AS sh FROM b),
+        | g AS (SELECT l_returnflag, oct, sh, cents >> sh AS idx,
+        |     count(*) AS cnt FROM b2 GROUP BY 1, 2, 3, 4),
         | w AS (SELECT l_returnflag, oct, idx, cnt,
         |     sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY oct, idx) AS cum,
         |     sum(cnt) OVER (PARTITION BY l_returnflag) AS n,
-        |     ((2 * idx + 1) << (oct - $SubBucketBits)) / 200.0 AS mid,
-        |     (idx << (oct - $SubBucketBits)) AS lo,
-        |     ((idx + 1) << (oct - $SubBucketBits)) AS hi
+        |     ((2 * idx + 1) << sh) / 200.0 AS mid,
+        |     (idx << sh) AS lo,
+        |     ((idx + 1) << sh) AS hi
         |   FROM g)
         |SELECT l_returnflag,
         | $qCols,

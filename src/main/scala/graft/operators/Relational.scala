@@ -629,8 +629,11 @@ object Relational {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       .withColumn("oct", length(bin(col("cents"))) - lit(1))
-      .withColumn("idx", expr(s"shiftright(cents, oct - $SubBucketBits)"))
-      .groupBy(col("l_returnflag"), col("oct"), col("idx"))
+      // sub-2^s values get exact unit buckets (shift 0) — the HDR small-
+      // value regime; keeps shiftright's bit count non-negative
+      .withColumn("sh", greatest(col("oct") - lit(SubBucketBits), lit(0)))
+      .withColumn("idx", expr("shiftright(cents, sh)"))
+      .groupBy(col("l_returnflag"), col("oct"), col("sh"), col("idx"))
       .agg(count(lit(1)).as("cnt"))
     // bounded windows: ≤ 32·octaves histogram rows per flag
     val byBucket = Window.partitionBy("l_returnflag").orderBy("oct", "idx")
@@ -638,9 +641,9 @@ object Relational {
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(byBucket))
       .withColumn("n", sum(col("cnt")).over(perFlag))
-      .withColumn("mid", expr(s"shiftleft(2 * idx + 1, oct - $SubBucketBits)") / lit(200.0))
-      .withColumn("lo", expr(s"shiftleft(idx, oct - $SubBucketBits)"))
-      .withColumn("hi", expr(s"shiftleft(idx + 1, oct - $SubBucketBits)"))
+      .withColumn("mid", expr("shiftleft(2 * idx + 1, sh)") / lit(200.0))
+      .withColumn("lo", expr("shiftleft(idx, sh)"))
+      .withColumn("hi", expr("shiftleft(idx + 1, sh)"))
     def t(num: Int) = expr(s"($num * n + 99) DIV 100")
     val qCols = ps.map { case (name, num) =>
       round(min(when(col("cum") >= t(num), col("mid"))), 4).as(name)

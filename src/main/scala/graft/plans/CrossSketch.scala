@@ -148,4 +148,69 @@ object CrossSketch {
     * 1/(2·idx+1) ≤ 1/65. */
   val SubBucketBits = 5
   val SubBuckets: Int = 1 << SubBucketBits
+
+  // ---------------------------------------------------------------------
+  // Typed aggregator form — the STREAMING-STATE shape of the same HLL:
+  // one fixed m-byte register array per group in the state store
+  // (mergeable across micro-batches), producing the IDENTICAL estimate
+  // as the register-table formulation above (same hash, same exact
+  // dyadic sum, same libm call) — proven by equality in
+  // PlanPrimitivesPropertySpec.
+  // ---------------------------------------------------------------------
+
+  /** JVM mirror of [[hash31]] — kept in lockstep (integer ops only). */
+  def hash31Jvm(k: Long): Long = {
+    val h0 = ((k % P31) + P31) % P31
+    val h1 = (A1 * h0 + C1) % M31
+    val h1x = h1 ^ (h1 >> 15)
+    val h2 = (A2 * h1x + C2) % M31
+    h2 ^ (h2 >> 13)
+  }
+
+  /** Register-array estimate — the JVM mirror of [[hllEstimate]]: the
+    * dyadic sum is exact in any order, α·m²/S is one IEEE multiply+divide,
+    * Math.log ≡ the SQL `ln` on these inputs, and Math.round ≡ SQL
+    * round-half-up for positives. */
+  def estimateJvm(regs: Array[Byte]): Long = {
+    var s = 0.0; var v = 0; var i = 0
+    while (i < regs.length) {
+      if (regs(i) == 0) { s += 1.0; v += 1 } else s += 1.0 / (1L << regs(i))
+      i += 1
+    }
+    val raw = HllAlphaM2 / s
+    if (raw <= HllLinearMax && v > 0) Math.round(HllM.toDouble * math.log(HllM.toDouble / v))
+    else Math.round(raw)
+  }
+
+  private object HllAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Long] {
+    def zero: Array[Byte] = new Array[Byte](HllM)
+    def reduce(b: Array[Byte], k: Long): Array[Byte] = {
+      val h = hash31Jvm(k)
+      val bucket = (h >> HllSuffixBits).toInt
+      val w = h % HllSuffixMod
+      val rank =
+        if (w == 0) HllRankCap
+        else HllSuffixBits - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > b(bucket)) b(bucket) = rank.toByte
+      b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Long = estimateJvm(b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** `hllDistinct(keyCol)`: approximate COUNT(DISTINCT key) as a single
+    * mergeable aggregate with m bytes of state per group — the form a
+    * streaming window keeps in its state store. Identical estimates to
+    * the register-table pipeline. */
+  val hllDistinct: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(HllAggregator)
 }

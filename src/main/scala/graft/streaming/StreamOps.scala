@@ -150,11 +150,13 @@ object StreamOps {
         round(col("z"), 4).as("z"))
 
   /** Streaming approximate distinct users per hourly window — the streaming
-    * mirror of `Events.approxUsers`' HLL++ sketch. `approx_count_distinct`
-    * keeps ONE fixed-size HLL sketch per open window in the state store, so
-    * state is O(open windows × sketch bytes) — never O(distinct users).
-    * Same default rsd (0.05) as the batch query, so the two estimates agree
-    * on identical input.
+    * mirror of `Events.approxDailyUsers`' sketch, running the SAME
+    * cross-engine deterministic HLL (`plans.CrossSketch.hllDistinct`, the
+    * typed-aggregator form): ONE fixed 1024-byte register array per open
+    * window in the state store, so state is O(open windows × m) — never
+    * O(distinct users) — and the emitted estimate is bit-identical to what
+    * the batch register-table pipeline (and the DuckDB oracle) computes
+    * over the same rows.
     *
     * Output-mode caveat: the watermark expires window state only in
     * append/update mode — under `outputMode(complete)` (which StreamBench
@@ -164,11 +166,11 @@ object StreamOps {
     * bytes) — still never O(distinct users), which is what the spec's
     * state-store row-count assertion proves. A production deployment runs
     * append/update, where the watermark bound holds as stated. */
-  def approxUsersStream(events: DataFrame, rsd: Double = 0.05): DataFrame =
+  def approxUsersStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+      .agg(graft.plans.CrossSketch.hllDistinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("approx_users"), col("n_events"))

@@ -345,6 +345,10 @@ class PlanPrimitivesPropertySpec extends SparkSpec {
         .agg(hllSumCol.as("s"), hllZerosCol.as("v"))
         .select(hllEstimate(col("s"), col("v")).as("est")).head().getLong(0)
       assert(est2 == est, s"trial $trial: duplicates moved the estimate $est -> $est2")
+      // the typed-aggregator (streaming-state) form must produce the
+      // IDENTICAL estimate — same hash, same exact dyadic sum, same libm
+      val estUdaf = df.agg(hllDistinct(col("k")).as("est")).head().getLong(0)
+      assert(estUdaf == est, s"trial $trial: udaf $estUdaf != register table $est")
     }
   }
 }

@@ -167,6 +167,24 @@ class RelationalSpec extends SparkSpec {
         assert(r.getAs[Boolean]("within_bound"),
           s"$sf ${r.getAs[String]("l_returnflag")}: HDR halfwidth bound breached")
       }
+      // small-value regime: sub-2^s cent prices land in exact unit buckets
+      // (shift clamps to 0), so the estimate is within half a cent of the
+      // true discrete quantile
+      locally {
+        import spark.implicits._
+        val cents = Seq.tabulate(100)(i => (i % 30) + 1)
+        val tiny = cents.map(c => ("A", c / 100.0)).toDF("l_returnflag", "l_extendedprice")
+        val row = Relational.approxPriceQuantiles(tiny).collect().head
+        val sorted = cents.sorted
+        for ((name, p) <- Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p99" -> 99)) {
+          val target = sorted((p * 100 + 99) / 100 - 1) // rank ceil(p%*n), 1-based
+          assert(math.abs(row.getAs[Double](name) * 100 - target) <= 0.5,
+            s"small-value $name: ${row.getAs[Double](name)} vs exact cents $target")
+        }
+        // within_bound asserts the RELATIVE 1/64 guarantee, which only
+        // applies in the log-linear regime (idx >= 32); unit buckets
+        // guarantee half-a-cent ABSOLUTE error instead (checked above)
+      }
       // and the sketch p50 still tracks the exact percentile
       val exactQ = Relational.priceQuantiles(li).collect()
         .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
