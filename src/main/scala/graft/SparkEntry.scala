@@ -319,6 +319,10 @@ object SparkEntry {
     "dedup_bloom" -> q((s, d) => Dedup.bloomScreen(Tables.documents(s, d))),
     "text_perplexity" -> q((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "text_dsir" -> q((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
+    "mm_phash" -> q((s, d) => Multimodal.payloadPhash(Tables.documents(s, d))),
+    "mm_crossmodal" -> q((s, d) => Multimodal.crossModalCoherence(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "mm_token_budget" -> q((s, d) => Multimodal.tokenBudget(Tables.documents(s, d))),
+    "mm_quality_gate" -> q((s, d) => Multimodal.qualityGate(Tables.documents(s, d))),
   )
 
   /** Shipped-shape overrides for the approximate sketch queries: the
@@ -2173,6 +2177,121 @@ object SparkEntry {
         |      WHEN entropy_bits < 4.0 THEN '1_low_entropy'
         |      ELSE '2_mid_entropy' END AS triage
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // Perceptual-hash near-dup: the banding ladder is spliced from
+    // Multimodal.phashBandParams (integer-exact, no float log) and the
+    // pairing runs at DISTINCT-hash grain — identical to the Scala plan.
+    "mm_phash" -> {
+      val rLadder = (0 to 40).map(k => s"WHEN m <= ${1L << k} THEN $k").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, text,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE length(text) > 0),
+        | nv AS (SELECT greatest(1, (count(*) + ${Multimodal.PhashOccupancy - 1}) // ${Multimodal.PhashOccupancy}) AS m FROM d),
+        | rsel AS (SELECT greatest(${Multimodal.PhashMinBandBits}, least(16, CASE $rLadder END)) AS r FROM nv),
+        | bsel AS (SELECT r, 32 // r AS nb FROM rsel),
+        | f AS (SELECT doc_id,
+        |   CAST(list_sum(list_transform(string_split(
+        |     substring(text, CAST(frame_idx * 16 + 1 AS INT), 16), ''), c -> ascii(c))) AS BIGINT) AS chk
+        |  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d)),
+        | bits AS (SELECT doc_id, j,
+        |   sum(CASE WHEN ((chk % 1000003) * 2654435761 + j * 40503) % 65536 > 32767 THEN 1 ELSE -1 END) AS bitsum
+        |  FROM f, (SELECT unnest(range(0, 32)) AS j) js GROUP BY doc_id, j),
+        | h AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN bitsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id),
+        | g AS (SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc FROM h GROUP BY 1),
+        | allbands AS (SELECT gb.band AS band,
+        |    (g.phash >> CAST(gb.band * r.r AS INT)) % (CAST(1 AS BIGINT) << CAST(r.r AS INT)) AS bkey,
+        |    g.phash, g.n_docs, g.min_doc
+        |   FROM g, bsel b, rsel r, generate_series(0, 3) gb(band) WHERE gb.band < b.nb),
+        | okb AS (SELECT band, bkey FROM allbands GROUP BY 1, 2
+        |   HAVING count(*) <= ${Multimodal.PhashBandMaxOcc}),
+        | bands AS (SELECT ab.* FROM allbands ab JOIN okb USING (band, bkey)),
+        | p AS (SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+        |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+        |    a.min_doc AS min_doc_a, b.min_doc AS min_doc_b
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.phash < b.phash
+        |   WHERE bit_count(xor(a.phash, b.phash)) <= 6)
+        |SELECT phash_a, phash_b, hamming, n_docs_a, n_docs_b, min_doc_a, min_doc_b
+        |FROM p ORDER BY phash_a, phash_b""".stripMargin
+    },
+
+    // Cross-modal coherence: centroid avg rounded to 9, cosine to 6 (the
+    // knn_centroid determinism convention); dot products are sequential
+    // folds on both engines.
+    "mm_crossmodal" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, c) -> a + c)) AS nrm FROM b),
+        | j AS (SELECT d.source, n.vec_id, n.v, n.nrm FROM documents d JOIN n ON d.doc_id = n.vec_id),
+        | ex AS (SELECT source, unnest(list_transform(v, (x, i) -> {'pos': i, 'x': x})) AS px FROM j),
+        | ce AS (SELECT source, px.pos AS pos, round(avg(px.x), 9) AS c FROM ex GROUP BY 1, 2),
+        | cv AS (SELECT source, list(c ORDER BY pos) AS cv FROM ce GROUP BY 1),
+        | cn AS (SELECT source, cv, sqrt(list_reduce(list_transform(cv, x -> x * x), (a, c2) -> a + c2)) AS cn FROM cv),
+        | sc AS (SELECT j.source,
+        |   round(list_reduce(list_transform(list_zip(j.v, cn.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |         / (j.nrm * cn.cn), 6) AS cos
+        |  FROM j JOIN cn USING (source))
+        |SELECT source, count(*) AS n_pairs, round(avg(cos), 4) AS avg_cos, min(cos) AS min_cos,
+        | CAST(sum(CASE WHEN cos < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | round(sum(CASE WHEN cos < 0.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS low_pct
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Multimodal token budget: every derived number is exact integer math
+    // (basis points via div), so no rounding convention is needed at all.
+    "mm_token_budget" ->
+      s"""WITH t AS (SELECT source,
+        |   CASE WHEN trim(text) = '' THEN 0 ELSE len($tokSql) END AS n_tok,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        | a AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS text_tokens,
+        |   CAST(sum(n_frames) AS BIGINT) AS n_frames, CAST(sum(n_frames) * 4 AS BIGINT) AS vision_tokens
+        |  FROM t GROUP BY 1),
+        | s AS (SELECT *, CASE WHEN text_tokens + vision_tokens = 0 THEN 0
+        |     ELSE vision_tokens * 10000 // (text_tokens + vision_tokens) END AS share_bp,
+        |   CASE WHEN vision_tokens * 100 <= (text_tokens + vision_tokens) * 30 THEN 10000
+        |     ELSE (text_tokens * 30 * 10000) // (vision_tokens * 70) END AS media_keep_bp FROM a),
+        | k AS (SELECT *, vision_tokens * media_keep_bp // 10000 AS kept_vision_tokens FROM s)
+        |SELECT source, n_docs, text_tokens, vision_tokens, CAST(share_bp AS BIGINT) AS share_bp,
+        | CAST(media_keep_bp AS BIGINT) AS media_keep_bp,
+        | CAST(kept_vision_tokens AS BIGINT) AS kept_vision_tokens,
+        | CAST(CASE WHEN text_tokens + kept_vision_tokens = 0 THEN 0
+        |   ELSE kept_vision_tokens * 10000 // (text_tokens + kept_vision_tokens) END AS BIGINT) AS new_share_bp
+        |FROM k ORDER BY source""".stripMargin,
+
+    // Payload quality gate: entropy reuses the mm_payload_entropy formula
+    // (rounded bits), dup-group min computed over ALL sized payloads.
+    "mm_quality_gate" ->
+      """WITH base AS (SELECT doc_id, source,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |   CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS checksum
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE length(text) > 0),
+        | hh AS (SELECT doc_id, ascii(ch) AS bv, count(*) AS c FROM t WHERE length(ch) > 0 GROUP BY 1, 2),
+        | e AS (SELECT doc_id, round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS entropy_bits
+        |  FROM hh GROUP BY 1),
+        | keeper AS (SELECT checksum, byte_len, min(doc_id) AS keep_doc FROM base GROUP BY 1, 2),
+        | ruled AS (SELECT b.source, b.byte_len,
+        |   CASE WHEN b.byte_len = 0 THEN '1_empty'
+        |        WHEN b.byte_len < 100 THEN '2_too_small'
+        |        WHEN b.byte_len > 480 THEN '3_too_large'
+        |        WHEN e.entropy_bits < 3.9 OR e.entropy_bits >= 4.2 THEN '4_entropy_band'
+        |        WHEN b.doc_id <> k.keep_doc THEN '5_exact_dup'
+        |        ELSE '6_kept' END AS rule
+        |  FROM base b LEFT JOIN e USING (doc_id)
+        |   JOIN keeper k ON b.checksum = k.checksum AND b.byte_len = k.byte_len),
+        | counts AS (SELECT source, rule, count(*) AS n_docs, sum(byte_len) AS n_bytes
+        |  FROM ruled GROUP BY 1, 2),
+        | tot AS (SELECT source, count(*) AS src_docs FROM base GROUP BY 1),
+        | spine AS (SELECT DISTINCT source, r AS rule FROM documents,
+        |   (VALUES ('1_empty'),('2_too_small'),('3_too_large'),('4_entropy_band'),
+        |           ('5_exact_dup'),('6_kept')) v(r))
+        |SELECT s.source, s.rule, coalesce(c.n_docs, 0) AS n_docs,
+        | CAST(coalesce(c.n_bytes, 0) AS BIGINT) AS n_bytes,
+        | round(coalesce(c.n_docs, 0) * 100.0 / t.src_docs, 4) AS pct
+        |FROM spine s LEFT JOIN counts c ON s.source = c.source AND s.rule = c.rule
+        |JOIN tot t ON s.source = t.source
+        |ORDER BY s.source, s.rule""".stripMargin,
 
     "q21_pivot" ->
       """SELECT l_returnflag,

@@ -241,6 +241,254 @@ object Multimodal {
       .withColumn("feature_bucket", col("checksum") % 16)
       .orderBy("doc_id")
 
+  /** Perceptual-hash banding ladder (mirrors `Dedup.embBandParams`): bits
+    * per band r grows with log2(ceil(n/8)) so a band's key space keeps
+    * NOMINAL bucket occupancy ~8 at any corpus size (fixed 8-bit bands
+    * would give 256 buckets → occupancy ∝ n → a quadratic band join, the
+    * exact defect the r9 scale harness caught in the fixed-band LSH; the
+    * r13 harness re-caught it here at the 64-occupancy setting, whose
+    * 8-bit floor stayed quadratic through the measured window). Bands tile
+    * the 32-bit hash: nBands = 32 div r (4 bands at r=8 down to 2 at
+    * r=16). r is capped at 16 by the hash width — past ~1M payloads the
+    * residual guarantees are [[PhashBandMaxOcc]] and the DISTINCT-hash
+    * pairing grain (≤2^32 group rows, each carrying its member count,
+    * never a per-doc pair explosion); a 64-bit hash lifts that ceiling and
+    * nothing else changes. Integer-exact ladder (no float log) so the SQL
+    * oracle reproduces it bit-for-bit. */
+  val PhashMinBandBits = 8
+  val PhashOccupancy = 8
+  def phashBandParams(nPayloads: Long): (Int, Int) = {
+    val m = math.max(1L, (nPayloads + PhashOccupancy - 1L) / PhashOccupancy)
+    var r = 0
+    while ((1L << r) < m) r += 1
+    val rr = math.max(PhashMinBandBits, math.min(16, r))
+    (32 / rr, rr)
+  }
+
+  /** Hard per-(band, key) occupancy cap: a bucket holding more distinct
+    * hashes than this is SKIPPED entirely (its key carries no
+    * discriminative signal — the LSH analogue of the dedup df caps
+    * `ShingleMaxDf`/`SubstrMaxAnchorOcc`). Payload checksums of the text
+    * stand-in cluster far above the uniform-hash occupancy model, and only
+    * a hard cap bounds the candidate join against that skew: with the cap,
+    * candidates ≤ nBuckets · C(cap, 2) — LINEAR in corpus size at fixed
+    * cap. The recall trade is explicit and deterministic (both engines
+    * skip the same buckets); a pair losing its dense bucket can still meet
+    * in any of its other bands. */
+  val PhashBandMaxOcc = 128
+
+  /** Perceptual-hash near-dup detection over binary payloads — the
+    * image/video analogue of SimHash dedup: a 32-bit payload fingerprint
+    * whose bit j is the majority vote of a seeded hash of each FRAME's
+    * checksum, so payloads sharing most frames land within a few bits of
+    * each other (a real pipeline swaps the frame checksum for a DCT pHash
+    * of the decoded frame; the banding, Hamming join and group accounting
+    * are unchanged). Candidate pairs come from corpus-adaptive bands
+    * ([[phashBandParams]]) at DISTINCT-hash grain — identical payloads
+    * collapse into one group row with a member count, so a million exact
+    * copies cost one row, not 10^12 pairs — and survive on exact Hamming
+    * distance (`bit_count(a ^ b)`) ≤ `maxHamming`.
+    *
+    * Scale shape: one frame explode (linear, the decode stage's own cost
+    * class) → one doc-grain aggregate (32 map-side-combinable bit sums) →
+    * one distinct-hash aggregate → banded equi-join over ~64-occupancy
+    * buckets. No stage is quadratic in docs. */
+  def payloadPhash(documents: DataFrame, frameBytes: Int = 16, maxHamming: Int = 6): DataFrame = {
+    val P = 1000003L
+    val nPayloads = documents.filter(length(col("text")) > 0).count()
+    val (nBands, bandBits) = phashBandParams(nPayloads)
+    val frames = documents
+      // Zero-frame guard: see frameSample (sequence(0, -1) is non-empty).
+      .filter(length(col("text")) > 0)
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"), explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .select(col("doc_id"),
+        expr(s"graft_bytesum(CAST(substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes) AS BINARY))")
+          .as("chk"))
+    // 32 bit-votes as map-side-combinable aggregates (the simhash idiom);
+    // chk is range-reduced mod the hash prime before the multiply so the
+    // product stays < 2^63 (the shardPlan overflow rule).
+    val bitSums = (0 until 32).map { j =>
+      sum(when(((col("chk") % P) * 2654435761L + j * 40503L) % 65536L > 32767L, 1L).otherwise(-1L))
+        .as(s"bit$j")
+    }
+    val hash = (0 until 32)
+      .map(j => when(col(s"bit$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    val groups = frames.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hash.as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("phash"), b * bandBits) % (1L << bandBits)).as("bkey"))
+    }
+    val allBands = groups.select(col("phash"), col("n_docs"), col("min_doc"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("phash"), col("n_docs"), col("min_doc"))
+    // Occupancy cap ([[PhashBandMaxOcc]]): one map-side-combinable count
+    // per bucket, then an equi-join keeps only sane buckets — bounds the
+    // candidate join linearly even when checksum clustering defeats the
+    // uniform-occupancy model the ladder assumes.
+    val okBuckets = allBands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= PhashBandMaxOcc)
+      .select(col("band"), col("bkey"))
+    val bands = allBands.join(okBuckets, Seq("band", "bkey"))
+    val a = bands.select(col("band"), col("bkey"), col("phash").as("phash_a"),
+      col("n_docs").as("n_docs_a"), col("min_doc").as("min_doc_a"))
+    val b = bands.select(col("band"), col("bkey"), col("phash").as("phash_b"),
+      col("n_docs").as("n_docs_b"), col("min_doc").as("min_doc_b"))
+    // Equi-join on (band, bkey); AQE broadcasts the build side while the
+    // distinct-hash table is small and falls back to a shuffle join at
+    // scale. A pair can collide in several bands → distinct AFTER the
+    // Hamming filter (few qualifying pairs, not the candidate volume).
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("phash_a") < col("phash_b"))
+      .withColumn("hamming", expr("bit_count(phash_a ^ phash_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("phash_a", "phash_b", "hamming", "n_docs_a", "n_docs_b", "min_doc_a", "min_doc_b")
+      .distinct()
+      .orderBy("phash_a", "phash_b")
+  }
+
+  /** Cross-modal coherence audit: caption metadata (documents) joined to
+    * the paired vision-encoder embeddings (`embeddings`, keyed vec_id =
+    * doc_id — the stand-in for a CLIP-style image tower) and scored
+    * against their SOURCE centroid — the standard curation check that a
+    * crawl source's captions and media actually agree (a source whose
+    * pairs scatter against its own centroid is mis-scraped or mislabeled).
+    * Per source: pair count, mean/min cosine-to-centroid and the count
+    * below `lowCos` (the mismatch candidates a human reviews).
+    *
+    * Determinism: centroid coords are avg rounded to 9 dp and cosines
+    * rounded to 6 dp (the knn_centroid convention) so both engines agree
+    * bit-for-bit. Scale shape: one posexplode (linear in n·dim) → a
+    * (source, dim)-grain aggregate (bounded by |sources|·dim) → broadcast
+    * centroids back onto the pairs → one source-grain rollup. */
+  def crossModalCoherence(documents: DataFrame, embeddings: DataFrame,
+                          lowCos: Double = 0.0): DataFrame = {
+    val v = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val pairs = documents.select(col("doc_id"), col("source"))
+      .join(v, col("doc_id") === col("vec_id"))
+    val cent = pairs
+      .select(col("source"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("source"), col("pos")).agg(round(avg(col("x")), 9).as("c"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("source"), expr("transform(pc, s -> s.c)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    pairs.join(broadcast(cent), "source")
+      .withColumn("cos", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        min(col("cos")).as("min_cos"),
+        sum(when(col("cos") < lowCos, 1L).otherwise(0L)).as("n_low"))
+      .withColumn("low_pct", round(col("n_low") * 100.0 / col("n_pairs"), 4))
+      .orderBy("source")
+  }
+
+  /** Multimodal token-budget accounting: each payload costs text tokens
+    * (whitespace tokenizer) plus `visTokensPerFrame` vision tokens per
+    * 16-byte frame — the budget model a vision-language training mix is
+    * planned against. Per source: both token pools, the vision share (in
+    * basis points — exact integer division, no float drift), and when the
+    * share exceeds `maxVisionSharePct` the media keep-rate (basis points)
+    * that brings it back to the cap: keep = (s·text·10^4) div ((100−s)·vis)
+    * from solving vis′/(text+vis′) = s. Two hash aggregates, no shuffle of
+    * the payloads themselves; every derived number is integer-exact so the
+    * oracle reproduces it bit-for-bit. */
+  def tokenBudget(documents: DataFrame, frameBytes: Int = 16, visTokensPerFrame: Int = 4,
+                  maxVisionSharePct: Int = 30): DataFrame = {
+    val s = maxVisionSharePct.toLong
+    documents
+      .withColumn("n_tok",
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("text_tokens"),
+        sum(col("n_frames")).as("n_frames"),
+        (sum(col("n_frames")) * visTokensPerFrame).as("vision_tokens"))
+      .withColumn("share_bp",
+        when(col("text_tokens") + col("vision_tokens") === 0L, 0L)
+          .otherwise(expr("vision_tokens * 10000 div (text_tokens + vision_tokens)")))
+      .withColumn("media_keep_bp",
+        when(col("vision_tokens") * 100L <= (col("text_tokens") + col("vision_tokens")) * s, 10000L)
+          .otherwise(expr(s"(text_tokens * $s * 10000) div (vision_tokens * ${100L - s})")))
+      .withColumn("kept_vision_tokens", expr("vision_tokens * media_keep_bp div 10000"))
+      .withColumn("new_share_bp",
+        when(col("text_tokens") + col("kept_vision_tokens") === 0L, 0L)
+          .otherwise(expr("kept_vision_tokens * 10000 div (text_tokens + kept_vision_tokens)")))
+      .select("source", "n_docs", "text_tokens", "vision_tokens", "share_bp",
+        "media_keep_bp", "kept_vision_tokens", "new_share_bp")
+      .orderBy("source")
+  }
+
+  /** Multimodal ingest quality gate — the payload-level filter cascade
+    * (the binary-blob sibling of `text_filter_cascade`): empty → size
+    * window → byte-entropy band ([[payloadEntropy]]'s rounded-bits
+    * convention, thresholds tuned to this stand-in corpus's 3.7–4.2-bit
+    * text band) → exact-dup (only the min-doc_id of each (checksum,
+    * byte_len) group passes, computed over ALL sized payloads so the
+    * verdict doesn't depend on which gate a group-mate failed). Each doc
+    * gets its FIRST failing rule; output is the (source × rule) funnel
+    * with explicit zero cells (the magicBytes spine convention) so every
+    * source reports the same schema at any SF.
+    *
+    * Scale shape: one char-grain explode for the entropy histogram (the
+    * tokenizer's linear cost class, ≤256 bins/doc), one codegen'd checksum,
+    * two hash aggregates — no windows over corpus-grain partitions (the
+    * dup-group min is a (checksum, byte_len)-keyed aggregate joined back). */
+  def qualityGate(documents: DataFrame, minBytes: Long = 100L, maxBytes: Long = 480L,
+                  lowBits: Double = 3.9, highBits: Double = 4.2): DataFrame = {
+    val base = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), col("source"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("graft_bytesum(payload)").as("checksum"))
+    val entropy = documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .select(col("doc_id"), ascii(col("ch")).as("bv"))
+      .groupBy(col("doc_id"), col("bv")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round((log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")))
+        / math.log(2.0), 6).as("entropy_bits"))
+    val keeper = base.groupBy(col("checksum"), col("byte_len"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val ruled = base
+      .join(entropy, Seq("doc_id"), "left")
+      .join(keeper, Seq("checksum", "byte_len"))
+      .withColumn("rule",
+        when(col("byte_len") === 0L, "1_empty")
+          .when(col("byte_len") < minBytes, "2_too_small")
+          .when(col("byte_len") > maxBytes, "3_too_large")
+          .when(col("entropy_bits") < lowBits || col("entropy_bits") >= highBits, "4_entropy_band")
+          .when(col("doc_id") =!= col("keep_doc"), "5_exact_dup")
+          .otherwise("6_kept"))
+    val rules = Seq("1_empty", "2_too_small", "3_too_large", "4_entropy_band",
+      "5_exact_dup", "6_kept")
+    val counts = ruled.groupBy(col("source"), col("rule"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("n_bytes"))
+    val srcTotals = base.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+    val spine = documents.select(col("source")).distinct()
+      .select(col("source"), explode(array(rules.map(lit): _*)).as("rule"))
+    spine.join(counts, Seq("source", "rule"), "left")
+      .join(broadcast(srcTotals), "source")
+      .select(col("source"), col("rule"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        round(coalesce(col("n_docs"), lit(0L)) * 100.0 / col("src_docs"), 4).as("pct"))
+      .orderBy("source", "rule")
+  }
+
   /** Magic-byte format sniffing — the first-pass classifier of any media
     * ingest: match the leading bytes against container signatures
     * (PNG/JPEG/GIF/PDF/RIFF/ZIP/GZIP), fall back to a printable-ASCII scan

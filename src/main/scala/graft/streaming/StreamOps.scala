@@ -127,6 +127,41 @@ object StreamOps {
         round(col("n_pass") * 100.0 / col("n_docs"), 4).as("pass_pct"))
   }
 
+  /** Streaming multimodal ingest gate — the payload-level sibling of
+    * [[filterCascadeStream]], mirroring the batch `mm_quality_gate` rules
+    * that are computable STATELESSLY per payload: empty → size window →
+    * byte-entropy band (the exact per-doc histogram entropy, folded
+    * per-row with higher-order functions — `transform`/`filter`/
+    * `aggregate` over the ≤256-distinct-byte alphabet, so no explode, no
+    * shuffle, no state). The batch cascade's exact-dup gate is the one
+    * rule that NEEDS state and it already has its own mirror — compose
+    * `dedupStream` upstream of this gate for the full cascade. Output is
+    * the per-(window, rule) funnel the ingest dashboard watches; only the
+    * tiny windowed counters are stateful. */
+  def payloadGateStream(docs: DataFrame, minBytes: Long = 100L, maxBytes: Long = 480L,
+                        lowBits: Double = 3.9, highBits: Double = 4.2): DataFrame =
+    docs
+      .withColumn("chars", filter(split(col("text"), ""), c => length(c) > 0))
+      .withColumn("byte_len", size(col("chars")).cast("long"))
+      .withColumn("cnts",
+        transform(array_distinct(col("chars")),
+          c => size(filter(col("chars"), x => x === c)).cast("double")))
+      .withColumn("entropy_bits",
+        round((log(col("byte_len")) -
+          aggregate(col("cnts"), lit(0.0), (acc, c) => acc + c * log(c)) / col("byte_len"))
+          / math.log(2.0), 6))
+      .withColumn("rule",
+        when(col("byte_len") === 0L, "1_empty")
+          .when(col("byte_len") < minBytes, "2_too_small")
+          .when(col("byte_len") > maxBytes, "3_too_large")
+          .when(col("entropy_bits") < lowBits || col("entropy_bits") >= highBits, "4_entropy_band")
+          .otherwise("6_kept"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("rule"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("n_bytes"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("rule"), col("n_docs"), col("n_bytes"))
+
   /** Online anomaly scoring against an offline-trained baseline — the
     * lambda shape: the batch side fits per-(event_type, weekday, hour)
     * count baselines (`Events.seasonalAnomaly`'s moment sums), the stream

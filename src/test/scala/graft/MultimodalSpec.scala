@@ -136,4 +136,110 @@ class MultimodalSpec extends SparkSpec {
     assert(cls(("docs", "pdf")) == 1L && cls(("docs", "zip")) == 1L)
     assert(cls(("docs", "text_ascii")) == 1L && cls(("docs", "empty")) == 1L)
   }
+
+  test("phash band ladder: occupancy-driven bits per band, 32-bit tiling") {
+    assert(Multimodal.phashBandParams(100L) == ((4, 8)),
+      "small corpora keep the 8-bit floor (4 bands)")
+    assert(Multimodal.phashBandParams(1L << 16) == ((2, 13)),
+      "64k payloads -> ceil(log2(n/8)) = 13 bits, 2 bands")
+    assert(Multimodal.phashBandParams(1000000000L) == ((2, 16)),
+      "hash-width cap at 16 bits")
+    val (nb, r) = Multimodal.phashBandParams(50L)
+    assert(nb * r <= 32, "bands must tile within the 32-bit hash")
+  }
+
+  test("phash near-dup: pairs carry true Hamming distance, exact copies collapse to one group") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Multimodal.payloadPhash(docs).collect()
+    pairs.foreach { p =>
+      val a = p.getAs[Long]("phash_a"); val b = p.getAs[Long]("phash_b")
+      val h = p.getAs[Long]("hamming")
+      assert(a < b, "canonical pair order")
+      assert(h == java.lang.Long.bitCount(a ^ b), "reported Hamming must equal bit_count(xor)")
+      assert(h > 0 && h <= 6, s"pair outside the Hamming envelope: $h")
+    }
+    // a perturbed copy (one frame's byte changed) lands within the envelope
+    // of its original; an exact copy collapses into the SAME hash group
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val fixture = spark.createDataFrame(Seq(
+      (1L, base, "s"), (2L, base, "s"),
+      (3L, base.updated(5, 'z'), "s"))).toDF("doc_id", "text", "source")
+    val fp = Multimodal.payloadPhash(fixture).collect()
+    fp.foreach { p =>
+      // docs 1+2 share a phash, so any emitted pair is (group{1,2}) x doc 3
+      assert(p.getAs[Long]("n_docs_a") + p.getAs[Long]("n_docs_b") == 3L,
+        "exact copies must collapse into one group row")
+    }
+  }
+
+  test("cross-modal coherence: per-source stats are internally consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Multimodal.crossModalCoherence(docs, emb).collect()
+    assert(rows.nonEmpty)
+    val paired = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == paired,
+      "every joined (caption, embedding) pair is scored exactly once")
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos"); val mn = r.getAs[Double]("min_cos")
+      val n = r.getAs[Long]("n_pairs"); val nLow = r.getAs[Long]("n_low")
+      assert(avg >= -1.0 && avg <= 1.0 && mn >= -1.0 && mn <= 1.0)
+      assert(mn <= avg + 1e-9, "min cannot exceed the mean")
+      assert(nLow >= 0 && nLow <= n)
+      assert(math.abs(r.getAs[Double]("low_pct") - nLow * 100.0 / n) < 5e-5)
+    }
+  }
+
+  test("token budget: integer share math, over-cap sources return to the 30% ceiling") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Multimodal.tokenBudget(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = r.getAs[Long]("text_tokens"); val vis = r.getAs[Long]("vision_tokens")
+      val share = r.getAs[Long]("share_bp"); val keep = r.getAs[Long]("media_keep_bp")
+      val kept = r.getAs[Long]("kept_vision_tokens"); val ns = r.getAs[Long]("new_share_bp")
+      assert(share == (if (text + vis == 0) 0L else vis * 10000 / (text + vis)))
+      if (vis * 100 <= (text + vis) * 30) {
+        assert(keep == 10000L && kept == vis, "under-cap sources keep all media")
+      } else {
+        assert(keep < 10000L, "over-cap sources must downsample media")
+        assert(ns <= 3000L, "the keep-rate must bring the share back under the cap")
+      }
+      assert(kept == vis * keep / 10000)
+    }
+    // brute recompute of one source's pools
+    val first = rows.head
+    val brute = docs.filter(col("source") === first.getAs[String]("source"))
+      .select(
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("t"),
+        ceil(length(col("text")) / 16.0).cast("long").as("f"))
+      .agg(sum("t"), sum("f")).head()
+    assert(first.getAs[Long]("text_tokens") == brute.getLong(0))
+    assert(first.getAs[Long]("vision_tokens") == brute.getLong(1) * 4)
+  }
+
+  test("quality gate: full rule spine, counts conserve docs, kept docs obey every gate") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Multimodal.qualityGate(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources * 6, "6-rule spine per source, zero cells explicit")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(), "every doc gets exactly one rule")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("pct")).sum - 100.0) < 1e-6,
+        "per-source funnel percentages must sum to 100")
+    }
+    // the empty rule is structurally zero on this corpus but stays in the spine
+    assert(rows.filter(_.getAs[String]("rule") == "1_empty").forall(_.getAs[Long]("n_docs") == 0L))
+    assert(rows.filter(_.getAs[String]("rule") == "6_kept").map(_.getAs[Long]("n_docs")).sum > 0)
+    // kept bytes respect the size window: n_bytes of 6_kept rows between
+    // 100*n and 480*n
+    rows.filter(r => r.getAs[String]("rule") == "6_kept" && r.getAs[Long]("n_docs") > 0).foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val b = r.getAs[Long]("n_bytes")
+      assert(b >= 100 * n && b <= 480 * n, "kept docs must sit inside the size window")
+    }
+  }
 }

@@ -143,6 +143,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming payload gate classifies each rule statelessly per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+
+    val q = StreamOps.payloadGateStream(df)
+      .writeStream.format("memory").queryName("payload_gate_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), ""),                                                       // 1_empty
+        (ts(2), "short"),                                                  // 2_too_small
+        (ts(3), "x" * 500),                                                // 3_too_large (and would be low-entropy)
+        (ts(4), "ab" * 80),                                                // 4_entropy_band (1.0 bits, sized ok)
+        (ts(5), "mixed tokens with grep marks and punct level bytes curve along paths " * 3)) // 6_kept (4.1876 bits, 207 B)
+      q.processAllAvailable()
+      val rows = spark.table("payload_gate_test").collect()
+      val byRule = rows.map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_docs")).toMap
+      assert(byRule == Map("1_empty" -> 1L, "2_too_small" -> 1L, "3_too_large" -> 1L,
+        "4_entropy_band" -> 1L, "6_kept" -> 1L), s"got $byRule")
+      assert(rows.map(_.getAs[Long]("n_bytes")).sum == 0 + 5 + 500 + 160 + 207)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
