@@ -119,7 +119,11 @@ object Bench {
     // appendDvPuffin commits (scan → executor-side roaring serialize →
     // puffin/manifest write) per measured point; in the set because the
     // commit loop is the new structurally-risky shape:
-    "iceberg_delete_storm")
+    "iceberg_delete_storm",
+    // round-13 addition: the perceptual-hash banded self-join — candidate
+    // volume is bounded only by the occupancy ladder + the hard bucket cap,
+    // so it stays in the set to prove those bounds hold as the corpus grows:
+    "mm_phash")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
