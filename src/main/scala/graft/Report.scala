@@ -174,6 +174,13 @@ object Report {
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
         htmlTable(q("text_pii_scan"), maxRows = 20)),
+      section("Multimodal quality gate", "Payload ingest cascade (first failing rule wins): " +
+        "per-source rule funnel with explicit zero cells — the media twin of the text cascade.",
+        htmlTable(q("mm_quality_gate"), maxRows = 24)),
+      section("Multimodal token budget", "Text vs vision token pools per source, exact " +
+        "basis-point shares, and the media keep-rate that returns an over-cap source to the " +
+        "30% vision ceiling.",
+        htmlTable(q("mm_token_budget"), maxRows = 20)),
       section("Slowest queries — committed idle-box baseline (sf0.1)",
         "Best observed per-query seconds on a quiet host; the bench artifact's defense baseline.",
         barChart(baselineTop(20), "s")))
