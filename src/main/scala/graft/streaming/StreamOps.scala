@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -161,6 +161,116 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("n_bytes"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("rule"), col("n_docs"), col("n_bytes"))
+
+  /** 32-bit token SimHash as a single Column — the streaming form of
+    * `Dedup.simhash(hashTid = true)`: distinct whitespace tokens →
+    * window-free dictionary hash (`xxhash64 mod MinhashP`, the documented
+    * 100 TB tid mode — no vocab rank, no coordination) → 32 majority-vote
+    * bits folded per row with higher-order functions, so the hash is
+    * STATELESS per document (no explode, no shuffle — computable inside a
+    * streaming micro-batch at source grain). Shared with the spec so
+    * expected hashes are recomputable batch-side. */
+  def simhash32(text: Column): Column = {
+    val tids = transform(
+      filter(array_distinct(split(trim(text), "\\s+")), t => length(t) > 0),
+      t => pmod(xxhash64(t), lit(graft.dedup.Dedup.MinhashP)))
+    (0 until 32).map { j =>
+      val vote = aggregate(tids, lit(0L), (acc, t) =>
+        acc + when((t * lit(2654435761L) + lit(j * 40503L)) % lit(65536L) > lit(32767L), lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bands × bits-per-band for the streaming near-dup screen. 4×8 tiles the
+    * 32-bit simhash; with `maxHamming` ≤ 3 < 4 bands, pigeonhole guarantees
+    * every qualifying pair shares at least one CLEAN band — detection is
+    * certain, not probabilistic. Unlike the batch corpus-adaptive ladders,
+    * the band space here is fixed: streaming bucket occupancy is bounded by
+    * the watermark horizon × arrival rate, not corpus size, and the hard
+    * [[NearDupBucketCap]] bounds the residual. */
+  val NearDupBands = 4
+  val NearDupBandBits = 8
+
+  /** Hard per-bucket retained-hash cap (the streaming analogue of the batch
+    * df caps): a bucket keeps at most this many most-recent hashes, so
+    * per-key state is O(cap) and comparisons per arrival are ≤ bands × cap
+    * regardless of how degenerate a bucket gets. */
+  val NearDupBucketCap = 64
+
+  // carries the watermark-tagged `ts` through the typed projection — the
+  // event-time-timeout analyzer requires the tagged column to survive into
+  // the flatMapGroupsWithState child, so it must stay in the row
+  case class BandedDoc(band: Int, bkey: Long, doc_id: Long, simhash: Long,
+                       ts_us: Long, ts: java.sql.Timestamp)
+  case class SeenHash(simhash: Long, doc_id: Long, ts_us: Long)
+  case class BucketSeen(entries: Seq[SeenHash])
+  case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Long, band: Int)
+
+  /** Streaming near-duplicate screening — the online twin of the batch
+    * SimHash dedup (`dedup_simhash`), the gate a 100 TB ingest runs BEFORE
+    * paying downstream curation cost for a document that duplicates
+    * something seen within the horizon. Stateless per-row simhash
+    * ([[simhash32]]) → 4-band LSH explode (a bounded 4× expansion) →
+    * `flatMapGroupsWithState` per (band, key) bucket keeping the last
+    * [[NearDupBucketCap]] hashes within the event-time horizon. A hit is
+    * emitted (append mode, immediately) when an arrival lands within
+    * `maxHamming` bits of a retained hash no older than the horizon; the
+    * pigeonhole property above makes detection exact for qualifying pairs
+    * whose original is still retained. State is evicted two ways: entries
+    * older than the horizon are pruned on every bucket visit, and idle
+    * buckets are removed wholesale by the event-time timeout — memory is
+    * O(active buckets × cap), never O(stream length). A pair may collide in
+    * several bands → one hit per clean band (the `band` column
+    * disambiguates; consumers dedup on (doc_id, dup_of) if they need pair
+    * grain). */
+  def nearDupStream(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+                    horizonSec: Long = 3600L): Dataset[NearDupHit] = {
+    import spark.implicits._
+    val banded = docs
+      .withWatermark("ts", s"$horizonSec seconds")
+      .withColumn("simhash", simhash32(col("text")))
+      .withColumn("band", explode(array((0 until NearDupBands).map(lit): _*)))
+      .select(col("band"),
+        (col("band").cast("long") * lit(4294967296L) +
+          expr(s"shiftright(simhash, band * $NearDupBandBits) & ${(1 << NearDupBandBits) - 1}"))
+          .as("bkey"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("simhash"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[BandedDoc]
+    val horizonUs = horizonSec * 1000000L
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[BucketSeen, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmMs = state.getCurrentWatermarkMs()
+            // prune entries that can no longer match anything on-time: an
+            // arrival at ts ≥ watermark only matches entries within horizon
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(e => e.ts_us / 1000L + horizonSec * 1000L >= wmMs)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            rows.toSeq.sortBy(r => (r.ts_us, r.doc_id)).foreach { r =>
+              entries.foreach { e =>
+                val h = java.lang.Long.bitCount(r.simhash ^ e.simhash)
+                if (h <= maxHamming && e.doc_id != r.doc_id &&
+                    r.ts_us - e.ts_us <= horizonUs && r.ts_us >= e.ts_us)
+                  hits += NearDupHit(r.doc_id, e.doc_id, h.toLong, r.band)
+              }
+              entries = (entries :+ SeenHash(r.simhash, r.doc_id, r.ts_us))
+                .takeRight(NearDupBucketCap)
+            }
+            state.update(BucketSeen(entries))
+            // idle-bucket GC: drop the whole bucket once the watermark is a
+            // full horizon past its newest entry
+            val timeoutMs = entries.map(_.ts_us).max / 1000L + horizonSec * 1000L
+            if (timeoutMs > wmMs) state.setTimeoutTimestamp(timeoutMs)
+            hits.iterator
+          }
+      }
+  }
 
   /** Online anomaly scoring against an offline-trained baseline — the
     * lambda shape: the batch side fits per-(event_type, weekday, hour)

@@ -167,6 +167,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen: exact copies and <=3-bit neighbors flagged, state decays past horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "green turtles carry heavy crates along narrow river paths under bright " +
+      "winter skies and nobody watches the distant harbor lights fade slowly"
+    val nearDup = base.replace("bright", "dim")
+    val unrelated = "completely different subject matter entirely numeric " +
+      "spreadsheet columns accounting ledger quarterly totals audit trail"
+    // expected hashes via the SAME shared column (batch-side recompute)
+    val hashes = Seq(base, nearDup, unrelated).toDF("text")
+      .select(StreamOps.simhash32(col("text"))).collect().map(_.getLong(0))
+    val hBase = java.lang.Long.bitCount(hashes(0) ^ hashes(1))
+    assert(hBase > 0 && hBase <= 3, s"fixture must be a <=3-bit near-dup (got $hBase)")
+    assert(java.lang.Long.bitCount(hashes(0) ^ hashes(2)) > 3, "unrelated fixture too close")
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.nearDupStream(spark, df)
+      .writeStream.format("memory").queryName("neardup_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, base), (ts(2), 2L, base), (ts(3), 3L, nearDup), (ts(4), 4L, unrelated))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_test").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"), r.getAs[Long]("hamming")))
+        .distinct.sorted
+      // exact copy: flagged in EVERY band at hamming 0; near-dup: >=1 clean
+      // band (pigeonhole), true hamming reported; unrelated: absent
+      assert(pairs.contains((2L, 1L, 0L)), s"exact copy not flagged: ${pairs.mkString(",")}")
+      assert(pairs.exists(p => p._1 == 3L && p._3 == hBase.toLong), "near-dup not flagged with true hamming")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not be flagged")
+      // decay: advance the watermark two days, then replay the base text —
+      // the horizon-old originals are pruned, so no hit may be emitted
+      val before = spark.table("neardup_test").count()
+      input.addData((Timestamp.valueOf("2024-01-03 00:00:00"), 5L, unrelated))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-03 00:10:00"), 6L, base))
+      q.processAllAvailable()
+      val after = spark.table("neardup_test").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+      assert(!after.exists(_._1 == 6L), "horizon-expired originals must not produce hits")
+      assert(spark.table("neardup_test").count() == before, "no spurious rows after decay")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
