@@ -190,6 +190,36 @@ object StreamBench {
           (ts(i), (0 until (5 + i % 40)).map(j => words((i + j) % words.length)).mkString(" "))
         }))
     }
+    // stateless multimodal payload gate (per-row HOF byte-entropy)
+    locally {
+      val n = math.max(nRows / 4, 1)
+      val in = MemoryStream[(Timestamp, String)]
+      val words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+      drain("payload_gate", n,
+        StreamOps.payloadGateStream(in.toDF().toDF("ts", "text"))
+          .writeStream.outputMode("complete"))(() =>
+        in.addData((0 until n).map { i =>
+          (ts(i), (0 until (20 + i % 40)).map(j => words((i + j) % words.length)).mkString(" "))
+        }))
+    }
+    // streaming near-dup screen (32 HOF simhash votes per row + 4-band
+    // fmgws probe; 25% of the feed are exact replays of an earlier doc, so
+    // buckets stay populated and every replay pays a real Hamming probe)
+    locally {
+      val n = math.max(nRows / 4, 1)
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima")
+      def doc(k: Int): String =
+        (0 until 30).map(j => words((k * 7 + j * 3) % words.length) + (k % 50)).mkString(" ")
+      drain("near_dup", n,
+        StreamOps.nearDupStream(spark, in.toDF().toDF("ts", "doc_id", "text"))
+          .writeStream.outputMode("append"))(() =>
+        in.addData((0 until n).map { i =>
+          val k = if (i % 4 == 3) i - 3 else i // every 4th doc replays one
+          (ts(i), i.toLong, doc(k))
+        }))
+    }
     // lambda anomaly scoring against a static baseline
     locally {
       val in = MemoryStream[(Timestamp, String, Double)]
