@@ -140,7 +140,13 @@ object Audit {
           "q70_countmin", "q71_bloom_join",
           // LM backoff: the 1-row train-token total broadcasts onto the
           // scored eval stream:
-          "text_lm_backoff")
+          "text_lm_backoff",
+          // Kneser–Ney: the 1-row t_types scalar broadcasts onto the scored
+          // bigram table (TextAnalysis.scala:1181):
+          "text_kneser_ney",
+          // Puffin NDV (CrossSketch form, r13): the 1-row HLL estimate
+          // broadcasts onto the 1-row file census (Manifest.scala:482):
+          "lake_puffin_ndv")
         // Sanctioned partition-less windows — every one runs over an input
         // whose row count is bounded by a QUERY PARAMETER or a fixed domain
         // (nBuckets roll-ups, file-model nFiles, a spine/ladder literal, a
