@@ -148,6 +148,25 @@ class MultimodalSpec extends SparkSpec {
     assert(nb * r <= 32, "bands must tile within the 32-bit hash")
   }
 
+  test("phash band ladder properties: tiling, floor/cap, minimality, monotonicity (seeded sweep)") {
+    val rnd = new scala.util.Random(97)
+    val ns = (Seq(1L, 2L, 7L, 8L, 9L, (1L << 11) - 1, 1L << 11, (1L << 11) + 1) ++
+      Seq.fill(500)(math.abs(rnd.nextLong()) % (1L << 40) + 1)).sorted
+    var prevBits = 0
+    ns.foreach { n =>
+      val (bands, bits) = Multimodal.phashBandParams(n)
+      assert(bands * bits <= 32 && bands == 32 / bits, s"n=$n: bands must tile the 32-bit hash")
+      assert(bits >= Multimodal.PhashMinBandBits && bits <= 16, s"n=$n: bits outside [floor, cap]")
+      val buckets = math.max(1L, (n + Multimodal.PhashOccupancy - 1L) / Multimodal.PhashOccupancy)
+      if (bits < 16 && bits > Multimodal.PhashMinBandBits) {
+        assert((1L << bits) >= buckets, s"n=$n: key space must hold nominal occupancy")
+        assert((1L << (bits - 1)) < buckets, s"n=$n: bits must be MINIMAL (ladder, not a jump)")
+      }
+      assert(bits >= prevBits, s"n=$n: bits must be monotone in corpus size")
+      prevBits = bits
+    }
+  }
+
   test("phash near-dup: pairs carry true Hamming distance, exact copies collapse to one group") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
