@@ -220,6 +220,18 @@ object StreamBench {
           (ts(i), i.toLong, doc(k))
         }))
     }
+    // streaming strict funnel (per-user 16-byte fmgws state, abandonment
+    // timeouts; feed cycles signup/click/purchase per user so journeys
+    // open, advance and close continuously)
+    locally {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val funnelTypes = Array("signup", "click", "purchase")
+      drain("funnel", nRows,
+        StreamOps.funnelStream(spark, in.toDF().toDF("ts", "user_id", "event_type"))
+          .writeStream.outputMode("append"))(() =>
+        in.addData((0 until nRows).map(i =>
+          (ts(i), (i % 997).toLong, funnelTypes((i / 997) % 3)))))
+    }
     // lambda anomaly scoring against a static baseline
     locally {
       val in = MemoryStream[(Timestamp, String, Double)]

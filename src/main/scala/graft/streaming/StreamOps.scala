@@ -335,6 +335,66 @@ object StreamOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("approx_users"), col("n_events"))
 
+  case class FunnelIn(user_id: Long, event_type: String, ts_us: Long, ts: java.sql.Timestamp)
+  case class FunnelState(stage: Int, ts_us: Long)
+  case class FunnelEvent(user_id: Long, stage: Int, kind: String, ts_us: Long, ms_from_prev: Long)
+
+  /** Streaming strict funnel — the online twin of `q51_strict_funnel`:
+    * per-user progression through an ordered stage list where each stage
+    * must occur STRICTLY after the previous one (same `>` the batch query
+    * applies), emitted live as `advance` rows with the time-from-previous-
+    * stage the conversion dashboard plots. The piece batch can't give you:
+    * when the event-time watermark passes a user's last activity by the
+    * horizon, the user's journey is closed and an `abandon` row is emitted
+    * carrying the stage they stalled at — funnel drop-off becomes a
+    * first-class streaming output instead of a batch recount. State is one
+    * (stage, ts) pair per in-flight user — 16 bytes, hard-bounded, removed
+    * on conversion (last stage) or abandonment, so the store holds only
+    * users whose journey is OPEN within the horizon. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   stages: Seq[String] = Seq("signup", "click", "purchase"),
+                   horizonSec: Long = 86400L): Dataset[FunnelEvent] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$horizonSec seconds")
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelEvent(userId, st.stage, "abandon", st.ts_us, 0L))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val outRows = scala.collection.mutable.ArrayBuffer.empty[FunnelEvent]
+            rows.toSeq.sortBy(r => (r.ts_us, r.event_type)).foreach { r =>
+              val want = if (st.stage < stages.length) Some(stages(st.stage)) else None
+              if (want.contains(r.event_type) &&
+                  (st.stage == 0 || r.ts_us > st.ts_us)) {
+                val delta = if (st.stage == 0) 0L else (r.ts_us - st.ts_us) / 1000L
+                st = FunnelState(st.stage + 1, r.ts_us)
+                outRows += FunnelEvent(userId, st.stage, "advance", r.ts_us, delta)
+              }
+            }
+            if (st.stage >= stages.length) state.remove() // converted: journey closed
+            else if (st.stage > 0) {
+              state.update(st)
+              val timeoutMs = st.ts_us / 1000L + horizonSec * 1000L
+              if (timeoutMs > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(timeoutMs)
+              else { // already past horizon at arrival: close immediately
+                state.remove()
+                outRows += FunnelEvent(userId, st.stage, "abandon", st.ts_us, 0L)
+              }
+            } // stage 0 (nothing matched yet): keep no state at all
+            outRows.iterator
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
 

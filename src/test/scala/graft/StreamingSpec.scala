@@ -212,6 +212,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: strict-order advances with deltas, abandonment on watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamOps.funnelStream(spark, df, horizonSec = 3600L)
+      .writeStream.format("memory").queryName("funnel_test").outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "signup"), (ts(3), 1L, "click"), (ts(10), 1L, "purchase"), // full conversion
+        (ts(2), 2L, "signup"), (ts(5), 2L, "click"),                           // stalls at stage 2
+        (ts(1), 3L, "click"), (ts(4), 3L, "signup"),                           // pre-signup click ignored
+        (ts(6), 4L, "signup"), (ts(6), 4L, "click"))                           // same-ts click: NOT strict
+      q.processAllAvailable()
+      def rows() = spark.table("funnel_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+          r.getAs[String]("kind"), r.getAs[Long]("ms_from_prev")))
+      val adv = rows().filter(_._3 == "advance").sorted
+      assert(adv.toSeq == Seq((1L, 1, "advance", 0L), (1L, 2, "advance", 120000L),
+        (1L, 3, "advance", 420000L), (2L, 1, "advance", 0L), (2L, 2, "advance", 180000L),
+        (3L, 1, "advance", 0L), (4L, 1, "advance", 0L)), s"got ${adv.mkString(",")}")
+      // watermark passage (horizon 1h): users 2, 3, 4 abandon at their
+      // stalled stage; user 1 converted (state already removed — no row)
+      input.addData((Timestamp.valueOf("2024-01-02 12:00:00"), 9L, "noise"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-02 12:00:01"), 9L, "noise"))
+      q.processAllAvailable()
+      val ab = rows().filter(_._3 == "abandon").map(r => (r._1, r._2)).sorted
+      assert(ab.toSeq == Seq((2L, 2), (3L, 1), (4L, 1)), s"got ${ab.mkString(",")}")
+      assert(!rows().exists(r => r._1 == 1L && r._3 == "abandon"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps first arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
