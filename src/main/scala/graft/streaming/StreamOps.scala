@@ -189,12 +189,16 @@ object StreamOps {
     val tids = transform(
       filter(array_distinct(split(trim(text), "\\s+")), t => length(t) > 0),
       t => pmod(xxhash64(t), lit(graft.dedup.Dedup.MinhashP)))
-    (0 until 32).map { j =>
-      val vote = aggregate(tids, lit(0L), (acc, t) =>
-        acc + when((t * lit(2654435761L) + lit(j * 40503L)) % lit(65536L) > lit(32767L), lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0L, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one pass over the tokens with a 32-wide vote accumulator (vs 32
+    // separate aggregates re-walking the array per bit), then one fold of
+    // the winning bits into the hash — identical votes, identical hash
+    val votes = aggregate(tids, array_repeat(lit(0L), 32), (acc, t) =>
+      zip_with(acc, sequence(lit(0L), lit(31L)), (a, j) =>
+        a + when((t * lit(2654435761L) + j * lit(40503L)) % lit(65536L) > lit(32767L), lit(1L))
+          .otherwise(lit(-1L))))
+    aggregate(zip_with(votes, array((0 until 32).map(j => lit(1L << j)): _*), (v, p) =>
+      when(v > 0L, p).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Bands × bits-per-band for the streaming near-dup screen. 4×8 tiles the
