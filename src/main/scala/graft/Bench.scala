@@ -120,6 +120,11 @@ object Bench {
     // puffin/manifest write) per measured point; in the set because the
     // commit loop is the new structurally-risky shape:
     "iceberg_delete_storm",
+    // round-13 addition: the z-order rewrite — append + full-table Morton
+    // rewrite per measured point; the new writer arrangement is a pure
+    // projection + (month, zfid) repartition (no rank window), so it
+    // should hold linear; in the set to prove it:
+    "iceberg_zorder_rewrite",
     // round-13 addition: the perceptual-hash banded self-join — candidate
     // volume is bounded only by the occupancy ladder + the hard bucket cap,
     // so it stays in the set to prove those bounds hold as the corpus grows:

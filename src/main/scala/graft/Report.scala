@@ -170,6 +170,10 @@ object Report {
       section("Iceberg wide-table pruning", "A 3-conjunct predicate answered from real " +
         "manifest bound maps alone (wide integer-canonical stats, zero parquet footers read).",
         htmlTable(q("iceberg_wide_prune"), maxRows = 20)),
+      section("Iceberg Z-order rewrite", "rewrite_data_files with a 2-dim Morton sort order: " +
+        "the same conjunctive probe planned at the hashed and rewritten snapshots — identical " +
+        "matching rows, a fraction of the files/rows because each z file bounds BOTH dims.",
+        htmlTable(q("iceberg_zorder_rewrite"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

@@ -81,6 +81,7 @@ object SparkEntry {
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
+    "iceberg_zorder_rewrite" -> q((s, d) => iceberg.IcebergOps.zorderRewrite(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -366,6 +367,7 @@ object SparkEntry {
     "iceberg_delete_storm",        // iceberg.table.storm
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
+    "iceberg_zorder_rewrite",      // iceberg.table.zorder
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1064,6 +1066,50 @@ object SparkEntry {
         |  CAST(coalesce(sum(cnt) FILTER (WHERE hi >= '$lo' AND lo <= '$hi'), 0) AS BIGINT),
         |  mt.rows_matching
         |FROM fh, mt GROUP BY mt.rows_matching
+        |ORDER BY layout""".stripMargin
+    },
+
+    // Z-order rewrite census: both layouts are deterministic functions of
+    // lineitem (hashed fid = orderkey mod fpm; z fid = Morton slice of the
+    // within-month day × quantity bucket), so DuckDB re-derives every
+    // file's date/quantity bounds and the conjunctive-probe verdicts.
+    "iceberg_zorder_rewrite" -> {
+      val fpm = iceberg.IcebergOps.ZFilesPerMonth
+      val lo = iceberg.IcebergOps.ZDateLo
+      val hi = iceberg.IcebergOps.ZDateHi
+      val qhi = iceberg.IcebergOps.ZQtyHi
+      val zexpr = (0 until 8).map(i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH t AS (SELECT l_orderkey, l_shipdate,
+        |    strftime(l_shipdate, '%Y-%m') AS m,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    (CAST(extract(day FROM l_shipdate) AS BIGINT) - 1) * 8 AS zx,
+        |    least((CAST(round(l_quantity) AS BIGINT) - 1) * 5, 255) AS zy
+        |  FROM lineitem),
+        | z AS (SELECT m, q, l_shipdate, $zexpr AS zv FROM t),
+        | fz AS (SELECT m, CAST(zv * $fpm // 65536 AS INT) AS fid, count(*) AS cnt,
+        |    strftime(min(l_shipdate), '%Y-%m-%d') AS flo,
+        |    strftime(max(l_shipdate), '%Y-%m-%d') AS fhi, min(q) AS qlo
+        |   FROM z GROUP BY 1, 2),
+        | fh AS (SELECT m, l_orderkey % $fpm AS fid, count(*) AS cnt,
+        |    strftime(min(l_shipdate), '%Y-%m-%d') AS flo,
+        |    strftime(max(l_shipdate), '%Y-%m-%d') AS fhi, min(q) AS qlo
+        |   FROM t GROUP BY 1, 2),
+        | mt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matching FROM t
+        |   WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '$lo' AND '$hi' AND q <= $qhi)
+        |SELECT '1_hashed' AS layout, CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(count(*) FILTER (WHERE fhi >= '$lo' AND flo <= '$hi' AND qlo <= $qhi) AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(coalesce(sum(cnt) FILTER (WHERE fhi >= '$lo' AND flo <= '$hi' AND qlo <= $qhi), 0) AS BIGINT)
+        |    AS rows_planned,
+        |  mt.rows_matching
+        |FROM fh, mt GROUP BY mt.rows_matching
+        |UNION ALL
+        |SELECT '2_zorder', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE fhi >= '$lo' AND flo <= '$hi' AND qlo <= $qhi) AS BIGINT),
+        |  CAST(coalesce(sum(cnt) FILTER (WHERE fhi >= '$lo' AND flo <= '$hi' AND qlo <= $qhi), 0) AS BIGINT),
+        |  mt.rows_matching
+        |FROM fz, mt GROUP BY mt.rows_matching
         |ORDER BY layout""".stripMargin
     },
 

@@ -566,6 +566,55 @@ object IcebergOps {
       .orderBy("layout")
   }
 
+  /** Files per month for the Z-order study (spliced into the oracle). */
+  val ZFilesPerMonth = 8
+  /** Conjunctive 2-dim probe: the sort-skipping date window AND a
+    * quantity ceiling (bottom quarter of the 1..50 domain). */
+  val ZDateLo = "1997-02-08"
+  val ZDateHi = "1997-02-21"
+  val ZQtyHi = 12L
+
+  /** Z-order rewrite census on the real format: a hashed-layout table
+    * (every file spans its month's full date AND quantity ranges) is
+    * rewritten by [[IcebergTable.rewriteZOrder]] into Morton-sliced files,
+    * then BOTH snapshots are planned for the same conjunctive probe
+    * (date window AND quantity ≤ [[ZQtyHi]]) using only the manifest
+    * bound maps (l_shipdate lo/hi + the wide l_quantity lower bound — the
+    * `iceberg_wide_prune` census surface, zero parquet footers). Identical
+    * matching rows; the z layout scans a fraction of the files/rows
+    * because each file bounds both dims. Pre-rewrite planning goes through
+    * TIME TRAVEL to the hashed snapshot — the replace commit keeps it
+    * reachable. */
+  def zorderRewrite(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.zorder") {
+      val l = Files.createTempDirectory("graft_iceberg_zorder_").toString
+      IcebergTable.append(spark, lineitem, l,
+        clusterFiles = Some((ZFilesPerMonth, false)))
+      IcebergTable.rewriteZOrder(spark, l, ZFilesPerMonth)
+      new String(l)
+    }
+    val meta = IcebergTable.readMetadata(loc)
+    val snaps = meta.snapshots.sortBy(_.id)
+    val matching = lineitem.filter(
+      date_format(col("l_shipdate"), "yyyy-MM-dd").between(ZDateLo, ZDateHi) &&
+        round(col("l_quantity")) <= ZQtyHi).count()
+    val rows = Seq(("1_hashed", snaps.head), ("2_zorder", snaps.last)).map {
+      case (layout, snap) =>
+        val manifests = IcebergTable.readManifestList(snap.manifestList)
+        val entries = IcebergTable.readManifestsParallel(manifests.map(_.path))
+          .flatten.filter(_.content == 0)
+        val kept = entries.filter { f =>
+          val qtyLo = f.wideBounds("l_quantity")._1.toLong
+          f.hiShip >= ZDateLo && f.loShip <= ZDateHi && qtyLo <= ZQtyHi
+        }
+        (layout, entries.size.toLong, kept.size.toLong,
+          kept.map(_.recordCount).sum, matching)
+    }
+    import spark.implicits._
+    rows.toDF("layout", "files_total", "files_scanned", "rows_planned", "rows_matching")
+      .orderBy("layout")
+  }
+
   /** Snapshot log from the metadata tree alone (no data read): per
     * snapshot, its manifest-list census and added files/rows, plus the
     * cumulative row count a time-travel read at that snapshot would plan —

@@ -324,6 +324,26 @@ object IcebergTable {
     commitSnapshot(location, Some(prev), snapshotId, Seq(newInfo), "replace")
   }
 
+  /** Z-order rewrite — `rewrite_data_files` with a 2-dim sort order, the
+    * maintenance action behind the clustering trade the modeled
+    * `lake_zorder` prices (reference: the wide-table-pruning and sorted-
+    * writer studies): materialize the current MOR view into fresh files
+    * whose per-month layout is keyed by equal-width Morton Z-value slices
+    * of (within-month ship-day × quantity bucket), committed as a
+    * "replace" snapshot. Old files stay reachable for time travel; new
+    * manifests carry l_shipdate AND l_quantity bound maps per file, so a
+    * conjunctive 2-dim probe prunes on metadata alone — the capability a
+    * 1-dim (rank or hash) layout structurally cannot provide. */
+  def rewriteZOrder(spark: SparkSession, location: String,
+                    filesPerMonth: Int = 8): Long = {
+    val prev = readMetadata(location)
+    val (live, _, _) = readMor(spark, location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val newInfo = writeDataSnapshot(spark, live, location, snapshotId,
+      zorderFiles = Some(filesPerMonth))
+    commitSnapshot(location, Some(prev), snapshotId, Seq(newInfo), "replace")
+  }
+
   /** Write one snapshot's data files + manifest; returns its list entry.
     *
     * File layout: by default ONE file per partition — a deterministic
@@ -343,7 +363,8 @@ object IcebergTable {
                                 weekly: Boolean = false,
                                 targetRecordsPerFile: Option[Long] = None,
                                 clusterFiles: Option[(Int, Boolean)] = None,
-                                sorted: Boolean = false): ManifestInfo = {
+                                sorted: Boolean = false,
+                                zorderFiles: Option[Int] = None): ManifestInfo = {
     val sequence = snapshotId
     // Partition evolution (spec §Partition Evolution): spec 0 = identity
     // month, spec 1 = identity ISO week-start date. The partition VALUE
@@ -370,8 +391,30 @@ object IcebergTable {
     // cluster-scale equivalent is repartitionByRange(p_month, l_shipdate)
     // + maxRecordsPerFile — same skipping behavior, sampled (so
     // nondeterministic) boundaries.
-    val (arranged, partCols) = clusterFiles match {
-      case Some((fpm, byRank)) =>
+    val (arranged, partCols) = (clusterFiles, zorderFiles) match {
+      // `zorderFiles = Some(fpm)`: the 2-dim clustering arm — every month
+      // splits into fpm files keyed by equal-width slices of the Morton
+      // Z-value interleaving the within-month ship-day (x, 8 bits) with the
+      // quantity bucket (y, 8 bits). Each file then bounds BOTH dims, which
+      // is what lets a conjunctive (date window AND quantity) probe prune
+      // on the manifest's l_shipdate + l_quantity bound maps; a rank/hash
+      // layout bounds at most one. Pure integer arithmetic (no sampling) so
+      // the DuckDB oracle re-derives every file's bounds from lineitem.
+      case (_, Some(fpm)) =>
+        val withXY = withPart
+          .withColumn("__zx", ((dayofmonth(col("l_shipdate")) - 1) * 8).cast("long"))
+          .withColumn("__zy", least(
+            (round(col("l_quantity")).cast("long") - 1L) * 5L, lit(255L)))
+        val zBits = (0 until 8).map { i =>
+          expr(s"shiftleft(shiftright(__zx, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(__zy, $i) & 1, ${2 * i + 1})")
+        }.reduce(_ + _)
+        (withXY.withColumn("p_fid", (zBits * fpm / 65536).cast("int"))
+          .drop("__zx", "__zy")
+          .repartition(col("p_month"), col("p_fid"))
+          .sortWithinPartitions("p_month", "p_fid", "l_shipdate"),
+          Seq("p_month", "p_fid"))
+      case (Some((fpm, byRank)), _) =>
         import org.apache.spark.sql.expressions.Window
         val wAll = Window.partitionBy(col("p_month"))
         val fid =
@@ -385,7 +428,7 @@ object IcebergTable {
           .repartition(col("p_month"), col("p_fid"))
           .sortWithinPartitions("p_month", "p_fid", "l_shipdate"),
           Seq("p_month", "p_fid"))
-      case None => targetRecordsPerFile match {
+      case (None, None) => targetRecordsPerFile match {
         case None =>
           // one file per partition: hash-repartition on the partition key
           // means a month's rows land in exactly one task, so partitionBy

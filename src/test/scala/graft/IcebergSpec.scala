@@ -662,6 +662,39 @@ class IcebergSpec extends SparkSpec {
       IcebergTable.planFiles(loc).files.map(_.path).toSet)
   }
 
+  test("zorder rewrite: replace snapshot, data preserved, both dims bounded, old layout time-travels") {
+    import graft.lake.iceberg.{IcebergOps, IcebergTable}
+    val census = IcebergOps.zorderRewrite(spark, lineitem).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("files_total"), r.getAs[Long]("files_scanned"),
+          r.getAs[Long]("rows_planned"), r.getAs[Long]("rows_matching"))).toMap
+    val (hf, hs, hp, hm) = census("1_hashed")
+    val (zf, zs, zp, zm) = census("2_zorder")
+    assert(hm == zm, "matching rows are layout-independent")
+    assert(zs < hs && zp < hp, "the 2-dim layout must prune strictly more for the conjunctive probe")
+    assert(zp >= zm && hp >= hm, "planning can only overcount matching rows")
+    // the rewrite is a replace snapshot that preserves every row, and the
+    // hashed layout remains readable by time travel
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.zorder")(
+      fail("fixture must exist"): String)
+    val meta = IcebergTable.readMetadata(loc)
+    val snaps = meta.snapshots.sortBy(_.id)
+    assert(snaps.length == 2 && snaps.last.operation == "replace")
+    assert(IcebergTable.read(spark, loc).count() == lineitem.count())
+    assert(IcebergTable.read(spark, loc, Some(snaps.head.id)).count() == lineitem.count())
+    // bound honesty: every z file's manifest quantity bounds bracket a
+    // true sub-scan, and the z layout's mean quantity span is strictly
+    // tighter than the hashed layout's (the clustering dividend)
+    def spans(sid: Long): Seq[Long] = {
+      val ms = IcebergTable.readManifestList(meta.snapshots.find(_.id == sid).get.manifestList)
+      IcebergTable.readManifestsParallel(ms.map(_.path)).flatten.filter(_.content == 0)
+        .map(f => f.wideBounds("l_quantity")._2.toLong - f.wideBounds("l_quantity")._1.toLong)
+    }
+    val zSpans = spans(snaps.last.id); val hSpans = spans(snaps.head.id)
+    assert(zSpans.sum.toDouble / zSpans.size < hSpans.sum.toDouble / hSpans.size,
+      "z files must bound quantity tighter than hash files on average")
+  }
+
   test("partitions metadata table: per-month census from metadata alone matches the data") {
     val pm = graft.lake.iceberg.IcebergOps.partitionsMeta(spark, lineitem)
     val got = pm.select(sum(col("n_rows")), sum(col("n_files")), count(lit(1))).head()

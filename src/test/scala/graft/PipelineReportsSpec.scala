@@ -347,14 +347,14 @@ class PipelineReportsSpec extends SparkSpec {
                   "Mixed delete resolution",
                   "Iceberg 2-level manifest tree", "Iceberg DV delete storm",
                   "Iceberg rewrite_manifests", "Iceberg commit series",
-                  "Iceberg wide-table pruning",
+                  "Iceberg wide-table pruning", "Iceberg Z-order rewrite",
                   "Training-data funnel", "PII scan", "Multimodal quality gate",
                   "Multimodal token budget", "Slowest queries"))
       assert(html.contains(s"<h2>$h"), s"missing section $h")
-    assert("<section>".r.findAllIn(html).size == 32)
+    assert("<section>".r.findAllIn(html).size == 33)
     // every table has at least one data row
     val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
-    assert(tables.size == 31)
+    assert(tables.size == 32)
     tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
     // the baseline chart has 20 bars with numeric values
     assert("class=\"bar\"".r.findAllIn(html).size == 20)
