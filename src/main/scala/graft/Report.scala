@@ -174,6 +174,10 @@ object Report {
         "the same conjunctive probe planned at the hashed and rewritten snapshots — identical " +
         "matching rows, a fraction of the files/rows because each z file bounds BOTH dims.",
         htmlTable(q("iceberg_zorder_rewrite"))),
+      section("Iceberg CDC changelog", "create_changelog_view over the storm history: " +
+        "per-snapshot inserts, DV-asserted deletes and NET deletes after position dedup — " +
+        "the fold asserts the full union yet nets zero.",
+        htmlTable(q("iceberg_changelog"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

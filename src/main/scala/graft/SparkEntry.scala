@@ -82,6 +82,7 @@ object SparkEntry {
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
     "iceberg_zorder_rewrite" -> q((s, d) => iceberg.IcebergOps.zorderRewrite(s, Tables.lineitem(s, d))),
+    "iceberg_changelog" -> q((s, d) => iceberg.IcebergOps.changelogScan(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -1111,6 +1112,36 @@ object SparkEntry {
         |  mt.rows_matching
         |FROM fz, mt GROUP BY mt.rows_matching
         |ORDER BY layout""".stripMargin
+    },
+
+    // CDC changelog over the storm table's history: two append eras split
+    // at SnapshotCut, four disjoint-residue DV waves, then the fold that
+    // re-asserts the union but must emit ZERO net deletes — all counts
+    // are wave arithmetic DuckDB replays exactly.
+    "iceberg_changelog" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rs = iceberg.IcebergOps.StormResidues
+      val wCols = rs.map(r =>
+        s"CAST(count(*) FILTER (WHERE l_orderkey % $mod = $r) AS BIGINT) AS w$r").mkString(", ")
+      val waveRows = rs.zipWithIndex.map { case (r, i) =>
+        val cum = rs.take(i + 1).map(x => s"w$x").mkString(" - ")
+        s"UNION ALL SELECT '${i + 3}_delete', 0, w$r, w$r, tot - $cum FROM era, w"
+      }.mkString("\n|")
+      val allW = rs.map(x => s"w$x").mkString(" + ")
+      val allWSub = rs.map(x => s"w$x").mkString(" - ")
+      s"""WITH era AS (SELECT
+        |   CAST(count(*) FILTER (WHERE strftime(l_shipdate, '%Y-%m-%d') < '$cut') AS BIGINT) AS e1,
+        |   CAST(count(*) FILTER (WHERE strftime(l_shipdate, '%Y-%m-%d') >= '$cut') AS BIGINT) AS e2,
+        |   CAST(count(*) AS BIGINT) AS tot FROM lineitem),
+        | w AS (SELECT $wCols FROM lineitem)
+        |SELECT '1_append' AS step, e1 AS n_inserts,
+        |  CAST(0 AS BIGINT) AS n_deletes_asserted, CAST(0 AS BIGINT) AS n_deletes_net,
+        |  e1 AS live_rows FROM era
+        |UNION ALL SELECT '2_append', e2, 0, 0, e1 + e2 FROM era
+        |$waveRows
+        |UNION ALL SELECT '${rs.size + 3}_delete', 0, $allW, 0, tot - $allWSub FROM era, w
+        |ORDER BY step""".stripMargin
     },
 
     // General MOR: equality (keys ≡ 3 mod 10) AND positional (keys ≡ 7

@@ -938,6 +938,40 @@ object IcebergOps {
       new String(loc)
     }
 
+  /** CDC changelog over the REAL table history — the
+    * `create_changelog_view` surface an Iceberg consumer reads instead of
+    * re-diffing table states: one row per snapshot with the inserts its
+    * data manifests added (stats only, no data read), the deletes its DV
+    * entries ASSERT (blob cardinalities from the manifests), and the NET
+    * deletes a correct changelog must emit after deduping re-asserted
+    * positions — materialized here as the difference of REAL DV-merged
+    * scans at consecutive snapshots (time travel through
+    * [[IcebergTable.readMorDv]]), the read path a changelog consumer
+    * actually pays. The storm table makes the dedup requirement concrete:
+    * its fold commit re-covers every wave, so it asserts the full union
+    * yet must emit ZERO net deletes. All counts are disjoint-residue wave
+    * arithmetic over lineitem, so the DuckDB oracle replays them exactly. */
+  def changelogScan(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = stormTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val snaps = meta.snapshots.sortBy(_.id)
+    var prevLive = 0L
+    val rows = snaps.zipWithIndex.map { case (s, i) =>
+      val added = IcebergTable.readManifestList(s.manifestList)
+        .filter(_.addedSnapshotId == s.id)
+        .flatMap(m => IcebergTable.readManifest(m.path))
+      val ins = added.filter(_.content == 0).map(_.recordCount).sum
+      val asserted = added.filter(_.content == 1).map(_.recordCount).sum
+      val live = IcebergTable.readMorDv(spark, loc, snapshotId = Some(s.id))._1.count()
+      val net = prevLive + ins - live
+      prevLive = live
+      (s"${i + 1}_${s.operation}", ins, asserted, net, live)
+    }
+    import spark.implicits._
+    rows.toDF("step", "n_inserts", "n_deletes_asserted", "n_deletes_net", "live_rows")
+      .orderBy("step")
+  }
+
   /** The reference's delete storm (`test_delete_storm.py:51`) executed on
     * REAL v3 deletion vectors: N tiny DV commits accumulate one fragment
     * per (wave, data file) — per step, the census reads fragment growth,

@@ -1351,10 +1351,13 @@ object IcebergTable {
     * sequence-scoped positional anti-join as [[readMorPositional]] — the
     * v2 and v3 delete representations converge to one plan shape. */
   def readMorDv(spark: SparkSession, location: String,
-                monthLo: Option[String] = None, monthHi: Option[String] = None)
+                monthLo: Option[String] = None, monthHi: Option[String] = None,
+                snapshotId: Option[Long] = None)
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
-    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id"))).getOrElse(currentSnapshot(meta))
+    val manifests = readManifestList(snap.manifestList)
     val dvEntries = readManifestsParallel(manifests.map(_.path)).flatten
       .filter(e => e.content == 1 && e.referencedDataFile.isDefined)
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
@@ -1363,7 +1366,7 @@ object IcebergTable {
       slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
         e.contentOffset, e.contentSize))
     }
-    val plan = planFiles(location, None, monthLo, monthHi)
+    val plan = planFiles(location, snapshotId, monthLo, monthHi)
     require(plan.files.nonEmpty, "scan planned zero files")
     import org.apache.spark.sql.Encoders
     val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)

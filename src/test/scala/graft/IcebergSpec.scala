@@ -695,6 +695,29 @@ class IcebergSpec extends SparkSpec {
       "z files must bound quantity tighter than hash files on average")
   }
 
+  test("changelog: conservation per step, fold asserts the union but nets zero") {
+    val rows = graft.lake.iceberg.IcebergOps.changelogScan(spark, lineitem).collect()
+      .sortBy(_.getAs[String]("step"))
+    assert(rows.length == 7, "2 append eras + 4 waves + fold")
+    var cumIns = 0L; var cumNet = 0L
+    rows.foreach { r =>
+      cumIns += r.getAs[Long]("n_inserts"); cumNet += r.getAs[Long]("n_deletes_net")
+      assert(r.getAs[Long]("live_rows") == cumIns - cumNet,
+        s"conservation broken at ${r.getAs[String]("step")}")
+      assert(r.getAs[Long]("n_deletes_net") <= r.getAs[Long]("n_deletes_asserted"),
+        "net deletes can never exceed asserted")
+    }
+    assert(rows.take(2).forall(_.getAs[String]("step").endsWith("_append")))
+    val waves = rows.slice(2, 6); val fold = rows.last
+    waves.foreach(w => assert(w.getAs[Long]("n_deletes_net") == w.getAs[Long]("n_deletes_asserted"),
+      "disjoint waves are all-new deletes"))
+    assert(fold.getAs[Long]("n_deletes_asserted") == waves.map(_.getAs[Long]("n_deletes_asserted")).sum,
+      "fold asserts exactly the union of the waves")
+    assert(fold.getAs[Long]("n_deletes_net") == 0L, "re-asserted positions must dedupe to zero")
+    assert(fold.getAs[Long]("live_rows") == waves.last.getAs[Long]("live_rows"))
+    assert(rows.head.getAs[Long]("n_inserts") + rows(1).getAs[Long]("n_inserts") == lineitem.count())
+  }
+
   test("partitions metadata table: per-month census from metadata alone matches the data") {
     val pm = graft.lake.iceberg.IcebergOps.partitionsMeta(spark, lineitem)
     val got = pm.select(sum(col("n_rows")), sum(col("n_files")), count(lit(1))).head()
