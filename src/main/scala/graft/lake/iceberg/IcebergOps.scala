@@ -362,7 +362,7 @@ object IcebergOps {
   def mixedDeletesRead(spark: SparkSession, lineitem: DataFrame,
                        monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
     val loc = mixedTableFor(spark, lineitem)
-    val (live, plan, eqs, poss) =
+    val (live, plan, eqs, poss, _) =
       IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
     live
       .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))

@@ -314,7 +314,9 @@ object IcebergTable {
     * converted back into clean scans. */
   def rewriteCompact(spark: SparkSession, location: String): Long = {
     val prev = readMetadata(location)
-    val (live, _, _) = readMor(spark, location)
+    // the GENERAL resolution: materializing through a partial reader
+    // resurrects rows deleted by the forms it skips (DV-lifecycle spec)
+    val live = readMorUnified(spark, location)._1
     // max(id)+1, NOT current+1: a staged snapshot (appendStaged) sits in the
     // log above current, and current+1 would reuse its id — overwriting the
     // staged data dir, manifests and manifest list, and appending a
@@ -337,7 +339,7 @@ object IcebergTable {
   def rewriteZOrder(spark: SparkSession, location: String,
                     filesPerMonth: Int = 8): Long = {
     val prev = readMetadata(location)
-    val (live, _, _) = readMor(spark, location)
+    val live = readMorUnified(spark, location)._1
     val snapshotId = prev.snapshots.map(_.id).max + 1L
     val newInfo = writeDataSnapshot(spark, live, location, snapshotId,
       zorderFiles = Some(filesPerMonth))
@@ -1393,22 +1395,38 @@ object IcebergTable {
     (parts.reduce(_ unionByName _), plan, dvEntries)
   }
 
-  /** MOR read applying BOTH delete contents in one scan — the general
-    * case (spec: a snapshot's delete set may mix content=1 positional and
-    * content=2 equality files; every real v2 reader resolves both): data
-    * files group by manifest sequence (metadata-grain), each group
-    * anti-joined first against newer positional deletes on the
-    * (file_path, row ordinal) pair, then against newer equality deletes on
-    * the key — each scoped to sequence > the data file's, per the spec.
-    * Returns live rows + planning census + both delete-file sets. */
+  /** MOR read applying EVERY delete form in one scan — the general case
+    * (spec: a snapshot's delete set may mix content=1 positional parquet
+    * files, content=1 v3 deletion vectors — distinguished by
+    * `referenced_data_file` — and content=2 equality files; a real reader
+    * resolves all of them): data files group by manifest sequence
+    * (metadata-grain), each group anti-joined against newer positional
+    * deletes on the (file_path, row ordinal) pair, then against newer DV
+    * positions (Puffin blobs decoded in a distributed flatMap, same shape
+    * as [[readMorDv]]), then against newer equality deletes on the key —
+    * each scoped to sequence > the data file's, per the spec. This is the
+    * resolution the COMPACTION rewrites must use: materializing through a
+    * partial reader silently resurrects rows deleted by the forms it
+    * skips (caught by the DV-lifecycle spec). Returns live rows +
+    * planning census + the three delete-entry sets. */
   def readMorUnified(spark: SparkSession, location: String,
                      monthLo: Option[String] = None, monthHi: Option[String] = None)
-      : (DataFrame, ScanPlan, Seq[DataFileEntry], Seq[DataFileEntry]) = {
+      : (DataFrame, ScanPlan, Seq[DataFileEntry], Seq[DataFileEntry], Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
     val all = readManifestsParallel(manifests.map(_.path)).flatten
     val eqDeletes = all.filter(_.content == 2)
-    val posDeletes = all.filter(_.content == 1)
+    val (dvEntries, posDeletes) = all.filter(_.content == 1)
+      .partition(_.referencedDataFile.isDefined)
+    val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+    def blobBytes(e: DataFileEntry): Array[Byte] = {
+      val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
+      slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+        e.contentOffset, e.contentSize))
+    }
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     val plan = planFiles(location, None, monthLo, monthHi)
     require(plan.files.nonEmpty, "scan planned zero files")
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
@@ -1424,6 +1442,19 @@ object IcebergTable {
             "left_anti")
           .drop("__file", "__pos")
       }
+      val dvApp = dvEntries.filter(_.sequence > seq)
+      if (dvApp.nonEmpty) {
+        val rows = dvApp.map(e => (e.referencedDataFile.get, blobBytes(e)))
+        val dv = spark.createDataset(rows)(tupleEnc)
+          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
+          .toDF("dvb_file", "dvb_pos")
+        df = df
+          .withColumn("__fdv", regexp_replace(input_file_name(), "^file:", ""))
+          .withColumn("__pdv", col("_metadata.row_index").cast("long"))
+          .join(dv, col("__fdv") === col("dvb_file") && col("__pdv") === col("dvb_pos"),
+            "left_anti")
+          .drop("__fdv", "__pdv")
+      }
       val eqApp = eqDeletes.filter(_.sequence > seq)
       if (eqApp.nonEmpty) {
         val keys = spark.read.parquet(eqApp.map(_.path): _*)
@@ -1431,7 +1462,7 @@ object IcebergTable {
       }
       df
     }
-    (parts.reduce(_ unionByName _), plan, eqDeletes, posDeletes)
+    (parts.reduce(_ unionByName _), plan, eqDeletes, posDeletes, dvEntries)
   }
 
   /** MOR read: pruned data scan with the snapshot's delete files applied,

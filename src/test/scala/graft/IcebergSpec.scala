@@ -201,6 +201,34 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IcebergTable.planFiles(l, Some(1L)) }
   }
 
+  test("DV lifecycle: storm -> compact -> expire physically GCs every Puffin DV, rows preserved") {
+    import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_dvgc_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    IcebergOps.StormResidues.foreach { r =>
+      T.appendDvPuffin(spark, l, pmod(col("l_orderkey"), lit(IcebergOps.DeleteKeyMod)) === r)
+    }
+    val expectedLive = lineitem
+      .filter(!pmod(col("l_orderkey"), lit(IcebergOps.DeleteKeyMod))
+        .isin(IcebergOps.StormResidues: _*)).count()
+    // the wave DV puffins referenced by the head (additive delete commits)
+    val dvPuffins = T.readManifestList(
+        T.currentSnapshot(T.readMetadata(l)).manifestList)
+      .flatMap(m => T.readManifest(m.path)).filter(_.content == 1)
+      .map(_.path).distinct
+    assert(dvPuffins.nonEmpty && dvPuffins.forall(p => new File(p).exists()))
+    // compaction materializes the MOR view — DVs leave the live tree but
+    // stay on disk for time travel; expiry then physically GCs them
+    T.rewriteCompact(spark, l)
+    dvPuffins.foreach(p => assert(new File(p).exists(), "DV puffins must survive until expiry"))
+    T.expireSnapshots(l, keepLast = 1)
+    dvPuffins.foreach(p => assert(!new File(p).exists(), s"orphaned DV puffin not GC'd: $p"))
+    assert(T.read(spark, l).count() == expectedLive, "compacted head preserves the MOR view")
+  }
+
   test("streaming ingest: foreachBatch commits one real snapshot per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
