@@ -83,6 +83,7 @@ object SparkEntry {
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
     "iceberg_zorder_rewrite" -> q((s, d) => iceberg.IcebergOps.zorderRewrite(s, Tables.lineitem(s, d))),
     "iceberg_changelog" -> q((s, d) => iceberg.IcebergOps.changelogScan(s, Tables.lineitem(s, d))),
+    "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -369,6 +370,7 @@ object SparkEntry {
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
+    "iceberg_dv_compact",          // iceberg.table.dvcompact
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1112,6 +1114,29 @@ object SparkEntry {
         |  mt.rows_matching
         |FROM fz, mt GROUP BY mt.rows_matching
         |ORDER BY layout""".stripMargin
+    },
+
+    // DV-compaction census: file counts are month arithmetic, DV blob
+    // counts are (month x residue) existence, live rows the residue
+    // complement — the oracle-pinned regression for the DV-resurrection
+    // compaction bug (a partial-reader rewrite would re-live every
+    // deleted row and fail the live_rows compare).
+    "iceberg_dv_compact" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rs = iceberg.IcebergOps.StormResidues.mkString(", ")
+      val nSnaps = 3 + iceberg.IcebergOps.StormResidues.size
+      s"""WITH t AS (SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | months AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS nm FROM t),
+        | blobs AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM (
+        |    SELECT DISTINCT m, l_orderkey % $mod AS r FROM t
+        |    WHERE l_orderkey % $mod IN ($rs))),
+        | pos AS (SELECT CAST(count(*) AS BIGINT) AS np FROM t
+        |   WHERE l_orderkey % $mod IN ($rs)),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+        |SELECT nm AS data_files_before, nb AS dv_blobs_before, np AS dv_positions,
+        | nm AS data_files_after, CAST(0 AS BIGINT) AS dv_blobs_after,
+        | n - np AS live_rows, CAST($nSnaps AS BIGINT) AS n_snapshots
+        |FROM months, blobs, pos, tot""".stripMargin
     },
 
     // CDC changelog over the storm table's history: two append eras split

@@ -938,6 +938,56 @@ object IcebergOps {
       new String(loc)
     }
 
+  /** DV-compaction fixture: the storm recipe minus the fold (2 sorted
+    * eras + one DV wave per residue), then the compaction rewrite — a
+    * SEPARATE table from `iceberg.table.storm` because compaction mutates
+    * the head and the storm/changelog censuses read the uncompacted
+    * history. */
+  private def dvCompactTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.dvcompact") {
+      val loc = Files.createTempDirectory("graft_iceberg_dvcompact_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc, sorted = true)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc, sorted = true)
+      StormResidues.foreach { r =>
+        IcebergTable.appendDvPuffin(spark, loc,
+          pmod(col("l_orderkey"), lit(DeleteKeyMod)) === r)
+      }
+      IcebergTable.rewriteCompact(spark, loc)
+      new String(loc)
+    }
+
+  /** Compaction of a DELETION-VECTOR table, censused before/after from
+    * metadata alone — the oracle-pinned regression for the resurrection
+    * bug the DV-lifecycle spec caught (a compaction that materializes
+    * through a partial reader re-lives every DV-deleted row): the
+    * pre-compaction head's data files and DV blob entries vs the clean
+    * rewritten head, whose manifest-stats live-row total must equal the
+    * wave-complement count — the proof the replace snapshot carries the
+    * DV-merged truth without a delete file left to pay for. */
+  def dvCompactSummary(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = dvCompactTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val deleteHead = meta.snapshots.filter(_.operation == "delete").maxBy(_.id)
+    val beforeEntries = IcebergTable.readManifestList(deleteHead.manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+    val after = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+    import spark.implicits._
+    Seq((
+      beforeEntries.count(_.content == 0).toLong,
+      beforeEntries.count(_.content == 1).toLong,
+      beforeEntries.filter(_.content == 1).map(_.recordCount).sum,
+      after.count(_.content == 0).toLong,
+      after.count(_.content == 1).toLong,
+      after.filter(_.content == 0).map(_.recordCount).sum,
+      meta.snapshots.size.toLong))
+      .toDF("data_files_before", "dv_blobs_before", "dv_positions",
+        "data_files_after", "dv_blobs_after", "live_rows", "n_snapshots")
+  }
+
   /** CDC changelog over the REAL table history — the
     * `create_changelog_view` surface an Iceberg consumer reads instead of
     * re-diffing table states: one row per snapshot with the inserts its
