@@ -1071,6 +1071,19 @@ object IcebergTable {
     val snap = meta.snapshots.find(_.id == toId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $toId"))
     require(meta.snapshots.exists(_.id == fromId) || fromId == 0L, s"no snapshot $fromId")
+    // ENFORCE the replace boundary (previously only documented): a replace
+    // snapshot's manifest carries the full rewritten file set with fresh
+    // sequence numbers inside the range, so an incremental consumer
+    // crossing it would re-emit the ENTIRE table as new rows — silent
+    // double-counting. Real readers throw here too (Iceberg's incremental
+    // append scan rejects non-append snapshots); delete snapshots are fine
+    // (they add no content=0 entries, so the range contributes nothing).
+    val crossing = meta.snapshots.filter(s => s.id > fromId && s.id <= toId)
+    crossing.find(_.operation == "replace").foreach { s =>
+      throw new IllegalArgumentException(
+        s"incremental scan ($fromId, $toId] crosses replace snapshot ${s.id} — " +
+          "an append-delta cannot express a rewrite; consumers must reset at the boundary")
+    }
     val manifests = readManifestList(snap.manifestList)
     val live = manifests.filter(m => m.addedSnapshotId > fromId && m.addedSnapshotId <= toId)
     val files = readManifestsParallel(live.map(_.path)).flatten

@@ -201,6 +201,30 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IcebergTable.planFiles(l, Some(1L)) }
   }
 
+  test("incremental scan: replace boundary throws, delete snapshots contribute zero rows") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_incboundary_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l, sorted = true)
+    T.appendDvPuffin(spark, l, pmod(col("l_orderkey"), lit(10L)) === 1L)
+    // a DV commit in range adds no data files: the delta over (1, 3] is
+    // exactly snapshot 2's appended rows — tailing across it stays
+    // exactly-once, never re-emitting snapshot 1
+    val inc = T.planIncremental(l, 1L, 3L)
+    val era2 = lineitem.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")).count()
+    assert(inc.files.map(_.recordCount).sum == era2)
+    // a compaction in range CANNOT be expressed as an append delta — the
+    // previously-documented-only boundary now throws instead of silently
+    // re-emitting the whole rewritten table as new rows
+    T.rewriteCompact(spark, l)
+    val err = intercept[IllegalArgumentException] { T.planIncremental(l, 1L, 4L) }
+    assert(err.getMessage.contains("replace snapshot"))
+    // ranges entirely before the replace still plan fine
+    assert(T.planIncremental(l, 0L, 2L).files.map(_.recordCount).sum == lineitem.count())
+  }
+
   test("DV lifecycle: storm -> compact -> expire physically GCs every Puffin DV, rows preserved") {
     import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
     val l = Files.createTempDirectory("graft_iceberg_dvgc_").toString
