@@ -1052,43 +1052,46 @@ object IcebergTable {
       selected.size)
   }
 
-  /** Plan an INCREMENTAL append scan: the data files added by snapshots in
-    * (`fromId`, `toId`] — Iceberg's incremental-read contract (the scan
-    * behind CDC-style "what arrived since snapshot X" consumers, which the
-    * modeled `lake.Snapshots.cdcChangelog` / `incrementalAgg` queries price;
-    * here it executes against the real metadata tree). Planning is
-    * metadata-only: `toId`'s manifest list already carries every live
-    * manifest with its `added_snapshot_id`, so manifests added at or before
-    * `fromId` are skipped WITHOUT being opened (the same two-level skip as
-    * [[planFiles]], keyed by snapshot lineage instead of partition bounds),
-    * and the opened ones contribute only their ADDED (status=1) data
-    * entries in the id range. Append-only manifests make this exact: a
-    * file's manifest membership never changes until a replace/compaction,
-    * whose "replace" snapshot an incremental consumer must treat as a
-    * boundary (its manifest carries the full rewritten file set). */
+  /** Plan an INCREMENTAL append scan: the data files added by APPEND
+    * snapshots in (`fromId`, `toId`] — Iceberg's incremental-read contract
+    * (the scan behind CDC-style "what arrived since snapshot X" consumers,
+    * which the modeled `lake.Snapshots.cdcChangelog` / `incrementalAgg`
+    * queries price; here it executes against the real metadata tree).
+    * Planning is metadata-only and APPEND-SNAPSHOT-SCOPED: an append whose
+    * manifest still rides in `toId`'s list is read through that list (the
+    * lineage-keyed two-level skip — manifests at or before `fromId` are
+    * never opened); an append whose manifests were later absorbed by a
+    * "replace" (compaction / rewrite_manifests) is read through its OWN
+    * immutable manifest list instead. Replace snapshots themselves
+    * contribute NOTHING — they change layout, not logical data — so a
+    * consumer crossing a compaction stays exactly-once (the naive
+    * head-list-only plan would have re-emitted the whole rewritten table
+    * as new rows; spec-pinned); delete snapshots add no data files and
+    * fall out naturally. Ranges must stay within RETAINED history — an
+    * expired append's manifest list is gone, exactly the real contract.
+    * Unpublished WAP-staged snapshots are excluded (their manifests are in
+    * no head list and no replace absorbed them) — stage→publish before a
+    * rewrite, or the staged rows date from their publish. */
   def planIncremental(location: String, fromId: Long, toId: Long): ScanPlan = {
     val meta = readMetadata(location)
     val snap = meta.snapshots.find(_.id == toId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $toId"))
     require(meta.snapshots.exists(_.id == fromId) || fromId == 0L, s"no snapshot $fromId")
-    // ENFORCE the replace boundary (previously only documented): a replace
-    // snapshot's manifest carries the full rewritten file set with fresh
-    // sequence numbers inside the range, so an incremental consumer
-    // crossing it would re-emit the ENTIRE table as new rows — silent
-    // double-counting. Real readers throw here too (Iceberg's incremental
-    // append scan rejects non-append snapshots); delete snapshots are fine
-    // (they add no content=0 entries, so the range contributes nothing).
-    val crossing = meta.snapshots.filter(s => s.id > fromId && s.id <= toId)
-    crossing.find(_.operation == "replace").foreach { s =>
-      throw new IllegalArgumentException(
-        s"incremental scan ($fromId, $toId] crosses replace snapshot ${s.id} — " +
-          "an append-delta cannot express a rewrite; consumers must reset at the boundary")
-    }
     val manifests = readManifestList(snap.manifestList)
-    val live = manifests.filter(m => m.addedSnapshotId > fromId && m.addedSnapshotId <= toId)
-    val files = readManifestsParallel(live.map(_.path)).flatten
+    val headAdded = manifests.map(_.addedSnapshotId).toSet
+    def replaceAfter(sid: Long): Boolean =
+      meta.snapshots.exists(r => r.operation == "replace" && r.id > sid && r.id <= toId)
+    val appends = meta.snapshots
+      .filter(s => s.id > fromId && s.id <= toId && s.operation == "append" &&
+        (headAdded(s.id) || replaceAfter(s.id)))
+      .sortBy(_.id)
+    val perSnap = appends.flatMap { s =>
+      if (headAdded(s.id)) manifests.filter(_.addedSnapshotId == s.id)
+      else readManifestList(s.manifestList).filter(_.addedSnapshotId == s.id)
+    }
+    val files = readManifestsParallel(perSnap.map(_.path)).flatten
       .filter(f => f.content == 0 && f.sequence > fromId && f.sequence <= toId)
-    ScanPlan(files, manifests.size, live.size,
+    ScanPlan(files, manifests.size, perSnap.size,
       manifests.map(_.addedFiles.toLong).sum, files.size)
   }
 

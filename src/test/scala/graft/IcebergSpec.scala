@@ -215,14 +215,21 @@ class IcebergSpec extends SparkSpec {
     val inc = T.planIncremental(l, 1L, 3L)
     val era2 = lineitem.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")).count()
     assert(inc.files.map(_.recordCount).sum == era2)
-    // a compaction in range CANNOT be expressed as an append delta — the
-    // previously-documented-only boundary now throws instead of silently
-    // re-emitting the whole rewritten table as new rows
+    // a compaction in range contributes NOTHING (replace = layout change,
+    // not data): the naive head-list-only plan would have re-emitted the
+    // whole rewritten table as new rows; the append-scoped plan reads the
+    // absorbed append through its OWN immutable manifest list instead, so
+    // tailing across the compaction stays exactly-once
     T.rewriteCompact(spark, l)
-    val err = intercept[IllegalArgumentException] { T.planIncremental(l, 1L, 4L) }
-    assert(err.getMessage.contains("replace snapshot"))
-    // ranges entirely before the replace still plan fine
-    assert(T.planIncremental(l, 0L, 2L).files.map(_.recordCount).sum == lineitem.count())
+    assert(T.planIncremental(l, 1L, 4L).files.map(_.recordCount).sum == era2,
+      "crossing a compaction must emit only the real appends' rows")
+    assert(T.planIncremental(l, 0L, 4L).files.map(_.recordCount).sum == lineitem.count())
+    assert(T.planIncremental(l, 4L, 4L).files.isEmpty ||
+      T.planIncremental(l, 4L, 4L).files.map(_.recordCount).sum == 0,
+      "the replace snapshot itself is an empty delta")
+    // ...and the same holds across a metadata-only rewrite_manifests
+    T.rewriteManifests(l, groupMonths = 12)
+    assert(T.planIncremental(l, 1L, 5L).files.map(_.recordCount).sum == era2)
   }
 
   test("DV lifecycle: storm -> compact -> expire physically GCs every Puffin DV, rows preserved") {
