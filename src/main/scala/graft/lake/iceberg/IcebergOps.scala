@@ -1001,15 +1001,26 @@ object IcebergOps {
     * its fold commit re-covers every wave, so it asserts the full union
     * yet must emit ZERO net deletes. All counts are disjoint-residue wave
     * arithmetic over lineitem, so the DuckDB oracle replays them exactly. */
-  def changelogScan(spark: SparkSession, lineitem: DataFrame): DataFrame = {
-    val loc = stormTableFor(spark, lineitem)
+  def changelogScan(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    changelogOf(spark, stormTableFor(spark, lineitem))
+
+  /** Changelog core over any real table location (see [[changelogScan]]).
+    * "replace" snapshots (compaction / rewrite_manifests / z-order) emit
+    * NOTHING: their manifest lists re-add the rewritten file set, but
+    * those are layout moves, not logical inserts — a changelog consumer
+    * that counted them would double-emit the whole table at every
+    * maintenance pass (the same hole the incremental scan closes by
+    * append-snapshot scoping; spec-pinned on the DV-compaction fixture). */
+  def changelogOf(spark: SparkSession, loc: String): DataFrame = {
     val meta = IcebergTable.readMetadata(loc)
     val snaps = meta.snapshots.sortBy(_.id)
     var prevLive = 0L
     val rows = snaps.zipWithIndex.map { case (s, i) =>
-      val added = IcebergTable.readManifestList(s.manifestList)
-        .filter(_.addedSnapshotId == s.id)
-        .flatMap(m => IcebergTable.readManifest(m.path))
+      val added =
+        if (s.operation == "replace") Seq.empty
+        else IcebergTable.readManifestList(s.manifestList)
+          .filter(_.addedSnapshotId == s.id)
+          .flatMap(m => IcebergTable.readManifest(m.path))
       val ins = added.filter(_.content == 0).map(_.recordCount).sum
       val asserted = added.filter(_.content == 1).map(_.recordCount).sum
       val live = IcebergTable.readMorDv(spark, loc, snapshotId = Some(s.id))._1.count()

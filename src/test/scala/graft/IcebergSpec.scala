@@ -232,6 +232,29 @@ class IcebergSpec extends SparkSpec {
     assert(T.planIncremental(l, 1L, 5L).files.map(_.recordCount).sum == era2)
   }
 
+  test("changelog across a compaction: the replace step emits nothing, live rows carry through") {
+    import graft.lake.iceberg.IcebergOps
+    IcebergOps.dvCompactSummary(spark, lineitem).collect() // builds the fixture
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.dvcompact")(
+      fail("fixture must exist"): String)
+    val rows = IcebergOps.changelogOf(spark, loc).collect().sortBy(_.getAs[String]("step"))
+    val replace = rows.last
+    assert(replace.getAs[String]("step").endsWith("_replace"))
+    assert(replace.getAs[Long]("n_inserts") == 0L &&
+      replace.getAs[Long]("n_deletes_asserted") == 0L &&
+      replace.getAs[Long]("n_deletes_net") == 0L,
+      "a maintenance replace is a layout move, not a changelog event")
+    assert(replace.getAs[Long]("live_rows") ==
+      rows(rows.length - 2).getAs[Long]("live_rows"),
+      "live rows must carry through the compaction unchanged")
+    // per-step conservation still closes over the whole history
+    var cumIns = 0L; var cumNet = 0L
+    rows.foreach { r =>
+      cumIns += r.getAs[Long]("n_inserts"); cumNet += r.getAs[Long]("n_deletes_net")
+      assert(r.getAs[Long]("live_rows") == cumIns - cumNet)
+    }
+  }
+
   test("DV lifecycle: storm -> compact -> expire physically GCs every Puffin DV, rows preserved") {
     import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
     val l = Files.createTempDirectory("graft_iceberg_dvgc_").toString
