@@ -5080,6 +5080,14 @@ object SparkEntry {
         s"""((min(CASE WHEN ${at(num)} THEN hi END) - min(CASE WHEN ${at(num)} THEN lo END)) * 1.0 /
            |   (min(CASE WHEN ${at(num)} THEN hi END) + min(CASE WHEN ${at(num)} THEN lo END)))""".stripMargin
       }.mkString("greatest(", ",\n ", ")")
+      // per-quantile regime-aware bound: log-linear bucket meets
+      // 1/(2*SubBuckets), a unit bucket (hi-lo=1) is exact to half a cent
+      val ok = ps.map { case (_, num) =>
+        s"""(((min(CASE WHEN ${at(num)} THEN hi END) - min(CASE WHEN ${at(num)} THEN lo END)) * 1.0 /
+           |    (min(CASE WHEN ${at(num)} THEN hi END) + min(CASE WHEN ${at(num)} THEN lo END)))
+           |      <= ${1.0 / (2 * SubBuckets)}
+           |  OR (min(CASE WHEN ${at(num)} THEN hi END) - min(CASE WHEN ${at(num)} THEN lo END)) = 1)""".stripMargin
+      }.mkString("(", " AND\n ", ")")
       s"""WITH c AS (SELECT l_returnflag,
         |     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
         | b AS (SELECT l_returnflag, cents, length(bin(cents)) - 1 AS oct FROM c),
@@ -5097,7 +5105,7 @@ object SparkEntry {
         |SELECT l_returnflag,
         | $qCols,
         | round($relW, 6) AS max_rel_halfwidth,
-        | max_rel_halfwidth <= ${1.0 / (2 * SubBuckets)} AS within_bound
+        | $ok AS within_bound
         |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
   )

@@ -994,10 +994,7 @@ object IcebergOps {
     * data manifests added (stats only, no data read), the deletes its DV
     * entries ASSERT (blob cardinalities from the manifests), and the NET
     * deletes a correct changelog must emit after deduping re-asserted
-    * positions — materialized here as the difference of REAL DV-merged
-    * scans at consecutive snapshots (time travel through
-    * [[IcebergTable.readMorDv]]), the read path a changelog consumer
-    * actually pays. The storm table makes the dedup requirement concrete:
+    * positions. The storm table makes the dedup requirement concrete:
     * its fold commit re-covers every wave, so it asserts the full union
     * yet must emit ZERO net deletes. All counts are disjoint-residue wave
     * arithmetic over lineitem, so the DuckDB oracle replays them exactly. */
@@ -1010,20 +1007,103 @@ object IcebergOps {
     * those are layout moves, not logical inserts — a changelog consumer
     * that counted them would double-emit the whole table at every
     * maintenance pass (the same hole the incremental scan closes by
-    * append-snapshot scoping; spec-pinned on the DV-compaction fixture). */
+    * append-snapshot scoping; spec-pinned on the DV-compaction fixture).
+    *
+    * A changelog is a METADATA query, and this one reads zero data files:
+    * per-step live counts are manifest row stats minus the per-step
+    * cardinality of the union of live v3 DV blobs — computed in ONE
+    * linear Spark job, not a per-snapshot rescan (the r13 plan was
+    * O(history × table scan); at 100 TB with a months-long snapshot log
+    * that is a scale-killer). Mechanics: each distinct Puffin blob is
+    * decoded ONCE executor-side (driver ships only the KB-grain
+    * compressed bytes, the [[IcebergTable.readMorDv]] pattern) tagged
+    * with the step interval(s) during which it rides in a head manifest
+    * list; per (file, position) the covering intervals merge — that is
+    * the union dedup — and emit ±1 boundary events; per-step deleted
+    * cardinality is then a prefix sum over the bounded history. Work is
+    * O(total DV positions), independent of history length, and the fold
+    * blob that re-covers every wave costs its own positions once instead
+    * of a full rescan per snapshot it survives in. */
   def changelogOf(spark: SparkSession, loc: String): DataFrame = {
+    import IcebergTable.{DataFileEntry, readManifest, readManifestList}
     val meta = IcebergTable.readMetadata(loc)
     val snaps = meta.snapshots.sortBy(_.id)
+    val nSteps = snaps.size
+    // one pass over the metadata tree; manifests are immutable, so cache
+    // by path — the history walk reads each manifest file exactly once
+    val manifestCache = scala.collection.mutable.Map.empty[String, Seq[DataFileEntry]]
+    val heads: Seq[Seq[DataFileEntry]] = snaps.map(s =>
+      readManifestList(s.manifestList)
+        .flatMap(m => manifestCache.getOrElseUpdate(m.path, readManifest(m.path))))
+    heads.flatten.foreach(e => require(
+      e.content == 0 || (e.content == 1 && e.referencedDataFile.isDefined),
+      "changelogOf resolves v3 Puffin DVs only; other delete forms need readMorUnified"))
+    val dataRows = heads.map(_.filter(_.content == 0).map(_.recordCount).sum)
+    // distinct DV blobs and the step set each is live in (in a head list
+    // AND its referenced data file still live — both drop at a replace)
+    val blobSteps = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Long), (DataFileEntry, scala.collection.mutable.SortedSet[Int])]
+    heads.zipWithIndex.foreach { case (es, i) =>
+      val dataPaths = es.collect { case e if e.content == 0 => e.path }.toSet
+      es.foreach { e =>
+        if (e.content == 1 && dataPaths(e.referencedDataFile.get))
+          blobSteps.getOrElseUpdate((e.path, e.contentOffset),
+            (e, scala.collection.mutable.SortedSet.empty[Int]))._2 += i
+      }
+    }
+    // deleted-position cardinality per step, ONE distributed job
+    val dvCard: Array[Long] = {
+      val acc = Array.fill(nSteps)(0L)
+      if (blobSteps.nonEmpty) {
+        val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+        val fileIdx = scala.collection.mutable.Map.empty[String, Int]
+        val blobRows = blobSteps.values.toSeq.map { case (e, steps) =>
+          val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new java.io.File(e.path))._2)
+          val bytes = slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+            e.contentOffset, e.contentSize))
+          // compress the live-step set to [start, end) intervals
+          val ivs = steps.toSeq.foldLeft(List.empty[(Int, Int)]) {
+            case ((a, b) :: t, s) if s == b => (a, s + 1) :: t
+            case (acc0, s) => (s, s + 1) :: acc0
+          }.reverse
+          (fileIdx.getOrElseUpdate(e.referencedDataFile.get, fileIdx.size), bytes, ivs)
+        }
+        import spark.implicits._
+        spark.createDataset(blobRows)
+          .flatMap { case (f, bytes, ivs) =>
+            RoaringDv.deserializeDvBlob(bytes).iterator.map(p => (f, p, ivs))
+          }
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (_, it) =>
+            // union dedup: merge every covering blob's intervals, then the
+            // position contributes +1/-1 at each merged boundary
+            val sorted = it.flatMap(_._3).toSeq.sorted
+            val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+              case ((a, b) :: t, (s, e)) if s <= b => (a, math.max(b, e)) :: t
+              case (acc0, iv) => iv :: acc0
+            }
+            merged.iterator.flatMap { case (a, b) =>
+              Iterator((a, 1L)) ++ (if (b < nSteps) Iterator((b, -1L)) else Iterator.empty)
+            }
+          }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .collect()
+          .foreach { case (step, d) => acc(step) += d }
+        var run = 0L
+        (0 until nSteps).foreach { i => run += acc(i); acc(i) = run }
+      }
+      acc
+    }
     var prevLive = 0L
     val rows = snaps.zipWithIndex.map { case (s, i) =>
       val added =
         if (s.operation == "replace") Seq.empty
-        else IcebergTable.readManifestList(s.manifestList)
+        else readManifestList(s.manifestList)
           .filter(_.addedSnapshotId == s.id)
-          .flatMap(m => IcebergTable.readManifest(m.path))
+          .flatMap(m => manifestCache.getOrElseUpdate(m.path, readManifest(m.path)))
       val ins = added.filter(_.content == 0).map(_.recordCount).sum
       val asserted = added.filter(_.content == 1).map(_.recordCount).sum
-      val live = IcebergTable.readMorDv(spark, loc, snapshotId = Some(s.id))._1.count()
+      val live = dataRows(i) - dvCard(i)
       val net = prevLive + ins - live
       prevLive = live
       (s"${i + 1}_${s.operation}", ins, asserted, net, live)

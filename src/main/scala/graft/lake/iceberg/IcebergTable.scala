@@ -69,7 +69,12 @@ object IcebergTable {
                                  content: Int = 0, sequence: Long = 0L,
                                  referencedDataFile: Option[String] = None,
                                  contentOffset: Long = -1L, contentSize: Long = -1L,
-                                 wideBounds: Map[String, (String, String)] = Map.empty)
+                                 wideBounds: Map[String, (String, String)] = Map.empty,
+                                 // entry-grain snapshot_id: the commit that ORIGINALLY
+                                 // added the file (spec: EXISTING entries retain it
+                                 // across manifest rewrites; only the manifest-list
+                                 // row records the rewriter)
+                                 entrySnapshotId: Long = -1L)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -218,9 +223,11 @@ object IcebergTable {
     * re-binned into bounded branches so planning cost stays proportional
     * to the partition range scanned, not to table history. Per the spec's
     * rewritten-manifest rules, every entry keeps its ORIGINAL data
-    * sequence number (delete-file scoping must survive the rewrite;
-    * status=0 EXISTING), while the manifest-list rows record this
-    * snapshot as the adder. Delete manifests ride along unchanged. */
+    * sequence number AND its original adding snapshot_id (delete-file
+    * scoping and entry-grain lineage must survive the rewrite; status=0
+    * EXISTING), while the manifest-list rows record this snapshot as the
+    * adder. Delete manifests ride along unchanged (mixed data+delete
+    * manifests are refused — they would double-count). */
   def rewriteManifests(location: String, groupMonths: Int = 12): Long = {
     require(groupMonths >= 1, "groupMonths must be >= 1")
     val prev = readMetadata(location)
@@ -229,7 +236,14 @@ object IcebergTable {
     val byManifest = head.map(m => m -> readManifest(m.path))
     val dataEntries = byManifest.flatMap(_._2).filter(_.content == 0)
     val deleteManifests = byManifest.collect {
-      case (m, es) if es.exists(_.content != 0) => m
+      case (m, es) if es.exists(_.content != 0) =>
+        // a mixed data+delete manifest would double-count: its data entries
+        // are regrouped above AND would ride along here — refuse loudly
+        // (all graft writers emit homogeneous manifests; this pins it)
+        require(es.forall(_.content != 0),
+          s"rewriteManifests: manifest ${m.path} mixes data and delete entries; " +
+          "split it before rewriting")
+        m
     }
     require(dataEntries.nonEmpty, "rewriteManifests on a table with no data files")
     def groupOf(m: String): Int =
@@ -258,7 +272,10 @@ object IcebergTable {
           (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 0) // EXISTING — the rewrite adds no data
-        e.put("snapshot_id", snapshotId)
+        // spec: EXISTING entries RETAIN the snapshot id of the commit that
+        // originally added the file (idempotent across chained rewrites);
+        // only the manifest-list row below records the rewriter
+        e.put("snapshot_id", f.entrySnapshotId)
         e.put("sequence_number", f.sequence) // scoping survives the rewrite
         e.put("data_file", dfr)
         e: GenericRecord
@@ -294,11 +311,20 @@ object IcebergTable {
     snapshotId
   }
 
-  /** Publish a staged snapshot: fast-forward main + the current pointer. */
+  /** Publish a staged snapshot: fast-forward main + the current pointer,
+    * and rewrite the snapshot's operation from "stage" to "append" — once
+    * published it IS an append in the main lineage (the fast-forward arm
+    * of Iceberg's cherry-pick), and every operation-keyed consumer must
+    * see it as one: [[planIncremental]] admits only append snapshots, so
+    * a published stage left as "stage" would be silently omitted from
+    * every incremental scan covering its id, breaking the exactly-once /
+    * no-loss contract for WAP tables (spec-pinned in IcebergFormatSpec). */
   def publishStaged(location: String, stagedId: Long): Unit = {
     val meta = readMetadata(location)
     require(meta.snapshots.exists(_.id == stagedId), s"no snapshot $stagedId")
-    writeMetadataJson(location, meta.tableUuid, meta.snapshots, stagedId,
+    val snaps = meta.snapshots.map(s =>
+      if (s.id == stagedId && s.operation == "stage") s.copy(operation = "append") else s)
+    writeMetadataJson(location, meta.tableUuid, snaps, stagedId,
       meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas,
       statistics = meta.statistics)
   }
@@ -969,7 +995,8 @@ object IcebergTable {
         opt("referenced_data_file").map(_.toString),
         opt("content_offset").map(_.asInstanceOf[Long]).getOrElse(-1L),
         opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
-        wideBounds = wide)
+        wideBounds = wide,
+        entrySnapshotId = r.get("snapshot_id").asInstanceOf[Long])
     }
 
   /** Default manifest-fetch concurrency for [[planFiles]]. */
@@ -1069,9 +1096,10 @@ object IcebergTable {
     * as new rows; spec-pinned); delete snapshots add no data files and
     * fall out naturally. Ranges must stay within RETAINED history — an
     * expired append's manifest list is gone, exactly the real contract.
-    * Unpublished WAP-staged snapshots are excluded (their manifests are in
-    * no head list and no replace absorbed them) — stage→publish before a
-    * rewrite, or the staged rows date from their publish. */
+    * WAP: an UNpublished staged snapshot is excluded (operation "stage" —
+    * its rows are not yet logical table content); [[publishStaged]]
+    * rewrites the operation to "append" at publish, so published WAP rows
+    * enter incremental scans from their snapshot id like any append. */
   def planIncremental(location: String, fromId: Long, toId: Long): ScanPlan = {
     val meta = readMetadata(location)
     val snap = meta.snapshots.find(_.id == toId).getOrElse(

@@ -611,8 +611,10 @@ object Relational {
     * bucket), so the smallest bucket whose cumulative count reaches the
     * discrete target rank ⌈p·n⌉ PROVABLY contains the rank-t value; the
     * estimate is that bucket's midpoint, giving a guaranteed relative
-    * error ≤ 1/(2·idx) ≤ 1/65 — `max_rel_halfwidth` carries the realized
-    * bound and `within_bound` asserts it (structural, not statistical).
+    * error ≤ 1/(2·idx) ≤ 1/65 in the log-linear regime — `max_rel_halfwidth`
+    * carries the realized bound and `within_bound` asserts, per quantile,
+    * (halfwidth ≤ 1/(2·SubBuckets)) OR (the chosen bucket is a unit bucket,
+    * where the estimate is exact to half a cent — the small-value regime).
     * Target ranks use ⌈num·n/den⌉ in integer arithmetic — no float
     * boundary can flip a rank.
     *
@@ -655,9 +657,20 @@ object Relational {
       (min(when(col("cum") >= t(num), col("hi"))) - min(when(col("cum") >= t(num), col("lo")))) * 1.0 /
         (min(when(col("cum") >= t(num), col("hi"))) + min(when(col("cum") >= t(num), col("lo"))))
     }.reduce((a, b) => greatest(a, b))
+    // within_bound is PER-QUANTILE regime-aware: the 1/(2·SubBuckets) bound
+    // only holds in the log-linear regime (idx >= SubBuckets); a sub-2^s
+    // cents value lands in a unit bucket (hi−lo = 1) where the estimate is
+    // exact to half a cent even though its RELATIVE halfwidth 1/(2c+1)
+    // exceeds the bound — so a unit-bucket pick also satisfies the contract
+    val okBound = ps.map { case (_, num) =>
+      val hiQ = min(when(col("cum") >= t(num), col("hi")))
+      val loQ = min(when(col("cum") >= t(num), col("lo")))
+      ((hiQ - loQ) * lit(1.0) / (hiQ + loQ) <= lit(1.0 / (2 * SubBuckets))) or
+        (hiQ - loQ === lit(1L))
+    }.reduce(_ and _)
     cum.groupBy(col("l_returnflag"))
-      .agg(qCols.head, qCols.tail :+ round(relW, 6).as("max_rel_halfwidth"): _*)
-      .withColumn("within_bound", col("max_rel_halfwidth") <= lit(1.0 / (2 * SubBuckets)))
+      .agg(qCols.head, qCols.tail ++ Seq(
+        round(relW, 6).as("max_rel_halfwidth"), okBound.as("within_bound")): _*)
       .orderBy("l_returnflag")
   }
 

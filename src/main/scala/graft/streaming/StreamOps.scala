@@ -281,11 +281,21 @@ object StreamOps {
               entries = (entries :+ SeenHash(r.simhash, r.doc_id, r.ts_us))
                 .takeRight(NearDupBucketCap)
             }
-            state.update(BucketSeen(entries))
             // idle-bucket GC: drop the whole bucket once the watermark is a
-            // full horizon past its newest entry
-            val timeoutMs = entries.map(_.ts_us).max / 1000L + horizonSec * 1000L
-            if (timeoutMs > wmMs) state.setTimeoutTimestamp(timeoutMs)
+            // full horizon past its newest entry. When the computed timeout
+            // is NOT past the watermark (this batch held only maximally-late
+            // rows, or the prune emptied the bucket), no event-time timeout
+            // could be registered — state.update() here would leak the
+            // bucket forever unless that exact bucket key recurred; every
+            // retained entry is already unmatchable, so remove immediately
+            // (mirrors funnelStream's immediate-close branch).
+            val timeoutMs =
+              if (entries.isEmpty) Long.MinValue
+              else entries.map(_.ts_us).max / 1000L + horizonSec * 1000L
+            if (timeoutMs > wmMs) {
+              state.update(BucketSeen(entries))
+              state.setTimeoutTimestamp(timeoutMs)
+            } else state.remove()
             hits.iterator
           }
       }

@@ -230,6 +230,15 @@ class IcebergSpec extends SparkSpec {
     // ...and the same holds across a metadata-only rewrite_manifests
     T.rewriteManifests(l, groupMonths = 12)
     assert(T.planIncremental(l, 1L, 5L).files.map(_.recordCount).sum == era2)
+    // spec rule: rewritten EXISTING entries retain the snapshot id of the
+    // commit that originally added the file (here the compaction, id 4);
+    // only the manifest-list row records the rewriter (id 5)
+    val rwManifests = T.readManifestList(
+      T.currentSnapshot(T.readMetadata(l)).manifestList)
+      .filter(_.addedSnapshotId == 5L)
+    val rwEntries = rwManifests.flatMap(m => T.readManifest(m.path))
+    assert(rwEntries.nonEmpty && rwEntries.forall(_.entrySnapshotId == 4L),
+      "EXISTING entries must keep their original adding snapshot id")
   }
 
   test("changelog across a compaction: the replace step emits nothing, live rows carry through") {
@@ -372,11 +381,31 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.snapshotForRef(l, "staging") == staged)
     // audit reads the staged snapshot by id
     assert(IcebergTable.read(spark, l, Some(staged)).count() == lineitem.count())
+    // an UNpublished stage is not logical table content: incremental scans
+    // covering its id emit nothing
+    assert(IcebergTable.planIncremental(l, 1L, staged).files.isEmpty,
+      "unpublished staged rows must not leak into incremental scans")
     // publish: metadata-only fast-forward — now everyone sees it
     IcebergTable.publishStaged(l, staged)
     assert(IcebergTable.snapshotForRef(l, "main") == staged)
     assert(IcebergTable.read(spark, l).count() == lineitem.count())
     assert(!IcebergTable.readMetadata(l).refs.contains("staging"))
+    // publish rewrites the operation to "append" — the published WAP rows
+    // now enter every incremental scan covering the staged id (the r13
+    // ADVICE hole: left as "stage" they were silently omitted)
+    assert(IcebergTable.readMetadata(l).snapshots
+      .find(_.id == staged).get.operation == "append")
+    val postCut = lineitem.count() - preCut.count()
+    assert(IcebergTable.planIncremental(l, 1L, staged)
+      .files.map(_.recordCount).sum == postCut,
+      "published WAP rows date from their staged snapshot id")
+    assert(IcebergTable.planIncremental(l, 0L, staged)
+      .files.map(_.recordCount).sum == lineitem.count())
+    // ...and survive a later compaction via the replace-absorption path
+    val compactId = IcebergTable.rewriteCompact(spark, l)
+    assert(IcebergTable.planIncremental(l, 1L, compactId)
+      .files.map(_.recordCount).sum == postCut,
+      "incremental across publish + compaction stays exactly-once")
   }
 
   test("time travel: reading snapshot 1 sees only pre-cut rows") {
