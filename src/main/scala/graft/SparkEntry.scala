@@ -83,6 +83,7 @@ object SparkEntry {
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
     "iceberg_zorder_rewrite" -> q((s, d) => iceberg.IcebergOps.zorderRewrite(s, Tables.lineitem(s, d))),
     "iceberg_changelog" -> q((s, d) => iceberg.IcebergOps.changelogScan(s, Tables.lineitem(s, d))),
+    "iceberg_changelog_resume" -> q((s, d) => iceberg.IcebergOps.changelogResume(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -1166,6 +1167,29 @@ object SparkEntry {
         |UNION ALL SELECT '2_append', e2, 0, 0, e1 + e2 FROM era
         |$waveRows
         |UNION ALL SELECT '${rs.size + 3}_delete', 0, $allW, 0, tot - $allWSub FROM era, w
+        |ORDER BY step""".stripMargin
+    },
+
+    // The resume range (era2, head]: exactly the delete-storm tail of the
+    // full changelog above — same step labels, same running live counts.
+    "iceberg_changelog_resume" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rs = iceberg.IcebergOps.StormResidues
+      val wCols = rs.map(r =>
+        s"CAST(count(*) FILTER (WHERE l_orderkey % $mod = $r) AS BIGINT) AS w$r").mkString(", ")
+      val allW = rs.map(x => s"w$x").mkString(" + ")
+      val allWSub = rs.map(x => s"w$x").mkString(" - ")
+      val waveRows = rs.zipWithIndex.map { case (r, i) =>
+        val cum = rs.take(i + 1).map(x => s"w$x").mkString(" - ")
+        s"""SELECT '${i + 3}_delete' AS step, CAST(0 AS BIGINT) AS n_inserts,
+           | w$r AS n_deletes_asserted, w$r AS n_deletes_net,
+           | tot - $cum AS live_rows FROM era, w""".stripMargin
+      } :+
+        s"""SELECT '${rs.size + 3}_delete', CAST(0 AS BIGINT), $allW,
+           | CAST(0 AS BIGINT), tot - $allWSub FROM era, w""".stripMargin
+      s"""WITH era AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM lineitem),
+        | w AS (SELECT $wCols FROM lineitem)
+        |${waveRows.mkString("\nUNION ALL ")}
         |ORDER BY step""".stripMargin
     },
 

@@ -1023,11 +1023,27 @@ object IcebergOps {
     * cardinality is then a prefix sum over the bounded history. Work is
     * O(total DV positions), independent of history length, and the fold
     * blob that re-covers every wave costs its own positions once instead
-    * of a full rescan per snapshot it survives in. */
-  def changelogOf(spark: SparkSession, loc: String): DataFrame = {
+    * of a full rescan per snapshot it survives in.
+    *
+    * RESUME CONTRACT: `(fromId, toId]` scopes the EMITTED rows to the
+    * snapshots a consumer has not yet processed (the same half-open-range
+    * convention as [[IcebergTable.planIncremental]]), while step labels,
+    * live counts and net deltas stay those of the full history — so for
+    * any split point m, changelog(0, m) ++ changelog(m, head) row-for-row
+    * equals changelog(0, head) (spec-pinned): a CDC tailer can checkpoint
+    * a snapshot id and resume mid-history without re-emitting or losing a
+    * step. Metadata and blob work still walk the full retained history
+    * (that is what anchors the resumed rows' running live count), which
+    * is the bounded metadata cost every history query pays. */
+  def changelogOf(spark: SparkSession, loc: String,
+                  fromId: Long = 0L, toId: Long = Long.MaxValue): DataFrame = {
     import IcebergTable.{DataFileEntry, readManifest, readManifestList}
     val meta = IcebergTable.readMetadata(loc)
     val snaps = meta.snapshots.sortBy(_.id)
+    require(fromId == 0L || snaps.exists(_.id == fromId),
+      s"changelogOf: fromId $fromId is not a retained snapshot")
+    require(toId == Long.MaxValue || snaps.exists(_.id == toId),
+      s"changelogOf: toId $toId is not a retained snapshot")
     val nSteps = snaps.size
     // one pass over the metadata tree; manifests are immutable, so cache
     // by path — the history walk reads each manifest file exactly once
@@ -1106,11 +1122,24 @@ object IcebergOps {
       val live = dataRows(i) - dvCard(i)
       val net = prevLive + ins - live
       prevLive = live
-      (s"${i + 1}_${s.operation}", ins, asserted, net, live)
+      (s.id, (s"${i + 1}_${s.operation}", ins, asserted, net, live))
     }
     import spark.implicits._
-    rows.toDF("step", "n_inserts", "n_deletes_asserted", "n_deletes_net", "live_rows")
+    rows.collect { case (id, row) if id > fromId && id <= toId => row }
+      .toDF("step", "n_inserts", "n_deletes_asserted", "n_deletes_net", "live_rows")
       .orderBy("step")
+  }
+
+  /** A CDC tailer RESUMING mid-history — [[changelogOf]]'s range form on
+    * the storm table: the consumer has checkpointed through the second
+    * append era and reads only the delete-storm steps `(era2, head]`. The
+    * emitted rows are exactly the tail of the full changelog (same step
+    * labels, same running live counts), which the spec pins as the
+    * partition property changelog(0,m) ++ changelog(m,head) ≡ full. */
+  def changelogResume(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = stormTableFor(spark, lineitem)
+    val snaps = IcebergTable.readMetadata(loc).snapshots.sortBy(_.id)
+    changelogOf(spark, loc, fromId = snaps(1).id, toId = snaps.last.id)
   }
 
   /** The reference's delete storm (`test_delete_storm.py:51`) executed on

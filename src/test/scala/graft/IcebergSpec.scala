@@ -264,6 +264,32 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("changelog resume: (0,m] ++ (m,head] partitions the full history at every split") {
+    import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
+    IcebergOps.dvCompactSummary(spark, lineitem).collect() // builds the fixture
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.dvcompact")(
+      fail("fixture must exist"): String)
+    val snaps = T.readMetadata(loc).snapshots.sortBy(_.id)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("step"), r.getAs[Long]("n_inserts"),
+        r.getAs[Long]("n_deletes_asserted"), r.getAs[Long]("n_deletes_net"),
+        r.getAs[Long]("live_rows"))
+    val full = IcebergOps.changelogOf(spark, loc).collect().map(key).sortBy(_._1)
+    // every split point: a tailer that checkpointed at m and resumed sees
+    // exactly the rows it has not yet consumed — no loss, no re-emission
+    snaps.map(_.id).foreach { m =>
+      val first = IcebergOps.changelogOf(spark, loc, 0L, m).collect().map(key)
+      val second = IcebergOps.changelogOf(spark, loc, m).collect().map(key)
+      assert((first ++ second).sortBy(_._1).toSeq == full.toSeq,
+        s"split at $m must partition the changelog")
+      assert(first.length == snaps.count(_.id <= m), s"range (0,$m] row count")
+    }
+    // unretained checkpoint ids are refused, exactly the real contract
+    intercept[IllegalArgumentException] {
+      IcebergOps.changelogOf(spark, loc, fromId = 9999L)
+    }
+  }
+
   test("DV lifecycle: storm -> compact -> expire physically GCs every Puffin DV, rows preserved") {
     import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
     val l = Files.createTempDirectory("graft_iceberg_dvgc_").toString
