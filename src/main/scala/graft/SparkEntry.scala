@@ -77,6 +77,7 @@ object SparkEntry {
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
     "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
     "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
+    "iceberg_tree3" -> q((s, d) => iceberg.IcebergOps.tree3Plan(s, Tables.lineitem(s, d))),
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
@@ -367,6 +368,7 @@ object SparkEntry {
     "iceberg_mixed_deletes",       // iceberg.table.mixed
     "iceberg_dv_puffin",           // iceberg.table.dvpuffin
     "iceberg_manifest_tree",       // iceberg.table.tree
+    "iceberg_tree3",               // iceberg.table.tree3
     "iceberg_delete_storm",        // iceberg.table.storm
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
@@ -1306,6 +1308,50 @@ object SparkEntry {
         |SELECT '2_grouped', ng.n_groups, op.manifests_read, tot.files_total,
         | op.entries, tgt.files_sel, tgt.rows_planned
         |FROM tot, ng, op, tgt
+        |ORDER BY layout""".stripMargin
+    },
+
+    // The full adaptive-tree ladder: flat / 2-level year branches /
+    // 3-level (index -> year sub-lists -> quarter leaves). Planner IO
+    // (entries parsed) decreases with depth; lists_read pays one extra
+    // KB-grain file per level; planned files and rows are identical.
+    "iceberg_tree3" -> {
+      val t = iceberg.IcebergOps.TreeTargetMonth
+      val g = iceberg.IcebergOps.TreeGroupMonths
+      val lf = iceberg.IcebergOps.TreeLeafMonths
+      s"""WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS pm,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        | em AS (SELECT pm, cnt, CAST(substr(pm, 1, 4) AS INT) * 12 +
+        |     CAST(substr(pm, 6, 2) AS INT) - 1 AS e FROM m),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM m),
+        | g12 AS (SELECT e // $g AS grp, CAST(count(*) AS BIGINT) AS files,
+        |     min(pm) AS lo, max(pm) AS hi FROM em GROUP BY 1),
+        | g3 AS (SELECT e // $lf AS grp, CAST(count(*) AS BIGINT) AS files,
+        |     min(pm) AS lo, max(pm) AS hi FROM em GROUP BY 1),
+        | ng12 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g12),
+        | ng3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g3),
+        | op12 AS (SELECT CAST(count(*) AS BIGINT) AS mr,
+        |     CAST(coalesce(sum(files), 0) AS BIGINT) AS entries
+        |   FROM g12 WHERE lo <= '$t' AND hi >= '$t'),
+        | op3 AS (SELECT CAST(count(*) AS BIGINT) AS mr,
+        |     CAST(coalesce(sum(files), 0) AS BIGINT) AS entries
+        |   FROM g3 WHERE lo <= '$t' AND hi >= '$t'),
+        | tgt AS (SELECT CAST(count(*) AS BIGINT) AS files_sel,
+        |     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS rows_planned
+        |   FROM m WHERE pm = '$t')
+        |SELECT '1_flat' AS layout, CAST(1 AS BIGINT) AS lists_read,
+        | CAST(1 AS BIGINT) AS manifests_total, CAST(1 AS BIGINT) AS manifests_read,
+        | tot.files_total, tot.files_total AS entries_parsed,
+        | tgt.files_sel AS files_selected, tgt.rows_planned
+        |FROM tot, tgt
+        |UNION ALL
+        |SELECT '2_grouped', 1, ng12.n, op12.mr, tot.files_total, op12.entries,
+        | tgt.files_sel, tgt.rows_planned
+        |FROM tot, ng12, op12, tgt
+        |UNION ALL
+        |SELECT '3_tree3', 1 + op12.mr, ng3.n, op3.mr, tot.files_total, op3.entries,
+        | tgt.files_sel, tgt.rows_planned
+        |FROM tot, ng3, op3, op12, tgt
         |ORDER BY layout""".stripMargin
     },
 

@@ -764,6 +764,59 @@ object IcebergOps {
       .orderBy("layout")
   }
 
+  /** Months per LEAF manifest in the 3-level tree (quarter grain, nesting
+    * inside [[TreeGroupMonths]]-month branches). */
+  val TreeLeafMonths = 3
+
+  /** Quarter-leaf table + its 3-level index overlay
+    * ([[IcebergTable.writeTreeIndex]]): (location, index path). */
+  private def tree3TableFor(spark: SparkSession, lineitem: DataFrame): (String, String) =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.tree3") {
+      val loc = Files.createTempDirectory("graft_iceberg_tree3_").toString
+      IcebergTable.appendGrouped(spark, lineitem, loc, TreeLeafMonths)
+      (new String(loc), IcebergTable.writeTreeIndex(loc, TreeGroupMonths))
+    }
+
+  /** The reference's FULL adaptive-tree ladder
+    * (`test_adaptive_metadata_tree.py:271` `query_3level_tree`, `:369`
+    * `create_3level_tree`) on the real format: the same one-month scan
+    * planned on a flat table, a 2-level year-branch table, and a 3-level
+    * tree (index list → year sub-lists → quarter leaf manifests, all real
+    * Avro). `lists_read` counts list-grain files (the index and sub-lists
+    * a 3-level planner opens), `entries_parsed` the manifest entries —
+    * monotone DECREASING in tree depth at matched files_selected /
+    * rows_planned: flat parses every entry, the year branch 12 months,
+    * the quarter leaf 3, while the tree pays one extra KB-grain list
+    * read. Every number is a function of lineitem's month census, so the
+    * oracle replays all three layouts. */
+  def tree3Plan(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val (flat, grouped) = treeTablesFor(spark, lineitem)
+    val t = TreeTargetMonth
+    val twoLevel = Seq("1_flat" -> flat, "2_grouped" -> grouped).map { case (layout, loc) =>
+      val meta = IcebergTable.readMetadata(loc)
+      val manifests = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      val plan = IcebergTable.planFiles(loc, None, Some(t), Some(t))
+      val opened = manifests.filter(m => m.partHi >= t && m.partLo <= t)
+      (layout, 1L, manifests.size.toLong, plan.manifestsRead.toLong,
+        plan.filesTotal, opened.map(_.addedFiles.toLong).sum,
+        plan.filesSelected.toLong, plan.files.map(_.recordCount).sum)
+    }
+    val (t3loc, idx) = tree3TableFor(spark, lineitem)
+    val t3meta = IcebergTable.readMetadata(t3loc)
+    val t3leaves = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(t3meta).manifestList)
+    val tp = IcebergTable.planFilesTree3(idx, t, t)
+    val t3row = ("3_tree3", tp.listsRead.toLong, t3leaves.size.toLong,
+      tp.manifestsRead.toLong, t3leaves.map(_.addedFiles.toLong).sum,
+      tp.entriesParsed, tp.files.size.toLong, tp.files.map(_.recordCount).sum)
+    import spark.implicits._
+    (twoLevel :+ t3row)
+      .toDF("layout", "lists_read", "manifests_total", "manifests_read",
+        "files_total", "entries_parsed", "files_selected", "rows_planned")
+      .orderBy("layout")
+  }
+
   /** Flat append, then the real `rewrite_manifests` maintenance commit. */
   private def rewriteTableFor(spark: SparkSession, lineitem: DataFrame): String =
     graft.plans.Memo.memoize(lineitem, "iceberg.table.rewrite") {

@@ -650,9 +650,15 @@ object IcebergTable {
   private def writeManifestList(location: String, snapshotId: Long,
                                 manifests: Seq[ManifestInfo],
                                 unique: Boolean = false): String = {
-    val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
     val suffix = if (unique) "-" + java.util.UUID.randomUUID().toString.take(8) else ""
-    val listFile = new File(metadataDir(location), f"snap-$snapshotId%05d$suffix.avro")
+    writeManifestListAs(
+      new File(metadataDir(location), f"snap-$snapshotId%05d$suffix.avro"), manifests)
+  }
+
+  /** Core manifest-list Avro writer (also used for the 3-level tree's
+    * sub-lists and index, which share the manifest-list row schema). */
+  private def writeManifestListAs(listFile: File, manifests: Seq[ManifestInfo]): String = {
+    val summarySchema = ManifestFileSchema.getField("partitions").schema().getElementType
     writeAvro(ManifestFileSchema, listFile, manifests.map { m =>
       val s = new GenericData.Record(summarySchema)
       s.put("contains_null", false)
@@ -669,6 +675,60 @@ object IcebergTable {
       r: GenericRecord
     })
     listFile.getPath
+  }
+
+  /** 3-LEVEL adaptive-tree index overlay (the reference's
+    * `test_adaptive_metadata_tree.py:369` `create_3level_tree` rung on the
+    * real format): group the head snapshot's leaf manifests into
+    * `branchMonths`-range SUB-LISTS (each a real manifest-list Avro file)
+    * and write an INDEX list whose range-keyed rows point at the
+    * sub-lists — index → sub-list → leaf manifest → file, so a
+    * range-scoped planner reads one KB-grain file per LEVEL instead of
+    * the whole manifest list. The overlay is additive: the snapshot's own
+    * manifest list is untouched, every standard read path still works;
+    * leaf bounds must nest inside one branch (3-month leaves in 12-month
+    * branches do). At ~100k-file tables this is the planning-cost rung
+    * between "open one branch manifest" and "parse the full list".
+    * Returns the index file's path. */
+  def writeTreeIndex(location: String, branchMonths: Int = 12): String = {
+    val meta = readMetadata(location)
+    val snapshotId = meta.currentSnapshotId
+    val leaves = readManifestList(currentSnapshot(meta).manifestList)
+    def groupOf(m: String): Int =
+      (m.take(4).toInt * 12 + (m.slice(5, 7).toInt - 1)) / branchMonths
+    leaves.foreach(l => require(groupOf(l.partLo) == groupOf(l.partHi),
+      s"leaf manifest ${l.path} straddles a branch boundary"))
+    val mdir = metadataDir(location)
+    val subs = leaves.groupBy(l => groupOf(l.partLo)).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((_, ms), i) =>
+        val f = new File(mdir, f"snap-$snapshotId%05d-sub$i%03d.avro")
+        writeManifestListAs(f, ms)
+        ManifestInfo(f.getPath, f.length(), snapshotId,
+          ms.map(_.addedFiles).sum, ms.map(_.addedRows).sum,
+          ms.map(_.partLo).min, ms.map(_.partHi).max)
+      }
+    writeManifestListAs(new File(mdir, f"snap-$snapshotId%05d-index.avro"), subs)
+  }
+
+  /** Census of a month-range scan planned through a 3-level tree. */
+  final case class TreePlan(listsRead: Int, manifestsRead: Int,
+                            entriesParsed: Long, files: Seq[DataFileEntry])
+
+  /** Plan a month-range scan through [[writeTreeIndex]]'s overlay: read
+    * the index (one file), open only the sub-lists whose bounds overlap,
+    * then only THEIR overlapping leaf manifests — each level prunes by
+    * the same [partLo, partHi] rule, so planner IO is proportional to the
+    * range scanned at every level. Selected files are identical to the
+    * flat plan's (the tree changes COST, not results — spec-pinned). */
+  def planFilesTree3(indexPath: String, monthLo: String, monthHi: String): TreePlan = {
+    val subs = readManifestList(indexPath)
+    val subHit = subs.filter(s => s.partHi >= monthLo && s.partLo <= monthHi)
+    val leaves = subHit.flatMap(s => readManifestList(s.path))
+    val leafHit = leaves.filter(m => m.partHi >= monthLo && m.partLo <= monthHi)
+    val entries = readManifestsParallel(leafHit.map(_.path)).flatten
+    val sel = entries.filter(f => f.content == 0 &&
+      f.hiShip.take(7) >= monthLo && f.loShip.take(7) <= monthHi)
+    TreePlan(1 + subHit.size, leafHit.size, leafHit.map(_.addedFiles.toLong).sum, sel)
   }
 
   /** Create or move a named ref (tag or branch) to an existing snapshot —

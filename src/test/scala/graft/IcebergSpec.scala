@@ -264,6 +264,37 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("3-level tree: planner IO monotone in depth, identical planned files at every rung") {
+    import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
+    val rows = IcebergOps.tree3Plan(spark, lineitem).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val Seq(flat, grouped, tree3) = Seq("1_flat", "2_grouped", "3_tree3").map(rows)
+    // results identical at every rung — the tree changes COST, not results
+    Seq(grouped, tree3).foreach { r =>
+      assert(r.getAs[Long]("files_selected") == flat.getAs[Long]("files_selected"))
+      assert(r.getAs[Long]("rows_planned") == flat.getAs[Long]("rows_planned"))
+    }
+    // planner IO (entries parsed) strictly decreases with depth; the
+    // 3-level plan pays exactly one extra list-grain read (index + 1 sub)
+    assert(flat.getAs[Long]("entries_parsed") > grouped.getAs[Long]("entries_parsed"))
+    assert(grouped.getAs[Long]("entries_parsed") > tree3.getAs[Long]("entries_parsed"))
+    assert(flat.getAs[Long]("lists_read") == 1L && grouped.getAs[Long]("lists_read") == 1L)
+    assert(tree3.getAs[Long]("lists_read") == 2L)
+    // the one-month scan opens ONE leaf at both grouped rungs
+    assert(grouped.getAs[Long]("manifests_read") == 1L)
+    assert(tree3.getAs[Long]("manifests_read") == 1L)
+    // the index's sub-list count equals the 2-level branch count (both are
+    // TreeGroupMonths ranges over the same months), and the 3-level plan
+    // selects the exact same file PATHS as a flat plan of the same range
+    val loc = graft.plans.Memo.memoize(lineitem, "iceberg.table.tree3")(
+      fail("fixture must exist"): (String, String))
+    val subs = T.readManifestList(loc._2)
+    assert(subs.size.toLong == grouped.getAs[Long]("manifests_total"))
+    val tp = T.planFilesTree3(loc._2, "1997-01", "1997-06")
+    val flatPlan = T.planFiles(loc._1, None, Some("1997-01"), Some("1997-06"))
+    assert(tp.files.map(_.path).sorted == flatPlan.files.map(_.path).sorted)
+  }
+
   test("changelog resume: (0,m] ++ (m,head] partitions the full history at every split") {
     import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
     IcebergOps.dvCompactSummary(spark, lineitem).collect() // builds the fixture
