@@ -79,6 +79,7 @@ object SparkEntry {
     "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
     "iceberg_tree3" -> q((s, d) => iceberg.IcebergOps.tree3Plan(s, Tables.lineitem(s, d))),
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
+    "iceberg_gc_cliff" -> q((s, d) => iceberg.IcebergOps.gcCliff(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
@@ -370,6 +371,7 @@ object SparkEntry {
     "iceberg_manifest_tree",       // iceberg.table.tree
     "iceberg_tree3",               // iceberg.table.tree3
     "iceberg_delete_storm",        // iceberg.table.storm
+    "iceberg_gc_cliff",            // iceberg.table.cliff
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1518,6 +1520,75 @@ object SparkEntry {
         | f.n_inline, tot.total_rows - f.dv_cardinality,
         | round((SELECT max(cum_bytes) FROM cum) * 1.0 / f.blob_bytes, 4)
         |FROM fperw f, tot
+        |ORDER BY step""".stripMargin
+    },
+
+    // GC cliff ladder on real DV bytes: one sorted append, three waves
+    // (sparse residue / ~3% hashed / 50% hashed), per-blob 4KB/64KB/10MB
+    // verdicts + per-wave payload storage class; the 4_all row's union
+    // cardinality deduplicates the overlapping waves.
+    "iceberg_gc_cliff" -> {
+      val mul = iceberg.IcebergOps.CliffHashMul
+      val (sm, sr) = (iceberg.IcebergOps.CliffSparseMod, iceberg.IcebergOps.CliffSparseRes)
+      val (pm, pr) = (iceberg.IcebergOps.CliffPageMod, iceberg.IcebergOps.CliffPageRes)
+      val (dm, dl) = (iceberg.IcebergOps.CliffDenseMod, iceberg.IcebergOps.CliffDenseLt)
+      val Seq((l1, t1), (l2, t2), (l3, t3)) = iceberg.IcebergOps.CliffLadder
+      val cls = (b: String) =>
+        s"""CASE WHEN $b <= $t1 THEN '$l1' WHEN $b <= $t2 THEN '$l2'
+           |      WHEN $b <= $t3 THEN '$l3' ELSE 'humongous' END""".stripMargin
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+        |   strftime(l_shipdate, '%Y-%m') AS p_month FROM lineitem),
+        | pos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_month
+        |     ORDER BY l_orderkey, l_linenumber) - 1 AS pos FROM base),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM base),
+        | vict AS (
+        |   SELECT 1 AS w, p_month, pos FROM pos WHERE l_orderkey % $sm = $sr
+        |   UNION ALL SELECT 2, p_month, pos FROM pos WHERE (l_orderkey * $mul) % $pm = $pr
+        |   UNION ALL SELECT 3, p_month, pos FROM pos WHERE (l_orderkey * $mul) % $dm < $dl),
+        | runs AS (SELECT w, p_month, pos // 65536 AS hi, pos,
+        |   pos - ROW_NUMBER() OVER (PARTITION BY w, p_month, pos // 65536
+        |     ORDER BY pos) AS grp FROM vict),
+        | cont AS (SELECT w, p_month, hi, count(*) AS card,
+        |   count(DISTINCT grp) AS n_runs FROM runs GROUP BY 1, 2, 3),
+        | typed AS (SELECT w, p_month, card,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 2 + 4*n_runs
+        |        WHEN card <= 4096 THEN 2*card ELSE 8192 END AS cbytes,
+        |   CASE WHEN 2 + 4*n_runs < LEAST(2*card, 8192) THEN 1 ELSE 0 END AS is_run
+        |   FROM cont),
+        | perdv AS (SELECT w, p_month, sum(card) AS card, count(*) AS n_containers,
+        |   sum(cbytes) AS cont_bytes, max(is_run) AS has_run FROM typed GROUP BY 1, 2),
+        | sized AS (SELECT w, p_month, card, CAST(24 + CASE WHEN has_run = 1
+        |     THEN 4 + (n_containers + 7) // 8 + 4*n_containers +
+        |          CASE WHEN n_containers >= 4 THEN 4*n_containers ELSE 0 END
+        |     ELSE 8 + 8*n_containers END + cont_bytes AS BIGINT) AS bytes FROM perdv),
+        | names(w, nm) AS (VALUES (1, '1_sparse'), (2, '2_page'), (3, '3_dense')),
+        | perw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_dv_blobs,
+        |   CAST(sum(card) AS BIGINT) AS dv_cardinality,
+        |   CAST(max(bytes) AS BIGINT) AS max_blob_bytes,
+        |   CAST(sum(bytes) AS BIGINT) AS payload_bytes,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t1) AS BIGINT) AS n_le_4kb,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t2) AS BIGINT) AS n_le_64kb,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t3) AS BIGINT) AS n_le_10mb
+        |   FROM sized GROUP BY 1),
+        | un AS (SELECT CAST(count(*) AS BIGINT) AS u
+        |   FROM (SELECT DISTINCT p_month, pos FROM vict)),
+        | allr AS (SELECT CAST(count(*) AS BIGINT) AS n_dv_blobs,
+        |   CAST(max(bytes) AS BIGINT) AS max_blob_bytes,
+        |   CAST(sum(bytes) AS BIGINT) AS payload_bytes,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t1) AS BIGINT) AS n_le_4kb,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t2) AS BIGINT) AS n_le_64kb,
+        |   CAST(count(*) FILTER (WHERE bytes <= $t3) AS BIGINT) AS n_le_10mb
+        |   FROM sized)
+        |SELECT names.nm AS step, p.n_dv_blobs, p.dv_cardinality,
+        | p.max_blob_bytes, p.payload_bytes, p.n_le_4kb, p.n_le_64kb, p.n_le_10mb,
+        | ${cls("p.payload_bytes")} AS payload_class,
+        | CAST(NULL AS BIGINT) AS live_rows
+        |FROM perw p JOIN names ON names.w = p.w
+        |UNION ALL
+        |SELECT '4_all', a.n_dv_blobs, un.u, a.max_blob_bytes, a.payload_bytes,
+        | a.n_le_4kb, a.n_le_64kb, a.n_le_10mb, ${cls("a.payload_bytes")},
+        | tot.total_rows - un.u
+        |FROM allr a, un, tot
         |ORDER BY step""".stripMargin
     },
 

@@ -295,6 +295,36 @@ class IcebergSpec extends SparkSpec {
     assert(tp.files.map(_.path).sorted == flatPlan.files.map(_.path).sorted)
   }
 
+  test("gc cliff: ladder verdicts consistent, union dedups overlapping waves") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.gcCliff(spark, lineitem).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    val waves = Seq("1_sparse", "2_page", "3_dense").map(rows)
+    val all = rows("4_all")
+    // the ladder counts are cumulative per blob: le_4kb <= le_64kb <= le_10mb
+    (waves :+ all).foreach { r =>
+      assert(r.getAs[Long]("n_le_4kb") <= r.getAs[Long]("n_le_64kb"))
+      assert(r.getAs[Long]("n_le_64kb") <= r.getAs[Long]("n_le_10mb"))
+      assert(r.getAs[Long]("n_le_10mb") == r.getAs[Long]("n_dv_blobs"),
+        "no blob is humongous at test scale")
+      assert(r.getAs[Long]("max_blob_bytes") <= r.getAs[Long]("payload_bytes"))
+    }
+    // waves are ordered by victim volume: payload strictly grows
+    assert(waves.map(_.getAs[Long]("payload_bytes")).sliding(2).forall(s => s(0) < s(1)))
+    // the 4_all row deduplicates: union cardinality < the asserted sum
+    // (waves overlap by construction) and conservation closes on it
+    val assertedSum = waves.map(_.getAs[Long]("dv_cardinality")).sum
+    assert(all.getAs[Long]("dv_cardinality") < assertedSum)
+    assert(all.getAs[Long]("dv_cardinality") + all.getAs[Long]("live_rows") ==
+      lineitem.count())
+    // payload class matches the ladder applied to the payload bytes
+    (waves :+ all).foreach { r =>
+      val b = r.getAs[Long]("payload_bytes")
+      val expect = IcebergOps.CliffLadder.find(b <= _._2).map(_._1).getOrElse("humongous")
+      assert(r.getAs[String]("payload_class") == expect)
+    }
+  }
+
   test("changelog resume: (0,m] ++ (m,head] partitions the full history at every split") {
     import graft.lake.iceberg.{IcebergOps, IcebergTable => T}
     IcebergOps.dvCompactSummary(spark, lineitem).collect() // builds the fixture
