@@ -64,4 +64,34 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("config-only wiring: spark.sql.extensions alone fires every hook in a fresh JVM") {
+    // The conf form of the hook is only honoured by the builder that
+    // CREATES the SparkContext, so the real deploy path needs a JVM with
+    // no context yet: spawn one running graft.ExtensionsSmoke, which
+    // builds a session with ONLY spark.sql.extensions=graft.GraftExtensions
+    // (no withExtensions call) and asserts graft_dot/graft_bytesum,
+    // FusePercentiles, and TopKPerKey all fire.
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    // same module opens the build forks tests with (Spark 4.x on JDK 17)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"), "graft.ExtensionsSmoke")
+    import scala.sys.process._
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.append(l).append('\n'),
+      l => out.append(l).append('\n'))
+    val code = Process(cmd).!(logger)
+    assert(code == 0 && out.toString.contains("SMOKE_OK"),
+      s"config-only smoke failed (exit $code):\n${out.toString.takeRight(4000)}")
+  }
 }
