@@ -27,9 +27,10 @@ import org.apache.spark.sql.SparkSession
   * same binary, idle-box re-runs at historical times). A benchmark artifact
   * read without a shell to re-measure must therefore defend itself:
   *  - per-query best-of-2 — a query whose first time exceeds
-  *    max(2 × its committed idle-box baseline, [[Bench.rerunFloorSec]] s)
-  *    is re-run once and the better time recorded (a genuine regression
-  *    reproduces on the re-run; a contention spike does not);
+  *    max(2 × its committed idle-box baseline, [[Bench.rerunMinSec]] s)
+  *    (or [[Bench.rerunFloorSec]] when it has no baseline) is re-run once
+  *    and the better time recorded (a genuine regression reproduces on
+  *    the re-run; a contention spike does not);
   *  - the baseline ships as a classpath resource
   *    (`graft/bench_baseline_<sf>.json`, keyed by SF dir name, refreshed via
   *    SPARK_GRAFT_BASELINE_OUT=path and committed), so the artifact's
@@ -69,6 +70,16 @@ object Bench {
 
   /** Absolute re-run trigger for queries with no committed baseline. */
   val rerunFloorSec = 3.0
+
+  /** Minimum re-run trigger for queries WITH a baseline. The r13 lesson:
+    * a flat 3 s floor exempted every sub-3 s query from the best-of-2
+    * defense, so sub-second baselines under box contention polluted the
+    * >2×-own-baseline list with ~12 pure-noise names (dedup_soft 8.0×,
+    * lake_cdc_changelog 5.9× — all sub-2.5 s absolutes). With a 0.25 s
+    * minimum, any baselined query measured at >2× reruns once (a tiny
+    * query's rerun costs what it costs — sub-seconds), while 100 ms
+    * jitter on the very smallest queries still never triggers. */
+  val rerunMinSec = 0.25
 
   /** Scale-trend ABSOLUTE flag floor on cpu(16×)/cpu(4×): linear = 4,
     * quadratic = 16. The effective threshold is
@@ -503,7 +514,7 @@ object Bench {
     // contention trigger — bounded extra cost, and a real regression
     // reproduces while a noise spike does not.
     def trigger(name: String): Double =
-      baseline.get(name).map(b => math.max(2.0 * b, rerunFloorSec)).getOrElse(rerunFloorSec)
+      baseline.get(name).map(b => math.max(2.0 * b, rerunMinSec)).getOrElse(rerunFloorSec)
     var nReruns = 0
     val results = firstPass.map { case (name, t1) =>
       if (t1 > trigger(name)) {
