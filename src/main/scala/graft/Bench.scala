@@ -139,7 +139,13 @@ object Bench {
     // round-13 addition: the perceptual-hash banded self-join — candidate
     // volume is bounded only by the occupancy ladder + the hard bucket cap,
     // so it stays in the set to prove those bounds hold as the corpus grows:
-    "mm_phash")
+    "mm_phash",
+    // round-14 additions: the changelog after its de-scale (per-file DV
+    // blob-union interval events — should now measure metadata-grain, in
+    // the set to prove the r13 per-snapshot-rescan killer stays dead) and
+    // the GC cliff (three DV waves incl. a 50%-of-table blob serialize —
+    // the heaviest DV writer shape):
+    "iceberg_changelog", "iceberg_gc_cliff")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
