@@ -80,6 +80,7 @@ object SparkEntry {
     "iceberg_tree3" -> q((s, d) => iceberg.IcebergOps.tree3Plan(s, Tables.lineitem(s, d))),
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "iceberg_gc_cliff" -> q((s, d) => iceberg.IcebergOps.gcCliff(s, Tables.lineitem(s, d))),
+    "iceberg_row_lineage" -> q((s, d) => iceberg.IcebergOps.rowLineage(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
@@ -372,6 +373,7 @@ object SparkEntry {
     "iceberg_tree3",               // iceberg.table.tree3
     "iceberg_delete_storm",        // iceberg.table.storm
     "iceberg_gc_cliff",            // iceberg.table.cliff
+    "iceberg_row_lineage",         // iceberg.table.rowlineage
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1590,6 +1592,45 @@ object SparkEntry {
         | tot.total_rows - un.u
         |FROM allr a, un, tot
         |ORDER BY step""".stripMargin
+    },
+
+    // v3 row lineage: sorted writes pin every position, so each implicit
+    // _row_id = base(month) + rank, where base is the running total over
+    // files in assignment order (era, then month). Survivor min/max/SUM
+    // replay the preserved ids; next_row_id = tot (appends) + live
+    // (the compaction's fresh file assignments).
+    "iceberg_row_lineage" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val res = iceberg.IcebergOps.LineageDeleteResidue
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+        |   strftime(l_shipdate, '%Y-%m') AS pm,
+        |   CASE WHEN l_shipdate < TIMESTAMP '$cut' THEN 1 ELSE 2 END AS era
+        |   FROM lineitem),
+        | mstats AS (SELECT pm, era, CAST(count(*) AS BIGINT) AS n
+        |   FROM base GROUP BY 1, 2),
+        | ordered AS (SELECT pm, era, n,
+        |   CAST(coalesce(sum(n) OVER (ORDER BY era, pm
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS first_row_id
+        |   FROM mstats),
+        | pos AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY b.pm
+        |     ORDER BY l_orderkey, l_linenumber) - 1 AS p FROM base b),
+        | ids AS (SELECT pos.pm, o.first_row_id + pos.p AS rid, pos.l_orderkey
+        |   FROM pos JOIN ordered o ON o.pm = pos.pm),
+        | surv AS (SELECT pm, CAST(count(*) AS BIGINT) AS survivor_rows,
+        |   CAST(min(rid) AS BIGINT) AS survivor_id_min,
+        |   CAST(max(rid) AS BIGINT) AS survivor_id_max,
+        |   CAST(sum(rid) AS BIGINT) AS survivor_id_sum
+        |   FROM ids WHERE l_orderkey % $mod <> $res GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM base),
+        | liv AS (SELECT CAST(count(*) AS BIGINT) AS l FROM base
+        |   WHERE l_orderkey % $mod <> $res)
+        |SELECT o.pm AS p_month, CAST(o.era AS BIGINT) AS era, o.first_row_id,
+        | o.n AS n_rows, s.survivor_rows, s.survivor_id_min, s.survivor_id_max,
+        | s.survivor_id_sum, tot.t + liv.l AS next_row_id
+        |FROM ordered o JOIN surv s ON s.pm = o.pm, tot, liv
+        |ORDER BY p_month""".stripMargin
     },
 
     // Incremental append scan: snapshot 2 is by construction the post-cut

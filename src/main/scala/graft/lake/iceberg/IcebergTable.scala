@@ -74,7 +74,11 @@ object IcebergTable {
                                  // added the file (spec: EXISTING entries retain it
                                  // across manifest rewrites; only the manifest-list
                                  // row records the rewriter)
-                                 entrySnapshotId: Long = -1L)
+                                 entrySnapshotId: Long = -1L,
+                                 // v3 row lineage: id of the file's first row — a
+                                 // row's implicit _row_id is firstRowId + position;
+                                 // -1 for delete files and pre-lineage manifests
+                                 firstRowId: Long = -1L)
 
   /** Manifest-list row: enough to prune the whole manifest by partition. */
   final case class ManifestInfo(path: String, length: Long, addedSnapshotId: Long,
@@ -97,7 +101,11 @@ object IcebergTable {
                                  currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
                                  refs: Map[String, RefInfo] = Map.empty,
                                  schemas: Seq[Seq[String]] = Seq.empty,
-                                 statistics: Seq[StatsFileInfo] = Seq.empty)
+                                 statistics: Seq[StatsFileInfo] = Seq.empty,
+                                 // v3 row lineage: first row id the NEXT data commit
+                                 // may assign — monotone across replaces and expiry,
+                                 // so row ids are never reused (spec §Row Lineage)
+                                 nextRowId: Long = 0L)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -120,7 +128,8 @@ object IcebergTable {
       | {"name":"upper_bounds","type":{"type":"map","values":"string"}},
       | {"name":"referenced_data_file","type":["null","string"],"default":null},
       | {"name":"content_offset","type":["null","long"],"default":null},
-      | {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}
+      | {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+      | {"name":"first_row_id","type":["null","long"],"default":null}]}}
       |]}""".stripMargin)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
@@ -199,7 +208,7 @@ object IcebergTable {
     lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .repartition(col("p_month"))
       .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
-    val stats = collectFileStats(spark, dataDir)
+    val stats = assignRowIds(location, collectFileStats(spark, dataDir))
     // epoch-month index / groupMonths — for groupMonths = 12 the group IS
     // the calendar year; any value keeps groups contiguous in month order,
     // so each manifest's [partLo, partHi] ranges are disjoint.
@@ -270,6 +279,9 @@ object IcebergTable {
           (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
         dfr.put("upper_bounds",
           (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
+        // row lineage survives the rewrite: the file is byte-identical, so
+        // its first_row_id (and every implicit _row_id) is unchanged
+        if (f.firstRowId >= 0) dfr.put("first_row_id", java.lang.Long.valueOf(f.firstRowId))
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 0) // EXISTING — the rewrite adds no data
         // spec: EXISTING entries RETAIN the snapshot id of the commit that
@@ -307,7 +319,10 @@ object IcebergTable {
     writeMetadataJson(location, prev.tableUuid, prev.snapshots :+ snap,
       prev.currentSnapshotId, // main/current do NOT move
       prev.refs + ("staging" -> RefInfo(snapshotId, "branch")), prev.schemas,
-      statistics = prev.statistics)
+      statistics = prev.statistics,
+      // staged rows consume row ids at STAGE time (the data files exist);
+      // an audit-failed stage simply wastes its id range — never reused
+      nextRowId = prev.nextRowId + newInfo.addedRows)
     snapshotId
   }
 
@@ -326,7 +341,7 @@ object IcebergTable {
       if (s.id == stagedId && s.operation == "stage") s.copy(operation = "append") else s)
     writeMetadataJson(location, meta.tableUuid, snaps, stagedId,
       meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas,
-      statistics = meta.statistics)
+      statistics = meta.statistics, nextRowId = meta.nextRowId)
   }
 
   /** Compaction rewrite (the maintenance op the reference's compaction
@@ -338,11 +353,25 @@ object IcebergTable {
     * time travel until an expiry pass). After compaction a reader pays
     * zero merge cost — the read-amplification arm of the MoR trade
     * converted back into clean scans. */
-  def rewriteCompact(spark: SparkSession, location: String): Long = {
+  def rewriteCompact(spark: SparkSession, location: String,
+                     materializeLineage: Boolean = false): Long = {
     val prev = readMetadata(location)
     // the GENERAL resolution: materializing through a partial reader
-    // resurrects rows deleted by the forms it skips (DV-lifecycle spec)
-    val live = readMorUnified(spark, location)._1
+    // resurrects rows deleted by the forms it skips (DV-lifecycle spec).
+    // materializeLineage = the spec's row-lineage obligation for rewrites:
+    // surviving rows carry their _row_id as an explicit column in the
+    // rewritten files (implicit first_row_id+position ids would be
+    // destroyed by the rewrite's re-positioning); v3-DV tables only —
+    // the id-attaching read resolves that delete form.
+    val live =
+      if (materializeLineage) {
+        val all = readManifestList(currentSnapshot(prev).manifestList)
+          .flatMap(m => readManifest(m.path))
+        require(all.forall(e =>
+          e.content == 0 || (e.content == 1 && e.referencedDataFile.isDefined)),
+          "materializeLineage supports v3 DV tables only")
+        readMorDv(spark, location, withRowIds = true)._1
+      } else readMorUnified(spark, location)._1
     // max(id)+1, NOT current+1: a staged snapshot (appendStaged) sits in the
     // log above current, and current+1 would reuse its id — overwriting the
     // staged data dir, manifests and manifest list, and appending a
@@ -490,8 +519,22 @@ object IcebergTable {
       }
     }
     arranged.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
-    val stats = collectFileStats(spark, dataDir)
+    val stats = assignRowIds(location, collectFileStats(spark, dataDir))
     writeManifestAvro(location, snapshotId, sequence, stats, specId)
+  }
+
+  /** v3 row lineage assignment: give every new data file a `first_row_id`
+    * from the table's `next-row-id` counter, in the deterministic
+    * partition-sorted order `collectFileStats` returns — a row's implicit
+    * `_row_id` is firstRowId + its position in the file. The committed
+    * counter ([[commitSnapshot]]) is monotone across replaces and expiry,
+    * so ids are never reused; rewritten files keep their ids (manifest
+    * rewrites carry the field; compaction materializes `_row_id`). */
+  private def assignRowIds(location: String, stats: Seq[DataFileEntry],
+                           baseOverride: Option[Long] = None): Seq[DataFileEntry] = {
+    var next = baseOverride.getOrElse(
+      readMetadataOpt(location).map(_.nextRowId).getOrElse(0L))
+    stats.map { f => val e = f.copy(firstRowId = next); next += f.recordCount; e }
   }
 
   /** Per-file stats over a just-written data directory: ONE distributed
@@ -560,6 +603,7 @@ object IcebergTable {
         (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
       df.put("upper_bounds",
         (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
+      if (f.firstRowId >= 0) df.put("first_row_id", java.lang.Long.valueOf(f.firstRowId))
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // 1 = ADDED
       e.put("snapshot_id", snapshotId)
@@ -595,7 +639,11 @@ object IcebergTable {
     while (attempt <= maxRetries) {
       val (meta, version) = readMetadataWithVersion(location)
       val snapshotId = meta.snapshots.map(_.id).max + 1L
-      val newInfo = writeManifestAvro(location, snapshotId, snapshotId, stats, 0, s"-$token")
+      // row-id assignment is INSIDE the retry loop: a loser re-reads the
+      // counter another writer may have advanced and re-assigns from it
+      // (ids handed out by a failed CAS attempt are never published)
+      val newInfo = writeManifestAvro(location, snapshotId, snapshotId,
+        assignRowIds(location, stats, Some(meta.nextRowId)), 0, s"-$token")
       val headManifests = readManifestList(currentSnapshot(meta).manifestList)
       val listPath = writeManifestList(location, snapshotId, headManifests :+ newInfo,
         unique = true)
@@ -603,7 +651,8 @@ object IcebergTable {
       try {
         writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
           meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
-          atVersion = Some(version + 1), statistics = meta.statistics)
+          atVersion = Some(version + 1), statistics = meta.statistics,
+          nextRowId = meta.nextRowId + stats.map(_.recordCount).sum)
         return (snapshotId, attempt)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -638,8 +687,16 @@ object IcebergTable {
     // refs ride along untouched
     val refs = prev.map(_.refs).getOrElse(Map.empty) +
       ("main" -> RefInfo(snapshotId, "branch"))
+    // advance next-row-id past every id this commit's NEW data entries
+    // consumed (assignRowIds handed them out from the previous counter);
+    // max() keeps the counter monotone when a commit adds no data files
+    val prevNext = prev.map(_.nextRowId).getOrElse(0L)
+    val newIds = manifests.filter(_.addedSnapshotId == snapshotId)
+      .flatMap(m => readManifest(m.path))
+      .collect { case e if e.content == 0 && e.firstRowId >= 0 => e.firstRowId + e.recordCount }
     writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
-      statistics = prev.map(_.statistics).getOrElse(Seq.empty))
+      statistics = prev.map(_.statistics).getOrElse(Seq.empty),
+      nextRowId = (prevNext +: newIds).max)
     snapshotId
   }
 
@@ -740,7 +797,7 @@ object IcebergTable {
     require(refType == "tag" || refType == "branch", "ref type must be tag or branch")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots,
       meta.currentSnapshotId, meta.refs + (name -> RefInfo(snapshotId, refType)), meta.schemas,
-      statistics = meta.statistics)
+      statistics = meta.statistics, nextRowId = meta.nextRowId)
   }
 
   /** Bind a Puffin statistics file to a snapshot (spec §Table Statistics)
@@ -753,7 +810,8 @@ object IcebergTable {
       s"no snapshot ${stats.snapshotId}")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots, meta.currentSnapshotId,
       meta.refs, meta.schemas,
-      statistics = meta.statistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats)
+      statistics = meta.statistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats,
+      nextRowId = meta.nextRowId)
   }
 
   /** Resolve a ref name to its snapshot id. */
@@ -781,7 +839,8 @@ object IcebergTable {
     try {
       writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
         meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
-        atVersion = Some(version + 1), statistics = meta.statistics)
+        atVersion = Some(version + 1), statistics = meta.statistics,
+        nextRowId = meta.nextRowId)
       Some(snapshotId)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -820,7 +879,8 @@ object IcebergTable {
                                 refs: Map[String, RefInfo] = Map.empty,
                                 schemas: Seq[Seq[String]] = Seq.empty,
                                 atVersion: Option[Long] = None,
-                                statistics: Seq[StatsFileInfo] = Seq.empty): Unit = {
+                                statistics: Seq[StatsFileInfo] = Seq.empty,
+                                nextRowId: Long = 0L): Unit = {
     val mdir = metadataDir(location)
     val version = atVersion.getOrElse(readVersionHint(location) + 1)
     val schemasJson =
@@ -872,6 +932,7 @@ object IcebergTable {
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"default-sort-order-id":0,
          |"current-snapshot-id":$currentId,
+         |"next-row-id":$nextRowId,
          |"refs":$refsJson,
          |"statistics":$statsJson,
          |"snapshots":$snapsJson}""".stripMargin
@@ -943,8 +1004,10 @@ object IcebergTable {
     val keptIds = keep.map(_.id).toSet
     val (keepStats, dropStats) = meta.statistics.partition(s => keptIds(s.snapshotId))
     dropStats.foreach(s => new File(s.path).delete())
+    // next-row-id survives expiry untouched: ids of expired rows are
+    // burned forever (the spec's no-reuse rule)
     writeMetadataJson(location, meta.tableUuid, keep, meta.currentSnapshotId, meta.refs,
-      meta.schemas, statistics = keepStats)
+      meta.schemas, statistics = keepStats, nextRowId = meta.nextRowId)
     ExpiryReport(drop.size, drop.size, dropManifestPaths.size,
       orphanEntries.count(_.content == 0), orphanEntries.count(_.content == 2))
   }
@@ -1007,7 +1070,9 @@ object IcebergTable {
       TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
-        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas, stats)
+        (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas, stats,
+        // pre-lineage metadata files lack the field: 0 (standard evolution)
+        (j \ "next-row-id").extractOpt[Long].getOrElse(0L))
     }
   }
 
@@ -1056,7 +1121,8 @@ object IcebergTable {
         opt("content_offset").map(_.asInstanceOf[Long]).getOrElse(-1L),
         opt("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(-1L),
         wideBounds = wide,
-        entrySnapshotId = r.get("snapshot_id").asInstanceOf[Long])
+        entrySnapshotId = r.get("snapshot_id").asInstanceOf[Long],
+        firstRowId = opt("first_row_id").map(_.asInstanceOf[Long]).getOrElse(-1L))
     }
 
   /** Default manifest-fetch concurrency for [[planFiles]]. */
@@ -1458,7 +1524,11 @@ object IcebergTable {
     * v2 and v3 delete representations converge to one plan shape. */
   def readMorDv(spark: SparkSession, location: String,
                 monthLo: Option[String] = None, monthHi: Option[String] = None,
-                snapshotId: Option[Long] = None)
+                snapshotId: Option[Long] = None,
+                // v3 row lineage: attach each surviving row's implicit
+                // _row_id (file first_row_id + position) — the read a
+                // lineage-preserving compaction materializes through
+                withRowIds: Boolean = false)
       : (DataFrame, ScanPlan, Seq[DataFileEntry]) = {
     val meta = readMetadata(location)
     val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
@@ -1480,20 +1550,31 @@ object IcebergTable {
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
       var df = spark.read.parquet(fs.map(_.path): _*)
       val applicable = dvEntries.filter(_.sequence > seq)
-      if (applicable.nonEmpty) {
-        val rows = applicable.map(e => (e.referencedDataFile.get, blobBytes(e)))
-        val dv = spark.createDataset(rows)(tupleEnc)
-          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
-          .toDF("dv_file", "dv_pos")
+      if (applicable.nonEmpty || withRowIds) {
         // referenced-data-file carries the manifest-normalized path (no
         // "file:" scheme, input_file_name() form) — use the same source
         df = df
           .withColumn("__file", regexp_replace(input_file_name(), "^file:", ""))
           .withColumn("__pos", col("_metadata.row_index").cast("long"))
-          .join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
-            "left_anti")
-          .drop("__file", "__pos")
       }
+      if (withRowIds) {
+        require(fs.forall(_.firstRowId >= 0),
+          "withRowIds on a table whose data files predate row-id assignment")
+        val idMap = spark.createDataset(fs.map(f => (f.path, f.firstRowId)))(pairEnc)
+          .toDF("__file", "__first")
+        df = df.join(broadcast(idMap), Seq("__file"))
+          .withColumn("_row_id", col("__first") + col("__pos"))
+          .drop("__first")
+      }
+      if (applicable.nonEmpty) {
+        val rows = applicable.map(e => (e.referencedDataFile.get, blobBytes(e)))
+        val dv = spark.createDataset(rows)(tupleEnc)
+          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
+          .toDF("dv_file", "dv_pos")
+        df = df.join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
+          "left_anti")
+      }
+      if (applicable.nonEmpty || withRowIds) df = df.drop("__file", "__pos")
       df
     }
     (parts.reduce(_ unionByName _), plan, dvEntries)

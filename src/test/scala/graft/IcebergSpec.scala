@@ -295,6 +295,35 @@ class IcebergSpec extends SparkSpec {
     assert(tp.files.map(_.path).sorted == flatPlan.files.map(_.path).sorted)
   }
 
+  test("row lineage: dense disjoint assignment, ids preserved exactly across compaction") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.rowLineage(spark, lineitem).collect()
+      .sortBy(_.getAs[Long]("first_row_id"))
+    // assignment is dense and disjoint in commit order: each file starts
+    // exactly where the previous one ended, ids never reused
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_row_id") == expect,
+        s"gap or overlap at ${r.getAs[String]("p_month")}")
+      expect += r.getAs[Long]("n_rows")
+    }
+    assert(expect == lineitem.count())
+    // survivors keep ids INSIDE their original file's range (preservation:
+    // the compaction materialized _row_id instead of re-deriving position)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("first_row_id")
+      val hi = lo + r.getAs[Long]("n_rows") - 1
+      assert(r.getAs[Long]("survivor_id_min") >= lo)
+      assert(r.getAs[Long]("survivor_id_max") <= hi)
+      assert(r.getAs[Long]("survivor_rows") < r.getAs[Long]("n_rows"),
+        "the DV wave must have deleted something in every month")
+    }
+    // the committed counter burned ids for appends AND the rewrite's fresh
+    // files — monotone, never reused
+    val live = rows.map(_.getAs[Long]("survivor_rows")).sum
+    assert(rows.head.getAs[Long]("next_row_id") == lineitem.count() + live)
+  }
+
   test("gc cliff: ladder verdicts consistent, union dedups overlapping waves") {
     import graft.lake.iceberg.IcebergOps
     val rows = IcebergOps.gcCliff(spark, lineitem).collect()
