@@ -272,6 +272,7 @@ object SparkEntry {
     "mm_magic_bytes" -> q((s, d) => Multimodal.magicBytes(Tables.documents(s, d))),
     "dedup_blocks" -> q((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
     "knn_mmr" -> q((s, d) => Ann.mmrTopK(Tables.embeddings(s, d))),
+    "knn_coreset" -> q((s, d) => Ann.kCenterCoreset(Tables.embeddings(s, d))),
     "dedup_cdc" -> q((s, d) => Dedup.cdcDedup(Tables.documents(s, d))),
     "text_pii_scan" -> q((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "knn_ivf_balance" -> q((s, d) => Ann.ivfBalance(Tables.embeddings(s, d))),
@@ -2206,6 +2207,41 @@ object SparkEntry {
         |   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS is_rep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // Greedy k-center (farthest-point) coreset: the oracle unrolls the k
+    // argmax rounds as a CTE chain over the same rounded cosine distances
+    // and vec_id tie-breaks, replaying the greedy trajectory exactly.
+    "knn_coreset" -> {
+      val k = 6
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (x, y) -> x + y)"
+      val steps = (2 to k).map { i =>
+        s""" m$i AS (SELECT m.vec_id, m.label, m.v, m.nrm,
+           |   least(m.mind, round(1 - ${dot("m.v", "t.v")} / (m.nrm * t.nrm), 6)) AS mind
+           |   FROM m${i - 1} m, t${i - 1} t),
+           | x$i AS (SELECT vec_id FROM x${i - 1} UNION ALL SELECT vec_id FROM t${i - 1}),
+           | t$i AS (SELECT vec_id, label, v, nrm, mind FROM m$i
+           |   WHERE vec_id NOT IN (SELECT vec_id FROM x$i)
+           |   ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n|")
+      val rows = (2 to k).map(i =>
+        s"UNION ALL SELECT ${i}, t${i - 1}.vec_id, t${i - 1}.label, t${i - 1}.mind, t$i.mind FROM t${i - 1}, t$i")
+        .mkString("\n|")
+      s"""WITH $embPrepSql,
+        | c1 AS (SELECT vec_id, label, v, nrm FROM n ORDER BY vec_id LIMIT 1),
+        | m1 AS (SELECT n.vec_id, n.label, n.v, n.nrm,
+        |   round(1 - ${dot("n.v", "c.v")} / (n.nrm * c.nrm), 6) AS mind FROM n, c1 c),
+        | x1 AS (SELECT vec_id FROM c1),
+        | t1 AS (SELECT vec_id, label, v, nrm, mind FROM m1
+        |   WHERE vec_id NOT IN (SELECT vec_id FROM x1)
+        |   ORDER BY mind DESC, vec_id LIMIT 1),
+        |$steps
+        |SELECT CAST(1 AS BIGINT) AS sel_order, c1.vec_id AS center_id, c1.label,
+        | CAST(NULL AS DOUBLE) AS dist_when_chosen, t1.mind AS coverage_after
+        |FROM c1, t1
+        |$rows
+        |ORDER BY sel_order""".stripMargin
+    },
 
     "knn_mmr" -> {
       val stages = (2 to 5).map { i =>

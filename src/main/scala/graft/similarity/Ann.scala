@@ -709,4 +709,60 @@ object Ann {
       .filter(col("vec_id") >= 0)
       .orderBy("q_id", "pick")
   }
+
+  /** Greedy k-center CORESET selection (Gonzalez farthest-point traversal,
+    * a 2-approximation of the k-center objective) — the diversity-sampling
+    * step a training-data pipeline runs to pick a maximally-spread
+    * representative subset of an embedding corpus (seed dedup'd batches,
+    * eval probes, active-learning pools). Per pick: seed = min vec_id,
+    * then repeatedly take the point FARTHEST (cosine distance) from the
+    * chosen set; `dist_when_chosen` is that max-min distance and
+    * `coverage_after` the radius the selection guarantees after the pick —
+    * monotone non-increasing, the curve that says when adding centers
+    * stops buying coverage.
+    *
+    * Distributed shape: k rounds of ONE linear argmax pass each — the
+    * round-i pass computes every point's min distance to the i chosen
+    * centers (center vectors ride as broadcast literals; i·dim doubles)
+    * and `orderBy(mind desc, vec_id).limit(1)` is a distributed
+    * TakeOrdered, so nothing pairwise ever materializes (the oracle's n²
+    * unrolled CTE chain is oracle-only). Work Σ i·n = O(k²·n/2) dots —
+    * linear in corpus size for fixed k. Distances round to 6 dp before
+    * every compare and ties break on vec_id, so the greedy trajectory is
+    * bit-identical on any engine. */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 6): DataFrame = {
+    val base = prep(embeddings)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def distTo(cv: Seq[Double], cn: Double) =
+      round(lit(1.0) - call_function("graft_dot", col("v"), typedLit(cv)) /
+        (col("nrm") * lit(cn)), 6)
+    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Double](r.fieldIndex("v")).toVector: Seq[Double],
+        r.getAs[Double]("nrm"))
+    var centers = Vector(vecOf(seed))
+    // (sel_order, center_id, label, dist_when_chosen)
+    var picks = Vector((1L, centers.head._1, centers.head._2, Option.empty[Double]))
+    var coverages = Vector.empty[Double]
+    (1 to k).foreach { i =>
+      val mind = centers.map(c => distTo(c._3, c._4)).reduce(least(_, _))
+      val top = base
+        .filter(!col("vec_id").isin(centers.map(_._1): _*))
+        .withColumn("mind", mind)
+        .orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      coverages :+= top.getAs[Double]("mind")
+      if (i < k) {
+        centers :+= vecOf(top)
+        picks :+= ((i + 1L, top.getAs[Long]("vec_id"), top.getAs[Int]("label"),
+          Some(top.getAs[Double]("mind"))))
+      }
+    }
+    picks.zip(coverages)
+      .map { case ((sel, id, lab, d), cov) => (sel, id, lab, d, cov) }
+      .toDF("sel_order", "center_id", "label", "dist_when_chosen", "coverage_after")
+      .orderBy("sel_order")
+  }
 }

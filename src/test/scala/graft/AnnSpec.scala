@@ -292,4 +292,28 @@ class AnnSpec extends SparkSpec {
       assert(confusion(r.getAs[Number]("assigned").longValue) == r.getAs[Long]("n_vecs"),
         "balance lists must be the confusion matrix's column sums"))
   }
+
+  test("k-center coreset: greedy trajectory deterministic, coverage monotone non-increasing") {
+    val rows = Ann.kCenterCoreset(emb, k = 5).collect().sortBy(_.getAs[Long]("sel_order"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 5, "centers are distinct")
+    // the seed is the min vec_id and has no distance-when-chosen
+    assert(rows.head.getAs[Long]("center_id") ==
+      emb.agg(min("vec_id")).head().getLong(0))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("dist_when_chosen")))
+    // each later pick was chosen AT the previous coverage radius, and the
+    // radius never increases as centers are added
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getAs[Double]("dist_when_chosen") == prev.getAs[Double]("coverage_after"),
+          "a pick is by definition the farthest point of the previous round")
+        assert(cur.getAs[Double]("coverage_after") <= prev.getAs[Double]("coverage_after"),
+          "coverage radius must be monotone non-increasing")
+      case _ =>
+    }
+    // rerun: the trajectory is bit-identical (rounded distances + id ties)
+    val again = Ann.kCenterCoreset(emb, k = 5).collect().sortBy(_.getAs[Long]("sel_order"))
+    assert(again.map(_.getAs[Long]("center_id")).toSeq ==
+      rows.map(_.getAs[Long]("center_id")).toSeq)
+  }
 }
