@@ -297,6 +297,7 @@ object SparkEntry {
     "dedup_semantic" -> q((s, d) => Components.semanticClusters(Tables.embeddings(s, d))),
     "knn_probe_sweep" -> q((s, d) => Ann.probeSweep(Tables.embeddings(s, d))),
     "mm_frame_dedup" -> q((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
+    "mm_scene_cut" -> q((s, d) => Multimodal.sceneCut(Tables.documents(s, d))),
     "dedup_incremental" -> q((s, d) => Dedup.incrementalScreen(Tables.documents(s, d))),
     "lake_sort_key_choice" -> q((s, d) => Layout.sortKeyChoice(Tables.lineitem(s, d))),
     "ev_behavior_knn" -> q((s, d) => Events.behaviorKnn(Tables.events(s, d))),
@@ -2925,6 +2926,33 @@ object SparkEntry {
         | count(*) AS n_orders
         |FROM orders WHERE o_custkey < 200
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // Scene cuts: per-frame mean byte value (length-normalized, exact
+    // integer div), cut when the frame-to-frame delta exceeds 140, scenes
+    // by gaps-and-islands running cut count.
+    "mm_scene_cut" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
+        | f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d),
+        | s AS (SELECT doc_id, frame_idx,
+        |   substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame FROM f),
+        | v AS (SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS flen,
+        |   CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS fsum
+        |  FROM s),
+        | m AS (SELECT doc_id, frame_idx, flen, (fsum * 16) // flen AS mval FROM v),
+        | c AS (SELECT *, CASE WHEN lag(mval) OVER w IS NULL
+        |     OR abs(mval - lag(mval) OVER w) > 140 THEN 1 ELSE 0 END AS cut
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        | g AS (SELECT *, sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id FROM c)
+        |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(min(frame_idx) AS BIGINT) AS first_frame,
+        | CAST(max(frame_idx) AS BIGINT) AS last_frame,
+        | CAST(sum(flen) AS BIGINT) AS scene_bytes,
+        | round(avg(mval), 4) AS mean_frame_val
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,

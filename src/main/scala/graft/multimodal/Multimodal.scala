@@ -162,6 +162,48 @@ object Multimodal {
       .select("frame", "frame_len", "checksum", "n_frames", "n_docs", "first_doc", "last_doc")
       .orderBy("frame")
 
+  /** Shot-boundary (scene-cut) detection skeleton over binary payloads —
+    * the video-curation step that segments footage into shots before
+    * per-shot sampling/dedup (a training pipeline samples per SCENE, not
+    * per frame, or intro/outro shots dominate). Frames are the fixed-width
+    * chunks of [[frameSample]]; the frame signal is its mean byte value
+    * (length-normalized in exact integer math so the short tail frame
+    * doesn't fake a cut), and a cut opens a new scene when the
+    * frame-to-frame delta exceeds `cutDelta` (the real pipeline swaps this
+    * for an HSV-histogram or embedding distance — the plumbing is
+    * identical). Scenes are the classic gaps-and-islands: running sum of
+    * cut flags inside the bounded per-doc window (frames per payload, not
+    * corpus-wide), then one (doc, scene) aggregate — per-doc-local work at
+    * row grain, embarrassingly parallel across a 100 TB video corpus. */
+  def sceneCut(documents: DataFrame, frameBytes: Int = 16, cutDelta: Long = 140L,
+               maxDocs: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    documents
+      // Zero-frame guard: see frameSample (sequence(0, -1) is non-empty).
+      .filter(col("doc_id") < maxDocs && length(col("text")) > 0)
+      .withColumn("n_frames", ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+      .withColumn("flen", length(col("frame")).cast("long"))
+      .withColumn("mval",
+        expr(s"(graft_bytesum(CAST(frame AS BINARY)) * $frameBytes) div flen"))
+      .withColumn("delta", abs(col("mval") - lag(col("mval"), 1).over(w)))
+      .withColumn("cut",
+        when(col("delta").isNull || col("delta") > cutDelta, 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("first_frame"),
+        max(col("frame_idx")).as("last_frame"),
+        sum(col("flen")).as("scene_bytes"),
+        round(avg(col("mval")), 4).as("mean_frame_val"))
+      .orderBy("doc_id", "scene_id")
+  }
+
   /** Source-mix rebalancing: the training-data curation step that levels a
     * skewed corpus — every source is deterministically downsampled to (at
     * most) the byte budget of the smallest source, so no single crawl

@@ -261,4 +261,30 @@ class MultimodalSpec extends SparkSpec {
       assert(b >= 100 * n && b <= 480 * n, "kept docs must sit inside the size window")
     }
   }
+
+  test("scene cut: scenes tile each payload's frame axis, boundaries are real cuts") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val rows = graft.multimodal.Multimodal.sceneCut(docs).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val scenes = rs.sortBy(_.getAs[Long]("scene_id"))
+      // scene ids are 1..n and frame spans tile the axis with no gap/overlap
+      assert(scenes.map(_.getAs[Long]("scene_id")).toSeq == (1L to scenes.length).toSeq)
+      assert(scenes.head.getAs[Long]("first_frame") == 0L)
+      scenes.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("first_frame") == a.getAs[Long]("last_frame") + 1,
+            "scenes must partition the frame axis")
+        case _ =>
+      }
+      scenes.foreach(s =>
+        assert(s.getAs[Long]("n_frames") ==
+          s.getAs[Long]("last_frame") - s.getAs[Long]("first_frame") + 1))
+    }
+    // segmentation is non-trivial: some doc has more than one scene, and
+    // scenes are coarser than frames (the threshold is not 0)
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1))
+    val totalFrames = rows.map(_.getAs[Long]("n_frames")).sum
+    assert(rows.length < totalFrames, "a scene per frame means the threshold is broken")
+  }
 }
