@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** MemoryStream micro-benchmark for the streaming mirrors (Bench's
@@ -310,6 +311,39 @@ object StreamBench {
         } finally {
           q.foreach(_.stop())
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(loc))
+        }
+      }
+    }
+    // the CONSUMPTION twin of iceberg_ingest: a snapshot TAILER draining a
+    // REAL Iceberg table through tailDelta (planIncremental-backed) — each
+    // lap appends a wave and drains exactly the new rows, so the measured
+    // rate includes the commit, the metadata walk AND the incremental
+    // parquet read; exactly-once across laps is asserted, not assumed.
+    locally {
+      val name = "iceberg_tail"
+      if (only.forall(_.contains(name))) {
+        val loc = ckpt("iceberg_tail_tbl")
+        try {
+          val waves = 4
+          val per = math.max(nRows / waves, 1)
+          var watermark = 0L
+          var consumed = 0L
+          val t0 = System.nanoTime()
+          (0 until waves).foreach { w =>
+            val wave = spark.range(w.toLong * per, w.toLong * per + per)
+              .select(col("id").as("l_orderkey"),
+                expr(s"timestamp_seconds(${baseMs / 1000} + id % 86400)").as("l_shipdate"),
+                (col("id") % 100 / 10.0).as("l_quantity"))
+            graft.lake.iceberg.IcebergTable.append(spark, wave, loc)
+            val (nw, delta) = graft.lake.iceberg.IcebergTable.tailDelta(spark, loc, watermark)
+            consumed += delta.map(_.count()).getOrElse(0L)
+            watermark = nw
+          }
+          require(consumed == waves.toLong * per,
+            s"tailer lost/duplicated rows: $consumed of ${waves.toLong * per}")
+          out += ((name, waves * per, (System.nanoTime() - t0) / 1e9))
+        } finally {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(loc))
         }
       }
