@@ -378,13 +378,22 @@ object Bench {
                   val r1 = ratioHi(ts.map(_._3))
                   val r2 = if (rerunFailed) Double.NaN else ratioHi(ts2.map(_._3))
                   val rBest = ratioHi(merged.map(_._3))
+                  // The verdict is the RE-RUN'S OWN ratio, not the min-merged
+                  // one: merging pairs each rung's fastest sample, so a
+                  // spuriously FAST middle rung in pass 1 (a denominator dip
+                  // — noise deflates as well as inflates) rides into rBest
+                  // and "confirms" a flag the isolated re-measure refuted
+                  // (r14: mm_phash first 5.45 / second 4.40 / merged 5.45).
+                  // A genuine super-linear plan reproduces on the re-run;
+                  // a one-point dip does not.
                   defense(q) = (r1, r2, rBest,
                     if (rerunFailed) "rerun-failed-kept-first-pass"
-                    else if (rBest > thresholdFor(q)) "confirmed" else "cleared")
+                    else if (r2 > thresholdFor(q)) "confirmed" else "cleared")
                   q -> merged
                 }
               }
-              val flagged = perQuery.collect { case (q, ts) if isFlagged(q, ts) => q }
+              val flagged = perQuery.collect { case (q, ts) if isFlagged(q, ts) &&
+                defense.get(q).forall(_._4 != "cleared") => q }
               scaleFlagged = flagged
               scaleCtl = ctlRatio
               scaleThreshold = flagThreshold
