@@ -120,4 +120,26 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("mm_scene_cut: every window is per-payload, one shuffle does all the work") {
+    val docs = tables.Tables.documents(spark, sf0001)
+    val df = graft.multimodal.Multimodal.sceneCut(docs)
+    // the lag + running-cut windows and the (doc, scene) aggregate are all
+    // keyed by doc_id — a global window here would serialize the corpus
+    assert(globalWindows(df).isEmpty, "scene cut must never window globally")
+    df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty))
+    // one doc_id exchange feeds windows AND the co-partitioned (doc, scene)
+    // aggregate (HashPartitioning(doc_id) satisfies the subset clustering);
+    // the trailing range exchange is the final orderBy presentation sort
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.length
+      info(s"mm_scene_cut: $n exchanges")
+      assert(n <= 2, s"mm_scene_cut plans $n exchanges — a shuffle regressed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
