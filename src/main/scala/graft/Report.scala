@@ -176,8 +176,24 @@ object Report {
         htmlTable(q("iceberg_zorder_rewrite"))),
       section("Iceberg CDC changelog", "create_changelog_view over the storm history: " +
         "per-snapshot inserts, DV-asserted deletes and NET deletes after position dedup — " +
-        "the fold asserts the full union yet nets zero.",
+        "the fold asserts the full union yet nets zero (metadata+blob grain, zero data reads).",
         htmlTable(q("iceberg_changelog"))),
+      section("Iceberg changelog resume", "A CDC tailer resuming from the era-2 checkpoint: " +
+        "the emitted rows are exactly the tail of the full changelog — " +
+        "changelog(0,m] ++ changelog(m,head] partitions the history at every split.",
+        htmlTable(q("iceberg_changelog_resume"))),
+      section("Iceberg 3-level manifest tree", "The full adaptive-tree ladder on real " +
+        "metadata: flat / year branches / index→sub-list→quarter leaves planning one month — " +
+        "entries parsed drop monotonically at identical planned rows.",
+        htmlTable(q("iceberg_tree3"))),
+      section("Iceberg GC storage ladder", "Real Puffin DV bytes against the full " +
+        "4KB/64KB/10MB cliff ladder: per-blob verdicts and per-wave payload storage class; " +
+        "the dense hashed wave crosses 64KB for real at sf0.1.",
+        htmlTable(q("iceberg_gc_cliff"))),
+      section("Iceberg v3 row lineage", "first_row_id assignment from the monotone " +
+        "next-row-id counter, and survivor _row_id preservation through the " +
+        "lineage-materializing compaction — the survivor id SUM pins the exact set.",
+        htmlTable(q("iceberg_row_lineage"), maxRows = 20)),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
@@ -189,6 +205,14 @@ object Report {
         "basis-point shares, and the media keep-rate that returns an over-cap source to the " +
         "30% vision ceiling.",
         htmlTable(q("mm_token_budget"), maxRows = 20)),
+      section("Scene-cut segmentation", "Shot boundaries over binary payloads: scenes tile " +
+        "each payload's frame axis (gaps-and-islands over frame-delta cuts) — the curation " +
+        "grain a video pipeline samples at.",
+        htmlTable(q("mm_scene_cut"), maxRows = 20)),
+      section("k-center coreset", "Greedy farthest-point diversity selection over the " +
+        "embedding corpus: pick order, distance-when-chosen and the monotone coverage-radius " +
+        "curve — when adding centers stops buying coverage.",
+        htmlTable(q("knn_coreset"))),
       section("Slowest queries — committed idle-box baseline (sf0.1)",
         "Best observed per-query seconds on a quiet host; the bench artifact's defense baseline.",
         barChart(baselineTop(20), "s")))
