@@ -81,6 +81,7 @@ object SparkEntry {
     "iceberg_delete_storm" -> q((s, d) => iceberg.IcebergOps.dvDeleteStorm(s, Tables.lineitem(s, d))),
     "iceberg_gc_cliff" -> q((s, d) => iceberg.IcebergOps.gcCliff(s, Tables.lineitem(s, d))),
     "iceberg_row_lineage" -> q((s, d) => iceberg.IcebergOps.rowLineage(s, Tables.lineitem(s, d))),
+    "iceberg_orphan_scan" -> q((s, d) => iceberg.IcebergOps.orphanScan(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_manifests" -> q((s, d) => iceberg.IcebergOps.rewriteManifestsSummary(s, Tables.lineitem(s, d))),
     "iceberg_commit_series" -> q((s, d) => iceberg.IcebergOps.commitSeries(s, Tables.lineitem(s, d))),
     "iceberg_wide_prune" -> q((s, d) => iceberg.IcebergOps.widePruneReal(s, Tables.lineitem(s, d))),
@@ -376,6 +377,7 @@ object SparkEntry {
     "iceberg_delete_storm",        // iceberg.table.storm
     "iceberg_gc_cliff",            // iceberg.table.cliff
     "iceberg_row_lineage",         // iceberg.table.rowlineage
+    "iceberg_orphan_scan",         // iceberg.table.orphan
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1594,6 +1596,23 @@ object SparkEntry {
         | tot.total_rows - un.u
         |FROM allr a, un, tot
         |ORDER BY step""".stripMargin
+    },
+
+    // Orphan scan: the crashed writer's slice is era 1, so its orphan
+    // file count is era 1's month census; the 2-commit metadata tree is
+    // fully referenced (2 manifests, 2 lists, 2 metadata versions).
+    "iceberg_orphan_scan" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""WITH m1 AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n
+        |   FROM lineitem WHERE l_shipdate < TIMESTAMP '$cut'),
+        | m2 AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n
+        |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '$cut')
+        |SELECT '1_data_file' AS category, 2 * m1.n + m2.n AS n_on_disk,
+        |  m1.n + m2.n AS n_referenced, m1.n AS n_orphans FROM m1, m2
+        |UNION ALL SELECT '2_manifest', 2, 2, 0
+        |UNION ALL SELECT '3_manifest_list', 2, 2, 0
+        |UNION ALL SELECT '4_metadata_json', 2, 2, 0
+        |ORDER BY category""".stripMargin
     },
 
     // v3 row lineage: sorted writes pin every position, so each implicit

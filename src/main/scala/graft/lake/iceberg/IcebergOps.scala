@@ -1007,6 +1007,76 @@ object IcebergOps {
       new String(loc)
     }
 
+  /** Orphan-scan fixture: a 2-era table plus a CRASHED writer — data files
+    * written to a writer-unique directory whose commit never happened (the
+    * exact debris `appendOcc` leaves if the process dies between the data
+    * write and the metadata CAS; its month slice is spliced into the
+    * oracle). */
+  private def orphanTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.orphan") {
+      val loc = Files.createTempDirectory("graft_iceberg_orphan_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp"))
+        .withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("p_month"))
+        .write.partitionBy("p_month").mode("overwrite")
+        .parquet(s"$loc/data/app-crashed")
+      new String(loc)
+    }
+
+  /** The `remove_orphan_files` maintenance surface on the real format: walk
+    * the table location (the S3 LIST the real action pays) and subtract
+    * every file REACHABLE from the retained metadata tree — all metadata
+    * versions (the commit log is protocol state, never orphan), every
+    * snapshot's manifest list, every manifest, every data/delete file path
+    * those manifests carry, and every Puffin statistics file. What remains
+    * is debris: here the crashed writer's uncommitted month files — on
+    * disk, invisible to every scan, reclaimable only by this walk (no
+    * snapshot ever referenced them, so expiry can't see them either; the
+    * census proves the rest of the tree is 100% referenced). Counts only —
+    * parquet byte sizes are writer-dependent and belong to no oracle. */
+  def orphanScan(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = orphanTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val mdir = new java.io.File(s"$loc/metadata")
+    // manifest file_path values carry the input_file_name URI residue
+    // ("file:///x" stripped to "///x") — collapse leading slashes so the
+    // membership test compares one canonical form with the disk walk
+    def norm(p: String) = p.replaceFirst("^/+", "/")
+    val manifestLists = meta.snapshots.map(_.manifestList).toSet
+    val manifests = manifestLists.flatMap(IcebergTable.readManifestList(_).map(_.path))
+    val dataPaths = manifests.flatMap(m => IcebergTable.readManifest(m).map(e => norm(e.path)))
+    val statsPaths = meta.statistics.map(_.path).toSet
+    def walk(dir: java.io.File, ext: String): Seq[String] = {
+      val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      fs.filter(_.isFile).map(_.getPath).filter(_.endsWith(ext)) ++
+        fs.filter(_.isDirectory).flatMap(walk(_, ext))
+    }
+    val onDiskData = walk(new java.io.File(s"$loc/data"), ".parquet")
+    val onDiskAvro = walk(mdir, ".avro")
+    val onDiskJson = walk(mdir, ".metadata.json")
+    // avro files partition into manifest lists (by membership) and the
+    // manifest class (everything else — an unreferenced avro is counted an
+    // orphan there); all metadata.json versions are protocol state
+    val (listAvro, manifestClassAvro) = onDiskAvro.partition(manifestLists.contains)
+    val rows = Seq(
+      ("1_data_file", onDiskData.size.toLong,
+        onDiskData.count(dataPaths.contains).toLong,
+        onDiskData.count(p => !dataPaths.contains(p)).toLong),
+      ("2_manifest", manifestClassAvro.size.toLong,
+        manifestClassAvro.count(p => manifests.contains(p) || statsPaths.contains(p)).toLong,
+        manifestClassAvro.count(p => !manifests.contains(p) && !statsPaths.contains(p)).toLong),
+      ("3_manifest_list", listAvro.size.toLong, listAvro.size.toLong, 0L),
+      ("4_metadata_json", onDiskJson.size.toLong, onDiskJson.size.toLong, 0L))
+    import spark.implicits._
+    rows.toDF("category", "n_on_disk", "n_referenced", "n_orphans")
+      .orderBy("category")
+  }
+
   /** Row-lineage delete predicate (spliced into the oracle). */
   val LineageDeleteResidue = 4L
 

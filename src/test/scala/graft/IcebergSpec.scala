@@ -295,6 +295,29 @@ class IcebergSpec extends SparkSpec {
     assert(tp.files.map(_.path).sorted == flatPlan.files.map(_.path).sorted)
   }
 
+  test("orphan scan: crashed-writer debris detected, the rest of the tree fully referenced") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.orphanScan(spark, lineitem).collect()
+      .map(r => r.getAs[String]("category") -> r).toMap
+    val pre = lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    val total = lineitem
+      .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    val data = rows("1_data_file")
+    assert(data.getAs[Long]("n_orphans") == pre,
+      "the crashed writer left exactly its month slice as debris")
+    assert(data.getAs[Long]("n_referenced") == total)
+    assert(data.getAs[Long]("n_on_disk") ==
+      data.getAs[Long]("n_referenced") + data.getAs[Long]("n_orphans"))
+    // every metadata file is reachable — only a disk walk can find the
+    // debris (no snapshot references it, so expiry can never GC it)
+    Seq("2_manifest", "3_manifest_list", "4_metadata_json").foreach { c =>
+      assert(rows(c).getAs[Long]("n_orphans") == 0L, s"$c must be fully referenced")
+      assert(rows(c).getAs[Long]("n_on_disk") == rows(c).getAs[Long]("n_referenced"))
+    }
+  }
+
   test("row lineage: dense disjoint assignment, ids preserved exactly across compaction") {
     import graft.lake.iceberg.IcebergOps
     val rows = IcebergOps.rowLineage(spark, lineitem).collect()
