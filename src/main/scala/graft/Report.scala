@@ -194,6 +194,10 @@ object Report {
         "next-row-id counter, and survivor _row_id preservation through the " +
         "lineage-materializing compaction — the survivor id SUM pins the exact set.",
         htmlTable(q("iceberg_row_lineage"), maxRows = 20)),
+      section("Iceberg orphan-file scan", "remove_orphan_files on the real format: the " +
+        "crashed writer's uncommitted month files — invisible to scans, un-GC-able by " +
+        "expiry — found by walking disk against the reachable metadata tree.",
+        htmlTable(q("iceberg_orphan_scan"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
