@@ -88,6 +88,7 @@ object SparkEntry {
     "iceberg_zorder_rewrite" -> q((s, d) => iceberg.IcebergOps.zorderRewrite(s, Tables.lineitem(s, d))),
     "iceberg_changelog" -> q((s, d) => iceberg.IcebergOps.changelogScan(s, Tables.lineitem(s, d))),
     "iceberg_changelog_resume" -> q((s, d) => iceberg.IcebergOps.changelogResume(s, Tables.lineitem(s, d))),
+    "iceberg_changelog_mixed" -> q((s, d) => iceberg.IcebergOps.changelogMixed(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -1205,6 +1206,32 @@ object SparkEntry {
 
     // General MOR: equality (keys ≡ 3 mod 10) AND positional (keys ≡ 7
     // mod 10) deletes on one table; survivors are the complement of both.
+    // Changelog over the mixed-delete-form history: append pre/post eras,
+    // then an equality-delete commit (keys ≡ 3 mod 10 — asserted = distinct
+    // keys, net = matching rows) and a positional-parquet delete commit
+    // (keys ≡ 7 — asserted = net = victim positions). Residue classes are
+    // disjoint, so running live counts are pure arithmetic.
+    "iceberg_changelog_mixed" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val pos = iceberg.IcebergOps.PosDeleteResidue
+      s"""WITH era AS (SELECT
+        |   CAST(count(*) FILTER (WHERE strftime(l_shipdate, '%Y-%m-%d') < '$cut') AS BIGINT) AS e1,
+        |   CAST(count(*) FILTER (WHERE strftime(l_shipdate, '%Y-%m-%d') >= '$cut') AS BIGINT) AS e2,
+        |   CAST(count(*) AS BIGINT) AS tot FROM lineitem),
+        | d AS (SELECT
+        |   CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey % $mod = 3) AS BIGINT) AS k3,
+        |   CAST(count(*) FILTER (WHERE l_orderkey % $mod = 3) AS BIGINT) AS r3,
+        |   CAST(count(*) FILTER (WHERE l_orderkey % $mod = $pos) AS BIGINT) AS r7 FROM lineitem)
+        |SELECT '1_append' AS step, e1 AS n_inserts,
+        |  CAST(0 AS BIGINT) AS n_deletes_asserted, CAST(0 AS BIGINT) AS n_deletes_net,
+        |  e1 AS live_rows FROM era
+        |UNION ALL SELECT '2_append', e2, 0, 0, e1 + e2 FROM era
+        |UNION ALL SELECT '3_delete', 0, k3, r3, tot - r3 FROM era, d
+        |UNION ALL SELECT '4_delete', 0, r7, r7, tot - r3 - r7 FROM era, d
+        |ORDER BY step""".stripMargin
+    },
+
     "iceberg_mixed_deletes" ->
       s"""WITH sc AS (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
         |     AS data_files_scanned
