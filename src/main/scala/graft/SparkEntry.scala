@@ -75,6 +75,9 @@ object SparkEntry {
     "iceberg_sort_skipping" -> q((s, d) => iceberg.IcebergOps.sortSkipping(s, Tables.lineitem(s, d))),
     "iceberg_mixed_deletes" -> q((s, d) => iceberg.IcebergOps.mixedDeletesRead(s, Tables.lineitem(s, d))),
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
+    "iceberg_files_meta" -> q((s, d) => iceberg.IcebergOps.filesMeta(s, Tables.lineitem(s, d))),
+    "iceberg_manifests_meta" -> q((s, d) => iceberg.IcebergOps.manifestsMeta(s, Tables.lineitem(s, d))),
+    "iceberg_history_meta" -> q((s, d) => iceberg.IcebergOps.historyMeta(s, Tables.lineitem(s, d))),
     "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
     "iceberg_manifest_tree" -> q((s, d) => iceberg.IcebergOps.manifestTreePlan(s, Tables.lineitem(s, d))),
     "iceberg_tree3" -> q((s, d) => iceberg.IcebergOps.tree3Plan(s, Tables.lineitem(s, d))),
@@ -1703,6 +1706,44 @@ object SparkEntry {
         | strftime(max(l_shipdate), '%Y-%m-%d') AS hi_shipdate,
         | CAST(2 AS BIGINT) AS n_manifests, CAST(2 AS BIGINT) AS n_snapshots
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // `files` metadata table: one row per live data file — the fixture is
+    // one file per (era, month), so per-month row stats plus the era as
+    // the adding snapshot / sequence number.
+    "iceberg_files_meta" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS p_month,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | strftime(min(l_shipdate), '%Y-%m-%d') AS lo_shipdate,
+        | strftime(max(l_shipdate), '%Y-%m-%d') AS hi_shipdate,
+        | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |      THEN 1 ELSE 2 END AS BIGINT) AS added_snapshot_id,
+        | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |      THEN 1 ELSE 2 END AS BIGINT) AS sequence_number
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // `manifests` metadata table: one manifest per commit era, with its
+    // added file/row counts and partition-summary bounds.
+    "iceberg_manifests_meta" ->
+      s"""SELECT CAST(era AS BIGINT) AS added_snapshot_id,
+        | CAST(count(DISTINCT m) AS BIGINT) AS n_added_files,
+        | CAST(count(*) AS BIGINT) AS n_added_rows,
+        | min(m) AS p_month_lo, max(m) AS p_month_hi
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |   CASE WHEN l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
+        |        THEN 1 ELSE 2 END AS era FROM lineitem)
+        |GROUP BY era ORDER BY 1""".stripMargin,
+
+    // `history` metadata table: two append snapshots; the second carries
+    // both manifests and all rows, and is the current head.
+    "iceberg_history_meta" ->
+      s"""WITH era AS (SELECT
+        |   CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}') AS BIGINT) AS e1,
+        |   CAST(count(*) AS BIGINT) AS tot FROM lineitem)
+        |SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(1 AS BIGINT) AS sequence_number,
+        |  'append' AS operation, FALSE AS is_current,
+        |  CAST(1 AS BIGINT) AS n_manifests, e1 AS live_data_rows FROM era
+        |UNION ALL SELECT 2, 2, 'append', TRUE, 2, tot FROM era
+        |ORDER BY snapshot_id""".stripMargin,
 
     "iceberg_compact" ->
       s"""WITH t AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,

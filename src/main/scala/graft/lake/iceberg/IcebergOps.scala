@@ -461,6 +461,66 @@ object IcebergOps {
       .orderBy("p_month")
   }
 
+  /** The `files` metadata table (`SELECT * FROM tbl.files`): one row per
+    * live data file in the current snapshot, straight from the manifest
+    * entries with ZERO data IO — partition value, row count, the
+    * l_shipdate bounds, and the entry-grain provenance columns the spec
+    * pins (the snapshot that ORIGINALLY added the file and its data
+    * sequence number). File paths are temp-dir-relative and therefore
+    * excluded; every emitted column is a deterministic function of
+    * lineitem + the two-era commit layout, so the oracle replays it. */
+  def filesMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val rows = IcebergTable.planFiles(loc).files.map(f =>
+      (f.partition, f.recordCount, f.loShip, f.hiShip, f.entrySnapshotId, f.sequence))
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("p_month", "n_rows", "lo_shipdate", "hi_shipdate",
+      "added_snapshot_id", "sequence_number")
+      .orderBy("p_month")
+  }
+
+  /** The `manifests` metadata table (`SELECT * FROM tbl.manifests`): one
+    * row per manifest in the current manifest LIST — added snapshot,
+    * added file/row counts, and the partition-summary bounds planning
+    * prunes on — read from the manifest list alone (not even the
+    * manifests are opened; this is the exact input to the two-level
+    * skip). */
+  def manifestsMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val rows = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+      .map(m => (m.addedSnapshotId, m.addedFiles.toLong, m.addedRows,
+        m.partLo, m.partHi))
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("added_snapshot_id", "n_added_files", "n_added_rows",
+      "p_month_lo", "p_month_hi")
+      .orderBy("added_snapshot_id")
+  }
+
+  /** The `history`/`snapshots` metadata table: one row per retained
+    * snapshot — id, sequence number, operation, whether it is the current
+    * head, and the state census at that snapshot (manifests in its list,
+    * live data rows from manifest stats). Timestamps are wall-clock and
+    * therefore excluded; everything else is the deterministic two-commit
+    * layout. */
+  def historyMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = tableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val rows = meta.snapshots.sortBy(_.id).map { s =>
+      val manifests = IcebergTable.readManifestList(s.manifestList)
+      val entries = manifests.flatMap(m => IcebergTable.readManifest(m.path))
+      (s.id, s.sequenceNumber, s.operation, s.id == meta.currentSnapshotId,
+        manifests.size.toLong, entries.filter(_.content == 0).map(_.recordCount).sum)
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "sequence_number", "operation", "is_current",
+      "n_manifests", "live_data_rows")
+      .orderBy("snapshot_id")
+  }
+
   /** KMV sketch size for the Puffin NDV blobs (spliced into the oracle). */
   val PuffinK = 64
 
