@@ -92,6 +92,7 @@ object SparkEntry {
     "iceberg_changelog" -> q((s, d) => iceberg.IcebergOps.changelogScan(s, Tables.lineitem(s, d))),
     "iceberg_changelog_resume" -> q((s, d) => iceberg.IcebergOps.changelogResume(s, Tables.lineitem(s, d))),
     "iceberg_changelog_mixed" -> q((s, d) => iceberg.IcebergOps.changelogMixed(s, Tables.lineitem(s, d))),
+    "iceberg_bucket_prune" -> q((s, d) => iceberg.IcebergOps.bucketPointLookup(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -382,6 +383,7 @@ object SparkEntry {
     "iceberg_gc_cliff",            // iceberg.table.cliff
     "iceberg_row_lineage",         // iceberg.table.rowlineage
     "iceberg_orphan_scan",         // iceberg.table.orphan
+    "iceberg_bucket_prune",        // iceberg.table.bucket
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1706,6 +1708,31 @@ object SparkEntry {
         | strftime(max(l_shipdate), '%Y-%m-%d') AS hi_shipdate,
         | CAST(2 AS BIGINT) AS n_manifests, CAST(2 AS BIGINT) AS n_snapshots
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Real bucket[16](l_orderkey) partition spec: point lookups plan 1 of
+    // 4 branch manifests and 1 of 16 files; the replayable multiplicative
+    // bucket hash lets DuckDB re-derive every bucket population.
+    "iceberg_bucket_prune" -> {
+      val mult = iceberg.Puffin.KmvHashMult
+      val mod = iceberg.Puffin.KmvHashMod
+      val n = iceberg.IcebergTable.BucketN
+      s"""WITH b AS (SELECT l_orderkey, l_quantity,
+        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
+        | tot AS (SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS files_total,
+        |   CAST(count(DISTINCT bkt // 4) AS BIGINT) AS manifests_total FROM b),
+        | pr AS (SELECT 'kmax' AS probe, CAST(max(l_orderkey) AS BIGINT) AS key FROM b
+        |   UNION ALL SELECT 'kmin', CAST(min(l_orderkey) AS BIGINT) FROM b)
+        |SELECT pr.probe,
+        | 'b' || lpad(CAST(((pr.key * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
+        | tot.manifests_total, CAST(1 AS BIGINT) AS manifests_read,
+        | tot.files_total, CAST(1 AS BIGINT) AS files_scanned,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b
+        |   WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS bucket_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b WHERE b.l_orderkey = pr.key) AS key_rows,
+        | (SELECT round(sum(l_quantity), 4) FROM b WHERE b.l_orderkey = pr.key) AS sum_qty
+        |FROM pr, tot
+        |ORDER BY probe""".stripMargin
+    },
 
     // `files` metadata table: one row per live data file — the fixture is
     // one file per (era, month), so per-month row stats plus the era as

@@ -461,6 +461,48 @@ object IcebergOps {
       .orderBy("p_month")
   }
 
+  private def bucketTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.bucket") {
+      val loc = Files.createTempDirectory("graft_iceberg_bucket_").toString
+      IcebergTable.appendBucket(spark, lineitem, loc)
+      new String(loc)
+    }
+
+  /** Point lookups planned against a REAL `bucket[16](l_orderkey)`
+    * partition spec (spec §Partition Transforms — the one spec transform
+    * family previously modeled only, `lake_bucket_pruning`): the table is
+    * written with hash-scattered bucket partition values, branch manifests
+    * grouped by bucket range, and each probe key plans through the actual
+    * manifest-list partition summaries — manifests_read and files_scanned
+    * census the two-level skip (1 of 4 branches opened, 1 of 16 files
+    * selected), then ONLY the selected file is read to prove the key's
+    * rows are all there. The bucket hash is the replayable multiplicative
+    * form ([[IcebergTable.bucketLabel]]), so DuckDB re-derives every
+    * bucket population and the probe rows exactly. */
+  def bucketPointLookup(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = bucketTableFor(spark, lineitem)
+    val bounds = lineitem.agg(min(col("l_orderkey")).as("kmin"),
+      max(col("l_orderkey")).as("kmax")).head()
+    val probes = Seq("kmax" -> bounds.getAs[Long]("kmax"),
+      "kmin" -> bounds.getAs[Long]("kmin"))
+    val arms = probes.map { case (label, key) =>
+      val plan = IcebergTable.planBucketLookup(loc, key)
+      spark.read.parquet(plan.files.map(_.path): _*)
+        .filter(col("l_orderkey") === key)
+        .agg(count(lit(1)).as("key_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(lit(label).as("probe"),
+          lit(IcebergTable.bucketLabel(key)).as("bucket"),
+          lit(plan.manifestsTotal.toLong).as("manifests_total"),
+          lit(plan.manifestsRead.toLong).as("manifests_read"),
+          lit(plan.filesTotal).as("files_total"),
+          lit(plan.filesSelected.toLong).as("files_scanned"),
+          lit(plan.files.map(_.recordCount).sum).as("bucket_rows"),
+          col("key_rows"), col("sum_qty"))
+    }
+    arms.reduce(_ unionByName _).orderBy("probe")
+  }
+
   /** The `files` metadata table (`SELECT * FROM tbl.files`): one row per
     * live data file in the current snapshot, straight from the manifest
     * entries with ZERO data IO — partition value, row count, the

@@ -224,6 +224,66 @@ object IcebergTable {
       lineitem.columns.toSeq.sorted)
   }
 
+  /** Bucket count for the bucket partition transform (spec §Partition
+    * Transforms: `bucket[N]` = hash(v) mod N). The spec's murmur3_x86_32
+    * is replaced by the same multiplicative 32-bit hash the Puffin KMV
+    * sketches use ([[Puffin.KmvHashMult]]/[[Puffin.KmvHashMod]]) so the
+    * DuckDB oracle replays bucket assignment with plain integer SQL; the
+    * transform SHAPE — hash-scattered partition values, point-lookup
+    * planning by bucket equality over real partition summaries — is the
+    * spec's. */
+  val BucketN = 16
+
+  /** bucket[N] partition value for a key, as the manifest's string form. */
+  def bucketLabel(key: Long): String =
+    f"b${math.floorMod(math.floorMod(key * Puffin.KmvHashMult, Puffin.KmvHashMod), BucketN.toLong)}%02d"
+
+  /** Append under the `bucket[`[[BucketN]]`](l_orderkey)` partition spec
+    * (spec id 2): one data file per occupied bucket, and the manifest
+    * layer grouped by bucket RANGE (`groupBuckets` consecutive buckets per
+    * manifest) so the manifest list's partition summaries prune at bucket
+    * grain — a point lookup opens ONE branch manifest and selects ONE
+    * file, the layout the spec's bucket transform exists to enable for
+    * key-equality workloads (where identity/date specs cannot prune at
+    * all). */
+  def appendBucket(spark: SparkSession, lineitem: DataFrame, location: String,
+                   groupBuckets: Int = 4): Long = {
+    require(groupBuckets >= 1, "groupBuckets must be >= 1")
+    val prev = readMetadataOpt(location)
+    val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
+    val dataDir = s"$location/data/snap-$snapshotId"
+    lineitem.withColumn("p_month", format_string("b%02d",
+        pmod(pmod(col("l_orderkey").cast("long") * lit(Puffin.KmvHashMult),
+          lit(Puffin.KmvHashMod)), lit(BucketN.toLong))))
+      .repartition(col("p_month"))
+      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    val stats = assignRowIds(location, collectFileStats(spark, dataDir))
+    val infos = stats.groupBy(f => f.partition.drop(1).toInt / groupBuckets)
+      .toSeq.sortBy(_._1).zipWithIndex.map { case ((_, fs), i) =>
+        writeManifestAvro(location, snapshotId, snapshotId, fs, 2, f"-b$i%03d")
+      }
+    val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+      .getOrElse(Seq.empty)
+    commitSnapshot(location, prev, snapshotId, prevManifests ++ infos, "append",
+      lineitem.columns.toSeq.sorted)
+  }
+
+  /** Point-lookup planning against a bucket-partitioned table: compute the
+    * key's bucket, prune the manifest LIST on its partition summaries
+    * (only branches whose [partLo, partHi] covers the bucket are opened),
+    * then select the bucket's file entries — the two-level skip at bucket
+    * grain, all metadata IO. */
+  def planBucketLookup(location: String, key: Long): ScanPlan = {
+    val meta = readMetadata(location)
+    val manifests = readManifestList(currentSnapshot(meta).manifestList)
+    val b = bucketLabel(key)
+    val live = manifests.filter(m => m.partLo <= b && b <= m.partHi)
+    val entries = live.flatMap(m => readManifest(m.path))
+    val selected = entries.filter(e => e.content == 0 && e.partition == b)
+    ScanPlan(selected, manifests.size, live.size,
+      manifests.map(_.addedFiles.toLong).sum, selected.size)
+  }
+
   /** Iceberg's `rewrite_manifests` maintenance action executed for real: a
     * METADATA-ONLY commit that regroups the current snapshot's live DATA
     * entries into partition-range branch manifests ([[appendGrouped]]'s
@@ -913,6 +973,9 @@ object IcebergTable {
       case 0 =>
         """{"spec-id":0,"fields":[
           | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
+      case 2 =>
+        s"""{"spec-id":2,"fields":[
+           | {"name":"p_bucket","transform":"bucket[$BucketN]","source-id":1,"field-id":1000}]}""".stripMargin
       case sid =>
         s"""{"spec-id":$sid,"fields":[
            | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
