@@ -1161,18 +1161,28 @@ object IcebergOps {
     val onDiskData = walk(new java.io.File(s"$loc/data"), ".parquet")
     val onDiskAvro = walk(mdir, ".avro")
     val onDiskJson = walk(mdir, ".metadata.json")
-    // avro files partition into manifest lists (by membership) and the
-    // manifest class (everything else — an unreferenced avro is counted an
-    // orphan there); all metadata.json versions are protocol state
-    val (listAvro, manifestClassAvro) = onDiskAvro.partition(manifestLists.contains)
+    // avro files classify by the layout's NAMING convention (manifest
+    // lists are metadata/snap-<id>.avro, manifests metadata/manifest-*),
+    // not by reachable-set membership — membership-based classing would
+    // misfile an UNREFERENCED manifest list (expired snapshot, crashed
+    // commit attempt) as a '2_manifest' orphan and make '3_manifest_list'
+    // structurally orphan-free; orphan-ness within each class is then the
+    // membership test. (Puffin stats files are .puffin, not .avro, so
+    // they never enter this walk.)
+    val (listAvro, manifestClassAvro) = onDiskAvro.partition(p =>
+      new java.io.File(p).getName.startsWith("snap-"))
+    require(statsPaths.forall(p => !p.endsWith(".avro")),
+      "orphanScan: statistics files are expected to be .puffin, not .avro")
     val rows = Seq(
       ("1_data_file", onDiskData.size.toLong,
         onDiskData.count(dataPaths.contains).toLong,
         onDiskData.count(p => !dataPaths.contains(p)).toLong),
       ("2_manifest", manifestClassAvro.size.toLong,
-        manifestClassAvro.count(p => manifests.contains(p) || statsPaths.contains(p)).toLong,
-        manifestClassAvro.count(p => !manifests.contains(p) && !statsPaths.contains(p)).toLong),
-      ("3_manifest_list", listAvro.size.toLong, listAvro.size.toLong, 0L),
+        manifestClassAvro.count(manifests.contains).toLong,
+        manifestClassAvro.count(p => !manifests.contains(p)).toLong),
+      ("3_manifest_list", listAvro.size.toLong,
+        listAvro.count(manifestLists.contains).toLong,
+        listAvro.count(p => !manifestLists.contains(p)).toLong),
       ("4_metadata_json", onDiskJson.size.toLong, onDiskJson.size.toLong, 0L))
     import spark.implicits._
     rows.toDF("category", "n_on_disk", "n_referenced", "n_orphans")
@@ -1274,8 +1284,15 @@ object IcebergOps {
     def classOf(bytes: Long): String =
       CliffLadder.find(bytes <= _._2).map(_._1).getOrElse("humongous")
     val waveNames = Seq("sparse", "page", "dense")
+    // wave snapshot ids from the fixture's own metadata (the ordered
+    // delete-operation snapshots), not assumed literals — an extra setup
+    // commit in cliffTableFor would silently empty every wave otherwise
+    val waveIds = meta.snapshots.filter(_.operation == "delete").map(_.id).sorted
+    require(waveIds.size == waveNames.size,
+      s"gcCliff expects ${waveNames.size} delete waves, found ${waveIds.size}")
     val waves = (0 until 3).map { i =>
-      val es = dv.filter(_._1 == 2L + i).map(_._2)
+      val es = dv.filter(_._1 == waveIds(i)).map(_._2)
+      require(es.nonEmpty, s"gcCliff wave ${waveNames(i)} resolved zero DV entries")
       val payload = es.map(_.contentSize).sum
       val lc = ladder(es)
       (s"${i + 1}_${waveNames(i)}", es.size.toLong, es.map(_.recordCount).sum,

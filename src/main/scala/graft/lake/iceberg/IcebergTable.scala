@@ -1626,7 +1626,16 @@ object IcebergTable {
         val idMap = spark.createDataset(fs.map(f => (f.path, f.firstRowId)))(pairEnc)
           .toDF("__file", "__first")
         df = df.join(broadcast(idMap), Seq("__file"))
-          .withColumn("_row_id", col("__first") + col("__pos"))
+        // spec §Row Lineage: a MATERIALIZED _row_id column (written by a
+        // lineage-preserving compaction) wins over the re-derived
+        // firstRowId + position — recomputing unconditionally would
+        // silently relabel every surviving row on the SECOND compaction
+        // (or any withRowIds read of an already-compacted table), exactly
+        // the violation the lineage rules exist to prevent.
+        df = (if (df.columns.contains("_row_id"))
+                df.withColumn("_row_id",
+                  coalesce(col("_row_id"), col("__first") + col("__pos")))
+              else df.withColumn("_row_id", col("__first") + col("__pos")))
           .drop("__first")
       }
       if (applicable.nonEmpty) {

@@ -968,6 +968,31 @@ class IcebergSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_inserts") + rows(1).getAs[Long]("n_inserts") == lineitem.count())
   }
 
+  test("row lineage: second lineage-preserving compaction keeps materialized ids") {
+    import graft.lake.iceberg.IcebergTable
+    val slice = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-02")
+    val loc = java.nio.file.Files.createTempDirectory("graft_iceberg_lineage2_").toString
+    IcebergTable.append(spark, slice, loc, sorted = true)
+    IcebergTable.appendDvPuffin(spark, loc, pmod(col("l_orderkey"), lit(10L)) === 4L)
+    IcebergTable.rewriteCompact(spark, loc, materializeLineage = true)
+    def idsNow(): Set[(String, String, Long)] =
+      IcebergTable.readMorDv(spark, loc, withRowIds = true)._1
+        .select(col("l_orderkey"), col("l_linenumber"), col("_row_id"))
+        .collect().map(r => (r.get(0).toString, r.get(1).toString,
+          r.getAs[Long]("_row_id"))).toSet
+    val after1 = idsNow()
+    // second DV wave + lineage-preserving compaction: every survivor must
+    // keep its ORIGINAL id — a withRowIds read that re-derived
+    // firstRowId + position over the already-compacted files would
+    // relabel all of them (the files carry fresh firstRowIds)
+    IcebergTable.appendDvPuffin(spark, loc, pmod(col("l_orderkey"), lit(10L)) === 5L)
+    IcebergTable.rewriteCompact(spark, loc, materializeLineage = true)
+    val after2 = idsNow()
+    assert(after2.nonEmpty && after2.size < after1.size)
+    assert(after2.subsetOf(after1),
+      "second lineage-preserving compaction relabeled surviving rows")
+  }
+
   test("partitions metadata table: per-month census from metadata alone matches the data") {
     val pm = graft.lake.iceberg.IcebergOps.partitionsMeta(spark, lineitem)
     val got = pm.select(sum(col("n_rows")), sum(col("n_files")), count(lit(1))).head()
