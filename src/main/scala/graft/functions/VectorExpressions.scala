@@ -97,13 +97,73 @@ case class ByteSum(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shannon entropy in BITS of a binary payload's 256-bin byte histogram —
+  * the streaming payload gate's entropy rule as ONE codegen'd pass. The
+  * prior higher-order form `array_sort`ed every payload's char array and
+  * diffed run boundaries: O(len·log len) interpreted per row (~150 µs/row
+  * at 200–480 B — the one per-ROW-cost arm in the stream bench; the sort
+  * is only needed when the rule wants RUNS, and entropy does not). Exact
+  * log2 form (ln n − Σ c·ln c / n)/ln 2 over the byte counts; 0.0 for an
+  * empty payload. For ASCII payloads this equals the batch
+  * `mm_payload_entropy` ascii()-histogram entropy — the shared-column
+  * contract the streaming mirror spec pins. */
+case class ByteEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    if (n == 0) 0.0
+    else {
+      val hist = new Array[Int](256)
+      var i = 0
+      while (i < n) { hist(bytes(i) & 0xff) += 1; i += 1 }
+      var s = 0.0
+      var k = 0
+      while (k < 256) { val c = hist(k); if (c > 0) s += c * math.log(c); k += 1 }
+      (math.log(n) - s / n) / math.log(2.0)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val hist = ctx.freshName("hist")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $x.length;
+         |${ev.value} = 0.0;
+         |if ($n > 0) {
+         |  int[] $hist = new int[256];
+         |  for (int $i = 0; $i < $n; $i++) { $hist[$x[$i] & 0xff]++; }
+         |  double $s = 0.0;
+         |  for (int $k = 0; $k < 256; $k++) {
+         |    int $c = $hist[$k];
+         |    if ($c > 0) { $s += $c * java.lang.Math.log($c); }
+         |  }
+         |  ${ev.value} = (java.lang.Math.log($n) - $s / $n) / java.lang.Math.log(2.0);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register `graft_dot` / `graft_bytesum` in the session so operators can
-    * use them via expr(...). Idempotent. */
+  /** Register `graft_dot` / `graft_bytesum` / `graft_entropy` in the
+    * session so operators can use them via expr(...). Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (children: Seq[Expression]) => DotProduct(children(0), children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bytesum", (children: Seq[Expression]) => ByteSum(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_entropy", (children: Seq[Expression]) => ByteEntropy(children.head), "built-in")
   }
 }

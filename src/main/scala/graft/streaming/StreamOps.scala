@@ -130,41 +130,24 @@ object StreamOps {
   /** Streaming multimodal ingest gate — the payload-level sibling of
     * [[filterCascadeStream]], mirroring the batch `mm_quality_gate` rules
     * that are computable STATELESSLY per payload: empty → size window →
-    * byte-entropy band (the exact per-doc histogram entropy, folded
-    * per-row with higher-order functions: sort the char array once, find
-    * the run boundaries, difference consecutive boundaries into run
-    * counts — O(len·log len) per payload instead of the O(distinct×len)
-    * a naive per-symbol `filter` count pays, ~4× the measured rows/sec at
-    * the bench's payload sizes; no explode, no shuffle, no state). The
-    * batch cascade's exact-dup gate is the one
-    * rule that NEEDS state and it already has its own mirror — compose
-    * `dedupStream` upstream of this gate for the full cascade. Output is
-    * the per-(window, rule) funnel the ingest dashboard watches; only the
-    * tiny windowed counters are stateful. */
+    * byte-entropy band. Entropy is the codegen'd `graft_entropy`
+    * expression ([[graft.functions.ByteEntropy]]): ONE O(len) pass over
+    * the payload bytes into a local 256-bin histogram — the prior
+    * higher-order form `array_sort`ed every payload's char array per row
+    * (O(len·log len) interpreted, ~150 µs/row, the one per-ROW-cost arm
+    * in the stream bench; a sort is only needed when a rule wants RUNS,
+    * and entropy does not). No explode, no shuffle, no state. The batch
+    * cascade's exact-dup gate is the one rule that NEEDS state and it
+    * already has its own mirror — compose `dedupStream` upstream of this
+    * gate for the full cascade. Output is the per-(window, rule) funnel
+    * the ingest dashboard watches; only the tiny windowed counters are
+    * stateful. */
   def payloadGateStream(docs: DataFrame, minBytes: Long = 100L, maxBytes: Long = 480L,
                         lowBits: Double = 3.9, highBits: Double = 4.2): DataFrame =
     docs
-      .withColumn("chars", array_sort(filter(split(col("text"), ""), c => length(c) > 0)))
-      .withColumn("byte_len", size(col("chars")).cast("long"))
-      // run-length counts over the sorted chars: boundary positions, then
-      // consecutive differences (element_at is O(1) on array columns)
-      .withColumn("bounds",
-        when(col("byte_len") === 0L, array().cast("array<int>"))
-          .otherwise(filter(sequence(lit(1), greatest(col("byte_len").cast("int"), lit(1))),
-            i => i === col("byte_len").cast("int") ||
-              // try_element_at: position L+1 is past the end (null-safe,
-              // ANSI element_at would throw before || short-circuits)
-              !(try_element_at(col("chars"), i + 1) <=> try_element_at(col("chars"), i)))))
-      .withColumn("cnts",
-        when(col("byte_len") === 0L, array().cast("array<double>"))
-          .otherwise(zip_with(
-            col("bounds"),
-            concat(array(lit(0)), slice(col("bounds"), lit(1), size(col("bounds")) - 1)),
-            (a, b) => (a - b).cast("double"))))
+      .withColumn("byte_len", octet_length(col("text")).cast("long"))
       .withColumn("entropy_bits",
-        round((log(col("byte_len")) -
-          aggregate(col("cnts"), lit(0.0), (acc, c) => acc + c * log(c)) / col("byte_len"))
-          / math.log(2.0), 6))
+        round(expr("graft_entropy(cast(text as binary))"), 6))
       .withColumn("rule",
         when(col("byte_len") === 0L, "1_empty")
           .when(col("byte_len") < minBytes, "2_too_small")
