@@ -968,6 +968,69 @@ class IcebergSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_inserts") + rows(1).getAs[Long]("n_inserts") == lineitem.count())
   }
 
+  test("files/manifests/history metadata tables: census from metadata alone") {
+    import graft.lake.iceberg.IcebergOps
+    val fm = IcebergOps.filesMeta(spark, lineitem).collect()
+    assert(fm.map(_.getAs[Long]("n_rows")).sum == lineitem.count())
+    assert(fm.forall(r =>
+      r.getAs[Long]("added_snapshot_id") == r.getAs[Long]("sequence_number")))
+    val mm = IcebergOps.manifestsMeta(spark, lineitem).collect()
+    assert(mm.length == 2, "one manifest per commit era")
+    assert(mm.map(_.getAs[Long]("n_added_rows")).sum == lineitem.count())
+    val hm = IcebergOps.historyMeta(spark, lineitem).collect()
+    assert(hm.length == 2)
+    assert(hm.last.getAs[Boolean]("is_current") && !hm.head.getAs[Boolean]("is_current"))
+    assert(hm.last.getAs[Long]("live_data_rows") == lineitem.count())
+    assert(hm.last.getAs[Long]("n_manifests") == 2L)
+  }
+
+  test("changelog over mixed delete forms: eq + positional histories emit per-step truth") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.changelogMixed(spark, lineitem).collect()
+      .sortBy(_.getAs[String]("step"))
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("1_append", "2_append", "3_delete", "4_delete"))
+    var cumIns = 0L; var cumNet = 0L
+    rows.foreach { r =>
+      cumIns += r.getAs[Long]("n_inserts"); cumNet += r.getAs[Long]("n_deletes_net")
+      assert(r.getAs[Long]("live_rows") == cumIns - cumNet,
+        s"conservation broken at ${r.getAs[String]("step")}")
+    }
+    val tot = lineitem.count()
+    val r3 = lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 3L).count()
+    val r7 = lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 7L).count()
+    assert(rows(1).getAs[Long]("live_rows") == tot)
+    // equality step: asserted = distinct keys, net = matching ROWS
+    assert(rows(2).getAs[Long]("n_deletes_net") == r3)
+    assert(rows(2).getAs[Long]("n_deletes_asserted") ==
+      lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 3L)
+        .select(col("l_orderkey")).distinct().count())
+    // positional step: asserted = net = victim positions (disjoint residue)
+    assert(rows(3).getAs[Long]("n_deletes_net") == r7)
+    assert(rows(3).getAs[Long]("n_deletes_asserted") == r7)
+    assert(rows(3).getAs[Long]("live_rows") == tot - r3 - r7)
+  }
+
+  test("bucket transform: point lookup opens one branch manifest and one file") {
+    import graft.lake.iceberg.{IcebergOps, IcebergTable}
+    val rows = IcebergOps.bucketPointLookup(spark, lineitem).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("manifests_read") == 1L,
+        "bucket summaries must prune to one branch")
+      assert(r.getAs[Long]("files_scanned") == 1L, "one file per bucket")
+      assert(r.getAs[Long]("files_scanned") < r.getAs[Long]("files_total"))
+      assert(r.getAs[Long]("manifests_read") < r.getAs[Long]("manifests_total"))
+      assert(r.getAs[Long]("key_rows") > 0L, "the probe key's rows must be in the selected file")
+      assert(r.getAs[Long]("bucket_rows") >= r.getAs[Long]("key_rows"))
+      assert(r.getAs[String]("bucket") ==
+        IcebergTable.bucketLabel(
+          if (r.getAs[String]("probe") == "kmax")
+            lineitem.agg(max(col("l_orderkey"))).head().getLong(0)
+          else lineitem.agg(min(col("l_orderkey"))).head().getLong(0)))
+    }
+  }
+
   test("row lineage: second lineage-preserving compaction keeps materialized ids") {
     import graft.lake.iceberg.IcebergTable
     val slice = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-02")
