@@ -198,6 +198,24 @@ object Report {
         "crashed writer's uncommitted month files — invisible to scans, un-GC-able by " +
         "expiry — found by walking disk against the reachable metadata tree.",
         htmlTable(q("iceberg_orphan_scan"))),
+      section("Iceberg changelog over mixed delete forms", "The CDC changelog on a history " +
+        "written with equality AND positional-parquet deletes (the Flink-writer norm): " +
+        "per-step asserted vs net deletes and running live rows, all three delete forms " +
+        "resolved in one union-dedup job — no per-snapshot rescan.",
+        htmlTable(q("iceberg_changelog_mixed"))),
+      section("Iceberg bucket-transform point lookup", "bucket[16](l_orderkey) on the real " +
+        "format: each probe key plans one of four branch manifests and one of sixteen files " +
+        "from the manifest list's partition summaries — the key-equality pruning identity " +
+        "and date specs cannot provide.",
+        htmlTable(q("iceberg_bucket_prune"))),
+      section("Iceberg files metadata table", "SELECT * FROM tbl.files — per-file partition, " +
+        "row count, column bounds and entry-grain provenance, straight from manifests with " +
+        "zero data IO.",
+        htmlTable(q("iceberg_files_meta"), maxRows = 20)),
+      section("Iceberg manifests + history metadata tables", "tbl.manifests (manifest-list " +
+        "grain: added snapshot, file/row counts, partition summaries) and tbl.history " +
+        "(per-snapshot state census) side by side.",
+        htmlTable(q("iceberg_manifests_meta")) + htmlTable(q("iceberg_history_meta"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
