@@ -145,7 +145,13 @@ object Bench {
     // the set to prove the r13 per-snapshot-rescan killer stays dead) and
     // the GC cliff (three DV waves incl. a 50%-of-table blob serialize —
     // the heaviest DV writer shape):
-    "iceberg_changelog", "iceberg_gc_cliff")
+    "iceberg_changelog", "iceberg_gc_cliff",
+    // round-15 addition: the all-delete-forms changelog — its equality
+    // resolution adds the round's one new data-grain shape (ONE bounded
+    // candidate-file scan semi-joined with the broadcast key table); in
+    // the set to prove the scan stays linear and never regresses toward a
+    // per-snapshot rescan:
+    "iceberg_changelog_mixed")
 
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
