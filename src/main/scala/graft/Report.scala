@@ -208,6 +208,11 @@ object Report {
         "from the manifest list's partition summaries — the key-equality pruning identity " +
         "and date specs cannot provide.",
         htmlTable(q("iceberg_bucket_prune"))),
+      section("Iceberg bucket evolution (identity → bucket)", "Partition evolution across " +
+        "transform families: the point lookup prunes the bucket era to one file but scans " +
+        "every month-era file; the date-range probe skips the month era at manifest level " +
+        "while every hash-scattered bucket file overlaps — the migration trade, censused.",
+        htmlTable(q("iceberg_bucket_evolution"))),
       section("Iceberg files metadata table", "SELECT * FROM tbl.files — per-file partition, " +
         "row count, column bounds and entry-grain provenance, straight from manifests with " +
         "zero data IO.",

@@ -93,6 +93,7 @@ object SparkEntry {
     "iceberg_changelog_resume" -> q((s, d) => iceberg.IcebergOps.changelogResume(s, Tables.lineitem(s, d))),
     "iceberg_changelog_mixed" -> q((s, d) => iceberg.IcebergOps.changelogMixed(s, Tables.lineitem(s, d))),
     "iceberg_bucket_prune" -> q((s, d) => iceberg.IcebergOps.bucketPointLookup(s, Tables.lineitem(s, d))),
+    "iceberg_bucket_evolution" -> q((s, d) => iceberg.IcebergOps.bucketEvolution(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -384,6 +385,7 @@ object SparkEntry {
     "iceberg_row_lineage",         // iceberg.table.rowlineage
     "iceberg_orphan_scan",         // iceberg.table.orphan
     "iceberg_bucket_prune",        // iceberg.table.bucket
+    "iceberg_bucket_evolution",    // iceberg.table.bucketevo
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1732,6 +1734,46 @@ object SparkEntry {
         | (SELECT round(sum(l_quantity), 4) FROM b WHERE b.l_orderkey = pr.key) AS sum_qty
         |FROM pr, tot
         |ORDER BY probe""".stripMargin
+    },
+
+    // Partition evolution across transform families: month era + bucket
+    // era; a point lookup prunes the bucket era to one file but scans every
+    // month-era file, a Q1-1997 range probe skips the month era at manifest
+    // level while every hash-scattered bucket file overlaps.
+    "iceberg_bucket_evolution" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mult = iceberg.Puffin.KmvHashMult
+      val mod = iceberg.Puffin.KmvHashMod
+      val n = iceberg.IcebergTable.BucketN
+      s"""WITH base AS (SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m,
+        |   l_shipdate < TIMESTAMP '$cut' AS pre,
+        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
+        | k AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS kmax FROM base),
+        | kb AS (SELECT CAST(((kmax * $mult) % $mod) % $n AS BIGINT) AS kbkt FROM k),
+        | era AS (SELECT CAST(count(DISTINCT m) FILTER (WHERE pre) AS BIGINT) AS f0,
+        |   CAST(count(DISTINCT bkt) FILTER (WHERE NOT pre) AS BIGINT) AS f2,
+        |   CAST(count(*) FILTER (WHERE pre) AS BIGINT) AS rows0 FROM base),
+        | pt AS (SELECT
+        |   CAST(count(*) FILTER (WHERE NOT pre AND bkt = kbkt) AS BIGINT) AS bucket_rows,
+        |   CAST(count(*) FILTER (WHERE pre AND l_orderkey = kmax) AS BIGINT) AS key_pre,
+        |   CAST(count(*) FILTER (WHERE NOT pre AND l_orderkey = kmax) AS BIGINT) AS key_post
+        |   FROM base, k, kb),
+        | rg AS (SELECT CAST(count(*) AS BIGINT) AS fscan,
+        |   CAST(coalesce(sum(nn), 0) AS BIGINT) AS nsel
+        |   FROM (SELECT bkt, count(*) AS nn FROM base WHERE NOT pre GROUP BY bkt
+        |         HAVING min(m) <= '1997-03' AND max(m) >= '1997-01')),
+        | rr AS (SELECT CAST(count(*) FILTER (
+        |     WHERE NOT pre AND m BETWEEN '1997-01' AND '1997-03') AS BIGINT) AS range_rows
+        |   FROM base)
+        |SELECT '1_point_month_era' AS step, era.f0 AS era_files, era.f0 AS files_scanned,
+        |  era.rows0 AS rows_in_scanned, pt.key_pre AS check_rows FROM era, pt
+        |UNION ALL SELECT '2_point_bucket_era', f2,
+        |  CAST(CASE WHEN bucket_rows > 0 THEN 1 ELSE 0 END AS BIGINT), bucket_rows, key_post
+        |  FROM era, pt
+        |UNION ALL SELECT '3_range_month_era', f0, 0, 0, 0 FROM era
+        |UNION ALL SELECT '4_range_bucket_era', f2, rg.fscan, rg.nsel, rr.range_rows
+        |  FROM era, rg, rr
+        |ORDER BY step""".stripMargin
     },
 
     // `files` metadata table: one row per live data file — the fixture is

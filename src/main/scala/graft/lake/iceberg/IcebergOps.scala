@@ -503,6 +503,64 @@ object IcebergOps {
     arms.reduce(_ unionByName _).orderBy("probe")
   }
 
+  private def bucketEvoTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.bucketevo") {
+      val loc = Files.createTempDirectory("graft_iceberg_bucketevo_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.appendBucket(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      new String(loc)
+    }
+
+  /** Partition evolution ACROSS transform families — the real migration
+    * story (a month-partitioned table evolves TO `bucket[16](l_orderkey)`
+    * for its post-[[SnapshotCut]] era) and the two-sided trade it buys,
+    * censused per (probe, era) from the real planners:
+    *  - a POINT LOOKUP on the max key prunes the bucket era to one file
+    *    but must scan EVERY month-era file (identity specs cannot prune by
+    *    key — the honest cost history keeps paying until rewritten);
+    *  - a DATE-RANGE probe (1997-Q1) skips the month era at MANIFEST level
+    *    without opening it, while the bucket era's hash-scattered files
+    *    all overlap the range at their l_shipdate file bounds (bucket
+    *    summaries carry no time info — the mirror-image cost).
+    * check_rows reads ONLY the selected files and must equal the
+    * predicate's true row count per era — completeness proof that
+    * cross-spec planning loses nothing. */
+  def bucketEvolution(spark: SparkSession, lineitem: DataFrame,
+                      monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
+    val loc = bucketEvoTableFor(spark, lineitem)
+    val kmax = lineitem.agg(max(col("l_orderkey"))).head().getLong(0)
+    def isBucket(e: IcebergTable.DataFileEntry) = e.partition.startsWith("b")
+    val manifests = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(IcebergTable.readMetadata(loc)).manifestList)
+    val allFiles = manifests.flatMap(m =>
+      IcebergTable.readManifest(m.path).map(e => (m.specId, e)))
+      .filter(_._2.content == 0)
+    val era0Files = allFiles.count(_._1 == 0).toLong
+    val era2Files = allFiles.count(_._1 == 2).toLong
+    val point = IcebergTable.planBucketLookup(loc, kmax)
+    val (pB, pM) = point.files.partition(isBucket)
+    val range = IcebergTable.planFiles(loc, monthLo = Some(monthLo), monthHi = Some(monthHi))
+    val (rB, rM) = range.files.partition(isBucket)
+    def readCount(fs: Seq[IcebergTable.DataFileEntry], pred: org.apache.spark.sql.Column): Long =
+      if (fs.isEmpty) 0L
+      else spark.read.parquet(fs.map(_.path): _*).filter(pred).count()
+    val inRange = date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi)
+    val rows = Seq(
+      ("1_point_month_era", era0Files, pM.size.toLong,
+        pM.map(_.recordCount).sum, readCount(pM, col("l_orderkey") === kmax)),
+      ("2_point_bucket_era", era2Files, pB.size.toLong,
+        pB.map(_.recordCount).sum, readCount(pB, col("l_orderkey") === kmax)),
+      ("3_range_month_era", era0Files, rM.size.toLong,
+        rM.map(_.recordCount).sum, readCount(rM, inRange)),
+      ("4_range_bucket_era", era2Files, rB.size.toLong,
+        rB.map(_.recordCount).sum, readCount(rB, inRange)))
+    import spark.implicits._
+    rows.toDF("step", "era_files", "files_scanned", "rows_in_scanned", "check_rows")
+      .orderBy("step")
+  }
+
   /** The `files` metadata table (`SELECT * FROM tbl.files`): one row per
     * live data file in the current snapshot, straight from the manifest
     * entries with ZERO data IO — partition value, row count, the

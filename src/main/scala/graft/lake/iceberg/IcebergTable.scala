@@ -270,16 +270,22 @@ object IcebergTable {
 
   /** Point-lookup planning against a bucket-partitioned table: compute the
     * key's bucket, prune the manifest LIST on its partition summaries
-    * (only branches whose [partLo, partHi] covers the bucket are opened),
-    * then select the bucket's file entries — the two-level skip at bucket
-    * grain, all metadata IO. */
+    * (only bucket-spec branches whose [partLo, partHi] covers the bucket
+    * are opened), then select the bucket's file entries — the two-level
+    * skip at bucket grain, all metadata IO. SPEC-AWARE across partition
+    * evolution: manifests written under a non-bucket spec (identity month/
+    * week eras) cannot prune by key at all, so every one of their data
+    * files stays a scan candidate — the honest pre-migration cost a table
+    * evolved TO bucketing keeps paying for its history. */
   def planBucketLookup(location: String, key: Long): ScanPlan = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
     val b = bucketLabel(key)
-    val live = manifests.filter(m => m.partLo <= b && b <= m.partHi)
-    val entries = live.flatMap(m => readManifest(m.path))
-    val selected = entries.filter(e => e.content == 0 && e.partition == b)
+    val live = manifests.filter(m => m.specId != 2 || (m.partLo <= b && b <= m.partHi))
+    val entries = live.flatMap(m => readManifest(m.path).map(e => (m.specId, e)))
+    val selected = entries.collect {
+      case (sid, e) if e.content == 0 && (sid != 2 || e.partition == b) => e
+    }
     ScanPlan(selected, manifests.size, live.size,
       manifests.map(_.addedFiles.toLong).sum, selected.size)
   }
@@ -1249,6 +1255,10 @@ object IcebergTable {
     }
     def monthOverlaps(lo: String, hi: String, specId: Int): Boolean =
       if (specId == 0) monthLo.forall(l => hi >= l) && monthHi.forall(h => lo <= h)
+      // bucket partition summaries ("bNN") carry no time information — the
+      // manifest must be opened, and pruning happens exactly at the
+      // spec-independent l_shipdate FILE bounds below
+      else if (specId == 2) true
       else monthLo.forall(l => nextMonth(hi.take(7)) >= l) &&
         monthHi.forall(h => lo.take(7) <= h)
     def dateOverlaps(lo: String, hi: String): Boolean =

@@ -1031,6 +1031,27 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("bucket evolution: cross-spec planning is complete and prunes per era") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.bucketEvolution(spark, lineitem).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    val p1 = rows("1_point_month_era")
+    assert(p1.getAs[Long]("files_scanned") == p1.getAs[Long]("era_files"),
+      "identity era cannot prune by key — every file stays a candidate")
+    val p2 = rows("2_point_bucket_era")
+    assert(p2.getAs[Long]("files_scanned") <= 1L)
+    val r3 = rows("3_range_month_era")
+    assert(r3.getAs[Long]("files_scanned") == 0L && r3.getAs[Long]("check_rows") == 0L,
+      "post-cut range must skip the month era at manifest level")
+    val r4 = rows("4_range_bucket_era")
+    assert(r4.getAs[Long]("files_scanned") == r4.getAs[Long]("era_files"),
+      "hash-scattered bucket files all overlap the range at their ship bounds")
+    // completeness: the cross-spec point lookup finds every row of the key
+    val kmax = lineitem.agg(max(col("l_orderkey"))).head().getLong(0)
+    assert(p1.getAs[Long]("check_rows") + p2.getAs[Long]("check_rows") ==
+      lineitem.filter(col("l_orderkey") === kmax).count())
+  }
+
   test("row lineage: second lineage-preserving compaction keeps materialized ids") {
     import graft.lake.iceberg.IcebergTable
     val slice = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-02")
