@@ -153,6 +153,27 @@ object Bench {
     // per-snapshot rescan:
     "iceberg_changelog_mixed")
 
+  /** Rung-profile integrity primitives (unit-tested in ScaleTrendSpec):
+    * executor cpu is physically monotone in data volume for any plan, so a
+    * measured dip is a measurement artifact (one-time JIT landing on an
+    * earlier rung) — [[monotoneCpu]] detects it (5% tolerance) and
+    * [[cpuEnvelope]] is the monotone envelope ratios are computed on, so a
+    * residual dip raises the denominator to the largest smaller-volume
+    * rung (a lower bound on the rung's true cost) instead of feeding the
+    * ratio a measurement the profile itself refutes. */
+  def monotoneCpu(cpu: Seq[Double]): Boolean =
+    cpu.sliding(2).forall { case Seq(a, b) => b >= 0.95 * a; case _ => true }
+
+  /** env[i] = max(cpu[0..i]) — see [[monotoneCpu]]. */
+  def cpuEnvelope(cpu: Seq[Double]): Seq[Double] = cpu.scanLeft(0.0)(math.max).tail
+
+  /** cpu(hi-rung)/cpu(next rung) on the monotone envelope — the scale-flag
+    * statistic. */
+  def envelopeRatioHi(cpu: Seq[Double]): Double = {
+    val env = cpuEnvelope(cpu)
+    env.last / math.max(env(env.size - 2), 1e-3)
+  }
+
   /** Committed idle-box per-query seconds (best observed on a quiet host);
     * keyed by scale-factor directory name — comparing an sf1 run against
     * sf0.1 times would trip the 2× trigger on every query and silently
@@ -370,13 +391,10 @@ object Bench {
               //    denominator to the largest smaller-volume rung — a lower
               //    bound on the rung's true cost — instead of feeding the
               //    ratio a measurement the profile itself refutes.
-              def monotone(cpu: Seq[Double]): Boolean =
-                cpu.sliding(2).forall { case Seq(a, b) => b >= 0.95 * a; case _ => true }
-              def envelope(cpu: Seq[Double]): Seq[Double] = cpu.scanLeft(0.0)(math.max).tail
               val nonMonotone = scala.collection.mutable.ArrayBuffer.empty[String]
               val firstMeasure = qnames.map { q =>
                 var ts = measure(q)
-                if (!scaleFailed(q) && !monotone(ts.map(_._3))) {
+                if (!scaleFailed(q) && !monotoneCpu(ts.map(_._3))) {
                   nonMonotone += q
                   val failedBefore = scaleFailed.contains(q)
                   val ts2 = measure(q)
@@ -388,10 +406,7 @@ object Bench {
                 q -> ts
               }
               val (mLo, mHi) = (mults(mults.size - 2), mults.last)
-              def ratioHi(ts: Seq[Double]): Double = {
-                val env = envelope(ts)
-                env.last / math.max(env(env.size - 2), 1e-3)
-              }
+              def ratioHi(ts: Seq[Double]): Double = envelopeRatioHi(ts)
               val ctlRatio = ratioHi(controlCpu)
               val flagThreshold = math.max(scaleFlagRatio, 1.5 * ctlRatio)
               def thresholdFor(q: String): Double =

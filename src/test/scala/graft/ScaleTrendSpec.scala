@@ -96,4 +96,32 @@ class ScaleTrendSpec extends SparkSpec {
     val s = SparkEntry.queries("ev_sessionize")(spark, x3)
     assert(s.count() === 3 * b.count())
   }
+
+  test("rung guard: non-monotone cpu profiles detected, envelope defuses the dip") {
+    // the r14 false-confirm profile: a JIT-inflated 1x rung above the 4x
+    // rung — raw last/mid ratio 9.78, envelope ratio divides by the 1x
+    // lower bound instead of the deflated denominator
+    val dip = Seq(0.508, 0.283, 2.766)
+    assert(!Bench.monotoneCpu(dip))
+    assert(Bench.cpuEnvelope(dip) == Seq(0.508, 0.508, 2.766))
+    assert(Bench.envelopeRatioHi(dip) < dip(2) / dip(1))
+    assert(math.abs(Bench.envelopeRatioHi(dip) - 2.766 / 0.508) < 1e-9)
+    // a clean monotone profile passes untouched and keeps its raw ratio
+    val clean = Seq(0.109, 0.150, 0.203)
+    assert(Bench.monotoneCpu(clean))
+    assert(Bench.cpuEnvelope(clean) == clean)
+    assert(math.abs(Bench.envelopeRatioHi(clean) - 0.203 / 0.150) < 1e-9)
+    // small jitter inside the 5% tolerance is not a dip
+    assert(Bench.monotoneCpu(Seq(1.00, 0.97, 1.5)))
+    // a dip on the LAST rung clamps the ratio at >= 1 territory (the
+    // numerator rises to the envelope, never below the denominator)
+    val lastDip = Seq(0.5, 1.0, 0.6)
+    assert(!Bench.monotoneCpu(lastDip))
+    assert(math.abs(Bench.envelopeRatioHi(lastDip) - 1.0) < 1e-9)
+    // a genuinely super-linear profile keeps its full ratio — the guard
+    // cannot mask a real flag
+    val quad = Seq(0.1, 1.6, 25.6)
+    assert(Bench.monotoneCpu(quad))
+    assert(math.abs(Bench.envelopeRatioHi(quad) - 16.0) < 1e-9)
+  }
 }
