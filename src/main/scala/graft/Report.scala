@@ -208,6 +208,10 @@ object Report {
         "from the manifest list's partition summaries — the key-equality pruning identity " +
         "and date specs cannot provide.",
         htmlTable(q("iceberg_bucket_prune"))),
+      section("Iceberg bucket MOR point lookup", "The bucket transform composed with v3 " +
+        "deletion vectors: one file planned per key, its DV blob anti-joined on position " +
+        "before the key filter — a deleted key returns zero rows from a one-file scan.",
+        htmlTable(q("iceberg_bucket_mor"))),
       section("Iceberg bucket evolution (identity → bucket)", "Partition evolution across " +
         "transform families: the point lookup prunes the bucket era to one file but scans " +
         "every month-era file; the date-range probe skips the month era at manifest level " +

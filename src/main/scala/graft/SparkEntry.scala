@@ -94,6 +94,7 @@ object SparkEntry {
     "iceberg_changelog_mixed" -> q((s, d) => iceberg.IcebergOps.changelogMixed(s, Tables.lineitem(s, d))),
     "iceberg_bucket_prune" -> q((s, d) => iceberg.IcebergOps.bucketPointLookup(s, Tables.lineitem(s, d))),
     "iceberg_bucket_evolution" -> q((s, d) => iceberg.IcebergOps.bucketEvolution(s, Tables.lineitem(s, d))),
+    "iceberg_bucket_mor" -> q((s, d) => iceberg.IcebergOps.bucketMorLookup(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
@@ -386,6 +387,7 @@ object SparkEntry {
     "iceberg_orphan_scan",         // iceberg.table.orphan
     "iceberg_bucket_prune",        // iceberg.table.bucket
     "iceberg_bucket_evolution",    // iceberg.table.bucketevo
+    "iceberg_bucket_mor",          // iceberg.table.bucketmor
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
@@ -1774,6 +1776,35 @@ object SparkEntry {
         |UNION ALL SELECT '4_range_bucket_era', f2, rg.fscan, rg.nsel, rr.range_rows
         |  FROM era, rg, rr
         |ORDER BY step""".stripMargin
+    },
+
+    // Point lookup under MOR on a bucket table: one file planned per key,
+    // that file's DV blob (keys ≡ 6 mod 10) applied on position before the
+    // key filter — a deleted key returns zero rows from a one-file scan.
+    "iceberg_bucket_mor" -> {
+      val mult = iceberg.Puffin.KmvHashMult
+      val mod = iceberg.Puffin.KmvHashMod
+      val n = iceberg.IcebergTable.BucketN
+      val dmod = iceberg.IcebergOps.DeleteKeyMod
+      val res = iceberg.IcebergOps.BucketMorResidue
+      s"""WITH b AS (SELECT l_orderkey, l_quantity,
+        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt,
+        |   l_orderkey % $dmod = $res AS dead FROM lineitem),
+        | pr AS (SELECT 'kmax' AS probe, CAST(max(l_orderkey) AS BIGINT) AS key FROM b
+        |   UNION ALL SELECT 'kmin', CAST(min(l_orderkey) AS BIGINT) FROM b)
+        |SELECT pr.probe,
+        | 'b' || lpad(CAST(((pr.key * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
+        | CAST(1 AS BIGINT) AS files_scanned,
+        | (SELECT CAST(CASE WHEN count(*) FILTER (WHERE dead) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |   FROM b WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS dv_blobs,
+        | (SELECT CAST(count(*) FILTER (WHERE dead) AS BIGINT)
+        |   FROM b WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS deleted_in_file,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b
+        |   WHERE b.l_orderkey = pr.key AND NOT dead) AS live_key_rows,
+        | (SELECT coalesce(round(sum(l_quantity), 4), 0.0) FROM b
+        |   WHERE b.l_orderkey = pr.key AND NOT dead) AS sum_qty
+        |FROM pr
+        |ORDER BY probe""".stripMargin
     },
 
     // `files` metadata table: one row per live data file — the fixture is

@@ -503,6 +503,76 @@ object IcebergOps {
     arms.reduce(_ unionByName _).orderBy("probe")
   }
 
+  /** Delete predicate for the bucket-MOR fixture (spliced into the
+    * oracle): rows with l_orderkey ≡ 6 (mod [[DeleteKeyMod]]) carry a v3
+    * deletion vector. */
+  val BucketMorResidue = 6L
+
+  private def bucketMorTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.bucketmor") {
+      val loc = Files.createTempDirectory("graft_iceberg_bucketmor_").toString
+      IcebergTable.appendBucket(spark, lineitem, loc)
+      IcebergTable.appendDvPuffin(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)) === BucketMorResidue)
+      new String(loc)
+    }
+
+  /** Point lookup UNDER MERGE-ON-READ on a bucket-partitioned table — the
+    * two real-format features composed the way a real reader composes
+    * them: the bucket transform plans the probe key down to ONE data file
+    * (manifest-summary prune), then that file's v3 deletion-vector blob
+    * (keys ≡ [[BucketMorResidue]]) is decoded executor-side and
+    * anti-joined on position before the key filter — so a deleted key
+    * correctly returns zero rows while the scan still reads exactly one
+    * file. Census: blob count and asserted cardinality for the selected
+    * file from manifest stats, live key rows + quantity from the one-file
+    * MOR read. Every number replays in DuckDB from the residue classes
+    * and the replayable bucket hash. */
+  def bucketMorLookup(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = bucketMorTableFor(spark, lineitem)
+    val bounds = lineitem.agg(min(col("l_orderkey")).as("kmin"),
+      max(col("l_orderkey")).as("kmax")).head()
+    val probes = Seq("kmax" -> bounds.getAs[Long]("kmax"),
+      "kmin" -> bounds.getAs[Long]("kmin"))
+    val meta = IcebergTable.readMetadata(loc)
+    val dvEntries = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+      .filter(e => e.content == 1 && e.referencedDataFile.isDefined)
+    val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+    import org.apache.spark.sql.Encoders
+    val binEnc = Encoders.BINARY
+    val arms = probes.map { case (label, key) =>
+      val plan = IcebergTable.planBucketLookup(loc, key)
+      val file = plan.files.head
+      val dvs = dvEntries.filter(_.referencedDataFile.get == file.path)
+      var df = spark.read.parquet(file.path)
+        .withColumn("__pos", col("_metadata.row_index").cast("long"))
+      if (dvs.nonEmpty) {
+        val blobs = dvs.map { e =>
+          val slice = blobCache.getOrElseUpdate(e.path,
+            Puffin.read(new java.io.File(e.path))._2)
+          slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+            e.contentOffset, e.contentSize))
+        }
+        val dvPos = spark.createDataset(blobs)(binEnc)
+          .flatMap(b => RoaringDv.deserializeDvBlob(b))(Encoders.scalaLong)
+          .toDF("dv_pos")
+        df = df.join(broadcast(dvPos), col("__pos") === col("dv_pos"), "left_anti")
+      }
+      df.filter(col("l_orderkey") === key)
+        .agg(count(lit(1)).as("live_key_rows"),
+          coalesce(round(sum(col("l_quantity")), 4), lit(0.0)).as("sum_qty"))
+        .select(lit(label).as("probe"),
+          lit(IcebergTable.bucketLabel(key)).as("bucket"),
+          lit(plan.filesSelected.toLong).as("files_scanned"),
+          lit(dvs.size.toLong).as("dv_blobs"),
+          lit(dvs.map(_.recordCount).sum).as("deleted_in_file"),
+          col("live_key_rows"), col("sum_qty"))
+    }
+    arms.reduce(_ unionByName _).orderBy("probe")
+  }
+
   private def bucketEvoTableFor(spark: SparkSession, lineitem: DataFrame): String =
     graft.plans.Memo.memoize(lineitem, "iceberg.table.bucketevo") {
       val loc = Files.createTempDirectory("graft_iceberg_bucketevo_").toString

@@ -1052,6 +1052,34 @@ class IcebergSpec extends SparkSpec {
       lineitem.filter(col("l_orderkey") === kmax).count())
   }
 
+  test("bucket MOR lookup: one-file scan, DV-deleted keys net zero, live keys intact") {
+    import graft.lake.iceberg.IcebergOps
+    val rows = IcebergOps.bucketMorLookup(spark, lineitem).collect()
+    assert(rows.length == 2)
+    val keys = Map(
+      "kmin" -> lineitem.agg(min(col("l_orderkey"))).head().getLong(0),
+      "kmax" -> lineitem.agg(max(col("l_orderkey"))).head().getLong(0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_scanned") == 1L, "bucket plan must stay one file under MOR")
+      val key = keys(r.getAs[String]("probe"))
+      val expect =
+        if (key % IcebergOps.DeleteKeyMod == IcebergOps.BucketMorResidue) 0L
+        else lineitem.filter(col("l_orderkey") === key).count()
+      assert(r.getAs[Long]("live_key_rows") == expect,
+        s"probe ${r.getAs[String]("probe")}: DV resolution wrong on the one-file scan")
+      // manifest-stats cardinality equals the residue population of the
+      // probe's bucket (possibly zero — TPC-H orderkeys are sparse mod 10)
+      val inBucket = pmod(pmod(col("l_orderkey") * lit(graft.lake.iceberg.Puffin.KmvHashMult),
+        lit(graft.lake.iceberg.Puffin.KmvHashMod)), lit(IcebergTable.BucketN.toLong))
+      val expectDeleted = lineitem.filter(
+        inBucket === (IcebergTable.bucketLabel(key).drop(1).toLong) &&
+        pmod(col("l_orderkey"), lit(IcebergOps.DeleteKeyMod)) === IcebergOps.BucketMorResidue
+      ).count()
+      assert(r.getAs[Long]("deleted_in_file") == expectDeleted,
+        s"probe ${r.getAs[String]("probe")}: DV cardinality != bucket residue population")
+    }
+  }
+
   test("row lineage: second lineage-preserving compaction keeps materialized ids") {
     import graft.lake.iceberg.IcebergTable
     val slice = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-02")
