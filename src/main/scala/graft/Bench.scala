@@ -205,6 +205,11 @@ object Bench {
     val errStream = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.err), true)
     System.setOut(errStream)
+    // Force scala.Console's lazy init NOW, post-redirect: 2.13 removed
+    // Console.setOut, and the root DynamicVariable captures
+    // java.lang.System.out at class init — touching it here makes
+    // Scala-side println default to the stderr wrapper for this JVM.
+    require(scala.Console.out ne null)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -396,9 +401,10 @@ object Bench {
                 var ts = measure(q)
                 if (!scaleFailed(q) && !monotoneCpu(ts.map(_._3))) {
                   nonMonotone += q
-                  val failedBefore = scaleFailed.contains(q)
                   val ts2 = measure(q)
-                  if (scaleFailed.contains(q) && !failedBefore) scaleFailed -= q // keep pass 1
+                  // a re-measure that FAILS keeps the valid first pass
+                  // (q was not in scaleFailed on entry to this branch)
+                  if (scaleFailed.contains(q)) scaleFailed -= q
                   else ts = ts.zip(ts2).map { case ((w1, t1, c1), (w2, t2, c2)) =>
                     (math.min(w1, w2), math.min(t1, t2), math.min(c1, c2))
                   }
@@ -846,7 +852,10 @@ object Bench {
         f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
         writeHeadline + scaleSummary +
         f""","contention_x":$contentionX%.2f,"artifact":"$outPath","sf":"$sfDir"}"""
-    spark.stop()
+    // stop() is best-effort: a shutdown-race exception must not cost the
+    // contract line (the whole point of holding realOut for last)
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     realOut.println(compactLine)
     realOut.flush()
   }

@@ -31,6 +31,9 @@ object ExtensionsSmoke {
     val bs = spark.sql("SELECT graft_bytesum(CAST('AB' AS BINARY)) AS s")
       .head().getLong(0)
     assert(bs == 131L, s"graft_bytesum: $bs")
+    val ent = spark.sql("SELECT graft_entropy(CAST('AABB' AS BINARY)) AS e")
+      .head().getDouble(0)
+    assert(math.abs(ent - 1.0) < 1e-12, s"graft_entropy: $ent")
     // FusePercentiles: four scalar percentiles collapse to one array call
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "x")
       .groupBy($"g")

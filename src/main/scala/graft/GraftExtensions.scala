@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteSum, DotProduct}
+import graft.functions.{ByteEntropy, ByteSum, DotProduct}
 
 /** Session-extension entry point: the standard no-code-change deployment
   * path for the graft function library —
@@ -12,10 +12,10 @@ import graft.functions.{ByteSum, DotProduct}
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * registers the native expressions (`graft_dot`, `graft_bytesum`) into
-  * every session built from that config, so pure-SQL users get them without
-  * calling `GraftSession.tune`. (`tune` remains the programmatic route; both
-  * register the same expressions idempotently.)
+  * registers the native expressions (`graft_dot`, `graft_bytesum`,
+  * `graft_entropy`) into every session built from that config, so pure-SQL
+  * users get them without calling `GraftSession.tune`. (`tune` remains the
+  * programmatic route; both register the same expressions idempotently.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bytesum"),
       new ExpressionInfo(classOf[ByteSum].getName, "graft_bytesum"),
       (children: Seq[Expression]) => ByteSum(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[ByteEntropy].getName, "graft_entropy"),
+      (children: Seq[Expression]) => ByteEntropy(children.head)))
   }
 }

@@ -481,11 +481,7 @@ object IcebergOps {
     * bucket population and the probe rows exactly. */
   def bucketPointLookup(spark: SparkSession, lineitem: DataFrame): DataFrame = {
     val loc = bucketTableFor(spark, lineitem)
-    val bounds = lineitem.agg(min(col("l_orderkey")).as("kmin"),
-      max(col("l_orderkey")).as("kmax")).head()
-    val probes = Seq("kmax" -> bounds.getAs[Long]("kmax"),
-      "kmin" -> bounds.getAs[Long]("kmin"))
-    val arms = probes.map { case (label, key) =>
+    val arms = probeKeys(lineitem).map { case (label, key) =>
       val plan = IcebergTable.planBucketLookup(loc, key)
       spark.read.parquet(plan.files.map(_.path): _*)
         .filter(col("l_orderkey") === key)
@@ -507,6 +503,15 @@ object IcebergOps {
     * oracle): rows with l_orderkey ≡ 6 (mod [[DeleteKeyMod]]) carry a v3
     * deletion vector. */
   val BucketMorResidue = 6L
+
+  /** Shared probe keys for the bucket lookup queries: the corpus min and
+    * max order keys (one full-table aggregation, labels sorted so every
+    * query's output order is `kmax`, `kmin`). */
+  private def probeKeys(lineitem: DataFrame): Seq[(String, Long)] = {
+    val bounds = lineitem.agg(min(col("l_orderkey")).as("kmin"),
+      max(col("l_orderkey")).as("kmax")).head()
+    Seq("kmax" -> bounds.getAs[Long]("kmax"), "kmin" -> bounds.getAs[Long]("kmin"))
+  }
 
   private def bucketMorTableFor(spark: SparkSession, lineitem: DataFrame): String =
     graft.plans.Memo.memoize(lineitem, "iceberg.table.bucketmor") {
@@ -530,10 +535,7 @@ object IcebergOps {
     * and the replayable bucket hash. */
   def bucketMorLookup(spark: SparkSession, lineitem: DataFrame): DataFrame = {
     val loc = bucketMorTableFor(spark, lineitem)
-    val bounds = lineitem.agg(min(col("l_orderkey")).as("kmin"),
-      max(col("l_orderkey")).as("kmax")).head()
-    val probes = Seq("kmax" -> bounds.getAs[Long]("kmax"),
-      "kmin" -> bounds.getAs[Long]("kmin"))
+    val probes = probeKeys(lineitem)
     val meta = IcebergTable.readMetadata(loc)
     val dvEntries = IcebergTable.readManifestList(
       IcebergTable.currentSnapshot(meta).manifestList)
@@ -600,7 +602,7 @@ object IcebergOps {
   def bucketEvolution(spark: SparkSession, lineitem: DataFrame,
                       monthLo: String = "1997-01", monthHi: String = "1997-03"): DataFrame = {
     val loc = bucketEvoTableFor(spark, lineitem)
-    val kmax = lineitem.agg(max(col("l_orderkey"))).head().getLong(0)
+    val kmax = probeKeys(lineitem).collectFirst { case ("kmax", k) => k }.get
     def isBucket(e: IcebergTable.DataFileEntry) = e.partition.startsWith("b")
     val manifests = IcebergTable.readManifestList(
       IcebergTable.currentSnapshot(IcebergTable.readMetadata(loc)).manifestList)
@@ -679,9 +681,14 @@ object IcebergOps {
   def historyMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
     val loc = tableFor(spark, lineitem)
     val meta = IcebergTable.readMetadata(loc)
+    // manifests are immutable and append histories share them across
+    // snapshots — cache by path so the walk is O(distinct manifests), not
+    // O(snapshots × manifests)
+    val cache = scala.collection.mutable.Map.empty[String, Seq[IcebergTable.DataFileEntry]]
     val rows = meta.snapshots.sortBy(_.id).map { s =>
       val manifests = IcebergTable.readManifestList(s.manifestList)
-      val entries = manifests.flatMap(m => IcebergTable.readManifest(m.path))
+      val entries = manifests.flatMap(m =>
+        cache.getOrElseUpdate(m.path, IcebergTable.readManifest(m.path)))
       (s.id, s.sequenceNumber, s.operation, s.id == meta.currentSnapshotId,
         manifests.size.toLong, entries.filter(_.content == 0).map(_.recordCount).sum)
     }
@@ -1545,7 +1552,12 @@ object IcebergOps {
     * O(history × table scan); at 100 TB with a months-long snapshot log
     * that is a scale-killer). Positional parquet deletes contribute their
     * own (file_path, pos) rows gated by the broadcast target-file map
-    * (live ∧ strictly-older, the spec scoping); equality deletes resolve
+    * (live ∧ strictly-older — matching this engine's readers
+    * readMorPositional/readMorUnified; the spec's rule for position
+    * deletes is data_sequence ≤ delete_sequence, and the two coincide
+    * here because commits are single-operation: a data file and a
+    * positional delete never share a sequence); equality deletes —
+    * strictly-older per the spec — resolve
     * keys to positions with ONE bounded scan of the strictly-older
     * candidate data files semi-joined against the broadcast key table.
     * Mechanics for DVs: each distinct Puffin blob is
@@ -1653,7 +1665,9 @@ object IcebergOps {
     //    positions explode executor-side (the readMorDv pattern);
     //  - v2 positional parquet: the delete files' own (file_path, pos)
     //    rows, each gated through the broadcast file map (target live ∧
-    //    target sequence < delete sequence — the spec scoping);
+    //    target sequence < delete sequence — the readers' convention; the
+    //    spec's ≤ coincides because commits are single-operation, so a
+    //    data file never shares a sequence with a positional delete);
     //  - equality deletes: key-predicate cardinalities resolved by ONE
     //    bounded scan of the candidate (strictly older) data files
     //    semi-joined with the broadcast key table — never a per-snapshot

@@ -37,6 +37,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val bs = spark.sql("SELECT graft_bytesum(CAST('AB' AS BINARY)) AS s")
         .collect()(0).getLong(0)
       assert(bs == 65L + 66L)
+      // 'AABB' has two symbols at p=1/2 each -> exactly 1 bit
+      val ent = spark.sql("SELECT graft_entropy(CAST('AABB' AS BINARY)) AS e")
+        .collect()(0).getDouble(0)
+      assert(math.abs(ent - 1.0) < 1e-12)
 
       // FusePercentiles: four scalar percentiles over the same column must
       // collapse to ONE array percentile, with identical values.
