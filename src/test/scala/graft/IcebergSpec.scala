@@ -1052,6 +1052,20 @@ class IcebergSpec extends SparkSpec {
       lineitem.filter(col("l_orderkey") === kmax).count())
   }
 
+  test("bucket table metadata defines the bucket[16] partition spec (spec-follower readable)") {
+    import graft.lake.iceberg.IcebergTable
+    val slice = lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-03")
+    val loc = java.nio.file.Files.createTempDirectory("graft_iceberg_bucketspec_").toString
+    IcebergTable.appendBucket(spark, slice, loc)
+    val mdir = new java.io.File(s"$loc/metadata")
+    val latest = mdir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val json = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+    assert(json.contains("\"transform\":\"bucket[" + IcebergTable.BucketN + "]\""),
+      "partition-specs must DEFINE the bucket transform a spec-following reader needs")
+    assert(json.contains("\"default-spec-id\":2"))
+  }
+
   test("bucket MOR lookup: one-file scan, DV-deleted keys net zero, live keys intact") {
     import graft.lake.iceberg.IcebergOps
     val rows = IcebergOps.bucketMorLookup(spark, lineitem).collect()
