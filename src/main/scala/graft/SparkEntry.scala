@@ -76,6 +76,7 @@ object SparkEntry {
     "iceberg_mixed_deletes" -> q((s, d) => iceberg.IcebergOps.mixedDeletesRead(s, Tables.lineitem(s, d))),
     "iceberg_meta_tables" -> q((s, d) => iceberg.IcebergOps.partitionsMeta(s, Tables.lineitem(s, d))),
     "iceberg_files_meta" -> q((s, d) => iceberg.IcebergOps.filesMeta(s, Tables.lineitem(s, d))),
+    "iceberg_entries_meta" -> q((s, d) => iceberg.IcebergOps.entriesMeta(s, Tables.lineitem(s, d))),
     "iceberg_manifests_meta" -> q((s, d) => iceberg.IcebergOps.manifestsMeta(s, Tables.lineitem(s, d))),
     "iceberg_history_meta" -> q((s, d) => iceberg.IcebergOps.historyMeta(s, Tables.lineitem(s, d))),
     "iceberg_dv_puffin" -> q((s, d) => iceberg.IcebergOps.dvPuffinRead(s, Tables.lineitem(s, d))),
@@ -96,6 +97,7 @@ object SparkEntry {
     "iceberg_bucket_evolution" -> q((s, d) => iceberg.IcebergOps.bucketEvolution(s, Tables.lineitem(s, d))),
     "iceberg_bucket_mor" -> q((s, d) => iceberg.IcebergOps.bucketMorLookup(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
+    "iceberg_rewrite_deletes" -> q((s, d) => iceberg.IcebergOps.rewriteDeletesSummary(s, Tables.lineitem(s, d))),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -392,6 +394,7 @@ object SparkEntry {
     "iceberg_commit_series",       // iceberg.table.series
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
     "iceberg_dv_compact",          // iceberg.table.dvcompact
+    "iceberg_rewrite_deletes",     // iceberg.table.rewritedel
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1160,6 +1163,38 @@ object SparkEntry {
         |FROM months, blobs, pos, tot""".stripMargin
     },
 
+    // rewrite_position_deletes: three positional waves (two v2 pos-parquet
+    // files — the mod-5 wave overlapping the mod-10 one — plus a DV wave)
+    // consolidate into one DV per data file; data files are one per month,
+    // so blob counts are DISTINCT-month census and the union dedup is the
+    // residue arithmetic DuckDB replays.
+    "iceberg_rewrite_deletes" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val r1 = iceberg.IcebergOps.PosDeleteResidue
+      val rdv = iceberg.IcebergOps.DvDeleteResidue
+      val mod2 = iceberg.IcebergOps.PosDeleteMod2
+      val r2 = iceberg.IcebergOps.PosDeleteResidue2
+      s"""WITH t AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS m,
+        |   (l_orderkey % $mod = $r1 OR l_orderkey % $mod = $rdv
+        |    OR l_orderkey % $mod2 = $r2) AS del FROM lineitem),
+        | pre AS (SELECT CAST(count(*) FILTER (WHERE l_orderkey % $mod = $r1) AS BIGINT)
+        |     + CAST(count(*) FILTER (WHERE l_orderkey % $mod = $rdv) AS BIGINT)
+        |     + CAST(count(*) FILTER (WHERE l_orderkey % $mod2 = $r2) AS BIGINT) AS pre_sum,
+        |   CAST(count(*) FILTER (WHERE del) AS BIGINT) AS post_union,
+        |   CAST(count(DISTINCT m) FILTER (WHERE l_orderkey % $mod = $rdv) AS BIGINT) AS nb_pre,
+        |   CAST(count(DISTINCT m) FILTER (WHERE del) AS BIGINT) AS nb_post FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(2 AS BIGINT) AS pos_files_replaced, pre.nb_pre AS dv_blobs_replaced,
+        | pre.nb_post AS dv_blobs_post, pre.pre_sum AS positions_pre_sum,
+        | pre.post_union AS positions_post, CAST(6 AS BIGINT) AS n_snapshots
+        |FROM t, pre
+        |WHERE m BETWEEN '1996-11' AND '1997-02' AND NOT del
+        |GROUP BY 1, pre.nb_pre, pre.nb_post, pre.pre_sum, pre.post_union
+        |ORDER BY 1""".stripMargin
+    },
+
     // CDC changelog over the storm table's history: two append eras split
     // at SnapshotCut, four disjoint-residue DV waves, then the fold that
     // re-asserts the union but must emit ZERO net deletes — all counts
@@ -1585,8 +1620,10 @@ object SparkEntry {
         | tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM base),
         | vict AS (
         |   SELECT 1 AS w, p_month, pos FROM pos WHERE l_orderkey % $sm = $sr
-        |   UNION ALL SELECT 2, p_month, pos FROM pos WHERE (l_orderkey * $mul) % $pm = $pr
-        |   UNION ALL SELECT 3, p_month, pos FROM pos WHERE (l_orderkey * $mul) % $dm < $dl),
+        |   UNION ALL SELECT 2, p_month, pos FROM pos
+        |     WHERE ((l_orderkey & ${iceberg.IcebergOps.CliffKeyMask}) * $mul) % $pm = $pr
+        |   UNION ALL SELECT 3, p_month, pos FROM pos
+        |     WHERE ((l_orderkey & ${iceberg.IcebergOps.CliffKeyMask}) * $mul) % $dm < $dl),
         | runs AS (SELECT w, p_month, pos // 65536 AS hi, pos,
         |   pos - ROW_NUMBER() OVER (PARTITION BY w, p_month, pos // 65536
         |     ORDER BY pos) AS grp FROM vict),
@@ -1820,6 +1857,31 @@ object SparkEntry {
         | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '${iceberg.IcebergOps.SnapshotCut}'
         |      THEN 1 ELSE 2 END AS BIGINT) AS sequence_number
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // `entries` metadata table over the mixed-form fixture: data entries
+    // per month keyed to their commit era, plus the equality- and
+    // positional-delete entries with their scoping coordinates — the
+    // delete-file inspection surface `files` lacks. Paths are projected
+    // out (tmp dirs); every remaining column is residue/era arithmetic.
+    "iceberg_entries_meta" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rp = iceberg.IcebergOps.PosDeleteResidue
+      s"""SELECT 'data' AS content_type, strftime(l_shipdate, '%Y-%m') AS p_month,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '$cut' THEN 1 ELSE 2 END AS BIGINT)
+        |   AS sequence_number,
+        | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '$cut' THEN 1 ELSE 2 END AS BIGINT)
+        |   AS added_snapshot_id
+        |FROM lineitem GROUP BY 2
+        |UNION ALL SELECT 'equality_deletes', '',
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT), 3, 3
+        |FROM lineitem WHERE l_orderkey % $mod = 3
+        |UNION ALL SELECT 'position_deletes', '',
+        | CAST(count(*) AS BIGINT), 4, 4
+        |FROM lineitem WHERE l_orderkey % $mod = $rp
+        |ORDER BY 1, 2, 4""".stripMargin
+    },
 
     // `manifests` metadata table: one manifest per commit era, with its
     // added file/row counts and partition-summary bounds.

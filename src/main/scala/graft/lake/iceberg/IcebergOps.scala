@@ -698,6 +698,36 @@ object IcebergOps {
       .orderBy("snapshot_id")
   }
 
+  /** The `entries` metadata table (`SELECT * FROM tbl.entries`) — the
+    * manifest-entry inspection surface `files` does NOT give: one row per
+    * CURRENT-snapshot manifest entry including the DELETE files (equality
+    * and positional), with the content type, partition, record count, and
+    * the sequence/snapshot coordinates that scope delete application.
+    * Read from metadata alone over the mixed-form fixture, so the census
+    * spans all three entry kinds; paths are projected out (tmp-dir
+    * nondeterminism), everything else is the deterministic layout. */
+  def entriesMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = mixedTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val rows = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+      .map { e =>
+        val kind = e.content match {
+          case 0 => "data"
+          case 1 => if (e.referencedDataFile.isDefined) "deletion_vector"
+                    else "position_deletes"
+          case _ => "equality_deletes"
+        }
+        (kind, e.partition, e.recordCount, e.sequence, e.entrySnapshotId)
+      }
+      .sortBy(r => (r._1, r._2, r._4))
+    import spark.implicits._
+    rows.toDF("content_type", "p_month", "n_rows", "sequence_number",
+      "added_snapshot_id")
+      .orderBy("content_type", "p_month", "sequence_number")
+  }
+
   /** KMV sketch size for the Puffin NDV blobs (spliced into the oracle). */
   val PuffinK = 64
 
@@ -1224,10 +1254,22 @@ object IcebergOps {
   val CliffPageMod   = 30L;   val CliffPageRes   = 7L
   val CliffDenseMod  = 10L;   val CliffDenseLt   = 5L
 
-  private def cliffPred(i: Int): org.apache.spark.sql.Column = i match {
-    case 0 => pmod(col("l_orderkey"), lit(CliffSparseMod)) === CliffSparseRes
-    case 1 => pmod(col("l_orderkey") * CliffHashMul, lit(CliffPageMod)) === CliffPageRes
-    case _ => pmod(col("l_orderkey") * CliffHashMul, lit(CliffDenseMod)) < CliffDenseLt
+  /** Low-31-bit key mask for the Knuth hash: raw keys stay < 2³¹ at every
+    * test SF so the mask is IDENTITY there (blob bytes and the DuckDB
+    * oracle are unchanged), but the bench's replica-scaled rungs shift
+    * keys by i·2⁴⁰ and the unmasked multiply overflows int64 under ANSI
+    * (2⁴⁰·2654435761 ≈ 2.9·10²¹) — masking first keeps the multiply in
+    * range at ANY key magnitude, and 2⁴⁰ ≡ 0 (mod 2³¹) means every
+    * replica scatters exactly like the base rows. */
+  val CliffKeyMask = 0x7FFFFFFFL
+
+  private def cliffPred(i: Int): org.apache.spark.sql.Column = {
+    val k = col("l_orderkey").bitwiseAND(lit(CliffKeyMask))
+    i match {
+      case 0 => pmod(col("l_orderkey"), lit(CliffSparseMod)) === CliffSparseRes
+      case 1 => pmod(k * CliffHashMul, lit(CliffPageMod)) === CliffPageRes
+      case _ => pmod(k * CliffHashMul, lit(CliffDenseMod)) < CliffDenseLt
+    }
   }
 
   /** GC-cliff fixture: one sorted append (positions pinned by
@@ -1519,6 +1561,74 @@ object IcebergOps {
       meta.snapshots.size.toLong))
       .toDF("data_files_before", "dv_blobs_before", "dv_positions",
         "data_files_after", "dv_blobs_after", "live_rows", "n_snapshots")
+  }
+
+  /** Second positional-delete wave for the rewrite fixture: modulus 5, so
+    * it OVERLAPS wave 1 (keys ≡ 2 mod 5 include keys ≡ 7 mod 10) — the
+    * overlap is what makes the rewrite's union-dedup observable. */
+  val PosDeleteMod2 = 5L
+  val PosDeleteResidue2 = 2L
+
+  private def rewriteDelTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.rewritedel") {
+      val loc = Files.createTempDirectory("graft_iceberg_rwdel_").toString
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), loc)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), loc)
+      // three positional waves in three FORMS: a v2 pos-delete parquet
+      // file, a v3 DV Puffin wave, and a second pos-parquet wave that
+      // overlaps the first (mod-5 residue ⊇ half the mod-10 residue)
+      IcebergTable.appendPositionDeletes(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)) === PosDeleteResidue)
+      IcebergTable.appendDvPuffin(spark, loc,
+        pmod(col("l_orderkey"), lit(DeleteKeyMod)) === DvDeleteResidue)
+      IcebergTable.appendPositionDeletes(spark, loc,
+        pmod(col("l_orderkey"), lit(PosDeleteMod2)) === PosDeleteResidue2)
+      IcebergTable.rewritePositionDeletes(spark, loc)
+      new String(loc)
+    }
+
+  /** `rewrite_position_deletes` — the v3 migration maintenance action
+    * ([[IcebergTable.rewritePositionDeletes]]), censused from metadata at
+    * both heads plus a post-rewrite MOR read: three positional waves in
+    * two formats (two v2 pos-delete parquet files — the second overlapping
+    * the first — and one DV Puffin wave) consolidate into exactly ONE
+    * deletion vector per referenced data file (the spec's v3 invariant),
+    * carrying the UNION of positions: `positions_pre_sum` (the waves'
+    * recorded cardinalities, overlap double-counted) shrinks to
+    * `positions_post` (the exact union), pos-parquet entries drop to
+    * zero, and the survivor aggregate over the rewritten head matches the
+    * three-residue complement — every number wave arithmetic DuckDB
+    * replays. */
+  def rewriteDeletesSummary(spark: SparkSession, lineitem: DataFrame,
+                            monthLo: String = "1996-11", monthHi: String = "1997-02"): DataFrame = {
+    val loc = rewriteDelTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val preHead = meta.snapshots.filter(_.operation == "delete").maxBy(_.id)
+    val before = IcebergTable.readManifestList(preHead.manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+      .filter(_.content == 1)
+    val after = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+      .filter(_.content == 1)
+    val (live, _, _, posAfter, dvAfter) =
+      IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
+    require(posAfter.isEmpty, "rewrite left pos-parquet delete files behind")
+    live
+      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("pos_files_replaced",
+        lit(before.count(_.referencedDataFile.isEmpty).toLong))
+      .withColumn("dv_blobs_replaced",
+        lit(before.count(_.referencedDataFile.isDefined).toLong))
+      .withColumn("dv_blobs_post", lit(dvAfter.size.toLong))
+      .withColumn("positions_pre_sum", lit(before.map(_.recordCount).sum))
+      .withColumn("positions_post", lit(after.map(_.recordCount).sum))
+      .withColumn("n_snapshots", lit(meta.snapshots.size.toLong))
+      .orderBy("l_returnflag")
   }
 
   /** CDC changelog over the REAL table history — the

@@ -1588,6 +1588,129 @@ object IcebergTable {
     commitSnapshot(location, Some(prev), snapshotId, prevManifests :+ newInfo, "delete")
   }
 
+  /** `rewrite_position_deletes` — the maintenance action behind the v3
+    * migration rule (spec §Deletes: "Position delete files are not allowed
+    * in v3 tables"; the real library's rewrite consolidates scattered
+    * positional deletes): every POSITIONAL delete form at the current
+    * snapshot — v2 pos-delete parquet files AND prior DV waves — is
+    * replaced by exactly ONE deletion vector per referenced data file (the
+    * v3 "at most one DV per data file" invariant), carrying the UNION of
+    * all recorded positions. Equality deletes and data manifests ride
+    * through untouched; the commit is a "replace" snapshot, so reads
+    * before and after see identical rows and the superseded delete files
+    * stay reachable only through time travel until expiry GCs them.
+    *
+    * Scale shape: pos-parquet rows are read distributedly and unioned with
+    * the DV positions (decoded in a typed flatMap on the executors, same
+    * as the MOR read path); the per-file union + Roaring serialization
+    * happens in one groupBy at referenced-file grain, and only the
+    * compressed blobs (KB) come back to the driver for the Puffin write.
+    *
+    * Scoping: the rewritten entries PRESERVE the maximum replaced
+    * sequence number instead of taking the new snapshot's. Readers apply a
+    * positional delete to data files with strictly lower sequence; every
+    * replaced wave already out-sequenced the files it referenced, so the
+    * max keeps each DV applicable to its referenced file while data
+    * appended after the rewrite (higher sequence, different paths) is
+    * untouched — the same retain-don't-reassign rule EXISTING entries
+    * follow across manifest rewrites. */
+  def rewritePositionDeletes(spark: SparkSession, location: String): Long = {
+    val prev = readMetadata(location)
+    val head = readManifestList(currentSnapshot(prev).manifestList)
+    val byManifest = head.map(m => m -> readManifest(m.path))
+    val (posManifests, keptManifests) =
+      byManifest.partition(_._2.exists(_.content == 1))
+    posManifests.foreach { case (m, es) =>
+      // all graft writers emit homogeneous manifests (rewriteManifests
+      // pins the same invariant) — refuse loudly rather than drop entries
+      require(es.forall(_.content == 1),
+        s"rewritePositionDeletes: manifest ${m.path} mixes positional " +
+        "deletes with other content; split it before rewriting")
+    }
+    val replaced = posManifests.flatMap(_._2)
+    require(replaced.nonEmpty,
+      "rewrite_position_deletes on a table with no positional delete files")
+    val (dvReplaced, posFileReplaced) = replaced.partition(_.referencedDataFile.isDefined)
+    val preservedSeq = replaced.map(_.sequence).max
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    import org.apache.spark.sql.Encoders
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    // canonical file coordinate: the manifest "///" form referencedDataFile
+    // carries (input_file_name minus "file:"). Pos-parquet rows recorded
+    // _metadata.file_path — "file:/..." single-slash — so rewrite the
+    // scheme to the manifest form; DV rows already carry it.
+    val fromParquet: Option[DataFrame] =
+      if (posFileReplaced.isEmpty) None
+      else Some(spark.read.parquet(posFileReplaced.map(_.path): _*)
+        .select(regexp_replace(col("file_path"), "^file:", "//").as("file_path"),
+          col("pos")))
+    val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+    val fromDv: Option[DataFrame] =
+      if (dvReplaced.isEmpty) None
+      else {
+        val rows = dvReplaced.map { e =>
+          val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
+          (e.referencedDataFile.get,
+            slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+              e.contentOffset, e.contentSize)))
+        }
+        Some(spark.createDataset(rows)(tupleEnc)
+          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
+          .toDF("file_path", "pos"))
+      }
+    val union = (fromParquet.toSeq ++ fromDv.toSeq).reduce(_ unionByName _)
+    // collect_set dedupes overlapping waves; serialization stays executor-side
+    import spark.implicits._
+    val victims: Array[(String, Array[Byte], Long, Long, Long)] = union
+      .groupBy(col("file_path"))
+      .agg(sort_array(collect_set(col("pos"))).as("positions"))
+      .as[(String, Array[Long])]
+      .map { case (path, ps) =>
+        (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+      }
+      .collect()
+      .sortBy(_._1)
+    val mdir = metadataDir(location)
+    val puffinFile = new File(mdir, f"dv-rewrite-$snapshotId%05d.puffin")
+    val blobs = victims.map { case (path, blob, card, _, _) =>
+      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, preservedSeq,
+        blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
+    }
+    val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
+      Map("created-by" -> "graft"))
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val entries = victims.zip(metas).map { case ((path, _, card, lo, hi), m) =>
+      val part = new GenericData.Record(partSchema)
+      part.put("p_month", "")
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 1)
+      dfr.put("file_path", puffinFile.getPath)
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("partition", part)
+      dfr.put("record_count", card)
+      dfr.put("file_size_in_bytes", puffinSize)
+      dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
+      dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
+      dfr.put("referenced_data_file", path)
+      dfr.put("content_offset", m.offset)
+      dfr.put("content_size_in_bytes", m.length)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", preservedSeq) // scoping survives the rewrite
+      e.put("data_file", dfr)
+      e: GenericRecord
+    }
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0.avro")
+    val manifestLen = writeAvro(ManifestEntrySchema, manifestFile, entries.toIndexedSeq)
+    val newInfo = ManifestInfo(manifestFile.getPath, manifestLen, snapshotId,
+      victims.length, victims.map(_._3).sum, "0000-00", "9999-99")
+    commitSnapshot(location, Some(prev), snapshotId,
+      keptManifests.map(_._1) :+ newInfo, "replace")
+  }
+
   /** MOR read resolving v3 DELETION VECTORS: delete manifests point at
     * Puffin blobs; the driver reads each blob's compressed bytes (KB-grain
     * metadata IO, footer-verified CRC), ships them to executors, and the
@@ -1699,29 +1822,37 @@ object IcebergTable {
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
       var df = spark.read.parquet(fs.map(_.path): _*)
       val posApp = posDeletes.filter(_.sequence > seq)
-      if (posApp.nonEmpty) {
-        val dv = spark.read.parquet(posApp.map(_.path): _*)
-          .select(col("file_path").as("dv_file"), col("pos").as("dv_pos"))
+      val dvApp = dvEntries.filter(_.sequence > seq)
+      // Row coordinates come from _metadata, materialized ONCE before any
+      // join: input_file_name() is illegal past the first anti-join (the
+      // plan then has two file sources), and _metadata itself resolves
+      // only against the scan, not through a join.
+      if (posApp.nonEmpty || dvApp.nonEmpty) {
         df = df
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index").cast("long"))
-          .join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
-            "left_anti")
-          .drop("__file", "__pos")
       }
-      val dvApp = dvEntries.filter(_.sequence > seq)
+      if (posApp.nonEmpty) {
+        val dv = spark.read.parquet(posApp.map(_.path): _*)
+          .select(col("file_path").as("dv_file"), col("pos").as("dv_pos"))
+        df = df.join(dv, col("__file") === col("dv_file") && col("__pos") === col("dv_pos"),
+          "left_anti")
+      }
       if (dvApp.nonEmpty) {
         val rows = dvApp.map(e => (e.referencedDataFile.get, blobBytes(e)))
         val dv = spark.createDataset(rows)(tupleEnc)
           .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
           .toDF("dvb_file", "dvb_pos")
-        df = df
-          .withColumn("__fdv", regexp_replace(input_file_name(), "^file:", ""))
-          .withColumn("__pdv", col("_metadata.row_index").cast("long"))
-          .join(dv, col("__fdv") === col("dvb_file") && col("__pdv") === col("dvb_pos"),
-            "left_anti")
-          .drop("__fdv", "__pdv")
+        // referenced_data_file carries the manifest "///" form (from
+        // input_file_name); the scan's _metadata.file_path is
+        // "file:/..." (single slash) — rewrite the scheme to the
+        // manifest form so the coordinates compare equal.
+        df = df.join(dv,
+          regexp_replace(col("__file"), "^file:", "//") === col("dvb_file") &&
+            col("__pos") === col("dvb_pos"),
+          "left_anti")
       }
+      if (posApp.nonEmpty || dvApp.nonEmpty) df = df.drop("__file", "__pos")
       val eqApp = eqDeletes.filter(_.sequence > seq)
       if (eqApp.nonEmpty) {
         val keys = spark.read.parquet(eqApp.map(_.path): _*)

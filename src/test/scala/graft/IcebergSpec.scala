@@ -1127,4 +1127,91 @@ class IcebergSpec extends SparkSpec {
     assert(got.getLong(1) == months, "one file per month (cut is a month boundary)")
     assert(got.getLong(2) == months)
   }
+
+  test("entries metadata table: all entry kinds with scoping coordinates, metadata-only") {
+    val em = graft.lake.iceberg.IcebergOps.entriesMeta(spark, lineitem).collect()
+    val byKind = em.groupBy(_.getAs[String]("content_type"))
+    val months = lineitem.select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    assert(byKind("data").length == months)
+    assert(byKind("data").map(_.getAs[Long]("n_rows")).sum == lineitem.count())
+    // delete entries surface with their real scoping coordinates
+    val eq = byKind("equality_deletes")
+    assert(eq.length == 1 && eq.head.getAs[Long]("sequence_number") == 3L)
+    assert(eq.head.getAs[Long]("n_rows") ==
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select("l_orderkey").distinct().count())
+    val pos = byKind("position_deletes")
+    assert(pos.length == 1 && pos.head.getAs[Long]("sequence_number") == 4L)
+    assert(pos.head.getAs[Long]("n_rows") ==
+      lineitem.filter(col("l_orderkey") % 10 === 7L).count())
+  }
+
+  test("rewrite_position_deletes: one DV per file, preserved scoping, reads unchanged") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_rwdel_spec_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    // an equality delete must ride through the rewrite untouched
+    T.appendEqualityDeletes(spark,
+      lineitem.filter(col("l_orderkey") % 10 === 3L).select(col("l_orderkey")).distinct(), l)
+    T.appendPositionDeletes(spark, l, pmod(col("l_orderkey"), lit(10L)) === 7L)
+    T.appendDvPuffin(spark, l, pmod(col("l_orderkey"), lit(10L)) === 6L)
+    T.appendPositionDeletes(spark, l, pmod(col("l_orderkey"), lit(5L)) === 2L)
+    // the synthetic lineitem is NOT unique on (orderkey, linenumber) —
+    // 4599 distinct pairs over 6000 rows — so row identity must be a
+    // MULTISET fingerprint, not a Set: count + order-insensitive sum of
+    // full-row hashes
+    def rowsNow(): (Long, java.math.BigDecimal) = {
+      val r = T.readMorUnified(spark, l)._1
+        .select(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+          .cast("decimal(38,0)").as("h")) // decimal sum: xxhash64 sums overflow int64 under ANSI
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val before = rowsNow()
+    T.rewritePositionDeletes(spark, l)
+    // the rewrite is a replace: identical visible rows before and after
+    assert(rowsNow() == before, "rewrite changed the visible row set")
+    val meta = T.readMetadata(l)
+    assert(T.currentSnapshot(meta).operation == "replace")
+    val entries = T.readManifestList(T.currentSnapshot(meta).manifestList)
+      .flatMap(m => T.readManifest(m.path))
+    val positional = entries.filter(_.content == 1)
+    assert(positional.forall(_.referencedDataFile.isDefined),
+      "pos-parquet delete files survived the rewrite")
+    // the v3 invariant: at most one DV per referenced data file
+    assert(positional.groupBy(_.referencedDataFile.get).forall(_._2.size == 1))
+    // scoping PRESERVED: entries carry the max replaced sequence (the
+    // last delete commit, 6), not the rewrite snapshot's (7)
+    assert(positional.forall(_.sequence == 6L))
+    // union cardinality: overlap between the mod-10=7 and mod-5=2 waves
+    // is counted once
+    val unionExpected = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) === 7L ||
+      pmod(col("l_orderkey"), lit(10L)) === 6L ||
+      pmod(col("l_orderkey"), lit(5L)) === 2L).count()
+    assert(positional.map(_.recordCount).sum == unionExpected)
+    // equality deletes and data manifests are untouched
+    assert(entries.count(_.content == 2) == 1)
+    val months = lineitem.select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    assert(entries.count(_.content == 0) == months)
+    // survivors = complement of the equality key AND the positional union
+    val expectLive = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) =!= 3L &&
+      pmod(col("l_orderkey"), lit(10L)) =!= 7L &&
+      pmod(col("l_orderkey"), lit(10L)) =!= 6L &&
+      pmod(col("l_orderkey"), lit(5L)) =!= 2L).count()
+    assert(before._1 == expectLive)
+    // idempotence: consolidating an already-consolidated table keeps the
+    // same blob census and row set
+    T.rewritePositionDeletes(spark, l)
+    val again = T.readManifestList(
+        T.currentSnapshot(T.readMetadata(l)).manifestList)
+      .flatMap(m => T.readManifest(m.path)).filter(_.content == 1)
+    assert(again.size == positional.size &&
+      again.map(_.recordCount).sum == unionExpected)
+    assert(rowsNow() == before)
+  }
 }
