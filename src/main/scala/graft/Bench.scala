@@ -151,7 +151,12 @@ object Bench {
     // candidate-file scan semi-joined with the broadcast key table); in
     // the set to prove the scan stays linear and never regresses toward a
     // per-snapshot rescan:
-    "iceberg_changelog_mixed")
+    "iceberg_changelog_mixed",
+    // round-15 addition: rewrite_position_deletes — the consolidation
+    // unions pos-parquet rows with executor-decoded DV positions and
+    // re-serializes ONE roaring blob per referenced file in a single
+    // groupBy; in the set to prove the union + serialize stays linear:
+    "iceberg_rewrite_deletes")
 
   /** Rung-profile integrity primitives (unit-tested in ScaleTrendSpec):
     * executor cpu is physically monotone in data volume for any plan, so a

@@ -225,6 +225,15 @@ object Report {
         "grain: added snapshot, file/row counts, partition summaries) and tbl.history " +
         "(per-snapshot state census) side by side.",
         htmlTable(q("iceberg_manifests_meta")) + htmlTable(q("iceberg_history_meta"))),
+      section("Iceberg entries metadata table", "tbl.entries — every current-snapshot " +
+        "manifest entry INCLUDING the delete files, with content type and the " +
+        "sequence/snapshot coordinates that scope delete application.",
+        htmlTable(q("iceberg_entries_meta"), maxRows = 20)),
+      section("Iceberg rewrite_position_deletes", "The v3 migration maintenance action: " +
+        "overlapping pos-parquet waves + a DV wave consolidate into ONE deletion vector " +
+        "per data file (positions_pre_sum with the overlap double-counted shrinks to the " +
+        "exact union), scoping preserved, visible rows unchanged.",
+        htmlTable(q("iceberg_rewrite_deletes"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",
