@@ -227,8 +227,17 @@ object Report {
         htmlTable(q("iceberg_manifests_meta")) + htmlTable(q("iceberg_history_meta"))),
       section("Iceberg entries metadata table", "tbl.entries — every current-snapshot " +
         "manifest entry INCLUDING the delete files, with content type and the " +
-        "sequence/snapshot coordinates that scope delete application.",
-        htmlTable(q("iceberg_entries_meta"), maxRows = 20)),
+        "sequence/snapshot coordinates that scope delete application (delete " +
+        "entries shown first; the 83 data entries would otherwise fill the cap).",
+        htmlTable({
+          import org.apache.spark.sql.functions.{col, desc, lit, when}
+          // delete files carry an empty partition label — render it
+          // explicitly (an empty <td> would trip the escape canary)
+          q("iceberg_entries_meta")
+            .withColumn("p_month",
+              when(col("p_month") === "", lit("(none)")).otherwise(col("p_month")))
+            .orderBy(desc("content_type"), col("p_month"))
+        }, maxRows = 20)),
       section("Iceberg rewrite_position_deletes", "The v3 migration maintenance action: " +
         "overlapping pos-parquet waves + a DV wave consolidate into ONE deletion vector " +
         "per data file (positions_pre_sum with the overlap double-counted shrinks to the " +

@@ -700,18 +700,20 @@ object IcebergOps {
 
   /** The `entries` metadata table (`SELECT * FROM tbl.entries`) — the
     * manifest-entry inspection surface `files` does NOT give: one row per
-    * CURRENT-snapshot manifest entry including the DELETE files (equality
-    * and positional), with the content type, partition, record count, and
-    * the sequence/snapshot coordinates that scope delete application.
-    * Read from metadata alone over the mixed-form fixture, so the census
-    * spans all three entry kinds; paths are projected out (tmp-dir
-    * nondeterminism), everything else is the deterministic layout. */
+    * CURRENT-snapshot manifest entry including the DELETE files, with the
+    * content type, partition, record count, and the sequence/snapshot
+    * coordinates that scope delete application. Read from metadata alone
+    * over the mixed-form fixture, whose head carries all three of its
+    * entry kinds (data / equality_deletes / position_deletes; the
+    * deletion_vector mapping serves DV tables, e.g. the rewrite fixture);
+    * paths are projected out (tmp-dir nondeterminism), everything else is
+    * the deterministic layout. */
   def entriesMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
     val loc = mixedTableFor(spark, lineitem)
     val meta = IcebergTable.readMetadata(loc)
-    val rows = IcebergTable.readManifestList(
-        IcebergTable.currentSnapshot(meta).manifestList)
-      .flatMap(m => IcebergTable.readManifest(m.path))
+    val ms = IcebergTable.readManifestList(
+      IcebergTable.currentSnapshot(meta).manifestList)
+    val rows = IcebergTable.readManifestsParallel(ms.map(_.path)).flatten
       .map { e =>
         val kind = e.content match {
           case 0 => "data"
@@ -721,7 +723,6 @@ object IcebergOps {
         }
         (kind, e.partition, e.recordCount, e.sequence, e.entrySnapshotId)
       }
-      .sortBy(r => (r._1, r._2, r._4))
     import spark.implicits._
     rows.toDF("content_type", "p_month", "n_rows", "sequence_number",
       "added_snapshot_id")
@@ -1606,13 +1607,12 @@ object IcebergOps {
     val loc = rewriteDelTableFor(spark, lineitem)
     val meta = IcebergTable.readMetadata(loc)
     val preHead = meta.snapshots.filter(_.operation == "delete").maxBy(_.id)
-    val before = IcebergTable.readManifestList(preHead.manifestList)
-      .flatMap(m => IcebergTable.readManifest(m.path))
-      .filter(_.content == 1)
-    val after = IcebergTable.readManifestList(
-        IcebergTable.currentSnapshot(meta).manifestList)
-      .flatMap(m => IcebergTable.readManifest(m.path))
-      .filter(_.content == 1)
+    def posEntries(manifestList: String) = {
+      val ms = IcebergTable.readManifestList(manifestList)
+      IcebergTable.readManifestsParallel(ms.map(_.path)).flatten.filter(_.content == 1)
+    }
+    val before = posEntries(preHead.manifestList)
+    val after = posEntries(IcebergTable.currentSnapshot(meta).manifestList)
     val (live, _, _, posAfter, dvAfter) =
       IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
     require(posAfter.isEmpty, "rewrite left pos-parquet delete files behind")

@@ -1606,18 +1606,21 @@ object IcebergTable {
     * happens in one groupBy at referenced-file grain, and only the
     * compressed blobs (KB) come back to the driver for the Puffin write.
     *
-    * Scoping: the rewritten entries PRESERVE the maximum replaced
-    * sequence number instead of taking the new snapshot's. Readers apply a
-    * positional delete to data files with strictly lower sequence; every
-    * replaced wave already out-sequenced the files it referenced, so the
-    * max keeps each DV applicable to its referenced file while data
-    * appended after the rewrite (higher sequence, different paths) is
-    * untouched — the same retain-don't-reassign rule EXISTING entries
-    * follow across manifest rewrites. */
+    * Scoping: each rewritten entry PRESERVES the maximum sequence number
+    * among the replaced waves that contributed positions to ITS referenced
+    * file, instead of taking the new snapshot's (or one global max, which
+    * would misattribute earlier waves' deletes to the last commit in any
+    * sequence-keyed consumer). Readers apply a positional delete to data
+    * files with strictly lower sequence; every replaced wave already
+    * out-sequenced the files it referenced, so the per-file max keeps each
+    * DV applicable to its referenced file while data appended after the
+    * rewrite (higher sequence, different paths) is untouched — the same
+    * retain-don't-reassign rule EXISTING entries follow across manifest
+    * rewrites. */
   def rewritePositionDeletes(spark: SparkSession, location: String): Long = {
     val prev = readMetadata(location)
     val head = readManifestList(currentSnapshot(prev).manifestList)
-    val byManifest = head.map(m => m -> readManifest(m.path))
+    val byManifest = head.zip(readManifestsParallel(head.map(_.path)))
     val (posManifests, keptManifests) =
       byManifest.partition(_._2.exists(_.content == 1))
     posManifests.foreach { case (m, es) =>
@@ -1631,57 +1634,61 @@ object IcebergTable {
     require(replaced.nonEmpty,
       "rewrite_position_deletes on a table with no positional delete files")
     val (dvReplaced, posFileReplaced) = replaced.partition(_.referencedDataFile.isDefined)
-    val preservedSeq = replaced.map(_.sequence).max
     val snapshotId = prev.snapshots.map(_.id).max + 1L
     import org.apache.spark.sql.Encoders
-    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val posEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    val triEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.BINARY)
     // canonical file coordinate: the manifest "///" form referencedDataFile
     // carries (input_file_name minus "file:"). Pos-parquet rows recorded
     // _metadata.file_path — "file:/..." single-slash — so rewrite the
-    // scheme to the manifest form; DV rows already carry it.
+    // scheme to the manifest form; DV rows already carry it. Each row
+    // carries its source wave's sequence so the per-file max survives.
     val fromParquet: Option[DataFrame] =
       if (posFileReplaced.isEmpty) None
-      else Some(spark.read.parquet(posFileReplaced.map(_.path): _*)
-        .select(regexp_replace(col("file_path"), "^file:", "//").as("file_path"),
-          col("pos")))
+      else Some(posFileReplaced.groupBy(_.sequence).toSeq.map { case (seq, es) =>
+        spark.read.parquet(es.map(_.path): _*)
+          .select(regexp_replace(col("file_path"), "^file:", "//").as("file_path"),
+            col("pos"), lit(seq).as("seq"))
+      }.reduce(_ unionByName _))
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
     val fromDv: Option[DataFrame] =
       if (dvReplaced.isEmpty) None
       else {
         val rows = dvReplaced.map { e =>
           val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
-          (e.referencedDataFile.get,
+          (e.referencedDataFile.get, e.sequence,
             slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
               e.contentOffset, e.contentSize)))
         }
-        Some(spark.createDataset(rows)(tupleEnc)
-          .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
-          .toDF("file_path", "pos"))
+        Some(spark.createDataset(rows)(triEnc)
+          .flatMap { case (f, s, b) =>
+            RoaringDv.deserializeDvBlob(b).map(p => (f, p, s)) }(posEnc)
+          .toDF("file_path", "pos", "seq"))
       }
     val union = (fromParquet.toSeq ++ fromDv.toSeq).reduce(_ unionByName _)
     // collect_set dedupes overlapping waves; serialization stays executor-side
     import spark.implicits._
-    val victims: Array[(String, Array[Byte], Long, Long, Long)] = union
+    val victims: Array[(String, Array[Byte], Long, Long, Long, Long)] = union
       .groupBy(col("file_path"))
-      .agg(sort_array(collect_set(col("pos"))).as("positions"))
-      .as[(String, Array[Long])]
-      .map { case (path, ps) =>
-        (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+      .agg(sort_array(collect_set(col("pos"))).as("positions"),
+        max(col("seq")).as("seq"))
+      .as[(String, Array[Long], Long)]
+      .map { case (path, ps, seq) =>
+        (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last, seq)
       }
       .collect()
       .sortBy(_._1)
     val mdir = metadataDir(location)
     val puffinFile = new File(mdir, f"dv-rewrite-$snapshotId%05d.puffin")
-    val blobs = victims.map { case (path, blob, card, _, _) =>
-      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, preservedSeq,
+    val blobs = victims.map { case (path, blob, card, _, _, seq) =>
+      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, seq,
         blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
     }
     val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
       Map("created-by" -> "graft"))
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val entries = victims.zip(metas).map { case ((path, _, card, lo, hi), m) =>
+    val entries = victims.zip(metas).map { case ((path, _, card, lo, hi, seq), m) =>
       val part = new GenericData.Record(partSchema)
       part.put("p_month", "")
       val dfr = new GenericData.Record(dataFileSchema)
@@ -1699,7 +1706,7 @@ object IcebergTable {
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", preservedSeq) // scoping survives the rewrite
+      e.put("sequence_number", seq) // per-file max replaced sequence: scoping survives
       e.put("data_file", dfr)
       e: GenericRecord
     }

@@ -1183,9 +1183,12 @@ class IcebergSpec extends SparkSpec {
       "pos-parquet delete files survived the rewrite")
     // the v3 invariant: at most one DV per referenced data file
     assert(positional.groupBy(_.referencedDataFile.get).forall(_._2.size == 1))
-    // scoping PRESERVED: entries carry the max replaced sequence (the
-    // last delete commit, 6), not the rewrite snapshot's (7)
-    assert(positional.forall(_.sequence == 6L))
+    // scoping PRESERVED: each entry carries the max sequence of the waves
+    // that contributed positions to ITS file (delete commits are 4/5/6),
+    // never the rewrite snapshot's (7); the overlapping mod-5 wave (6)
+    // touches at least one file, so the max must be 6
+    assert(positional.forall(e => e.sequence >= 4L && e.sequence <= 6L))
+    assert(positional.map(_.sequence).max == 6L)
     // union cardinality: overlap between the mod-10=7 and mod-5=2 waves
     // is counted once
     val unionExpected = lineitem.filter(
