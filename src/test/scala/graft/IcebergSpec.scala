@@ -1217,4 +1217,37 @@ class IcebergSpec extends SparkSpec {
       again.map(_.recordCount).sum == unionExpected)
     assert(rowsNow() == before)
   }
+
+  test("rewrite_position_deletes on a DV-only history (no pos-parquet arm)") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_rwdel_dv_spec_").toString
+    T.append(spark, lineitem, l)
+    // two overlapping DV waves and nothing else — exercises the rewrite's
+    // fromParquet=None path and pure DV-to-DV consolidation
+    T.appendDvPuffin(spark, l, pmod(col("l_orderkey"), lit(10L)) === 6L)   // seq 2
+    T.appendDvPuffin(spark, l, pmod(col("l_orderkey"), lit(5L)) === 1L)    // seq 3 (≡1,6 mod 10)
+    def liveCount(): Long = T.readMorUnified(spark, l)._1.count()
+    val before = liveCount()
+    val expectLive = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) =!= 6L &&
+      pmod(col("l_orderkey"), lit(5L)) =!= 1L).count()
+    assert(before == expectLive)
+    T.rewritePositionDeletes(spark, l)
+    assert(liveCount() == before, "DV-only rewrite changed the visible row set")
+    val positional = T.readManifestList(
+        T.currentSnapshot(T.readMetadata(l)).manifestList)
+      .flatMap(m => T.readManifest(m.path)).filter(_.content == 1)
+    assert(positional.forall(_.referencedDataFile.isDefined))
+    assert(positional.groupBy(_.referencedDataFile.get).forall(_._2.size == 1),
+      "more than one DV per data file after consolidation")
+    // union cardinality: the ≡6 wave is a subset-overlap of the ≡1 mod 5
+    // wave only where residues coincide (6 ≡ 1 mod 5), so union = filter
+    val unionExpected = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) === 6L ||
+      pmod(col("l_orderkey"), lit(5L)) === 1L).count()
+    assert(positional.map(_.recordCount).sum == unionExpected)
+    // per-file scoping: every file touched by the second wave carries 3;
+    // wave 1 (≡6) ⊂ wave 2's residue class mod 5, so ALL entries are 3
+    assert(positional.forall(_.sequence == 3L))
+  }
 }
