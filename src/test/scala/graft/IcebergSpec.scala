@@ -1250,4 +1250,34 @@ class IcebergSpec extends SparkSpec {
     // wave 1 (≡6) ⊂ wave 2's residue class mod 5, so ALL entries are 3
     assert(positional.forall(_.sequence == 3L))
   }
+
+  test("rewrite_position_deletes on a pos-parquet-only history (no DV arm)") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_rwdel_pos_spec_").toString
+    T.append(spark, lineitem, l)
+    // two disjoint v2 pos-delete parquet waves and nothing else —
+    // exercises the rewrite's fromDv=None path: pure v2 → v3 migration
+    T.appendPositionDeletes(spark, l, pmod(col("l_orderkey"), lit(10L)) === 4L) // seq 2
+    T.appendPositionDeletes(spark, l, pmod(col("l_orderkey"), lit(10L)) === 9L) // seq 3
+    def liveCount(): Long = T.readMorUnified(spark, l)._1.count()
+    val before = liveCount()
+    T.rewritePositionDeletes(spark, l)
+    assert(liveCount() == before, "pos-only rewrite changed the visible row set")
+    val positional = T.readManifestList(
+        T.currentSnapshot(T.readMetadata(l)).manifestList)
+      .flatMap(m => T.readManifest(m.path)).filter(_.content == 1)
+    // v3 invariant reached from pure v2 input: every surviving positional
+    // entry is a DV, one per referenced file, disjoint-union cardinality
+    assert(positional.nonEmpty && positional.forall(_.referencedDataFile.isDefined))
+    assert(positional.groupBy(_.referencedDataFile.get).forall(_._2.size == 1))
+    val unionExpected = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) === 4L ||
+      pmod(col("l_orderkey"), lit(10L)) === 9L).count()
+    assert(positional.map(_.recordCount).sum == unionExpected)
+    // per-file scoping: disjoint waves → a file's sequence is 3 only if
+    // the ≡9 wave touched it, 2 if only the ≡4 wave did; both appear at
+    // this scale and nothing takes the rewrite snapshot's sequence (4)
+    assert(positional.forall(e => e.sequence == 2L || e.sequence == 3L))
+    assert(positional.map(_.sequence).max == 3L)
+  }
 }
