@@ -98,6 +98,20 @@ object SparkEntry {
     "iceberg_bucket_mor" -> q((s, d) => iceberg.IcebergOps.bucketMorLookup(s, Tables.lineitem(s, d))),
     "iceberg_dv_compact" -> q((s, d) => iceberg.IcebergOps.dvCompactSummary(s, Tables.lineitem(s, d))),
     "iceberg_rewrite_deletes" -> q((s, d) => iceberg.IcebergOps.rewriteDeletesSummary(s, Tables.lineitem(s, d))),
+    "iceberg_rewrite_dv_only" -> q((s, d) => iceberg.IcebergOps.rewriteDvOnlySummary(s, Tables.lineitem(s, d))),
+    "iceberg_rewrite_pos_only" -> q((s, d) => iceberg.IcebergOps.rewritePosOnlySummary(s, Tables.lineitem(s, d))),
+    "iceberg_update_mor" -> q((s, d) => iceberg.IcebergOps.updateMorSummary(s, Tables.lineitem(s, d))),
+    "iceberg_rollback" -> q((s, d) => iceberg.IcebergOps.rollbackSummary(s, Tables.lineitem(s, d))),
+    "iceberg_cherry_pick" -> q((s, d) => iceberg.IcebergOps.cherryPickSummary(s, Tables.lineitem(s, d))),
+    "iceberg_sql_select" -> q((s, d) => iceberg.IcebergOps.sqlSelect(s, Tables.lineitem(s, d))),
+    "iceberg_sql_time_travel" -> q((s, d) => iceberg.IcebergOps.sqlTimeTravel(s, Tables.lineitem(s, d))),
+    "iceberg_sql_mor" -> q((s, d) => iceberg.IcebergOps.sqlMorSelect(s, Tables.lineitem(s, d))),
+    // byte totals are writer-version facts, not SQL-replayable — the
+    // oracle-hashed projection keeps the counts and the pinned ordering
+    // booleans; the raw bytes stay inspectable via the API + spec
+    "lake_column_update_exec" -> q((s, d) =>
+      iceberg.IcebergOps.columnUpdateExec(s, Tables.lineitem(s, d))
+        .drop("cow_bytes", "repl_bytes", "col_bytes")),
     "lake_manifest_prune" -> q((s, d) => Manifest.partitionManifest(Tables.lineitem(s, d), "1997-03")),
     "lake_commit_log" -> q((s, d) => Snapshots.commitLog(Tables.orders(s, d))),
     "lake_compaction_plan" -> q((s, d) => Snapshots.compactionPlan(Tables.lineitem(s, d))),
@@ -395,6 +409,13 @@ object SparkEntry {
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
     "iceberg_dv_compact",          // iceberg.table.dvcompact
     "iceberg_rewrite_deletes",     // iceberg.table.rewritedel
+    "iceberg_rewrite_dv_only",     // iceberg.table.rwdvonly
+    "iceberg_rewrite_pos_only",    // iceberg.table.rwposonly
+    "iceberg_update_mor",          // iceberg.table.update
+    "iceberg_rollback",            // iceberg.table.rollback
+    "iceberg_cherry_pick",         // iceberg.table.cherrypick
+    "iceberg_sql_select",          // iceberg.sqlcat (warehouse + both tables)
+    "lake_column_update_exec",     // iceberg.table.update.exec (CoW/colfile arms)
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
     "iceberg_sort_skipping",       // the two sort-layout tables
@@ -1195,6 +1216,210 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin
     },
 
+    // DV-only rewrite: two OVERLAPPING DV waves (≡6 mod 10 ⊂ ≡1 mod 5)
+    // consolidate to one DV per month-file; the union is exactly the mod-5
+    // class, per-file preserved sequence is 3 everywhere (wave 2's class
+    // covers wave 1's) — all residue arithmetic.
+    "iceberg_rewrite_dv_only" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rdv = iceberg.IcebergOps.DvDeleteResidue
+      val mod2 = iceberg.IcebergOps.DvOnlyMod2
+      val r2 = iceberg.IcebergOps.DvOnlyRes2
+      s"""WITH t AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS m,
+        |   (l_orderkey % $mod2 = $r2) AS del,
+        |   (l_orderkey % $mod = $rdv) AS w1 FROM lineitem),
+        | pre AS (SELECT
+        |   CAST(count(DISTINCT m) FILTER (WHERE w1) AS BIGINT)
+        |     + CAST(count(DISTINCT m) FILTER (WHERE del) AS BIGINT) AS nb_pre,
+        |   CAST(count(DISTINCT m) FILTER (WHERE del) AS BIGINT) AS nb_post,
+        |   CAST(count(*) FILTER (WHERE w1) AS BIGINT)
+        |     + CAST(count(*) FILTER (WHERE del) AS BIGINT) AS pre_sum,
+        |   CAST(count(*) FILTER (WHERE del) AS BIGINT) AS post_union FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | pre.nb_pre AS dv_blobs_pre, pre.nb_post AS dv_blobs_post,
+        | pre.pre_sum AS positions_pre_sum, pre.post_union AS positions_post,
+        | CAST(3 AS BIGINT) AS seq_post_lo, CAST(3 AS BIGINT) AS seq_post_hi,
+        | CAST(4 AS BIGINT) AS n_snapshots
+        |FROM t, pre
+        |WHERE m BETWEEN '1996-11' AND '1997-02' AND NOT del
+        |GROUP BY 1, pre.nb_pre, pre.nb_post, pre.pre_sum, pre.post_union
+        |ORDER BY 1""".stripMargin
+    },
+
+    // Pos-parquet-only rewrite (pure v2 → v3 migration): two DISJOINT
+    // waves (≡4, ≡9 mod 10) become one DV per touched month-file with
+    // exact disjoint-union cardinality; per-file sequences split 2/3 by
+    // whether the ≡9 wave touched the file.
+    "iceberg_rewrite_pos_only" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val r1 = iceberg.IcebergOps.PosOnlyRes1
+      val r2 = iceberg.IcebergOps.PosOnlyRes2
+      s"""WITH t AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS m,
+        |   (l_orderkey % $mod = $r1) AS w4,
+        |   (l_orderkey % $mod = $r2) AS w9 FROM lineitem),
+        | pre AS (SELECT
+        |   CAST(count(*) FILTER (WHERE w4) AS BIGINT)
+        |     + CAST(count(*) FILTER (WHERE w9) AS BIGINT) AS pre_sum,
+        |   CAST(count(*) FILTER (WHERE w4 OR w9) AS BIGINT) AS post_union,
+        |   CAST(count(DISTINCT m) FILTER (WHERE w4 OR w9) AS BIGINT) AS nb_post,
+        |   CAST(count(DISTINCT m) FILTER (WHERE w9) AS BIGINT) AS seq3 FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(2 AS BIGINT) AS pos_files_replaced,
+        | pre.nb_post AS dv_blobs_post,
+        | pre.pre_sum AS positions_pre_sum, pre.post_union AS positions_post,
+        | pre.nb_post - pre.seq3 AS files_seq2, pre.seq3 AS files_seq3,
+        | CAST(4 AS BIGINT) AS n_snapshots
+        |FROM t, pre
+        |WHERE m BETWEEN '1996-11' AND '1997-02' AND NOT (w4 OR w9)
+        |GROUP BY 1, pre.pre_sum, pre.post_union, pre.nb_post, pre.seq3
+        |ORDER BY 1""".stripMargin
+    },
+
+    // Real-format MOR UPDATE: one "overwrite" snapshot = DV on the old
+    // positions + replacement files with l_quantity+100 for keys ≡ 5
+    // (mod 10). Row count unchanged, _row_id preserved (distinct ids ==
+    // total rows), _last_updated_sequence_number = 3 exactly on the
+    // updated rows (1/2 = the append eras elsewhere) — era/residue
+    // arithmetic throughout.
+    "iceberg_update_mor" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val ru = iceberg.IcebergOps.UpdateResidue
+      val dq = iceberg.IcebergOps.UpdateQtyDelta
+      s"""WITH t AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS m,
+        |   l_shipdate < TIMESTAMP '$cut' AS pre,
+        |   l_orderkey % $mod = $ru AS upd FROM lineitem),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (WHERE upd) AS BIGINT) AS nu,
+        |   CAST(count(*) FILTER (WHERE pre AND NOT upd) AS BIGINT) AS e1,
+        |   CAST(count(*) FILTER (WHERE NOT pre AND NOT upd) AS BIGINT) AS e2,
+        |   CAST(count(DISTINCT m) FILTER (WHERE upd) AS BIGINT) AS nb FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity + CASE WHEN upd THEN $dq ELSE 0 END), 4) AS sum_qty,
+        | CAST(count(*) FILTER (WHERE upd) AS BIGINT) AS n_updated_in_window,
+        | g.n AS n_rows_total, g.n AS n_rowids_distinct, g.nu AS n_updated,
+        | g.e1 AS n_last_seq1, g.e2 AS n_last_seq2,
+        | g.nb AS dv_blobs, g.nu AS deleted_positions,
+        | CAST(3 AS BIGINT) AS n_snapshots
+        |FROM t, g WHERE m BETWEEN '1997-01' AND '1997-03'
+        |GROUP BY 1, g.n, g.nu, g.e1, g.e2, g.nb
+        |ORDER BY 1""".stripMargin
+    },
+
+    // rollback_to_snapshot: the duplicate-append head (snapshot 3) is
+    // undone metadata-only; main/current read 2, the clean row set plans
+    // from stats, and the bad head stays time-travelable.
+    "iceberg_rollback" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rd = iceberg.IcebergOps.RollbackDupResidue
+      s"""WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (WHERE l_orderkey % $mod = $rd) AS BIGINT) AS dup
+        |   FROM lineitem)
+        |SELECT CAST(2 AS BIGINT) AS current_snapshot_id,
+        | CAST(2 AS BIGINT) AS main_snapshot_id,
+        | CAST(3 AS BIGINT) AS n_snapshots,
+        | g.n AS rows_after_rollback, g.n + g.dup AS rows_bad_head,
+        | CAST(3 AS BIGINT) AS max_snapshot_id
+        |FROM g""".stripMargin
+    },
+
+    // cherry-pick: a staged post-cut append replayed onto a head that
+    // advanced past its base (a ≡0-residue duplicate append landed in
+    // between) — picked rows enter incremental scans at the NEW id.
+    "iceberg_cherry_pick" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rd = iceberg.IcebergOps.RollbackDupResidue
+      s"""WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS e1,
+        |   CAST(count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '$cut') AS BIGINT) AS e2,
+        |   CAST(count(*) FILTER (WHERE l_orderkey % $mod = $rd) AS BIGINT) AS dup
+        |   FROM lineitem)
+        |SELECT CAST(4 AS BIGINT) AS current_snapshot_id,
+        | CAST(4 AS BIGINT) AS n_snapshots,
+        | g.e1 + g.dup AS rows_before_pick, g.e2 AS staged_rows,
+        | g.n + g.dup AS rows_after_pick, g.e2 AS picked_incremental_rows,
+        | CAST(1 AS BIGINT) AS n_refs
+        |FROM g""".stripMargin
+    },
+
+    // DSv2 SQL front door: Q1-1997 window over <cat>.lake.lineitem — the
+    // data agg is plain SQL; files_total/files_scanned replay from
+    // per-month min/max date bounds (the same stats the manifests carry),
+    // cols_read pins the 3-column parquet projection.
+    "iceberg_sql_select" ->
+      s"""WITH t AS (SELECT l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m-%d') AS d,
+        |   strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | f AS (SELECT m, min(d) AS lo, max(d) AS hi FROM t GROUP BY 1),
+        | c AS (SELECT CAST(count(*) AS BIGINT) AS ft,
+        |   CAST(count(*) FILTER (WHERE hi >= '1997-01-01' AND lo <= '1997-04-01') AS BIGINT) AS fs
+        |   FROM f)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | c.ft AS files_total, c.fs AS files_scanned,
+        | CAST(3 AS BIGINT) AS cols_read
+        |FROM t, c
+        |WHERE d >= '1997-01-01' AND d < '1997-04-01'
+        |GROUP BY 1, c.ft, c.fs
+        |ORDER BY 1""".stripMargin,
+
+    // SQL time travel: VERSION AS OF 1 = the pre-cut era; the default
+    // read = both eras; two committed tables in the namespace.
+    "iceberg_sql_time_travel" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""SELECT
+        | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS rows_v1,
+        | CAST(count(*) AS BIGINT) AS rows_head,
+        | CAST(2 AS BIGINT) AS n_snapshots,
+        | CAST(2 AS BIGINT) AS n_tables,
+        | 'lineitem,lineitem_mor' AS tables
+        |FROM lineitem""".stripMargin
+    },
+
+    // SQL over the MOR table: the DSv2 reader applies the equality wave
+    // (≡3 mod 10) and the DV wave (≡6 mod 10); survivors are the
+    // two-residue complement.
+    "iceberg_sql_mor" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val rdv = iceberg.IcebergOps.DvDeleteResidue
+      s"""WITH t AS (SELECT l_orderkey, l_returnflag, l_quantity,
+        |   l_orderkey % $mod = 3 AS eqd,
+        |   l_orderkey % $mod = $rdv AS dvd FROM lineitem),
+        | g AS (SELECT CAST(count(DISTINCT l_orderkey) FILTER (WHERE eqd) AS BIGINT) AS keys,
+        |   CAST(count(*) FILTER (WHERE dvd) AS BIGINT) AS dvp FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | g.keys AS eq_keys, g.dvp AS dv_positions,
+        | CAST(4 AS BIGINT) AS n_snapshots
+        |FROM t, g WHERE NOT eqd AND NOT dvd
+        |GROUP BY 1, g.keys, g.dvp
+        |ORDER BY 1""".stripMargin
+    },
+
+    // Column-file update EXECUTED: row/file counts are residue/month
+    // arithmetic; the real-byte comparison rides as pinned ordering
+    // booleans (sidecar < replacement < full rewrite).
+    "lake_column_update_exec" -> {
+      val mod = iceberg.IcebergOps.DeleteKeyMod
+      val ru = iceberg.IcebergOps.UpdateResidue
+      s"""WITH t AS (SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (WHERE l_orderkey % $mod = $ru) AS BIGINT) AS nu,
+        |   CAST(count(DISTINCT m) AS BIGINT) AS nm,
+        |   CAST(count(DISTINCT m) FILTER (WHERE l_orderkey % $mod = $ru) AS BIGINT) AS nt
+        |   FROM t)
+        |SELECT g.nu AS updated_rows, g.nt AS files_touched, g.n AS cow_rows,
+        | g.nu AS repl_rows, g.nm AS cow_files, CAST(1 AS BIGINT) AS col_files,
+        | TRUE AS col_lt_repl, TRUE AS repl_lt_cow
+        |FROM g""".stripMargin
+    },
+
     // CDC changelog over the storm table's history: two append eras split
     // at SnapshotCut, four disjoint-residue DV waves, then the fold that
     // re-asserts the union but must emit ZERO net deletes — all counts
@@ -1755,20 +1980,21 @@ object SparkEntry {
     // bucket hash lets DuckDB re-derive every bucket population.
     "iceberg_bucket_prune" -> {
       val mult = iceberg.Puffin.KmvHashMult
+      val mask = iceberg.IcebergTable.BucketKeyMask
       val mod = iceberg.Puffin.KmvHashMod
       val n = iceberg.IcebergTable.BucketN
       s"""WITH b AS (SELECT l_orderkey, l_quantity,
-        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
+        |   CAST((((l_orderkey & $mask) * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
         | tot AS (SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS files_total,
         |   CAST(count(DISTINCT bkt // 4) AS BIGINT) AS manifests_total FROM b),
         | pr AS (SELECT 'kmax' AS probe, CAST(max(l_orderkey) AS BIGINT) AS key FROM b
         |   UNION ALL SELECT 'kmin', CAST(min(l_orderkey) AS BIGINT) FROM b)
         |SELECT pr.probe,
-        | 'b' || lpad(CAST(((pr.key * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
+        | 'b' || lpad(CAST((((pr.key & $mask) * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
         | tot.manifests_total, CAST(1 AS BIGINT) AS manifests_read,
         | tot.files_total, CAST(1 AS BIGINT) AS files_scanned,
         | (SELECT CAST(count(*) AS BIGINT) FROM b
-        |   WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS bucket_rows,
+        |   WHERE b.bkt = (((pr.key & $mask) * $mult) % $mod) % $n) AS bucket_rows,
         | (SELECT CAST(count(*) AS BIGINT) FROM b WHERE b.l_orderkey = pr.key) AS key_rows,
         | (SELECT round(sum(l_quantity), 4) FROM b WHERE b.l_orderkey = pr.key) AS sum_qty
         |FROM pr, tot
@@ -1782,13 +2008,14 @@ object SparkEntry {
     "iceberg_bucket_evolution" -> {
       val cut = iceberg.IcebergOps.SnapshotCut
       val mult = iceberg.Puffin.KmvHashMult
+      val mask = iceberg.IcebergTable.BucketKeyMask
       val mod = iceberg.Puffin.KmvHashMod
       val n = iceberg.IcebergTable.BucketN
       s"""WITH base AS (SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m,
         |   l_shipdate < TIMESTAMP '$cut' AS pre,
-        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
+        |   CAST((((l_orderkey & $mask) * $mult) % $mod) % $n AS BIGINT) AS bkt FROM lineitem),
         | k AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS kmax FROM base),
-        | kb AS (SELECT CAST(((kmax * $mult) % $mod) % $n AS BIGINT) AS kbkt FROM k),
+        | kb AS (SELECT CAST((((kmax & $mask) * $mult) % $mod) % $n AS BIGINT) AS kbkt FROM k),
         | era AS (SELECT CAST(count(DISTINCT m) FILTER (WHERE pre) AS BIGINT) AS f0,
         |   CAST(count(DISTINCT bkt) FILTER (WHERE NOT pre) AS BIGINT) AS f2,
         |   CAST(count(*) FILTER (WHERE pre) AS BIGINT) AS rows0 FROM base),
@@ -1820,22 +2047,23 @@ object SparkEntry {
     // key filter — a deleted key returns zero rows from a one-file scan.
     "iceberg_bucket_mor" -> {
       val mult = iceberg.Puffin.KmvHashMult
+      val mask = iceberg.IcebergTable.BucketKeyMask
       val mod = iceberg.Puffin.KmvHashMod
       val n = iceberg.IcebergTable.BucketN
       val dmod = iceberg.IcebergOps.DeleteKeyMod
       val res = iceberg.IcebergOps.BucketMorResidue
       s"""WITH b AS (SELECT l_orderkey, l_quantity,
-        |   CAST(((l_orderkey * $mult) % $mod) % $n AS BIGINT) AS bkt,
+        |   CAST((((l_orderkey & $mask) * $mult) % $mod) % $n AS BIGINT) AS bkt,
         |   l_orderkey % $dmod = $res AS dead FROM lineitem),
         | pr AS (SELECT 'kmax' AS probe, CAST(max(l_orderkey) AS BIGINT) AS key FROM b
         |   UNION ALL SELECT 'kmin', CAST(min(l_orderkey) AS BIGINT) FROM b)
         |SELECT pr.probe,
-        | 'b' || lpad(CAST(((pr.key * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
+        | 'b' || lpad(CAST((((pr.key & $mask) * $mult) % $mod) % $n AS VARCHAR), 2, '0') AS bucket,
         | CAST(1 AS BIGINT) AS files_scanned,
         | (SELECT CAST(CASE WHEN count(*) FILTER (WHERE dead) > 0 THEN 1 ELSE 0 END AS BIGINT)
-        |   FROM b WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS dv_blobs,
+        |   FROM b WHERE b.bkt = (((pr.key & $mask) * $mult) % $mod) % $n) AS dv_blobs,
         | (SELECT CAST(count(*) FILTER (WHERE dead) AS BIGINT)
-        |   FROM b WHERE b.bkt = ((pr.key * $mult) % $mod) % $n) AS deleted_in_file,
+        |   FROM b WHERE b.bkt = (((pr.key & $mask) * $mult) % $mod) % $n) AS deleted_in_file,
         | (SELECT CAST(count(*) AS BIGINT) FROM b
         |   WHERE b.l_orderkey = pr.key AND NOT dead) AS live_key_rows,
         | (SELECT coalesce(round(sum(l_quantity), 4), 0.0) FROM b

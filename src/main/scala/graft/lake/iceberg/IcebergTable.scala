@@ -62,8 +62,11 @@ object IcebergTable {
     * follows the spec: 0 = data, 1 = position deletes (file_path + pos
     * rows over the immutable data files), 2 = equality deletes.
     * `sequence` is the manifest entry's data sequence number — the field
-    * that scopes which deletes apply to which data files (spec: a delete
-    * file applies only to data files with strictly LOWER sequence). */
+    * that scopes which deletes apply to which data files (spec: an
+    * EQUALITY delete applies to data files with strictly LOWER sequence;
+    * a POSITION delete applies at lower-or-EQUAL — it may target rows
+    * committed in its own snapshot, and an UPDATE commit pairs a DV with
+    * its replacement data file at one sequence). */
   final case class DataFileEntry(path: String, partition: String, recordCount: Long,
                                  fileSizeBytes: Long, loShip: String, hiShip: String,
                                  content: Int = 0, sequence: Long = 0L,
@@ -234,9 +237,16 @@ object IcebergTable {
     * spec's. */
   val BucketN = 16
 
+  /** Low-31-bit key mask applied before the multiplicative bucket hash:
+    * without it, keys ≥ ~3.47e9 overflow int64 in `key * KmvHashMult`
+    * under ANSI mode — exactly the replica-shifted (i·2^40) magnitudes the
+    * scale-trend fixtures synthesize (the gcCliff CliffKeyMask lesson).
+    * Mirrored verbatim in the DuckDB bucket oracles. */
+  val BucketKeyMask = 0x7FFFFFFFL
+
   /** bucket[N] partition value for a key, as the manifest's string form. */
   def bucketLabel(key: Long): String =
-    f"b${math.floorMod(math.floorMod(key * Puffin.KmvHashMult, Puffin.KmvHashMod), BucketN.toLong)}%02d"
+    f"b${math.floorMod((key & BucketKeyMask) * Puffin.KmvHashMult % Puffin.KmvHashMod, BucketN.toLong)}%02d"
 
   /** Append under the `bucket[`[[BucketN]]`](l_orderkey)` partition spec
     * (spec id 2): one data file per occupied bucket, and the manifest
@@ -253,7 +263,8 @@ object IcebergTable {
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val dataDir = s"$location/data/snap-$snapshotId"
     lineitem.withColumn("p_month", format_string("b%02d",
-        pmod(pmod(col("l_orderkey").cast("long") * lit(Puffin.KmvHashMult),
+        pmod(pmod(col("l_orderkey").cast("long").bitwiseAND(lit(BucketKeyMask))
+            * lit(Puffin.KmvHashMult),
           lit(Puffin.KmvHashMod)), lit(BucketN.toLong))))
       .repartition(col("p_month"))
       .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
@@ -403,11 +414,72 @@ object IcebergTable {
   def publishStaged(location: String, stagedId: Long): Unit = {
     val meta = readMetadata(location)
     require(meta.snapshots.exists(_.id == stagedId), s"no snapshot $stagedId")
+    // FAST-FORWARD only: every manifest of the current head must ride in
+    // the staged snapshot's list (i.e. the stage was built on this head).
+    // Publishing a stage whose base main has moved past would silently
+    // DROP every commit main gained since — that case is [[cherryPick]]'s.
+    val headPaths = readManifestList(currentSnapshot(meta).manifestList).map(_.path).toSet
+    val stagedPaths = readManifestList(
+      meta.snapshots.find(_.id == stagedId).get.manifestList).map(_.path).toSet
+    require(headPaths.subsetOf(stagedPaths),
+      s"main advanced past staged snapshot $stagedId's base — fast-forward publish " +
+        "would lose commits; use cherryPick")
     val snaps = meta.snapshots.map(s =>
       if (s.id == stagedId && s.operation == "stage") s.copy(operation = "append") else s)
     writeMetadataJson(location, meta.tableUuid, snaps, stagedId,
       meta.refs - "staging" + ("main" -> RefInfo(stagedId, "branch")), meta.schemas,
       statistics = meta.statistics, nextRowId = meta.nextRowId)
+  }
+
+  /** `rollback_to_snapshot` — a METADATA-ONLY retarget of the current
+    * snapshot pointer and `main` to an ancestor (the real library's
+    * rollback: no new snapshot, no data IO — one metadata version). The
+    * rolled-past snapshots stay in the log, unreachable from main but
+    * fully time-travelable by id, until an expiry pass collects them; the
+    * next commit builds on the rolled-back head while still allocating
+    * max(id)+1 (ids of rolled-past snapshots are never reused). */
+  def rollback(location: String, snapshotId: Long): Unit = {
+    val meta = readMetadata(location)
+    require(meta.snapshots.exists(_.id == snapshotId), s"no snapshot $snapshotId")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots, snapshotId,
+      meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId)
+  }
+
+  /** Cherry-pick a STAGED (WAP) snapshot onto a head that ADVANCED past the
+    * stage's base — the non-fast-forward arm of Iceberg's `cherrypick`
+    * (the case [[publishStaged]] refuses): commit a NEW snapshot whose
+    * manifest list is the current head's manifests plus ONE rewritten
+    * manifest carrying the staged snapshot's added entries at the NEW
+    * commit's sequence — the spec's sequence-inheritance rule (a staged
+    * append's entries take the sequence of the snapshot that finally
+    * commits them), which is what keeps incremental consumers exactly-once:
+    * the picked rows enter `(head, new]` scans at the new id, never at the
+    * stage's. Metadata-only — data files are shared, nothing is copied.
+    * Appends only (the real library's restriction for non-FF cherry-picks
+    * is stricter still); the staged snapshot stays in the log as "stage"
+    * (never part of main's lineage) until expiry collects it. Row ids were
+    * burned at stage time and ride through unchanged. */
+  def cherryPick(location: String, stagedId: Long): Long = {
+    val meta = readMetadata(location)
+    val staged = meta.snapshots.find(_.id == stagedId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $stagedId"))
+    require(staged.operation == "stage", s"snapshot $stagedId is not a staged snapshot")
+    val addedManifests = readManifestList(staged.manifestList)
+      .filter(_.addedSnapshotId == stagedId)
+    require(addedManifests.nonEmpty, s"staged snapshot $stagedId added no manifests")
+    val addedEntries = addedManifests.flatMap(m => readManifest(m.path))
+    require(addedEntries.forall(_.content == 0),
+      "cherryPick replays append stages only (no delete content)")
+    val newId = meta.snapshots.map(_.id).max + 1L
+    val newInfo = writeManifestAvro(location, newId, newId, addedEntries, 0, "-cp")
+    val headManifests = readManifestList(currentSnapshot(meta).manifestList)
+    val snap = SnapshotInfo(newId, newId, newId * 1000L,
+      writeManifestList(location, newId, headManifests :+ newInfo), "append")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, newId,
+      meta.refs - "staging" + ("main" -> RefInfo(newId, "branch")), meta.schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId)
+    newId
   }
 
   /** Compaction rewrite (the maintenance op the reference's compaction
@@ -980,8 +1052,16 @@ object IcebergTable {
         """{"spec-id":0,"fields":[
           | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
       case 2 =>
+        // The declared field NAME matches the manifest Avro's single
+        // partition slot (`p_month` — a fixed one-field record, the stated
+        // single-field simplification: every spec's value rides in that
+        // slot, here the "bNN" bucket label), so a spec-following reader
+        // binds the partition value to the declared field. The FIELD-ID is
+        // fresh (1001): spec 0 already owns 1000 with a different source,
+        // and Iceberg requires unique partition field ids across evolved
+        // specs.
         s"""{"spec-id":2,"fields":[
-           | {"name":"p_bucket","transform":"bucket[$BucketN]","source-id":1,"field-id":1000}]}""".stripMargin
+           | {"name":"p_month","transform":"bucket[$BucketN]","source-id":1,"field-id":1001}]}""".stripMargin
       case sid =>
         s"""{"spec-id":$sid,"fields":[
            | {"name":"p_month","transform":"identity","source-id":2,"field-id":1000}]}""".stripMargin
@@ -1474,7 +1554,12 @@ object IcebergTable {
     require(plan.files.nonEmpty, "scan planned zero files")
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
       var df = spark.read.parquet(fs.map(_.path): _*)
-      val applicable = posDeletes.filter(_.sequence > seq)
+      // spec scoping for POSITION deletes: data_seq <= delete_seq (not the
+      // strict < equality deletes use) — a writer may commit a data file
+      // and a position delete at the same sequence (MOR UPDATE does), and
+      // matching is (file_path, pos)-keyed so a same-sequence delete that
+      // references other files is harmless.
+      val applicable = posDeletes.filter(_.sequence >= seq)
       if (applicable.nonEmpty) {
         val dv = spark.read.parquet(applicable.map(_.path): _*)
           .select(col("file_path").as("dv_file"), col("pos").as("dv_pos"))
@@ -1718,6 +1803,133 @@ object IcebergTable {
       keptManifests.map(_._1) :+ newInfo, "replace")
   }
 
+  /** Row-level MOR UPDATE — the update half of the reference's column-file
+    * study (`poc/results/column_file_dv_updates_results.json`) executed as
+    * the real v3 commit shape: ONE snapshot pairing (a) a deletion vector
+    * on the victims' OLD positions with (b) replacement data file(s)
+    * carrying their updated values, committed as operation "overwrite".
+    * Victims are the LIVE rows matching `predicate` — the scan anti-joins
+    * prior DVs first, so a previously-deleted row is neither re-deleted
+    * nor resurrected into the rewrite. Row lineage follows the spec's
+    * update rule: each rewritten row PRESERVES its `_row_id` (materialized
+    * as a column in the new files — re-positioning destroys the implicit
+    * firstRowId+position form) and takes the update's sequence as its
+    * `_last_updated_sequence_number`, which readers derive from the new
+    * file's manifest sequence ([[readMorDv]] withRowIds). The paired DV
+    * shares the new data file's sequence — exactly why positional scoping
+    * is data_seq <= delete_seq (matching is path-keyed, so the DV can
+    * never touch the replacement file it ships with).
+    *
+    * Scale shape: one distributed scan finds victims; position lists and
+    * Roaring serialization stay executor-side (the [[appendDvPuffin]]
+    * shape); replacement files write through [[writeDataSnapshot]]'s
+    * month-partitioned distributed writer; the driver handles only
+    * KB-grain compressed blobs and manifest rows. */
+  def updateMorDv(spark: SparkSession, location: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    val prev = readMetadata(location)
+    val snapshotId = prev.snapshots.map(_.id).max + 1L
+    val manifests = readManifestList(currentSnapshot(prev).manifestList)
+    val all = readManifestsParallel(manifests.map(_.path)).flatten
+    require(all.forall(e => e.content == 0 || (e.content == 1 && e.referencedDataFile.isDefined)),
+      "updateMorDv supports v3 DV tables only (data files + deletion vectors)")
+    val priorDvs = all.filter(_.content == 1)
+    val plan = planFiles(location)
+    require(plan.files.nonEmpty, "update on an empty table")
+    require(plan.files.forall(_.firstRowId >= 0),
+      "updateMorDv requires row-lineage data files (v3 first_row_id)")
+    val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
+    def blobBytes(e: DataFileEntry): Array[Byte] = {
+      val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
+      slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
+        e.contentOffset, e.contentSize))
+    }
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    // live victims WITH coordinates and preserved _row_id — one scan.
+    // mergeSchema: a SECOND update must see the first's materialized
+    // _row_id column even though pre-update files lack it.
+    var victims = spark.read.option("mergeSchema", "true")
+      .parquet(plan.files.map(_.path): _*)
+      .filter(predicate)
+      .withColumn("__file", regexp_replace(input_file_name(), "^file:", ""))
+      .withColumn("__pos", col("_metadata.row_index").cast("long"))
+    if (priorDvs.nonEmpty) {
+      val rows = priorDvs.map(e => (e.referencedDataFile.get, blobBytes(e)))
+      val dv = spark.createDataset(rows)(tupleEnc)
+        .flatMap { case (f, b) => RoaringDv.deserializeDvBlob(b).map(p => (f, p)) }(pairEnc)
+        .toDF("dv_file", "dv_pos")
+      victims = victims.join(dv,
+        col("__file") === col("dv_file") && col("__pos") === col("dv_pos"), "left_anti")
+    }
+    val idMap = spark.createDataset(plan.files.map(f => (f.path, f.firstRowId)))(pairEnc)
+      .toDF("__file", "__first")
+    victims = victims.join(broadcast(idMap), Seq("__file"))
+    victims = (if (victims.columns.contains("_row_id"))
+        victims.withColumn("_row_id", coalesce(col("_row_id"), col("__first") + col("__pos")))
+      else victims.withColumn("_row_id", col("__first") + col("__pos")))
+      .drop("__first")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      // (a) the DV on the victims' old positions — serialize executor-side
+      val dvRows: Array[(String, Array[Byte], Long, Long, Long)] = victims
+        .groupBy(col("__file"))
+        .agg(sort_array(collect_list(col("__pos"))).as("positions"))
+        .as[(String, Array[Long])]
+        .map { case (path, ps) =>
+          (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last) }
+        .collect()
+        .sortBy(_._1)
+      require(dvRows.nonEmpty, "update matched zero live rows")
+      val mdir = metadataDir(location)
+      val puffinFile = new File(mdir, f"dv-snap-$snapshotId%05d.puffin")
+      val blobs = dvRows.map { case (path, blob, card, _, _) =>
+        Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
+          blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
+      }
+      val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
+        Map("created-by" -> "graft"))
+      val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+      val partSchema = dataFileSchema.getField("partition").schema()
+      val dvEntries = dvRows.zip(metas).map { case ((path, _, card, lo, hi), m) =>
+        val part = new GenericData.Record(partSchema)
+        part.put("p_month", "")
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("content", 1)
+        dfr.put("file_path", puffinFile.getPath)
+        dfr.put("file_format", "PUFFIN")
+        dfr.put("partition", part)
+        dfr.put("record_count", card)
+        dfr.put("file_size_in_bytes", puffinSize)
+        dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
+        dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
+        dfr.put("referenced_data_file", path)
+        dfr.put("content_offset", m.offset)
+        dfr.put("content_size_in_bytes", m.length)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", snapshotId)
+        e.put("data_file", dfr)
+        e: GenericRecord
+      }
+      val dvManifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-dv.avro")
+      val dvLen = writeAvro(ManifestEntrySchema, dvManifestFile, dvEntries.toIndexedSeq)
+      val dvInfo = ManifestInfo(dvManifestFile.getPath, dvLen, snapshotId,
+        dvRows.length, dvRows.map(_._3).sum, "0000-00", "9999-99")
+      // (b) replacement data file(s): updated values + materialized _row_id
+      var upd: DataFrame = victims
+      assignments.foreach { case (c, e) => upd = upd.withColumn(c, e) }
+      val newInfo = writeDataSnapshot(spark, upd.drop("__file", "__pos"),
+        location, snapshotId)
+      commitSnapshot(location, Some(prev), snapshotId,
+        manifests :+ newInfo :+ dvInfo, "overwrite")
+    } finally victims.unpersist()
+  }
+
   /** MOR read resolving v3 DELETION VECTORS: delete manifests point at
     * Puffin blobs; the driver reads each blob's compressed bytes (KB-grain
     * metadata IO, footer-verified CRC), ships them to executors, and the
@@ -1752,7 +1964,10 @@ object IcebergTable {
     val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
       var df = spark.read.parquet(fs.map(_.path): _*)
-      val applicable = dvEntries.filter(_.sequence > seq)
+      // position-delete scoping is data_seq <= delete_seq per the spec
+      // (see readMorPositional) — matching is path-keyed, so a
+      // same-sequence DV referencing other files never over-deletes
+      val applicable = dvEntries.filter(_.sequence >= seq)
       if (applicable.nonEmpty || withRowIds) {
         // referenced-data-file carries the manifest-normalized path (no
         // "file:" scheme, input_file_name() form) — use the same source
@@ -1777,6 +1992,17 @@ object IcebergTable {
                   coalesce(col("_row_id"), col("__first") + col("__pos")))
               else df.withColumn("_row_id", col("__first") + col("__pos")))
           .drop("__first")
+        // v3 row lineage, second field: _last_updated_sequence_number —
+        // absent/null in the file means "inherit the manifest entry's data
+        // sequence number" (the spec's derivation). An updateMorDv
+        // replacement file's rows were last updated at ITS sequence, so the
+        // same inheritance yields the update sequence with nothing
+        // materialized; a materialized column, if a writer ever adds one,
+        // wins via coalesce like _row_id.
+        df = (if (df.columns.contains("_last_updated_sequence_number"))
+                df.withColumn("_last_updated_sequence_number",
+                  coalesce(col("_last_updated_sequence_number"), lit(seq)))
+              else df.withColumn("_last_updated_sequence_number", lit(seq)))
       }
       if (applicable.nonEmpty) {
         val rows = applicable.map(e => (e.referencedDataFile.get, blobBytes(e)))
@@ -1789,7 +2015,10 @@ object IcebergTable {
       if (applicable.nonEmpty || withRowIds) df = df.drop("__file", "__pos")
       df
     }
-    (parts.reduce(_ unionByName _), plan, dvEntries)
+    // allowMissingColumns: an UPDATE table's replacement files carry a
+    // materialized _row_id column older sequence groups lack — null-filled
+    // here on a plain read; a withRowIds read computes it for every group.
+    (parts.reduce(_.unionByName(_, allowMissingColumns = true)), plan, dvEntries)
   }
 
   /** MOR read applying EVERY delete form in one scan — the general case
@@ -1828,8 +2057,11 @@ object IcebergTable {
     require(plan.files.nonEmpty, "scan planned zero files")
     val parts = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
       var df = spark.read.parquet(fs.map(_.path): _*)
-      val posApp = posDeletes.filter(_.sequence > seq)
-      val dvApp = dvEntries.filter(_.sequence > seq)
+      // positional forms scope at data_seq <= delete_seq (spec; path-keyed
+      // matching makes a same-sequence entry harmless); equality deletes
+      // below stay STRICTLY newer, also per the spec.
+      val posApp = posDeletes.filter(_.sequence >= seq)
+      val dvApp = dvEntries.filter(_.sequence >= seq)
       // Row coordinates come from _metadata, materialized ONCE before any
       // join: input_file_name() is illegal past the first anti-join (the
       // plan then has two file sources), and _metadata itself resolves
@@ -1867,7 +2099,10 @@ object IcebergTable {
       }
       df
     }
-    (parts.reduce(_ unionByName _), plan, eqDeletes, posDeletes, dvEntries)
+    // allowMissingColumns: see readMorDv — update tables mix files with and
+    // without the materialized _row_id column across sequence groups.
+    (parts.reduce(_.unionByName(_, allowMissingColumns = true)),
+      plan, eqDeletes, posDeletes, dvEntries)
   }
 
   /** MOR read: pruned data scan with the snapshot's delete files applied,

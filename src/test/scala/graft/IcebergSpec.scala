@@ -632,9 +632,19 @@ class IcebergSpec extends SparkSpec {
     val meta = IcebergTable.readMetadata(l)
     assert(meta.snapshots.map(_.id) == meta.snapshots.map(_.id).distinct,
       "no duplicate snapshot ids in the log")
-    // the staged snapshot's data is intact and publishable
-    IcebergTable.publishStaged(l, staged)
+    // main advanced past the stage's base (the delete commit): a
+    // fast-forward publish would LOSE that commit — publishStaged must
+    // refuse (round 16), and the cherry-pick path publishes the staged
+    // data onto the advanced head with everything intact
+    intercept[IllegalArgumentException] { IcebergTable.publishStaged(l, staged) }
+    IcebergTable.cherryPick(l, staged)
     assert(IcebergTable.read(spark, l).count() == lineitem.count())
+    // and the interim delete commit SURVIVED the publish (the manifest the
+    // old fast-forward would have dropped)
+    val headEntries = IcebergTable.readManifestList(IcebergTable.currentSnapshot(
+        IcebergTable.readMetadata(l)).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+    assert(headEntries.exists(_.content == 2), "delete commit lost by the publish")
   }
 
   test("weekly-spec month-bound planning: boundary-month week files are not silently pruned") {
@@ -1279,5 +1289,165 @@ class IcebergSpec extends SparkSpec {
     // this scale and nothing takes the rewrite snapshot's sequence (4)
     assert(positional.forall(e => e.sequence == 2L || e.sequence == 3L))
     assert(positional.map(_.sequence).max == 3L)
+  }
+
+  test("DSv2 SQL front door: select parity, pushdown census, time travel, MOR resolution") {
+    import graft.lake.iceberg.{GraftCatalog, GraftSqlScanCensus, IcebergCatalog, IcebergTable => T}
+    val w = Files.createTempDirectory("graft_iceberg_sql_spec_").toString
+    IcebergCatalog.createNamespace(w, "ns")
+    val t1 = IcebergCatalog.createTable(w, "ns", "li")
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), t1)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), t1)
+    spark.conf.set("spark.sql.catalog.gtest", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", w)
+    // full-table parity with the source
+    val got = spark.sql(
+      "SELECT count(*) AS n, round(sum(l_quantity), 4) AS q FROM gtest.ns.li").head()
+    val src = lineitem.agg(count(lit(1)), round(sum(col("l_quantity")), 4)).head()
+    assert(got.getLong(0) == src.getLong(0) && got.getDouble(1) == src.getDouble(1))
+    // pushdown: a one-quarter window must plan a strict subset of files
+    val q1 = spark.sql(
+      """SELECT count(*) AS n FROM gtest.ns.li
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin).head().getLong(0)
+    val expectQ1 = lineitem.filter(
+      col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-04-01").cast("timestamp")).count()
+    assert(q1 == expectQ1, "pushed-filter SQL returned wrong rows")
+    assert(GraftSqlScanCensus.filesSelected < GraftSqlScanCensus.filesTotal,
+      s"no file pruning: ${GraftSqlScanCensus.filesSelected} of ${GraftSqlScanCensus.filesTotal}")
+    // column pruning reached the parquet projection
+    assert(GraftSqlScanCensus.colsRead < GraftSqlScanCensus.colsTotal)
+    // time travel
+    val v1 = spark.sql("SELECT count(*) FROM gtest.ns.li VERSION AS OF 1").head().getLong(0)
+    assert(v1 == lineitem.filter(
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count())
+    // MOR: equality + DV waves resolved inside the DSv2 reader
+    val t2 = IcebergCatalog.createTable(w, "ns", "li_mor")
+    T.append(spark, lineitem, t2)
+    T.appendEqualityDeletes(spark,
+      lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 3L)
+        .select(col("l_orderkey")).distinct(), t2)
+    T.appendDvPuffin(spark, t2, pmod(col("l_orderkey"), lit(10L)) === 6L)
+    val live = spark.sql("SELECT count(*) FROM gtest.ns.li_mor").head().getLong(0)
+    val expectLive = lineitem.filter(
+      pmod(col("l_orderkey"), lit(10L)) =!= 3L &&
+      pmod(col("l_orderkey"), lit(10L)) =!= 6L).count()
+    assert(live == expectLive, s"DSv2 MOR read: $live vs $expectLive")
+    // SQL result equals the library MOR read row-for-row (checksum grain)
+    val sqlSum = spark.sql(
+      "SELECT round(sum(l_extendedprice), 2) FROM gtest.ns.li_mor").head().getDouble(0)
+    val libSum = T.readMorUnified(spark, t2)._1
+      .agg(round(sum(col("l_extendedprice")), 2)).head().getDouble(0)
+    assert(math.abs(sqlSum - libSum) < 1e-6)
+    // catalog surface: listing sees both committed tables
+    assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("li", "li_mor"))
+  }
+
+  test("MOR update: one overwrite snapshot, rows preserved, _row_id kept, last-updated tracks") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_update_spec_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    // id census BEFORE the update — the update must preserve this exact set
+    val idsBefore = T.readMorDv(spark, l, withRowIds = true)._1
+      .agg(count(lit(1)), countDistinct(col("_row_id")),
+        sum(col("_row_id"))).head()
+    val sid = T.updateMorDv(spark, l,
+      pmod(col("l_orderkey"), lit(10L)) === 5L,
+      Seq("l_quantity" -> (col("l_quantity") + lit(100.0))))
+    assert(sid == 3L)
+    val meta = T.readMetadata(l)
+    assert(meta.snapshots.find(_.id == 3L).get.operation == "overwrite")
+    val (live, _, dvs) = T.readMorDv(spark, l, withRowIds = true)
+    val g = live.agg(count(lit(1)), countDistinct(col("_row_id")), sum(col("_row_id")),
+      sum(when(col("_last_updated_sequence_number") === 3L, 1L).otherwise(0L)),
+      round(sum(col("l_quantity")), 4)).head()
+    val nUpd = lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 5L).count()
+    val total = lineitem.count()
+    // row count unchanged; id SET preserved exactly (count, distinct, sum)
+    assert(g.getLong(0) == total)
+    assert(g.getLong(1) == idsBefore.getLong(1) && g.getLong(0) == idsBefore.getLong(0))
+    assert(g.getLong(2) == idsBefore.getLong(2), "_row_id set changed across the update")
+    // exactly the victims carry the update sequence
+    assert(g.getLong(3) == nUpd)
+    // values actually updated: sum gained exactly 100 per victim
+    val srcQty = lineitem.agg(round(sum(col("l_quantity")), 4)).head().getDouble(0)
+    assert(math.abs(g.getDouble(4) - (srcQty + 100.0 * nUpd)) < 1e-4)
+    // the DV covers exactly the victims' old positions, one blob per file
+    assert(dvs.map(_.recordCount).sum == nUpd)
+    assert(dvs.groupBy(_.referencedDataFile.get).forall(_._2.size == 1))
+    // a previously-deleted row is neither re-deleted nor resurrected: a
+    // SECOND update touching an overlapping class must not see wave-1
+    // victims' old rows (their positions are DV-covered)
+    val sid2 = T.updateMorDv(spark, l,
+      pmod(col("l_orderkey"), lit(5L)) === 0L, // ≡0,5 mod 10 ⊃ first wave
+      Seq("l_quantity" -> (col("l_quantity") + lit(1.0))))
+    assert(sid2 == 4L)
+    val live2 = T.readMorDv(spark, l, withRowIds = true)._1
+    val g2 = live2.agg(count(lit(1)), countDistinct(col("_row_id"))).head()
+    assert(g2.getLong(0) == total && g2.getLong(1) == total,
+      "second update lost or duplicated rows")
+  }
+
+  test("rollback: metadata-only retarget, clean reads, bad head still time-travels") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_rollback_spec_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    T.append(spark, lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 0L), l)
+    val total = lineitem.count()
+    val dup = lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 0L).count()
+    def rowsAt(id: Option[Long]) =
+      T.planFiles(l, id).files.map(_.recordCount).sum
+    assert(rowsAt(None) == total + dup)
+    T.rollback(l, 2L)
+    val meta = T.readMetadata(l)
+    assert(meta.currentSnapshotId == 2L && meta.refs("main").snapshotId == 2L)
+    assert(meta.snapshots.size == 3, "rollback must not drop log entries")
+    assert(rowsAt(None) == total)
+    assert(rowsAt(Some(3L)) == total + dup, "rolled-past snapshot lost time travel")
+    // the next commit builds on the rolled-back head and never reuses id 3
+    val sid = T.append(spark,
+      lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 1L), l)
+    assert(sid == 4L)
+    val add = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 1L).count()
+    assert(rowsAt(None) == total + add, "post-rollback append built on the wrong head")
+  }
+
+  test("cherry-pick: staged append replays at the new sequence; FF publish refuses") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val l = Files.createTempDirectory("graft_iceberg_cherry_spec_").toString
+    T.append(spark, lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), l)
+    val staged = T.appendStaged(spark, lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")), l)
+    T.append(spark, lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 0L), l)
+    // main advanced past the stage's base: fast-forward publish must refuse
+    intercept[IllegalArgumentException] { T.publishStaged(l, staged) }
+    val newId = T.cherryPick(l, staged)
+    assert(newId == 4L)
+    val meta = T.readMetadata(l)
+    assert(meta.currentSnapshotId == 4L)
+    assert(!meta.refs.contains("staging"))
+    val e1 = lineitem.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
+    val e2 = lineitem.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")).count()
+    val dup = lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 0L).count()
+    def rowsAt(id: Option[Long]) = T.planFiles(l, id).files.map(_.recordCount).sum
+    assert(rowsAt(None) == e1 + e2 + dup)
+    assert(rowsAt(Some(3L)) == e1 + dup, "interim commit lost by the pick")
+    // picked rows enter incremental scans at the PICK id, exactly once
+    val inc = T.planIncremental(l, fromId = 3L, toId = 4L)
+    assert(inc.files.map(_.recordCount).sum == e2)
+    // and a full-history incremental never double-counts the staged rows
+    val full = T.planIncremental(l, fromId = 0L, toId = 4L)
+    assert(full.files.map(_.recordCount).sum == e1 + e2 + dup)
   }
 }
