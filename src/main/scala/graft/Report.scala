@@ -243,6 +243,26 @@ object Report {
         "per data file (positions_pre_sum with the overlap double-counted shrinks to the " +
         "exact union), scoping preserved, visible rows unchanged.",
         htmlTable(q("iceberg_rewrite_deletes"))),
+      section("SQL front door (DataSourceV2)", "SELECT through the registered GraftCatalog: " +
+        "pushed shipdate bounds prune files at the manifest stats (files_scanned vs " +
+        "files_total) and the required schema became the parquet projection (cols_read).",
+        htmlTable(q("iceberg_sql_select"))),
+      section("SQL INSERT INTO", "The write half of the front door: era 2 arrived via " +
+        "INSERT INTO routed through the committing append — indistinguishable history, " +
+        "incrementally planned at (1, 2].",
+        htmlTable(q("iceberg_sql_insert"))),
+      section("MOR row-level UPDATE", "One overwrite snapshot pairing a deletion vector on " +
+        "the victims' old positions with replacement files: _row_id preserved (distinct ids " +
+        "== rows), updated rows carry the update's _last_updated_sequence_number.",
+        htmlTable(q("iceberg_update_mor"))),
+      section("Rollback + cherry-pick", "Metadata-only retarget of main (bad head still " +
+        "time-travelable) and the non-fast-forward WAP publish (staged entries replayed at " +
+        "the new sequence; incremental consumers see them exactly once at the pick id).",
+        htmlTable(q("iceberg_rollback")) + htmlTable(q("iceberg_cherry_pick"))),
+      section("Column-file update, executed", "The same update paid three real ways — CoW " +
+        "rewrite, MOR replacement, column-file sidecar keyed by _row_id — with the model's " +
+        "byte ordering pinned (sidecar < replacement < full rewrite).",
+        htmlTable(q("lake_column_update_exec"))),
       section("Training-data funnel", "Docs and tokens surviving each curation stage.",
         htmlTable(q("text_pipeline_funnel"))),
       section("PII scan", "Redaction pre-pass counts per source and class (explicit zeros).",

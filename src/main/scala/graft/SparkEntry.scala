@@ -106,6 +106,8 @@ object SparkEntry {
     "iceberg_sql_select" -> q((s, d) => iceberg.IcebergOps.sqlSelect(s, Tables.lineitem(s, d))),
     "iceberg_sql_time_travel" -> q((s, d) => iceberg.IcebergOps.sqlTimeTravel(s, Tables.lineitem(s, d))),
     "iceberg_sql_mor" -> q((s, d) => iceberg.IcebergOps.sqlMorSelect(s, Tables.lineitem(s, d))),
+    "iceberg_sql_insert" -> q((s, d) => iceberg.IcebergOps.sqlInsert(s, Tables.lineitem(s, d))),
+    "iceberg_sql_create" -> q((s, d) => iceberg.IcebergOps.sqlCreate(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1370,16 +1372,30 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     // SQL time travel: VERSION AS OF 1 = the pre-cut era; the default
-    // read = both eras; two committed tables in the namespace.
+    // read = both eras; four committed tables in the namespace (the two
+    // library-built ones plus the SQL-inserted and CTAS-born tables).
     "iceberg_sql_time_travel" -> {
       val cut = iceberg.IcebergOps.SnapshotCut
       s"""SELECT
         | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS rows_v1,
         | CAST(count(*) AS BIGINT) AS rows_head,
         | CAST(2 AS BIGINT) AS n_snapshots,
-        | CAST(2 AS BIGINT) AS n_tables,
-        | 'lineitem,lineitem_mor' AS tables
+        | CAST(4 AS BIGINT) AS n_tables,
+        | 'lineitem,lineitem_ctas,lineitem_ins,lineitem_mor' AS tables
         |FROM lineitem""".stripMargin
+    },
+
+    // CREATE TABLE AS SELECT, entirely in SQL: a one-snapshot committed
+    // table holding exactly the post-cut era, listed beside the others.
+    "iceberg_sql_create" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(1 AS BIGINT) AS n_snapshots, CAST(4 AS BIGINT) AS n_tables
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$cut'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
     },
 
     // SQL over the MOR table: the DSv2 reader applies the equality wave
@@ -1399,6 +1415,22 @@ object SparkEntry {
         | CAST(4 AS BIGINT) AS n_snapshots
         |FROM t, g WHERE NOT eqd AND NOT dvd
         |GROUP BY 1, g.keys, g.dvp
+        |ORDER BY 1""".stripMargin
+    },
+
+    // SQL INSERT INTO through the committing append: the table ends at
+    // 2 snapshots holding the full row set, with the inserted era's rows
+    // planned incrementally at (1, 2].
+    "iceberg_sql_insert" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""WITH g AS (SELECT
+        |   CAST(count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '$cut') AS BIGINT) AS e2
+        |   FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(2 AS BIGINT) AS n_snapshots, g.e2 AS inserted_rows
+        |FROM lineitem, g
+        |GROUP BY 1, g.e2
         |ORDER BY 1""".stripMargin
     },
 

@@ -2270,6 +2270,20 @@ object IcebergOps {
           .select(col("l_orderkey")).distinct(), t2)
       IcebergTable.appendDvPuffin(spark, t2,
         pmod(col("l_orderkey"), lit(DeleteKeyMod)) === DvDeleteResidue)
+      // `lake.lineitem_ins`: era 1 committed via the library, era 2 via
+      // SQL `INSERT INTO` — the write half of the front door; both commits
+      // must be indistinguishable in the table history
+      val t3 = IcebergCatalog.createTable(w, "lake", "lineitem_ins")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), t3)
+      val cat = sqlCatalogFor(spark, w)
+      lineitem.filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp"))
+        .createOrReplaceTempView("graft_sql_ins_src")
+      spark.sql(s"INSERT INTO $cat.lake.lineitem_ins SELECT * FROM graft_sql_ins_src")
+      // `lake.lineitem_ctas`: born entirely in SQL — CREATE TABLE AS SELECT
+      // registers the location + pending schema, and the CTAS write commits
+      // snapshot 1 through the same appending path
+      spark.sql(s"CREATE TABLE $cat.lake.lineitem_ctas AS SELECT * FROM graft_sql_ins_src")
       new String(w)
     }
 
@@ -2363,6 +2377,58 @@ object IcebergOps {
       meta.snapshots.size.toLong))
       .toDF("l_returnflag", "n_live_rows", "sum_qty",
         "eq_keys", "dv_positions", "n_snapshots")
+      .orderBy("l_returnflag")
+  }
+
+  /** Full SQL DDL+DML lifecycle: `lake.lineitem_ctas` was born entirely in
+    * SQL — `CREATE TABLE … AS SELECT` registered the location with a
+    * pending declared schema and the CTAS write committed snapshot 1
+    * through [[IcebergTable.append]]; the census proves a one-snapshot
+    * committed table whose rows are exactly the source query's, listed by
+    * the catalog beside the library-built tables. */
+  def sqlCreate(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_ctas
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val meta = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "lineitem_ctas"))
+    val tables = IcebergCatalog.listTables(w, "lake")
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      meta.snapshots.size.toLong, tables.size.toLong))
+      .toDF("l_returnflag", "n_rows", "sum_qty", "n_snapshots", "n_tables")
+      .orderBy("l_returnflag")
+  }
+
+  /** The WRITE half of the SQL front door: era 2 of `lake.lineitem_ins`
+    * arrived via `INSERT INTO <cat>.lake.lineitem_ins SELECT …` — routed
+    * through the committing [[IcebergTable.append]] by the V1Write bridge,
+    * so the SQL insert's snapshot is indistinguishable from the library
+    * append's (snapshot 2, one manifest, month files, row ids). The census
+    * reads the table back through SQL and proves the history: 2 snapshots,
+    * full row set, the inserted era planned incrementally at (1, 2]. */
+  def sqlInsert(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_ins
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem_ins")
+    val meta = IcebergTable.readMetadata(loc)
+    val inserted = IcebergTable.planIncremental(loc, fromId = 1L, toId = 2L)
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      meta.snapshots.size.toLong,
+      inserted.files.map(_.recordCount).sum))
+      .toDF("l_returnflag", "n_rows", "sum_qty", "n_snapshots", "inserted_rows")
       .orderBy("l_returnflag")
   }
 

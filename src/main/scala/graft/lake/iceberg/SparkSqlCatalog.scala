@@ -45,9 +45,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * cluster fans the files out like any FileScan); per-task state is one
   * file's DV positions (bounded by rows-per-file) plus the broadcast-size
   * equality key set, both shipped once in the serialized factory/
-  *  partition. Read-only by design — writes go through the committing
-  * APIs ([[IcebergTable.append]]/appendOcc/updateMorDv), exactly like the
-  * real library's recommended catalog-managed write path.
+  * partition. Writes: `INSERT INTO` routes through the committing
+  * [[IcebergTable.append]] (V1Write bridge on [[GraftSqlTable]]);
+  * row-level mutations stay library API calls
+  * (updateMorDv/appendDvPuffin/…), like the real library's procedures.
   *
   * Simplifications, stated: timestamps assume the micros physical form
   * Spark itself writes with a UTC session (the only writer of these
@@ -73,16 +74,26 @@ class GraftCatalog extends TableCatalog {
     namespace.head
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    IcebergCatalog.listTables(warehouse, ns1(namespace))
-      .map(t => Identifier.of(namespace, t)).toArray
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // committed tables (version-hint present) plus CREATE'd-but-not-yet-
+    // committed ones (pending schema): SQL must see a table between its
+    // CREATE and its first INSERT even though the library-level catalog
+    // keeps the strict HadoopCatalog existence rule
+    val nsDir = new File(new File(warehouse), ns1(namespace))
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        (new File(d, "metadata/version-hint.text").exists() ||
+         new File(d, "metadata/schema.pending.json").exists()))
+      .map(d => Identifier.of(namespace, d.getName)).sortBy(_.name())
+  }
 
   private def location(ident: Identifier): String =
     IcebergCatalog.tableLocation(warehouse, ns1(ident.namespace()), ident.name())
 
   private def load(ident: Identifier, snapshotId: Option[Long]): Table = {
     val loc = location(ident)
-    if (!new File(loc, "metadata/version-hint.text").exists())
+    if (!new File(loc, "metadata/version-hint.text").exists() &&
+        !new File(loc, "metadata/schema.pending.json").exists())
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ns1(ident.namespace()), ident.name()))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
@@ -96,11 +107,28 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `CREATE TABLE <cat>.<ns>.<t> …` (incl. CTAS): registers the location
+    * and persists the DECLARED schema as `metadata/schema.pending.json` —
+    * the table is SQL-visible immediately (empty scan) while the library-
+    * level existence rule stays "committed metadata only"; the first
+    * INSERT/CTAS write commits snapshot 1 through [[IcebergTable.append]]
+    * and the table becomes a normal committed table. Partition transforms
+    * are refused: graft tables partition by month(l_shipdate) implicitly
+    * (the stated single-spec simplification). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read front door; write through IcebergTable.append/appendOcc")
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables partition by month(l_shipdate) implicitly; omit PARTITIONED BY")
+    require(schema.fieldNames.contains("l_shipdate"),
+      "graft tables require an l_shipdate column (the month partition key)")
+    val loc = IcebergCatalog.createTable(warehouse, ns1(ident.namespace()), ident.name())
+    val mdir = new File(loc, "metadata"); mdir.mkdirs()
+    java.nio.file.Files.write(new File(mdir, "schema.pending.json").toPath,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      loc, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog tables are altered by commits")
@@ -127,23 +155,59 @@ object GraftSqlScanCensus {
 
 private[iceberg] class GraftSqlTable(ident: String, location: String,
                                      snapshotId: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with SupportsWrite {
 
   override def name(): String = ident
 
   private lazy val schema0: StructType = {
-    val plan = IcebergTable.planFiles(location, snapshotId)
-    require(plan.files.nonEmpty, s"$ident has no data files")
-    org.apache.spark.sql.SparkSession.active.read.parquet(plan.files.head.path).schema
+    if (IcebergTable.readMetadataOpt(location).isEmpty) {
+      // CREATE'd but not yet committed: the declared schema
+      val pending = new File(location, "metadata/schema.pending.json")
+      require(pending.exists(), s"$ident has neither committed metadata nor a pending schema")
+      org.apache.spark.sql.types.DataType.fromJson(
+        java.nio.file.Files.readString(pending.toPath)).asInstanceOf[StructType]
+    } else {
+      val plan = IcebergTable.planFiles(location, snapshotId)
+      require(plan.files.nonEmpty, s"$ident has no data files")
+      org.apache.spark.sql.SparkSession.active.read.parquet(plan.files.head.path).schema
+    }
   }
 
   override def schema(): StructType = schema0
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, snapshotId, schema)
+    new GraftScanBuilder(location, snapshotId, schema0)
+
+  /** `INSERT INTO <cat>.<ns>.<t> …` / `df.writeTo(…).append()` — the WRITE
+    * half of the north star, routed through the library's COMMITTING
+    * append (snapshot + manifests + row-id assignment + version-hint flip)
+    * via the DSv2 V1Write bridge: the bridge hands the insert's planned
+    * DataFrame to [[IcebergTable.append]], whose distributed
+    * month-partitioned writer and manifest protocol are exactly what a
+    * direct API caller gets — SQL inserts and library appends produce
+    * indistinguishable table history. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(snapshotId.isEmpty, s"cannot write to a time-travel snapshot of $ident")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                require(!overwrite, "INSERT OVERWRITE is not supported; " +
+                  "commit a replace through the library API")
+                IcebergTable.append(data.sparkSession, data, location)
+              }
+            }
+        }
+    }
+  }
 }
 
 private[iceberg] class GraftScanBuilder(location: String, snapshotId: Option[Long],
@@ -219,6 +283,16 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
   private var eqDeletes: Array[(Long, Array[Long])] = Array.empty
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // a CREATE'd table before its first commit scans empty
+    if (IcebergTable.readMetadataOpt(location).isEmpty) {
+      GraftSqlScanCensus.filesTotal = 0L
+      GraftSqlScanCensus.filesSelected = 0L
+      GraftSqlScanCensus.manifestsTotal = 0L
+      GraftSqlScanCensus.manifestsRead = 0L
+      GraftSqlScanCensus.colsRead = required.size.toLong
+      GraftSqlScanCensus.colsTotal = tableCols.toLong
+      return Array.empty
+    }
     val meta = IcebergTable.readMetadata(location)
     val snap = snapshotId.map(id => meta.snapshots.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id"))).getOrElse(

@@ -1345,6 +1345,39 @@ class IcebergSpec extends SparkSpec {
     // catalog surface: listing sees both committed tables
     assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
       .map(_.getString(1)).sorted.toSeq == Seq("li", "li_mor"))
+    // the WRITE half: INSERT INTO routes through the committing append —
+    // a second snapshot appears and SQL reads the union
+    val preN = spark.sql("SELECT count(*) FROM gtest.ns.li").head().getLong(0)
+    lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 2L)
+      .createOrReplaceTempView("gtest_ins_src")
+    spark.sql("INSERT INTO gtest.ns.li SELECT * FROM gtest_ins_src")
+    val insN = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 2L).count()
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.li").head().getLong(0) == preN + insN)
+    val metaIns = T.readMetadata(t1)
+    assert(metaIns.snapshots.size == 3 &&
+      metaIns.snapshots.last.operation == "append")
+    // the SQL-inserted era is a first-class incremental range
+    assert(T.planIncremental(t1, fromId = 2L, toId = 3L)
+      .files.map(_.recordCount).sum == insN)
+    // time-travel writes refuse
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.ns.li VERSION AS OF 1 SELECT * FROM gtest_ins_src")
+    }
+    // CREATE TABLE + INSERT, entirely in SQL: pending schema makes the
+    // empty table scannable, the first insert commits snapshot 1
+    spark.sql("""CREATE TABLE gtest.ns.li_new
+      |(l_orderkey BIGINT, l_shipdate TIMESTAMP, l_quantity DOUBLE)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.li_new").head().getLong(0) == 0L)
+    spark.sql("""INSERT INTO gtest.ns.li_new
+      |SELECT l_orderkey, l_shipdate, l_quantity FROM gtest_ins_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.li_new").head().getLong(0) == insN)
+    assert(T.readMetadata(IcebergCatalog.tableLocation(w, "ns", "li_new"))
+      .snapshots.map(_.id) == Seq(1L))
+    // CTAS: the table is born committed with exactly the query's rows
+    spark.sql("CREATE TABLE gtest.ns.li_ctas AS SELECT * FROM gtest_ins_src")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.li_ctas").head().getLong(0) == insN)
+    assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("li", "li_ctas", "li_mor", "li_new"))
   }
 
   test("MOR update: one overwrite snapshot, rows preserved, _row_id kept, last-updated tracks") {

@@ -356,15 +356,18 @@ class PipelineReportsSpec extends SparkSpec {
                   "Iceberg bucket evolution", "Iceberg files metadata table",
                   "Iceberg manifests + history metadata tables",
                   "Iceberg entries metadata table", "Iceberg rewrite_position_deletes",
+                  "SQL front door (DataSourceV2)", "SQL INSERT INTO",
+                  "MOR row-level UPDATE", "Rollback + cherry-pick",
+                  "Column-file update, executed",
                   "Training-data funnel", "PII scan", "Multimodal quality gate",
                   "Multimodal token budget", "Scene-cut segmentation", "k-center coreset",
                   "Slowest queries"))
       assert(html.contains(s"<h2>$h"), s"missing section $h")
-    assert("<section>".r.findAllIn(html).size == 49)
-    // every table has at least one data row (the manifests+history panel
-    // carries TWO tables in one section)
+    assert("<section>".r.findAllIn(html).size == 54)
+    // every table has at least one data row (the manifests+history and
+    // rollback+cherry-pick panels each carry TWO tables in one section)
     val tables = "<tbody>\\n([\\s\\S]*?)</tbody>".r.findAllMatchIn(html).map(_.group(1)).toSeq
-    assert(tables.size == 49)
+    assert(tables.size == 55)
     tables.foreach(t => assert(t.contains("<tr>"), "empty table body"))
     // the baseline chart has 20 bars with numeric values
     assert("class=\"bar\"".r.findAllIn(html).size == 20)
