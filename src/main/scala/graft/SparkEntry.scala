@@ -108,6 +108,7 @@ object SparkEntry {
     "iceberg_sql_mor" -> q((s, d) => iceberg.IcebergOps.sqlMorSelect(s, Tables.lineitem(s, d))),
     "iceberg_sql_insert" -> q((s, d) => iceberg.IcebergOps.sqlInsert(s, Tables.lineitem(s, d))),
     "iceberg_sql_create" -> q((s, d) => iceberg.IcebergOps.sqlCreate(s, Tables.lineitem(s, d))),
+    "iceberg_sql_delete" -> q((s, d) => iceberg.IcebergOps.sqlDelete(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1380,8 +1381,8 @@ object SparkEntry {
         | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS rows_v1,
         | CAST(count(*) AS BIGINT) AS rows_head,
         | CAST(2 AS BIGINT) AS n_snapshots,
-        | CAST(4 AS BIGINT) AS n_tables,
-        | 'lineitem,lineitem_ctas,lineitem_ins,lineitem_mor' AS tables
+        | CAST(5 AS BIGINT) AS n_tables,
+        | 'lineitem,lineitem_ctas,lineitem_del,lineitem_ins,lineitem_mor' AS tables
         |FROM lineitem""".stripMargin
     },
 
@@ -1391,10 +1392,29 @@ object SparkEntry {
       val cut = iceberg.IcebergOps.SnapshotCut
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         | round(sum(l_quantity), 4) AS sum_qty,
-        | CAST(1 AS BIGINT) AS n_snapshots, CAST(4 AS BIGINT) AS n_tables
+        | CAST(1 AS BIGINT) AS n_snapshots, CAST(5 AS BIGINT) AS n_tables
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '$cut'
         |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    },
+
+    // SQL DELETE (the retention pass) committed as one v3 DV snapshot:
+    // survivors are the at-or-after-cut rows; one DV blob per pre-cut
+    // month file; positions = the pre-cut row count.
+    "iceberg_sql_delete" -> {
+      val rc = iceberg.IcebergOps.SqlRetentionCut
+      s"""WITH t AS (SELECT l_returnflag, l_quantity,
+        |   strftime(l_shipdate, '%Y-%m') AS m,
+        |   l_shipdate < TIMESTAMP '$rc' AS del FROM lineitem),
+        | g AS (SELECT CAST(count(DISTINCT m) FILTER (WHERE del) AS BIGINT) AS nb,
+        |   CAST(count(*) FILTER (WHERE del) AS BIGINT) AS np FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_live_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | g.nb AS dv_blobs, g.np AS deleted_positions,
+        | CAST(2 AS BIGINT) AS n_snapshots
+        |FROM t, g WHERE NOT del
+        |GROUP BY 1, g.nb, g.np
         |ORDER BY 1""".stripMargin
     },
 

@@ -2284,8 +2284,18 @@ object IcebergOps {
       // registers the location + pending schema, and the CTAS write commits
       // snapshot 1 through the same appending path
       spark.sql(s"CREATE TABLE $cat.lake.lineitem_ctas AS SELECT * FROM graft_sql_ins_src")
+      // `lake.lineitem_del`: the retention DELETE — everything before
+      // [[SqlRetentionCut]] removed by SQL, committed as a v3 DV snapshot
+      val t4 = IcebergCatalog.createTable(w, "lake", "lineitem_del")
+      IcebergTable.append(spark, lineitem, t4)
+      spark.sql(s"DELETE FROM $cat.lake.lineitem_del " +
+        s"WHERE l_shipdate < TIMESTAMP '$SqlRetentionCut 00:00:00'")
       new String(w)
     }
+
+  /** Retention boundary for the SQL DELETE fixture (spliced into the
+    * oracle): rows shipped before this date are deleted. */
+  val SqlRetentionCut = "1996-06-01"
 
   /** Register (idempotently) a [[GraftCatalog]] for this warehouse on the
     * session and return its catalog name. The name is derived from the
@@ -2402,6 +2412,35 @@ object IcebergOps {
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
       meta.snapshots.size.toLong, tables.size.toLong))
       .toDF("l_returnflag", "n_rows", "sum_qty", "n_snapshots", "n_tables")
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL row-level DELETE: `DELETE FROM <cat>.lake.lineitem_del WHERE
+    * l_shipdate < <cut>` — the retention pass every lake runs — pushed
+    * through [[GraftSqlTable.deleteWhere]] into ONE committing
+    * [[IcebergTable.appendDvPuffin]] v3 deletion-vector snapshot. The SQL
+    * read afterwards resolves the DV inside the DSv2 reader; census: one
+    * DV blob per pre-cut month file, positions = the pre-cut row count,
+    * two snapshots. */
+  def sqlDelete(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_live_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_del
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem_del")
+    val meta = IcebergTable.readMetadata(loc)
+    val dvs = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path)).filter(_.content == 1)
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      dvs.size.toLong, dvs.map(_.recordCount).sum, meta.snapshots.size.toLong))
+      .toDF("l_returnflag", "n_live_rows", "sum_qty",
+        "dv_blobs", "deleted_positions", "n_snapshots")
       .orderBy("l_returnflag")
   }
 

@@ -55,7 +55,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * tables); positional-parquet (v2) delete files are refused with a
   * pointer at `rewrite_position_deletes` (the v3 migration this library
   * executes); schema comes from the head snapshot's first data file. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -107,6 +107,17 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF <instant>` — the latest snapshot committed at or
+    * before the instant (the spec's snapshot-log resolution rule). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val meta = IcebergTable.readMetadata(location(ident))
+    val tsMs = timestampMicros / 1000L
+    val eligible = meta.snapshots.filter(_.timestampMs <= tsMs)
+    require(eligible.nonEmpty,
+      s"no snapshot of ${ident.name()} committed at or before $tsMs ms")
+    load(ident, Some(eligible.maxBy(_.timestampMs).id))
+  }
+
   /** `CREATE TABLE <cat>.<ns>.<t> …` (incl. CTAS): registers the location
     * and persists the DECLARED schema as `metadata/schema.pending.json` —
     * the table is SQL-visible immediately (empty scan) while the library-
@@ -138,6 +149,45 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     IcebergCatalog.renameTable(warehouse, ns1(from.namespace()), from.name(), to.name())
+
+  // ---- SupportsNamespaces: SHOW/CREATE/DROP NAMESPACE over the
+  // warehouse's directory-grain namespace layout ([[IcebergCatalog]]).
+  override def listNamespaces(): Array[Array[String]] =
+    IcebergCatalog.listNamespaces(warehouse).map(n => Array(n)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level: no children
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && new File(new File(warehouse), namespace.head).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+    java.util.Collections.singletonMap("location",
+      new File(new File(warehouse), ns1(namespace)).getPath)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    IcebergCatalog.createNamespace(warehouse, ns1(namespace))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = new File(new File(warehouse), ns1(namespace))
+    if (!d.isDirectory) false
+    else if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        (catalogName +: namespace.toSeq).toArray)
+    else { org.apache.commons.io.FileUtils.deleteDirectory(d); true }
+  }
 }
 
 /** Planning census of the most recent [[GraftScan]] — how the SQL front
@@ -156,7 +206,7 @@ object GraftSqlScanCensus {
 private[iceberg] class GraftSqlTable(ident: String, location: String,
                                      snapshotId: Option[Long])
     extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
 
@@ -190,6 +240,49 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
     * month-partitioned writer and manifest protocol are exactly what a
     * direct API caller gets — SQL inserts and library appends produce
     * indistinguishable table history. */
+  /** `DELETE FROM <cat>.<ns>.<t> WHERE …` — a METADATA-SHAPED row-level
+    * delete: the pushed condition (attribute-vs-literal compares, IN,
+    * AND/OR/NOT — [[canDeleteWhere]] refuses anything it cannot translate
+    * exactly) becomes the victim predicate of ONE committing
+    * [[IcebergTable.appendDvPuffin]] call — a v3 deletion-vector snapshot,
+    * exactly what the library's delete path writes, so SQL deletes and
+    * library deletes produce the same table history. A DELETE matching
+    * zero live rows is a no-op (no empty commit). Re-asserting positions
+    * already covered by earlier DVs is union-semantics-safe. */
+  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case Or(l, r) => for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    snapshotId.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(snapshotId.isEmpty, s"cannot delete from a time-travel snapshot of $ident")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
+    val plan = IcebergTable.planFiles(location)
+    if (plan.files.nonEmpty &&
+        spark.read.parquet(plan.files.map(_.path): _*).filter(pred).limit(1).count() > 0)
+      IcebergTable.appendDvPuffin(spark, location, pred)
+  }
+
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to a time-travel snapshot of $ident")

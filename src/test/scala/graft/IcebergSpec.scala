@@ -1378,6 +1378,35 @@ class IcebergSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.ns.li_ctas").head().getLong(0) == insN)
     assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
       .map(_.getString(1)).sorted.toSeq == Seq("li", "li_ctas", "li_mor", "li_new"))
+    // TIMESTAMP AS OF: synthetic commit timestamps are id*1000 ms, so
+    // second 1 of the epoch resolves snapshot 1 (the pre-cut era)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.ns.li TIMESTAMP AS OF '1970-01-01 00:00:01'")
+      .head().getLong(0) ==
+      lineitem.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count())
+    // DELETE FROM commits one v3 DV snapshot; the SQL read resolves it
+    // (modulo is not a pushable source filter — use a pushable range)
+    val cutoff = spark.sql("SELECT percentile_approx(l_orderkey, 0.5) FROM gtest.ns.li_ctas")
+      .head().get(0).toString
+    val before = spark.sql("SELECT count(*) FROM gtest.ns.li_ctas").head().getLong(0)
+    val victims = spark.sql(
+      s"SELECT count(*) FROM gtest.ns.li_ctas WHERE l_orderkey <= $cutoff").head().getLong(0)
+    spark.sql(s"DELETE FROM gtest.ns.li_ctas WHERE l_orderkey <= $cutoff")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.li_ctas").head().getLong(0) ==
+      before - victims, "SQL DELETE did not remove exactly the matching rows")
+    val ctasMeta = T.readMetadata(IcebergCatalog.tableLocation(w, "ns", "li_ctas"))
+    assert(ctasMeta.snapshots.size == 2 &&
+      ctasMeta.snapshots.last.operation == "delete")
+    // a zero-match DELETE is a no-op — no empty commit
+    spark.sql("DELETE FROM gtest.ns.li_ctas WHERE l_orderkey < 0")
+    assert(T.readMetadata(IcebergCatalog.tableLocation(w, "ns", "li_ctas"))
+      .snapshots.size == 2)
+    // SHOW NAMESPACES sees the namespace; CREATE/DROP round-trips
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).contains("ns"))
+    spark.sql("CREATE NAMESPACE gtest.scratchns")
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).contains("scratchns"))
+    spark.sql("DROP NAMESPACE gtest.scratchns")
+    assert(!spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).contains("scratchns"))
   }
 
   test("MOR update: one overwrite snapshot, rows preserved, _row_id kept, last-updated tracks") {
