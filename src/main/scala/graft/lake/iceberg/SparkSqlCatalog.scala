@@ -227,7 +227,8 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   override def schema(): StructType = schema0
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location, snapshotId, schema0)
@@ -369,6 +370,20 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
   override def description(): String =
     s"graft-iceberg $location${snapshotId.map(id => s" @$id").getOrElse("")}" +
       s" shipdate=[${dateLo.getOrElse("-inf")},${dateHi.getOrElse("+inf")}]"
+
+  /** `spark.readStream.table(<cat>.<ns>.<t>)` — the snapshot TAILER as a
+    * Structured Streaming source (the consumption pattern behind Iceberg's
+    * own streaming read, and the DSv2 twin of the library-level
+    * [[IcebergTable.tailDelta]]): offsets are snapshot ids, each
+    * micro-batch plans the `(start, end]` incremental APPEND scan
+    * ([[IcebergTable.planIncremental]] — append snapshots only; replaces
+    * contribute nothing, deletes add no data files, staged snapshots stay
+    * invisible until published), so successive batches PARTITION the
+    * table's append history exactly-once — the same contract the
+    * checkpointed offset makes durable across restarts. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(location, required)
 
   private def norm(p: String): String =
     p.replaceFirst("^file:", "").replaceFirst("^/{2,}", "/")
@@ -543,6 +558,47 @@ private[iceberg] class GraftPartitionReader(path: String,
     new GenericInternalRow(extractors.map(_(current)): Array[Any])
 
   override def close(): Unit = reader.close()
+}
+
+/** Streaming offset = the last snapshot id the consumer has processed
+  * (the watermark [[IcebergTable.tailDelta]] advances); JSON form is the
+  * bare id, so a checkpoint is human-readable. */
+private[iceberg] case class GraftStreamOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = snapshotId.toString
+}
+
+/** MicroBatchStream over the real snapshot log — see
+  * [[GraftScan.toMicroBatchStream]]. Planning is metadata-only per batch;
+  * partitions reuse the batch reader (no delete state: an incremental
+  * APPEND scan's files carry no DVs by construction — deletes target
+  * already-consumed history). */
+private[iceberg] class GraftMicroBatchStream(location: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(IcebergTable.readMetadataOpt(location)
+      .map(_.currentSnapshotId).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val to = end.asInstanceOf[GraftStreamOffset].snapshotId
+    if (to <= from) return Array.empty
+    IcebergTable.planIncremental(location, from, to).files
+      .map(f => GraftInputPartition(f.path, f.sequence, Array.empty)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.fields.map(f => (f.name, f.dataType)), Array.empty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Driver-side helper: read one INT64 column of a (small) parquet file
