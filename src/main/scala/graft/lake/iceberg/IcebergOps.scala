@@ -2319,7 +2319,8 @@ object IcebergOps {
     * per-month min/max), and `cols_read` = 3 (the required schema became
     * the parquet projection each task read). */
   def sqlSelect(spark: SparkSession, lineitem: DataFrame): DataFrame = {
-    val cat = sqlCatalogFor(spark, sqlWarehouseFor(spark, lineitem))
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
     val rows = spark.sql(
       s"""SELECT l_returnflag, count(*) AS n_rows,
          | round(sum(l_quantity), 4) AS sum_qty
@@ -2329,9 +2330,10 @@ object IcebergOps {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin).collect()
     import spark.implicits._
+    val census = GraftSqlScanCensus.forLocation(
+      IcebergCatalog.tableLocation(w, "lake", "lineitem"))
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-      GraftSqlScanCensus.filesTotal, GraftSqlScanCensus.filesSelected,
-      GraftSqlScanCensus.colsRead))
+      census.filesTotal, census.filesSelected, census.colsRead))
       .toDF("l_returnflag", "n_rows", "sum_qty",
         "files_total", "files_scanned", "cols_read")
       .orderBy("l_returnflag")

@@ -164,6 +164,24 @@ object IcebergTable {
 
   private def metadataDir(location: String) = { val d = new File(location, "metadata"); d.mkdirs(); d }
 
+  /** Run `body` with parquet LTZ timestamps written as INT64 micros.
+    * Spark's default `outputTimestampType` is INT96 for TIMESTAMP (LTZ)
+    * columns — a physical form the SQL front door's per-file reader
+    * handles only via the vectorized path; the spec itself mandates
+    * int64 micros for Iceberg data files, so every data file this
+    * committer writes pins the spec form regardless of session default.
+    * (NTZ columns — the fixture's own l_shipdate — already write as
+    * micros; this guards the DDL-typed TIMESTAMP case.) */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Append `lineitem` rows as a new snapshot, partitioned by identity
     * month(l_shipdate). Returns the new snapshot id.
     * `targetRecordsPerFile` bounds file size: a month larger than the
@@ -208,9 +226,11 @@ object IcebergTable {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val dataDir = s"$location/data/snap-$snapshotId"
-    lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
-      .repartition(col("p_month"))
-      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    withMicrosTimestamps(spark) {
+      lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("p_month"))
+        .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    }
     val stats = assignRowIds(location, collectFileStats(spark, dataDir))
     // epoch-month index / groupMonths — for groupMonths = 12 the group IS
     // the calendar year; any value keeps groups contiguous in month order,
@@ -262,12 +282,14 @@ object IcebergTable {
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val dataDir = s"$location/data/snap-$snapshotId"
-    lineitem.withColumn("p_month", format_string("b%02d",
-        pmod(pmod(col("l_orderkey").cast("long").bitwiseAND(lit(BucketKeyMask))
-            * lit(Puffin.KmvHashMult),
-          lit(Puffin.KmvHashMod)), lit(BucketN.toLong))))
-      .repartition(col("p_month"))
-      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    withMicrosTimestamps(spark) {
+      lineitem.withColumn("p_month", format_string("b%02d",
+          pmod(pmod(col("l_orderkey").cast("long").bitwiseAND(lit(BucketKeyMask))
+              * lit(Puffin.KmvHashMult),
+            lit(Puffin.KmvHashMod)), lit(BucketN.toLong))))
+        .repartition(col("p_month"))
+        .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    }
     val stats = assignRowIds(location, collectFileStats(spark, dataDir))
     val infos = stats.groupBy(f => f.partition.drop(1).toInt / groupBuckets)
       .toSeq.sortBy(_._1).zipWithIndex.map { case ((_, fs), i) =>
@@ -656,7 +678,9 @@ object IcebergTable {
             .drop("__fb"), Seq("p_month"))
       }
     }
-    arranged.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
+    withMicrosTimestamps(spark) {
+      arranged.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
+    }
     val stats = assignRowIds(location, collectFileStats(spark, dataDir))
     writeManifestAvro(location, snapshotId, sequence, stats, specId)
   }
@@ -769,9 +793,11 @@ object IcebergTable {
                 maxRetries: Int = 50): (Long, Int) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$location/data/app-$token"
-    lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
-      .repartition(col("p_month"))
-      .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    withMicrosTimestamps(spark) {
+      lineitem.withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("p_month"))
+        .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
+    }
     val stats = collectFileStats(spark, dataDir)
     var attempt = 0
     while (attempt <= maxRetries) {

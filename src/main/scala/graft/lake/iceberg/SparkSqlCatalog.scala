@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
@@ -50,11 +50,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * row-level mutations stay library API calls
   * (updateMorDv/appendDvPuffin/…), like the real library's procedures.
   *
-  * Simplifications, stated: timestamps assume the micros physical form
-  * Spark itself writes with a UTC session (the only writer of these
-  * tables); positional-parquet (v2) delete files are refused with a
-  * pointer at `rewrite_position_deletes` (the v3 migration this library
-  * executes); schema comes from the head snapshot's first data file. */
+  * Simplifications, stated: positional-parquet (v2) delete files are
+  * refused with a pointer at `rewrite_position_deletes` (the v3 migration
+  * this library executes); schema merges one data-file footer per
+  * sequence era (deterministic; internal lineage columns stripped), with
+  * timestamps in whatever physical form the file carries — int96, millis
+  * or micros — via Spark's own vectorized conversion. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -190,17 +191,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** Planning census of the most recent [[GraftScan]] — how the SQL front
-  * door PROVES pushdown reached `planFiles` (files_scanned ≪ files_total)
-  * and column pruning reached the parquet projection (cols_read ≪
-  * cols_total). Driver-side, set at planInputPartitions time. */
+/** Planning census of [[GraftScan]]s — how the SQL front door PROVES
+  * pushdown reached `planFiles` (files_scanned ≪ files_total) and column
+  * pruning reached the parquet projection (cols_read ≪ cols_total).
+  * Driver-side, recorded at planInputPartitions time KEYED BY TABLE
+  * LOCATION, so concurrent or AQE-re-planned scans of different tables
+  * never clobber each other's census (re-plans of the same scan overwrite
+  * with identical values — planning is deterministic). Consumers read
+  * [[forLocation]] for the table they just queried. */
 object GraftSqlScanCensus {
-  @volatile var filesTotal: Long = -1L
-  @volatile var filesSelected: Long = -1L
-  @volatile var manifestsTotal: Long = -1L
-  @volatile var manifestsRead: Long = -1L
-  @volatile var colsRead: Long = -1L
-  @volatile var colsTotal: Long = -1L
+  final case class Census(filesTotal: Long, filesSelected: Long,
+                          manifestsTotal: Long, manifestsRead: Long,
+                          colsRead: Long, colsTotal: Long)
+  private val byLocation =
+    new java.util.concurrent.ConcurrentHashMap[String, Census]()
+  def record(location: String, c: Census): Unit = byLocation.put(location, c)
+  def forLocation(location: String): Census =
+    Option(byLocation.get(location)).getOrElse(Census(-1, -1, -1, -1, -1, -1))
 }
 
 private[iceberg] class GraftSqlTable(ident: String, location: String,
@@ -210,17 +217,46 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
 
   override def name(): String = ident
 
+  /** Columns internal to the v3 row-lineage machinery: replacement files
+    * written by MOR UPDATE materialize them, but they are not part of the
+    * SQL-visible table schema (the spec reserves them as metadata). */
+  private def internalCol(name: String): Boolean =
+    name == "_row_id" || name == "_last_updated_sequence_number"
+
   private lazy val schema0: StructType = {
+    val pending = new File(location, "metadata/schema.pending.json")
+    def pendingSchema: Option[StructType] =
+      if (pending.exists())
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          java.nio.file.Files.readString(pending.toPath)).asInstanceOf[StructType])
+      else None
     if (IcebergTable.readMetadataOpt(location).isEmpty) {
       // CREATE'd but not yet committed: the declared schema
-      val pending = new File(location, "metadata/schema.pending.json")
-      require(pending.exists(), s"$ident has neither committed metadata nor a pending schema")
-      org.apache.spark.sql.types.DataType.fromJson(
-        java.nio.file.Files.readString(pending.toPath)).asInstanceOf[StructType]
+      pendingSchema.getOrElse(throw new IllegalStateException(
+        s"$ident has neither committed metadata nor a pending schema"))
     } else {
       val plan = IcebergTable.planFiles(location, snapshotId)
-      require(plan.files.nonEmpty, s"$ident has no data files")
-      org.apache.spark.sql.SparkSession.active.read.parquet(plan.files.head.path).schema
+      if (plan.files.isEmpty) {
+        // a committed snapshot with zero live data files still has a
+        // schema: the declared one if the table was CREATE'd via SQL,
+        // else the committed metadata's column names (the stated
+        // string-typed simplification of the schemas array)
+        pendingSchema.getOrElse(StructType(
+          IcebergTable.readMetadata(location).schemas.lastOption
+            .getOrElse(Seq("l_shipdate"))
+            .filterNot(internalCol).map(StructField(_, StringType))))
+      } else {
+        // DETERMINISTIC schema, not first-file order: merge one file's
+        // footer per sequence era (newest era's max path first), so a
+        // column added by schema evolution appears while pre-evolution
+        // eras contribute theirs — and strip the internal lineage columns
+        // replacement files materialize, so SELECT * never exposes them.
+        val perEra = plan.files.groupBy(_.sequence).toSeq.sortBy(-_._1)
+          .map { case (_, fs) => fs.map(_.path).max }
+        val merged = org.apache.spark.sql.SparkSession.active.read
+          .option("mergeSchema", "true").parquet(perEra: _*).schema
+        StructType(merged.fields.filterNot(f => internalCol(f.name)))
+      }
     }
   }
 
@@ -278,9 +314,17 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.lit
     val pred = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
-    val plan = IcebergTable.planFiles(location)
-    if (plan.files.nonEmpty &&
-        spark.read.parquet(plan.files.map(_.path): _*).filter(pred).limit(1).count() > 0)
+    // the zero-match guard runs over the MOR-RESOLVED read (existing DVs
+    // and equality deletes applied), so a DELETE matching only
+    // already-deleted rows really is a no-op — no empty commit. The guard
+    // is a second (limit-1 short-circuited) scan beside appendDvPuffin's
+    // victim scan; the spec-shaped alternative (a committer that reports
+    // zero victims) would save it, but re-asserting already-covered
+    // positions keeps union semantics either way.
+    if (IcebergTable.readMetadataOpt(location).isEmpty) return
+    if (IcebergTable.planFiles(location).files.isEmpty) return
+    val live = IcebergTable.readMorUnified(spark, location)._1
+    if (live.filter(pred).limit(1).count() > 0)
       IcebergTable.appendDvPuffin(spark, location, pred)
   }
 
@@ -316,10 +360,15 @@ private[iceberg] class GraftScanBuilder(location: String, snapshotId: Option[Lon
   // the catalyst-pushed value's calendar date, for the manifests' ISO
   // string bounds (file pruning is [lo,hi]-inclusive at DAY grain, so an
   // off-by-timezone day cannot lose rows — and every filter is ALSO
-  // returned residual below, so pruning only ever affects IO, not results)
+  // returned residual below, so pruning only ever affects IO, not results).
+  // java.sql.Timestamp converts via its instant in UTC — the calendar the
+  // manifest bounds were written in — NOT toLocalDateTime (JVM zone): on a
+  // non-UTC JVM an LTZ lower bound rounded up a day would prune a boundary
+  // file whose rows match.
   private def dayOf(v: Any): Option[String] = v match {
     case null => None
-    case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate.toString)
+    case t: java.sql.Timestamp =>
+      Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
     case d: java.sql.Date => Some(d.toString)
     case i: java.time.Instant =>
       Some(java.time.LocalDate.ofInstant(i, java.time.ZoneOffset.UTC).toString)
@@ -389,16 +438,19 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     p.replaceFirst("^file:", "").replaceFirst("^/{2,}", "/")
 
   private var eqDeletes: Array[(Long, Array[Long])] = Array.empty
+  // set at planning: no partition carries delete state → the factory may
+  // serve FULL-COLUMNAR reads (Spark requires the decision be uniform
+  // across the scan's partitions)
+  private var allPartitionsClean: Boolean = true
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // a CREATE'd table before its first commit scans empty
-    if (IcebergTable.readMetadataOpt(location).isEmpty) {
-      GraftSqlScanCensus.filesTotal = 0L
-      GraftSqlScanCensus.filesSelected = 0L
-      GraftSqlScanCensus.manifestsTotal = 0L
-      GraftSqlScanCensus.manifestsRead = 0L
-      GraftSqlScanCensus.colsRead = required.size.toLong
-      GraftSqlScanCensus.colsTotal = tableCols.toLong
+    // a CREATE'd table before its first commit scans empty — as does a
+    // committed snapshot with zero live data files (fully compacted-away
+    // history): an empty result, not an error
+    if (IcebergTable.readMetadataOpt(location).isEmpty ||
+        IcebergTable.planFiles(location, snapshotId).files.isEmpty) {
+      GraftSqlScanCensus.record(location, GraftSqlScanCensus.Census(
+        0L, 0L, 0L, 0L, required.size.toLong, tableCols.toLong))
       return Array.empty
     }
     val meta = IcebergTable.readMetadata(location)
@@ -418,36 +470,53 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
       (e.sequence, GraftParquetRows.readLongColumn(e.path, "key"))).toArray
     val plan = IcebergTable.planFiles(location, snapshotId, None, None, dateLo, dateHi)
     val full = IcebergTable.planFiles(location, snapshotId)
-    GraftSqlScanCensus.filesTotal = full.filesTotal
-    GraftSqlScanCensus.filesSelected = plan.filesSelected.toLong
-    GraftSqlScanCensus.manifestsTotal = plan.manifestsTotal.toLong
-    GraftSqlScanCensus.manifestsRead = plan.manifestsRead.toLong
-    GraftSqlScanCensus.colsRead = required.size.toLong
-    GraftSqlScanCensus.colsTotal = tableCols.toLong
+    GraftSqlScanCensus.record(location, GraftSqlScanCensus.Census(
+      full.filesTotal, plan.filesSelected.toLong, plan.manifestsTotal.toLong,
+      plan.manifestsRead.toLong, required.size.toLong, tableCols.toLong))
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
     def blobBytes(e: IcebergTable.DataFileEntry): Array[Byte] = {
       val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
       slice(Puffin.BlobMetadata("deletion-vector-v1", Seq.empty, 0L, 0L,
         e.contentOffset, e.contentSize))
     }
-    plan.files.map { f =>
+    val parts = plan.files.map { f =>
       val mine = dvs.filter(e =>
         e.sequence >= f.sequence && norm(e.referencedDataFile.get) == norm(f.path))
       GraftInputPartition(f.path, f.sequence, mine.map(blobBytes).toArray)
     }.toArray
+    allPartitionsClean = eqs.isEmpty && parts.forall(_.dvBlobs.isEmpty)
+    parts.asInstanceOf[Array[InputPartition]]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fields.map(f => (f.name, f.dataType))
-    new GraftReaderFactory(fields, eqDeletes)
+    // equality-delete keys ride as a BROADCAST variable, not factory-closure
+    // payload: the factory serializes into every task, so a large equality
+    // wave in the closure would ship per-task; a broadcast ships per-executor
+    // once (torrent), which is the scale-correct vehicle.
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(eqDeletes)
+    val columnar = allPartitionsClean &&
+      !required.fieldNames.exists(GraftVectorized.isMetaCol)
+    new GraftReaderFactory(fields, bc, columnar)
   }
 }
 
 private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
-                                          eqDeletes: Array[(Long, Array[Long])])
+                                          eqBc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]],
+                                          columnar: Boolean = false)
     extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnar, "columnar read requested on a scan with delete state")
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition].path, fields)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    val eqDeletes = eqBc.value
     // spec scoping: equality deletes apply to STRICTLY older data files
     val keys = eqDeletes.collect { case (seq, ks) if seq > p.sequence => ks }
     val merged =
@@ -463,99 +532,166 @@ private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
   }
 }
 
-/** Sequential parquet reader over one data file: real column projection
-  * (the requested subset becomes the parquet read schema), DV positions
-  * skipped by row ordinal while reading, equality keys filtered per row.
-  * Runs in the executor; built on parquet-hadoop's example Group API
-  * (already on Spark's classpath). */
+/** Shared executor-side opener for Spark's VECTORIZED parquet reader —
+  * the same columnar decoder every built-in FileScan task runs (the
+  * row-at-a-time `Group` example reader it replaces paid a ~5–20×
+  * constant factor per task for no correctness gain). Handles int96/
+  * int64-millis/micros timestamps natively via Spark's own conversion. */
+object GraftVectorized {
+  /** Metadata columns the reader synthesizes instead of reading. */
+  def isMetaCol(name: String): Boolean = name == "_file" || name == "_pos"
+
+  def cleanPath(path: String): String =
+    path.stripPrefix("file:").replaceFirst("^/{2,}", "/")
+
+  def fileSchemaOf(path: String): MessageType = {
+    val conf = new Configuration()
+    val hPath = new Path("file:" + cleanPath(path))
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Open a vectorized reader for the CATALYST `required` schema over one
+    * whole file — the same task-side initialization Spark's own
+    * `ParquetFileFormat.buildReaderWithPartitionValues` performs (a
+    * FileSplit + TaskAttemptContext whose conf carries the requested
+    * schema and the converter flags at their SQLConf defaults under a UTC
+    * session). The batch's columns come back in `required` order, and a
+    * column the file lacks (older schema era, internal lineage column)
+    * rides as an all-null vector — Spark's own missing-column handling. */
+  def open(path: String, required: StructType)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val clean = cleanPath(path)
+    val conf = new Configuration()
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false, /*capacity=*/ 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path("file:" + clean), 0, new File(clean).length(), Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    reader.resultBatch() // allocates the batch vectors (required before nextBatch)
+    reader
+  }
+}
+
+/** Vectorized row reader over one data file: Spark's columnar parquet
+  * decode, then per-row assembly that skips DV positions by row ordinal,
+  * filters equality keys, synthesizes the `_file`/`_pos` metadata columns
+  * (the row-level operations' rowId), and null-fills columns a
+  * pre-evolution file lacks. Runs in the executor. */
 private[iceberg] class GraftPartitionReader(path: String,
                                             fields: Array[(String, DataType)],
                                             deletedPos: Array[Long],
                                             eqKeys: Array[Long])
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
-  private val hPath = new Path("file:" + path.replaceFirst("^/{2,}", "/"))
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
   private val eqCol = "l_orderkey"
-  private val wanted: Array[String] =
-    (fields.map(_._1) ++ (if (eqKeys.nonEmpty) Array(eqCol) else Array.empty[String]))
-      .distinct.filter(fileSchema.containsField)
-  // parquet refuses an empty projection (SELECT count(*)): read the
-  // narrowest physical column instead and emit none of it
-  private val readCols: Array[String] =
-    if (wanted.nonEmpty) wanted else Array(fileSchema.getFields.get(0).getName)
-  private val projection =
-    new MessageType(fileSchema.getName,
-      readCols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
-  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+  // the physical read schema: required fields minus the synthesized
+  // metadata columns, plus the equality-key column when keys must filter
+  private val physFields: Array[(String, DataType)] =
+    fields.filterNot(f => GraftVectorized.isMetaCol(f._1)) ++
+      (if (eqKeys.nonEmpty && !fields.exists(_._1 == eqCol))
+         Array((eqCol, LongType: DataType))
+       else Array.empty[(String, DataType)])
+  private val physIdx: Map[String, Int] = physFields.map(_._1).zipWithIndex.toMap
+  private val reader = GraftVectorized.open(path,
+    StructType(physFields.map { case (n, t) => StructField(n, t) }))
+  private val filePathValue = UTF8String.fromString(path)
 
-  private def extractor(name: String, dt: DataType): Group => Any = {
-    if (!fileSchema.containsField(name)) return _ => null
-    val idx = projection.getFieldIndex(name)
-    def ifSet(f: Group => Any): Group => Any =
-      g => if (g.getFieldRepetitionCount(idx) == 0) null else f(g)
-    dt match {
-      case LongType => ifSet(_.getLong(idx, 0))
-      case IntegerType => ifSet(_.getInteger(idx, 0))
-      case DoubleType => ifSet(_.getDouble(idx, 0))
-      case FloatType => ifSet(_.getFloat(idx, 0))
-      case BooleanType => ifSet(_.getBoolean(idx, 0))
-      case StringType => ifSet(g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
-      case BinaryType => ifSet(_.getBinary(idx, 0).getBytes)
-      case DateType => ifSet(_.getInteger(idx, 0))
-      case TimestampType | TimestampNTZType =>
-        val ann = projection.getType(idx).getLogicalTypeAnnotation
-        val factor = ann match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
-              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
-              case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L // divide
-              case u => throw new UnsupportedOperationException(s"timestamp unit $u")
-            }
-          case _ => 1L
-        }
-        if (factor < 0) ifSet(g => g.getLong(idx, 0) / -factor)
-        else ifSet(g => g.getLong(idx, 0) * factor)
-      case other =>
-        throw new UnsupportedOperationException(s"column $name: unsupported type $other")
-    }
-  }
-
-  private val extractors: Array[Group => Any] = fields.map { case (n, t) => extractor(n, t) }
-  private val eqExtract: Group => Any =
-    if (eqKeys.nonEmpty && fileSchema.containsField(eqCol)) extractor(eqCol, LongType)
-    else _ => null
-
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  private var rowInBatch = 0
   private var ordinal = -1L
   private var dvIdx = 0
-  private var current: Group = _
+
+  // per-required-field extractor over the batch row index: values are
+  // COPIED out (the vectors' buffers are reused across batches); a column
+  // the file lacks is an all-null vector, so null-fill is just isNullAt
+  private val extractors: Array[Int => Any] = fields.map { case (name, dt) =>
+    name match {
+      case "_file" => (_: Int) => filePathValue
+      case "_pos" => (_: Int) => ordinal
+      case _ =>
+        val j = physIdx(name)
+        // NOTE: `batch` is re-read on every call (it is null until the
+        // first nextBatch) — the lambdas must not capture a column ref
+        def ifSet(f: Int => Any): Int => Any =
+          i => if (batch.column(j).isNullAt(i)) null else f(i)
+        dt match {
+          case LongType | TimestampType | TimestampNTZType =>
+            ifSet(i => batch.column(j).getLong(i))
+          case IntegerType | DateType => ifSet(i => batch.column(j).getInt(i))
+          case DoubleType => ifSet(i => batch.column(j).getDouble(i))
+          case FloatType => ifSet(i => batch.column(j).getFloat(i))
+          case BooleanType => ifSet(i => batch.column(j).getBoolean(i))
+          case StringType => ifSet(i => batch.column(j).getUTF8String(i).copy())
+          case BinaryType => ifSet(i => batch.column(j).getBinary(i).clone())
+          case d: DecimalType =>
+            ifSet(i => batch.column(j).getDecimal(i, d.precision, d.scale))
+          case other =>
+            throw new UnsupportedOperationException(s"column $name: unsupported type $other")
+        }
+    }
+  }
+  private val eqIdx: Int = if (eqKeys.nonEmpty) physIdx(eqCol) else -1
 
   override def next(): Boolean = {
     while (true) {
-      val g = reader.read()
-      if (g == null) return false
-      ordinal += 1
-      // DV skip: both the read and the vector walk in ordinal order
-      while (dvIdx < deletedPos.length && deletedPos(dvIdx) < ordinal) dvIdx += 1
-      val dvDead = dvIdx < deletedPos.length && deletedPos(dvIdx) == ordinal
-      val eqDead = eqKeys.nonEmpty && (eqExtract(g) match {
-        case k: java.lang.Long => java.util.Arrays.binarySearch(eqKeys, k.longValue()) >= 0
-        case _ => false
-      })
-      if (!dvDead && !eqDead) { current = g; return true }
+      if (batch == null || rowInBatch >= batch.numRows()) {
+        if (!reader.nextBatch()) return false
+        batch = reader.resultBatch()
+        rowInBatch = 0
+        if (batch.numRows() == 0) return false
+      } else {
+        ordinal += 1
+        val i = rowInBatch
+        rowInBatch += 1
+        // DV skip: both the read and the vector walk in ordinal order
+        while (dvIdx < deletedPos.length && deletedPos(dvIdx) < ordinal) dvIdx += 1
+        val dvDead = dvIdx < deletedPos.length && deletedPos(dvIdx) == ordinal
+        val eqDead = eqIdx >= 0 && !batch.column(eqIdx).isNullAt(i) &&
+          java.util.Arrays.binarySearch(eqKeys, batch.column(eqIdx).getLong(i)) >= 0
+        if (!dvDead && !eqDead) { rowInBatch -= 1; return true }
+      }
     }
     false
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(extractors.map(_(current)): Array[Any])
+  override def get(): InternalRow = {
+    val i = rowInBatch
+    rowInBatch += 1
+    new GenericInternalRow(extractors.map(_(i)): Array[Any])
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+/** FULL-COLUMNAR reader for the clean case (no delete state, no metadata
+  * columns): batches flow from Spark's vectorized decoder straight into
+  * the scan exec with zero per-row materialization — the same shape as
+  * the built-in vectorized FileScan. The batch's columns already follow
+  * the required order (missing columns as null vectors), so the decoder's
+  * batch is handed over as-is. */
+private[iceberg] class GraftColumnarReader(path: String,
+                                           fields: Array[(String, DataType)])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val reader = GraftVectorized.open(path,
+    StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  override def next(): Boolean = reader.nextBatch()
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
 
   override def close(): Unit = reader.close()
 }
@@ -595,7 +731,9 @@ private[iceberg] class GraftMicroBatchStream(location: String, required: StructT
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.fields.map(f => (f.name, f.dataType)), Array.empty)
+    new GraftReaderFactory(required.fields.map(f => (f.name, f.dataType)),
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(Array.empty[(Long, Array[Long])]))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

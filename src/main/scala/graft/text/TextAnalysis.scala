@@ -227,9 +227,16 @@ object TextAnalysis {
     * NLL summary stats.
     *
     * Scale shape: the per-doc scoring is [[bigramLmScore]]'s two corpus
-    * aggregates + keyed joins (no broadcast hints here — at 100 TB the
-    * bigram table exceeds broadcast range, and AQE picks the right join for
-    * the actual size). The tercile cut is NOT a per-doc rank (an ntile over
+    * aggregates + BROADCAST joins against the token stream. Both count
+    * tables are bounded by bigram/unigram TYPE counts (vocab-bounded, Heaps
+    * sublinear in corpus size), not token counts — and the bare-`w1` key is
+    * Zipf-skewed (stopword contexts), so a shuffle join on it concentrates
+    * the hot partition super-linearly as the corpus grows while a broadcast
+    * join keeps the token stream partition-local with zero shuffle. At a
+    * corpus whose bigram-type table genuinely exceeds broadcast range,
+    * pre-aggregate the stream to (doc, w1, w2, n) grain first — the
+    * documented escape hatch, not the default. The tercile cut is NOT a
+    * per-doc rank (an ntile over
     * docs-per-lang would be an O(n)-cardinality window): docs land in
     * 64th-nat histogram bins (bounded key space — NLL is bounded by
     * ln(corpus bigrams), so ≤ ~1000 bins per lang even at 100 TB), the
@@ -251,8 +258,8 @@ object TextAnalysis {
     val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val perDoc = bg
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(contextCounts, Seq("w1"))
+      .join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(contextCounts), Seq("w1"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(-log(col("cb") / col("cw"))), 6).as("h"))
@@ -1102,9 +1109,13 @@ object TextAnalysis {
     * exact integers (identical doubles on both engines); per-token log₁₀
     * rounds at 12 dp before the per-doc mean (the entropy/PMI summation
     * convention), mean at 6 dp. Scale: n-gram tables are hash aggregations
-    * joined at token grain — linear, shuffle on n-gram keys; the scalar N
-    * broadcasts. The per-doc mean log-score is the quality signal CCNet
-    * buckets on — this is its n-gram-LM incarnation. */
+    * (n-gram-TYPE bounded, Heaps-sublinear in corpus size) BROADCAST
+    * against the token stream — the bare w2/token join keys are
+    * Zipf-skewed, so a shuffle join there concentrates the hot partition
+    * super-linearly while a broadcast keeps the eval stream shuffle-free
+    * (the [[perplexityBuckets]] convention); the scalar N broadcasts. The
+    * per-doc mean log-score is the quality signal CCNet buckets on — this
+    * is its n-gram-LM incarnation. */
   def lmBackoffScore(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = documents
@@ -1120,13 +1131,13 @@ object TextAnalysis {
     val c1 = train.groupBy(col("token").as("u")).agg(count(lit(1)).as("c1"))
     val n = train.agg(count(lit(1)).as("n_train"))
     tok.filter(col("doc_id") % 2 === 1 && col("w1").isNotNull)
-      .join(c3, Seq("w1", "w2", "token"), "left")
-      .join(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx")),
+      .join(broadcast(c3), Seq("w1", "w2", "token"), "left")
+      .join(broadcast(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx"))),
         Seq("w1", "w2"), "left")
-      .join(c2.select(col("b1").as("w2"), col("b2").as("token"), col("c2").as("c2bo")),
+      .join(broadcast(c2.select(col("b1").as("w2"), col("b2").as("token"), col("c2").as("c2bo"))),
         Seq("w2", "token"), "left")
-      .join(c1.select(col("u").as("w2"), col("c1").as("c1ctx")), Seq("w2"), "left")
-      .join(c1.select(col("u").as("token"), col("c1").as("c1w")), Seq("token"), "left")
+      .join(broadcast(c1.select(col("u").as("w2"), col("c1").as("c1ctx"))), Seq("w2"), "left")
+      .join(broadcast(c1.select(col("u").as("token"), col("c1").as("c1w"))), Seq("token"), "left")
       .crossJoin(broadcast(n))
       .withColumn("score",
         when(col("c3").isNotNull, col("c3") * 1.0 / col("c2ctx"))
@@ -1159,8 +1170,11 @@ object TextAnalysis {
     * Every term is a ratio of exact integers with the literal D, so both
     * engines evaluate identical doubles; per-token log₁₀ rounds at 12 dp
     * before the 6-dp per-doc mean (the summation convention). Scale:
-    * bigram/continuation tables are hash aggregations joined at token
-    * grain — linear, one shuffle per table; the scalar T broadcasts. */
+    * bigram/continuation tables are hash aggregations (type-bounded,
+    * Heaps-sublinear) BROADCAST against the eval token stream — the bare
+    * u/token keys are Zipf-skewed, so shuffle joins there grow a hot
+    * partition super-linearly (the [[perplexityBuckets]] convention);
+    * the scalar T broadcasts. */
   def kneserNeyScore(documents: DataFrame): DataFrame = {
     val D = 0.75
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1175,9 +1189,9 @@ object TextAnalysis {
     val cont = c2.groupBy(col("token")).agg(count(lit(1)).as("n1p_left"))
     val t = c2.agg(count(lit(1)).as("t_types"))
     tok.filter(col("doc_id") % 2 === 1 && col("u").isNotNull)
-      .join(c2, Seq("u", "token"), "left")
-      .join(c1, Seq("u"), "left")
-      .join(cont, Seq("token"), "left")
+      .join(broadcast(c2), Seq("u", "token"), "left")
+      .join(broadcast(c1), Seq("u"), "left")
+      .join(broadcast(cont), Seq("token"), "left")
       .crossJoin(broadcast(t))
       .withColumn("pcont",
         coalesce(col("n1p_left"), lit(1L)) * 1.0 / col("t_types"))

@@ -1316,10 +1316,11 @@ class IcebergSpec extends SparkSpec {
       col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
       col("l_shipdate") < lit("1997-04-01").cast("timestamp")).count()
     assert(q1 == expectQ1, "pushed-filter SQL returned wrong rows")
-    assert(GraftSqlScanCensus.filesSelected < GraftSqlScanCensus.filesTotal,
-      s"no file pruning: ${GraftSqlScanCensus.filesSelected} of ${GraftSqlScanCensus.filesTotal}")
+    val census = GraftSqlScanCensus.forLocation(t1)
+    assert(census.filesSelected < census.filesTotal,
+      s"no file pruning: ${census.filesSelected} of ${census.filesTotal}")
     // column pruning reached the parquet projection
-    assert(GraftSqlScanCensus.colsRead < GraftSqlScanCensus.colsTotal)
+    assert(census.colsRead < census.colsTotal)
     // time travel
     val v1 = spark.sql("SELECT count(*) FROM gtest.ns.li VERSION AS OF 1").head().getLong(0)
     assert(v1 == lineitem.filter(
@@ -1373,6 +1374,22 @@ class IcebergSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.ns.li_new").head().getLong(0) == insN)
     assert(T.readMetadata(IcebergCatalog.tableLocation(w, "ns", "li_new"))
       .snapshots.map(_.id) == Seq(1L))
+    // SELECT the DDL-typed (LTZ) TIMESTAMP column back — the committer
+    // pins int64 micros on write (spec physical form; Spark's session
+    // default would be int96 for LTZ) and the vectorized reader decodes
+    // any form, so the values round-trip exactly
+    val tsBack = spark.sql(
+      "SELECT CAST(min(l_shipdate) AS STRING), CAST(max(l_shipdate) AS STRING) " +
+        "FROM gtest.ns.li_new").head()
+    val tsSrc = spark.sql(
+      "SELECT CAST(min(CAST(l_shipdate AS TIMESTAMP)) AS STRING), " +
+        "CAST(max(CAST(l_shipdate AS TIMESTAMP)) AS STRING) FROM gtest_ins_src").head()
+    assert(tsBack == tsSrc, s"timestamp round-trip: $tsBack vs $tsSrc")
+    val liNewFile = T.planFiles(
+      IcebergCatalog.tableLocation(w, "ns", "li_new")).files.head.path
+    assert(graft.lake.iceberg.GraftVectorized.fileSchemaOf(liNewFile)
+      .getType(Seq("l_shipdate"): _*).asPrimitiveType().getPrimitiveTypeName.toString == "INT64",
+      "LTZ column must be written as the spec's int64 micros, not int96")
     // CTAS: the table is born committed with exactly the query's rows
     spark.sql("CREATE TABLE gtest.ns.li_ctas AS SELECT * FROM gtest_ins_src")
     assert(spark.sql("SELECT count(*) FROM gtest.ns.li_ctas").head().getLong(0) == insN)
