@@ -109,6 +109,10 @@ object SparkEntry {
     "iceberg_sql_insert" -> q((s, d) => iceberg.IcebergOps.sqlInsert(s, Tables.lineitem(s, d))),
     "iceberg_sql_create" -> q((s, d) => iceberg.IcebergOps.sqlCreate(s, Tables.lineitem(s, d))),
     "iceberg_sql_delete" -> q((s, d) => iceberg.IcebergOps.sqlDelete(s, Tables.lineitem(s, d))),
+    "iceberg_sql_update" -> q((s, d) => iceberg.IcebergOps.sqlUpdate(s, Tables.lineitem(s, d))),
+    "iceberg_sql_merge" -> q((s, d) => iceberg.IcebergOps.sqlMerge(s, Tables.lineitem(s, d))),
+    "iceberg_sql_alter" -> q((s, d) => iceberg.IcebergOps.sqlAlter(s, Tables.lineitem(s, d))),
+    "iceberg_sql_overwrite" -> q((s, d) => iceberg.IcebergOps.sqlOverwrite(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -418,6 +422,7 @@ object SparkEntry {
     "iceberg_rollback",            // iceberg.table.rollback
     "iceberg_cherry_pick",         // iceberg.table.cherrypick
     "iceberg_sql_select",          // iceberg.sqlcat (warehouse + both tables)
+    "iceberg_sql_update",          // iceberg.sqlrl (row-level-verb warehouse)
     "lake_column_update_exec",     // iceberg.table.update.exec (CoW/colfile arms)
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
@@ -1451,6 +1456,82 @@ object SparkEntry {
         | CAST(2 AS BIGINT) AS n_snapshots, g.e2 AS inserted_rows
         |FROM lineitem, g
         |GROUP BY 1, g.e2
+        |ORDER BY 1""".stripMargin
+    },
+
+    // SQL UPDATE (SupportsRowLevelOperations → delta): +100 quantity on
+    // keys ≡ 7 (mod 100); DV cardinality = the victim count; one
+    // overwrite snapshot on top of the append.
+    "iceberg_sql_update" -> {
+      val r = iceberg.IcebergOps.SqlUpdResidue
+      s"""WITH g AS (SELECT CAST(count(*) FILTER (WHERE l_orderkey % 100 = $r) AS BIGINT) AS nu
+        |   FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity + CASE WHEN l_orderkey % 100 = $r THEN 100 ELSE 0 END), 4) AS sum_qty,
+        | g.nu AS updated_rows, CAST(2 AS BIGINT) AS n_snapshots
+        |FROM lineitem, g
+        |GROUP BY 1, g.nu
+        |ORDER BY 1""".stripMargin
+    },
+
+    // SQL MERGE INTO: pair-unique keys ≡ 11 (mod 100) update (+1000),
+    // keys ≡ 13 (mod 1000) re-keyed insert; DuckDB replays both arms
+    // (the pair-uniqueness join mirrors the fixture's window filter).
+    "iceberg_sql_merge" -> {
+      val rm = iceberg.IcebergOps.SqlMergeMatchResidue
+      val ri = iceberg.IcebergOps.SqlMergeInsResidue
+      s"""WITH uniq AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+        |   FROM lineitem GROUP BY 1, 2),
+        | base AS (SELECT l.l_returnflag,
+        |   l.l_quantity + CASE WHEN l.l_orderkey % 100 = $rm AND u.c = 1
+        |     THEN 1000 ELSE 0 END AS q,
+        |   l.l_orderkey % 100 = $rm AND u.c = 1 AS upd
+        |   FROM lineitem l JOIN uniq u USING (l_orderkey, l_linenumber)),
+        | ins AS (SELECT l_returnflag, l_quantity AS q FROM lineitem
+        |   WHERE l_orderkey % 1000 = $ri),
+        | g AS (SELECT CAST(count(*) FILTER (WHERE upd) AS BIGINT) AS nu,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM ins) AS ni FROM base),
+        | allrows AS (SELECT l_returnflag, q FROM base
+        |   UNION ALL SELECT l_returnflag, q FROM ins)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(q), 4) AS sum_qty,
+        | g.nu AS updated_rows, g.ni AS inserted_rows,
+        | CAST(2 AS BIGINT) AS n_snapshots
+        |FROM allrows, g
+        |GROUP BY 1, g.nu, g.ni
+        |ORDER BY 1""".stripMargin
+    },
+
+    // SQL ALTER TABLE ADD COLUMN: pre-cut era null-fills `note`, the
+    // post-cut insert carries it; 2 schema eras, 2 snapshots.
+    "iceberg_sql_alter" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '$cut') AS BIGINT) AS rows_with_note,
+        | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS rows_null_note,
+        | CAST(2 AS BIGINT) AS n_schema_eras, CAST(2 AS BIGINT) AS n_snapshots,
+        | TRUE AS note_in_schema
+        |FROM lineitem""".stripMargin
+    },
+
+    // Dynamic INSERT OVERWRITE: exactly one month replaced (quantities
+    // doubled there), every other month untouched, snapshot 1 fully
+    // time-travelable.
+    "iceberg_sql_overwrite" -> {
+      val lo = iceberg.IcebergOps.SqlOverwriteMonthLo
+      val hi = iceberg.IcebergOps.SqlOverwriteMonthHi
+      s"""WITH t AS (SELECT l_returnflag,
+        |   CASE WHEN l_shipdate >= TIMESTAMP '$lo' AND l_shipdate < TIMESTAMP '$hi'
+        |     THEN l_quantity * 2 ELSE l_quantity END AS q,
+        |   strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        | g AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS nm,
+        |   CAST(count(*) AS BIGINT) AS n FROM t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(q), 4) AS sum_qty,
+        | CAST(1 AS BIGINT) AS months_replaced, g.nm - 1 AS months_kept,
+        | g.n AS rows_v1, CAST(2 AS BIGINT) AS n_snapshots
+        |FROM t, g
+        |GROUP BY 1, g.nm, g.n
         |ORDER BY 1""".stripMargin
     },
 

@@ -1,0 +1,270 @@
+package graft.lake.iceberg
+
+import java.io.File
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` for the graft catalog —
+  * Spark's connector row-level-operation API (`SupportsRowLevelOperations`
+  * → `SupportsDelta`) backed by the SAME committers the library exposes:
+  * matched rows become one v3 deletion-vector wave on their old positions
+  * plus month-partitioned replacement data files, committed as ONE
+  * "overwrite" snapshot — exactly the history [[IcebergTable.updateMorDv]]
+  * writes, so a SQL MERGE and a library update are indistinguishable to
+  * any reader (the reference's update study,
+  * `poc/results/column_file_dv_updates_results.json`, costs precisely this
+  * DV+replacement shape).
+  *
+  * DELTA (merge-on-read), not group-based copy-on-write: the operation
+  * declares `rowId = (_file, _pos)` — the metadata columns the vectorized
+  * scan synthesizes per row — and Spark's WriteDelta plan feeds back only
+  * the CHANGED rows (deletes as row coordinates, updates split into
+  * delete+insert). Untouched rows in touched files are never rewritten,
+  * the defining MOR property.
+  *
+  * Scale shape: executors write the replacement/insert rows DIRECTLY as
+  * month-partitioned parquet (Spark's own `ParquetWriteSupport`, one open
+  * writer per month per task — months-per-task is bounded by the writer's
+  * input partitioning); delete coordinates travel to the driver as
+  * per-(task, file) sorted position arrays — the KB-grain metadata a real
+  * Iceberg committer also centralizes — where they union per file into
+  * Roaring DV blobs. Task retries are safe: only files named in COMMIT
+  * messages enter the manifest, stray files from aborted attempts are
+  * deleted at commit. */
+private[iceberg] class GraftRowLevelOperationBuilder(location: String,
+                                                     info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(location, info.command)
+}
+
+private[iceberg] class GraftRowLevelOperation(location: String,
+                                              cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-delta $cmd $location"
+
+  /** The operation's scan is the table's own scan (same pruning, same
+    * delete-state resolution) — `_file`/`_pos` arrive via pruneColumns
+    * like any metadata column. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val table = new GraftSqlTable(s"graft-rowlevel $location", location, None)
+    table.newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new GraftDeltaWriteBuilder(location, info.schema())
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** Updates arrive split as delete+insert — the natural encoding for a
+    * DV + replacement-file commit. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+private[iceberg] class GraftDeltaWriteBuilder(location: String, schema: StructType)
+    extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new GraftDeltaWrite(location, schema)
+}
+
+private[iceberg] class GraftDeltaWrite(location: String, schema: StructType)
+    extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = {
+    // snapshot id and data dir are fixed at write-build time (the
+    // updateMorDv convention: single committing writer per mutation)
+    val snapshotId = IcebergTable.readMetadata(location)
+      .snapshots.map(_.id).max + 1L
+    new GraftDeltaBatchWrite(location, schema, snapshotId)
+  }
+}
+
+/** One task's outcome: the delete coordinates it saw (per-file sorted
+  * positions) and the data files it wrote. */
+private[iceberg] case class GraftDeltaCommitMessage(
+    deletes: Array[(String, Array[Long])],
+    files: Array[String]) extends WriterCommitMessage
+
+private[iceberg] class GraftDeltaBatchWrite(location: String, schema: StructType,
+                                            snapshotId: Long)
+    extends DeltaBatchWrite {
+
+  private val dataDir = s"$location/data/snap-$snapshotId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dataDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val deletes: Seq[(String, Seq[Long])] = msgs.flatMap(_.deletes).groupBy(_._1).toSeq
+      .map { case (f, chunks) =>
+        (f, chunks.flatMap(_._2).distinct.sorted.toSeq)
+      }.sortBy(_._1)
+    val files = msgs.flatMap(_.files).toSeq
+    IcebergTable.commitDelta(spark, location, snapshotId, deletes, dataDir, files)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftDeltaCommitMessage => m }
+      .flatMap(_.files).foreach(f => new File(f).delete())
+  }
+}
+
+private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dataDir, schema, partitionId, taskId)
+}
+
+/** V2 batch write behind DYNAMIC `INSERT OVERWRITE`: the delta writer
+  * doubles as a plain DataWriter (its default `write` is `insert`), so
+  * executors stream month-partitioned files and the commit replaces
+  * exactly the months that received data
+  * ([[IcebergTable.commitOverwriteMonths]]). */
+private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: StructType,
+                                                snapshotId: Long)
+    extends BatchWrite {
+
+  private val dataDir = s"$location/data/snap-$snapshotId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDeltaWriterFactory(dataDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftDeltaCommitMessage => m }
+      .flatMap(_.files).toSeq
+    IcebergTable.commitOverwriteMonths(org.apache.spark.sql.SparkSession.active,
+      location, snapshotId, dataDir, files)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftDeltaCommitMessage => m }
+      .flatMap(_.files).foreach(f => new File(f).delete())
+  }
+}
+
+/** Executor-side delta writer: deletes/updates record (file, pos) row
+  * coordinates; inserted rows stream into one open parquet writer per
+  * month partition (hive-style `p_month=` dirs, so the committer's stats
+  * collection sees the same layout every other graft writer produces). */
+private[iceberg] class GraftDeltaWriter(dataDir: String, schema: StructType,
+                                        partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+  private val writers = mutable.Map.empty[String, (String, ParquetWriter[InternalRow])]
+  // lazy: a delta DELETE's write schema carries no data columns and
+  // never calls insert()
+  private lazy val shipIdx = schema.fieldIndex("l_shipdate")
+  private lazy val shipDt = schema(shipIdx).dataType
+
+  private def monthOf(row: InternalRow): String = shipDt match {
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(row.getInt(shipIdx).toLong).toString.take(7)
+    case _ => // TimestampType / TimestampNTZType: micros since epoch, UTC
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(row.getLong(shipIdx), 1000000L), 0,
+        java.time.ZoneOffset.UTC).toLocalDate.toString.take(7)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    deletes.getOrElseUpdate(id.getUTF8String(0).toString,
+      mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unused under representUpdateAsDeleteAndInsert, kept total
+    delete(metadata, id); insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    val month = monthOf(row)
+    // the month rides in the directory (hive layout); l_shipdate itself
+    // stays IN the file like every graft data file
+    writers.getOrElseUpdate(month, {
+      val dir = new File(s"$dataDir/p_month=$month"); dir.mkdirs()
+      val path = new File(dir,
+        f"delta-$partitionId%05d-$taskId-$month.parquet").getPath
+      (path, GraftRowParquet.writer(path, schema))
+    })._2.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._2.close())
+    GraftDeltaCommitMessage(
+      deletes.map { case (f, ps) => (f, ps.toArray.sorted) }.toArray,
+      writers.values.map(_._1).toArray)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (p, w) =>
+      try w.close() catch { case _: Exception => () }
+      new File(p).delete()
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Executor-side parquet writing of InternalRows through Spark's own
+  * `ParquetWriteSupport` — the identical record shredder every Spark
+  * parquet write uses, configured the way `ParquetFileFormat.prepareWrite`
+  * configures it (int64-micros timestamps — the Iceberg spec form — and
+  * standard (non-legacy) logical types). */
+private[iceberg] object GraftRowParquet {
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  def writer(path: String, schema: StructType): ParquetWriter[InternalRow] = {
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the keys prepareWrite sets before handing the support to a task —
+    // `init` reads them with .toBoolean (no defaults), so all must be set
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+        new ParquetWriteSupport()
+    }
+    new B(new Path("file:" + path)).withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+}
+
+/** The `_file`/`_pos` metadata columns ([[SupportsMetadataColumns]]) —
+  * the row coordinates the vectorized reader synthesizes, and the rowId
+  * the delta operation keys its deletes on (Iceberg's own Spark
+  * integration exposes the same pair). */
+private[iceberg] object GraftMetaColumns {
+  val columns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position in its data file"
+    })
+}

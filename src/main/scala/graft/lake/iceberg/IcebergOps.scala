@@ -2526,4 +2526,196 @@ object IcebergOps {
           round(col("cum_wave_bytes") * 1.0 / col("blob_bytes"), 4)))
       .orderBy("step")
   }
+
+  // ---- Row-level SQL verbs (UPDATE / MERGE / ALTER / INSERT OVERWRITE)
+
+  /** Key residue updated by the SQL UPDATE fixture (mod 100). */
+  val SqlUpdResidue = 7L
+  /** MERGE fixture: matched residue (mod 100, pair-unique rows only),
+    * insert-source residue (mod 1000) and the re-key offset that makes
+    * the insert rows unmatched. */
+  val SqlMergeMatchResidue = 11L
+  val SqlMergeInsResidue = 13L
+  val SqlMergeKeyOffset = 900000000L
+  /** Month replaced by the dynamic INSERT OVERWRITE fixture. */
+  val SqlOverwriteMonthLo = "1997-03-01"
+  val SqlOverwriteMonthHi = "1997-04-01"
+
+  /** Row-level-SQL fixture: a second warehouse whose four tables each
+    * exercise one write verb end-to-end —
+    *  - `lake.lineitem_upd`: full append, then `UPDATE … SET l_quantity =
+    *    l_quantity + 100 WHERE l_orderkey % 100 = 7` through
+    *    SupportsRowLevelOperations/SupportsDelta → ONE overwrite snapshot
+    *    (DV on the victims + executor-written replacement files);
+    *  - `lake.lineitem_mrg`: full append, then `MERGE INTO` — pair-unique
+    *    keys ≡ 11 (mod 100) update (+1000 qty), keys ≡ 13 (mod 1000)
+    *    re-keyed +9·10⁸ insert (the synthetic corpus does NOT have a
+    *    unique (l_orderkey, l_linenumber), so the matched source keeps
+    *    pair-unique rows — a duplicate key is a real
+    *    MERGE_CARDINALITY_VIOLATION);
+    *  - `lake.lineitem_alt`: pre-cut append, `ALTER TABLE ADD COLUMN note
+    *    STRING` (metadata-only schema era), post-cut INSERT carrying the
+    *    column;
+    *  - `lake.lineitem_ow`: full append, then dynamic-mode `INSERT
+    *    OVERWRITE` doubling March-1997 quantities — replacing EXACTLY that
+    *    month's files. */
+  private def sqlRlWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlrl") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlrl_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      IcebergTable.append(spark, lineitem,
+        IcebergCatalog.createTable(w, "lake", "lineitem_upd"))
+      spark.sql(s"UPDATE $cat.lake.lineitem_upd SET l_quantity = l_quantity + 100 " +
+        s"WHERE l_orderkey % 100 = $SqlUpdResidue")
+      IcebergTable.append(spark, lineitem,
+        IcebergCatalog.createTable(w, "lake", "lineitem_mrg"))
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey", "l_linenumber")
+      val matched = lineitem
+        .filter(pmod(col("l_orderkey"), lit(100L)) === SqlMergeMatchResidue)
+        .withColumn("__c", count(lit(1)).over(wPair))
+        .filter(col("__c") === 1L).drop("__c")
+      val insertedSrc = lineitem
+        .filter(pmod(col("l_orderkey"), lit(1000L)) === SqlMergeInsResidue)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(SqlMergeKeyOffset))
+      matched.unionByName(insertedSrc).createOrReplaceTempView("graft_sql_mrg_src")
+      spark.sql(
+        s"""MERGE INTO $cat.lake.lineitem_mrg t USING graft_sql_mrg_src s
+           |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+           |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity + 1000
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val tAlt = IcebergCatalog.createTable(w, "lake", "lineitem_alt")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), tAlt)
+      spark.sql(s"ALTER TABLE $cat.lake.lineitem_alt ADD COLUMN note STRING")
+      lineitem.filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp"))
+        .withColumn("note", lit("era2"))
+        .createOrReplaceTempView("graft_sql_alt_src")
+      spark.sql(s"INSERT INTO $cat.lake.lineitem_alt SELECT * FROM graft_sql_alt_src")
+      IcebergTable.append(spark, lineitem,
+        IcebergCatalog.createTable(w, "lake", "lineitem_ow"))
+      lineitem.filter(
+          col("l_shipdate") >= lit(SqlOverwriteMonthLo).cast("timestamp") &&
+          col("l_shipdate") < lit(SqlOverwriteMonthHi).cast("timestamp"))
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .createOrReplaceTempView("graft_sql_ow_src")
+      val owKey = "spark.sql.sources.partitionOverwriteMode"
+      val oldMode = spark.conf.getOption(owKey)
+      spark.conf.set(owKey, "dynamic")
+      try spark.sql(s"INSERT OVERWRITE $cat.lake.lineitem_ow SELECT * FROM graft_sql_ow_src")
+      finally oldMode.fold(spark.conf.unset(owKey))(v => spark.conf.set(owKey, v))
+      new String(w)
+    }
+
+  private def rlTableCensus(w: String, table: String)
+      : (IcebergTable.TableMetadata, Seq[IcebergTable.DataFileEntry]) = {
+    val loc = IcebergCatalog.tableLocation(w, "lake", table)
+    val meta = IcebergTable.readMetadata(loc)
+    val entries = IcebergTable.readManifestList(
+        IcebergTable.currentSnapshot(meta).manifestList)
+      .flatMap(m => IcebergTable.readManifest(m.path))
+    (meta, entries)
+  }
+
+  /** SQL `UPDATE` through the catalog (SupportsRowLevelOperations →
+    * SupportsDelta): the matched rows' old positions land in ONE v3 DV
+    * wave and their updated images in executor-written month-partitioned
+    * replacement files — one "overwrite" snapshot, the same history
+    * [[IcebergTable.updateMorDv]] commits. The census proves it: DV
+    * cardinality = victim count, 2 snapshots, head operation overwrite,
+    * and the read-back aggregate reflects +100 on every victim. */
+  def sqlUpdate(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlRlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_upd
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val (meta, entries) = rlTableCensus(w, "lineitem_upd")
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      entries.filter(_.content == 1).map(_.recordCount).sum,
+      meta.snapshots.size.toLong))
+      .toDF("l_returnflag", "n_rows", "sum_qty", "updated_rows", "n_snapshots")
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL `MERGE INTO` through the catalog — the upsert verb every lake
+    * ingest runs: matched rows update (delete+insert under the delta
+    * encoding), unmatched source rows insert, ONE overwrite snapshot.
+    * Census: DV cardinality = matched count, snapshot-2 data rows =
+    * matched replacements + inserts. */
+  def sqlMerge(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlRlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_mrg
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val (meta, entries) = rlTableCensus(w, "lineitem_mrg")
+    val dvCard = entries.filter(_.content == 1).map(_.recordCount).sum
+    val snap2Rows = entries
+      .filter(e => e.content == 0 && e.entrySnapshotId == 2L)
+      .map(_.recordCount).sum
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      dvCard, snap2Rows - dvCard, meta.snapshots.size.toLong))
+      .toDF("l_returnflag", "n_rows", "sum_qty",
+        "updated_rows", "inserted_rows", "n_snapshots")
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL `ALTER TABLE ADD COLUMN` — a METADATA-ONLY schema-era commit
+    * (spec §Schema Evolution): pre-alter rows null-fill the new column
+    * (the reader's null-vector path), the post-alter INSERT writes it for
+    * real, and the schemas array records both eras. */
+  def sqlAlter(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlRlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val r = spark.sql(
+      s"""SELECT count(*) AS n_rows, count(note) AS rows_with_note,
+         | count(*) - count(note) AS rows_null_note
+         |FROM $cat.lake.lineitem_alt""".stripMargin).head()
+    val (meta, _) = rlTableCensus(w, "lineitem_alt")
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+      meta.schemas.size.toLong, meta.snapshots.size.toLong,
+      meta.schemas.lastOption.exists(_.contains("note"))))
+      .toDF("n_rows", "rows_with_note", "rows_null_note",
+        "n_schema_eras", "n_snapshots", "note_in_schema")
+  }
+
+  /** Dynamic `INSERT OVERWRITE` — partition-level replace: only the month
+    * that received data was replaced (its files carry sequence 2, every
+    * other month's files still sequence 1), quantities in that month
+    * doubled, and snapshot 1 stays fully time-travelable. */
+  def sqlOverwrite(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlRlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rows = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         | round(sum(l_quantity), 4) AS sum_qty
+         |FROM $cat.lake.lineitem_ow
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin).collect()
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem_ow")
+    val meta = IcebergTable.readMetadata(loc)
+    val plan = IcebergTable.planFiles(loc)
+    val monthsReplaced = plan.files.filter(_.sequence == 2L)
+      .map(_.partition).distinct.size.toLong
+    val monthsKept = plan.files.filter(_.sequence == 1L)
+      .map(_.partition).distinct.size.toLong
+    val rowsV1 = IcebergTable.planFiles(loc, Some(1L)).files.map(_.recordCount).sum
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      monthsReplaced, monthsKept, rowsV1, meta.snapshots.size.toLong))
+      .toDF("l_returnflag", "n_rows", "sum_qty",
+        "months_replaced", "months_kept", "rows_v1", "n_snapshots")
+      .orderBy("l_returnflag")
+  }
 }

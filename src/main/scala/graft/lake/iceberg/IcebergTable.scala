@@ -356,47 +356,118 @@ object IcebergTable {
     require(dataEntries.nonEmpty, "rewriteManifests on a table with no data files")
     def groupOf(m: String): Int =
       (m.take(4).toInt * 12 + (m.slice(5, 7).toInt - 1)) / groupMonths
+    val grouped = dataEntries.groupBy(f => groupOf(f.partition)).toSeq.sortBy(_._1)
+    val infos = grouped.zipWithIndex.map { case ((_, fs), i) =>
+      writeExistingDataManifest(location, snapshotId, fs, f"rw$i%03d")
+    }
+    commitSnapshot(location, Some(prev), snapshotId, infos ++ deleteManifests, "replace")
+  }
+
+  /** Write one manifest of EXISTING data entries (spec rewritten-manifest
+    * rules: every entry RETAINS its original adding snapshot_id and data
+    * sequence — delete-file scoping and entry-grain lineage must survive;
+    * status=0 EXISTING; stats and first_row_id ride wholesale — the data
+    * files are byte-identical). Only the manifest-LIST row records the
+    * rewriting snapshot. Shared by [[rewriteManifests]] and the dynamic
+    * INSERT OVERWRITE's partition-scoped replace. */
+  private def writeExistingDataManifest(location: String, snapshotId: Long,
+                                        fs: Seq[DataFileEntry],
+                                        nameTag: String): ManifestInfo = {
     val mdir = metadataDir(location)
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val grouped = dataEntries.groupBy(f => groupOf(f.partition)).toSeq.sortBy(_._1)
-    val infos = grouped.zipWithIndex.map { case ((_, fs), i) =>
-      val sortedFs = fs.sortBy(f => (f.partition, f.path))
-      val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-rw$i%03d.avro")
-      val entries = sortedFs.map { f =>
-        val part = new GenericData.Record(partSchema)
-        part.put("p_month", f.partition)
-        val dfr = new GenericData.Record(dataFileSchema)
-        dfr.put("content", 0)
-        dfr.put("file_path", f.path)
-        dfr.put("file_format", "PARQUET")
-        dfr.put("partition", part)
-        dfr.put("record_count", f.recordCount)
-        dfr.put("file_size_in_bytes", f.fileSizeBytes)
-        // stats survive the rewrite wholesale — wide bounds included
-        dfr.put("lower_bounds",
-          (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
-        dfr.put("upper_bounds",
-          (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
-        // row lineage survives the rewrite: the file is byte-identical, so
-        // its first_row_id (and every implicit _row_id) is unchanged
-        if (f.firstRowId >= 0) dfr.put("first_row_id", java.lang.Long.valueOf(f.firstRowId))
-        val e = new GenericData.Record(ManifestEntrySchema)
-        e.put("status", 0) // EXISTING — the rewrite adds no data
-        // spec: EXISTING entries RETAIN the snapshot id of the commit that
-        // originally added the file (idempotent across chained rewrites);
-        // only the manifest-list row below records the rewriter
-        e.put("snapshot_id", f.entrySnapshotId)
-        e.put("sequence_number", f.sequence) // scoping survives the rewrite
-        e.put("data_file", dfr)
-        e: GenericRecord
-      }
-      val len = writeAvro(ManifestEntrySchema, manifestFile, entries)
-      ManifestInfo(manifestFile.getPath, len, snapshotId,
-        sortedFs.length, sortedFs.map(_.recordCount).sum,
-        sortedFs.map(_.partition).min, sortedFs.map(_.partition).max)
+    val sortedFs = fs.sortBy(f => (f.partition, f.path))
+    val manifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-$nameTag.avro")
+    val entries = sortedFs.map { f =>
+      val part = new GenericData.Record(partSchema)
+      part.put("p_month", f.partition)
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", f.path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", part)
+      dfr.put("record_count", f.recordCount)
+      dfr.put("file_size_in_bytes", f.fileSizeBytes)
+      dfr.put("lower_bounds",
+        (Map("l_shipdate" -> f.loShip) ++ f.wideBounds.map { case (k, b) => k -> b._1 }).asJava)
+      dfr.put("upper_bounds",
+        (Map("l_shipdate" -> f.hiShip) ++ f.wideBounds.map { case (k, b) => k -> b._2 }).asJava)
+      if (f.firstRowId >= 0) dfr.put("first_row_id", java.lang.Long.valueOf(f.firstRowId))
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 0)
+      e.put("snapshot_id", f.entrySnapshotId)
+      e.put("sequence_number", f.sequence)
+      e.put("data_file", dfr)
+      e: GenericRecord
     }
-    commitSnapshot(location, Some(prev), snapshotId, infos ++ deleteManifests, "replace")
+    val len = writeAvro(ManifestEntrySchema, manifestFile, entries)
+    ManifestInfo(manifestFile.getPath, len, snapshotId,
+      sortedFs.length, sortedFs.map(_.recordCount).sum,
+      sortedFs.map(_.partition).min, sortedFs.map(_.partition).max)
+  }
+
+  /** STATIC `INSERT OVERWRITE` (truncate semantics): replace the whole
+    * table's live contents with `df` in ONE "replace" snapshot — the new
+    * manifest list carries ONLY the new data manifest, so default reads
+    * flip atomically while every prior snapshot stays time-travelable
+    * until expiry. An uncommitted (CREATE'd) table just gets snapshot 1. */
+  def overwriteTable(spark: SparkSession, df: DataFrame, location: String): Long = {
+    val prev = readMetadataOpt(location)
+    val snapshotId = prev.map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+    val newInfo = writeDataSnapshot(spark, df, location, snapshotId)
+    commitSnapshot(location, prev, snapshotId, Seq(newInfo), "replace",
+      df.columns.toSeq.sorted)
+  }
+
+  /** DYNAMIC partition overwrite commit (`INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`): replace EXACTLY the month
+    * partitions the executor-written files touched. Prior data manifests
+    * are carried unchanged when untouched, rewritten to their surviving
+    * EXISTING entries when a replaced month intersects them, dropped when
+    * emptied; DV manifests whose every referenced file was replaced are
+    * dropped, the rest ride along (a DV referencing a replaced file is
+    * inert — planning matches by live path — but keeping partially-live
+    * waves preserves their surviving references). Only files named by
+    * committed tasks enter the new manifest (stray attempt files are
+    * deleted), mirroring [[commitDelta]]. */
+  def commitOverwriteMonths(spark: SparkSession, location: String, snapshotId: Long,
+                            dataDir: String, files: Seq[String]): Long = {
+    require(files.nonEmpty, "dynamic overwrite wrote no files")
+    def n(p: String): String = p.replaceFirst("^/{2,}", "/")
+    val allowed = files.map(n).toSet
+    val (keep, stray) = collectFileStats(spark, dataDir)
+      .partition(f => allowed.contains(n(f.path)))
+    stray.foreach(f => new File(n(f.path)).delete())
+    require(keep.nonEmpty, "no committed task wrote a surviving data file")
+    val months = keep.map(_.partition).toSet
+    val prev = readMetadataOpt(location)
+    val head = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+      .getOrElse(Seq.empty)
+    val byManifest = head.map(m => m -> readManifest(m.path))
+    val removedPaths = byManifest.flatMap(_._2)
+      .filter(e => e.content == 0 && months.contains(e.partition))
+      .map(e => n(e.path)).toSet
+    var rw = 0
+    val kept = byManifest.flatMap { case (m, es) =>
+      if (es.forall(_.content == 0)) {
+        val surviving = es.filterNot(e => months.contains(e.partition))
+        if (surviving.size == es.size) Some(m)
+        else if (surviving.isEmpty) None
+        else {
+          rw += 1
+          Some(writeExistingDataManifest(location, snapshotId, surviving, f"ow$rw%03d"))
+        }
+      } else {
+        // delete manifest: drop only if every reference died with the
+        // replaced months (equality deletes carry no reference and ride)
+        val live = es.exists(e =>
+          e.referencedDataFile.forall(r => !removedPaths.contains(n(r))))
+        if (live) Some(m) else None
+      }
+    }
+    val newInfo = writeManifestAvro(location, snapshotId, snapshotId,
+      assignRowIds(location, keep), 0)
+    commitSnapshot(location, prev, snapshotId, kept :+ newInfo, "replace")
   }
 
   /** Write-audit-publish (the reference's WAP study, executed for real):
@@ -1851,6 +1922,109 @@ object IcebergTable {
     * shape); replacement files write through [[writeDataSnapshot]]'s
     * month-partitioned distributed writer; the driver handles only
     * KB-grain compressed blobs and manifest rows. */
+  /** Write one DV wave — the Puffin file carrying per-referenced-file
+    * Roaring blobs plus its delete manifest — from already-serialized
+    * rows `(referenced path, blob bytes, cardinality, min pos, max pos)`.
+    * Shared by [[updateMorDv]] and the SQL delta committer
+    * ([[commitDelta]]); `fileTag` uniquifies names when one snapshot
+    * writes several waves. */
+  private def writeDvManifest(location: String, snapshotId: Long,
+                              dvRows: Seq[(String, Array[Byte], Long, Long, Long)],
+                              fileTag: String = ""): ManifestInfo = {
+    val mdir = metadataDir(location)
+    val puffinFile = new File(mdir, f"dv-snap-$snapshotId%05d$fileTag.puffin")
+    val blobs = dvRows.map { case (path, blob, card, _, _) =>
+      Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
+        blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
+    }
+    val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
+      Map("created-by" -> "graft"))
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val dvEntries = dvRows.zip(metas).map { case ((path, _, card, lo, hi), m) =>
+      val part = new GenericData.Record(partSchema)
+      part.put("p_month", "")
+      val dfr = new GenericData.Record(dataFileSchema)
+      dfr.put("content", 1)
+      dfr.put("file_path", puffinFile.getPath)
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("partition", part)
+      dfr.put("record_count", card)
+      dfr.put("file_size_in_bytes", puffinSize)
+      dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
+      dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
+      dfr.put("referenced_data_file", path)
+      dfr.put("content_offset", m.offset)
+      dfr.put("content_size_in_bytes", m.length)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", snapshotId)
+      e.put("data_file", dfr)
+      e: GenericRecord
+    }
+    val dvManifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-dv$fileTag.avro")
+    val dvLen = writeAvro(ManifestEntrySchema, dvManifestFile, dvEntries.toIndexedSeq)
+    ManifestInfo(dvManifestFile.getPath, dvLen, snapshotId,
+      dvRows.length, dvRows.map(_._3).sum, "0000-00", "9999-99")
+  }
+
+  /** ONE committing snapshot from a row-level DELTA (the SQL
+    * UPDATE/MERGE/DELETE write path): a v3 deletion-vector wave over the
+    * deleted row coordinates plus the executor-written replacement/insert
+    * data files — the same "overwrite" history [[updateMorDv]] commits.
+    * Only files NAMED by committed write tasks enter the manifest; stray
+    * files in `dataDir` (aborted or zombie task attempts) are deleted
+    * here, which is what makes executor-direct parquet writing safe under
+    * task retries. `deletes` paths must be the manifest-form paths the
+    * scan published as `_file` (they are recorded verbatim as
+    * referenced_data_file). */
+  def commitDelta(spark: SparkSession, location: String, snapshotId: Long,
+                  deletes: Seq[(String, Seq[Long])], dataDir: String,
+                  files: Seq[String], operation: String = "overwrite"): Long = {
+    require(deletes.nonEmpty || files.nonEmpty, "delta commit with no changes")
+    val prev = readMetadata(location)
+    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+    val dvInfo =
+      if (deletes.isEmpty) None
+      else {
+        val dvRows = deletes.map { case (path, ps0) =>
+          val ps = ps0.toArray
+          (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+        }.sortBy(_._1)
+        Some(writeDvManifest(location, snapshotId, dvRows))
+      }
+    def n(p: String): String = p.replaceFirst("^/{2,}", "/")
+    val dataInfo =
+      if (files.isEmpty) None
+      else {
+        val allowed = files.map(n).toSet
+        val (keep, stray) = collectFileStats(spark, dataDir)
+          .partition(f => allowed.contains(n(f.path)))
+        stray.foreach(f => new File(n(f.path)).delete())
+        require(keep.nonEmpty, "no committed task wrote a surviving data file")
+        Some(writeManifestAvro(location, snapshotId, snapshotId,
+          assignRowIds(location, keep), 0))
+      }
+    commitSnapshot(location, Some(prev), snapshotId,
+      prevManifests ++ dataInfo ++ dvInfo, operation)
+  }
+
+  /** `ALTER TABLE ADD COLUMN` at the metadata layer: a METADATA-ONLY
+    * version bump appending a new schema era to the schemas array (spec
+    * §Schema Evolution) — no snapshot, no data IO. Pre-alter data files
+    * simply lack the field; every merge-schema read (and the SQL
+    * catalog's null-vector fill) returns NULL for them, the spec's
+    * add-column rule. */
+  def addSchemaColumn(location: String, column: String): Unit = {
+    val (meta, _) = readMetadataWithVersion(location)
+    val cur = meta.schemas.lastOption.getOrElse(Seq.empty)
+    require(!cur.contains(column), s"column $column already exists")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, meta.schemas :+ (cur :+ column).sorted,
+      statistics = meta.statistics, nextRowId = meta.nextRowId)
+  }
+
   def updateMorDv(spark: SparkSession, location: String,
                   predicate: org.apache.spark.sql.Column,
                   assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
@@ -1910,42 +2084,7 @@ object IcebergTable {
         .collect()
         .sortBy(_._1)
       require(dvRows.nonEmpty, "update matched zero live rows")
-      val mdir = metadataDir(location)
-      val puffinFile = new File(mdir, f"dv-snap-$snapshotId%05d.puffin")
-      val blobs = dvRows.map { case (path, blob, card, _, _) =>
-        Puffin.BlobSpec("deletion-vector-v1", Seq.empty, snapshotId, snapshotId,
-          blob, Map("referenced-data-file" -> path, "cardinality" -> card.toString))
-      }
-      val (puffinSize, _, metas) = Puffin.writeBlobs(puffinFile, blobs.toIndexedSeq,
-        Map("created-by" -> "graft"))
-      val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
-      val partSchema = dataFileSchema.getField("partition").schema()
-      val dvEntries = dvRows.zip(metas).map { case ((path, _, card, lo, hi), m) =>
-        val part = new GenericData.Record(partSchema)
-        part.put("p_month", "")
-        val dfr = new GenericData.Record(dataFileSchema)
-        dfr.put("content", 1)
-        dfr.put("file_path", puffinFile.getPath)
-        dfr.put("file_format", "PUFFIN")
-        dfr.put("partition", part)
-        dfr.put("record_count", card)
-        dfr.put("file_size_in_bytes", puffinSize)
-        dfr.put("lower_bounds", Map("pos" -> lo.toString).asJava)
-        dfr.put("upper_bounds", Map("pos" -> hi.toString).asJava)
-        dfr.put("referenced_data_file", path)
-        dfr.put("content_offset", m.offset)
-        dfr.put("content_size_in_bytes", m.length)
-        val e = new GenericData.Record(ManifestEntrySchema)
-        e.put("status", 1)
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", snapshotId)
-        e.put("data_file", dfr)
-        e: GenericRecord
-      }
-      val dvManifestFile = new File(mdir, f"manifest-$snapshotId%05d-0-dv.avro")
-      val dvLen = writeAvro(ManifestEntrySchema, dvManifestFile, dvEntries.toIndexedSeq)
-      val dvInfo = ManifestInfo(dvManifestFile.getPath, dvLen, snapshotId,
-        dvRows.length, dvRows.map(_._3).sum, "0000-00", "9999-99")
+      val dvInfo = writeDvManifest(location, snapshotId, dvRows.toIndexedSeq)
       // (b) replacement data file(s): updated values + materialized _row_id
       var upd: DataFrame = victims
       assignments.foreach { case (c, e) => upd = upd.withColumn(c, e) }

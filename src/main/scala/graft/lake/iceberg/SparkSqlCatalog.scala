@@ -142,8 +142,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       loc, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are altered by commits")
+  /** `ALTER TABLE <cat>.<ns>.<t> ADD COLUMN <c> <type>`: the SQL-visible
+    * TYPE rides in the declared-schema file (metadata/schema.pending.json
+    * — the same vehicle CREATE uses), and for a committed table the
+    * column-set change lands as a METADATA-ONLY schemas-array commit
+    * ([[IcebergTable.addSchemaColumn]], spec §Schema Evolution). Pre-alter
+    * files null-fill on read; the next INSERT writes the column for real.
+    * Other change kinds are refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val loc = location(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"nested columns are not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames().head
+        val cur = load(ident, None).asInstanceOf[GraftSqlTable].schema()
+        require(!cur.fieldNames.contains(name), s"column $name already exists")
+        val next = StructType(cur.fields :+
+          StructField(name, add.dataType(), add.isNullable()))
+        val mdir = new File(loc, "metadata"); mdir.mkdirs()
+        java.nio.file.Files.write(new File(mdir, "schema.pending.json").toPath,
+          next.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.addSchemaColumn(loc, name)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports ALTER TABLE ADD COLUMN only, got $other")
+    }
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     IcebergCatalog.dropTable(warehouse, ns1(ident.namespace()), ident.name())
@@ -213,9 +239,26 @@ object GraftSqlScanCensus {
 private[iceberg] class GraftSqlTable(ident: String, location: String,
                                      snapshotId: Option[Long])
     extends Table with SupportsRead
-    with SupportsWrite with SupportsDelete {
+    with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   override def name(): String = ident
+
+  /** `_file`/`_pos` — the row coordinates the reader synthesizes, usable
+    * from plain SQL (`SELECT _file, _pos, * FROM t`) and the rowId the
+    * delta row-level operations key their deletes on. */
+  override def metadataColumns(): Array[MetadataColumn] = GraftMetaColumns.columns
+
+  /** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` — see
+    * [[GraftRowLevelOperation]]: a delta (MOR) operation committing one
+    * DV + replacement-files snapshot through [[IcebergTable.commitDelta]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotId.isEmpty, s"cannot mutate a time-travel snapshot of $ident")
+    new GraftRowLevelOperationBuilder(location, info)
+  }
 
   /** Columns internal to the v3 row-lineage machinery: replacement files
     * written by MOR UPDATE materialize them, but they are not part of the
@@ -251,19 +294,34 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
         // column added by schema evolution appears while pre-evolution
         // eras contribute theirs — and strip the internal lineage columns
         // replacement files materialize, so SELECT * never exposes them.
+        // Declared-but-not-yet-written columns (ALTER TABLE ADD COLUMN
+        // before the next INSERT) overlay from the declared-schema file:
+        // no data file carries them, so every read null-fills.
         val perEra = plan.files.groupBy(_.sequence).toSeq.sortBy(-_._1)
           .map { case (_, fs) => fs.map(_.path).max }
         val merged = org.apache.spark.sql.SparkSession.active.read
           .option("mergeSchema", "true").parquet(perEra: _*).schema
-        StructType(merged.fields.filterNot(f => internalCol(f.name)))
+        val declaredExtra = pendingSchema.map(_.fields.filterNot(f =>
+          merged.fieldNames.contains(f.name) || internalCol(f.name)))
+          .getOrElse(Array.empty[StructField])
+        StructType(merged.fields.filterNot(f => internalCol(f.name)) ++ declaredExtra)
       }
     }
   }
 
   override def schema(): StructType = schema0
 
+  /** The implicit month(l_shipdate) partitioning, DECLARED — what makes
+    * Spark route `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`
+    * to [[org.apache.spark.sql.connector.write.SupportsDynamicOverwrite]]
+    * (the partition-level replace) instead of a whole-table truncate. */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.months("l_shipdate"))
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -331,20 +389,65 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to a time-travel snapshot of $ident")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation: InsertableRelation =
-            new InsertableRelation {
-              override def insert(data: org.apache.spark.sql.DataFrame,
-                                  overwrite: Boolean): Unit = {
-                require(!overwrite, "INSERT OVERWRITE is not supported; " +
-                  "commit a replace through the library API")
-                IcebergTable.append(data.sparkSession, data, location)
-              }
-            }
+    new GraftWriteBuilder(location, info.schema())
+  }
+}
+
+/** Write modes of the SQL front door, all committing through the library:
+  *  - append (`INSERT INTO`): [[IcebergTable.append]] via the V1 bridge —
+  *    SQL inserts and library appends produce indistinguishable history;
+  *  - truncate (static `INSERT OVERWRITE`, or a whole-table
+  *    `df.writeTo(t).overwrite(lit(true))`): ONE "replace" snapshot whose
+  *    manifest list carries only the new data ([[IcebergTable.overwriteTable]]);
+  *  - dynamic partition overwrite (`INSERT OVERWRITE` under
+  *    `partitionOverwriteMode=dynamic`): a V2 batch write — executors
+  *    stream month-partitioned files ([[GraftDeltaWriter]] doubling as a
+  *    plain DataWriter), and the commit replaces EXACTLY the months that
+  *    received data ([[IcebergTable.commitOverwriteMonths]]). */
+private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  private var mode: String = "append"
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = "truncate"; this
+  }
+
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_ == AlwaysTrue()),
+      "filter-scoped overwrite supports the full table only; use " +
+        "spark.sql.sources.partitionOverwriteMode=dynamic for partition-level replace")
+    mode = "truncate"; this
+  }
+
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = "dynamic"; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = mode match {
+    case "dynamic" =>
+      new org.apache.spark.sql.connector.write.Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+          val snapshotId = IcebergTable.readMetadataOpt(location)
+            .map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+          new GraftOverwriteBatchWrite(location, writeSchema, snapshotId)
         }
-    }
+      }
+    case m =>
+      new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit =
+              if (m == "truncate")
+                IcebergTable.overwriteTable(data.sparkSession, data, location)
+              else IcebergTable.append(data.sparkSession, data, location)
+          }
+      }
   }
 }
 

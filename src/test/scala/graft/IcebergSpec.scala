@@ -1426,6 +1426,144 @@ class IcebergSpec extends SparkSpec {
     assert(!spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).contains("scratchns"))
   }
 
+  test("DSv2 row-level SQL: UPDATE and MERGE commit DV+replacement snapshots; ALTER TABLE ADD COLUMN") {
+    import graft.lake.iceberg.{GraftCatalog, IcebergCatalog, IcebergTable => T}
+    val w = Files.createTempDirectory("graft_iceberg_rls_spec_").toString
+    IcebergCatalog.createNamespace(w, "ns")
+    val t = IcebergCatalog.createTable(w, "ns", "li")
+    T.append(spark, lineitem, t)
+    spark.conf.set("spark.sql.catalog.grl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.warehouse", w)
+    val baseN = lineitem.count()
+    val baseQty = lineitem.agg(sum(col("l_quantity"))).head().getDouble(0)
+
+    // UPDATE → one "overwrite" snapshot: DV over the victims' coordinates
+    // + month-partitioned replacement files written by the executors
+    val nVict = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 7L).count()
+    spark.sql("UPDATE grl.ns.li SET l_quantity = l_quantity + 100 WHERE l_orderkey % 100 = 7")
+    val afterUpd = spark.sql(
+      "SELECT count(*), round(sum(l_quantity), 4) FROM grl.ns.li").head()
+    assert(afterUpd.getLong(0) == baseN, "UPDATE must not change row count")
+    assert(math.abs(afterUpd.getDouble(1) -
+      BigDecimal(baseQty + 100.0 * nVict).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    val metaU = T.readMetadata(t)
+    assert(metaU.snapshots.size == 2 && metaU.snapshots.last.operation == "overwrite")
+    val entriesU = T.readManifestList(T.currentSnapshot(metaU).manifestList)
+      .flatMap(m => T.readManifest(m.path))
+    assert(entriesU.filter(_.content == 1).map(_.recordCount).sum == nVict,
+      "DV cardinality must equal the victim count")
+    assert(entriesU.exists(e => e.content == 0 && e.entrySnapshotId == 2L),
+      "replacement data files must ride in the same snapshot")
+    // SQL read ≡ library MOR read after the update
+    val sqlQty = spark.sql("SELECT round(sum(l_quantity), 4) FROM grl.ns.li").head().getDouble(0)
+    val libQty = T.readMorUnified(spark, t)._1
+      .agg(round(sum(col("l_quantity")), 4)).head().getDouble(0)
+    assert(math.abs(sqlQty - libQty) < 1e-6)
+
+    // MERGE: matched rows update, unmatched source rows insert. The
+    // synthetic lineitem does NOT have a unique (l_orderkey, l_linenumber)
+    // pair, so the matched source keeps only pair-unique rows — a
+    // duplicate match key is a real MERGE_CARDINALITY_VIOLATION.
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+    val matched = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 11L)
+      .withColumn("__c", count(lit(1)).over(wPair)).filter(col("__c") === 1L).drop("__c")
+    val inserted = lineitem.filter(pmod(col("l_orderkey"), lit(1000L)) === 13L)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(900000000L))
+    matched.unionByName(inserted).createOrReplaceTempView("grl_merge_src")
+    val nMatch = matched.count(); val nIns = inserted.count()
+    spark.sql(
+      """MERGE INTO grl.ns.li t USING grl_merge_src s
+        |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity + 1000
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMrg = spark.sql(
+      "SELECT count(*), round(sum(l_quantity), 4) FROM grl.ns.li").head()
+    assert(afterMrg.getLong(0) == baseN + nIns)
+    val expectQty = baseQty + 100.0 * nVict + 1000.0 * nMatch +
+      inserted.agg(sum(col("l_quantity"))).head().getDouble(0)
+    assert(math.abs(afterMrg.getDouble(1) -
+      BigDecimal(expectQty).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    val metaM = T.readMetadata(t)
+    assert(metaM.snapshots.size == 3 && metaM.snapshots.last.operation == "overwrite")
+
+    // row-level DELETE with a non-pushable predicate rides the same delta
+    // path (the pushable-filter DELETE keeps its metadata-only DV commit)
+    val delN = spark.sql(
+      "SELECT count(*) FROM grl.ns.li WHERE l_orderkey % 100 = 29").head().getLong(0)
+    spark.sql("DELETE FROM grl.ns.li WHERE l_orderkey % 100 = 29")
+    assert(spark.sql("SELECT count(*) FROM grl.ns.li").head().getLong(0) ==
+      baseN + nIns - delN)
+
+    // ALTER TABLE ADD COLUMN: metadata-only schema era; pre-alter rows
+    // null-fill; the next INSERT writes the column for real
+    val erasBefore = T.readMetadata(t).schemas.size
+    spark.sql("ALTER TABLE grl.ns.li ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(note) FROM grl.ns.li").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM grl.ns.li").head().getLong(0) ==
+      baseN + nIns - delN, "ALTER must not change data")
+    assert(T.readMetadata(t).schemas.size == erasBefore + 1,
+      "ALTER must commit a new schema era")
+    lineitem.filter(pmod(col("l_orderkey"), lit(1000L)) === 17L)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(910000000L))
+      .withColumn("note", lit("late"))
+      .createOrReplaceTempView("grl_alter_src")
+    spark.sql("INSERT INTO grl.ns.li SELECT * FROM grl_alter_src")
+    val noteN = spark.sql("SELECT count(note) FROM grl.ns.li").head().getLong(0)
+    assert(noteN == spark.table("grl_alter_src").count(),
+      "post-alter inserts must carry the new column")
+  }
+
+  test("DSv2 INSERT OVERWRITE: dynamic partition-level replace and static truncate") {
+    import graft.lake.iceberg.{GraftCatalog, IcebergCatalog, IcebergTable => T}
+    val w = Files.createTempDirectory("graft_iceberg_ow_spec_").toString
+    IcebergCatalog.createNamespace(w, "ns")
+    val t = IcebergCatalog.createTable(w, "ns", "li")
+    T.append(spark, lineitem, t)
+    spark.conf.set("spark.sql.catalog.gow", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gow.warehouse", w)
+    val baseN = lineitem.count()
+    val march = lineitem.filter(
+      col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    val marchN = march.count()
+    val marchQty = march.agg(sum(col("l_quantity"))).head().getDouble(0)
+    val baseQty = lineitem.agg(sum(col("l_quantity"))).head().getDouble(0)
+
+    // DYNAMIC: only the month that receives data is replaced
+    val owMode = "spark.sql.sources.partitionOverwriteMode"
+    val oldMode = spark.conf.getOption(owMode)
+    spark.conf.set(owMode, "dynamic")
+    try {
+      march.withColumn("l_quantity", col("l_quantity") * 2)
+        .createOrReplaceTempView("gow_march_src")
+      spark.sql("INSERT OVERWRITE gow.ns.li SELECT * FROM gow_march_src")
+    } finally oldMode.fold(spark.conf.unset(owMode))(v => spark.conf.set(owMode, v))
+    val afterDyn = spark.sql(
+      "SELECT count(*), round(sum(l_quantity), 4) FROM gow.ns.li").head()
+    assert(afterDyn.getLong(0) == baseN, "dynamic overwrite must only touch its months")
+    assert(math.abs(afterDyn.getDouble(1) -
+      BigDecimal(baseQty + marchQty).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    val metaD = T.readMetadata(t)
+    assert(metaD.snapshots.size == 2 && metaD.snapshots.last.operation == "replace")
+    // file grain: 1997-03 files are new (sequence 2), other months untouched
+    val plan = T.planFiles(t)
+    assert(plan.files.filter(_.partition == "1997-03").forall(_.sequence == 2L))
+    assert(plan.files.filter(_.partition != "1997-03").forall(_.sequence == 1L))
+
+    // STATIC: whole-table truncate replace
+    lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 1L)
+      .createOrReplaceTempView("gow_static_src")
+    spark.sql("INSERT OVERWRITE gow.ns.li SELECT * FROM gow_static_src")
+    assert(spark.sql("SELECT count(*) FROM gow.ns.li").head().getLong(0) ==
+      lineitem.filter(pmod(col("l_orderkey"), lit(10L)) === 1L).count())
+    val metaS = T.readMetadata(t)
+    assert(metaS.snapshots.size == 3 && metaS.snapshots.last.operation == "replace")
+    // every prior snapshot stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM gow.ns.li VERSION AS OF 1")
+      .head().getLong(0) == baseN)
+  }
+
   test("DSv2 streaming read: readStream.table tails snapshots exactly-once across appends") {
     import graft.lake.iceberg.{GraftCatalog, IcebergCatalog, IcebergTable => T}
     val w = Files.createTempDirectory("graft_iceberg_stream_spec_").toString
