@@ -883,6 +883,25 @@ object Bench {
         }
       } else ""
 
+    // SQL-front-door read vs library read on the same fixture (default ON;
+    // SPARK_GRAFT_SQLREAD_BENCH=0 disables): the r16 verdict's vectorized-
+    // reader "Done" datapoint — sql_vs_lib_x near 1.0 means the DSv2 path
+    // costs what Spark's own FileScan costs; the MOR pair measures the
+    // delete-resolving row path against readMorUnified.
+    val sqlReadBench =
+      if (!sys.env.get("SPARK_GRAFT_SQLREAD_BENCH").contains("0")) {
+        try {
+          val (sqlT, libT, morSqlT, morLibT) = graft.lake.iceberg.IcebergOps
+            .sqlReadBench(spark, graft.tables.Tables.lineitem(spark, sfDir))
+          f""","sql_read_bench":{"sql_sec":$sqlT%.3f,"lib_sec":$libT%.3f,""" +
+            f""""sql_vs_lib_x":${sqlT / libT}%.3f,""" +
+            f""""mor_sql_sec":$morSqlT%.3f,"mor_lib_sec":$morLibT%.3f,""" +
+            f""""mor_sql_vs_lib_x":${morSqlT / morLibT}%.3f}"""
+        } catch {
+          case e: Throwable => s""","sql_read_bench":{"error":"${errStr(e)}"}"""
+        }
+      } else ""
+
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val contention =
@@ -898,7 +917,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
         f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
         f""""first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f""" +
-        s"""$setupJson$writeBench$streamBench$fetchBench$occBench$scaleBench$contention,"sf":"$sfDir"}"""
+        s"""$setupJson$writeBench$streamBench$fetchBench$occBench$sqlReadBench$scaleBench$contention,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_artifact.json"
       else "bench_artifact.json")

@@ -2618,6 +2618,37 @@ object IcebergOps {
     (meta, entries)
   }
 
+  /** Bench hook: the SAME full-scan aggregate through the SQL front door
+    * (DSv2 vectorized/columnar reader) and the library read path
+    * ([[IcebergTable.read]] → Spark's own FileScan) on the same fixture
+    * table — the r16 verdict's "SQL read within ~1.2× of the library
+    * read" datapoint. The MOR pair repeats it on the delete-carrying
+    * table (SQL row-path reader vs [[IcebergTable.readMorUnified]]).
+    * Returns (sqlSec, libSec, morSqlSec, morLibSec) medians of `reps`. */
+  def sqlReadBench(spark: SparkSession, lineitem: DataFrame,
+                   reps: Int = 3): (Double, Double, Double, Double) = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem")
+    val morLoc = IcebergCatalog.tableLocation(w, "lake", "lineitem_mor")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    def agg(df: DataFrame): Unit =
+      df.agg(count(lit(1)), sum(col("l_quantity")), sum(col("l_extendedprice")))
+        .collect()
+    val sqlT = med((1 to reps).map(_ => time { agg(
+      spark.sql(s"SELECT l_quantity, l_extendedprice FROM $cat.lake.lineitem")) }))
+    val libT = med((1 to reps).map(_ => time { agg(
+      IcebergTable.read(spark, loc)) }))
+    val morSqlT = med((1 to reps).map(_ => time { agg(
+      spark.sql(s"SELECT l_quantity, l_extendedprice FROM $cat.lake.lineitem_mor")) }))
+    val morLibT = med((1 to reps).map(_ => time { agg(
+      IcebergTable.readMorUnified(spark, morLoc)._1) }))
+    (sqlT, libT, morSqlT, morLibT)
+  }
+
   /** SQL `UPDATE` through the catalog (SupportsRowLevelOperations →
     * SupportsDelta): the matched rows' old positions land in ONE v3 DV
     * wave and their updated images in executor-written month-partitioned
