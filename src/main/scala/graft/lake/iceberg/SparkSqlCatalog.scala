@@ -571,10 +571,13 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     // library's delete loader) and ship in the serialized factory
     eqDeletes = eqs.map(e =>
       (e.sequence, GraftParquetRows.readLongColumn(e.path, "key"))).toArray
+    // ONE planning pass: ScanPlan.filesTotal is computed from the full
+    // manifest list regardless of pruning, so the pruned plan already
+    // carries the census denominator (a second unpruned planFiles would
+    // just re-read every manifest).
     val plan = IcebergTable.planFiles(location, snapshotId, None, None, dateLo, dateHi)
-    val full = IcebergTable.planFiles(location, snapshotId)
     GraftSqlScanCensus.record(location, GraftSqlScanCensus.Census(
-      full.filesTotal, plan.filesSelected.toLong, plan.manifestsTotal.toLong,
+      plan.filesTotal, plan.filesSelected.toLong, plan.manifestsTotal.toLong,
       plan.manifestsRead.toLong, required.size.toLong, tableCols.toLong))
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
     def blobBytes(e: IcebergTable.DataFileEntry): Array[Byte] = {
