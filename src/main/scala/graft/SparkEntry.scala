@@ -109,6 +109,7 @@ object SparkEntry {
     "iceberg_sql_insert" -> q((s, d) => iceberg.IcebergOps.sqlInsert(s, Tables.lineitem(s, d))),
     "iceberg_sql_create" -> q((s, d) => iceberg.IcebergOps.sqlCreate(s, Tables.lineitem(s, d))),
     "iceberg_sql_delete" -> q((s, d) => iceberg.IcebergOps.sqlDelete(s, Tables.lineitem(s, d))),
+    "iceberg_manifest_merge" -> q((s, d) => iceberg.IcebergOps.manifestMergeSeries(s, Tables.lineitem(s, d))),
     "iceberg_sql_update" -> q((s, d) => iceberg.IcebergOps.sqlUpdate(s, Tables.lineitem(s, d))),
     "iceberg_sql_merge" -> q((s, d) => iceberg.IcebergOps.sqlMerge(s, Tables.lineitem(s, d))),
     "iceberg_sql_alter" -> q((s, d) => iceberg.IcebergOps.sqlAlter(s, Tables.lineitem(s, d))),
@@ -413,6 +414,7 @@ object SparkEntry {
     "iceberg_bucket_mor",          // iceberg.table.bucketmor
     "iceberg_rewrite_manifests",   // iceberg.table.rewrite
     "iceberg_commit_series",       // iceberg.table.series
+    "iceberg_manifest_merge",      // iceberg.table.mergepolicy
     "iceberg_zorder_rewrite",      // iceberg.table.zorder
     "iceberg_dv_compact",          // iceberg.table.dvcompact
     "iceberg_rewrite_deletes",     // iceberg.table.rewritedel
@@ -1457,6 +1459,41 @@ object SparkEntry {
         |FROM lineitem, g
         |GROUP BY 1, g.e2
         |ORDER BY 1""".stripMargin
+    },
+
+    // Manifest merge-on-commit (the adaptive flush/split policy): the
+    // list length follows a threshold-bounded sawtooth — the recursive
+    // CTE replays the recurrence (flat = prev+1; > K → year-bins + 1),
+    // the probe's entries_parsed jumps to the bin-1 population at each
+    // merge and holds between merges.
+    "iceberg_manifest_merge" -> {
+      val n = iceberg.IcebergOps.MergeSeriesMonths
+      val k = iceberg.IcebergOps.MergeMinCount
+      val g = iceberg.IcebergOps.MergeGroupMonths
+      s"""WITH RECURSIVE m AS (SELECT pm,
+        |   CAST(row_number() OVER (ORDER BY pm) AS BIGINT) AS k,
+        |   (CAST(substr(pm, 1, 4) AS INT) * 12 +
+        |    CAST(substr(pm, 6, 2) AS INT) - 1) // $g AS grp
+        |  FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS pm FROM lineitem)),
+        | mm AS (SELECT * FROM m WHERE k <= $n),
+        | bins AS (SELECT a.k, CAST(count(DISTINCT b.grp) AS BIGINT) AS nb,
+        |   CAST(count(*) FILTER (WHERE b.grp =
+        |     (SELECT grp FROM mm WHERE k = 1)) AS BIGINT) AS cum1
+        |  FROM mm a JOIN mm b ON b.k <= a.k GROUP BY a.k),
+        | rec(k, c, pe) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT r.k + 1,
+        |   CASE WHEN r.c + 1 > $k THEN b.nb + 1 ELSE r.c + 1 END,
+        |   CASE WHEN r.c + 1 > $k THEN b.cum1 ELSE r.pe END
+        |  FROM rec r JOIN bins b ON b.k = r.k
+        |  WHERE r.k < $n)
+        |SELECT printf('c%02d', rec.k) AS state, rec.c AS manifests_total,
+        | COALESCE(rec.c <> lag(rec.c) OVER (ORDER BY rec.k) + 1, FALSE) AS merged,
+        | CAST(1 AS BIGINT) AS manifests_read, rec.pe AS entries_parsed,
+        | rec.k AS files_total, CAST(1 AS BIGINT) AS files_selected
+        |FROM rec
+        |ORDER BY state""".stripMargin
     },
 
     // SQL UPDATE (SupportsRowLevelOperations → delta): +100 quantity on

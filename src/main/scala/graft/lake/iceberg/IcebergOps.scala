@@ -2527,6 +2527,66 @@ object IcebergOps {
       .orderBy("step")
   }
 
+  // ---- Manifest merge-on-commit (the adaptive flush/split policy)
+
+  /** Manifest-merge policy parameters (spliced into the oracle): the
+    * fixture runs [[MergeSeriesMonths]] single-month appends through
+    * [[IcebergTable.appendWithManifestMerge]]; a commit whose flat list
+    * would exceed [[MergeMinCount]] manifests folds history into
+    * [[MergeGroupMonths]]-month branches in the same commit. */
+  val MergeSeriesMonths = 24
+  val MergeMinCount = 6
+  val MergeGroupMonths = 12
+
+  private def manifestMergeTableFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.table.mergepolicy") {
+      val loc = Files.createTempDirectory("graft_iceberg_mergepolicy_").toString
+      val months = lineitem
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("pm")).distinct()
+        .orderBy("pm").limit(MergeSeriesMonths).collect().map(_.getString(0))
+      months.foreach { m =>
+        IcebergTable.appendWithManifestMerge(spark,
+          lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === m), loc,
+          minCountToMerge = MergeMinCount, groupMonths = MergeGroupMonths)
+      }
+      new String(loc)
+    }
+
+  /** The adaptive flush/split POLICY executed on the real format
+    * ([[IcebergTable.appendWithManifestMerge]] — Iceberg's
+    * merge-on-commit, the reference's `RootManifest.add_entry →
+    * flush_to_leaf` behavior): 24 single-month appends under a
+    * min-count-to-merge of [[MergeMinCount]]; whenever the flat manifest
+    * list would exceed it, THE SAME COMMIT folds history into year
+    * branches — so the list length follows a sawtooth bounded by the
+    * threshold instead of growing linearly, and the probe month's planner
+    * IO stays 1 opened manifest at every state. Census per commit from
+    * each snapshot's own real metadata: list length, merged flag, opened
+    * manifests and entries parsed for the first-month probe, files
+    * planned. The DuckDB oracle replays the sawtooth recurrence
+    * (recursive CTE over the month rank / year-bin arithmetic). */
+  def manifestMergeSeries(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val loc = manifestMergeTableFor(spark, lineitem)
+    val meta = IcebergTable.readMetadata(loc)
+    val appends = meta.snapshots.filter(_.operation == "append").sortBy(_.id)
+    val probe = IcebergTable.readManifestList(appends.head.manifestList).map(_.partLo).min
+    var prevTotal = 0L
+    val rows = appends.zipWithIndex.map { case (s, i) =>
+      val manifests = IcebergTable.readManifestList(s.manifestList)
+      val plan = IcebergTable.planFiles(loc, Some(s.id), Some(probe), Some(probe))
+      val opened = manifests.filter(m => m.partHi >= probe && m.partLo <= probe)
+      val merged = i > 0 && manifests.size.toLong != prevTotal + 1L
+      prevTotal = manifests.size.toLong
+      (f"c${i + 1}%02d", manifests.size.toLong, merged,
+        plan.manifestsRead.toLong, opened.map(_.addedFiles.toLong).sum,
+        plan.filesTotal, plan.filesSelected.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("state", "manifests_total", "merged", "manifests_read",
+      "entries_parsed", "files_total", "files_selected")
+      .orderBy("state")
+  }
+
   // ---- Row-level SQL verbs (UPDATE / MERGE / ALTER / INSERT OVERWRITE)
 
   /** Key residue updated by the SQL UPDATE fixture (mod 100). */

@@ -406,6 +406,51 @@ object IcebergTable {
       sortedFs.map(_.partition).min, sortedFs.map(_.partition).max)
   }
 
+  /** Iceberg's manifest MERGE-ON-COMMIT (the `commit.manifest-merge.
+    * enabled` / `commit.manifest.min-count-to-merge` table-property
+    * behavior — and the executed counterpart of the reference's adaptive
+    * tree flush/split policy, `poc/utils/adaptive_tree.py:108`
+    * `RootManifest.add_entry` → `flush_to_leaf`): an append whose
+    * resulting flat manifest-list length would exceed `minCountToMerge`
+    * folds the PRE-EXISTING data manifests into `groupMonths`-range
+    * branches IN THE SAME COMMIT — EXISTING entries keep their original
+    * snapshot ids and sequences (the spec's rewritten-manifest rules,
+    * shared with [[rewriteManifests]]) while the new data rides its own
+    * ADDED manifest. Planning metadata IO is thereby BOUNDED (≤ groups+1
+    * list rows) no matter how many small commits accumulate — the
+    * bounded-root property the reference's policy maintains; delete
+    * manifests ride along unmerged. Returns
+    * (snapshotId, flatCount, merged, manifestsAfter). */
+  def appendWithManifestMerge(spark: SparkSession, lineitem: DataFrame,
+                              location: String, minCountToMerge: Int = 8,
+                              groupMonths: Int = 12): (Long, Int, Boolean, Int) = {
+    require(minCountToMerge >= 1 && groupMonths >= 1,
+      "minCountToMerge and groupMonths must be >= 1")
+    val prev = readMetadataOpt(location)
+    val snapshotId = prev.map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+    val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId)
+    val prevManifests = prev
+      .map(m => readManifestList(currentSnapshot(m).manifestList))
+      .getOrElse(Seq.empty)
+    val flat = prevManifests.size + 1
+    val (finalManifests, merged) =
+      if (flat > minCountToMerge && prevManifests.nonEmpty) {
+        val byManifest = prevManifests.map(m => m -> readManifest(m.path))
+        val (dataMs, deleteMs) = byManifest.partition(_._2.forall(_.content == 0))
+        val entries = dataMs.flatMap(_._2)
+        def groupOf(m: String): Int =
+          (m.take(4).toInt * 12 + (m.slice(5, 7).toInt - 1)) / groupMonths
+        val grouped = entries.groupBy(f => groupOf(f.partition)).toSeq.sortBy(_._1)
+          .zipWithIndex.map { case ((_, fs), i) =>
+            writeExistingDataManifest(location, snapshotId, fs, f"mg$i%03d")
+          }
+        (grouped ++ deleteMs.map(_._1) :+ newInfo, true)
+      } else (prevManifests :+ newInfo, false)
+    commitSnapshot(location, prev, snapshotId, finalManifests, "append",
+      lineitem.columns.toSeq.sorted)
+    (snapshotId, flat, merged, finalManifests.size)
+  }
+
   /** STATIC `INSERT OVERWRITE` (truncate semantics): replace the whole
     * table's live contents with `df` in ONE "replace" snapshot — the new
     * manifest list carries ONLY the new data manifest, so default reads

@@ -1514,6 +1514,33 @@ class IcebergSpec extends SparkSpec {
       "post-alter inserts must carry the new column")
   }
 
+  test("manifest merge-on-commit: sawtooth-bounded list length, rows and lineage preserved") {
+    import graft.lake.iceberg.{IcebergTable => T}
+    val loc = Files.createTempDirectory("graft_iceberg_mm_spec_").toString
+    val months = lineitem
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("pm")).distinct()
+      .orderBy("pm").limit(10).collect().map(_.getString(0))
+    val outcomes = months.map { m =>
+      T.appendWithManifestMerge(spark,
+        lineitem.filter(date_format(col("l_shipdate"), "yyyy-MM") === m), loc,
+        minCountToMerge = 4, groupMonths = 12)
+    }
+    // the flat count never survives past the threshold: every commit ends
+    // ≤ max(threshold, groups+1), and at least one merge fired
+    assert(outcomes.exists(_._3), "no merge fired in 10 commits at threshold 4")
+    outcomes.filter(_._3).foreach { case (_, flat, _, after) =>
+      assert(flat == 5 && after < flat, s"merge at flat=$flat left $after manifests")
+    }
+    // rows always intact; EXISTING entries keep their original snapshot ids
+    val expect = lineitem.filter(
+      date_format(col("l_shipdate"), "yyyy-MM").isin(months.toSeq: _*)).count()
+    assert(T.read(spark, loc).count() == expect)
+    val entries = T.readManifestList(T.currentSnapshot(T.readMetadata(loc)).manifestList)
+      .flatMap(m => T.readManifest(m.path))
+    assert(entries.map(_.entrySnapshotId).distinct.size == months.length,
+      "every original adding snapshot id must survive the merges")
+  }
+
   test("DSv2 INSERT OVERWRITE: dynamic partition-level replace and static truncate") {
     import graft.lake.iceberg.{GraftCatalog, IcebergCatalog, IcebergTable => T}
     val w = Files.createTempDirectory("graft_iceberg_ow_spec_").toString
