@@ -18,9 +18,26 @@ import java.io.File
   * #tables × (1 JSON + manifest Avro) — metadata-grain at any size. */
 object IcebergCatalog {
 
+  /** MULTI-LEVEL namespaces are nested directories: `a.b.c` lives at
+    * `warehouse/a/b/c` (the HadoopCatalog layout). A directory is a TABLE
+    * iff it carries a `metadata/` dir (committed version-hint or a
+    * SQL-declared pending schema); anything else under a namespace is a
+    * child namespace. Single-string entry points treat the string as one
+    * level (the historical callers) — multi-level callers pass the
+    * segment Seq. */
   private def nsDir(warehouse: String, ns: String): File = new File(warehouse, ns)
   private def tableDir(warehouse: String, ns: String, name: String): File =
     new File(nsDir(warehouse, ns), name)
+
+  def nsPath(levels: Seq[String]): String = {
+    require(levels.nonEmpty && levels.forall(l =>
+      l.nonEmpty && !l.contains(File.separator) && !l.contains("/")),
+      s"invalid namespace ${levels.mkString(".")}")
+    levels.mkString("/")
+  }
+
+  /** Table (has metadata/) vs namespace (plain dir) discrimination. */
+  def isTableDir(d: File): Boolean = new File(d, "metadata").isDirectory
 
   def tableLocation(warehouse: String, ns: String, name: String): String =
     tableDir(warehouse, ns, name).getPath
@@ -30,9 +47,17 @@ object IcebergCatalog {
     nsDir(warehouse, ns).mkdirs()
   }
 
+  def createNamespace(warehouse: String, levels: Seq[String]): Unit =
+    nsDir(warehouse, nsPath(levels)).mkdirs()
+
   def listNamespaces(warehouse: String): Seq[String] =
     Option(new File(warehouse).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+      .filter(d => d.isDirectory && !isTableDir(d)).map(_.getName).toSeq.sorted
+
+  /** Child namespaces of a (possibly nested) parent namespace. */
+  def listChildNamespaces(warehouse: String, parent: Seq[String]): Seq[String] =
+    Option(nsDir(warehouse, nsPath(parent)).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !isTableDir(d)).map(_.getName).toSeq.sorted
 
   /** Register a table location (mkdir only — the table is not listable
     * until its first commit writes metadata, the HadoopCatalog rule). */

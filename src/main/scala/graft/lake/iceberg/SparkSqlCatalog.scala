@@ -69,11 +69,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  private def ns1(namespace: Array[String]): String = {
-    require(namespace.length == 1,
-      s"graft catalog namespaces are single-level, got ${namespace.mkString(".")}")
-    namespace.head
-  }
+  /** Namespaces are MULTI-LEVEL: `a.b.c` maps to nested directories
+    * `warehouse/a/b/c` (the HadoopCatalog layout); a directory with a
+    * `metadata/` subdir is a table, anything else is a child namespace. */
+  private def ns1(namespace: Array[String]): String =
+    IcebergCatalog.nsPath(namespace.toIndexedSeq)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // committed tables (version-hint present) plus CREATE'd-but-not-yet-
@@ -184,13 +184,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty // single-level: no children
+    else if (namespaceExists(namespace))
+      IcebergCatalog.listChildNamespaces(warehouse, namespace.toIndexedSeq)
+        .map(c => namespace :+ c).toArray
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && new File(new File(warehouse), namespace.head).isDirectory
+    namespace.nonEmpty && {
+      val d = new File(new File(warehouse), ns1(namespace))
+      d.isDirectory && !IcebergCatalog.isTableDir(d)
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -202,7 +207,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: java.util.Map[String, String]): Unit =
-    IcebergCatalog.createNamespace(warehouse, ns1(namespace))
+    IcebergCatalog.createNamespace(warehouse, namespace.toIndexedSeq)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")

@@ -1514,6 +1514,32 @@ class IcebergSpec extends SparkSpec {
       "post-alter inserts must carry the new column")
   }
 
+  test("multi-level namespaces: nested CREATE/SHOW/USE/tables round-trip") {
+    import graft.lake.iceberg.GraftCatalog
+    val w = Files.createTempDirectory("graft_iceberg_ns_spec_").toString
+    spark.conf.set("spark.sql.catalog.gmn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmn.warehouse", w)
+    spark.sql("CREATE NAMESPACE gmn.a")
+    spark.sql("CREATE NAMESPACE gmn.a.b")
+    assert(spark.sql("SHOW NAMESPACES IN gmn").collect()
+      .map(_.getString(0)).contains("a"))
+    val kids = spark.sql("SHOW NAMESPACES IN gmn.a").collect().map(_.getString(0))
+    assert(kids.exists(_.endsWith("b")), s"child namespace missing: ${kids.mkString(",")}")
+    // tables live at any depth; a table dir is NOT a namespace
+    spark.sql("CREATE TABLE gmn.a.b.t (l_orderkey BIGINT, l_shipdate TIMESTAMP)")
+    lineitem.limit(100).select(col("l_orderkey"), col("l_shipdate"))
+      .createOrReplaceTempView("gmn_src")
+    spark.sql("INSERT INTO gmn.a.b.t SELECT * FROM gmn_src")
+    assert(spark.sql("SELECT count(*) FROM gmn.a.b.t").head().getLong(0) == 100L)
+    assert(spark.sql("SHOW TABLES IN gmn.a.b").collect().map(_.getString(1)).toSeq == Seq("t"))
+    assert(spark.sql("SHOW NAMESPACES IN gmn.a.b").collect().isEmpty,
+      "a table directory must not list as a child namespace")
+    // non-cascade drop of a non-empty namespace refuses; cascade removes all
+    intercept[Exception] { spark.sql("DROP NAMESPACE gmn.a") }
+    spark.sql("DROP NAMESPACE gmn.a CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gmn").collect().map(_.getString(0)).contains("a"))
+  }
+
   test("manifest merge-on-commit: sawtooth-bounded list length, rows and lineage preserved") {
     import graft.lake.iceberg.{IcebergTable => T}
     val loc = Files.createTempDirectory("graft_iceberg_mm_spec_").toString
