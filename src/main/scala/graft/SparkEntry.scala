@@ -111,6 +111,7 @@ object SparkEntry {
     "iceberg_sql_delete" -> q((s, d) => iceberg.IcebergOps.sqlDelete(s, Tables.lineitem(s, d))),
     "iceberg_manifest_merge" -> q((s, d) => iceberg.IcebergOps.manifestMergeSeries(s, Tables.lineitem(s, d))),
     "iceberg_sql_update" -> q((s, d) => iceberg.IcebergOps.sqlUpdate(s, Tables.lineitem(s, d))),
+    "iceberg_sql_metacols" -> q((s, d) => iceberg.IcebergOps.sqlMetaColumns(s, Tables.lineitem(s, d))),
     "iceberg_sql_merge" -> q((s, d) => iceberg.IcebergOps.sqlMerge(s, Tables.lineitem(s, d))),
     "iceberg_sql_alter" -> q((s, d) => iceberg.IcebergOps.sqlAlter(s, Tables.lineitem(s, d))),
     "iceberg_sql_overwrite" -> q((s, d) => iceberg.IcebergOps.sqlOverwrite(s, Tables.lineitem(s, d))),
@@ -1510,6 +1511,18 @@ object SparkEntry {
         |GROUP BY 1, g.nu
         |ORDER BY 1""".stripMargin
     },
+
+    // Metadata columns through plain SQL: one data file per month, and
+    // positions dense 0..n-1 within each file — max = n-1, sum = n(n-1)/2.
+    "iceberg_sql_metacols" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(1 AS BIGINT) AS n_files,
+        | CAST(count(*) - 1 AS BIGINT) AS max_pos,
+        | CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS sum_pos
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // SQL MERGE INTO: pair-unique keys ≡ 11 (mod 100) update (+1000),
     // keys ≡ 13 (mod 1000) re-keyed insert; DuckDB replays both arms

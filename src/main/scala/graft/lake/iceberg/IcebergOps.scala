@@ -2709,6 +2709,27 @@ object IcebergOps {
     (sqlT, libT, morSqlT, morLibT)
   }
 
+  /** The `_file`/`_pos` METADATA COLUMNS through plain SQL
+    * (SupportsMetadataColumns — the row coordinates the vectorized reader
+    * synthesizes, and the rowId the row-level operations key on): per
+    * month, the file census falls straight out of a SELECT — one data
+    * file per month (count distinct _file), positions dense 0..n-1 within
+    * the file (max _pos = rows−1, sum _pos = n(n−1)/2 — the density
+    * proof), replayable by DuckDB from month arithmetic alone. */
+  def sqlMetaColumns(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    spark.sql(
+      s"""SELECT date_format(l_shipdate, 'yyyy-MM') AS month,
+         | count(*) AS n_rows,
+         | count(DISTINCT _file) AS n_files,
+         | max(_pos) AS max_pos,
+         | sum(_pos) AS sum_pos
+         |FROM $cat.lake.lineitem
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin)
+  }
+
   /** SQL `UPDATE` through the catalog (SupportsRowLevelOperations →
     * SupportsDelta): the matched rows' old positions land in ONE v3 DV
     * wave and their updated images in executor-written month-partitioned
