@@ -58,6 +58,18 @@ import org.apache.spark.sql.SparkSession
   * driver artifact recorded sort_overhead_x 0.91 — a physical
   * impossibility — from one inflated plain write).
   *
+  * Interruption-proofing (the BENCH_r17 rc=124 lesson — a driver-window
+  * timeout used to leave nothing): the artifact file is STREAMED (rewritten
+  * after every phase and every ~15 suite queries, `"partial": true` until
+  * complete), a SIGTERM shutdown hook prints the compact snapshot line if
+  * the normal path never did, and SPARK_GRAFT_TIME_BUDGET_S (default 1500)
+  * sheds phases when the remaining budget can't fit them — extras first
+  * (write/stream/fetch/occ/sqlread), then the rerun defense, then remaining
+  * scale rungs, then (last resort) remaining suite queries. Shed names ride
+  * the artifact and the compact line (`shed` array) so absence-by-budget is
+  * never mistaken for failure; per-phase heartbeats go to stderr so a
+  * timeout's kept tail shows where the run died.
+  *
   * Per-query MEMORY columns (`mem` block in the artifact): max task
   * `peakExecutionMemory` and summed `memoryBytesSpilled`+`diskBytesSpilled`
   * per query — the Spark-native mirror of the reference's per-benchmark RSS
@@ -241,6 +253,42 @@ object Bench {
     require(scala.Console.out eq System.out,
       "scala.Console was initialized before the stdout redirect; " +
         "Scala println would leak to the contract stream")
+    // ---- Interruption-proofing + wall-clock budget (the BENCH_r17 rc=124
+    // lesson: the driver's window is finite and a timeout used to leave
+    // NOTHING — no artifact, no compact line). Three defenses, all active
+    // by default:
+    //  1. the artifact file is STREAMED — rewritten after every phase and
+    //     every ~15 suite queries with `"partial": true` until the run
+    //     completes, so a kill -9 mid-suite leaves N complete measurements;
+    //  2. SPARK_GRAFT_TIME_BUDGET_S (default 1500) sheds phases when the
+    //     remaining budget can't fit them — extras (write/stream/fetch/occ/
+    //     sqlread) first, then the rerun defense, then remaining scale
+    //     rungs, then (last resort) remaining suite queries — and the
+    //     compact line still prints with whatever completed, carrying
+    //     `partial` + the shed list;
+    //  3. a JVM shutdown hook prints the compact snapshot line if the
+    //     normal path never did — `timeout(1)` sends SIGTERM (rc=124), and
+    //     hooks run on SIGTERM, so even a driver-window kill now yields a
+    //     parseable BENCH line.
+    // Heartbeats go to stderr per phase so a timeout's kept tail shows
+    // where the run died.
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetS = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S").map(_.toDouble).getOrElse(1500.0)
+    def remainingS: Double = budgetS - elapsedS
+    val shedPhases = scala.collection.mutable.ArrayBuffer.empty[String]
+    def heartbeat(msg: String): Unit =
+      System.err.println(f"[bench ${elapsedS}%.0f/${budgetS}%.0fs] $msg")
+    /** Gate a sheddable phase on the remaining budget: false records the
+      * shed (artifact + compact line both carry it) so a reader knows the
+      * block is absent by BUDGET, not by failure. estimateS is deliberately
+      * coarse — the gate exists to protect the compact line, not to
+      * schedule precisely. */
+    def phaseGate(name: String, estimateS: Double): Boolean = {
+      val ok = remainingS > estimateS + 30.0
+      if (!ok) { shedPhases += name; heartbeat(s"BUDGET: shedding $name") }
+      ok
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -251,6 +299,108 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.tune(spark)
+
+    // ---- Streamed-artifact state: every phase writes through these so the
+    // artifact file and the compact line can both be composed at ANY moment
+    // (mid-suite kill, SIGTERM, budget shed) from whatever has completed.
+    val stateLock = new Object
+    val resultsNow = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val extraBlocks = new StringBuilder
+    var setupJson = ""
+    var scaleJson = ""
+    var writeHeadline = ""
+    var nReruns = 0
+    var firstPassTotal = 0.0
+    var scaleFlagged: Seq[String] = Seq.empty
+    var scaleExponents: Map[String, Double] = Map.empty
+    var scaleCtl: Double = 0.0
+    var scaleThreshold: Double = 0.0
+    var scaleConfidence: String = ""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_artifact.json"
+      else "bench_artifact.json")
+    def contentionXNow: Double =
+      if (calibSamples.nonEmpty) calibSamples.max / math.max(calibSamples.min, 1e-3) else 0.0
+    // Present on any snapshot that is incomplete OR shed anything: a reader
+    // must be able to tell "block absent by budget" from "block failed".
+    def partialJson(partial: Boolean): String =
+      if (!partial && shedPhases.isEmpty) ""
+      else s""","partial":$partial,"shed":${shedPhases.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        f""","budget_s":$budgetS%.0f,"elapsed_s":$elapsedS%.1f"""
+    // Mid-suite snapshots haven't closed the first pass yet — report the
+    // running sum so a partial line's first_pass_sec is never a bogus 0.
+    def firstPassNow(total: Double): Double =
+      if (firstPassTotal > 0) firstPassTotal else total
+    def artifactNow(partial: Boolean): String = stateLock.synchronized {
+      val results = resultsNow.toSeq
+      val total = results.map(_._2).sum
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val top = results.sortBy(-_._2).take(20)
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val memJson = memStats.map { case (q, (peak, spill, gc)) =>
+        "\"" + q + f"""\":{"peak_mb":${peak / 1048576.0}%.1f,"spill_mb":${spill / 1048576.0}%.1f,"gc_ms":$gc}"""
+      }.mkString("{", ",", "}")
+      val contention =
+        if (calibSamples.nonEmpty)
+          f""","contention":{"samples":${calibSamples.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+            f""""x":$contentionXNow%.2f}"""
+        else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
+        f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
+        f""""first_pass_sec":${firstPassNow(total)}%.3f,"total_sec":$total%.3f""" +
+        s"""$setupJson${extraBlocks.toString}$scaleJson$contention${partialJson(partial)},"sf":"$sfDir"}"""
+    }
+    def flushArtifact(partial: Boolean = true): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        artifactNow(partial).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact flush failed: ${e.getMessage}") }
+    def compactNow(partial: Boolean): String = stateLock.synchronized {
+      val results = resultsNow.toSeq
+      val total = results.map(_._2).sum
+      val top10 = results.sortBy(-_._2).take(10)
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val memTop = memStats.toSeq.sortBy(-_._2._1).take(5)
+        .map { case (q, (peak, _, _)) => "\"" + q + f"\":${peak / 1048576.0}%.1f" }
+        .mkString("{", ",", "}")
+      val flaggedJson = scaleFlagged
+        .map(q => "\"" + q + f"\":${scaleExponents.getOrElse(q, 0.0)}%.2f")
+        .mkString("{", ",", "}")
+      val scaleSummary =
+        if (scaleJson.isEmpty) ""
+        else if (scaleJson.contains("\"error\"")) s""","scale_error":true"""
+        else f""","scale_flagged":$flaggedJson,"scale_control_ratio":$scaleCtl%.2f,"scale_flag_ratio":$scaleThreshold%.2f,"scale_confidence":"$scaleConfidence""""
+      val setupHeadline =
+        if (setupJson.isEmpty) ""
+        else setupJson.replaceAll(""","setup":\{"sec":([0-9.]+).*""", ""","setup_sec":$1""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f""" +
+        setupHeadline +
+        f""","n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":${firstPassNow(total)}%.3f,""" +
+        f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
+        writeHeadline + scaleSummary + partialJson(partial) +
+        f""","contention_x":$contentionXNow%.2f,"artifact":"$outPath","sf":"$sfDir"}"""
+    }
+    val linePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def printCompact(partial: Boolean): Unit =
+      if (linePrinted.compareAndSet(false, true)) {
+        realOut.println(compactNow(partial)); realOut.flush()
+      }
+    // SIGTERM safety net: `timeout(1)` kills with TERM (rc=124) and the JVM
+    // runs shutdown hooks on TERM — a driver-window timeout now prints the
+    // partial compact line + flushes the artifact instead of losing the
+    // round's entire bench signal (the BENCH_r17 failure). kill -9 skips
+    // hooks, but the streamed artifact file survives it.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        if (!linePrinted.get()) {
+          shedPhases += "SIGTERM"
+          flushArtifact()
+          printCompact(partial = true)
+        }
+      } catch { case _: Throwable => () }
+    }))
 
     // Bench measures the shipped shape: sketch queries run their
     // verification-free variants (SparkEntry.benchVariants), everything else
@@ -291,13 +441,10 @@ object Bench {
     // Memo.reset() (which now also unpersists) makes every measured point
     // memo-COLD; a second reset at phase end releases the scaled dirs'
     // blocks before the main suite runs.
-    var scaleFlagged: Seq[String] = Seq.empty
-    var scaleExponents: Map[String, Double] = Map.empty
-    var scaleCtl: Double = 0.0
-    var scaleThreshold: Double = 0.0
-    var scaleConfidence: String = ""
+    heartbeat("phase: scale trend")
     val scaleBench =
-      if (!sys.env.get("SPARK_GRAFT_SCALE_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_SCALE_BENCH").contains("0") &&
+          phaseGate("scale_trend", 240.0)) {
         try {
           val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
             new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01").getPath)
@@ -442,7 +589,17 @@ object Bench {
               //    bound on the rung's true cost — instead of feeding the
               //    ratio a measurement the profile itself refutes.
               val nonMonotone = scala.collection.mutable.ArrayBuffer.empty[String]
-              val firstMeasure = qnames.map { q =>
+              // Budget shed order puts "remaining scale rungs" LAST among
+              // sheddable work, but the trend runs FIRST chronologically —
+              // so its own gate is generous (half the budget): only a
+              // pathologically contended box sheds here, and the shed names
+              // ride the artifact so a reader knows which exponents are
+              // absent by budget.
+              val firstMeasure = qnames.flatMap { q =>
+                if (elapsedS > 0.5 * budgetS) {
+                  shedPhases += s"scale:$q"; None
+                } else Some(q -> ())
+              }.map { case (q, _) =>
                 var ts = measure(q)
                 if (!scaleFailed(q) && !monotoneCpu(ts.map(_._3))) {
                   nonMonotone += q
@@ -493,7 +650,13 @@ object Bench {
               val defense = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, String)]
               val perQuery = firstMeasure.map { case (q, ts) =>
                 if (!isFlagged(q, ts)) q -> ts
-                else {
+                else if (elapsedS > 0.55 * budgetS) {
+                  // Budget-shed flag re-measure: the flag STANDS (first-pass
+                  // evidence, unconfirmed) and the shed is recorded — never
+                  // silently clear a flag because the box was slow.
+                  shedPhases += s"scale-rerun:$q"
+                  q -> ts
+                } else {
                   rerunCount.incrementAndGet()
                   val failedBefore = scaleFailed.contains(q)
                   val ts2 = measure(q)
@@ -582,8 +745,11 @@ object Bench {
     // build story now lives HERE (setup_sec) and in the scale trend (whose
     // points are deliberately memo-cold); the suite measures steady state.
     // SPARK_GRAFT_SETUP_BENCH=0 disables (the suite then re-pays builds).
-    var setupJson = ""
-    if (!sys.env.get("SPARK_GRAFT_SETUP_BENCH").contains("0")) {
+    scaleJson = scaleBench
+    flushArtifact()
+    heartbeat("phase: setup")
+    if (!sys.env.get("SPARK_GRAFT_SETUP_BENCH").contains("0") &&
+        phaseGate("setup", 60.0)) {
       val setupTimes = SparkEntry.benchSetupQueries.filter(names.contains).map { q =>
         val t0 = System.nanoTime()
         try run(q) catch { case e: Throwable =>
@@ -612,7 +778,6 @@ object Bench {
         }
     }
     spark.sparkContext.addSparkListener(memListener)
-    val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // Driver-JVM GC time per query (collection-time deltas across all
     // collectors) — the Spark-native mirror of the reference's per-benchmark
     // GC tracking (poc/utils/metrics_collector.py:66 collect_gc_metrics).
@@ -632,7 +797,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (recordMem) memStats(name) = (memPeak.get(), memSpill.get(), gcTotalMs() - gc0)
+      if (recordMem) stateLock.synchronized {
+        memStats(name) = (memPeak.get(), memSpill.get(), gcTotalMs() - gc0)
+      }
       sec
     }
     val baseline = loadBaseline(new java.io.File(sfDir).getName)
@@ -642,7 +809,6 @@ object Bench {
     // artifact can see "contention_x: 4.1" and discount per-query spikes
     // without needing a shell to re-measure (the round-7/8 adjudications
     // each required exactly that).
-    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def calibrate(warm: Boolean = false): Unit = {
       val t0 = System.nanoTime()
       spark.range(400000000L)
@@ -650,30 +816,56 @@ object Bench {
           org.apache.spark.sql.functions.col("id"))).collect()
       if (!warm) calibSamples += (System.nanoTime() - t0) / 1e9
     }
+    heartbeat(s"phase: suite (${names.size} queries)")
     calibrate(warm = true) // codegen/scheduler warm — not a sample
-    val firstPass = names.zipWithIndex.map { case (name, i) =>
-      if (i % 20 == 0) calibrate()
-      name -> timeQuery(name, recordMem = true)
+    // Suite first pass streams into resultsNow (artifact flushed every 15
+    // queries) and is itself budget-capped as a LAST resort: the totals are
+    // the artifact's core, so they shed only when even the core can't fit.
+    var suiteStopped = false
+    names.zipWithIndex.foreach { case (name, i) =>
+      if (!suiteStopped && remainingS < 60.0) {
+        suiteStopped = true
+        shedPhases += s"suite:${names.size - i}-of-${names.size}-unmeasured"
+        heartbeat(s"BUDGET: shedding ${names.size - i} remaining suite queries")
+      }
+      if (!suiteStopped) {
+        if (i % 20 == 0) calibrate()
+        val t = timeQuery(name, recordMem = true)
+        stateLock.synchronized { resultsNow(name) = t }
+        if (i % 15 == 14) flushArtifact()
+      }
     }
     calibrate() // closing sample brackets the run
+    firstPassTotal = resultsNow.values.sum
+    flushArtifact()
     // best-of-2 defense: re-run only queries whose first time is beyond the
     // contention trigger — bounded extra cost, and a real regression
-    // reproduces while a noise spike does not.
+    // reproduces while a noise spike does not. Budget-sheddable as a unit
+    // (ahead of scale rungs per the shed order, behind the extras because
+    // it runs earlier chronologically): a shed defense leaves valid
+    // first-pass times, just without the noise-discount pass.
     def trigger(name: String): Double =
       baseline.get(name).map(b => math.max(2.0 * b, rerunMinSec)).getOrElse(rerunFloorSec)
-    var nReruns = 0
-    val results = firstPass.map { case (name, t1) =>
-      if (t1 > trigger(name)) {
-        nReruns += 1
-        val t2 = timeQuery(name)
-        // A rerun that FAILS fast-fails: its elapsed time is bogus, so the
-        // published per-query time keeps the (successful) first pass.
-        name -> (if (failed(name)) t1 else math.min(t1, t2))
-      } else name -> t1
+    if (phaseGate("rerun_defense", 60.0)) {
+      heartbeat("phase: rerun defense")
+      var rerunShed = false
+      resultsNow.toSeq.foreach { case (name, t1) =>
+        if (t1 > trigger(name)) {
+          if (remainingS < 45.0) {
+            if (!rerunShed) { rerunShed = true; shedPhases += "rerun_defense:tail" }
+          } else {
+            nReruns += 1
+            val t2 = timeQuery(name)
+            // A rerun that FAILS fast-fails: its elapsed time is bogus, so
+            // the published per-query time keeps the (successful) first pass.
+            if (!failed(name)) stateLock.synchronized {
+              resultsNow(name) = math.min(t1, t2)
+            }
+          }
+        }
+      }
+      flushArtifact()
     }
-    val firstPassTotal = firstPass.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // refresh the committed baseline from this run's best-known times —
     // write it to the SF-named resource path (bench_baseline_<sf>.json).
     // Start from the loaded baseline so a SPARK_GRAFT_QUERIES-restricted
@@ -682,7 +874,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BASELINE_OUT").foreach { p =>
       // Keep only live query names so renamed/removed queries don't persist
       // in the committed artifact forever.
-      val merged = (baseline ++ results.filterNot(r => failed(r._1)).map {
+      val merged = (baseline ++ resultsNow.toSeq.filterNot(r => failed(r._1)).map {
         case (k, v) => k -> math.min(v, baseline.getOrElse(k, Double.MaxValue))
       }).filter { case (k, _) => SparkEntry.queries.contains(k) }
       val json = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -690,20 +882,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // Per-query memory block: peak task execution memory (MB) and spilled
-    // bytes (MB), from the first (memo-cold) pass — the pass whose memory
-    // story matches a fresh production run.
-    val memJson = memStats.map { case (q, (peak, spill, gc)) =>
-      "\"" + q + f"""\":{"peak_mb":${peak / 1048576.0}%.1f,"spill_mb":${spill / 1048576.0}%.1f,"gc_ms":$gc}"""
-    }.mkString("{", ",", "}")
-    val memTop = memStats.toSeq.sortBy(-_._2._1).take(5)
-      .map { case (q, (peak, _, _)) => "\"" + q + f"\":${peak / 1048576.0}%.1f" }
-      .mkString("{", ",", "}")
 
-    // ---- Phase 3: write/stream/fetch/OCC micro-benches.
-    var writeHeadline = ""
+    // ---- Phase 3: write/stream/fetch/OCC micro-benches (budget-sheddable,
+    // FIRST in the shed order — each gated on a coarse estimate).
     val writeBench =
-      if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0") &&
+          phaseGate("write_bench", 120.0)) {
         import org.apache.spark.sql.functions._
         val mult = sys.env.get("SPARK_GRAFT_WRITE_MULT").map(_.toInt).getOrElse(8)
         val li0 = graft.tables.Tables.lineitem(spark, sfDir)
@@ -769,11 +953,15 @@ object Bench {
           case e: Throwable => s""","write_bench":{"error":"${errStr(e)}"}"""
         } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       } else ""
+    extraBlocks ++= writeBench
+    flushArtifact()
+    heartbeat("phase: streaming")
     // Streaming mirrors (default ON; SPARK_GRAFT_STREAM_BENCH=0 disables):
     // rows/sec per mirror through a MemoryStream + noop sink — the measured
     // counterpart of StreamingSpec's correctness checks.
     val streamBench =
-      if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0") &&
+          phaseGate("stream_bench", 60.0)) {
         try {
           val n = sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toInt).getOrElse(200000)
           // Streaming-drain contention bracket (the write-bench pattern):
@@ -804,13 +992,17 @@ object Bench {
           case e: Throwable => s""","streaming":{"error":"${errStr(e)}"}"""
         }
       } else ""
+    extraBlocks ++= streamBench
+    flushArtifact()
+    heartbeat("phase: fetch")
     // Measured parallel-fetch ladder (default ON; SPARK_GRAFT_FETCH_BENCH=0
     // disables): executor-side TTFB-sleep tasks, the measured mirror of
     // lake.Manifest.fetchLatency's analytic ceil(n/p)×TTFB model. model_x
     // near 1.0 per rung = the model the lake operators report is a
     // measurement, not an assumption.
     val fetchBench =
-      if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_FETCH_BENCH").contains("0") &&
+          phaseGate("fetch_bench", 45.0)) {
         try {
           val sim = graft.lake.FetchSim.ladder(spark).map { case (p, meas, model) =>
             f""""p$p":{"measured_sec":$meas%.3f,"modeled_sec":$model%.3f,"model_x":${meas / model}%.3f}"""
@@ -842,13 +1034,17 @@ object Bench {
           case e: Throwable => s""","fetch_bench":{"error":"${errStr(e)}"}"""
         }
       } else ""
+    extraBlocks ++= fetchBench
+    flushArtifact()
+    heartbeat("phase: occ")
     // Threaded OCC commit micro-harness (default ON; SPARK_GRAFT_OCC_BENCH=0
     // disables): real Thread writers racing atomic commit-file creation with
     // conflict retries — the MEASURED counterpart of the modeled
     // `lake_concurrent_commits` (the reference's test_concurrent_writers.py
     // shape: threads + lock + retry loop).
     val occBench =
-      if (!sys.env.get("SPARK_GRAFT_OCC_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_OCC_BENCH").contains("0") &&
+          phaseGate("occ_bench", 45.0)) {
         try {
           val model = graft.lake.OccBench.ladder().map { r =>
             f""""w${r.writers}":{"commits":${r.commits},"conflicts":${r.conflicts},""" +
@@ -882,6 +1078,9 @@ object Bench {
           case e: Throwable => s""","occ_bench":{"error":"${errStr(e)}"}"""
         }
       } else ""
+    extraBlocks ++= occBench
+    flushArtifact()
+    heartbeat("phase: sqlread")
 
     // SQL-front-door read vs library read on the same fixture (default ON;
     // SPARK_GRAFT_SQLREAD_BENCH=0 disables): the r16 verdict's vectorized-
@@ -889,7 +1088,8 @@ object Bench {
     // costs what Spark's own FileScan costs; the MOR pair measures the
     // delete-resolving row path against readMorUnified.
     val sqlReadBench =
-      if (!sys.env.get("SPARK_GRAFT_SQLREAD_BENCH").contains("0")) {
+      if (!sys.env.get("SPARK_GRAFT_SQLREAD_BENCH").contains("0") &&
+          phaseGate("sqlread_bench", 60.0)) {
         try {
           val (sqlT, libT, morSqlT, morLibT) = graft.lake.iceberg.IcebergOps
             .sqlReadBench(spark, graft.tables.Tables.lineitem(spark, sfDir))
@@ -901,55 +1101,18 @@ object Bench {
           case e: Throwable => s""","sql_read_bench":{"error":"${errStr(e)}"}"""
         }
       } else ""
-
-    val top = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val contention =
-      if (calibSamples.nonEmpty)
-        f""","contention":{"samples":${calibSamples.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
-          f""""x":${calibSamples.max / math.max(calibSamples.min, 1e-3)}%.2f}"""
-      else ""
-    val contentionX =
-      if (calibSamples.nonEmpty) calibSamples.max / math.max(calibSamples.min, 1e-3) else 0.0
+    extraBlocks ++= sqlReadBench
 
     // ---- Full artifact → file; compact summary → stdout (LAST line).
-    val artifact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
-        f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
-        f""""first_pass_sec":$firstPassTotal%.3f,"total_sec":$total%.3f""" +
-        s"""$setupJson$writeBench$streamBench$fetchBench$occBench$sqlReadBench$scaleBench$contention,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (new java.io.File("/root/repo").isDirectory) "/root/repo/bench_artifact.json"
-      else "bench_artifact.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // Compact (<2 KB) driver line: totals, defense counters, top-10 slowest,
-    // memory top-5, write/scale/contention headlines, artifact path. Flagged
-    // scale queries carry their measured exponent inline.
-    val top10 = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val flaggedJson = scaleFlagged
-      .map(q => "\"" + q + f"\":${scaleExponents.getOrElse(q, 0.0)}%.2f")
-      .mkString("{", ",", "}")
-    val scaleSummary =
-      if (scaleBench.isEmpty) ""
-      else if (scaleBench.contains("\"error\"")) s""","scale_error":true"""
-      else f""","scale_flagged":$flaggedJson,"scale_control_ratio":$scaleCtl%.2f,"scale_flag_ratio":$scaleThreshold%.2f,"scale_confidence":"$scaleConfidence""""
-    val setupHeadline =
-      if (setupJson.isEmpty) ""
-      else setupJson.replaceAll(""","setup":\{"sec":([0-9.]+).*""", ""","setup_sec":$1""")
-    val compactLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f""" +
-        setupHeadline +
-        f""","n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":$firstPassTotal%.3f,""" +
-        f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
-        writeHeadline + scaleSummary +
-        f""","contention_x":$contentionX%.2f,"artifact":"$outPath","sf":"$sfDir"}"""
+    // A run that shed anything is marked partial so a reader never mistakes
+    // a budget-trimmed artifact for a complete one.
+    val partial = shedPhases.nonEmpty
+    flushArtifact(partial)
+    heartbeat(if (partial) s"done (partial; shed: ${shedPhases.mkString(", ")})" else "done")
     // stop() is best-effort: a shutdown-race exception must not cost the
     // contract line (the whole point of holding realOut for last)
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    realOut.println(compactLine)
-    realOut.flush()
+    printCompact(partial)
   }
 }
