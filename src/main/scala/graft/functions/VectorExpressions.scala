@@ -155,9 +155,32 @@ case class ByteEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Spec-faithful Iceberg `bucket[n]` of an integral value — canonical
+  * murmur3_x86_32 over the widened long's little-endian bytes, then
+  * (hash & Int.MaxValue) % n ([[Murmur3]]; spec §Partition Transforms +
+  * §Appendix B). A codegen'd static call, not a UDF: the per-row work in
+  * a bucketed write stays inside WholeStageCodegen. */
+case class Murmur3Bucket(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_bucket_murmur3"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    Murmur3.bucketLong(v.asInstanceOf[Long], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = graft.functions.Murmur3.bucketLong($v, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `graft_dot` / `graft_bytesum` / `graft_entropy` in the
-    * session so operators can use them via expr(...). Idempotent. */
+  /** Register `graft_dot` / `graft_bytesum` / `graft_entropy` /
+    * `graft_bucket_murmur3` in the session so operators can use them via
+    * expr(...). Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (children: Seq[Expression]) => DotProduct(children(0), children(1)), "built-in")
@@ -165,5 +188,8 @@ object VectorExpressions {
       "graft_bytesum", (children: Seq[Expression]) => ByteSum(children.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_entropy", (children: Seq[Expression]) => ByteEntropy(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucket_murmur3",
+      (children: Seq[Expression]) => Murmur3Bucket(children(0), children(1)), "built-in")
   }
 }

@@ -38,12 +38,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale shape: executors write the replacement/insert rows DIRECTLY as
   * month-partitioned parquet (Spark's own `ParquetWriteSupport`, one open
   * writer per month per task — months-per-task is bounded by the writer's
-  * input partitioning); delete coordinates travel to the driver as
-  * per-(task, file) sorted position arrays — the KB-grain metadata a real
-  * Iceberg committer also centralizes — where they union per file into
-  * Roaring DV blobs. Task retries are safe: only files named in COMMIT
+  * input partitioning); delete coordinates are Roaring-SERIALIZED on the
+  * executors (one blob per (task, file) — [[RoaringDv.serializeDvBlob]],
+  * the same compression the library's `appendDvPuffin` path ships) so the
+  * commit messages carry KB-grain compressed blobs, never raw position
+  * arrays: an UPDATE touching 10⁹ rows must not ship ~8 GB of longs into
+  * driver heap. The driver or-merges blobs per file (cheap union of
+  * compressed bitmaps; single-task files pass through untouched) and the
+  * commit is OPTIMISTIC — [[IcebergTable.commitDelta]] re-derives the
+  * snapshot id and CASes the metadata version under appendOcc's retry
+  * loop, so two concurrent SQL writers serialize instead of silently
+  * last-writer-winning. Task retries are safe: only files named in COMMIT
   * messages enter the manifest, stray files from aborted attempts are
-  * deleted at commit. */
+  * deleted at commit by directory listing (never opened — a truncated
+  * kill-leftover cannot fail the commit). */
 private[iceberg] class GraftRowLevelOperationBuilder(location: String,
                                                      info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
@@ -86,25 +94,29 @@ private[iceberg] class GraftDeltaWriteBuilder(location: String, schema: StructTy
 private[iceberg] class GraftDeltaWrite(location: String, schema: StructType)
     extends DeltaWrite {
   override def toBatch: DeltaBatchWrite = {
-    // snapshot id and data dir are fixed at write-build time (the
-    // updateMorDv convention: single committing writer per mutation)
-    val snapshotId = IcebergTable.readMetadata(location)
+    // the data dir name is only a staging HINT fixed at write-build time
+    // (manifests record full file paths, so the dir name never has to
+    // match the committed snapshot id); the ACTUAL snapshot id is
+    // re-derived inside commitDelta's OCC retry loop at commit time.
+    val dirHint = IcebergTable.readMetadata(location)
       .snapshots.map(_.id).max + 1L
-    new GraftDeltaBatchWrite(location, schema, snapshotId)
+    new GraftDeltaBatchWrite(location, schema, dirHint)
   }
 }
 
-/** One task's outcome: the delete coordinates it saw (per-file sorted
-  * positions) and the data files it wrote. */
+/** One task's outcome: per-file Roaring-serialized DV blobs with their
+  * stats — (path, blob, cardinality, minPos, maxPos) — and the data files
+  * it wrote. Compressed-blob grain is the scale contract: the driver heap
+  * holds bitmap bytes, never 8·positions of raw longs. */
 private[iceberg] case class GraftDeltaCommitMessage(
-    deletes: Array[(String, Array[Long])],
+    deletes: Array[(String, Array[Byte], Long, Long, Long)],
     files: Array[String]) extends WriterCommitMessage
 
 private[iceberg] class GraftDeltaBatchWrite(location: String, schema: StructType,
-                                            snapshotId: Long)
+                                            dirHint: Long)
     extends DeltaBatchWrite {
 
-  private val dataDir = s"$location/data/snap-$snapshotId"
+  private val dataDir = s"$location/data/snap-$dirHint"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(dataDir, schema)
@@ -112,18 +124,32 @@ private[iceberg] class GraftDeltaBatchWrite(location: String, schema: StructType
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
-    val deletes: Seq[(String, Seq[Long])] = msgs.flatMap(_.deletes).groupBy(_._1).toSeq
-      .map { case (f, chunks) =>
-        (f, chunks.flatMap(_._2).distinct.sorted.toSeq)
-      }.sortBy(_._1)
+    val dvRows = GraftDeltaBatchWrite.mergeBlobs(msgs.flatMap(_.deletes).toSeq)
     val files = msgs.flatMap(_.files).toSeq
-    IcebergTable.commitDelta(spark, location, snapshotId, deletes, dataDir, files)
+    IcebergTable.commitDelta(spark, location, dvRows, dataDir, files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: GraftDeltaCommitMessage => m }
       .flatMap(_.files).foreach(f => new File(f).delete())
   }
+}
+
+private[iceberg] object GraftDeltaBatchWrite {
+  /** Or-merge per-(task, file) DV blobs into one blob per file. The
+    * single-task case (the common one: row coordinates partition by file
+    * under the scan's layout) passes the executor's blob through
+    * untouched; only files split across tasks pay a decode–union–encode,
+    * and that on compressed bitmaps, not raw arrays. */
+  def mergeBlobs(chunks: Seq[(String, Array[Byte], Long, Long, Long)])
+      : Seq[(String, Array[Byte], Long, Long, Long)] =
+    chunks.groupBy(_._1).toSeq.map { case (f, cs) =>
+      if (cs.lengthCompare(1) == 0) cs.head
+      else {
+        val ps = cs.toArray.flatMap(c => RoaringDv.deserializeDvBlob(c._2)).distinct.sorted
+        (f, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+      }
+    }.sortBy(_._1)
 }
 
 private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructType)
@@ -138,10 +164,10 @@ private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructTy
   * exactly the months that received data
   * ([[IcebergTable.commitOverwriteMonths]]). */
 private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: StructType,
-                                                snapshotId: Long)
+                                                dirHint: Long)
     extends BatchWrite {
 
-  private val dataDir = s"$location/data/snap-$snapshotId"
+  private val dataDir = s"$location/data/snap-$dirHint"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDeltaWriterFactory(dataDir, schema)
@@ -149,8 +175,10 @@ private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: Struct
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftDeltaCommitMessage => m }
       .flatMap(_.files).toSeq
+    // snapshot id re-derived inside the committer's OCC retry loop —
+    // dataDir is only the staging hint (see GraftDeltaWrite.toBatch)
     IcebergTable.commitOverwriteMonths(org.apache.spark.sql.SparkSession.active,
-      location, snapshotId, dataDir, files)
+      location, dataDir, files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -206,8 +234,14 @@ private[iceberg] class GraftDeltaWriter(dataDir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._2.close())
+    // Roaring-serialize HERE, on the executor: the commit message carries
+    // one compressed blob per file this task deleted from, never the raw
+    // position longs (driver-heap scale contract — see class scaladoc).
     GraftDeltaCommitMessage(
-      deletes.map { case (f, ps) => (f, ps.toArray.sorted) }.toArray,
+      deletes.map { case (f, ps0) =>
+        val ps = ps0.toArray.sorted
+        (f, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+      }.toArray,
       writers.values.map(_._1).toArray)
   }
 

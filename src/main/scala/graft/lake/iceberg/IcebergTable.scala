@@ -89,7 +89,13 @@ object IcebergTable {
                                 partLo: String, partHi: String, specId: Int = 0)
 
   final case class SnapshotInfo(id: Long, sequenceNumber: Long, timestampMs: Long,
-                                manifestList: String, operation: String)
+                                manifestList: String, operation: String,
+                                // extra summary pairs beyond `operation`
+                                // (spec: summary is an open string map) —
+                                // the streaming sink records
+                                // streaming-query/epoch-id here for its
+                                // exactly-once replay dedup
+                                summary: Map[String, String] = Map.empty)
 
   /** A named ref (spec §Refs): `main` is maintained automatically on every
     * commit; tags and extra branches pin snapshots against expiry. */
@@ -108,7 +114,22 @@ object IcebergTable {
                                  // v3 row lineage: first row id the NEXT data commit
                                  // may assign — monotone across replaces and expiry,
                                  // so row ids are never reused (spec §Row Lineage)
-                                 nextRowId: Long = 0L)
+                                 nextRowId: Long = 0L,
+                                 // ALTER TABLE DROP COLUMN tombstones:
+                                 // column → last snapshot id at drop time.
+                                 // Current reads hide the column; a
+                                 // time-travel read at snapshot ≤ droppedAt
+                                 // still sees it (spec: the snapshot's
+                                 // schema era). Name-based (the stated
+                                 // simplification vs field ids), so
+                                 // re-adding a dropped name is refused.
+                                 droppedColumns: Map[String, Long] = Map.empty,
+                                 // ALTER TABLE RENAME COLUMN chains:
+                                 // current name → older names newest-first.
+                                 // Readers resolve a missing column per
+                                 // FILE by walking the chain (files written
+                                 // under any prior name keep serving data).
+                                 renamedColumns: Map[String, Seq[String]] = Map.empty)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -264,9 +285,17 @@ object IcebergTable {
     * Mirrored verbatim in the DuckDB bucket oracles. */
   val BucketKeyMask = 0x7FFFFFFFL
 
-  /** bucket[N] partition value for a key, as the manifest's string form. */
-  def bucketLabel(key: Long): String =
-    f"b${math.floorMod((key & BucketKeyMask) * Puffin.KmvHashMult % Puffin.KmvHashMod, BucketN.toLong)}%02d"
+  /** bucket[N] partition value for a key, as the manifest's string form.
+    * `murmur3 = true` computes the SPEC transform (canonical
+    * murmur3_x86_32 of the long's little-endian bytes,
+    * [[graft.functions.Murmur3]], pinned by the spec's published vectors
+    * in Murmur3Spec) — the mode a real Iceberg reader interoperating on
+    * the layout expects. The default stays the replayable multiplicative
+    * (LCG) hash so the ORACLE-CHECKED bucket keys keep a DuckDB-expressible
+    * twin; which mode a key uses is documented in SURVEY §2. */
+  def bucketLabel(key: Long, murmur3: Boolean = false): String =
+    if (murmur3) f"b${graft.functions.Murmur3.bucketLong(key, BucketN)}%02d"
+    else f"b${math.floorMod((key & BucketKeyMask) * Puffin.KmvHashMult % Puffin.KmvHashMod, BucketN.toLong)}%02d"
 
   /** Append under the `bucket[`[[BucketN]]`](l_orderkey)` partition spec
     * (spec id 2): one data file per occupied bucket, and the manifest
@@ -277,16 +306,26 @@ object IcebergTable {
     * key-equality workloads (where identity/date specs cannot prune at
     * all). */
   def appendBucket(spark: SparkSession, lineitem: DataFrame, location: String,
-                   groupBuckets: Int = 4): Long = {
+                   groupBuckets: Int = 4, murmur3: Boolean = false): Long = {
     require(groupBuckets >= 1, "groupBuckets must be >= 1")
     val prev = readMetadataOpt(location)
     val snapshotId = prev.map(m => m.snapshots.map(_.id).max).getOrElse(0L) + 1L
     val dataDir = s"$location/data/snap-$snapshotId"
+    // spec mode: the codegen'd canonical murmur3_x86_32 expression
+    // (graft_bucket_murmur3 — a static call, NOT a UDF) computes the exact
+    // bucket a real Iceberg writer assigns; default mode stays the
+    // DuckDB-replayable LCG (see bucketLabel)
+    val bucketCol =
+      if (murmur3) {
+        graft.functions.VectorExpressions.register(spark)
+        format_string("b%02d",
+          expr(s"graft_bucket_murmur3(CAST(l_orderkey AS BIGINT), $BucketN)"))
+      } else format_string("b%02d",
+        pmod(pmod(col("l_orderkey").cast("long").bitwiseAND(lit(BucketKeyMask))
+            * lit(Puffin.KmvHashMult),
+          lit(Puffin.KmvHashMod)), lit(BucketN.toLong)))
     withMicrosTimestamps(spark) {
-      lineitem.withColumn("p_month", format_string("b%02d",
-          pmod(pmod(col("l_orderkey").cast("long").bitwiseAND(lit(BucketKeyMask))
-              * lit(Puffin.KmvHashMult),
-            lit(Puffin.KmvHashMod)), lit(BucketN.toLong))))
+      lineitem.withColumn("p_month", bucketCol)
         .repartition(col("p_month"))
         .write.partitionBy("p_month").mode("overwrite").parquet(dataDir)
     }
@@ -310,10 +349,10 @@ object IcebergTable {
     * week eras) cannot prune by key at all, so every one of their data
     * files stays a scan candidate — the honest pre-migration cost a table
     * evolved TO bucketing keeps paying for its history. */
-  def planBucketLookup(location: String, key: Long): ScanPlan = {
+  def planBucketLookup(location: String, key: Long, murmur3: Boolean = false): ScanPlan = {
     val meta = readMetadata(location)
     val manifests = readManifestList(currentSnapshot(meta).manifestList)
-    val b = bucketLabel(key)
+    val b = bucketLabel(key, murmur3)
     val live = manifests.filter(m => m.specId != 2 || (m.partLo <= b && b <= m.partHi))
     val entries = live.flatMap(m => readManifest(m.path).map(e => (m.specId, e)))
     val selected = entries.collect {
@@ -475,44 +514,65 @@ object IcebergTable {
     * waves preserves their surviving references). Only files named by
     * committed tasks enter the new manifest (stray attempt files are
     * deleted), mirroring [[commitDelta]]. */
-  def commitOverwriteMonths(spark: SparkSession, location: String, snapshotId: Long,
-                            dataDir: String, files: Seq[String]): Long = {
+  def commitOverwriteMonths(spark: SparkSession, location: String,
+                            dataDir: String, files: Seq[String],
+                            maxRetries: Int = 50): Long = {
     require(files.nonEmpty, "dynamic overwrite wrote no files")
     def n(p: String): String = p.replaceFirst("^/{2,}", "/")
-    val allowed = files.map(n).toSet
-    val (keep, stray) = collectFileStats(spark, dataDir)
-      .partition(f => allowed.contains(n(f.path)))
-    stray.foreach(f => new File(n(f.path)).delete())
+    // stray cleanup by directory listing (never opened — a truncated
+    // kill -9 leftover must not fail the commit) and footer stats for the
+    // named committed files only; both id-independent, both ONCE, outside
+    // the OCC retry loop below.
+    deleteStrayFiles(dataDir, files.map(n).toSet)
+    val keep = collectFileStats(spark, dataDir, Some(files))
     require(keep.nonEmpty, "no committed task wrote a surviving data file")
     val months = keep.map(_.partition).toSet
-    val prev = readMetadataOpt(location)
-    val head = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
-      .getOrElse(Seq.empty)
-    val byManifest = head.map(m => m -> readManifest(m.path))
-    val removedPaths = byManifest.flatMap(_._2)
-      .filter(e => e.content == 0 && months.contains(e.partition))
-      .map(e => n(e.path)).toSet
-    var rw = 0
-    val kept = byManifest.flatMap { case (m, es) =>
-      if (es.forall(_.content == 0)) {
-        val surviving = es.filterNot(e => months.contains(e.partition))
-        if (surviving.size == es.size) Some(m)
-        else if (surviving.isEmpty) None
-        else {
-          rw += 1
-          Some(writeExistingDataManifest(location, snapshotId, surviving, f"ow$rw%03d"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val (prev, version) = readMetadataWithVersionOpt(location)
+      val snapshotId = prev.map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+      val head = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+        .getOrElse(Seq.empty)
+      val byManifest = head.map(m => m -> readManifest(m.path))
+      val removedPaths = byManifest.flatMap(_._2)
+        .filter(e => e.content == 0 && months.contains(e.partition))
+        .map(e => n(e.path)).toSet
+      var rw = 0
+      val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
+      val kept = byManifest.flatMap { case (m, es) =>
+        if (es.forall(_.content == 0)) {
+          val surviving = es.filterNot(e => months.contains(e.partition))
+          if (surviving.size == es.size) Some(m)
+          else if (surviving.isEmpty) None
+          else {
+            rw += 1
+            val info = writeExistingDataManifest(location, snapshotId, surviving,
+              f"ow$rw%03d-$token")
+            rewritten += info.path
+            Some(info)
+          }
+        } else {
+          // delete manifest: drop only if every reference died with the
+          // replaced months (equality deletes carry no reference and ride)
+          val live = es.exists(e =>
+            e.referencedDataFile.forall(r => !removedPaths.contains(n(r))))
+          if (live) Some(m) else None
         }
-      } else {
-        // delete manifest: drop only if every reference died with the
-        // replaced months (equality deletes carry no reference and ride)
-        val live = es.exists(e =>
-          e.referencedDataFile.forall(r => !removedPaths.contains(n(r))))
-        if (live) Some(m) else None
+      }
+      val newInfo = writeManifestAvro(location, snapshotId, snapshotId,
+        assignRowIds(location, keep, prev.map(_.nextRowId)), 0, s"-$token")
+      try {
+        return commitSnapshot(location, prev, snapshotId, kept :+ newInfo, "replace",
+          atVersion = Some(version + 1))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new File(newInfo.path).delete()
+          rewritten.foreach(p => new File(p).delete())
+          attempt += 1
       }
     }
-    val newInfo = writeManifestAvro(location, snapshotId, snapshotId,
-      assignRowIds(location, keep), 0)
-    commitSnapshot(location, prev, snapshotId, kept :+ newInfo, "replace")
+    throw new IllegalStateException(s"commitOverwriteMonths: gave up after $maxRetries conflicts")
   }
 
   /** Write-audit-publish (the reference's WAP study, executed for real):
@@ -831,8 +891,18 @@ object IcebergTable {
     "l_extendedprice_cents" -> "l_extendedprice",
     "l_quantity" -> "l_quantity")
 
-  private def collectFileStats(spark: SparkSession, dataDir: String): Seq[DataFileEntry] = {
-    val base = spark.read.parquet(dataDir)
+  private def collectFileStats(spark: SparkSession, dataDir: String,
+                               only: Option[Seq[String]] = None): Seq[DataFileEntry] = {
+    // `only` scopes the footer reads to the NAMED committed files: a
+    // truncated parquet left by a kill -9'd task attempt (no clean abort)
+    // must never fail the commit with a footer-read error — stray paths
+    // are removed by directory listing ([[deleteStrayFiles]]) without
+    // ever being opened. basePath keeps hive partition discovery
+    // (p_month=) working over an explicit file list.
+    val base = only match {
+      case Some(paths) => spark.read.option("basePath", dataDir).parquet(paths: _*)
+      case None => spark.read.parquet(dataDir)
+    }
     val present = WideBoundCols.filter { case (k, _) => base.columns.contains(WideBoundSource(k)) }
     val wideSel = present.map { case (k, enc) => enc(col(WideBoundSource(k))).as(k) }
     val wideAggs = present.flatMap { case (k, _) =>
@@ -855,6 +925,25 @@ object IcebergTable {
           new File(p).length(), r.getAs[String]("lo"), r.getAs[String]("hi"),
           wideBounds = wide)
       }.sortBy(_.partition).toSeq
+  }
+
+  /** Remove files under `dataDir` NOT in `allowed` by DIRECTORY LISTING
+    * alone — never opening them: the strays are exactly the files a killed
+    * task attempt may have left truncated, so a footer-reading cleanup
+    * (the old shape) could itself throw and wedge the commit behind manual
+    * cleanup. Dot/underscore-prefixed bookkeeping files (checksums,
+    * markers) are skipped; a kept file's checksum stays beside it. */
+  private def deleteStrayFiles(dataDir: String, allowed: Set[String]): Unit = {
+    def n(p: String): String = p.replaceFirst("^/{2,}", "/")
+    def walk(f: File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(walk)
+      else if (!f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+               !allowed.contains(n(f.getPath))) {
+        f.delete()
+        new File(f.getParentFile, "." + f.getName + ".crc").delete()
+      }
+    val d = new File(dataDir)
+    if (d.isDirectory) walk(d)
   }
 
   /** Write one snapshot's manifest Avro from collected file stats;
@@ -949,7 +1038,9 @@ object IcebergTable {
     * the hint, so a crash before the flip leaves the old version live). */
   private def commitSnapshot(location: String, prev: Option[TableMetadata], snapshotId: Long,
                              manifests: Seq[ManifestInfo], operation: String,
-                             newSchema: Seq[String] = Seq.empty): Long = {
+                             newSchema: Seq[String] = Seq.empty,
+                             atVersion: Option[Long] = None,
+                             summaryExtra: Map[String, String] = Map.empty): Long = {
     // Schema evolution (spec §Schema Evolution): every distinct committed
     // column set becomes a schema entry; current-schema-id points at the
     // latest. Old data files simply lack the newer fields — a merge-schema
@@ -958,8 +1049,15 @@ object IcebergTable {
     val schemas =
       if (newSchema.isEmpty || prevSchemas.contains(newSchema)) prevSchemas
       else prevSchemas :+ newSchema
+    // Under OCC (atVersion set) the list file is uniquely named — two
+    // writers racing the same next snapshot id must not clobber each
+    // other's list before the version CAS picks the winner — and the
+    // loser's list is deleted with the conflict rethrown for the caller's
+    // retry loop.
+    val listPath = writeManifestList(location, snapshotId, manifests,
+      unique = atVersion.isDefined)
     val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
-      writeManifestList(location, snapshotId, manifests), operation)
+      listPath, operation, summaryExtra)
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
@@ -974,9 +1072,15 @@ object IcebergTable {
     val newIds = manifests.filter(_.addedSnapshotId == snapshotId)
       .flatMap(m => readManifest(m.path))
       .collect { case e if e.content == 0 && e.firstRowId >= 0 => e.firstRowId + e.recordCount }
-    writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
+    try writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
+      atVersion = atVersion,
       statistics = prev.map(_.statistics).getOrElse(Seq.empty),
       nextRowId = (prevNext +: newIds).max)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        new File(listPath).delete()
+        throw e
+    }
     snapshotId
   }
 
@@ -1160,9 +1264,23 @@ object IcebergTable {
                                 schemas: Seq[Seq[String]] = Seq.empty,
                                 atVersion: Option[Long] = None,
                                 statistics: Seq[StatsFileInfo] = Seq.empty,
-                                nextRowId: Long = 0L): Unit = {
+                                nextRowId: Long = 0L,
+                                droppedColumns: Option[Map[String, Long]] = None,
+                                renamedColumns: Option[Map[String, Seq[String]]] = None): Unit = {
     val mdir = metadataDir(location)
     val version = atVersion.getOrElse(readVersionHint(location) + 1)
+    // drop/rename bookkeeping CARRIES by default: only the ALTER paths set
+    // these explicitly, and every other commit (append, overwrite, expiry,
+    // …) must not silently wipe a tombstone or a rename chain. The carry
+    // reads the current version file — one driver-side KB-grain parse.
+    val (carryDropped, carryRenames) =
+      if (droppedColumns.isDefined && renamedColumns.isDefined)
+        (droppedColumns.get, renamedColumns.get)
+      else {
+        val cur = readMetadataWithVersionOpt(location)._1
+        (droppedColumns.getOrElse(cur.map(_.droppedColumns).getOrElse(Map.empty)),
+         renamedColumns.getOrElse(cur.map(_.renamedColumns).getOrElse(Map.empty)))
+      }
     val schemasJson =
       if (schemas.isEmpty)
         """[{"schema-id":0,"type":"struct","fields":[
@@ -1176,10 +1294,13 @@ object IcebergTable {
     val refsJson = refs.toSeq.sortBy(_._1).map { case (n, r) =>
       s""""$n":{"snapshot-id":${r.snapshotId},"type":"${r.refType}"}"""
     }.mkString("{", ",", "}")
-    val snapsJson = snapshots.map(s =>
+    val snapsJson = snapshots.map { s =>
+      val extra = s.summary.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""","$k":"$v"""" }.mkString
       s"""{"snapshot-id":${s.id},"sequence-number":${s.sequenceNumber},""" +
         s""""timestamp-ms":${s.timestampMs},"manifest-list":"${s.manifestList}",""" +
-        s""""summary":{"operation":"${s.operation}"}}""").mkString("[", ",", "]")
+        s""""summary":{"operation":"${s.operation}"$extra}}"""
+    }.mkString("[", ",", "]")
     // partition-specs must DEFINE every spec the manifest tree references
     // (a weekly append records partition_spec_id 1 in its manifest-list
     // rows; a metadata file that only defines spec 0 breaks any
@@ -1224,6 +1345,12 @@ object IcebergTable {
          |"default-sort-order-id":0,
          |"current-snapshot-id":$currentId,
          |"next-row-id":$nextRowId,
+         |"graft-dropped":${carryDropped.toSeq.sortBy(_._1)
+             .map { case (n, at) => s""""$n":$at""" }.mkString("{", ",", "}")},
+         |"graft-renames":${carryRenames.toSeq.sortBy(_._1)
+             .map { case (n, chain) =>
+               s""""$n":${chain.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+             }.mkString("{", ",", "}")},
          |"refs":$refsJson,
          |"statistics":$statsJson,
          |"snapshots":$snapsJson}""".stripMargin
@@ -1327,6 +1454,15 @@ object IcebergTable {
     (parseMetadataVersion(location, v), v)
   }
 
+  /** [[readMetadataWithVersion]] tolerating a not-yet-committed table:
+    * (None, 0) means the next CAS targets v1 — the first commit races
+    * under the same protocol as every later one. */
+  def readMetadataWithVersionOpt(location: String): (Option[TableMetadata], Long) = {
+    var v = readVersionHint(location)
+    while (Files.exists(Paths.get(s"$location/metadata/v${v + 1}.metadata.json"))) v += 1
+    if (v == 0L) (None, 0L) else (Some(parseMetadataVersion(location, v)), v)
+  }
+
   private def parseMetadataVersion(location: String, v: Long): TableMetadata = {
     {
       val txt = new String(
@@ -1337,11 +1473,18 @@ object IcebergTable {
       val j = JsonMethods.parse(txt)
       implicit val fmts: Formats = DefaultFormats
       val snaps = (j \ "snapshots").children.map { s =>
+        val extra = (s \ "summary") match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(value)) if k != "operation" => k -> value
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
         SnapshotInfo((s \ "snapshot-id").extract[Long],
           (s \ "sequence-number").extract[Long],
           (s \ "timestamp-ms").extract[Long],
           (s \ "manifest-list").extract[String],
-          (s \ "summary" \ "operation").extract[String])
+          (s \ "summary" \ "operation").extract[String],
+          extra)
       }
       val schemas = (j \ "schemas").children.map { sc =>
         (sc \ "fields").children.map(f => (f \ "name").extract[String])
@@ -1358,12 +1501,22 @@ object IcebergTable {
           (s \ "file-size-in-bytes").extract[Long],
           (s \ "file-footer-size-in-bytes").extract[Long])
       }
+      val dropped = (j \ "graft-dropped") match {
+        case JObject(fields) => fields.map { case (n, at) => n -> at.extract[Long] }.toMap
+        case _ => Map.empty[String, Long]
+      }
+      val renames = (j \ "graft-renames") match {
+        case JObject(fields) => fields.map { case (n, chain) =>
+          n -> chain.children.map(_.extract[String]) }.toMap
+        case _ => Map.empty[String, Seq[String]]
+      }
       TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
         (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas, stats,
         // pre-lineage metadata files lack the field: 0 (standard evolution)
-        (j \ "next-row-id").extractOpt[Long].getOrElse(0L))
+        (j \ "next-row-id").extractOpt[Long].getOrElse(0L),
+        dropped, renames)
     }
   }
 
@@ -2024,36 +2177,76 @@ object IcebergTable {
     * task retries. `deletes` paths must be the manifest-form paths the
     * scan published as `_file` (they are recorded verbatim as
     * referenced_data_file). */
-  def commitDelta(spark: SparkSession, location: String, snapshotId: Long,
-                  deletes: Seq[(String, Seq[Long])], dataDir: String,
-                  files: Seq[String], operation: String = "overwrite"): Long = {
-    require(deletes.nonEmpty || files.nonEmpty, "delta commit with no changes")
-    val prev = readMetadata(location)
-    val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
-    val dvInfo =
-      if (deletes.isEmpty) None
-      else {
-        val dvRows = deletes.map { case (path, ps0) =>
-          val ps = ps0.toArray
-          (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
-        }.sortBy(_._1)
-        Some(writeDvManifest(location, snapshotId, dvRows))
-      }
+  /** Commit one delta (MOR) snapshot: per-file deletion-vector blobs plus
+    * replacement data files, as ONE "overwrite" snapshot. `dvRows` arrive
+    * ALREADY Roaring-serialized — (path, blob, cardinality, minPos,
+    * maxPos) — so the driver never holds raw victim positions (a 10⁹-row
+    * UPDATE would be ~8 GB of longs; the compressed blobs are the KB-grain
+    * metadata a real Iceberg committer also centralizes).
+    *
+    * OPTIMISTIC like [[appendOcc]]: the data-file work (stray cleanup by
+    * listing, footer stats for the NAMED committed files only) runs once
+    * outside the retry loop, then each attempt re-reads the table state,
+    * re-derives the snapshot id, rebuilds driver-side metadata
+    * (token-suffixed so racing writers never clobber), and CASes the next
+    * version; a loser deletes its metadata files and retries. Two
+    * concurrent SQL writers therefore serialize instead of silently
+    * last-writer-winning. */
+  def commitDelta(spark: SparkSession, location: String,
+                  dvRows: Seq[(String, Array[Byte], Long, Long, Long)], dataDir: String,
+                  files: Seq[String], operation: String = "overwrite",
+                  maxRetries: Int = 50): Long = {
+    require(dvRows.nonEmpty || files.nonEmpty, "delta commit with no changes")
     def n(p: String): String = p.replaceFirst("^/{2,}", "/")
-    val dataInfo =
-      if (files.isEmpty) None
+    val keep =
+      if (files.isEmpty) Seq.empty[DataFileEntry]
       else {
-        val allowed = files.map(n).toSet
-        val (keep, stray) = collectFileStats(spark, dataDir)
-          .partition(f => allowed.contains(n(f.path)))
-        stray.foreach(f => new File(n(f.path)).delete())
-        require(keep.nonEmpty, "no committed task wrote a surviving data file")
-        Some(writeManifestAvro(location, snapshotId, snapshotId,
-          assignRowIds(location, keep), 0))
+        deleteStrayFiles(dataDir, files.map(n).toSet)
+        val stats = collectFileStats(spark, dataDir, Some(files))
+        require(stats.nonEmpty, "no committed task wrote a surviving data file")
+        stats
       }
-    commitSnapshot(location, Some(prev), snapshotId,
-      prevManifests ++ dataInfo ++ dvInfo, operation)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val (prev, version) = readMetadataWithVersion(location)
+      val snapshotId = prev.snapshots.map(_.id).max + 1L
+      val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
+      val dvInfo =
+        if (dvRows.isEmpty) None
+        else Some(writeDvManifest(location, snapshotId, dvRows.sortBy(_._1), s"-$token"))
+      val dataInfo =
+        if (keep.isEmpty) None
+        else Some(writeManifestAvro(location, snapshotId, snapshotId,
+          assignRowIds(location, keep, Some(prev.nextRowId)), 0, s"-$token"))
+      try {
+        return commitSnapshot(location, Some(prev), snapshotId,
+          prevManifests ++ dataInfo ++ dvInfo, operation,
+          atVersion = Some(version + 1))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          dvInfo.foreach { i =>
+            new File(i.path).delete()
+            new File(metadataDir(location), f"dv-snap-$snapshotId%05d-$token.puffin").delete()
+          }
+          dataInfo.foreach(i => new File(i.path).delete())
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"commitDelta: gave up after $maxRetries conflicts")
   }
+
+  /** Positions-input convenience over [[commitDelta]]: serializes each
+    * file's sorted positions to a Roaring blob first (library callers with
+    * in-memory position lists — the SQL path arrives blob-grain already). */
+  def commitDeltaPositions(spark: SparkSession, location: String,
+                           deletes: Seq[(String, Seq[Long])], dataDir: String,
+                           files: Seq[String], operation: String = "overwrite"): Long =
+    commitDelta(spark, location,
+      deletes.map { case (path, ps0) =>
+        val ps = ps0.toArray.sorted
+        (path, RoaringDv.serializeDvBlob(ps), ps.length.toLong, ps.head, ps.last)
+      }, dataDir, files, operation)
 
   /** `ALTER TABLE ADD COLUMN` at the metadata layer: a METADATA-ONLY
     * version bump appending a new schema era to the schemas array (spec
@@ -2065,9 +2258,116 @@ object IcebergTable {
     val (meta, _) = readMetadataWithVersion(location)
     val cur = meta.schemas.lastOption.getOrElse(Seq.empty)
     require(!cur.contains(column), s"column $column already exists")
+    // name-based schema (no field ids): re-adding a dropped name would
+    // resurrect the old files' values instead of null-filling like a
+    // fresh-field-id re-add — refuse, the honest failure
+    require(!meta.droppedColumns.contains(column),
+      s"column $column was dropped; name-based schemas cannot re-add it")
     writeMetadataJson(location, meta.tableUuid, meta.snapshots,
       meta.currentSnapshotId, meta.refs, meta.schemas :+ (cur :+ column).sorted,
       statistics = meta.statistics, nextRowId = meta.nextRowId)
+  }
+
+  /** `ALTER TABLE DROP COLUMN` (spec §Schema Evolution): a METADATA-ONLY
+    * version bump recording a TOMBSTONE — column → the head snapshot id at
+    * drop time. Current reads hide the column; a time-travel read at any
+    * snapshot ≤ droppedAt still serves it (the snapshot's schema era), and
+    * NO data file is touched — exactly the spec's drop semantics. A new
+    * schema era without the column is appended when the era list tracks
+    * it. */
+  def dropSchemaColumn(location: String, column: String): Unit = {
+    val (meta, _) = readMetadataWithVersion(location)
+    require(!meta.droppedColumns.contains(column), s"column $column already dropped")
+    val cur = meta.schemas.lastOption.getOrElse(Seq.empty)
+    val schemas =
+      if (cur.contains(column)) meta.schemas :+ cur.filterNot(_ == column)
+      else meta.schemas
+    val droppedAt = meta.snapshots.map(_.id).max
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId,
+      droppedColumns = Some(meta.droppedColumns + (column -> droppedAt)),
+      renamedColumns = Some(meta.renamedColumns - column))
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` (spec §Schema Evolution): metadata-only.
+    * The rename CHAIN (new name → every prior name, newest first) is what
+    * keeps old data live: a reader missing the current name in a file's
+    * physical schema walks the chain and reads whichever ancestor the file
+    * carries — the name-based stand-in for the spec's field-id constancy.
+    * Simplification (documented): reads at ANY snapshot see the current
+    * name (real Iceberg time travel would show the era's name). */
+  def renameSchemaColumn(location: String, from: String, to: String): Unit = {
+    val (meta, _) = readMetadataWithVersion(location)
+    require(!meta.droppedColumns.contains(to),
+      s"column $to was dropped; name-based schemas cannot reuse the name")
+    require(!meta.renamedColumns.contains(to), s"column $to already exists (renamed)")
+    require(!meta.droppedColumns.contains(from), s"column $from was dropped")
+    val chain = from +: meta.renamedColumns.getOrElse(from, Seq.empty)
+    val cur = meta.schemas.lastOption.getOrElse(Seq.empty)
+    val schemas =
+      if (cur.contains(from)) meta.schemas :+ (cur.filterNot(_ == from) :+ to).sorted
+      else meta.schemas
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId,
+      droppedColumns = Some(meta.droppedColumns),
+      renamedColumns = Some(meta.renamedColumns - from + (to -> chain)))
+  }
+
+  /** Streaming-ingest epoch commit (the Iceberg streaming sink contract):
+    * ONE append snapshot per epoch whose summary records
+    * (streaming-query, epoch-id), and EXACTLY-ONCE on replay — a restarted
+    * query re-commits its last epoch, which must be a no-op. The dedup
+    * check reads the snapshot summaries (the same place the real Spark
+    * sink stores its batch id) INSIDE the OCC loop, so a racing duplicate
+    * commit of the same epoch loses the CAS, re-reads, sees the epoch
+    * committed, and returns without a second snapshot. */
+  def commitStreamAppend(spark: SparkSession, location: String, dataDir: String,
+                         files: Seq[String], queryId: String, epochId: Long,
+                         maxRetries: Int = 50): Long = {
+    def n(p: String): String = p.replaceFirst("^/{2,}", "/")
+    def committedAt(meta: Option[TableMetadata]): Option[Long] =
+      meta.flatMap(_.snapshots.find(s =>
+        s.summary.get("streaming-query").contains(queryId) &&
+          s.summary.get("epoch-id").exists(_.toLong >= epochId)).map(_.id))
+    def dropStaged(): Unit =
+      if (new File(dataDir).isDirectory) deleteStrayFiles(dataDir, Set.empty)
+    if (files.isEmpty) { // empty epoch: nothing to commit, nothing to replay
+      dropStaged()
+      return readMetadataOpt(location).map(_.currentSnapshotId).getOrElse(0L)
+    }
+    committedAt(readMetadataOpt(location)) match {
+      case Some(id) => dropStaged(); return id // replayed epoch: no-op
+      case None => ()
+    }
+    deleteStrayFiles(dataDir, files.map(n).toSet)
+    val keep = collectFileStats(spark, dataDir, Some(files))
+    require(keep.nonEmpty, "no committed task wrote a surviving data file")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val (prev, version) = readMetadataWithVersionOpt(location)
+      committedAt(prev) match {
+        case Some(id) => dropStaged(); return id
+        case None => ()
+      }
+      val snapshotId = prev.map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+      val prevManifests = prev.map(m => readManifestList(currentSnapshot(m).manifestList))
+        .getOrElse(Seq.empty)
+      val newInfo = writeManifestAvro(location, snapshotId, snapshotId,
+        assignRowIds(location, keep, prev.map(_.nextRowId)), 0, s"-$token")
+      try {
+        return commitSnapshot(location, prev, snapshotId, prevManifests :+ newInfo,
+          "append", atVersion = Some(version + 1),
+          summaryExtra = Map("streaming-query" -> queryId, "epoch-id" -> epochId.toString))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new File(newInfo.path).delete()
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"commitStreamAppend: gave up after $maxRetries conflicts")
   }
 
   def updateMorDv(spark: SparkSession, location: String,

@@ -165,10 +165,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           next.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if (IcebergTable.readMetadataOpt(loc).isDefined)
           IcebergTable.addSchemaColumn(loc, name)
+      case del: TableChange.DeleteColumn =>
+        // DROP COLUMN: a metadata-only tombstone commit — current reads
+        // hide the column, time travel at pre-drop snapshots still serves
+        // it, no data file is touched (IcebergTable.dropSchemaColumn)
+        require(del.fieldNames().length == 1,
+          s"nested columns are not supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames().head
+        require(name != "l_shipdate", "cannot drop the month partition key l_shipdate")
+        val cur = load(ident, None).asInstanceOf[GraftSqlTable].schema()
+        require(cur.fieldNames.contains(name), s"no column $name")
+        rewritePending(loc, fields => fields.filterNot(_.name == name))
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.dropSchemaColumn(loc, name)
+      case ren: TableChange.RenameColumn =>
+        // RENAME COLUMN: metadata-only; the rename CHAIN keeps every file
+        // written under a prior name serving data (the name-based stand-in
+        // for field-id constancy — IcebergTable.renameSchemaColumn)
+        require(ren.fieldNames().length == 1,
+          s"nested columns are not supported: ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames().head
+        val to = ren.newName()
+        require(from != "l_shipdate", "cannot rename the month partition key l_shipdate")
+        val cur = load(ident, None).asInstanceOf[GraftSqlTable].schema()
+        require(cur.fieldNames.contains(from), s"no column $from")
+        require(!cur.fieldNames.contains(to), s"column $to already exists")
+        rewritePending(loc, fields => fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.renameSchemaColumn(loc, from, to)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports ALTER TABLE ADD COLUMN only, got $other")
+        "graft catalog supports ALTER TABLE ADD/DROP/RENAME COLUMN only, " +
+          s"got $other")
     }
     load(ident, None)
+  }
+
+  /** Apply a field transform to the declared-schema file when one exists
+    * (CREATE'd tables carry their SQL types there; committed-only tables
+    * have none and the change lives purely in the metadata commit). */
+  private def rewritePending(loc: String, f: Array[StructField] => Array[StructField]): Unit = {
+    val pending = new File(loc, "metadata/schema.pending.json")
+    if (pending.exists()) {
+      val cur = org.apache.spark.sql.types.DataType.fromJson(
+        java.nio.file.Files.readString(pending.toPath)).asInstanceOf[StructType]
+      java.nio.file.Files.write(pending.toPath,
+        StructType(f(cur.fields)).json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -437,9 +480,11 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
     case "dynamic" =>
       new org.apache.spark.sql.connector.write.Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-          val snapshotId = IcebergTable.readMetadataOpt(location)
+          // staging-dir naming hint only — the committed snapshot id is
+          // re-derived inside commitOverwriteMonths' OCC retry loop
+          val dirHint = IcebergTable.readMetadataOpt(location)
             .map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
-          new GraftOverwriteBatchWrite(location, writeSchema, snapshotId)
+          new GraftOverwriteBatchWrite(location, writeSchema, dirHint)
         }
       }
     case m =>
@@ -546,17 +591,22 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     p.replaceFirst("^file:", "").replaceFirst("^/{2,}", "/")
 
   private var eqDeletes: Array[(Long, Array[Long])] = Array.empty
+  // identity of the equality-delete wave set this scan resolved (file
+  // paths + sequences) — the broadcast cache key component that changes
+  // exactly when the keys a reader must apply change
+  private var eqFingerprint: String = ""
   // set at planning: no partition carries delete state → the factory may
   // serve FULL-COLUMNAR reads (Spark requires the decision be uniform
   // across the scan's partitions)
   private var allPartitionsClean: Boolean = true
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // a CREATE'd table before its first commit scans empty — as does a
-    // committed snapshot with zero live data files (fully compacted-away
-    // history): an empty result, not an error
-    if (IcebergTable.readMetadataOpt(location).isEmpty ||
-        IcebergTable.planFiles(location, snapshotId).files.isEmpty) {
+    // a CREATE'd table before its first commit scans empty: an empty
+    // result, not an error. A committed snapshot with zero live data
+    // files (fully compacted-away history) falls out of the ONE pruned
+    // planning pass below — no extra unpruned planFiles just to guard
+    // emptiness (that pass re-read every manifest on every scan).
+    if (IcebergTable.readMetadataOpt(location).isEmpty) {
       GraftSqlScanCensus.record(location, GraftSqlScanCensus.Census(
         0L, 0L, 0L, 0L, required.size.toLong, tableCols.toLong))
       return Array.empty
@@ -576,6 +626,7 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     // library's delete loader) and ship in the serialized factory
     eqDeletes = eqs.map(e =>
       (e.sequence, GraftParquetRows.readLongColumn(e.path, "key"))).toArray
+    eqFingerprint = eqs.map(e => s"${e.path}@${e.sequence}").sorted.mkString(";")
     // ONE planning pass: ScanPlan.filesTotal is computed from the full
     // manifest list regardless of pruning, so the pruned plan already
     // carries the census denominator (a second unpruned planFiles would
@@ -584,6 +635,7 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     GraftSqlScanCensus.record(location, GraftSqlScanCensus.Census(
       plan.filesTotal, plan.filesSelected.toLong, plan.manifestsTotal.toLong,
       plan.manifestsRead.toLong, required.size.toLong, tableCols.toLong))
+    if (plan.files.isEmpty) { allPartitionsClean = eqDeletes.isEmpty; return Array.empty }
     val blobCache = scala.collection.mutable.Map.empty[String, Puffin.BlobMetadata => Array[Byte]]
     def blobBytes(e: IcebergTable.DataFileEntry): Array[Byte] = {
       val slice = blobCache.getOrElseUpdate(e.path, Puffin.read(new File(e.path))._2)
@@ -604,12 +656,44 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     // equality-delete keys ride as a BROADCAST variable, not factory-closure
     // payload: the factory serializes into every task, so a large equality
     // wave in the closure would ship per-task; a broadcast ships per-executor
-    // once (torrent), which is the scale-correct vehicle.
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(eqDeletes)
+    // once (torrent), which is the scale-correct vehicle. CACHED per
+    // (session, table, equality-wave set): a fresh broadcast per scan
+    // invocation accumulated driver+executor blocks for the life of the
+    // session on repeatedly-read delete-carrying tables.
+    val bc = GraftEqBroadcastCache.get(location, eqFingerprint, eqDeletes)
     val columnar = allPartitionsClean &&
       !required.fieldNames.exists(GraftVectorized.isMetaCol)
     new GraftReaderFactory(fields, bc, columnar)
+  }
+}
+
+/** Session-scoped cache of equality-delete-key broadcasts, keyed by
+  * (application, table location, equality-wave fingerprint). The wave set
+  * is immutable content (delete files never change in place), so a cached
+  * broadcast can never serve stale keys — a NEW delete commit produces a
+  * new fingerprint and its own entry. Superseded entries (older wave sets
+  * of the same table) are unpersisted on replacement, which bounds the
+  * cache at one live broadcast per table plus whatever scans still hold
+  * references; a new SparkContext invalidates everything. */
+private[iceberg] object GraftEqBroadcastCache {
+  private val cache = scala.collection.mutable.Map.empty[
+    (String, String), (String, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]])]
+
+  def get(location: String, fingerprint: String, eq: => Array[(Long, Array[Long])])
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]] = synchronized {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val key = (sc.applicationId, location)
+    cache.get(key) match {
+      case Some((fp, bc)) if fp == fingerprint => bc
+      case old =>
+        // best-effort release of the superseded wave set's blocks; a scan
+        // mid-flight on the old broadcast still reads it (unpersist is
+        // non-blocking and re-broadcastable on demand by Spark)
+        old.foreach { case (_, bc) => try bc.unpersist() catch { case _: Exception => () } }
+        val bc = sc.broadcast(eq)
+        cache(key) = (fingerprint, bc)
+        bc
+    }
   }
 }
 

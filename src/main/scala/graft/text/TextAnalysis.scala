@@ -23,6 +23,26 @@ object TextAnalysis {
 
   private def toks = split(trim(col("text")), "\\s+")
 
+  /** Broadcast gate for corpus-derived LM count tables (bigram/trigram/
+    * unigram types). These are vocabulary-bounded (Heaps-sublinear in
+    * corpus size) and Zipf-skewed on their bare context keys, so a
+    * broadcast join is the right plan — UNTIL the type table outgrows
+    * broadcast range, where Spark hard-fails at 8 GB and the driver can
+    * OOM collecting it. The gate estimates from the SOURCE corpus bytes
+    * (optimizer scan stats — real parquet file sizes): every distinct
+    * n-gram string is a substring of the corpus, so distinct-key bytes are
+    * corpus-bounded; the 256 MiB default leaves ~30× headroom for row/hash
+    * overhead under the 8 GB ceiling. Over the threshold the join falls
+    * back to a shuffle join — AQE's skew-join split (on in GraftSession.
+    * tune) absorbs the Zipf-hot context keys that made the unconditional
+    * hint attractive. */
+  private[text] val lmBroadcastMaxCorpusBytes: Long = 256L << 20
+
+  private def lmCounts(counts: DataFrame, sourceCorpus: DataFrame): DataFrame = {
+    val bytes = sourceCorpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= lmBroadcastMaxCorpusBytes) broadcast(counts) else counts
+  }
+
   /** Per-doc token/char statistics: whitespace tokens plus a GPT-2-style
     * pre-tokenizer count (`n_subtokens` — runs of letters / digits /
     * punctuation, each with its leading space, the public BPE pre-split of
@@ -210,8 +230,8 @@ object TextAnalysis {
     val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     bg
-      .join(broadcast(bigramCounts), Seq("w1", "w2"))
-      .join(broadcast(contextCounts), Seq("w1"))
+      .join(lmCounts(bigramCounts, documents), Seq("w1", "w2"))
+      .join(lmCounts(contextCounts, documents), Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(-log(col("cb") / col("cw"))), 6).as("avg_nll"))
@@ -232,10 +252,11 @@ object TextAnalysis {
     * sublinear in corpus size), not token counts — and the bare-`w1` key is
     * Zipf-skewed (stopword contexts), so a shuffle join on it concentrates
     * the hot partition super-linearly as the corpus grows while a broadcast
-    * join keeps the token stream partition-local with zero shuffle. At a
-    * corpus whose bigram-type table genuinely exceeds broadcast range,
-    * pre-aggregate the stream to (doc, w1, w2, n) grain first — the
-    * documented escape hatch, not the default. The tercile cut is NOT a
+    * join keeps the token stream partition-local with zero shuffle. The broadcast is
+    * GATED, not unconditional ([[lmCounts]]): past the corpus-size
+    * threshold the joins fall back to shuffle joins (AQE skew-split
+    * absorbing the hot context keys) instead of hard-failing Spark's 8 GB
+    * broadcast ceiling or OOMing the driver collect. The tercile cut is NOT a
     * per-doc rank (an ntile over
     * docs-per-lang would be an O(n)-cardinality window): docs land in
     * 64th-nat histogram bins (bounded key space — NLL is bounded by
@@ -258,8 +279,8 @@ object TextAnalysis {
     val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val perDoc = bg
-      .join(broadcast(bigramCounts), Seq("w1", "w2"))
-      .join(broadcast(contextCounts), Seq("w1"))
+      .join(lmCounts(bigramCounts, documents), Seq("w1", "w2"))
+      .join(lmCounts(contextCounts, documents), Seq("w1"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(-log(col("cb") / col("cw"))), 6).as("h"))
@@ -1131,13 +1152,13 @@ object TextAnalysis {
     val c1 = train.groupBy(col("token").as("u")).agg(count(lit(1)).as("c1"))
     val n = train.agg(count(lit(1)).as("n_train"))
     tok.filter(col("doc_id") % 2 === 1 && col("w1").isNotNull)
-      .join(broadcast(c3), Seq("w1", "w2", "token"), "left")
-      .join(broadcast(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx"))),
+      .join(lmCounts(c3, documents), Seq("w1", "w2", "token"), "left")
+      .join(lmCounts(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx")), documents),
         Seq("w1", "w2"), "left")
-      .join(broadcast(c2.select(col("b1").as("w2"), col("b2").as("token"), col("c2").as("c2bo"))),
+      .join(lmCounts(c2.select(col("b1").as("w2"), col("b2").as("token"), col("c2").as("c2bo")), documents),
         Seq("w2", "token"), "left")
-      .join(broadcast(c1.select(col("u").as("w2"), col("c1").as("c1ctx"))), Seq("w2"), "left")
-      .join(broadcast(c1.select(col("u").as("token"), col("c1").as("c1w"))), Seq("token"), "left")
+      .join(lmCounts(c1.select(col("u").as("w2"), col("c1").as("c1ctx")), documents), Seq("w2"), "left")
+      .join(lmCounts(c1.select(col("u").as("token"), col("c1").as("c1w")), documents), Seq("token"), "left")
       .crossJoin(broadcast(n))
       .withColumn("score",
         when(col("c3").isNotNull, col("c3") * 1.0 / col("c2ctx"))
@@ -1189,9 +1210,9 @@ object TextAnalysis {
     val cont = c2.groupBy(col("token")).agg(count(lit(1)).as("n1p_left"))
     val t = c2.agg(count(lit(1)).as("t_types"))
     tok.filter(col("doc_id") % 2 === 1 && col("u").isNotNull)
-      .join(broadcast(c2), Seq("u", "token"), "left")
-      .join(broadcast(c1), Seq("u"), "left")
-      .join(broadcast(cont), Seq("token"), "left")
+      .join(lmCounts(c2, documents), Seq("u", "token"), "left")
+      .join(lmCounts(c1, documents), Seq("u"), "left")
+      .join(lmCounts(cont, documents), Seq("token"), "left")
       .crossJoin(broadcast(t))
       .withColumn("pcont",
         coalesce(col("n1p_left"), lit(1L)) * 1.0 / col("t_types"))
