@@ -115,6 +115,10 @@ object SparkEntry {
     "iceberg_sql_merge" -> q((s, d) => iceberg.IcebergOps.sqlMerge(s, Tables.lineitem(s, d))),
     "iceberg_sql_alter" -> q((s, d) => iceberg.IcebergOps.sqlAlter(s, Tables.lineitem(s, d))),
     "iceberg_sql_overwrite" -> q((s, d) => iceberg.IcebergOps.sqlOverwrite(s, Tables.lineitem(s, d))),
+    "iceberg_sql_alter_drop" -> q((s, d) => iceberg.IcebergOps.sqlAlterDropRename(s, Tables.lineitem(s, d))),
+    "iceberg_sql_merge2" -> q((s, d) => iceberg.IcebergOps.sqlMerge2(s, Tables.lineitem(s, d))),
+    "iceberg_sql_files_meta" -> q((s, d) => iceberg.IcebergOps.sqlFilesMeta(s, Tables.lineitem(s, d))),
+    "iceberg_stream_ingest" -> q((s, d) => iceberg.IcebergOps.streamIngest(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1584,6 +1588,93 @@ object SparkEntry {
         |GROUP BY 1, g.nm, g.n
         |ORDER BY 1""".stripMargin
     },
+
+    // SQL ALTER TABLE DROP/RENAME COLUMN: the dropped column is hidden
+    // NOW (tombstone) but fully served via VERSION AS OF 2 time travel;
+    // the renamed column stitches era-1 files (old physical name, via the
+    // rename chain) with era-2 files (new name) — sums must cover both.
+    "iceberg_sql_alter_drop" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | FALSE AS dropped_visible_now,
+        | CAST(10 AS BIGINT) AS n_cols_now,
+        | CAST(count(*) AS BIGINT) AS tt_rows_with_price,
+        | CAST(count(*) AS BIGINT) AS ren_rows,
+        | round(sum(l_quantity), 4) AS ren_sum_qty,
+        | round(sum(CASE WHEN l_shipdate < TIMESTAMP '$cut' THEN l_quantity END), 4)
+        |   AS ren_sum_qty_era1
+        |FROM lineitem""".stripMargin
+    },
+
+    // Clause-general MERGE: four arms partition the table by disjoint
+    // residue classes — matched-update (+10000), matched-delete,
+    // not-matched insert (re-keyed), not-matched-by-source update
+    // (+50000) — and the duplicate-source cardinality probe must be
+    // rejected with the probe table untouched.
+    "iceberg_sql_merge2" -> {
+      val ru = iceberg.IcebergOps.SqlM2UpdResidue
+      val rd = iceberg.IcebergOps.SqlM2DelResidue
+      val ri = iceberg.IcebergOps.SqlM2InsResidue
+      val rn = iceberg.IcebergOps.SqlM2NmbsResidue
+      s"""WITH uniq AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+        |   FROM lineitem GROUP BY 1, 2),
+        | base AS (SELECT l.l_quantity, l.l_orderkey,
+        |   l.l_orderkey % 100 = $ru AND u.c = 1 AS is_upd,
+        |   l.l_orderkey % 100 = $rd AND u.c = 1 AS is_del,
+        |   l.l_orderkey % 1000 = $rn AS is_nmbs
+        |   FROM lineitem l JOIN uniq u USING (l_orderkey, l_linenumber)),
+        | kept AS (SELECT l_quantity
+        |     + CASE WHEN is_upd THEN 10000 ELSE 0 END
+        |     + CASE WHEN is_nmbs THEN 50000 ELSE 0 END AS q,
+        |   is_upd, is_nmbs, FALSE AS is_ins
+        |   FROM base WHERE NOT is_del),
+        | ins AS (SELECT l_quantity AS q, FALSE AS is_upd, FALSE AS is_nmbs,
+        |   TRUE AS is_ins FROM lineitem WHERE l_orderkey % 1000 = $ri),
+        | allrows AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+        | dels AS (SELECT CAST(count(*) FILTER (WHERE is_del) AS BIGINT) AS nd,
+        |   CAST(count(*) FILTER (WHERE is_upd) AS BIGINT) AS nu,
+        |   CAST(count(*) FILTER (WHERE is_nmbs AND NOT is_del) AS BIGINT) AS nn
+        |   FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(q), 4) AS sum_qty,
+        | CAST(count(*) FILTER (WHERE is_upd) AS BIGINT) AS upd_rows,
+        | CAST(count(*) FILTER (WHERE is_nmbs) AS BIGINT) AS nmbs_rows,
+        | CAST(count(*) FILTER (WHERE is_ins) AS BIGINT) AS ins_rows,
+        | d.nu + d.nd + d.nn AS dv_rows,
+        | CAST(2 AS BIGINT) AS n_snapshots,
+        | TRUE AS dup_source_rejected, TRUE AS bad_table_unchanged
+        |FROM allrows, dels d
+        |GROUP BY d.nu, d.nd, d.nn""".stripMargin
+    },
+
+    // Metadata tables via plain SQL (<cat>.<ns>.<t>.files/snapshots/
+    // manifests): one data file per (month, era), era = sequence; the
+    // two-append fixture has 2 snapshots and 2 manifests.
+    "iceberg_sql_files_meta" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS p_month,
+        | CAST(1 AS BIGINT) AS n_files,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | strftime(min(l_shipdate), '%Y-%m-%d') AS lo_shipdate,
+        | strftime(max(l_shipdate), '%Y-%m-%d') AS hi_shipdate,
+        | CAST(CASE WHEN min(l_shipdate) < TIMESTAMP '$cut'
+        |   THEN 1 ELSE 2 END AS BIGINT) AS sequence_number,
+        | CAST(2 AS BIGINT) AS n_snapshots,
+        | CAST(2 AS BIGINT) AS n_manifests
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Streaming ingest (writeStream.toTable): three bucket epochs cover
+    // the whole table, one append snapshot each; the replayed last epoch
+    // is a no-op (exactly-once).
+    "iceberg_stream_ingest" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(3 AS BIGINT) AS n_snapshots,
+        | CAST(3 AS BIGINT) AS n_stream_commits,
+        | CAST(2 AS BIGINT) AS last_epoch,
+        | TRUE AS replay_noop
+        |FROM lineitem""".stripMargin,
 
     // Column-file update EXECUTED: row/file counts are residue/month
     // arithmetic; the real-byte comparison rides as pinned ordering

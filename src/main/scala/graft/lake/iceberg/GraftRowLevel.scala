@@ -187,6 +187,47 @@ private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: Struct
   }
 }
 
+/** Streaming-ingest sink (`df.writeStream.toTable(<cat>.<ns>.<t>)`): one
+  * APPEND snapshot per epoch through the same month-partitioned executor
+  * writer every other graft write uses, committed by
+  * [[IcebergTable.commitStreamAppend]] — whose snapshot summary records
+  * (streaming-query, epoch-id), making a restart's replayed epoch commit a
+  * NO-OP (exactly-once, the Iceberg streaming-ingest contract; the real
+  * Spark sink stores its batch id in the same place). Each epoch stages
+  * into its own `stream-<query>-ep<epoch>` dir, so a replay's re-written
+  * files never collide with the committed ones and are dropped by the
+  * dedup path. */
+private[iceberg] class GraftStreamingWrite(location: String, schema: StructType,
+                                           queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def dataDir(epochId: Long) = s"$location/data/stream-$queryId-ep$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(location, queryId, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: GraftDeltaCommitMessage => m }
+      .flatMap(_.files).toSeq
+    IcebergTable.commitStreamAppend(org.apache.spark.sql.SparkSession.active,
+      location, dataDir(epochId), files, queryId, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaCommitMessage => m }
+      .flatMap(_.files).foreach(f => new File(f).delete())
+}
+
+private[iceberg] class GraftStreamingWriterFactory(location: String, queryId: String,
+                                                   schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftDeltaWriter(s"$location/data/stream-$queryId-ep$epochId",
+      schema, partitionId, taskId)
+}
+
 /** Executor-side delta writer: deletes/updates record (file, pos) row
   * coordinates; inserted rows stream into one open parquet writer per
   * month partition (hive-style `p_month=` dirs, so the committer's stats

@@ -2830,4 +2830,258 @@ object IcebergOps {
         "months_replaced", "months_kept", "rows_v1", "n_snapshots")
       .orderBy("l_returnflag")
   }
+
+  // ---- round-18 SQL surface: DROP/RENAME COLUMN, clause-general MERGE,
+  // streaming ingest, metadata tables ----
+
+  /** MERGE-2 fixture residues (spliced into the oracle): matched-update
+    * keys ≡ SqlM2UpdResidue (mod 100), matched-delete keys ≡
+    * SqlM2DelResidue (mod 100), insert source keys ≡ SqlM2InsResidue
+    * (mod 1000) shifted by SqlM2KeyOffset, and NOT-MATCHED-BY-SOURCE
+    * updates hit target keys ≡ SqlM2NmbsResidue (mod 1000) — residue
+    * classes chosen pairwise disjoint so the four arms partition the
+    * table. */
+  val SqlM2UpdResidue = 17L
+  val SqlM2DelResidue = 29L
+  val SqlM2InsResidue = 3L
+  val SqlM2NmbsResidue = 500L
+  val SqlM2KeyOffset = 910000000L
+  /** Dropped / renamed columns of the evolution fixture. */
+  val SqlDropCol = "l_extendedprice"
+  val SqlRenameFrom = "l_quantity"
+  val SqlRenameTo = "qty"
+
+  private val LineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Round-18 SQL fixture warehouse:
+    *  - `lake.lineitem_drop`: two appends, then `ALTER TABLE … DROP COLUMN
+    *    l_extendedprice` (metadata-only tombstone — current reads hide it,
+    *    time travel at the pre-drop snapshot still serves it);
+    *  - `lake.lineitem_ren`: era-1 append, `RENAME COLUMN l_quantity TO
+    *    qty`, then a SQL INSERT of era 2 under the NEW name — reads must
+    *    stitch both eras through the rename chain;
+    *  - `lake.lineitem_mrg2`: the clause-general MERGE — conditional
+    *    WHEN MATCHED UPDATE and DELETE arms, WHEN NOT MATCHED INSERT, and
+    *    WHEN NOT MATCHED BY SOURCE UPDATE, all through ONE delta write;
+    *  - `lake.lineitem_stream`: three `writeStream.toTable` epochs through
+    *    [[GraftStreamingWrite]] (one append snapshot per epoch, summary-
+    *    recorded (query, epoch) — the exactly-once dedup the ops probe).
+    * The MERGE source is PAIR-UNIQUE per arm ((l_orderkey, l_linenumber)
+    * windows — the synthetic lineitem is NOT pair-unique) and arm residues
+    * are disjoint, so no target row matches two source rows. */
+  private def sqlR18WarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlr18") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlr18_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      // -- drop fixture
+      val tDrop = IcebergCatalog.createTable(w, "lake", "lineitem_drop")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), tDrop)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), tDrop)
+      spark.sql(s"ALTER TABLE $cat.lake.lineitem_drop DROP COLUMN $SqlDropCol")
+      // -- rename fixture
+      val tRen = IcebergCatalog.createTable(w, "lake", "lineitem_ren")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), tRen)
+      spark.sql(s"ALTER TABLE $cat.lake.lineitem_ren " +
+        s"RENAME COLUMN $SqlRenameFrom TO $SqlRenameTo")
+      lineitem.filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp"))
+        .withColumnRenamed(SqlRenameFrom, SqlRenameTo)
+        .createOrReplaceTempView("graft_sql_ren_src")
+      spark.sql(s"INSERT INTO $cat.lake.lineitem_ren " +
+        s"SELECT ${LineitemCols.map(c => if (c == SqlRenameFrom) SqlRenameTo else c).mkString(", ")} " +
+        "FROM graft_sql_ren_src")
+      // -- clause-general MERGE fixture
+      IcebergTable.append(spark, lineitem,
+        IcebergCatalog.createTable(w, "lake", "lineitem_mrg2"))
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey", "l_linenumber")
+      def pairUnique(df: DataFrame): DataFrame =
+        df.withColumn("__c", count(lit(1)).over(wPair)).filter(col("__c") === 1L).drop("__c")
+      val srcUpd = pairUnique(lineitem
+        .filter(pmod(col("l_orderkey"), lit(100L)) === SqlM2UpdResidue))
+        .withColumn("action", lit("upd"))
+      val srcDel = pairUnique(lineitem
+        .filter(pmod(col("l_orderkey"), lit(100L)) === SqlM2DelResidue))
+        .withColumn("action", lit("del"))
+      val srcIns = lineitem
+        .filter(pmod(col("l_orderkey"), lit(1000L)) === SqlM2InsResidue)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(SqlM2KeyOffset))
+        .withColumn("action", lit("ins"))
+      srcUpd.unionByName(srcDel).unionByName(srcIns)
+        .createOrReplaceTempView("graft_sql_mrg2_src")
+      val insertCols = LineitemCols.mkString(", ")
+      val insertVals = LineitemCols.map("s." + _).mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $cat.lake.lineitem_mrg2 t USING graft_sql_mrg2_src s
+           |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+           |WHEN MATCHED AND s.action = 'upd'
+           |  THEN UPDATE SET l_quantity = t.l_quantity + 10000
+           |WHEN MATCHED AND s.action = 'del' THEN DELETE
+           |WHEN NOT MATCHED AND s.action = 'ins'
+           |  THEN INSERT ($insertCols) VALUES ($insertVals)
+           |WHEN NOT MATCHED BY SOURCE AND t.l_orderkey % 1000 = $SqlM2NmbsResidue
+           |  THEN UPDATE SET l_quantity = t.l_quantity + 50000""".stripMargin)
+      // -- cardinality-violation probe table (a merge whose source carries
+      // the same (okey, lnum) pair twice MUST be rejected; tiny table)
+      IcebergTable.append(spark,
+        lineitem.filter(col("l_shipdate") < lit("1996-02-01").cast("timestamp")),
+        IcebergCatalog.createTable(w, "lake", "lineitem_mrg2bad"))
+      // -- streaming-ingest fixture: 3 epochs via writeStream.toTable
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val markers = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val li3 = lineitem.withColumn("__b", pmod(col("l_orderkey"), lit(3L)).cast("int"))
+      val streamDf = markers.toDF().toDF("__m")
+        .join(li3, col("__m") === col("__b"))
+        .drop("__m", "__b")
+      val ckpt = new java.io.File(w, "_stream_ckpt").getPath
+      val q = streamDf.writeStream
+        .option("checkpointLocation", ckpt)
+        .toTable(s"$cat.lake.lineitem_stream")
+      try {
+        (0 to 2).foreach { i => markers.addData(i); q.processAllAvailable() }
+      } finally q.stop()
+      new String(w)
+    }
+
+  /** `ALTER TABLE DROP COLUMN` + `RENAME COLUMN` through the SQL front
+    * door — both metadata-only era commits (spec §Schema Evolution):
+    * the dropped column vanishes from current reads but stays readable
+    * via `VERSION AS OF` time travel (the tombstone window), and the
+    * renamed column serves BOTH eras' data — files written under the old
+    * name resolve through the rename chain, files written after the
+    * rename carry the new name natively. */
+  def sqlAlterDropRename(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlR18WarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val nRows = spark.sql(s"SELECT count(*) FROM $cat.lake.lineitem_drop")
+      .head().getLong(0)
+    val schemaNow = spark.table(s"$cat.lake.lineitem_drop").schema
+    val hasDroppedNow = schemaNow.fieldNames.contains(SqlDropCol)
+    // time travel to the pre-drop head (snapshot 2): the dropped column is
+    // back in the schema and every row carries its value
+    val ttWithPrice = spark.sql(
+      s"SELECT count($SqlDropCol) FROM $cat.lake.lineitem_drop VERSION AS OF 2")
+      .head().getLong(0)
+    val ren = spark.sql(
+      s"""SELECT count(*), round(sum($SqlRenameTo), 4),
+         | round(sum(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCut 00:00:00'
+         |   THEN $SqlRenameTo END), 4)
+         |FROM $cat.lake.lineitem_ren""".stripMargin).head()
+    import spark.implicits._
+    Seq((nRows, hasDroppedNow, schemaNow.size.toLong, ttWithPrice,
+      ren.getLong(0), ren.getDouble(1), ren.getDouble(2)))
+      .toDF("n_rows", "dropped_visible_now", "n_cols_now", "tt_rows_with_price",
+        "ren_rows", "ren_sum_qty", "ren_sum_qty_era1")
+  }
+
+  /** Clause-general `MERGE INTO` (the full SQL-standard arm set through
+    * ONE delta write): conditional WHEN MATCHED UPDATE and DELETE,
+    * WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE — plus
+    * the cardinality-violation guard: a source carrying the same
+    * (l_orderkey, l_linenumber) pair twice must be REJECTED (SQL-standard
+    * nondeterministic-update protection), leaving the probe table
+    * untouched. Census columns are range-keyed (the +10000/+50000
+    * quantity shifts put each arm's rows in a disjoint band). */
+  def sqlMerge2(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlR18WarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val r = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4),
+         | count(CASE WHEN l_quantity > 10000 AND l_quantity < 50000 THEN 1 END),
+         | count(CASE WHEN l_quantity > 50000 THEN 1 END),
+         | count(CASE WHEN l_orderkey >= $SqlM2KeyOffset THEN 1 END)
+         |FROM $cat.lake.lineitem_mrg2""".stripMargin).head()
+    val (meta, entries) = rlTableCensus(w, "lineitem_mrg2")
+    val dvCard = entries.filter(_.content == 1).map(_.recordCount).sum
+    // cardinality probe: duplicate-pair source must throw and leave the
+    // table unchanged (idempotent across re-runs — the merge never lands)
+    // deterministic probe row FROM the probe table's range, duplicated
+    // with conflicting assignments — the textbook violation
+    val one = lineitem
+      .filter(col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .orderBy("l_orderkey", "l_linenumber").limit(1)
+    val bad = one.withColumn("l_quantity", lit(1.0))
+      .unionByName(one.withColumn("l_quantity", lit(2.0)))
+    bad.createOrReplaceTempView("graft_sql_mrg2_bad_src")
+    val before = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "lineitem_mrg2bad")).snapshots.size
+    val rejected =
+      try {
+        spark.sql(
+          s"""MERGE INTO $cat.lake.lineitem_mrg2bad t USING graft_sql_mrg2_bad_src s
+             |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+             |WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity""".stripMargin)
+        false
+      } catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.toLowerCase.contains("cardinality")) => true
+      }
+    val after = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "lineitem_mrg2bad")).snapshots.size
+    import spark.implicits._
+    Seq((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      dvCard, meta.snapshots.size.toLong, rejected, before == after))
+      .toDF("n_rows", "sum_qty", "upd_rows", "nmbs_rows", "ins_rows",
+        "dv_rows", "n_snapshots", "dup_source_rejected", "bad_table_unchanged")
+  }
+
+  /** Metadata tables through plain SQL (`SELECT … FROM <cat>.<ns>.<t>
+    * .files` — the inspection surface every Iceberg user leans on): the
+    * files census per month joined with the snapshots/manifests counts,
+    * all served by [[GraftMetaTables]] as driver-local scans over the
+    * metadata tree (zero data IO). */
+  def sqlFilesMeta(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    spark.sql(
+      s"""SELECT f.p_month, count(*) AS n_files, sum(f.record_count) AS n_rows,
+         | min(f.lo_shipdate) AS lo_shipdate, max(f.hi_shipdate) AS hi_shipdate,
+         | max(f.sequence_number) AS sequence_number,
+         | (SELECT count(*) FROM $cat.lake.lineitem.snapshots) AS n_snapshots,
+         | (SELECT count(*) FROM $cat.lake.lineitem.manifests) AS n_manifests
+         |FROM $cat.lake.lineitem.files f
+         |GROUP BY f.p_month ORDER BY f.p_month""".stripMargin)
+  }
+
+  /** Streaming ingest through the DSv2 sink ([[GraftStreamingWrite]]):
+    * three `writeStream.toTable` epochs committed as three append
+    * snapshots with (streaming-query, epoch-id) summaries, then the
+    * EXACTLY-ONCE probe — re-committing the last epoch (what a restarted
+    * query's replay does) with freshly staged files must be a no-op:
+    * snapshot count unchanged, staged files dropped. */
+  def streamIngest(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlR18WarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val r = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4)
+         |FROM $cat.lake.lineitem_stream""".stripMargin).head()
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem_stream")
+    val meta = IcebergTable.readMetadata(loc)
+    val streamSnaps = meta.snapshots
+      .filter(_.summary.contains("streaming-query"))
+    val qid = streamSnaps.last.summary("streaming-query")
+    val lastEp = streamSnaps.flatMap(_.summary.get("epoch-id")).map(_.toLong).max
+    // the replay probe: stage real files for the already-committed epoch
+    val stage = Files.createTempDirectory("graft_stream_replay_").toString
+    lineitem.limit(200)
+      .withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("p_month").mode("overwrite").parquet(stage)
+    val staged = new java.io.File(stage).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    IcebergTable.commitStreamAppend(spark, loc, stage, staged, qid, lastEp)
+    val after = IcebergTable.readMetadata(loc)
+    import spark.implicits._
+    Seq((r.getLong(0), r.getDouble(1), meta.snapshots.size.toLong,
+      streamSnaps.size.toLong, lastEp,
+      after.snapshots.size == meta.snapshots.size))
+      .toDF("n_rows", "sum_qty", "n_snapshots", "n_stream_commits",
+        "last_epoch", "replay_noop")
+  }
 }

@@ -101,7 +101,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       loc, snapshotId)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // `<cat>.<ns>.<t>.files` — the extra segment after a real table name
+    // resolves to a metadata table (files/manifests/snapshots/…). A REAL
+    // table named e.g. `files` wins: metadata-table resolution only fires
+    // when the identifier itself is not a table.
+    def asMetaTable: Option[Table] = {
+      val ns = ident.namespace()
+      if (ns.isEmpty || !GraftMetaTables.kinds.contains(ident.name())) None
+      else {
+        val parent = Identifier.of(ns.dropRight(1), ns.last)
+        val loc = location(parent)
+        if (new File(loc, "metadata/version-hint.text").exists())
+          Some(new GraftMetaSqlTable(
+            s"$catalogName.${ns.mkString(".")}.${ident.name()}", loc, ident.name()))
+        else None
+      }
+    }
+    try load(ident, None)
+    catch {
+      case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        asMetaTable.getOrElse(throw e)
+    }
+  }
 
   /** `VERSION AS OF <snapshot-id>` — DSv2 time travel, resolved to a
     * snapshot-pinned scan exactly like the library's `planFiles(id)`. */
@@ -314,7 +336,33 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   private def internalCol(name: String): Boolean =
     name == "_row_id" || name == "_last_updated_sequence_number"
 
-  private lazy val schema0: StructType = {
+  private lazy val schema0: StructType = applyColumnEvolution(rawSchema0)
+
+  /** Post-merge schema visibility (ALTER TABLE DROP/RENAME COLUMN):
+    * dropped-column tombstones hide a column from reads PAST their drop
+    * point — a time-travel read at snapshot ≤ droppedAt still serves it,
+    * the spec's era semantics — and rename chains relabel the physical
+    * field to its current name (reads at any snapshot see the current
+    * name; the stated name-based simplification). Two eras carrying both
+    * a chain's old and new physical names dedupe to the current one. */
+  private def applyColumnEvolution(raw: StructType): StructType =
+    IcebergTable.readMetadataOpt(location) match {
+      case None => raw
+      case Some(meta) if meta.droppedColumns.isEmpty && meta.renamedColumns.isEmpty => raw
+      case Some(meta) =>
+        def hidden(n: String): Boolean =
+          meta.droppedColumns.get(n).exists(at => snapshotId.forall(_ > at))
+        val renamed = raw.fields.flatMap { f =>
+          if (hidden(f.name)) None
+          else meta.renamedColumns.collectFirst {
+            case (nw, chain) if chain.contains(f.name) => f.copy(name = nw)
+          }.orElse(Some(f))
+        }
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        StructType(renamed.filter(f => seen.add(f.name)))
+    }
+
+  private lazy val rawSchema0: StructType = {
     val pending = new File(location, "metadata/schema.pending.json")
     def pendingSchema: Option[StructType] =
       if (pending.exists())
@@ -370,7 +418,7 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location, snapshotId, schema0)
@@ -437,7 +485,7 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to a time-travel snapshot of $ident")
-    new GraftWriteBuilder(location, info.schema())
+    new GraftWriteBuilder(location, info.schema(), info.queryId())
   }
 }
 
@@ -452,7 +500,8 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   *    stream month-partitioned files ([[GraftDeltaWriter]] doubling as a
   *    plain DataWriter), and the commit replaces EXACTLY the months that
   *    received data ([[IcebergTable.commitOverwriteMonths]]). */
-private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructType)
+private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructType,
+                                         queryId: String = "")
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -497,6 +546,16 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
                 IcebergTable.overwriteTable(data.sparkSession, data, location)
               else IcebergTable.append(data.sparkSession, data, location)
           }
+        /** `df.writeStream.toTable(…)` — the streaming-ingest sink: one
+          * append snapshot per epoch, exactly-once on restart replay
+          * ([[IcebergTable.commitStreamAppend]]'s summary-recorded
+          * (query, epoch) dedup — the Iceberg streaming contract). */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(m != "truncate",
+            "streaming complete-mode (truncate) writes are not supported; use append")
+          new GraftStreamingWrite(location, writeSchema, queryId)
+        }
       }
   }
 }
@@ -663,7 +722,12 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     val bc = GraftEqBroadcastCache.get(location, eqFingerprint, eqDeletes)
     val columnar = allPartitionsClean &&
       !required.fieldNames.exists(GraftVectorized.isMetaCol)
-    new GraftReaderFactory(fields, bc, columnar)
+    // live rename chains ride to the tasks so files written under a prior
+    // column name keep serving data (resolveRenames; KB-grain map)
+    val renames = IcebergTable.readMetadataOpt(location)
+      .map(_.renamedColumns).getOrElse(Map.empty)
+      .filter { case (nw, _) => required.fieldNames.contains(nw) }
+    new GraftReaderFactory(fields, bc, columnar, renames)
   }
 }
 
@@ -699,14 +763,15 @@ private[iceberg] object GraftEqBroadcastCache {
 
 private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
                                           eqBc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]],
-                                          columnar: Boolean = false)
+                                          columnar: Boolean = false,
+                                          renames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     require(columnar, "columnar read requested on a scan with delete state")
-    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition].path, fields)
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition].path, fields, renames)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -723,7 +788,7 @@ private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
         val a = p.dvBlobs.flatMap(RoaringDv.deserializeDvBlob)
         java.util.Arrays.sort(a); a
       }
-    new GraftPartitionReader(p.path, fields, deleted, merged)
+    new GraftPartitionReader(p.path, fields, deleted, merged, renames)
   }
 }
 
@@ -754,6 +819,29 @@ object GraftVectorized {
     * session). The batch's columns come back in `required` order, and a
     * column the file lacks (older schema era, internal lineage column)
     * rides as an all-null vector — Spark's own missing-column handling. */
+  /** Resolve RENAMED columns against one file's physical schema: a
+    * required field the file lacks is re-requested under the newest
+    * ancestor name the file carries (renameSchemaColumn's chain — the
+    * name-based stand-in for field-id constancy). Costs one footer read
+    * per file and ONLY runs on tables with live renames (`renames`
+    * nonEmpty); the batch's vectors are positional, so callers keep
+    * labeling columns with the CURRENT names. */
+  def resolveRenames(path: String, required: StructType,
+                     renames: Map[String, Seq[String]]): StructType = {
+    if (renames.isEmpty || !required.fieldNames.exists(renames.contains)) required
+    else {
+      import scala.jdk.CollectionConverters._
+      val phys = fileSchemaOf(path).getFields.asScala.map(_.getName).toSet
+      StructType(required.fields.map { f =>
+        if (phys.contains(f.name)) f
+        else renames.get(f.name)
+          .flatMap(_.find(phys.contains))
+          .map(old => f.copy(name = old))
+          .getOrElse(f) // absent everywhere: stays a null-filled vector
+      })
+    }
+  }
+
   def open(path: String, required: StructType)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     val clean = cleanPath(path)
@@ -787,7 +875,8 @@ object GraftVectorized {
 private[iceberg] class GraftPartitionReader(path: String,
                                             fields: Array[(String, DataType)],
                                             deletedPos: Array[Long],
-                                            eqKeys: Array[Long])
+                                            eqKeys: Array[Long],
+                                            renames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val eqCol = "l_orderkey"
@@ -799,8 +888,8 @@ private[iceberg] class GraftPartitionReader(path: String,
          Array((eqCol, LongType: DataType))
        else Array.empty[(String, DataType)])
   private val physIdx: Map[String, Int] = physFields.map(_._1).zipWithIndex.toMap
-  private val reader = GraftVectorized.open(path,
-    StructType(physFields.map { case (n, t) => StructField(n, t) }))
+  private val reader = GraftVectorized.open(path, GraftVectorized.resolveRenames(path,
+    StructType(physFields.map { case (n, t) => StructField(n, t) }), renames))
   private val filePathValue = UTF8String.fromString(path)
 
   private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -877,11 +966,12 @@ private[iceberg] class GraftPartitionReader(path: String,
   * the required order (missing columns as null vectors), so the decoder's
   * batch is handed over as-is. */
 private[iceberg] class GraftColumnarReader(path: String,
-                                           fields: Array[(String, DataType)])
+                                           fields: Array[(String, DataType)],
+                                           renames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val reader = GraftVectorized.open(path,
-    StructType(fields.map { case (n, t) => StructField(n, t) }))
+  private val reader = GraftVectorized.open(path, GraftVectorized.resolveRenames(path,
+    StructType(fields.map { case (n, t) => StructField(n, t) }), renames))
 
   override def next(): Boolean = reader.nextBatch()
 
@@ -962,4 +1052,89 @@ private[iceberg] object GraftParquetRows {
     } finally reader.close()
     out.toArray
   }
+}
+
+/** SQL-addressable METADATA TABLES (`SELECT * FROM <cat>.<ns>.<t>.files`
+  * — the inspection surface every Iceberg user leans on): the extra path
+  * segment after a table name resolves to one of the spec's metadata
+  * tables, computed from the table's metadata tree alone and served as a
+  * [[LocalScan]] — metadata-grain rows (KB) belong on the driver, not in
+  * a task fan-out. Wall-clock timestamps are excluded; snapshot
+  * "timestamps" in this layer are the deterministic id-derived ms values
+  * the committers write. */
+private[iceberg] object GraftMetaTables {
+  val kinds: Set[String] =
+    Set("files", "manifests", "snapshots", "history", "entries", "refs", "partitions")
+
+  def df(spark: org.apache.spark.sql.SparkSession, location: String,
+         kind: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val meta = IcebergTable.readMetadata(location)
+    kind match {
+      case "files" =>
+        IcebergTable.planFiles(location).files
+          .map(f => (f.path, f.partition, f.recordCount, f.loShip, f.hiShip,
+            f.entrySnapshotId, f.sequence))
+          .sortBy(f => (f._2, f._1))
+          .toDF("file_path", "p_month", "record_count", "lo_shipdate",
+            "hi_shipdate", "added_snapshot_id", "sequence_number")
+      case "partitions" =>
+        IcebergTable.planFiles(location).files
+          .groupBy(_.partition).toSeq
+          .map { case (p, fs) => (p, fs.size.toLong, fs.map(_.recordCount).sum) }
+          .sortBy(_._1)
+          .toDF("p_month", "n_files", "n_rows")
+      case "manifests" =>
+        IcebergTable.readManifestList(IcebergTable.currentSnapshot(meta).manifestList)
+          .map(m => (m.path, m.addedSnapshotId, m.addedFiles.toLong, m.addedRows,
+            m.partLo, m.partHi))
+          .sortBy(m => (m._2, m._1))
+          .toDF("manifest_path", "added_snapshot_id", "n_added_files",
+            "n_added_rows", "p_month_lo", "p_month_hi")
+      case "snapshots" | "history" =>
+        meta.snapshots.sortBy(_.id)
+          .map(s => (s.id, s.sequenceNumber, s.timestampMs, s.operation,
+            s.id == meta.currentSnapshotId))
+          .toDF("snapshot_id", "sequence_number", "timestamp_ms", "operation",
+            "is_current")
+      case "refs" =>
+        meta.refs.toSeq.sortBy(_._1)
+          .map { case (n, r) => (n, r.refType, r.snapshotId) }
+          .toDF("name", "type", "snapshot_id")
+      case "entries" =>
+        val ms = IcebergTable.readManifestList(
+          IcebergTable.currentSnapshot(meta).manifestList)
+        IcebergTable.readManifestsParallel(ms.map(_.path)).flatten
+          .map { e =>
+            val k = e.content match {
+              case 0 => "data"
+              case 1 => if (e.referencedDataFile.isDefined) "deletion_vector"
+                        else "position_deletes"
+              case _ => "equality_deletes"
+            }
+            (k, e.path, e.partition, e.recordCount, e.sequence, e.entrySnapshotId)
+          }.sortBy(e => (e._1, e._3, e._5, e._2))
+          .toDF("content_type", "file_path", "p_month", "record_count",
+            "sequence_number", "added_snapshot_id")
+      case other => throw new IllegalArgumentException(s"no metadata table $other")
+    }
+  }
+}
+
+private[iceberg] class GraftMetaSqlTable(ident: String, location: String, kind: String)
+    extends Table with SupportsRead {
+  private lazy val df0 =
+    GraftMetaTables.df(org.apache.spark.sql.SparkSession.active, location, kind)
+  override def name(): String = ident
+  override def schema(): StructType = df0.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          df0.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = df0.schema
+      }
+    }
 }
