@@ -430,6 +430,7 @@ object SparkEntry {
     "iceberg_cherry_pick",         // iceberg.table.cherrypick
     "iceberg_sql_select",          // iceberg.sqlcat (warehouse + both tables)
     "iceberg_sql_update",          // iceberg.sqlrl (row-level-verb warehouse)
+    "iceberg_sql_merge2",          // iceberg.sqlr18 (drop/rename/merge2/stream warehouse)
     "lake_column_update_exec",     // iceberg.table.update.exec (CoW/colfile arms)
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin

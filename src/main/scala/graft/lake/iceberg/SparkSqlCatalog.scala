@@ -1059,7 +1059,11 @@ private[iceberg] object GraftParquetRows {
   * segment after a table name resolves to one of the spec's metadata
   * tables, computed from the table's metadata tree alone and served as a
   * [[LocalScan]] — metadata-grain rows (KB) belong on the driver, not in
-  * a task fan-out. Wall-clock timestamps are excluded; snapshot
+  * a task fan-out. The `files`/`entries` kinds are bounded by the same
+  * driver-side planning ceiling as [[IcebergTable.planFiles]] (one row per
+  * live file — the count every query's planner already materializes); a
+  * deployment whose file count outgrows that would distribute the
+  * manifest reads, as the real library's metadata tables do. Wall-clock timestamps are excluded; snapshot
   * "timestamps" in this layer are the deterministic id-derived ms values
   * the committers write. */
 private[iceberg] object GraftMetaTables {

@@ -1,0 +1,134 @@
+package graft.lake.iceberg
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Scale and protocol contracts of the round-18 committer work:
+  *  - SQL delta commit messages carry Roaring BLOBS, never raw position
+  *    longs (the driver-heap contract — an UPDATE touching 10⁹ rows must
+  *    not ship ~8 GB into driver heap);
+  *  - commitDelta / commitOverwriteMonths are OPTIMISTIC (racing writers
+  *    serialize under the version CAS instead of last-writer-winning);
+  *  - the streaming epoch commit is exactly-once on replay;
+  *  - DROP/RENAME COLUMN metadata semantics (tombstone windows, rename
+  *    chains) round-trip through the metadata JSON. */
+class DeltaCommitSpec extends SparkSpec {
+
+  private def lineitem = Tables.lineitem(spark, sf0001)
+
+  test("delta commit payload is compressed-blob grain: bytes << 8 * positions") {
+    // a dense run of 100k positions — the shape a big UPDATE produces
+    val positions = (0L until 100000L).toArray
+    val blob = RoaringDv.serializeDvBlob(positions)
+    assert(blob.length.toLong * 20 < positions.length * 8L,
+      s"blob ${blob.length} B should be far under raw ${positions.length * 8} B")
+    // the merged driver-side rows stay blob-grain
+    val merged = GraftDeltaBatchWrite.mergeBlobs(Seq(
+      ("f1", RoaringDv.serializeDvBlob(Array(1L, 5L)), 2L, 1L, 5L),
+      ("f1", RoaringDv.serializeDvBlob(Array(3L, 9L)), 2L, 3L, 9L),
+      ("f2", blob, positions.length.toLong, 0L, positions.last)))
+    assert(merged.map(_._1) === Seq("f1", "f2"))
+    val f1 = merged.head
+    assert(RoaringDv.deserializeDvBlob(f1._2).toSeq === Seq(1L, 3L, 5L, 9L))
+    assert((f1._3, f1._4, f1._5) === ((4L, 1L, 9L)))
+    // the single-chunk file passes through untouched (no re-encode)
+    assert(merged(1)._2 eq blob)
+  }
+
+  test("commitDelta is OCC: racing delta commits serialize, none lost") {
+    val loc = Files.createTempDirectory("graft_delta_occ_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    val plan = IcebergTable.planFiles(loc)
+    val victim = plan.files.head.path
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        val dv = RoaringDv.serializeDvBlob(Array(i.toLong))
+        results.add(IcebergTable.commitDelta(spark, loc,
+          Seq((victim, dv, 1L, i.toLong, i.toLong)), s"$loc/none", Seq.empty))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val ids = results.asScala.toSeq.sorted
+    assert(ids.size === 4)
+    assert(ids.distinct.size === 4, s"colliding snapshot ids: $ids")
+    val meta = IcebergTable.readMetadata(loc)
+    // all four DV commits landed: 1 append + 4 overwrites, contiguous ids
+    assert(meta.snapshots.map(_.id).sorted === (1L to 5L))
+    assert(meta.snapshots.count(_.operation == "overwrite") === 4)
+  }
+
+  test("commitStreamAppend replays are no-ops (exactly-once)") {
+    val loc = Files.createTempDirectory("graft_stream_once_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    def stageFiles(): (String, Seq[String]) = {
+      val stage = Files.createTempDirectory("graft_stream_stage_").toString
+      lineitem.limit(100)
+        .withColumn("p_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("p_month").mode("overwrite").parquet(stage)
+      val fs = new File(stage).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+      (stage, fs)
+    }
+    val (s1, f1) = stageFiles()
+    val id1 = IcebergTable.commitStreamAppend(spark, loc, s1, f1, "q-test", 0L)
+    val n1 = IcebergTable.readMetadata(loc).snapshots.size
+    // the replay: same (query, epoch), freshly staged files — must no-op
+    val (s2, f2) = stageFiles()
+    val id2 = IcebergTable.commitStreamAppend(spark, loc, s2, f2, "q-test", 0L)
+    assert(id2 === id1)
+    assert(IcebergTable.readMetadata(loc).snapshots.size === n1)
+    assert(!f2.exists(p => new File(p).exists()), "replayed staged files must be dropped")
+    // a LATER epoch commits normally
+    val (s3, f3) = stageFiles()
+    IcebergTable.commitStreamAppend(spark, loc, s3, f3, "q-test", 1L)
+    assert(IcebergTable.readMetadata(loc).snapshots.size === n1 + 1)
+    // a different query's epoch 0 is NOT deduped against q-test's
+    val (s4, f4) = stageFiles()
+    IcebergTable.commitStreamAppend(spark, loc, s4, f4, "q-other", 0L)
+    assert(IcebergTable.readMetadata(loc).snapshots.size === n1 + 2)
+  }
+
+  test("drop tombstones and rename chains round-trip the metadata JSON") {
+    val loc = Files.createTempDirectory("graft_evo_meta_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    IcebergTable.dropSchemaColumn(loc, "l_tax")
+    IcebergTable.renameSchemaColumn(loc, "l_quantity", "qty")
+    IcebergTable.renameSchemaColumn(loc, "qty", "quantity2")
+    val meta = IcebergTable.readMetadata(loc)
+    assert(meta.droppedColumns === Map("l_tax" -> 1L))
+    assert(meta.renamedColumns === Map("quantity2" -> Seq("qty", "l_quantity")))
+    // an unrelated commit CARRIES the bookkeeping
+    IcebergTable.append(spark, lineitem, loc)
+    val meta2 = IcebergTable.readMetadata(loc)
+    assert(meta2.droppedColumns === meta.droppedColumns)
+    assert(meta2.renamedColumns === meta.renamedColumns)
+    // name-based schemas refuse resurrecting a dropped name
+    intercept[IllegalArgumentException] {
+      IcebergTable.addSchemaColumn(loc, "l_tax")
+    }
+  }
+
+  test("murmur3 bucket mode: spec layout and point lookup agree") {
+    val loc = Files.createTempDirectory("graft_bucket_m3_").toString
+    IcebergTable.appendBucket(spark, lineitem, loc, murmur3 = true)
+    val keys = lineitem.select("l_orderkey").distinct().limit(20)
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val plan = IcebergTable.planBucketLookup(loc, k, murmur3 = true)
+      val label = IcebergTable.bucketLabel(k, murmur3 = true)
+      assert(plan.files.nonEmpty, s"key $k bucket $label found no files")
+      assert(plan.files.forall(_.partition == label))
+      // the file really contains the key (layout and lookup agree)
+      val found = spark.read.parquet(plan.files.map(_.path): _*)
+        .filter(col("l_orderkey") === k).count()
+      assert(found > 0, s"key $k not in its murmur3 bucket files")
+    }
+  }
+}
