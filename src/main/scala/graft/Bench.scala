@@ -62,7 +62,7 @@ import org.apache.spark.sql.SparkSession
   * timeout used to leave nothing): the artifact file is STREAMED (rewritten
   * after every phase and every ~15 suite queries, `"partial": true` until
   * complete), a SIGTERM shutdown hook prints the compact snapshot line if
-  * the normal path never did, and SPARK_GRAFT_TIME_BUDGET_S (default 1500)
+  * the normal path never did, and SPARK_GRAFT_TIME_BUDGET_S (default 2400)
   * sheds phases when the remaining budget can't fit them — extras first
   * (write/stream/fetch/occ/sqlread), then the rerun defense, then remaining
   * scale rungs, then (last resort) remaining suite queries. Shed names ride
@@ -260,7 +260,7 @@ object Bench {
     //  1. the artifact file is STREAMED — rewritten after every phase and
     //     every ~15 suite queries with `"partial": true` until the run
     //     completes, so a kill -9 mid-suite leaves N complete measurements;
-    //  2. SPARK_GRAFT_TIME_BUDGET_S (default 1500) sheds phases when the
+    //  2. SPARK_GRAFT_TIME_BUDGET_S (default 2400) sheds phases when the
     //     remaining budget can't fit them — extras (write/stream/fetch/occ/
     //     sqlread) first, then the rerun defense, then remaining scale
     //     rungs, then (last resort) remaining suite queries — and the
@@ -274,7 +274,12 @@ object Bench {
     // where the run died.
     val benchT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
-    val budgetS = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S").map(_.toDouble).getOrElse(1500.0)
+    // Default sized from the measured close-run wall: a full 317-query run
+    // (scale trend ~840 s + setup ~400 s + suite ~450 s + defense + extras)
+    // is ~2030 s in-JVM on a 1.4–3× contended box — 2400 sheds nothing on
+    // a healthy run and trims extras-first under the heavy contention that
+    // killed BENCH_r17; the SIGTERM hook remains the last-resort line.
+    val budgetS = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S").map(_.toDouble).getOrElse(2400.0)
     def remainingS: Double = budgetS - elapsedS
     val shedPhases = scala.collection.mutable.ArrayBuffer.empty[String]
     def heartbeat(msg: String): Unit =
@@ -885,6 +890,7 @@ object Bench {
 
     // ---- Phase 3: write/stream/fetch/OCC micro-benches (budget-sheddable,
     // FIRST in the shed order — each gated on a coarse estimate).
+    heartbeat("phase: write bench")
     val writeBench =
       if (!sys.env.get("SPARK_GRAFT_WRITE_BENCH").contains("0") &&
           phaseGate("write_bench", 120.0)) {

@@ -1021,7 +1021,9 @@ object IcebergTable {
         writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
           meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
           atVersion = Some(version + 1), statistics = meta.statistics,
-          nextRowId = meta.nextRowId + stats.map(_.recordCount).sum)
+          nextRowId = meta.nextRowId + stats.map(_.recordCount).sum,
+          droppedColumns = Some(meta.droppedColumns),
+          renamedColumns = Some(meta.renamedColumns))
         return (snapshotId, attempt)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1075,7 +1077,9 @@ object IcebergTable {
     try writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
       atVersion = atVersion,
       statistics = prev.map(_.statistics).getOrElse(Seq.empty),
-      nextRowId = (prevNext +: newIds).max)
+      nextRowId = (prevNext +: newIds).max,
+      droppedColumns = Some(prev.map(_.droppedColumns).getOrElse(Map.empty)),
+      renamedColumns = Some(prev.map(_.renamedColumns).getOrElse(Map.empty)))
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         new File(listPath).delete()
