@@ -119,6 +119,7 @@ object SparkEntry {
     "iceberg_sql_merge2" -> q((s, d) => iceberg.IcebergOps.sqlMerge2(s, Tables.lineitem(s, d))),
     "iceberg_sql_files_meta" -> q((s, d) => iceberg.IcebergOps.sqlFilesMeta(s, Tables.lineitem(s, d))),
     "iceberg_stream_ingest" -> q((s, d) => iceberg.IcebergOps.streamIngest(s, Tables.lineitem(s, d))),
+    "iceberg_sql_call" -> q((s, d) => iceberg.IcebergOps.sqlCall(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1663,6 +1664,25 @@ object SparkEntry {
         | CAST(2 AS BIGINT) AS n_snapshots,
         | CAST(2 AS BIGINT) AS n_manifests
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // CALL procedures: rollback to snapshot 2, expire snapshot 1 (its
+    // manifest survives via snapshot 2's reuse — zero files deleted),
+    // regroup the head's 2 era manifests into year branches (snapshot 4).
+    "iceberg_sql_call" -> {
+      val cut3 = iceberg.IcebergOps.SqlCallEra3Cut
+      s"""SELECT CAST(3 AS BIGINT) AS prev_snapshot_id,
+        | CAST(2 AS BIGINT) AS rolled_to,
+        | CAST(1 AS BIGINT) AS snapshots_removed,
+        | CAST(1 AS BIGINT) AS manifest_lists_deleted,
+        | CAST(0 AS BIGINT) AS manifests_deleted,
+        | CAST(0 AS BIGINT) AS data_files_deleted,
+        | CAST(4 AS BIGINT) AS rewrite_snapshot_id,
+        | CAST(2 AS BIGINT) AS manifests_before,
+        | CAST(count(DISTINCT strftime(l_shipdate, '%Y')) AS BIGINT) AS manifests_after,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(3 AS BIGINT) AS n_snapshots
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '$cut3 00:00:00'""".stripMargin
     },
 
     // Streaming ingest (writeStream.toTable): three bucket epochs cover

@@ -1,0 +1,140 @@
+package graft.lake.iceberg
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures (`CALL <cat>.system.<proc>(…)`) — the maintenance
+  * surface every Iceberg deployment drives its table upkeep through
+  * (Iceberg's Spark runtime ships the same names under the same `system`
+  * namespace), implemented on Spark 4's connector procedure API
+  * (`ProcedureCatalog` → `UnboundProcedure` → `BoundProcedure`) over the
+  * library's committers:
+  *
+  *  - `expire_snapshots(table, retain_last)` → [[IcebergTable.expireSnapshots]]
+  *  - `rollback_to_snapshot(table, snapshot_id)` → [[IcebergTable.rollback]]
+  *  - `rewrite_manifests(table, group_months)` → [[IcebergTable.rewriteManifests]]
+  *  - `rewrite_position_deletes(table)` → [[IcebergTable.rewritePositionDeletes]]
+  *  - `cherrypick_snapshot(table, snapshot_id)` → [[IcebergTable.cherryPick]]
+  *  - `publish_staged(table, snapshot_id)` → [[IcebergTable.publishStaged]]
+  *
+  * Each call returns a one-row report as a driver-local scan
+  * ([[LocalScan]] — procedure reports are metadata-grain). The `table`
+  * argument is the `<ns>.<table>` path inside the calling catalog's
+  * warehouse (multi-level namespaces supported via the same
+  * [[IcebergCatalog.nsPath]] layout the catalog resolves). Procedures are
+  * driver-side metadata operations except `rewrite_position_deletes`,
+  * whose consolidation scans run distributed like any library call. */
+private[iceberg] object GraftProcedures {
+
+  val Names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
+    "rewrite_manifests", "rewrite_position_deletes", "cherrypick_snapshot",
+    "publish_staged")
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live under <cat>.system, got ${ident.namespace().mkString(".")}")
+    require(Names.contains(ident.name()), s"no procedure ${ident.name()}")
+    new GraftUnboundProcedure(warehouse, ident.name())
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system") || namespace.isEmpty)
+      Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  private[iceberg] def tableLocation(warehouse: String, table: String): String = {
+    val parts = table.split("\\.").toSeq
+    require(parts.size >= 2, s"table must be <ns>.<table>, got $table")
+    IcebergCatalog.tableLocation(warehouse,
+      IcebergCatalog.nsPath(parts.init), parts.last)
+  }
+}
+
+private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = proc
+  override def description(): String = s"graft system procedure $proc"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // commits mutate the table
+
+  private def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+
+  override def parameters(): Array[ProcedureParameter] = proc match {
+    case "expire_snapshots" =>
+      Array(p("table", StringType),
+        ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build())
+    case "rollback_to_snapshot" | "cherrypick_snapshot" | "publish_staged" =>
+      Array(p("table", StringType), p("snapshot_id", LongType))
+    case "rewrite_manifests" =>
+      Array(p("table", StringType),
+        ProcedureParameter.in("group_months", IntegerType).defaultValue("12").build())
+    case "rewrite_position_deletes" =>
+      Array(p("table", StringType))
+  }
+
+  private def schemaOf: StructType = proc match {
+    case "expire_snapshots" => StructType(Seq(
+      StructField("snapshots_removed", LongType),
+      StructField("manifest_lists_deleted", LongType),
+      StructField("manifests_deleted", LongType),
+      StructField("data_files_deleted", LongType),
+      StructField("delete_files_deleted", LongType)))
+    case "rollback_to_snapshot" => StructType(Seq(
+      StructField("previous_snapshot_id", LongType),
+      StructField("current_snapshot_id", LongType)))
+    case "rewrite_manifests" => StructType(Seq(
+      StructField("new_snapshot_id", LongType),
+      StructField("manifests_before", LongType),
+      StructField("manifests_after", LongType)))
+    case "rewrite_position_deletes" => StructType(Seq(
+      StructField("new_snapshot_id", LongType)))
+    case "cherrypick_snapshot" | "publish_staged" => StructType(Seq(
+      StructField("current_snapshot_id", LongType)))
+  }
+
+  private def headManifestCount(location: String): Long = {
+    val meta = IcebergTable.readMetadata(location)
+    IcebergTable.readManifestList(IcebergTable.currentSnapshot(meta).manifestList)
+      .size.toLong
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val location = GraftProcedures.tableLocation(warehouse,
+      input.getUTF8String(0).toString)
+    val row: Array[Any] = proc match {
+      case "expire_snapshots" =>
+        val r = IcebergTable.expireSnapshots(location, keepLast = input.getInt(1))
+        Array(r.snapshotsRemoved.toLong, r.manifestListsDeleted.toLong,
+          r.manifestsDeleted.toLong, r.dataFilesDeleted.toLong,
+          r.deleteFilesDeleted.toLong)
+      case "rollback_to_snapshot" =>
+        val prev = IcebergTable.readMetadata(location).currentSnapshotId
+        IcebergTable.rollback(location, input.getLong(1))
+        Array(prev, input.getLong(1))
+      case "rewrite_manifests" =>
+        val before = headManifestCount(location)
+        val id = IcebergTable.rewriteManifests(location, input.getInt(1))
+        Array(id, before, headManifestCount(location))
+      case "rewrite_position_deletes" =>
+        Array(IcebergTable.rewritePositionDeletes(
+          org.apache.spark.sql.SparkSession.active, location))
+      case "cherrypick_snapshot" =>
+        Array(IcebergTable.cherryPick(location, input.getLong(1)))
+      case "publish_staged" =>
+        IcebergTable.publishStaged(location, input.getLong(1))
+        Array(IcebergTable.readMetadata(location).currentSnapshotId)
+    }
+    val schema = schemaOf
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(row))
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}

@@ -3084,4 +3084,68 @@ object IcebergOps {
       .toDF("n_rows", "sum_qty", "n_snapshots", "n_stream_commits",
         "last_epoch", "replay_noop")
   }
+
+  /** CALL-procedure fixture boundary: era 3 starts here (eras: < SnapshotCut,
+    * [SnapshotCut, SqlCallEra3Cut), ≥ SqlCallEra3Cut). */
+  val SqlCallEra3Cut = "1998-01-01"
+
+  /** `CALL <cat>.system.<proc>` fixture: `lake.lineitem_call` gets three
+    * era appends, then the maintenance sequence every lake operator runs —
+    * `rollback_to_snapshot(2)` (head back one era),
+    * `expire_snapshots(retain_last => 2)` (snapshot 1 expired; its manifest
+    * survives via snapshot 2's reuse — zero files deleted),
+    * `rewrite_manifests(group_months => 12)` (the head's 2 era manifests
+    * regrouped into year branches as snapshot 4). The procedures' own
+    * report rows are persisted as a sidecar so the op returns the ACTUAL
+    * CALL outputs, not a recomputation. */
+  private def sqlCallWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlcall") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlcall_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      val t = IcebergCatalog.createTable(w, "lake", "lineitem_call")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), t)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp") &&
+                col("l_shipdate") < lit(SqlCallEra3Cut).cast("timestamp")), t)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SqlCallEra3Cut).cast("timestamp")), t)
+      val rb = spark.sql(
+        s"CALL $cat.system.rollback_to_snapshot(table => 'lake.lineitem_call', snapshot_id => 2)").head()
+      val ex = spark.sql(
+        s"CALL $cat.system.expire_snapshots(table => 'lake.lineitem_call', retain_last => 2)").head()
+      val rw = spark.sql(
+        s"CALL $cat.system.rewrite_manifests(table => 'lake.lineitem_call')").head()
+      val report = Seq(rb.getLong(0), rb.getLong(1), ex.getLong(0), ex.getLong(1),
+        ex.getLong(2), ex.getLong(3), rw.getLong(0), rw.getLong(1), rw.getLong(2))
+      java.nio.file.Files.write(new java.io.File(w, "call_reports.json").toPath,
+        report.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(w)
+    }
+
+  /** SQL stored procedures (`CALL <cat>.system.<proc>(…)`) — rollback /
+    * expire / rewrite-manifests through Spark's connector procedure API
+    * ([[GraftProcedures]]); census = the procedures' own report rows plus
+    * the final table state (head rows = eras 1+2, snapshot log
+    * [2, 3, 4]). */
+  def sqlCall(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlCallWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rep = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(w, "call_reports.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
+    val r = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.lineitem_call").head()
+    val meta = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "lineitem_call"))
+    import spark.implicits._
+    Seq((rep(0), rep(1), rep(2), rep(3), rep(4), rep(5), rep(6), rep(7), rep(8),
+      r.getLong(0), meta.snapshots.size.toLong))
+      .toDF("prev_snapshot_id", "rolled_to", "snapshots_removed",
+        "manifest_lists_deleted", "manifests_deleted", "data_files_deleted",
+        "rewrite_snapshot_id", "manifests_before", "manifests_after",
+        "n_rows", "n_snapshots")
+  }
 }

@@ -56,7 +56,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequence era (deterministic; internal lineage columns stripped), with
   * timestamps in whatever physical form the file carries — int96, millis
   * or micros — via Spark's own vectorized conversion. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -68,6 +69,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** `CALL <cat>.system.<proc>(…)` — the Iceberg maintenance procedures
+    * (expire/rollback/rewrite/cherry-pick/publish) over the library's
+    * committers; see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   /** Namespaces are MULTI-LEVEL: `a.b.c` maps to nested directories
     * `warehouse/a/b/c` (the HadoopCatalog layout); a directory with a
