@@ -120,6 +120,7 @@ object SparkEntry {
     "iceberg_sql_files_meta" -> q((s, d) => iceberg.IcebergOps.sqlFilesMeta(s, Tables.lineitem(s, d))),
     "iceberg_stream_ingest" -> q((s, d) => iceberg.IcebergOps.streamIngest(s, Tables.lineitem(s, d))),
     "iceberg_sql_call" -> q((s, d) => iceberg.IcebergOps.sqlCall(s, Tables.lineitem(s, d))),
+    "iceberg_sql_branch_read" -> q((s, d) => iceberg.IcebergOps.sqlRefRead(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1664,6 +1665,20 @@ object SparkEntry {
         | CAST(2 AS BIGINT) AS n_snapshots,
         | CAST(2 AS BIGINT) AS n_manifests
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Ref-name time travel: the tag pins era 1, the branch eras 1-2,
+    // main all three; the refs meta table lists audit/dev/main.
+    "iceberg_sql_branch_read" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val cut3 = iceberg.IcebergOps.SqlCallEra3Cut
+      s"""SELECT
+        | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut') AS BIGINT) AS rows_tag,
+        | CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '$cut3 00:00:00') AS BIGINT) AS rows_branch,
+        | CAST(count(*) AS BIGINT) AS rows_head,
+        | CAST(3 AS BIGINT) AS n_refs,
+        | 'audit:tag:1,dev:branch:2,main:branch:3' AS refs
+        |FROM lineitem""".stripMargin
     },
 
     // CALL procedures: rollback to snapshot 2, expire snapshot 1 (its

@@ -2931,6 +2931,17 @@ object IcebergOps {
       IcebergTable.append(spark,
         lineitem.filter(col("l_shipdate") < lit("1996-02-01").cast("timestamp")),
         IcebergCatalog.createTable(w, "lake", "lineitem_mrg2bad"))
+      // -- ref-read fixture: tag at era 1, branch at era 2, main at era 3
+      val tRef = IcebergCatalog.createTable(w, "lake", "lineitem_ref")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), tRef)
+      IcebergTable.setRef(tRef, "audit", 1L, "tag")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp") &&
+                col("l_shipdate") < lit(SqlCallEra3Cut).cast("timestamp")), tRef)
+      IcebergTable.setRef(tRef, "dev", 2L, "branch")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SqlCallEra3Cut).cast("timestamp")), tRef)
       // -- streaming-ingest fixture: 3 epochs via writeStream.toTable
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -3147,5 +3158,27 @@ object IcebergOps {
         "manifest_lists_deleted", "manifests_deleted", "data_files_deleted",
         "rewrite_snapshot_id", "manifests_before", "manifests_after",
         "n_rows", "n_snapshots")
+  }
+
+  /** Ref-name time travel through SQL (`VERSION AS OF 'audit'` — spec
+    * §Refs resolved by the catalog the way Iceberg's Spark runtime does):
+    * the tag pins era 1, the branch pins eras 1–2, main reads all three
+    * eras, and the `refs` metadata table censuses all three refs via
+    * plain SQL. */
+  def sqlRefRead(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlR18WarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    def cnt(sql: String): Long = spark.sql(sql).head().getLong(0)
+    val tagRows = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_ref VERSION AS OF 'audit'")
+    val brRows = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_ref VERSION AS OF 'dev'")
+    val headRows = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_ref")
+    val refs = spark.sql(
+      s"""SELECT name, type, snapshot_id FROM $cat.lake.lineitem_ref.refs
+         |ORDER BY name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    import spark.implicits._
+    Seq((tagRows, brRows, headRows, refs.size.toLong,
+      refs.map(r => s"${r._1}:${r._2}:${r._3}").mkString(",")))
+      .toDF("rows_tag", "rows_branch", "rows_head", "n_refs", "refs")
   }
 }

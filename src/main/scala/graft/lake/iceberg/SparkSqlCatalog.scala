@@ -136,10 +136,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF <snapshot-id>` — DSv2 time travel, resolved to a
-    * snapshot-pinned scan exactly like the library's `planFiles(id)`. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+  /** `VERSION AS OF <snapshot-id | 'ref'>` — DSv2 time travel, resolved
+    * to a snapshot-pinned scan exactly like the library's `planFiles(id)`.
+    * A non-numeric version is a REF NAME (branch or tag, spec §Refs):
+    * `SELECT … FROM t VERSION AS OF 'audit'` reads the tagged snapshot —
+    * the same resolution Iceberg's Spark runtime performs. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val numeric = version.nonEmpty && version.forall(_.isDigit)
+    if (numeric) load(ident, Some(version.toLong))
+    else {
+      val meta = IcebergTable.readMetadata(location(ident))
+      val ref = meta.refs.getOrElse(version, throw new IllegalArgumentException(
+        s"no branch or tag '$version' on ${ident.name()} " +
+          s"(refs: ${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+      load(ident, Some(ref.snapshotId))
+    }
+  }
 
   /** `TIMESTAMP AS OF <instant>` — the latest snapshot committed at or
     * before the instant (the spec's snapshot-log resolution rule). */
