@@ -131,4 +131,40 @@ class DeltaCommitSpec extends SparkSpec {
       assert(found > 0, s"key $k not in its murmur3 bucket files")
     }
   }
+
+  test("streaming sink survives a genuine query restart exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = Files.createTempDirectory("graft_stream_restart_wh_").toString
+    IcebergCatalog.createNamespace(w, "lake")
+    val cat = "graft_sr_" + (w.hashCode.toLong & 0x7FFFFFFFL)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    val ckpt = Files.createTempDirectory("graft_stream_restart_ck_").toString
+    val li = lineitem.withColumn("__b", pmod(col("l_orderkey"), lit(2L)).cast("int"))
+    val in = MemoryStream[Int]
+    def start() = in.toDF().toDF("__m").join(li, col("__m") === col("__b"))
+      .drop("__m", "__b")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.lake.lineitem_restart")
+    val q1 = start()
+    try { in.addData(0); q1.processAllAvailable() } finally q1.stop()
+    // RESTART from the same checkpoint: the second query must resume the
+    // epoch sequence (not re-commit epoch 0) and keep the SAME dedup key
+    // (the stable query id, not the per-run id) in its snapshot summaries.
+    val q2 = start()
+    try { in.addData(1); q2.processAllAvailable() } finally q2.stop()
+    val loc = IcebergCatalog.tableLocation(w, "lake", "lineitem_restart")
+    val meta = IcebergTable.readMetadata(loc)
+    val commits = meta.snapshots.filter(_.summary.contains("streaming-query"))
+    assert(commits.size === 2, s"expected 2 epoch commits, got ${commits.size}")
+    assert(commits.map(_.summary("streaming-query")).distinct.size === 1,
+      "dedup key must be restart-stable (query id, not run id)")
+    assert(commits.flatMap(_.summary.get("epoch-id")).map(_.toLong).sorted === Seq(0L, 1L))
+    // EXACTLY the two buckets' rows, no duplicates across the restart
+    val expected = li.filter(col("__b").isin(0, 1)).count()
+    val actual = spark.table(s"$cat.lake.lineitem_restart").count()
+    assert(actual === expected)
+  }
 }
