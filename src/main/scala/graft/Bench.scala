@@ -400,7 +400,10 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try {
         if (!linePrinted.get()) {
-          shedPhases += "SIGTERM"
+          // fires on SIGTERM (driver-window timeout) AND on any abnormal
+          // JVM exit that skipped the normal finale — either way the
+          // partial snapshot is strictly better than silence
+          shedPhases += "terminated-early"
           flushArtifact()
           printCompact(partial = true)
         }
