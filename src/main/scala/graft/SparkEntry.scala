@@ -121,6 +121,8 @@ object SparkEntry {
     "iceberg_stream_ingest" -> q((s, d) => iceberg.IcebergOps.streamIngest(s, Tables.lineitem(s, d))),
     "iceberg_sql_call" -> q((s, d) => iceberg.IcebergOps.sqlCall(s, Tables.lineitem(s, d))),
     "iceberg_sql_branch_read" -> q((s, d) => iceberg.IcebergOps.sqlRefRead(s, Tables.lineitem(s, d))),
+    "iceberg_sql_alter_widen" -> q((s, d) => iceberg.IcebergOps.sqlAlterWiden(s, Tables.lineitem(s, d))),
+    "iceberg_sql_properties" -> q((s, d) => iceberg.IcebergOps.sqlProperties(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1678,6 +1680,64 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS rows_head,
         | CAST(3 AS BIGINT) AS n_refs,
         | 'audit:tag:1,dev:branch:2,main:branch:3' AS refs
+        |FROM lineitem""".stripMargin
+    },
+
+    // SQL ALTER COLUMN … TYPE (the spec's legal promotions): era-1 files
+    // stay physically narrow (INT32/FLOAT/DECIMAL(9,2)) and upcast in the
+    // reader; era-2 values NEED the wide types (qty past Int.MaxValue,
+    // amt past precision 9). The oracle replays both eras' derivations in
+    // engine-exact arithmetic.
+    "iceberg_sql_alter_widen" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val qb = iceberg.IcebergOps.SqlWidenQtyBase
+      val ab = iceberg.IcebergOps.SqlWidenAmtBase
+      s"""WITH e1 AS (
+        |  SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(l_quantity / 4 AS REAL) AS price,
+        |    CAST(l_orderkey % 10000 AS DECIMAL(9,2)) + l_linenumber * 0.01 AS amt
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '$cut'),
+        | e2 AS (
+        |  SELECT l_orderkey + $qb AS qty,
+        |    CAST(l_orderkey AS DOUBLE) / 8 AS price,
+        |    CAST(l_orderkey + $ab AS DECIMAL(18,2)) + l_linenumber * 0.01 AS amt
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$cut'),
+        | u AS (
+        |  SELECT qty, price, CAST(amt AS DECIMAL(18,2)) AS amt, TRUE AS is_e1 FROM e1
+        |  UNION ALL
+        |  SELECT qty, price, CAST(amt AS DECIMAL(18,2)) AS amt, FALSE AS is_e1 FROM e2)
+        |SELECT 'BIGINT' AS qty_type, 'DOUBLE' AS price_type,
+        | 'DECIMAL(18,2)' AS amt_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(qty) AS BIGINT) AS sum_qty,
+        | CAST(sum(CASE WHEN is_e1 THEN qty END) AS BIGINT) AS sum_qty_e1,
+        | CAST(max(qty) AS BIGINT) AS max_qty,
+        | round(sum(price), 4) AS sum_price,
+        | CAST(CAST(sum(amt) AS DECIMAL(38,2)) AS VARCHAR) AS sum_amt,
+        | CAST(CAST(max(amt) AS DECIMAL(18,2)) AS VARCHAR) AS max_amt
+        |FROM u""".stripMargin
+    },
+
+    // SET/UNSET TBLPROPERTIES: the final map is (CREATE-clause note,
+    // era marker's LAST value); the unset write.target-records-per-file
+    // drove the era-1 insert's file split — ceil(rows/target) l_orderkey
+    // buckets per month (exactly count(DISTINCT key % k) files) — while
+    // the era-2 insert is back to one file per month.
+    "iceberg_sql_properties" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val tgt = iceberg.IcebergOps.SqlPropsTarget
+      s"""WITH e1 AS (SELECT strftime(l_shipdate, '%Y-%m') AS mo, l_orderkey
+        |   FROM lineitem WHERE l_shipdate < TIMESTAMP '$cut'),
+        | k AS (SELECT mo, greatest(1, CAST(ceil(count(*) / $tgt.0) AS BIGINT)) AS k
+        |   FROM e1 GROUP BY mo),
+        | f1 AS (SELECT e1.mo, count(DISTINCT e1.l_orderkey % k.k) AS nf
+        |   FROM e1 JOIN k USING (mo) GROUP BY e1.mo)
+        |SELECT 'graft.era=two,graft.note=created' AS props,
+        | CAST(2 AS BIGINT) AS n_props,
+        | (SELECT CAST(sum(nf) AS BIGINT) FROM f1) AS files_era1,
+        | (SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+        |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '$cut') AS files_era2,
+        | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin
     },
 

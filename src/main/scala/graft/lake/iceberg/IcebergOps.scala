@@ -3181,4 +3181,150 @@ object IcebergOps {
       refs.map(r => s"${r._1}:${r._2}:${r._3}").mkString(",")))
       .toDF("rows_tag", "rows_branch", "rows_head", "n_refs", "refs")
   }
+
+  /** Type-promotion fixture (`ALTER TABLE … ALTER COLUMN … TYPE`, spec
+    * §Schema Evolution): `lake.widen` is CREATE'd with NARROW column types
+    * (INT / FLOAT / DECIMAL(9,2)), gets an era-1 insert, then all three
+    * legal promotions (int→bigint, float→double, decimal(9,2)→(18,2)) as
+    * metadata-only commits, then an era-2 insert whose values NEED the
+    * wide types (a qty past Int.MaxValue, an amt past precision 9). Every
+    * value derives deterministically from lineitem in engine-exact
+    * arithmetic (ints, float-exact quarters/eighths, integral-cent
+    * decimals) so DuckDB replays the census bit-for-bit. */
+  private def sqlWidenWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlwiden") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlwiden_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      spark.sql(s"""CREATE TABLE $cat.lake.widen
+        | (id INT, qty INT, price FLOAT, amt DECIMAL(9,2),
+        |  l_shipdate TIMESTAMP)""".stripMargin)
+      lineitem.createOrReplaceTempView("graft_sql_widen_src")
+      spark.sql(
+        s"""INSERT INTO $cat.lake.widen
+           |SELECT CAST(l_orderkey % 1000000 AS INT),
+           |  CAST(l_quantity AS INT),
+           |  CAST(l_quantity / 4 AS FLOAT),
+           |  CAST(l_orderkey % 10000 AS DECIMAL(9,2)) + l_linenumber * 0.01,
+           |  l_shipdate
+           |FROM graft_sql_widen_src
+           |WHERE l_shipdate < TIMESTAMP '$SnapshotCut'""".stripMargin)
+      spark.sql(s"ALTER TABLE $cat.lake.widen ALTER COLUMN qty TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $cat.lake.widen ALTER COLUMN price TYPE DOUBLE")
+      spark.sql(s"ALTER TABLE $cat.lake.widen ALTER COLUMN amt TYPE DECIMAL(18,2)")
+      spark.sql(
+        s"""INSERT INTO $cat.lake.widen
+           |SELECT CAST(l_orderkey % 1000000 AS INT),
+           |  l_orderkey + ${SqlWidenQtyBase}L,
+           |  CAST(l_orderkey AS DOUBLE) / 8,
+           |  CAST(l_orderkey + $SqlWidenAmtBase AS DECIMAL(18,2)) + l_linenumber * 0.01,
+           |  l_shipdate
+           |FROM graft_sql_widen_src
+           |WHERE l_shipdate >= TIMESTAMP '$SnapshotCut'""".stripMargin)
+      new String(w)
+    }
+
+  /** Era-2 qty offset: past Int.MaxValue, so the read PROVES the int→long
+    * promotion (an un-promoted read would overflow/refuse). */
+  val SqlWidenQtyBase = 3000000000L
+
+  /** The properties fixture's records-per-file target: small enough that
+    * sf0.01+ months split into multiple files (the property PROVABLY
+    * drives the writer), large enough that the per-month bucket count
+    * stays replayable integer arithmetic. */
+  val SqlPropsTarget = 200L
+
+  /** Table-properties fixture: `lake.props` is CREATE'd with a
+    * TBLPROPERTIES clause (pending sidecar), gets
+    * `write.target-records-per-file` SET before the era-1 insert (whose
+    * months split into ceil(rows/target) files bucketed by
+    * l_orderkey % k — replayable), then the target UNSET and a marker
+    * property re-SET before the era-2 insert (back to one file per
+    * month). Property eras are thus visible in the files census, not just
+    * in SHOW TBLPROPERTIES. */
+  private def sqlPropsWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlprops") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlprops_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      spark.sql(
+        s"""CREATE TABLE $cat.lake.props
+           | (l_orderkey BIGINT, l_quantity DOUBLE, l_shipdate TIMESTAMP)
+           |TBLPROPERTIES ('graft.note' = 'created')""".stripMargin)
+      spark.sql(s"ALTER TABLE $cat.lake.props SET TBLPROPERTIES " +
+        s"('write.target-records-per-file' = '$SqlPropsTarget', 'graft.era' = 'one')")
+      lineitem.createOrReplaceTempView("graft_sql_props_src")
+      spark.sql(
+        s"""INSERT INTO $cat.lake.props
+           |SELECT l_orderkey, l_quantity, l_shipdate FROM graft_sql_props_src
+           |WHERE l_shipdate < TIMESTAMP '$SnapshotCut'""".stripMargin)
+      spark.sql(s"ALTER TABLE $cat.lake.props UNSET TBLPROPERTIES " +
+        "('write.target-records-per-file')")
+      spark.sql(s"ALTER TABLE $cat.lake.props SET TBLPROPERTIES ('graft.era' = 'two')")
+      spark.sql(
+        s"""INSERT INTO $cat.lake.props
+           |SELECT l_orderkey, l_quantity, l_shipdate FROM graft_sql_props_src
+           |WHERE l_shipdate >= TIMESTAMP '$SnapshotCut'""".stripMargin)
+      new String(w)
+    }
+
+  /** `SET/UNSET TBLPROPERTIES` through the SQL front door — properties as
+    * METADATA-ONLY commits that real writes OBEY:
+    * `write.target-records-per-file` is read live by the insert path, so
+    * the era-1 files census shows ceil(rows/target) bucketed files per
+    * month while the era-2 insert (after UNSET) is back to one file per
+    * month; SHOW TBLPROPERTIES serves the final map (the CREATE-clause
+    * property, the era marker's LAST value, no trace of the unset key). */
+  def sqlProperties(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlPropsWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.lake.props").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val f = spark.sql(
+      s"""SELECT
+         | CAST(count(CASE WHEN sequence_number = 1 THEN 1 END) AS BIGINT),
+         | CAST(count(CASE WHEN sequence_number = 2 THEN 1 END) AS BIGINT)
+         |FROM $cat.lake.props.files""".stripMargin).head()
+    val n = spark.sql(s"SELECT count(*) FROM $cat.lake.props").head().getLong(0)
+    import spark.implicits._
+    Seq((props.map { case (k, v) => s"$k=$v" }.mkString(","), props.length.toLong,
+      f.getLong(0), f.getLong(1), n))
+      .toDF("props", "n_props", "files_era1", "files_era2", "n_rows")
+  }
+
+  /** Era-2 amt offset: past DECIMAL(9,2)'s capacity, proving the precision
+    * widening. */
+  val SqlWidenAmtBase = 10000000000L
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` through the SQL front door — the
+    * spec's three legal type promotions as METADATA-ONLY commits: era-1
+    * files keep their narrow physical types (INT32/FLOAT/DECIMAL(9,2))
+    * and upcast per file inside the vectorized reader
+    * ([[GraftUpcastVector]] on the columnar path), era-2 files carry the
+    * wide types natively, and ONE scan serves both eras under the widened
+    * schema. The census pins the visible schema AND cross-era aggregates
+    * whose values require the wide types. */
+  def sqlAlterWiden(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlWidenWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val sch = spark.table(s"$cat.lake.widen").schema
+    def typeOf(n: String): String = sch(n).dataType.sql
+    val r = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(qty) AS BIGINT) AS sum_qty,
+         | CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCut'
+         |   THEN qty END) AS BIGINT) AS sum_qty_e1,
+         | CAST(max(qty) AS BIGINT) AS max_qty,
+         | round(sum(price), 4) AS sum_price,
+         | CAST(CAST(sum(amt) AS DECIMAL(38,2)) AS STRING) AS sum_amt,
+         | CAST(CAST(max(amt) AS DECIMAL(18,2)) AS STRING) AS max_amt
+         |FROM $cat.lake.widen""".stripMargin).head()
+    import spark.implicits._
+    Seq((typeOf("qty"), typeOf("price"), typeOf("amt"),
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getString(5), r.getString(6)))
+      .toDF("qty_type", "price_type", "amt_type",
+        "n_rows", "sum_qty", "sum_qty_e1", "max_qty",
+        "sum_price", "sum_amt", "max_amt")
+  }
 }

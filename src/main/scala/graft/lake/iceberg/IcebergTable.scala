@@ -129,7 +129,22 @@ object IcebergTable {
                                  // Readers resolve a missing column per
                                  // FILE by walking the chain (files written
                                  // under any prior name keep serving data).
-                                 renamedColumns: Map[String, Seq[String]] = Map.empty)
+                                 renamedColumns: Map[String, Seq[String]] = Map.empty,
+                                 // ALTER TABLE ALTER COLUMN … TYPE (spec
+                                 // §Schema Evolution type promotion:
+                                 // int→long, float→double, decimal
+                                 // precision widening): current name →
+                                 // widened type as a Spark DDL string.
+                                 // Files written before the promotion keep
+                                 // their narrow physical type; readers
+                                 // upcast per file.
+                                 widenedColumns: Map[String, String] = Map.empty,
+                                 // Table properties (spec §Table Metadata
+                                 // `properties`): carried across commits,
+                                 // mutated only by SET/UNSET TBLPROPERTIES.
+                                 // `write.target-records-per-file` DRIVES
+                                 // the writer's file-split policy.
+                                 properties: Map[String, String] = Map.empty)
 
   /** Result of scan planning — the numbers a metadata benchmark reports. */
   final case class ScanPlan(files: Seq[DataFileEntry], manifestsTotal: Int,
@@ -845,13 +860,18 @@ object IcebergTable {
             .agg(sum(greatest(lit(1L),
               ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
             .head().getLong(0)
+          // p_fid stays a DIRECTORY column: two bucket groups of one month
+          // colliding in a task still write DISTINCT files, so the
+          // per-month file count is exactly count(DISTINCT l_orderkey % k)
+          // — a deterministic function of the data (oracle-replayable),
+          // never of the shuffle's hash collisions.
           (withPart.join(broadcast(counts), Seq("p_month"))
-            .withColumn("__fb", pmod(col("l_orderkey").cast("long"),
-              greatest(lit(1L), ceil(col("__cnt").cast("double") / target.toDouble).cast("long"))))
+            .withColumn("p_fid", pmod(col("l_orderkey").cast("long"),
+              greatest(lit(1L), ceil(col("__cnt").cast("double") / target.toDouble).cast("long")))
+              .cast("int"))
             .drop("__cnt")
             .repartition(math.min(math.max(nBuckets, 1L), 20000L).toInt,
-              col("p_month"), col("__fb"))
-            .drop("__fb"), Seq("p_month"))
+              col("p_month"), col("p_fid")), Seq("p_month", "p_fid"))
       }
     }
     withMicrosTimestamps(spark) {
@@ -1270,20 +1290,28 @@ object IcebergTable {
                                 statistics: Seq[StatsFileInfo] = Seq.empty,
                                 nextRowId: Long = 0L,
                                 droppedColumns: Option[Map[String, Long]] = None,
-                                renamedColumns: Option[Map[String, Seq[String]]] = None): Unit = {
+                                renamedColumns: Option[Map[String, Seq[String]]] = None,
+                                widenedColumns: Option[Map[String, String]] = None,
+                                properties: Option[Map[String, String]] = None): Unit = {
     val mdir = metadataDir(location)
     val version = atVersion.getOrElse(readVersionHint(location) + 1)
-    // drop/rename bookkeeping CARRIES by default: only the ALTER paths set
-    // these explicitly, and every other commit (append, overwrite, expiry,
-    // …) must not silently wipe a tombstone or a rename chain. The carry
-    // reads the current version file — one driver-side KB-grain parse.
-    val (carryDropped, carryRenames) =
-      if (droppedColumns.isDefined && renamedColumns.isDefined)
-        (droppedColumns.get, renamedColumns.get)
+    // drop/rename/widen/properties bookkeeping CARRIES by default: only
+    // the ALTER paths set these explicitly, and every other commit
+    // (append, overwrite, expiry, …) must not silently wipe a tombstone,
+    // a rename chain, a type promotion or a property. The carry reads the
+    // current version file — one driver-side KB-grain parse. A table's
+    // FIRST commit folds in the CREATE TABLE … TBLPROPERTIES sidecar.
+    val (carryDropped, carryRenames, carryWidened, carryProps) =
+      if (droppedColumns.isDefined && renamedColumns.isDefined &&
+          widenedColumns.isDefined && properties.isDefined)
+        (droppedColumns.get, renamedColumns.get, widenedColumns.get, properties.get)
       else {
         val cur = readMetadataWithVersionOpt(location)._1
         (droppedColumns.getOrElse(cur.map(_.droppedColumns).getOrElse(Map.empty)),
-         renamedColumns.getOrElse(cur.map(_.renamedColumns).getOrElse(Map.empty)))
+         renamedColumns.getOrElse(cur.map(_.renamedColumns).getOrElse(Map.empty)),
+         widenedColumns.getOrElse(cur.map(_.widenedColumns).getOrElse(Map.empty)),
+         properties.getOrElse(cur.map(_.properties)
+           .getOrElse(readPendingProperties(location))))
       }
     val schemasJson =
       if (schemas.isEmpty)
@@ -1355,6 +1383,10 @@ object IcebergTable {
              .map { case (n, chain) =>
                s""""$n":${chain.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
              }.mkString("{", ",", "}")},
+         |"graft-widened":${carryWidened.toSeq.sortBy(_._1)
+             .map { case (n, t) => s""""$n":"$t"""" }.mkString("{", ",", "}")},
+         |"properties":${carryProps.toSeq.sortBy(_._1)
+             .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")},
          |"refs":$refsJson,
          |"statistics":$statsJson,
          |"snapshots":$snapsJson}""".stripMargin
@@ -1514,13 +1546,21 @@ object IcebergTable {
           n -> chain.children.map(_.extract[String]) }.toMap
         case _ => Map.empty[String, Seq[String]]
       }
+      val widened = (j \ "graft-widened") match {
+        case JObject(fields) => fields.map { case (n, t) => n -> t.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
+      val props = (j \ "properties") match {
+        case JObject(fields) => fields.map { case (k, v) => k -> v.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
       TableMetadata((j \ "format-version").extract[Int],
         (j \ "table-uuid").extract[String],
         (j \ "location").extract[String],
         (j \ "current-snapshot-id").extract[Long], snaps, refs, schemas, stats,
         // pre-lineage metadata files lack the field: 0 (standard evolution)
         (j \ "next-row-id").extractOpt[Long].getOrElse(0L),
-        dropped, renames)
+        dropped, renames, widened, props)
     }
   }
 
@@ -2291,7 +2331,85 @@ object IcebergTable {
       meta.currentSnapshotId, meta.refs, schemas,
       statistics = meta.statistics, nextRowId = meta.nextRowId,
       droppedColumns = Some(meta.droppedColumns + (column -> droppedAt)),
-      renamedColumns = Some(meta.renamedColumns - column))
+      renamedColumns = Some(meta.renamedColumns - column),
+      widenedColumns = Some(meta.widenedColumns - column))
+  }
+
+  /** `ALTER TABLE ALTER COLUMN … TYPE` (spec §Schema Evolution, the legal
+    * type promotions: int→long, float→double, decimal precision widening
+    * at fixed scale): a METADATA-ONLY version bump recording
+    * column → widened Spark DDL type. NO data file is touched — files
+    * written before the promotion keep their narrow physical type and the
+    * reader upcasts per file ([[GraftVectorized]]-side resolution, the
+    * name-based twin of the spec's field-id type lookup); files written
+    * after carry the wide type natively. Promotion LEGALITY is validated
+    * by the caller against the current Spark schema (the catalog layer,
+    * which has the Catalyst types); this layer only refuses dropped
+    * columns and records the promotion. */
+  /** Pending-properties sidecar (`metadata/properties.pending.json`):
+    * `CREATE TABLE … TBLPROPERTIES` and pre-commit `ALTER TABLE SET`
+    * land here; the table's FIRST snapshot commit folds the sidecar into
+    * metadata.json's `properties` (the carry default in
+    * [[writeMetadataJson]]). One flat string map, json4s round-trip. */
+  def readPendingProperties(location: String): Map[String, String] = {
+    val f = new File(location, "metadata/properties.pending.json")
+    if (!f.exists()) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(Files.readString(f.toPath)) match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  def writePendingProperties(location: String, props: Map[String, String]): Unit = {
+    val mdir = metadataDir(location); mdir.mkdirs()
+    val json = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    Files.write(new File(mdir, "properties.pending.json").toPath,
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** `ALTER TABLE SET/UNSET TBLPROPERTIES` on a COMMITTED table: a
+    * METADATA-ONLY version bump mutating the `properties` map (spec
+    * §Table Metadata). Properties are plain configuration — but
+    * `write.target-records-per-file` is READ BY the SQL insert path and
+    * drives the writer's file-split policy, so a property era is visible
+    * in the files census. */
+  def setTableProperties(location: String, set: Map[String, String],
+                         unset: Set[String] = Set.empty): Unit = {
+    val (meta, _) = readMetadataWithVersion(location)
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, meta.schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId,
+      droppedColumns = Some(meta.droppedColumns),
+      renamedColumns = Some(meta.renamedColumns),
+      widenedColumns = Some(meta.widenedColumns),
+      properties = Some(meta.properties -- unset ++ set))
+  }
+
+  /** The writer's records-per-file target from the table's LIVE
+    * properties (committed metadata first, CREATE sidecar before the
+    * first commit) — what makes `write.target-records-per-file` a real
+    * control, not an annotation. */
+  def targetRecordsProp(location: String): Option[Long] =
+    readMetadataOpt(location).map(_.properties)
+      .getOrElse(readPendingProperties(location))
+      .get("write.target-records-per-file").map(_.trim.toLong)
+
+  def widenSchemaColumn(location: String, column: String, toTypeDdl: String): Unit = {
+    val (meta, _) = readMetadataWithVersion(location)
+    require(!meta.droppedColumns.contains(column), s"column $column was dropped")
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, meta.schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId,
+      droppedColumns = Some(meta.droppedColumns),
+      renamedColumns = Some(meta.renamedColumns),
+      widenedColumns = Some(meta.widenedColumns + (column -> toTypeDdl)))
   }
 
   /** `ALTER TABLE RENAME COLUMN` (spec §Schema Evolution): metadata-only.
@@ -2316,7 +2434,13 @@ object IcebergTable {
       meta.currentSnapshotId, meta.refs, schemas,
       statistics = meta.statistics, nextRowId = meta.nextRowId,
       droppedColumns = Some(meta.droppedColumns),
-      renamedColumns = Some(meta.renamedColumns - from + (to -> chain)))
+      renamedColumns = Some(meta.renamedColumns - from + (to -> chain)),
+      // a widened column's promotion FOLLOWS the rename (the type rides
+      // with the field, spec field-id semantics)
+      widenedColumns = Some(meta.widenedColumns.get(from) match {
+        case Some(t) => meta.widenedColumns - from + (to -> t)
+        case None => meta.widenedColumns
+      }))
   }
 
   /** Streaming-ingest epoch commit (the Iceberg streaming sink contract):

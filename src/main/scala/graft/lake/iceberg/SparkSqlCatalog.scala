@@ -183,6 +183,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mdir = new File(loc, "metadata"); mdir.mkdirs()
     java.nio.file.Files.write(new File(mdir, "schema.pending.json").toPath,
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // CREATE TABLE … TBLPROPERTIES: user properties land in the pending
+    // sidecar (folded into metadata.json by the first commit); Spark's
+    // reserved bookkeeping keys are not table properties
+    val reserved = Set("provider", "owner", "location", "comment", "external")
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.") }
+    if (userProps.nonEmpty) IcebergTable.writePendingProperties(loc, userProps)
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       loc, None)
   }
@@ -239,8 +247,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == from) f.copy(name = to) else f))
         if (IcebergTable.readMetadataOpt(loc).isDefined)
           IcebergTable.renameSchemaColumn(loc, from, to)
+      case upd: TableChange.UpdateColumnType =>
+        // ALTER COLUMN … TYPE: metadata-only type PROMOTION (spec §Schema
+        // Evolution: int→long, float→double, decimal precision widening at
+        // fixed scale). Pre-promotion files keep their narrow physical
+        // type; the reader upcasts per file (IcebergTable.widenSchemaColumn)
+        require(upd.fieldNames().length == 1,
+          s"nested columns are not supported: ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames().head
+        require(name != "l_shipdate", "cannot retype the month partition key l_shipdate")
+        val cur = load(ident, None).asInstanceOf[GraftSqlTable].schema()
+        val from = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column $name")).dataType
+        val to = upd.newDataType()
+        val legal = (from, to) match {
+          case (f, t) if f == t => false // no-op promotion: refuse loudly
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (f: DecimalType, t: DecimalType) =>
+            t.scale == f.scale && t.precision > f.precision
+          case _ => false
+        }
+        require(legal, s"illegal type promotion for $name: " +
+          s"${from.sql} -> ${to.sql} (spec allows int->bigint, float->double, " +
+          "and decimal precision widening at fixed scale)")
+        rewritePending(loc, fields => fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.widenSchemaColumn(loc, name, to.sql)
+      case set: TableChange.SetProperty =>
+        // SET TBLPROPERTIES: metadata-only on a committed table, sidecar
+        // before the first commit (folded in by it)
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.setTableProperties(loc, Map(set.property() -> set.value()))
+        else IcebergTable.writePendingProperties(loc,
+          IcebergTable.readPendingProperties(loc) + (set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        if (IcebergTable.readMetadataOpt(loc).isDefined)
+          IcebergTable.setTableProperties(loc, Map.empty, Set(rm.property()))
+        else IcebergTable.writePendingProperties(loc,
+          IcebergTable.readPendingProperties(loc) - rm.property())
       case other => throw new UnsupportedOperationException(
-        "graft catalog supports ALTER TABLE ADD/DROP/RENAME COLUMN only, " +
+        "graft catalog supports ALTER TABLE ADD/DROP/RENAME COLUMN, " +
+          "ALTER COLUMN … TYPE, and SET/UNSET TBLPROPERTIES only, " +
           s"got $other")
     }
     load(ident, None)
@@ -371,7 +420,8 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   private def applyColumnEvolution(raw: StructType): StructType =
     IcebergTable.readMetadataOpt(location) match {
       case None => raw
-      case Some(meta) if meta.droppedColumns.isEmpty && meta.renamedColumns.isEmpty => raw
+      case Some(meta) if meta.droppedColumns.isEmpty && meta.renamedColumns.isEmpty &&
+        meta.widenedColumns.isEmpty => raw
       case Some(meta) =>
         def hidden(n: String): Boolean =
           meta.droppedColumns.get(n).exists(at => snapshotId.forall(_ > at))
@@ -382,7 +432,16 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
           }.orElse(Some(f))
         }
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        StructType(renamed.filter(f => seen.add(f.name)))
+        // type promotions relabel the column's SQL-visible type (reads at
+        // any snapshot see the widened type — the same stated name-based
+        // simplification renames carry)
+        StructType(renamed.filter(f => seen.add(f.name)).map { f =>
+          meta.widenedColumns.get(f.name) match {
+            case Some(ddl) => f.copy(dataType =
+              org.apache.spark.sql.types.DataType.fromDDL(ddl))
+            case None => f
+          }
+        })
     }
 
   private lazy val rawSchema0: StructType = {
@@ -418,8 +477,44 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
         // no data file carries them, so every read null-fills.
         val perEra = plan.files.groupBy(_.sequence).toSeq.sortBy(-_._1)
           .map { case (_, fs) => fs.map(_.path).max }
-        val merged = org.apache.spark.sql.SparkSession.active.read
-          .option("mergeSchema", "true").parquet(perEra: _*).schema
+        val widened = IcebergTable.readMetadataOpt(location)
+          .map(_.widenedColumns).getOrElse(Map.empty)
+        val merged =
+          if (widened.isEmpty)
+            org.apache.spark.sql.SparkSession.active.read
+              .option("mergeSchema", "true").parquet(perEra: _*).schema
+          else {
+            // a type-promoted table's eras DISAGREE on the column's
+            // physical type (int files before the ALTER, long files
+            // after) — Spark's mergeSchema refuses that, so merge
+            // manually newest-era-first with promotion tolerance: the
+            // first (newest) type wins, a narrower legal-promotion type
+            // in an older era folds into it
+            def widerOf(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+              case _ if a == b => Some(a)
+              case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+              case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+              case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+                Some(if (x.precision >= y.precision) x else y)
+              case _ => None
+            }
+            val spark = org.apache.spark.sql.SparkSession.active
+            val acc = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+            perEra.foreach { p =>
+              spark.read.parquet(p).schema.fields.foreach { f =>
+                acc.get(f.name) match {
+                  case None => acc(f.name) = f
+                  case Some(prev) =>
+                    acc(f.name) = prev.copy(dataType =
+                      widerOf(prev.dataType, f.dataType).getOrElse(throw
+                        new IllegalStateException(s"column ${f.name}: era types " +
+                          s"${prev.dataType.sql} vs ${f.dataType.sql} are not a " +
+                          "legal promotion pair")))
+                }
+              }
+            }
+            StructType(acc.values.toArray)
+          }
         val declaredExtra = pendingSchema.map(_.fields.filterNot(f =>
           merged.fieldNames.contains(f.name) || internalCol(f.name)))
           .getOrElse(Array.empty[StructField])
@@ -429,6 +524,15 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   }
 
   override def schema(): StructType = schema0
+
+  /** Table properties for `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED: the
+    * committed metadata's map (spec §Table Metadata `properties`), or the
+    * CREATE sidecar before the first commit. */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    IcebergTable.readMetadataOpt(location).map(_.properties)
+      .getOrElse(IcebergTable.readPendingProperties(location)).asJava
+  }
 
   /** The implicit month(l_shipdate) partitioning, DECLARED — what makes
     * Spark route `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`
@@ -567,7 +671,12 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
                                 overwrite: Boolean): Unit =
               if (m == "truncate")
                 IcebergTable.overwriteTable(data.sparkSession, data, location)
-              else IcebergTable.append(data.sparkSession, data, location)
+              else
+                // write.target-records-per-file (read LIVE at insert
+                // time): a property-era change shows up in the very next
+                // insert's file split
+                IcebergTable.append(data.sparkSession, data, location,
+                  targetRecordsPerFile = IcebergTable.targetRecordsProp(location))
           }
         /** `df.writeStream.toTable(…)` — the streaming-ingest sink: one
           * append snapshot per epoch, exactly-once on restart replay
@@ -745,12 +854,15 @@ private[iceberg] class GraftScan(location: String, snapshotId: Option[Long],
     val bc = GraftEqBroadcastCache.get(location, eqFingerprint, eqDeletes)
     val columnar = allPartitionsClean &&
       !required.fieldNames.exists(GraftVectorized.isMetaCol)
-    // live rename chains ride to the tasks so files written under a prior
-    // column name keep serving data (resolveRenames; KB-grain map)
-    val renames = IcebergTable.readMetadataOpt(location)
-      .map(_.renamedColumns).getOrElse(Map.empty)
+    // live rename chains and type promotions ride to the tasks so files
+    // written under a prior column name/type keep serving data
+    // (resolveFileSchema; KB-grain maps)
+    val meta = IcebergTable.readMetadataOpt(location)
+    val renames = meta.map(_.renamedColumns).getOrElse(Map.empty)
       .filter { case (nw, _) => required.fieldNames.contains(nw) }
-    new GraftReaderFactory(fields, bc, columnar, renames)
+    val widened = meta.map(_.widenedColumns).getOrElse(Map.empty)
+      .keySet.filter(required.fieldNames.contains)
+    new GraftReaderFactory(fields, bc, columnar, renames, widened)
   }
 }
 
@@ -787,14 +899,16 @@ private[iceberg] object GraftEqBroadcastCache {
 private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
                                           eqBc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]],
                                           columnar: Boolean = false,
-                                          renames: Map[String, Seq[String]] = Map.empty)
+                                          renames: Map[String, Seq[String]] = Map.empty,
+                                          widened: Set[String] = Set.empty)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     require(columnar, "columnar read requested on a scan with delete state")
-    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition].path, fields, renames)
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition].path, fields,
+      renames, widened)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -811,7 +925,7 @@ private[iceberg] class GraftReaderFactory(fields: Array[(String, DataType)],
         val a = p.dvBlobs.flatMap(RoaringDv.deserializeDvBlob)
         java.util.Arrays.sort(a); a
       }
-    new GraftPartitionReader(p.path, fields, deleted, merged, renames)
+    new GraftPartitionReader(p.path, fields, deleted, merged, renames, widened)
   }
 }
 
@@ -850,18 +964,71 @@ object GraftVectorized {
     * nonEmpty); the batch's vectors are positional, so callers keep
     * labeling columns with the CURRENT names. */
   def resolveRenames(path: String, required: StructType,
-                     renames: Map[String, Seq[String]]): StructType = {
-    if (renames.isEmpty || !required.fieldNames.exists(renames.contains)) required
+                     renames: Map[String, Seq[String]]): StructType =
+    resolveFileSchema(path, required, renames, Set.empty)
+
+  /** Resolve the required schema against ONE file's physical schema:
+    * RENAMED columns re-request the newest ancestor name the file carries
+    * (the rename chain), and WIDENED columns (`ALTER COLUMN … TYPE`)
+    * re-request the file's NARROW physical type when the file predates the
+    * promotion — the decoded values upcast after the vectorized read
+    * (int→long, float→double, decimal precision). Costs AT MOST one footer
+    * read per file and only runs on tables with live renames/promotions;
+    * the batch's vectors stay positional, so callers keep labeling columns
+    * with the CURRENT names and handle the (required, resolved) type pair
+    * per column. */
+  def resolveFileSchema(path: String, required: StructType,
+                        renames: Map[String, Seq[String]],
+                        widened: Set[String]): StructType = {
+    val needRename = renames.nonEmpty && required.fieldNames.exists(renames.contains)
+    val needWiden = widened.nonEmpty && required.fieldNames.exists(widened)
+    if (!needRename && !needWiden) required
     else {
       import scala.jdk.CollectionConverters._
-      val phys = fileSchemaOf(path).getFields.asScala.map(_.getName).toSet
-      StructType(required.fields.map { f =>
-        if (phys.contains(f.name)) f
-        else renames.get(f.name)
-          .flatMap(_.find(phys.contains))
-          .map(old => f.copy(name = old))
-          .getOrElse(f) // absent everywhere: stays a null-filled vector
+      val msg = fileSchemaOf(path)
+      val phys = msg.getFields.asScala.map(_.getName).toSet
+      StructType(required.fields.map { f0 =>
+        val f =
+          if (phys.contains(f0.name)) f0
+          else renames.get(f0.name)
+            .flatMap(_.find(phys.contains))
+            .map(old => f0.copy(name = old))
+            .getOrElse(f0) // absent everywhere: stays a null-filled vector
+        if (!widened.contains(f0.name) || !phys.contains(f.name)) f
+        else narrowTypeOf(msg, f.name, f.dataType)
+          .map(t => f.copy(dataType = t)).getOrElse(f)
       })
+    }
+  }
+
+  /** The NARROW Catalyst type to request from a pre-promotion file for a
+    * widened column, or None when the file already carries the wide type
+    * (or anything unexpected — then the required type reads as-is). Only
+    * the spec's legal promotion pairs map. */
+  private def narrowTypeOf(msg: MessageType, name: String,
+                           required: DataType): Option[DataType] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val t = msg.getFields.asScala.find(_.getName == name) match {
+      case Some(x) if x.isPrimitive => x.asPrimitiveType()
+      case _ => return None
+    }
+    (t.getPrimitiveTypeName, required) match {
+      case (INT32, LongType)
+          if t.getLogicalTypeAnnotation == null ||
+            t.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some(IntegerType)
+      case (FLOAT, DoubleType) => Some(FloatType)
+      case (_, d: DecimalType) =>
+        t.getLogicalTypeAnnotation match {
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+              if dec.getScale == d.scale && dec.getPrecision < d.precision =>
+            Some(DecimalType(dec.getPrecision, dec.getScale))
+          case _ => None
+        }
+      case _ => None
     }
   }
 
@@ -899,7 +1066,8 @@ private[iceberg] class GraftPartitionReader(path: String,
                                             fields: Array[(String, DataType)],
                                             deletedPos: Array[Long],
                                             eqKeys: Array[Long],
-                                            renames: Map[String, Seq[String]] = Map.empty)
+                                            renames: Map[String, Seq[String]] = Map.empty,
+                                            widened: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   private val eqCol = "l_orderkey"
@@ -911,8 +1079,12 @@ private[iceberg] class GraftPartitionReader(path: String,
          Array((eqCol, LongType: DataType))
        else Array.empty[(String, DataType)])
   private val physIdx: Map[String, Int] = physFields.map(_._1).zipWithIndex.toMap
-  private val reader = GraftVectorized.open(path, GraftVectorized.resolveRenames(path,
-    StructType(physFields.map { case (n, t) => StructField(n, t) }), renames))
+  // the per-FILE resolved schema: renamed columns under their in-file
+  // ancestor name, widened columns at the file's narrow physical type
+  // (the extractors upcast) — positionally aligned with physFields
+  private val resolved: StructType = GraftVectorized.resolveFileSchema(path,
+    StructType(physFields.map { case (n, t) => StructField(n, t) }), renames, widened)
+  private val reader = GraftVectorized.open(path, resolved)
   private val filePathValue = UTF8String.fromString(path)
 
   private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -933,7 +1105,17 @@ private[iceberg] class GraftPartitionReader(path: String,
         // first nextBatch) — the lambdas must not capture a column ref
         def ifSet(f: Int => Any): Int => Any =
           i => if (batch.column(j).isNullAt(i)) null else f(i)
-        dt match {
+        (dt, resolved.fields(j).dataType) match {
+          // type-promotion upcasts: the file predates the ALTER COLUMN …
+          // TYPE, so the vector decoded at the narrow type and the value
+          // widens here (spec §Schema Evolution promotion on read)
+          case (LongType, IntegerType) => ifSet(i => batch.column(j).getInt(i).toLong)
+          case (DoubleType, FloatType) => ifSet(i => batch.column(j).getFloat(i).toDouble)
+          case (d: DecimalType, n: DecimalType) if n != d =>
+            ifSet(i => org.apache.spark.sql.types.Decimal(
+              batch.column(j).getDecimal(i, n.precision, n.scale).toJavaBigDecimal,
+              d.precision, d.scale))
+          case _ => dt match {
           case LongType | TimestampType | TimestampNTZType =>
             ifSet(i => batch.column(j).getLong(i))
           case IntegerType | DateType => ifSet(i => batch.column(j).getInt(i))
@@ -946,6 +1128,7 @@ private[iceberg] class GraftPartitionReader(path: String,
             ifSet(i => batch.column(j).getDecimal(i, d.precision, d.scale))
           case other =>
             throw new UnsupportedOperationException(s"column $name: unsupported type $other")
+          }
         }
     }
   }
@@ -990,18 +1173,87 @@ private[iceberg] class GraftPartitionReader(path: String,
   * batch is handed over as-is. */
 private[iceberg] class GraftColumnarReader(path: String,
                                            fields: Array[(String, DataType)],
-                                           renames: Map[String, Seq[String]] = Map.empty)
+                                           renames: Map[String, Seq[String]] = Map.empty,
+                                           widened: Set[String] = Set.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val reader = GraftVectorized.open(path, GraftVectorized.resolveRenames(path,
-    StructType(fields.map { case (n, t) => StructField(n, t) }), renames))
+  private val required = StructType(fields.map { case (n, t) => StructField(n, t) })
+  private val resolved = GraftVectorized.resolveFileSchema(path, required, renames, widened)
+  private val reader = GraftVectorized.open(path, resolved)
+  // columns whose file type is narrower than the required type (the file
+  // predates an ALTER COLUMN … TYPE promotion): wrapped once in an
+  // upcasting vector so the batch stays FULL-COLUMNAR
+  private val upcastIdx: Array[Int] = required.fields.indices
+    .filter(i => required.fields(i).dataType != resolved.fields(i).dataType).toArray
+  private var wrapped: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   override def next(): Boolean = reader.nextBatch()
 
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.resultBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val b = reader.resultBatch()
+    if (upcastIdx.isEmpty) b
+    else {
+      if (wrapped == null) {
+        // the decoder reuses ONE batch object (and its vectors) across
+        // nextBatch calls, so the wrappers bind once
+        val vs = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+          b.numCols())(b.column)
+        upcastIdx.foreach { i =>
+          vs(i) = new GraftUpcastVector(vs(i),
+            resolved.fields(i).dataType, required.fields(i).dataType)
+        }
+        wrapped = new org.apache.spark.sql.vectorized.ColumnarBatch(vs)
+      }
+      wrapped.setNumRows(b.numRows())
+      wrapped
+    }
+  }
 
   override def close(): Unit = reader.close()
+}
+
+/** Columnar type-promotion shim (spec §Schema Evolution read-side upcast):
+  * serves a batch column decoded at a pre-promotion file's NARROW type
+  * under the table's widened type — getLong over an int vector, getDouble
+  * over a float vector, getDecimal re-scoped to the widened precision.
+  * Everything else delegates; the underlying buffers are untouched (no
+  * copy, the scan stays whole-stage-columnar). */
+private[iceberg] class GraftUpcastVector(child: org.apache.spark.sql.vectorized.ColumnVector,
+                                         from: DataType, to: DataType)
+    extends org.apache.spark.sql.vectorized.ColumnVector(to) {
+  private val intToLong = from == IntegerType && to == LongType
+  private val floatToDouble = from == FloatType && to == DoubleType
+  private val fromDec: Option[DecimalType] = from match {
+    case d: DecimalType => Some(d); case _ => None
+  }
+  override def close(): Unit = child.close()
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls(): Int = child.numNulls()
+  override def isNullAt(i: Int): Boolean = child.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = child.getBoolean(i)
+  override def getByte(i: Int): Byte = child.getByte(i)
+  override def getShort(i: Int): Short = child.getShort(i)
+  override def getInt(i: Int): Int = child.getInt(i)
+  override def getLong(i: Int): Long =
+    if (intToLong) child.getInt(i).toLong else child.getLong(i)
+  override def getFloat(i: Int): Float = child.getFloat(i)
+  override def getDouble(i: Int): Double =
+    if (floatToDouble) child.getFloat(i).toDouble else child.getDouble(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = fromDec match {
+    case Some(n) if n.precision != precision || n.scale != scale =>
+      org.apache.spark.sql.types.Decimal(
+        child.getDecimal(i, n.precision, n.scale).toJavaBigDecimal, precision, scale)
+    case _ => child.getDecimal(i, precision, scale)
+  }
+  override def getUTF8String(i: Int): UTF8String = child.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = child.getBinary(i)
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    child.getArray(i)
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    child.getMap(i)
+  override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    child.getChild(i)
 }
 
 /** Streaming offset = the last snapshot id the consumer has processed

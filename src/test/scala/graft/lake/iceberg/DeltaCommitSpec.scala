@@ -115,6 +115,93 @@ class DeltaCommitSpec extends SparkSpec {
     }
   }
 
+  test("type promotions round-trip the metadata JSON and follow renames") {
+    val loc = Files.createTempDirectory("graft_widen_meta_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    IcebergTable.widenSchemaColumn(loc, "l_linenumber", "BIGINT")
+    val meta = IcebergTable.readMetadata(loc)
+    assert(meta.widenedColumns === Map("l_linenumber" -> "BIGINT"))
+    // an unrelated commit CARRIES the promotion
+    IcebergTable.append(spark, lineitem, loc)
+    assert(IcebergTable.readMetadata(loc).widenedColumns === meta.widenedColumns)
+    // the promotion follows a rename (the type rides with the field)
+    IcebergTable.renameSchemaColumn(loc, "l_linenumber", "lnum")
+    assert(IcebergTable.readMetadata(loc).widenedColumns === Map("lnum" -> "BIGINT"))
+    // dropping the column clears the promotion
+    IcebergTable.dropSchemaColumn(loc, "lnum")
+    assert(IcebergTable.readMetadata(loc).widenedColumns === Map.empty)
+    // widening a dropped column is refused
+    intercept[IllegalArgumentException] {
+      IcebergTable.widenSchemaColumn(loc, "lnum", "BIGINT")
+    }
+  }
+
+  test("ALTER COLUMN TYPE: illegal promotions refused, era files stay narrow") {
+    val w = Files.createTempDirectory("graft_widen_sql_").toString
+    IcebergCatalog.createNamespace(w, "lake")
+    val cat = "graft_" + (w.hashCode.toLong & 0x7FFFFFFFL)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE TABLE $cat.lake.wt (qty INT, l_shipdate TIMESTAMP)")
+    lineitem.createOrReplaceTempView("graft_widen_spec_src")
+    spark.sql(s"INSERT INTO $cat.lake.wt SELECT CAST(l_quantity AS INT), " +
+      "l_shipdate FROM graft_widen_spec_src WHERE l_shipdate < TIMESTAMP '1997-01-01'")
+    // narrowing and cross-family changes are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.wt ALTER COLUMN qty TYPE STRING") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.wt ALTER COLUMN qty TYPE FLOAT") }
+    spark.sql(s"ALTER TABLE $cat.lake.wt ALTER COLUMN qty TYPE BIGINT")
+    // re-narrowing is refused too
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.wt ALTER COLUMN qty TYPE INT") }
+    spark.sql(s"INSERT INTO $cat.lake.wt SELECT l_orderkey + 3000000000, " +
+      "l_shipdate FROM graft_widen_spec_src WHERE l_shipdate >= TIMESTAMP '1997-01-01'")
+    // the PHYSICAL files stay era-typed: INT32 before the ALTER, INT64 after
+    val loc = IcebergCatalog.tableLocation(w, "lake", "wt")
+    val plan = IcebergTable.planFiles(loc)
+    val eraTypes = plan.files.groupBy(_.sequence).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      import scala.jdk.CollectionConverters._
+      seq -> GraftVectorized.fileSchemaOf(fs.head.path).getFields.asScala
+        .find(_.getName == "qty").get.asPrimitiveType().getPrimitiveTypeName.toString
+    }
+    assert(eraTypes.map(_._2) === Seq("INT32", "INT64"))
+    // one scan serves both eras under the widened type (columnar upcast)
+    val df = spark.table(s"$cat.lake.wt")
+    assert(df.schema("qty").dataType === org.apache.spark.sql.types.LongType)
+    val r = df.agg(sum("qty"), max("qty")).head()
+    assert(r.getLong(1) > 3000000000L, "era-2 long values must survive the read")
+    val e1 = df.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .agg(sum("qty")).head().getLong(0)
+    val expected = lineitem
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .agg(sum(col("l_quantity").cast("int"))).head().getLong(0)
+    assert(e1 === expected, "era-1 INT32 values must upcast losslessly")
+  }
+
+  test("table properties carry across commits and survive set/unset") {
+    val loc = Files.createTempDirectory("graft_props_meta_").toString
+    // pre-commit: CREATE-clause properties live in the pending sidecar
+    IcebergTable.writePendingProperties(loc, Map("graft.note" -> "created"))
+    assert(IcebergTable.readPendingProperties(loc) === Map("graft.note" -> "created"))
+    // the FIRST commit folds the sidecar into metadata.json
+    IcebergTable.append(spark, lineitem, loc)
+    assert(IcebergTable.readMetadata(loc).properties === Map("graft.note" -> "created"))
+    IcebergTable.setTableProperties(loc,
+      Map("write.target-records-per-file" -> "100", "graft.era" -> "one"))
+    assert(IcebergTable.targetRecordsProp(loc) === Some(100L))
+    // an unrelated commit CARRIES the properties
+    IcebergTable.append(spark, lineitem, loc)
+    assert(IcebergTable.readMetadata(loc).properties ===
+      Map("graft.note" -> "created", "write.target-records-per-file" -> "100",
+        "graft.era" -> "one"))
+    IcebergTable.setTableProperties(loc, Map("graft.era" -> "two"),
+      unset = Set("write.target-records-per-file"))
+    assert(IcebergTable.targetRecordsProp(loc) === None)
+    assert(IcebergTable.readMetadata(loc).properties ===
+      Map("graft.note" -> "created", "graft.era" -> "two"))
+  }
+
   test("murmur3 bucket mode: spec layout and point lookup agree") {
     val loc = Files.createTempDirectory("graft_bucket_m3_").toString
     IcebergTable.appendBucket(spark, lineitem, loc, murmur3 = true)
