@@ -123,6 +123,8 @@ object SparkEntry {
     "iceberg_sql_branch_read" -> q((s, d) => iceberg.IcebergOps.sqlRefRead(s, Tables.lineitem(s, d))),
     "iceberg_sql_alter_widen" -> q((s, d) => iceberg.IcebergOps.sqlAlterWiden(s, Tables.lineitem(s, d))),
     "iceberg_sql_properties" -> q((s, d) => iceberg.IcebergOps.sqlProperties(s, Tables.lineitem(s, d))),
+    "iceberg_sql_call2" -> q((s, d) => iceberg.IcebergOps.sqlCall2(s, Tables.lineitem(s, d))),
+    "iceberg_sql_replace" -> q((s, d) => iceberg.IcebergOps.sqlReplace(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -435,6 +437,11 @@ object SparkEntry {
     "iceberg_sql_select",          // iceberg.sqlcat (warehouse + both tables)
     "iceberg_sql_update",          // iceberg.sqlrl (row-level-verb warehouse)
     "iceberg_sql_merge2",          // iceberg.sqlr18 (drop/rename/merge2/stream warehouse)
+    "iceberg_sql_alter_widen",     // iceberg.sqlwiden (type-promotion warehouse)
+    "iceberg_sql_properties",      // iceberg.sqlprops (properties warehouse)
+    "iceberg_sql_call2",           // iceberg.sqlcall2 (maintenance-procs warehouse)
+    "iceberg_sql_replace",         // iceberg.sqlreplace (RTAS warehouse)
+    "iceberg_sql_call",            // iceberg.sqlcall (procedures warehouse)
     "lake_column_update_exec",     // iceberg.table.update.exec (CoW/colfile arms)
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
@@ -1739,6 +1746,51 @@ object SparkEntry {
         |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '$cut') AS files_era2,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin
+    },
+
+    // Atomic CREATE OR REPLACE (RTAS): the replace is ONE snapshot —
+    // history survives (VERSION AS OF 2 serves the old schema's full
+    // rows), the new schema (qty2, evens doubled) and generation-two
+    // properties supersede the old configuration.
+    "iceberg_sql_replace" -> {
+      s"""SELECT
+        | CAST(count(CASE WHEN l_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_rows,
+        | round(sum(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity * 2 END), 4)
+        |   AS sum_qty2,
+        | TRUE AS has_qty2, FALSE AS has_old_col,
+        | CAST(count(*) AS BIGINT) AS tt_rows,
+        | round(sum(l_quantity), 4) AS tt_sum_qty,
+        | 'graft.gen=two' AS props,
+        | CAST(3 AS BIGINT) AS n_snapshots,
+        | 'replace' AS head_op
+        |FROM lineitem""".stripMargin
+    },
+
+    // Maintenance procedures round 2: the two planted orphans deleted,
+    // 3-files-per-month compacted to 1 with the DV applied (snapshot 5),
+    // Puffin stats bound to the head, then head re-points by id (back to
+    // 3, pre-delete rows) and by time (forward to 5000ms = snapshot 5).
+    "iceberg_sql_call2" -> {
+      val b = iceberg.IcebergOps.SqlCall2DeleteBound
+      s"""WITH fb AS (SELECT count(*) AS n3 FROM (SELECT DISTINCT
+        |   l_orderkey % 3, strftime(l_shipdate, '%Y-%m') FROM lineitem)),
+        | fa AS (SELECT count(*) AS nf FROM (SELECT DISTINCT
+        |   strftime(l_shipdate, '%Y-%m') FROM lineitem WHERE l_orderkey >= $b)),
+        | d AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(CASE WHEN l_orderkey < $b THEN 1 END) AS BIGINT) AS ndel,
+        |   round(sum(CASE WHEN l_orderkey >= $b THEN l_quantity END), 4) AS sq
+        |   FROM lineitem)
+        |SELECT CAST(1 AS BIGINT) AS orphan_data_deleted,
+        | CAST(1 AS BIGINT) AS orphan_meta_deleted,
+        | CAST(5 AS BIGINT) AS compact_snapshot_id,
+        | CAST(fb.n3 AS BIGINT) AS files_before,
+        | CAST(fa.nf AS BIGINT) AS files_after,
+        | CAST(3 AS BIGINT) AS stats_blobs, CAST(5 AS BIGINT) AS stats_snapshot,
+        | CAST(5 AS BIGINT) AS set_prev_head, CAST(3 AS BIGINT) AS set_new_head,
+        | d.n AS rows_at_snapshot3,
+        | CAST(3 AS BIGINT) AS ts_prev_head, CAST(5 AS BIGINT) AS ts_new_head,
+        | d.n - d.ndel AS rows_final, d.sq AS sum_qty_final
+        |FROM fb, fa, d""".stripMargin
     },
 
     // CALL procedures: rollback to snapshot 2, expire snapshot 1 (its

@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `rewrite_position_deletes(table)` → [[IcebergTable.rewritePositionDeletes]]
   *  - `cherrypick_snapshot(table, snapshot_id)` → [[IcebergTable.cherryPick]]
   *  - `publish_staged(table, snapshot_id)` → [[IcebergTable.publishStaged]]
+  *  - `remove_orphan_files(table)` → [[IcebergTable.removeOrphanFiles]]
+  *  - `set_current_snapshot(table, snapshot_id)` → [[IcebergTable.rollback]]
+  *    (any-direction head re-point, Iceberg's procedure semantics)
+  *  - `rollback_to_timestamp(table, timestamp_ms)` →
+  *    [[IcebergTable.rollbackToTimestamp]]
+  *  - `rewrite_data_files(table)` → [[IcebergTable.rewriteCompact]]
+  *  - `compute_table_stats(table)` → [[IcebergTable.computeTableStats]]
   *
   * Each call returns a one-row report as a driver-local scan
   * ([[LocalScan]] — procedure reports are metadata-grain). The `table`
@@ -33,7 +40,8 @@ private[iceberg] object GraftProcedures {
 
   val Names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
     "rewrite_manifests", "rewrite_position_deletes", "cherrypick_snapshot",
-    "publish_staged")
+    "publish_staged", "remove_orphan_files", "set_current_snapshot",
+    "rollback_to_timestamp", "rewrite_data_files", "compute_table_stats")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
@@ -69,12 +77,16 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
     case "expire_snapshots" =>
       Array(p("table", StringType),
         ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build())
-    case "rollback_to_snapshot" | "cherrypick_snapshot" | "publish_staged" =>
+    case "rollback_to_snapshot" | "cherrypick_snapshot" | "publish_staged" |
+         "set_current_snapshot" =>
       Array(p("table", StringType), p("snapshot_id", LongType))
+    case "rollback_to_timestamp" =>
+      Array(p("table", StringType), p("timestamp_ms", LongType))
     case "rewrite_manifests" =>
       Array(p("table", StringType),
         ProcedureParameter.in("group_months", IntegerType).defaultValue("12").build())
-    case "rewrite_position_deletes" =>
+    case "rewrite_position_deletes" | "remove_orphan_files" |
+         "rewrite_data_files" | "compute_table_stats" =>
       Array(p("table", StringType))
   }
 
@@ -96,6 +108,20 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       StructField("new_snapshot_id", LongType)))
     case "cherrypick_snapshot" | "publish_staged" => StructType(Seq(
       StructField("current_snapshot_id", LongType)))
+    case "remove_orphan_files" => StructType(Seq(
+      StructField("data_files_deleted", LongType),
+      StructField("metadata_files_deleted", LongType)))
+    case "set_current_snapshot" | "rollback_to_timestamp" => StructType(Seq(
+      StructField("previous_snapshot_id", LongType),
+      StructField("current_snapshot_id", LongType)))
+    case "rewrite_data_files" => StructType(Seq(
+      StructField("new_snapshot_id", LongType),
+      StructField("files_before", LongType),
+      StructField("files_after", LongType)))
+    case "compute_table_stats" => StructType(Seq(
+      StructField("statistics_file", StringType),
+      StructField("file_size_bytes", LongType),
+      StructField("n_blobs", LongType)))
   }
 
   private def headManifestCount(location: String): Long = {
@@ -129,6 +155,29 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       case "publish_staged" =>
         IcebergTable.publishStaged(location, input.getLong(1))
         Array(IcebergTable.readMetadata(location).currentSnapshotId)
+      case "remove_orphan_files" =>
+        val (data, md) = IcebergTable.removeOrphanFiles(location)
+        Array(data, md)
+      case "set_current_snapshot" =>
+        // same head re-point as rollback, but the name matches Iceberg's
+        // any-direction procedure (forward to a newer snapshot included)
+        val prev = IcebergTable.readMetadata(location).currentSnapshotId
+        IcebergTable.rollback(location, input.getLong(1))
+        Array(prev, input.getLong(1))
+      case "rollback_to_timestamp" =>
+        val prev = IcebergTable.readMetadata(location).currentSnapshotId
+        Array(prev, IcebergTable.rollbackToTimestamp(location, input.getLong(1)))
+      case "rewrite_data_files" =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        def liveFiles: Long = IcebergTable.planFiles(location).files.size.toLong
+        val before = liveFiles
+        val id = IcebergTable.rewriteCompact(spark, location)
+        Array(id, before, liveFiles)
+      case "compute_table_stats" =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (path, size, nBlobs) = IcebergTable.computeTableStats(spark, location,
+          IcebergOps.PuffinColumns, IcebergOps.PuffinK)
+        Array(UTF8String.fromString(path), size, nBlobs.toLong)
     }
     val schema = schemaOf
     val scan: Scan = new LocalScan {

@@ -3182,6 +3182,140 @@ object IcebergOps {
       .toDF("rows_tag", "rows_branch", "rows_head", "n_refs", "refs")
   }
 
+  /** Maintenance-procedure fixture (round 2 of the CALL surface):
+    * `lake.lineitem_call2` gets THREE residue appends (l_orderkey % 3 —
+    * every append covers every month, so the table holds 3 files per
+    * month: the small-file state compaction exists for), one pushable SQL
+    * DELETE (v3 DV snapshot 4), and two PLANTED orphan files (a stray
+    * parquet under data/, a stray Avro under metadata/ — what a crashed
+    * writer leaves). Then the maintenance sequence:
+    * `remove_orphan_files` (deletes exactly the two plants),
+    * `rewrite_data_files` (compaction snapshot 5: 3 files/month → 1,
+    * deletes applied), `compute_table_stats` (real Puffin KMV stats bound
+    * to snapshot 5), `set_current_snapshot(3)` (head re-points BACK, rows
+    * pre-delete), `rollback_to_timestamp(5000)` (head re-points FORWARD
+    * by time to snapshot 5). Reports persist as a sidecar so the census
+    * returns the CALLs' own outputs. */
+  val SqlCall2DeleteBound = 1000L
+
+  private def sqlCall2WarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlcall2") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlcall2_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      val t = IcebergCatalog.createTable(w, "lake", "lineitem_call2")
+      (0L to 2L).foreach { r =>
+        IcebergTable.append(spark,
+          lineitem.filter(pmod(col("l_orderkey"), lit(3L)) === r), t)
+      }
+      spark.sql(s"DELETE FROM $cat.lake.lineitem_call2 " +
+        s"WHERE l_orderkey < $SqlCall2DeleteBound")
+      // plant the orphans a crashed writer leaves
+      java.nio.file.Files.write(new java.io.File(s"$t/data", "plant-orphan.parquet").toPath,
+        Array[Byte](80, 65, 82, 49))
+      java.nio.file.Files.write(new java.io.File(s"$t/metadata", "plant-orphan.avro").toPath,
+        Array[Byte](79, 98, 106, 1))
+      def call(sql: String) = spark.sql(sql).head()
+      val orph = call(s"CALL $cat.system.remove_orphan_files(table => 'lake.lineitem_call2')")
+      val rw = call(s"CALL $cat.system.rewrite_data_files(table => 'lake.lineitem_call2')")
+      val st = call(s"CALL $cat.system.compute_table_stats(table => 'lake.lineitem_call2')")
+      val sc = call(s"CALL $cat.system.set_current_snapshot(table => 'lake.lineitem_call2', snapshot_id => 3)")
+      val rowsAtSet = spark.sql(s"SELECT count(*) FROM $cat.lake.lineitem_call2")
+        .head().getLong(0)
+      val ts = call(s"CALL $cat.system.rollback_to_timestamp(table => 'lake.lineitem_call2', timestamp_ms => 5000)")
+      val statsBound = IcebergTable.readMetadata(t).statistics.head.snapshotId
+      val report = Seq(orph.getLong(0), orph.getLong(1),
+        rw.getLong(0), rw.getLong(1), rw.getLong(2),
+        st.getLong(2), statsBound,
+        sc.getLong(0), sc.getLong(1), rowsAtSet,
+        ts.getLong(0), ts.getLong(1))
+      java.nio.file.Files.write(new java.io.File(w, "call2_reports.json").toPath,
+        report.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(w)
+    }
+
+  /** Maintenance procedures round 2 (`CALL <cat>.system.<proc>` — the
+    * rest of Iceberg's upkeep surface): orphan GC, data-file compaction,
+    * statistics computation, and both head re-points (by id, by time).
+    * Census = the procedures' own report rows plus the final state. */
+  def sqlCall2(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlCall2WarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rep = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(w, "call2_reports.json").toPath))
+      .stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
+    val fin = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4)
+         |FROM $cat.lake.lineitem_call2""".stripMargin).head()
+    import spark.implicits._
+    Seq((rep(0), rep(1), rep(2), rep(3), rep(4), rep(5), rep(6), rep(7), rep(8),
+      rep(9), rep(10), rep(11), fin.getLong(0), fin.getDouble(1)))
+      .toDF("orphan_data_deleted", "orphan_meta_deleted",
+        "compact_snapshot_id", "files_before", "files_after",
+        "stats_blobs", "stats_snapshot",
+        "set_prev_head", "set_new_head", "rows_at_snapshot3",
+        "ts_prev_head", "ts_new_head", "rows_final", "sum_qty_final")
+  }
+
+  /** CREATE OR REPLACE fixture: `lake.repl` gets two era inserts and a
+    * generation-one property, then an atomic RTAS replaces it with a NEW
+    * schema (qty2 = 2×quantity, evens only) and generation-two
+    * properties. Snapshot history SURVIVES the replace: `VERSION AS OF 2`
+    * still serves the old schema's rows. */
+  private def sqlReplaceWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlreplace") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlreplace_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      spark.sql(
+        s"""CREATE TABLE $cat.lake.repl
+           | (l_orderkey BIGINT, l_quantity DOUBLE, l_shipdate TIMESTAMP)
+           |TBLPROPERTIES ('graft.gen' = 'one')""".stripMargin)
+      lineitem.createOrReplaceTempView("graft_sql_repl_src")
+      spark.sql(
+        s"""INSERT INTO $cat.lake.repl
+           |SELECT l_orderkey, l_quantity, l_shipdate FROM graft_sql_repl_src
+           |WHERE l_shipdate < TIMESTAMP '$SnapshotCut'""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $cat.lake.repl
+           |SELECT l_orderkey, l_quantity, l_shipdate FROM graft_sql_repl_src
+           |WHERE l_shipdate >= TIMESTAMP '$SnapshotCut'""".stripMargin)
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $cat.lake.repl
+           |TBLPROPERTIES ('graft.gen' = 'two')
+           |AS SELECT l_orderkey, l_quantity * 2 AS qty2, l_shipdate
+           |FROM graft_sql_repl_src WHERE l_orderkey % 2 = 0""".stripMargin)
+      new String(w)
+    }
+
+  /** `CREATE OR REPLACE TABLE … AS SELECT` (atomic RTAS through
+    * [[GraftStagedTable]]): the replace lands as ONE "replace" snapshot —
+    * table identity and history SURVIVE (time travel to the pre-replace
+    * snapshot serves the OLD schema's full row set), the new schema and
+    * the clause's properties supersede the old configuration. */
+  def sqlReplace(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlReplaceWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val sch = spark.table(s"$cat.lake.repl").schema
+    val now = spark.sql(
+      s"""SELECT count(*), round(sum(qty2), 4) FROM $cat.lake.repl""").head()
+    val tt = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4)
+         |FROM $cat.lake.repl VERSION AS OF 2""".stripMargin).head()
+    val gen = spark.sql(s"SHOW TBLPROPERTIES $cat.lake.repl").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").sorted.mkString(",")
+    val meta = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "repl"))
+    import spark.implicits._
+    Seq((now.getLong(0), now.getDouble(1),
+      sch.fieldNames.contains("qty2"), sch.fieldNames.contains("l_quantity"),
+      tt.getLong(0), tt.getDouble(1), gen,
+      meta.snapshots.size.toLong,
+      IcebergTable.currentSnapshot(meta).operation))
+      .toDF("n_rows", "sum_qty2", "has_qty2", "has_old_col",
+        "tt_rows", "tt_sum_qty", "props", "n_snapshots", "head_op")
+  }
+
   /** Type-promotion fixture (`ALTER TABLE … ALTER COLUMN … TYPE`, spec
     * §Schema Evolution): `lake.widen` is CREATE'd with NARROW column types
     * (INT / FLOAT / DECIMAL(9,2)), gets an era-1 insert, then all three

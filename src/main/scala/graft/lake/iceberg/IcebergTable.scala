@@ -1222,6 +1222,90 @@ object IcebergTable {
       nextRowId = meta.nextRowId)
   }
 
+  /** `rollback_to_timestamp` (Iceberg's procedure of the same name): head
+    * re-points to the LATEST snapshot committed at or before the given
+    * time — the point-in-time undo every incident runbook reaches for.
+    * Snapshot timestamps are the deterministic id-derived millis every
+    * commit writes, so the outcome replays. Returns the new head id. */
+  def rollbackToTimestamp(location: String, timestampMs: Long): Long = {
+    val meta = readMetadata(location)
+    val eligible = meta.snapshots.filter(_.timestampMs <= timestampMs)
+    require(eligible.nonEmpty, s"no snapshot committed at or before $timestampMs ms")
+    val id = eligible.maxBy(_.timestampMs).id
+    rollback(location, id)
+    id
+  }
+
+  /** `remove_orphan_files` (Iceberg's GC procedure): delete on-disk files
+    * NOT reachable from ANY snapshot's metadata tree — data parquet and
+    * delete/DV puffins under data/, manifest and manifest-list Avro under
+    * metadata/ (statistics puffins and the version JSON / hint / pending
+    * sidecars are never candidates). Reachability is exactly the
+    * expire-snapshots walk: manifest lists → manifests → every entry's
+    * path, across ALL snapshots (a file referenced only by an old
+    * snapshot is history, not an orphan). Returns
+    * (data files deleted, metadata Avro files deleted). */
+  def removeOrphanFiles(location: String): (Long, Long) = {
+    val meta = readMetadata(location)
+    def norm(p: String) = p.replaceFirst("^/+", "/")
+    val manifestLists = meta.snapshots.map(_.manifestList).toSet
+    val manifests = manifestLists.flatMap(l => readManifestList(l).map(_.path))
+    val reachable: Set[String] =
+      (manifestLists ++ manifests ++
+        manifests.flatMap(m => readManifest(m).map(e => e.path)) ++
+        meta.statistics.map(_.path)).map(norm)
+    def walk(dir: File): Seq[File] = {
+      val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      fs.filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")) ++ fs.filter(_.isDirectory).flatMap(walk)
+    }
+    val dataOrphans = walk(new File(s"$location/data"))
+      .filter(f => (f.getName.endsWith(".parquet") || f.getName.endsWith(".puffin")) &&
+        !reachable(norm(f.getPath)))
+    val metaOrphans = walk(new File(s"$location/metadata"))
+      .filter(f => f.getName.endsWith(".avro") && !reachable(norm(f.getPath)))
+    dataOrphans.foreach(_.delete())
+    metaOrphans.foreach(_.delete())
+    (dataOrphans.size.toLong, metaOrphans.size.toLong)
+  }
+
+  /** `compute_table_stats` (Iceberg's procedure): compute one KMV NDV
+    * sketch per requested column (distributed distinct → k minima), write
+    * them as a REAL spec-layout Puffin statistics file, and bind it to the
+    * current snapshot through the metadata `statistics` field — the stats
+    * lifecycle a CBO feeds from. Returns (puffin path, file size, blob
+    * count). */
+  def computeTableStats(spark: SparkSession, location: String,
+                        columns: Seq[String], k: Int): (String, Long, Int) = {
+    val meta = readMetadata(location)
+    val snapId = meta.currentSnapshotId
+    val data = read(spark, location)
+    val blobs = columns.zipWithIndex.map { case (c, i) =>
+      val mins = data.select(pmod(col(c).cast("long") * lit(Puffin.KmvHashMult),
+          lit(Puffin.KmvHashMod)).as("h"))
+        .distinct().orderBy("h").limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      ("graft-kmv-v1", Seq(i + 1), snapId, snapId, Puffin.kmvPayload(mins))
+    }
+    val f = new File(s"$location/metadata", f"$snapId%05d-stats.puffin")
+    val (size, footerSize) = Puffin.write(f, blobs, Map("created-by" -> "graft"))
+    setStatistics(location, StatsFileInfo(snapId, f.getPath, size, footerSize))
+    (f.getPath, size, blobs.size)
+  }
+
+  /** `CREATE OR REPLACE TABLE`'s configuration reset: a replaced table
+    * starts a FRESH schema era — stale drop tombstones, rename chains and
+    * type promotions from the superseded schema must not relabel the new
+    * columns. Metadata-only version bump; snapshots/history untouched. */
+  def resetColumnEvolution(location: String): Unit = {
+    val meta = readMetadata(location)
+    writeMetadataJson(location, meta.tableUuid, meta.snapshots,
+      meta.currentSnapshotId, meta.refs, meta.schemas,
+      statistics = meta.statistics, nextRowId = meta.nextRowId,
+      droppedColumns = Some(Map.empty), renamedColumns = Some(Map.empty),
+      widenedColumns = Some(Map.empty))
+  }
+
   /** Resolve a ref name to its snapshot id. */
   def snapshotForRef(location: String, name: String): Long =
     readMetadata(location).refs.getOrElse(name,

@@ -57,7 +57,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * timestamps in whatever physical form the file carries — int96, millis
   * or micros — via Spark's own vectorized conversion. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -193,6 +193,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (userProps.nonEmpty) IcebergTable.writePendingProperties(loc, userProps)
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       loc, None)
+  }
+
+  /** `CREATE OR REPLACE TABLE … AS SELECT` / atomic CTAS
+    * (StagingTableCatalog — what keeps Spark's RTAS from falling back to
+    * the non-atomic drop+create, which would DESTROY the snapshot
+    * history): stageCreate registers the table exactly like CREATE;
+    * stageReplace rewrites the DECLARED schema to the clause's and hands
+    * back a staged table whose write lands as ONE "replace" (truncate)
+    * snapshot — table identity and snapshot history SURVIVE the replace
+    * (Iceberg's REPLACE semantics: time travel to pre-replace snapshots
+    * keeps working), while commitStagedChanges resets the
+    * column-evolution bookkeeping and the property map to the clause's
+    * (a replaced table starts a fresh configuration era). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    val t = createTable(ident, schema, partitions, properties)
+    new GraftStagedTable(t.name(), location(ident), schema, replaceProps = None,
+      dropOnAbort = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    require(tableExists(ident), s"cannot replace missing table ${ident.name()}")
+    stagedReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stagedReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private def stagedReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables partition by month(l_shipdate) implicitly; omit PARTITIONED BY")
+    require(schema.fieldNames.contains("l_shipdate"),
+      "graft tables require an l_shipdate column (the month partition key)")
+    val loc = location(ident)
+    val mdir = new File(loc, "metadata"); mdir.mkdirs()
+    java.nio.file.Files.write(new File(mdir, "schema.pending.json").toPath,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val reserved = Set("provider", "owner", "location", "comment", "external")
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.") }
+    new GraftStagedTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      loc, schema, replaceProps = Some(userProps), dropOnAbort = false)
   }
 
   /** `ALTER TABLE <cat>.<ns>.<t> ADD COLUMN <c> <type>`: the SQL-visible
@@ -376,6 +428,55 @@ object GraftSqlScanCensus {
   def record(location: String, c: Census): Unit = byLocation.put(location, c)
   def forLocation(location: String): Census =
     Option(byLocation.get(location)).getOrElse(Census(-1, -1, -1, -1, -1, -1))
+}
+
+/** The staged table RTAS/atomic-CTAS writes through: the write itself
+  * lands via the normal builders (truncate mode for a replace — ONE
+  * "replace" snapshot at the write's end, which is the atomic point), so
+  * commitStagedChanges only finalizes configuration: for a REPLACE it
+  * resets column-evolution bookkeeping (stale rename chains or promotions
+  * from the old schema must not relabel the new columns) and replaces the
+  * property map with the clause's. Abort of a staged CREATE drops the
+  * just-registered empty table; abort of a staged REPLACE leaves the
+  * table at its pre-write snapshot (nothing was swapped). */
+private[iceberg] class GraftStagedTable(ident: String, location: String,
+                                        declared: StructType,
+                                        replaceProps: Option[Map[String, String]],
+                                        dropOnAbort: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.months("l_shipdate"))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val b = new GraftWriteBuilder(location, info.schema(), info.queryId())
+    if (replaceProps.isDefined) b.truncate() // a replace supersedes ALL prior data
+    b
+  }
+
+  override def commitStagedChanges(): Unit = replaceProps.foreach { np =>
+    if (IcebergTable.readMetadataOpt(location).isDefined) {
+      IcebergTable.resetColumnEvolution(location)
+      val old = IcebergTable.readMetadata(location).properties
+      IcebergTable.setTableProperties(location, np, old.keySet -- np.keySet)
+    } else IcebergTable.writePendingProperties(location, np)
+  }
+
+  override def abortStagedChanges(): Unit =
+    if (dropOnAbort) {
+      // a staged CREATE that never committed: remove the registration
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+        f.delete()
+      }
+      rm(new File(location))
+    }
 }
 
 private[iceberg] class GraftSqlTable(ident: String, location: String,

@@ -202,6 +202,67 @@ class DeltaCommitSpec extends SparkSpec {
       Map("graft.note" -> "created", "graft.era" -> "two"))
   }
 
+  test("remove_orphan_files deletes exactly the unreachable files, twice is a no-op") {
+    val loc = Files.createTempDirectory("graft_orphan_rm_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    IcebergTable.append(spark, lineitem.limit(100), loc)
+    val before = IcebergTable.read(spark, loc).count()
+    // plant what a crashed writer leaves: a stray parquet + a stray avro
+    Files.write(new File(s"$loc/data", "plant.parquet").toPath, Array[Byte](1, 2))
+    Files.write(new File(s"$loc/metadata", "plant.avro").toPath, Array[Byte](3, 4))
+    assert(IcebergTable.removeOrphanFiles(loc) === ((1L, 1L)))
+    // reachable files (BOTH snapshots' trees) are untouched
+    assert(IcebergTable.read(spark, loc).count() === before)
+    assert(IcebergTable.read(spark, loc, snapshotId = Some(1L)).count() ===
+      lineitem.count())
+    // idempotent: a clean tree has nothing to delete
+    assert(IcebergTable.removeOrphanFiles(loc) === ((0L, 0L)))
+  }
+
+  test("rollback_to_timestamp re-points by time; set_current re-points forward") {
+    val loc = Files.createTempDirectory("graft_rb_ts_").toString
+    IcebergTable.append(spark, lineitem.limit(10), loc)
+    IcebergTable.append(spark, lineitem.limit(10), loc)
+    IcebergTable.append(spark, lineitem.limit(10), loc)
+    // snapshot timestamps are deterministic id*1000
+    assert(IcebergTable.rollbackToTimestamp(loc, 2500L) === 2L)
+    assert(IcebergTable.readMetadata(loc).currentSnapshotId === 2L)
+    // forward re-point (set_current_snapshot semantics)
+    IcebergTable.rollback(loc, 3L)
+    assert(IcebergTable.readMetadata(loc).currentSnapshotId === 3L)
+    intercept[IllegalArgumentException] {
+      IcebergTable.rollbackToTimestamp(loc, 500L) // before the first commit
+    }
+  }
+
+  test("staged CREATE aborts clean; staged REPLACE resets evolution bookkeeping") {
+    val w = Files.createTempDirectory("graft_staged_").toString
+    IcebergCatalog.createNamespace(w, "lake")
+    val cat = new GraftCatalog
+    cat.initialize("graft_staged_t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("warehouse", w)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("lake"), "st")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_shipdate",
+        org.apache.spark.sql.types.TimestampType)))
+    val staged = cat.stageCreate(ident, schema,
+      Array.empty, java.util.Collections.emptyMap[String, String]())
+    assert(cat.tableExists(ident))
+    staged.abortStagedChanges()
+    assert(!cat.tableExists(ident), "aborted staged CREATE must drop the registration")
+    // replace on a table with live evolution bookkeeping clears it
+    val loc = Files.createTempDirectory("graft_staged_repl_").toString
+    IcebergTable.append(spark, lineitem, loc)
+    IcebergTable.renameSchemaColumn(loc, "l_quantity", "qty")
+    IcebergTable.widenSchemaColumn(loc, "l_linenumber", "BIGINT")
+    IcebergTable.resetColumnEvolution(loc)
+    val meta = IcebergTable.readMetadata(loc)
+    assert(meta.renamedColumns.isEmpty && meta.widenedColumns.isEmpty &&
+      meta.droppedColumns.isEmpty)
+  }
+
   test("murmur3 bucket mode: spec layout and point lookup agree") {
     val loc = Files.createTempDirectory("graft_bucket_m3_").toString
     IcebergTable.appendBucket(spark, lineitem, loc, murmur3 = true)
