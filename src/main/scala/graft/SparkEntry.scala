@@ -125,6 +125,8 @@ object SparkEntry {
     "iceberg_sql_properties" -> q((s, d) => iceberg.IcebergOps.sqlProperties(s, Tables.lineitem(s, d))),
     "iceberg_sql_call2" -> q((s, d) => iceberg.IcebergOps.sqlCall2(s, Tables.lineitem(s, d))),
     "iceberg_sql_replace" -> q((s, d) => iceberg.IcebergOps.sqlReplace(s, Tables.lineitem(s, d))),
+    "iceberg_sql_branch_write" -> q((s, d) => iceberg.IcebergOps.sqlBranchWrite(s, Tables.lineitem(s, d))),
+    "iceberg_sql_truncate" -> q((s, d) => iceberg.IcebergOps.sqlTruncate(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -442,6 +444,8 @@ object SparkEntry {
     "iceberg_sql_call2",           // iceberg.sqlcall2 (maintenance-procs warehouse)
     "iceberg_sql_replace",         // iceberg.sqlreplace (RTAS warehouse)
     "iceberg_sql_call",            // iceberg.sqlcall (procedures warehouse)
+    "iceberg_sql_branch_write",    // iceberg.sqlbw (branch-write warehouse)
+    "iceberg_sql_truncate",        // iceberg.sqltrunc (truncate/purge warehouse)
     "lake_column_update_exec",     // iceberg.table.update.exec (CoW/colfile arms)
     "iceberg_catalog",             // iceberg.catalog
     "iceberg_puffin",              // iceberg.puffin
@@ -1747,6 +1751,38 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin
     },
+
+    // Branch write + fast-forward publish (WAP): era 3 lands on the dev
+    // branch only — main readers stay at eras 1+2 until the fast-forward
+    // re-points main 2 → 3.
+    "iceberg_sql_branch_write" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val cut3 = iceberg.IcebergOps.SqlCallEra3Cut
+      s"""SELECT
+        | CAST(count(CASE WHEN l_shipdate < TIMESTAMP '$cut3 00:00:00'
+        |   THEN 1 END) AS BIGINT) AS rows_main_prepublish,
+        | CAST(count(*) AS BIGINT) AS rows_dev,
+        | CAST(count(*) AS BIGINT) AS rows_branch_ident,
+        | CAST(2 AS BIGINT) AS head_prepublish,
+        | CAST(3 AS BIGINT) AS dev_snapshot,
+        | CAST(2 AS BIGINT) AS ff_previous_ref,
+        | CAST(3 AS BIGINT) AS ff_updated_ref,
+        | CAST(count(*) AS BIGINT) AS rows_final,
+        | round(sum(l_quantity), 4) AS sum_qty_final
+        |FROM lineitem""".stripMargin
+    },
+
+    // TRUNCATE + PURGE: truncate is one empty replace snapshot (zero rows
+    // at head, VERSION AS OF 2 serves everything), purge removes the
+    // scratch table from catalog and disk.
+    "iceberg_sql_truncate" ->
+      s"""SELECT CAST(0 AS BIGINT) AS rows_now,
+        | CAST(count(*) AS BIGINT) AS tt_rows,
+        | round(sum(l_quantity), 4) AS tt_sum_qty,
+        | CAST(3 AS BIGINT) AS n_snapshots,
+        | 'replace' AS head_op,
+        | TRUE AS scratch_purged
+        |FROM lineitem""".stripMargin,
 
     // Atomic CREATE OR REPLACE (RTAS): the replace is ONE snapshot —
     // history survives (VERSION AS OF 2 serves the old schema's full

@@ -41,7 +41,8 @@ private[iceberg] object GraftProcedures {
   val Names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
     "rewrite_manifests", "rewrite_position_deletes", "cherrypick_snapshot",
     "publish_staged", "remove_orphan_files", "set_current_snapshot",
-    "rollback_to_timestamp", "rewrite_data_files", "compute_table_stats")
+    "rollback_to_timestamp", "rewrite_data_files", "compute_table_stats",
+    "fast_forward")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
@@ -82,6 +83,8 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       Array(p("table", StringType), p("snapshot_id", LongType))
     case "rollback_to_timestamp" =>
       Array(p("table", StringType), p("timestamp_ms", LongType))
+    case "fast_forward" =>
+      Array(p("table", StringType), p("branch", StringType), p("to", StringType))
     case "rewrite_manifests" =>
       Array(p("table", StringType),
         ProcedureParameter.in("group_months", IntegerType).defaultValue("12").build())
@@ -122,6 +125,10 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       StructField("statistics_file", StringType),
       StructField("file_size_bytes", LongType),
       StructField("n_blobs", LongType)))
+    case "fast_forward" => StructType(Seq(
+      StructField("branch_updated", StringType),
+      StructField("previous_ref", LongType),
+      StructField("updated_ref", LongType)))
   }
 
   private def headManifestCount(location: String): Long = {
@@ -178,6 +185,24 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
         val (path, size, nBlobs) = IcebergTable.computeTableStats(spark, location,
           IcebergOps.PuffinColumns, IcebergOps.PuffinK)
         Array(UTF8String.fromString(path), size, nBlobs.toLong)
+      case "fast_forward" =>
+        // publish a branch: move `branch` forward to `to`'s snapshot (the
+        // WAP publish half; linear snapshot ids stand in for the
+        // ancestor check — a backward move is refused)
+        val branch = input.getUTF8String(1).toString
+        val to = input.getUTF8String(2).toString
+        val meta = IcebergTable.readMetadata(location)
+        val prev = meta.refs.getOrElse(branch, throw new IllegalArgumentException(
+          s"no branch '$branch'")).snapshotId
+        val toId = meta.refs.getOrElse(to, throw new IllegalArgumentException(
+          s"no ref '$to'")).snapshotId
+        require(toId >= prev, s"cannot fast-forward '$branch' backward ($prev -> $toId)")
+        // main IS the table head: fast-forwarding it re-points
+        // currentSnapshotId too (rollback maintains both together);
+        // any other branch is just its ref
+        if (branch == "main") IcebergTable.rollback(location, toId)
+        else IcebergTable.setRef(location, branch, toId, "branch")
+        Array(UTF8String.fromString(branch), prev, toId)
     }
     val schema = schemaOf
     val scan: Scan = new LocalScan {

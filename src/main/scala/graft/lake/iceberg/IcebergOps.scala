@@ -3257,6 +3257,113 @@ object IcebergOps {
         "ts_prev_head", "ts_new_head", "rows_final", "sum_qty_final")
   }
 
+  /** Branch-write fixture: `lake.lineitem_bw` has eras 1+2 on main, a
+    * `dev` branch cut at the era-2 head, and era 3 INSERTed INTO
+    * `lineitem_bw.branch_dev` — the branch ref moves to snapshot 3 while
+    * main and the table head stay at 2 (WAP write half). Pre-publish
+    * counts persist to a sidecar; then `CALL fast_forward(main, dev)`
+    * publishes (main → 3). */
+  private def sqlBranchWriteWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqlbw") {
+      val w = Files.createTempDirectory("graft_iceberg_sqlbw_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      val t = IcebergCatalog.createTable(w, "lake", "lineitem_bw")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), t)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp") &&
+                col("l_shipdate") < lit(SqlCallEra3Cut).cast("timestamp")), t)
+      IcebergTable.setRef(t, "dev", 2L, "branch")
+      lineitem.filter(col("l_shipdate") >= lit(SqlCallEra3Cut).cast("timestamp"))
+        .createOrReplaceTempView("graft_sql_bw_src")
+      spark.sql(s"INSERT INTO $cat.lake.lineitem_bw.branch_dev " +
+        s"SELECT ${LineitemCols.mkString(", ")} FROM graft_sql_bw_src")
+      def cnt(sql: String): Long = spark.sql(sql).head().getLong(0)
+      val mainPre = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_bw")
+      val devRows = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_bw VERSION AS OF 'dev'")
+      val branchIdentRows = cnt(s"SELECT count(*) FROM $cat.lake.lineitem_bw.branch_dev")
+      val meta = IcebergTable.readMetadata(t)
+      val ff = spark.sql(s"CALL $cat.system.fast_forward(" +
+        "table => 'lake.lineitem_bw', branch => 'main', to => 'dev')").head()
+      val report = Seq(mainPre, devRows, branchIdentRows,
+        meta.currentSnapshotId, meta.refs("dev").snapshotId,
+        ff.getLong(1), ff.getLong(2))
+      java.nio.file.Files.write(new java.io.File(w, "bw_reports.json").toPath,
+        report.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(w)
+    }
+
+  /** Branch WRITE through SQL (`INSERT INTO <t>.branch_dev` +
+    * `CALL fast_forward` — Iceberg's branch addressing and publish, the
+    * modern WAP): the branch append moves ONLY the dev ref (main readers
+    * see eras 1+2 until the publish), `VERSION AS OF 'dev'` and the
+    * branch identifier both read all three eras, and the fast-forward
+    * re-points main 2 → 3 making the rows visible to everyone. */
+  def sqlBranchWrite(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlBranchWriteWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val rep = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(w, "bw_reports.json").toPath))
+      .stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong)
+    val fin = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4)
+         |FROM $cat.lake.lineitem_bw""".stripMargin).head()
+    import spark.implicits._
+    Seq((rep(0), rep(1), rep(2), rep(3), rep(4), rep(5), rep(6),
+      fin.getLong(0), fin.getDouble(1)))
+      .toDF("rows_main_prepublish", "rows_dev", "rows_branch_ident",
+        "head_prepublish", "dev_snapshot",
+        "ff_previous_ref", "ff_updated_ref", "rows_final", "sum_qty_final")
+  }
+
+  /** TRUNCATE/PURGE fixture: `lake.trunc` gets two era inserts then SQL
+    * `TRUNCATE TABLE` (empty replace snapshot 3, history preserved);
+    * `lake.scratch` is created, filled and `DROP TABLE … PURGE`d (gone
+    * from catalog AND disk). */
+  private def sqlTruncWarehouseFor(spark: SparkSession, lineitem: DataFrame): String =
+    graft.plans.Memo.memoize(lineitem, "iceberg.sqltrunc") {
+      val w = Files.createTempDirectory("graft_iceberg_sqltrunc_").toString
+      IcebergCatalog.createNamespace(w, "lake")
+      val cat = sqlCatalogFor(spark, w)
+      val t = IcebergCatalog.createTable(w, "lake", "trunc")
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") < lit(SnapshotCut).cast("timestamp")), t)
+      IcebergTable.append(spark, lineitem
+        .filter(col("l_shipdate") >= lit(SnapshotCut).cast("timestamp")), t)
+      spark.sql(s"TRUNCATE TABLE $cat.lake.trunc")
+      val s = IcebergCatalog.createTable(w, "lake", "scratch")
+      IcebergTable.append(spark, lineitem.limit(100), s)
+      spark.sql(s"DROP TABLE $cat.lake.scratch PURGE")
+      val purgedGone = !new java.io.File(s).exists() &&
+        !spark.catalog.tableExists(s"$cat.lake.scratch")
+      java.nio.file.Files.write(new java.io.File(w, "trunc_report.json").toPath,
+        (if (purgedGone) "1" else "0").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(w)
+    }
+
+  /** SQL `TRUNCATE TABLE` + `DROP TABLE … PURGE`: truncate is ONE empty
+    * "replace" snapshot — zero rows at head, history intact (`VERSION AS
+    * OF 2` serves every pre-truncate row) — and purge removes the
+    * registration AND the physical tree. */
+  def sqlTruncate(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlTruncWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val nowRows = spark.sql(s"SELECT count(*) FROM $cat.lake.trunc").head().getLong(0)
+    val tt = spark.sql(
+      s"""SELECT count(*), round(sum(l_quantity), 4)
+         |FROM $cat.lake.trunc VERSION AS OF 2""".stripMargin).head()
+    val meta = IcebergTable.readMetadata(
+      IcebergCatalog.tableLocation(w, "lake", "trunc"))
+    val purged = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(w, "trunc_report.json").toPath)) == "1"
+    import spark.implicits._
+    Seq((nowRows, tt.getLong(0), tt.getDouble(1), meta.snapshots.size.toLong,
+      IcebergTable.currentSnapshot(meta).operation, purged))
+      .toDF("rows_now", "tt_rows", "tt_sum_qty", "n_snapshots", "head_op",
+        "scratch_purged")
+  }
+
   /** CREATE OR REPLACE fixture: `lake.repl` gets two era inserts and a
     * generation-one property, then an atomic RTAS replaces it with a NEW
     * schema (qty2 = 2×quantity, evens only) and generation-two

@@ -240,6 +240,44 @@ object IcebergTable {
       lineitem.columns.toSeq.sorted)
   }
 
+  /** SQL `TRUNCATE TABLE`: ONE "replace" snapshot whose manifest list is
+    * EMPTY — zero live files, full history preserved (time travel to any
+    * pre-truncate snapshot keeps serving its rows; expiry collects the
+    * data later). The DSv2 `TruncatableTable` contract. */
+  def truncateTable(location: String): Long = {
+    val prev = readMetadataOpt(location)
+    require(prev.isDefined, "cannot truncate a never-committed table")
+    val snapshotId = prev.map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
+    commitSnapshot(location, prev, snapshotId, Seq.empty, "replace")
+  }
+
+  /** Branch append (`INSERT INTO <t>.branch_<name>` — Iceberg's
+    * branch-write surface, the WAP pattern's write half): the new
+    * snapshot's manifests extend the BRANCH head's (not main's), and the
+    * commit moves ONLY the branch ref — `currentSnapshotId` and `main`
+    * stay put, so main readers and the snapshot tailer never see the
+    * branch's rows until a fast-forward publishes them. The snapshot
+    * enters the log as a normal "append" (summary records the branch), so
+    * after `fast_forward` an incremental consumer picks it up exactly-once
+    * in the `(oldMain, newMain]` window. */
+  def appendToBranch(spark: SparkSession, df: DataFrame, location: String,
+                     branch: String): Long = {
+    val meta = readMetadata(location)
+    val ref = meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch '$branch' " +
+        s"(refs: ${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    require(ref.refType == "branch", s"'$branch' is a tag; only branches accept writes")
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val newInfo = writeDataSnapshot(spark, df, location, snapshotId)
+    val branchHead = meta.snapshots.find(_.id == ref.snapshotId).getOrElse(
+      throw new IllegalStateException(s"branch '$branch' points at a missing snapshot"))
+    val prevManifests = readManifestList(branchHead.manifestList)
+    commitSnapshot(location, Some(meta), snapshotId, prevManifests :+ newInfo,
+      "append", df.columns.toSeq.sorted,
+      summaryExtra = Map("branch" -> branch),
+      moveRef = branch, headId = Some(meta.currentSnapshotId))
+  }
+
   /** Append with a GROUPED manifest layer — the 2-level metadata tree of
     * the reference's adaptive-tree study (`test_adaptive_metadata_tree.py`:
     * root → branch manifests → files) executed in the REAL format: data
@@ -1062,7 +1100,11 @@ object IcebergTable {
                              manifests: Seq[ManifestInfo], operation: String,
                              newSchema: Seq[String] = Seq.empty,
                              atVersion: Option[Long] = None,
-                             summaryExtra: Map[String, String] = Map.empty): Long = {
+                             summaryExtra: Map[String, String] = Map.empty,
+                             // branch writes move THEIR ref and leave the
+                             // table head (currentSnapshotId + main) alone
+                             moveRef: String = "main",
+                             headId: Option[Long] = None): Long = {
     // Schema evolution (spec §Schema Evolution): every distinct committed
     // column set becomes a schema entry; current-schema-id points at the
     // latest. Old data files simply lack the newer fields — a merge-schema
@@ -1083,10 +1125,11 @@ object IcebergTable {
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
-    // every commit advances `main` (the spec's implicit branch); other
-    // refs ride along untouched
+    // every commit advances its target branch (`main` — the spec's
+    // implicit branch — unless this is a branch write); other refs ride
+    // along untouched
     val refs = prev.map(_.refs).getOrElse(Map.empty) +
-      ("main" -> RefInfo(snapshotId, "branch"))
+      (moveRef -> RefInfo(snapshotId, "branch"))
     // advance next-row-id past every id this commit's NEW data entries
     // consumed (assignRowIds handed them out from the previous counter);
     // max() keeps the counter monotone when a commit adds no data files
@@ -1094,7 +1137,8 @@ object IcebergTable {
     val newIds = manifests.filter(_.addedSnapshotId == snapshotId)
       .flatMap(m => readManifest(m.path))
       .collect { case e if e.content == 0 && e.firstRowId >= 0 => e.firstRowId + e.recordCount }
-    try writeMetadataJson(location, uuid, allSnaps, snapshotId, refs, schemas,
+    try writeMetadataJson(location, uuid, allSnaps, headId.getOrElse(snapshotId),
+      refs, schemas,
       atVersion = atVersion,
       statistics = prev.map(_.statistics).getOrElse(Seq.empty),
       nextRowId = (prevNext +: newIds).max,

@@ -129,11 +129,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else None
       }
     }
+    // `<cat>.<ns>.<t>.branch_<name>` — Iceberg's branch addressing: reads
+    // pin to the branch head, INSERTs append to the branch (moving only
+    // its ref — the WAP write half). Resolution fires only when the
+    // identifier itself is not a table, like the metadata tables.
+    def asBranchTable: Option[Table] = {
+      val ns = ident.namespace()
+      if (ns.isEmpty || !ident.name().startsWith("branch_")) None
+      else {
+        val branch = ident.name().stripPrefix("branch_")
+        val parent = Identifier.of(ns.dropRight(1), ns.last)
+        val loc = location(parent)
+        if (!new File(loc, "metadata/version-hint.text").exists()) None
+        else IcebergTable.readMetadata(loc).refs.get(branch)
+          .filter(_.refType == "branch").map { ref =>
+            new GraftBranchSqlTable(s"$catalogName.${ns.mkString(".")}.${ident.name()}",
+              loc, branch, ref.snapshotId)
+          }
+      }
+    }
     try load(ident, None)
     catch {
       case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
-        asMetaTable.getOrElse(throw e)
+        asMetaTable.orElse(asBranchTable).getOrElse(throw e)
     }
+  }
+
+  /** `DROP TABLE … PURGE`: drop the registration AND physically delete
+    * the table tree (data + metadata) — the irreversible form. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val loc = location(ident)
+    val dropped = dropTable(ident)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete()
+    }
+    rm(new File(loc))
+    dropped
   }
 
   /** `VERSION AS OF <snapshot-id | 'ref'>` — DSv2 time travel, resolved
@@ -479,12 +511,49 @@ private[iceberg] class GraftStagedTable(ident: String, location: String,
     }
 }
 
+/** A branch-addressed table (`<t>.branch_<name>`): reads pin to the
+  * branch head snapshot; INSERT appends to the BRANCH
+  * ([[IcebergTable.appendToBranch]] — only the branch ref moves, main and
+  * the table head stay put until a `fast_forward` publishes). Row-level
+  * mutations are refused by the snapshot pin ([[GraftSqlTable]]'s
+  * time-travel guard). */
+private[iceberg] class GraftBranchSqlTable(ident: String, location: String,
+                                           branch: String, at: Long)
+    extends GraftSqlTable(ident, location, Some(at)) {
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                require(!overwrite, "branch writes are append-only; " +
+                  "overwrite main and fast-forward instead")
+                IcebergTable.appendToBranch(data.sparkSession, data, location, branch)
+              }
+            }
+        }
+    }
+}
+
 private[iceberg] class GraftSqlTable(ident: String, location: String,
                                      snapshotId: Option[Long])
     extends Table with SupportsRead
     with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one empty "replace" snapshot — zero live
+    * files, history preserved. */
+  override def truncateTable(): Boolean = {
+    require(snapshotId.isEmpty, s"cannot truncate a time-travel snapshot of $ident")
+    IcebergTable.truncateTable(location)
+    true
+  }
 
   override def name(): String = ident
 

@@ -263,6 +263,36 @@ class DeltaCommitSpec extends SparkSpec {
       meta.droppedColumns.isEmpty)
   }
 
+  test("branch append moves only its ref; fast-forward publishes exactly-once") {
+    val loc = Files.createTempDirectory("graft_branch_w_").toString
+    val era1 = lineitem.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val era2 = lineitem.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+    IcebergTable.append(spark, era1, loc)
+    IcebergTable.setRef(loc, "dev", 1L, "branch")
+    val id = IcebergTable.appendToBranch(spark, era2, loc, "dev")
+    assert(id === 2L)
+    val meta = IcebergTable.readMetadata(loc)
+    // main and the table head stay put; only dev moved
+    assert(meta.currentSnapshotId === 1L)
+    assert(meta.refs("main").snapshotId === 1L)
+    assert(meta.refs("dev").snapshotId === 2L)
+    // main readers see era 1 only; the branch serves both
+    assert(IcebergTable.read(spark, loc).count() === era1.count())
+    assert(IcebergTable.read(spark, loc, snapshotId = Some(2L)).count() ===
+      lineitem.count())
+    // incremental consumers see nothing on main yet…
+    assert(IcebergTable.planIncremental(loc, 1L, meta.currentSnapshotId).files.isEmpty)
+    // …and exactly the branch snapshot's files after the publish
+    IcebergTable.rollback(loc, 2L) // fast_forward(main, dev)
+    val inc = IcebergTable.planIncremental(loc, 1L, 2L)
+    assert(inc.files.map(_.recordCount).sum === era2.count())
+    // tags refuse writes
+    IcebergTable.setRef(loc, "pin", 1L, "tag")
+    intercept[IllegalArgumentException] {
+      IcebergTable.appendToBranch(spark, era2, loc, "pin")
+    }
+  }
+
   test("murmur3 bucket mode: spec layout and point lookup agree") {
     val loc = Files.createTempDirectory("graft_bucket_m3_").toString
     IcebergTable.appendBucket(spark, lineitem, loc, murmur3 = true)
