@@ -127,6 +127,7 @@ object SparkEntry {
     "iceberg_sql_replace" -> q((s, d) => iceberg.IcebergOps.sqlReplace(s, Tables.lineitem(s, d))),
     "iceberg_sql_branch_write" -> q((s, d) => iceberg.IcebergOps.sqlBranchWrite(s, Tables.lineitem(s, d))),
     "iceberg_sql_truncate" -> q((s, d) => iceberg.IcebergOps.sqlTruncate(s, Tables.lineitem(s, d))),
+    "iceberg_sql_ancestors" -> q((s, d) => iceberg.IcebergOps.sqlAncestors(s, Tables.lineitem(s, d))),
     // byte totals are writer-version facts, not SQL-replayable — the
     // oracle-hashed projection keeps the counts and the pinned ordering
     // booleans; the raw bytes stay inspectable via the API + spec
@@ -1769,6 +1770,23 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS ff_updated_ref,
         | CAST(count(*) AS BIGINT) AS rows_final,
         | round(sum(l_quantity), 4) AS sum_qty_final
+        |FROM lineitem""".stripMargin
+    },
+
+    // Parent-snapshot-id lineage: the branch append's parent is the
+    // branch head it extended (3<-2 via dev), and the chain walks to the
+    // root; rows at each ancestor are the era prefixes.
+    "iceberg_sql_ancestors" -> {
+      val cut = iceberg.IcebergOps.SnapshotCut
+      val cut3 = iceberg.IcebergOps.SqlCallEra3Cut
+      s"""SELECT '3<-2,2<-1,1<--1' AS ancestors,
+        | CAST(3 AS BIGINT) AS n_ancestors,
+        | '1:-1,2:1,3:2' AS snapshot_parents,
+        | CAST(count(*) AS BIGINT) AS rows_head,
+        | CAST(count(CASE WHEN l_shipdate < TIMESTAMP '$cut3 00:00:00'
+        |   THEN 1 END) AS BIGINT) AS rows_parent,
+        | CAST(count(CASE WHEN l_shipdate < TIMESTAMP '$cut'
+        |   THEN 1 END) AS BIGINT) AS rows_root
         |FROM lineitem""".stripMargin
     },
 

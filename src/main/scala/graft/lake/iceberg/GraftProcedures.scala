@@ -42,7 +42,7 @@ private[iceberg] object GraftProcedures {
     "rewrite_manifests", "rewrite_position_deletes", "cherrypick_snapshot",
     "publish_staged", "remove_orphan_files", "set_current_snapshot",
     "rollback_to_timestamp", "rewrite_data_files", "compute_table_stats",
-    "fast_forward")
+    "fast_forward", "ancestors_of")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
@@ -89,7 +89,7 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       Array(p("table", StringType),
         ProcedureParameter.in("group_months", IntegerType).defaultValue("12").build())
     case "rewrite_position_deletes" | "remove_orphan_files" |
-         "rewrite_data_files" | "compute_table_stats" =>
+         "rewrite_data_files" | "compute_table_stats" | "ancestors_of" =>
       Array(p("table", StringType))
   }
 
@@ -129,6 +129,10 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
       StructField("branch_updated", StringType),
       StructField("previous_ref", LongType),
       StructField("updated_ref", LongType)))
+    case "ancestors_of" => StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("timestamp_ms", LongType),
+      StructField("parent_id", LongType)))
   }
 
   private def headManifestCount(location: String): Long = {
@@ -140,6 +144,23 @@ private[iceberg] class GraftUnboundProcedure(warehouse: String, proc: String)
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val location = GraftProcedures.tableLocation(warehouse,
       input.getUTF8String(0).toString)
+    // the one MULTI-ROW report: walk the parent-snapshot-id chain from
+    // the current head (spec §Snapshots lineage — exactly what Iceberg's
+    // ancestors_of returns), newest first
+    if (proc == "ancestors_of") {
+      val meta = IcebergTable.readMetadata(location)
+      val byId = meta.snapshots.map(s => s.id -> s).toMap
+      val chain = Iterator.iterate(byId.get(meta.currentSnapshotId))(
+          o => o.flatMap(s => byId.get(s.parentId)))
+        .takeWhile(_.isDefined).flatten.toArray
+      val schema = schemaOf
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = chain.map(s =>
+          new GenericInternalRow(Array[Any](s.id, s.timestampMs, s.parentId)))
+        override def readSchema(): StructType = schema
+      }
+      return java.util.Collections.singletonList(scan).iterator()
+    }
     val row: Array[Any] = proc match {
       case "expire_snapshots" =>
         val r = IcebergTable.expireSnapshots(location, keepLast = input.getInt(1))

@@ -3317,6 +3317,32 @@ object IcebergOps {
         "ff_previous_ref", "ff_updated_ref", "rows_final", "sum_qty_final")
   }
 
+  /** `CALL ancestors_of` + the spec's `parent-snapshot-id` lineage
+    * (walked newest-first from the head): on the branch-write fixture the
+    * chain proves the BRANCH append's parent is the branch head it
+    * extended (3←2 via dev, 2←1, 1←root) — the lineage a reader uses to
+    * reason about history — and the `.snapshots` metadata table now
+    * serves `parent_id` for every snapshot. Row counts at each ancestor
+    * ride as the data-derived check. */
+  def sqlAncestors(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val w = sqlBranchWriteWarehouseFor(spark, lineitem)
+    val cat = sqlCatalogFor(spark, w)
+    val anc = spark.sql(
+      s"CALL $cat.system.ancestors_of(table => 'lake.lineitem_bw')").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val snaps = spark.sql(
+      s"""SELECT snapshot_id, parent_id FROM $cat.lake.lineitem_bw.snapshots
+         |ORDER BY snapshot_id""".stripMargin).collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(",")
+    def rowsAt(id: Long): Long = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.lineitem_bw VERSION AS OF $id").head().getLong(0)
+    import spark.implicits._
+    Seq((anc.map { case (id, p) => s"$id<-$p" }.mkString(","), anc.length.toLong,
+      snaps, rowsAt(anc(0)._1), rowsAt(anc(1)._1), rowsAt(anc(2)._1)))
+      .toDF("ancestors", "n_ancestors", "snapshot_parents",
+        "rows_head", "rows_parent", "rows_root")
+  }
+
   /** TRUNCATE/PURGE fixture: `lake.trunc` gets two era inserts then SQL
     * `TRUNCATE TABLE` (empty replace snapshot 3, history preserved);
     * `lake.scratch` is created, filled and `DROP TABLE … PURGE`d (gone

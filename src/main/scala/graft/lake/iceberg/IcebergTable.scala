@@ -95,7 +95,13 @@ object IcebergTable {
                                 // the streaming sink records
                                 // streaming-query/epoch-id here for its
                                 // exactly-once replay dedup
-                                summary: Map[String, String] = Map.empty)
+                                summary: Map[String, String] = Map.empty,
+                                // spec `parent-snapshot-id`: the snapshot
+                                // this commit extended — main's head for
+                                // normal commits, the BRANCH head for
+                                // branch appends, -1 for a table's first
+                                // snapshot. What ancestors_of walks.
+                                parentId: Long = -1L)
 
   /** A named ref (spec §Refs): `main` is maintained automatically on every
     * commit; tags and extra branches pin snapshots against expiry. */
@@ -643,7 +649,8 @@ object IcebergTable {
     val newInfo = writeDataSnapshot(spark, lineitem, location, snapshotId)
     val prevManifests = readManifestList(currentSnapshot(prev).manifestList)
     val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
-      writeManifestList(location, snapshotId, prevManifests :+ newInfo), "stage")
+      writeManifestList(location, snapshotId, prevManifests :+ newInfo), "stage",
+      parentId = prev.currentSnapshotId)
     writeMetadataJson(location, prev.tableUuid, prev.snapshots :+ snap,
       prev.currentSnapshotId, // main/current do NOT move
       prev.refs + ("staging" -> RefInfo(snapshotId, "branch")), prev.schemas,
@@ -726,7 +733,8 @@ object IcebergTable {
     val newInfo = writeManifestAvro(location, newId, newId, addedEntries, 0, "-cp")
     val headManifests = readManifestList(currentSnapshot(meta).manifestList)
     val snap = SnapshotInfo(newId, newId, newId * 1000L,
-      writeManifestList(location, newId, headManifests :+ newInfo), "append")
+      writeManifestList(location, newId, headManifests :+ newInfo), "append",
+      parentId = meta.currentSnapshotId)
     writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, newId,
       meta.refs - "staging" + ("main" -> RefInfo(newId, "branch")), meta.schemas,
       statistics = meta.statistics, nextRowId = meta.nextRowId)
@@ -1074,7 +1082,8 @@ object IcebergTable {
       val headManifests = readManifestList(currentSnapshot(meta).manifestList)
       val listPath = writeManifestList(location, snapshotId, headManifests :+ newInfo,
         unique = true)
-      val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath, "append")
+      val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath,
+        "append", parentId = meta.currentSnapshotId)
       try {
         writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
           meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
@@ -1120,8 +1129,15 @@ object IcebergTable {
     // retry loop.
     val listPath = writeManifestList(location, snapshotId, manifests,
       unique = atVersion.isDefined)
+    // parent (spec parent-snapshot-id): the head of the branch this
+    // commit extended — main's for normal commits, the branch's for a
+    // branch append; a table's first snapshot has none
+    val parent = prev.map { m =>
+      if (moveRef == "main") m.currentSnapshotId
+      else m.refs.get(moveRef).map(_.snapshotId).getOrElse(m.currentSnapshotId)
+    }.filter(_ > 0L).getOrElse(-1L)
     val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L,
-      listPath, operation, summaryExtra)
+      listPath, operation, summaryExtra, parent)
     val allSnaps = prev.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val uuid = prev.map(_.tableUuid).getOrElse(
       java.util.UUID.nameUUIDFromBytes(location.getBytes(StandardCharsets.UTF_8)).toString)
@@ -1371,7 +1387,8 @@ object IcebergTable {
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val headManifests = readManifestList(currentSnapshot(meta).manifestList)
     val listPath = writeManifestList(location, snapshotId, headManifests, unique = true)
-    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath, "occ-touch")
+    val snap = SnapshotInfo(snapshotId, snapshotId, snapshotId * 1000L, listPath,
+      "occ-touch", parentId = meta.currentSnapshotId)
     try {
       writeMetadataJson(location, meta.tableUuid, meta.snapshots :+ snap, snapshotId,
         meta.refs + ("main" -> RefInfo(snapshotId, "branch")), meta.schemas,
@@ -1458,7 +1475,8 @@ object IcebergTable {
       val extra = s.summary.toSeq.sortBy(_._1)
         .map { case (k, v) => s""","$k":"$v"""" }.mkString
       s"""{"snapshot-id":${s.id},"sequence-number":${s.sequenceNumber},""" +
-        s""""timestamp-ms":${s.timestampMs},"manifest-list":"${s.manifestList}",""" +
+        s""""timestamp-ms":${s.timestampMs},"parent-snapshot-id":${s.parentId},""" +
+        s""""manifest-list":"${s.manifestList}",""" +
         s""""summary":{"operation":"${s.operation}"$extra}}"""
     }.mkString("[", ",", "]")
     // partition-specs must DEFINE every spec the manifest tree references
@@ -1648,7 +1666,9 @@ object IcebergTable {
           (s \ "timestamp-ms").extract[Long],
           (s \ "manifest-list").extract[String],
           (s \ "summary" \ "operation").extract[String],
-          extra)
+          extra,
+          // pre-lineage metadata files lack the field: -1 (root)
+          (s \ "parent-snapshot-id").extractOpt[Long].getOrElse(-1L))
       }
       val schemas = (j \ "schemas").children.map { sc =>
         (sc \ "fields").children.map(f => (f \ "name").extract[String])

@@ -1542,10 +1542,10 @@ private[iceberg] object GraftMetaTables {
             "n_added_rows", "p_month_lo", "p_month_hi")
       case "snapshots" | "history" =>
         meta.snapshots.sortBy(_.id)
-          .map(s => (s.id, s.sequenceNumber, s.timestampMs, s.operation,
-            s.id == meta.currentSnapshotId))
-          .toDF("snapshot_id", "sequence_number", "timestamp_ms", "operation",
-            "is_current")
+          .map(s => (s.id, s.sequenceNumber, s.timestampMs, s.parentId,
+            s.operation, s.id == meta.currentSnapshotId))
+          .toDF("snapshot_id", "sequence_number", "timestamp_ms", "parent_id",
+            "operation", "is_current")
       case "refs" =>
         meta.refs.toSeq.sortBy(_._1)
           .map { case (n, r) => (n, r.refType, r.snapshotId) }
