@@ -1397,6 +1397,13 @@ private[iceberg] class GraftUpcastVector(child: org.apache.spark.sql.vectorized.
     case d: DecimalType => Some(d); case _ => None
   }
   override def close(): Unit = child.close()
+  // ColumnarToRowExec calls closeIfFreeable() after EVERY consumed batch;
+  // the decoder's WritableColumnVectors override it to a no-op because the
+  // reader owns and REUSES them across batches — this view must delegate
+  // that ownership signal, not inherit ColumnVector's close-by-default
+  // (which freed the reader's vectors after the first batch and NPE'd the
+  // second batch's decode on multi-batch files).
+  override def closeIfFreeable(): Unit = child.closeIfFreeable()
   override def hasNull: Boolean = child.hasNull
   override def numNulls(): Int = child.numNulls()
   override def isNullAt(i: Int): Boolean = child.isNullAt(i)

@@ -293,6 +293,35 @@ class DeltaCommitSpec extends SparkSpec {
     }
   }
 
+  test("columnar upcast survives multi-batch files (closeIfFreeable contract)") {
+    // ColumnarToRowExec calls closeIfFreeable() after EVERY consumed
+    // batch; a file bigger than the 4096-row decode batch therefore
+    // exercises the wrapper's ownership signal — the sf0.1 bench caught
+    // the close-by-default inheritance freeing the reader's vectors
+    // between batches (NPE on the second batch's dictionary decode).
+    val w = Files.createTempDirectory("graft_widen_mb_").toString
+    IcebergCatalog.createNamespace(w, "lake")
+    val cat = "graft_" + (w.hashCode.toLong & 0x7FFFFFFFL)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE TABLE $cat.lake.wmb (qty INT, amt DECIMAL(9,2), l_shipdate TIMESTAMP)")
+    // ONE month => ONE file of ~6000 rows => >1 decode batch per file
+    lineitem.withColumn("l_shipdate", lit("1997-03-15").cast("timestamp"))
+      .createOrReplaceTempView("graft_widen_mb_src")
+    spark.sql(s"INSERT INTO $cat.lake.wmb SELECT CAST(l_quantity AS INT), " +
+      "CAST(l_orderkey % 10000 AS DECIMAL(9,2)), l_shipdate FROM graft_widen_mb_src")
+    spark.sql(s"ALTER TABLE $cat.lake.wmb ALTER COLUMN qty TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.lake.wmb ALTER COLUMN amt TYPE DECIMAL(18,2)")
+    spark.sql(s"INSERT INTO $cat.lake.wmb SELECT l_orderkey + 3000000000, " +
+      "CAST(l_orderkey + 10000000000 AS DECIMAL(18,2)), l_shipdate FROM graft_widen_mb_src")
+    val n = lineitem.count()
+    val expQty = lineitem.agg(sum(col("l_quantity").cast("int"))).head().getLong(0) +
+      lineitem.agg(sum(col("l_orderkey") + 3000000000L)).head().getLong(0)
+    val r = spark.sql(s"SELECT count(*), CAST(sum(qty) AS BIGINT) FROM $cat.lake.wmb").head()
+    assert(r.getLong(0) === 2 * n)
+    assert(r.getLong(1) === expQty)
+  }
+
   test("murmur3 bucket mode: spec layout and point lookup agree") {
     val loc = Files.createTempDirectory("graft_bucket_m3_").toString
     IcebergTable.appendBucket(spark, lineitem, loc, murmur3 = true)
