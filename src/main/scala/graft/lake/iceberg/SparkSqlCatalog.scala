@@ -824,7 +824,30 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
 
   override def build(): org.apache.spark.sql.connector.write.Write = mode match {
     case "dynamic" =>
-      new org.apache.spark.sql.connector.write.Write {
+      new org.apache.spark.sql.connector.write.Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // Writer fan-out control, same rationale as GraftDeltaWrite's
+        // required distribution: range-partition the insert stream by
+        // l_shipdate so each month's rows land in contiguous tasks and
+        // files out ≈ months touched (not tasks × months). AQE sizes the
+        // partition count from the insert volume.
+        private val sortKeys =
+          if (writeSchema.fieldNames.contains("l_shipdate")) Array("l_shipdate")
+          else Array.empty[String]
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (sortKeys.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(
+              sortKeys.map(c => org.apache.spark.sql.connector.expressions.Expressions
+                .sort(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                  org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          sortKeys.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .sort(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
           // staging-dir naming hint only — the committed snapshot id is
           // re-derived inside commitOverwriteMonths' OCC retry loop
