@@ -384,13 +384,20 @@ object Events {
     * n mod 10 deciles take ⌈n/10⌉ users, the rest ⌊n/10⌋ — bit-identical to
     * the window ntile at any population. */
   def powerUsers(events: DataFrame): DataFrame = {
+    // perUser is the query's one fact-table aggregation and feeds two
+    // branches (the span scalar and the keyed main path) — cut it so the
+    // events scan+groupBy runs once (user-grain, bounded). ranked feeds
+    // two more (the count scalar and the decile agg); cutting it stops
+    // the bucketed-window subtree re-running per branch.
     val perUser = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("user_value"))
+      .stableCheckpoint()
     val span = perUser.agg((max(col("user_id")) + 1L).as("u_span"))
     val keyed = perUser.crossJoin(broadcast(span))
       .withColumn("ord_key", -col("n_events") * col("u_span") + col("user_id"))
       .withColumn("one", lit(1L))
     val ranked = graft.plans.PrefixSum.prefixSum(keyed, "ord_key", "one", "rk")
+      .stableCheckpoint()
     val tot = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(tot))
       .withColumn("decile", expr(

@@ -288,13 +288,26 @@ object Snapshots {
     * `plans.PrefixSum.prefixMax` — bucketed windows only, never one
     * unpartitioned window over every commit. */
   def snapshotLineage(orders: DataFrame): DataFrame = {
+    // The commit table is metadata-grain (|orders|/100 rows) but its lineage
+    // is a full fact-table aggregation, and the two PrefixSum passes below
+    // reference their input from many plan branches (bucketed lag + carry +
+    // range slices, then the same again for prefixMax) — without lineage
+    // cuts the orders scan+groupBy re-executed per branch: the BEFORE plan
+    // (plans/r18/lake_snapshot_lineage_before.txt) carries 128 parquet
+    // scans of orders; the checkpoints cut it to one fact-table pass
+    // (same rows — commitCadence got this fix in r12, this query never
+    // did). chained is checkpointed too: prefixMax's branches would
+    // otherwise each re-run lagOver's whole bucketed-window subtree.
+    import graft.plans.Checkpoints.StableCheckpoint
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
       .agg(count(lit(1)).as("files_added"))
       .withColumn("is_rewrite", col("commit_id") % 10 === 5)
       .withColumn("rw_id", when(col("is_rewrite"), col("commit_id")))
+      .stableCheckpoint()
     val chained = graft.plans.PrefixSum.lagOver(commits, "commit_id", "commit_id", "parent_id")
+      .stableCheckpoint()
     graft.plans.PrefixSum.prefixMax(chained, "commit_id", "rw_id", "last_rewrite")
       .withColumn("lineage_depth",
         col("commit_id") - coalesce(col("last_rewrite"), lit(0L)))

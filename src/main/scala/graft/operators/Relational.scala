@@ -988,9 +988,13 @@ object Relational {
     * integer compares (cum·100 vs t·total), so tie order inside equal
     * revenues cannot change any count. */
   def paretoRevenue(lineitem: DataFrame, thresholds: Seq[Long] = Seq(50L, 80L, 90L, 95L)): DataFrame = {
+    // rev is the query's one fact-table aggregation and feeds two branches
+    // (the prefix sum and the totals scalar) — cut it so the lineitem
+    // scan+groupBy runs once (part-grain, bounded).
     val rev = lineitem.groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
       .withColumn("negrev", -col("rev_c"))
+      .stableCheckpoint()
     val cum = graft.plans.PrefixSum.prefixSum(rev, "negrev", "rev_c", "cum_c")
     val tot = rev.agg(sum(col("rev_c")).as("tot_c"), count(lit(1)).as("n_parts_total"))
     cum.crossJoin(broadcast(tot))
@@ -1114,7 +1118,10 @@ object Relational {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
       .withColumn("one", lit(1L))
+    // ranked feeds the totals scalar and the main aggregate — cut it so
+    // the bucketed prefix-sum subtree runs once (customer-grain, bounded).
     val ranked = graft.plans.PrefixSum.prefixSum(rev, "rev_c", "one", "rk")
+      .stableCheckpoint()
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot_c"))
     ranked.crossJoin(broadcast(tot))
       .agg(
@@ -1142,7 +1149,10 @@ object Relational {
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
       .withColumn("negrev", -col("rev_c"))
       .withColumn("one", lit(1L))
+    // ranked feeds the totals scalar and the decile aggregate — cut it so
+    // the bucketed prefix-sum subtree runs once (customer-grain, bounded).
     val ranked = graft.plans.PrefixSum.prefixSum(rev, "negrev", "one", "rk")
+      .stableCheckpoint()
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot_c"))
     val dec = ranked.crossJoin(broadcast(tot))
       .withColumn("decile", expr("((rk - 1) * 10) div n") + 1L)

@@ -45,5 +45,22 @@ object Checkpoints {
         ds.checkpoint(eager = true)
       }
     }
+
+    /** [[stableCheckpoint]] unless the dataset is already a (possibly
+      * trivially projected/aliased) checkpoint artifact — the idempotent
+      * form for infrastructure seams whose callers sometimes pre-cut the
+      * lineage themselves (a second cut would duplicate the blocks for
+      * no plan benefit). */
+    def stableCheckpointOnce(): Dataset[T] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+      import org.apache.spark.sql.execution.LogicalRDD
+      def isCut(p: LogicalPlan): Boolean = p match {
+        case _: LogicalRDD => true
+        case pr: Project => isCut(pr.child)
+        case a: SubqueryAlias => isCut(a.child)
+        case _ => false
+      }
+      if (isCut(ds.queryExecution.analyzed)) ds else stableCheckpoint()
+    }
   }
 }

@@ -148,13 +148,27 @@ object PrefixSum {
     * single repeated key value) is inseparable by any pure key function. */
   def equiHeightBuckets(df: DataFrame, keyCol: String, nBuckets: Int,
                         partitionCols: Seq[String] = Nil): DataFrame = {
+    import Checkpoints.StableCheckpoint
+    // Lineage cut at the seam (idempotent — pre-checkpointed callers pass
+    // through): the bucketed result references its input from FOUR plan
+    // branches (range agg, fine-slice histogram, the sliced main branch,
+    // and every prefixSum/lagOver/prefixMax consumer adds an offsets/carry
+    // branch on top), so without the cut the input's whole lineage — for
+    // most callers a fact-table aggregation — re-executed per branch:
+    // ev_power_users' executed plan carried 64 parquet scans of events
+    // (plans/r18/ev_power_users_before.txt), lake_snapshot_lineage 128
+    // scans of orders. Inputs here are aggregate/metadata-grain by this
+    // module's documented contract (unique keys: commit ids, user ids,
+    // part keys), so the materialization is bounded and the corpus-grain
+    // work above it runs exactly once.
+    val in = df.stableCheckpointOnce().toDF()
     val pCols = partitionCols.map(col)
     val nFine = nBuckets.toLong * 64L
     val rng =
       if (partitionCols.isEmpty)
-        df.groupBy().agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
+        in.groupBy().agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
       else
-        df.groupBy(pCols: _*).agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
+        in.groupBy(pCols: _*).agg(min(col(keyCol)).as("kmin__ps"), max(col(keyCol)).as("kmax__ps"))
     // Fine slice: division-first (no span×n product), monotone in the key.
     // w = ceil(span / nFine) ≥ 1, so slice indices stay within [0, nFine).
     // Integral `div` throughout — `/` would route through double and lose
@@ -163,8 +177,8 @@ object PrefixSum {
       expr(s"(`$keyCol` - kmin__ps) div ((kmax__ps - kmin__ps + ${nFine}L) div ${nFine}L)"),
       lit(nFine - 1L))
     val sliced =
-      (if (partitionCols.isEmpty) df.crossJoin(broadcast(rng))
-       else df.join(broadcast(rng), partitionCols))
+      (if (partitionCols.isEmpty) in.crossJoin(broadcast(rng))
+       else in.join(broadcast(rng), partitionCols))
         .withColumn("fine__ps", sliceExpr)
         .drop("kmin__ps", "kmax__ps")
     // Equi-height coarse edges: cumulative fine-slice counts → bucket ids.
