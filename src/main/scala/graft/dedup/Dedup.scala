@@ -842,6 +842,10 @@ object Dedup {
     val fp = graft.text.TextAnalysis.fingerprintCore(documents)
       .withColumn("is_batch", col("doc_id") % batchMod === 0L)
       .withColumn("key", (pmod(col("fingerprint"), lit(P)) * 31L + col("n_tokens")) % P)
+      // fp is the corpus-grain fingerprint pass and feeds four branches
+      // (bit positions -> filter + screen, and both truth sides) — cut it
+      // so the tokenize+fingerprint aggregation runs once (doc-grain).
+      .stableCheckpoint()
     val withPos = fp.select(col("doc_id"), col("is_batch"),
         explode(array((0 until k).map(i =>
           (col("key") * (((i + 1).toLong * 2654435761L) % P) +

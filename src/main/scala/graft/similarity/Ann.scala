@@ -485,6 +485,10 @@ object Ann {
         Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("vec_id"))).cast("long"))
       .filter(col("crk") <= coarseC)
       .select(col("q_id"), col("vec_id"), col("crk"))
+      // cand feeds the rerank join AND the coarse-top-k branch — cut it so
+      // the corpus-wide coarse scan + per-query window runs once
+      // (query-bounded: ≤ nQueries×coarseC rows).
+      .stableCheckpoint()
     // exact rerank of the C candidates only
     val qF = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -227,7 +227,12 @@ object TextAnalysis {
         "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN struct(x AS w1, t[i+1] AS w2) END), y -> y IS NOT NULL)"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bigramCounts is the corpus-grain aggregation and feeds three
+    // branches (contextCounts + both LM joins) — cut it so the bigram
+    // explode+groupBy runs once (bigram-TYPE bounded, the documented
+    // broadcast bound). Two corpus passes total: counts + scoring.
     val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .stableCheckpoint()
     val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     bg
       .join(lmCounts(bigramCounts, documents), Seq("w1", "w2"))
@@ -276,7 +281,12 @@ object TextAnalysis {
         "filter(transform(t, (x, i) -> CASE WHEN i + 1 < size(t) THEN struct(x AS w1, t[i+1] AS w2) END), y -> y IS NOT NULL)"))
         .as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bigramCounts is the corpus-grain aggregation and feeds three
+    // branches (contextCounts + both LM joins) — cut it so the bigram
+    // explode+groupBy runs once (bigram-TYPE bounded, the documented
+    // broadcast bound). Two corpus passes total: counts + scoring.
     val bigramCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .stableCheckpoint()
     val contextCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val perDoc = bg
       .join(lmCounts(bigramCounts, documents), Seq("w1", "w2"))
@@ -285,6 +295,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(-log(col("cb") / col("cw"))), 6).as("h"))
       .withColumn("bin", floor(col("h") * 64).cast("long"))
+      // perDoc is the scoring pass (the query's second and last corpus
+      // explode) and feeds three branches (bin histogram, bucket map,
+      // final join) — cut it so the explode+LM-join runs once (doc-grain).
+      .stableCheckpoint()
     val binCounts = perDoc.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
     val wb = Window.partitionBy(col("lang")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -535,8 +549,13 @@ object TextAnalysis {
             pmod(row_number().over(Window.orderBy(col("token"))).cast("long"), lit(nBuckets.toLong)))
         tok.join(broadcast(vocab), Seq("token"))
       }
+    // counts is the one corpus-grain aggregation and feeds four branches
+    // (raw, tgt, their totals via delta, and the per-doc scoring join) —
+    // cut it so the token explode+vocab join runs once ((doc, bucket)
+    // grain, ≤ docs×nBuckets rows).
     val counts = tt.groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .stableCheckpoint()
     val raw = counts.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
     val tgt = counts.filter(col("lang") === targetLang)
       .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
@@ -562,7 +581,11 @@ object TextAnalysis {
     * are a broadcast-size vocabulary table joined onto the bigram counts. */
   def bigramPmi(documents: DataFrame, minCount: Long = 20L, topN: Int = 20): DataFrame = {
     val tok = documents.withColumn("t", toks)
+    // uni feeds three branches (total + two broadcast joins), bg two
+    // (total + the PMI row set) — cut both so each corpus explode runs
+    // once (vocab- / bigram-type-bounded tables).
     val uni = tok.select(explode(col("t")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .stableCheckpoint()
     val uniTotal = uni.agg(sum(col("cw")).as("n_uni"))
     val bg = tok
       .select(explode(expr(
@@ -570,6 +593,7 @@ object TextAnalysis {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .stableCheckpoint()
     val bgTotal = bg.agg(sum(col("cb")).as("n_bg"))
     bg.filter(col("cb") >= minCount)
       .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
@@ -1145,12 +1169,21 @@ object TextAnalysis {
       .withColumn("w2", lag(col("token"), 1).over(w))
       .withColumn("w1", lag(col("token"), 2).over(w))
     val train = tok.filter(col("doc_id") % 2 === 0)
-    val c3 = train.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2"), col("token")).agg(count(lit(1)).as("c3"))
-    val c2 = train.filter(col("w2").isNotNull)
-      .groupBy(col("w2").as("b1"), col("token").as("b2")).agg(count(lit(1)).as("c2"))
-    val c1 = train.groupBy(col("token").as("u")).agg(count(lit(1)).as("c1"))
-    val n = train.agg(count(lit(1)).as("n_train"))
+    // ONE corpus count pass: the (w1, w2, token) table with NULLABLE
+    // context keys (boundary tokens keep their rows) rolls up exactly to
+    // the old per-order tables — c3 is its w1-non-null slice, c2 the
+    // (w2, token) sum over w2-non-null rows, c1/N plain sums — so every
+    // count is the identical integer. Checkpointing it (trigram-TYPE
+    // bounded, Heaps-sublinear) stops the train-side window explode
+    // re-running per derived table (the before plan re-ran the corpus
+    // posexplode+lag window once each for c3/c2/c1/N).
+    val gb3 = train.groupBy(col("w1"), col("w2"), col("token"))
+      .agg(count(lit(1)).as("c3")).stableCheckpoint()
+    val c3 = gb3.filter(col("w1").isNotNull)
+    val c2 = gb3.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("b1"), col("token").as("b2")).agg(sum(col("c3")).as("c2"))
+    val c1 = gb3.groupBy(col("token").as("u")).agg(sum(col("c3")).as("c1"))
+    val n = gb3.agg(sum(col("c3")).as("n_train"))
     tok.filter(col("doc_id") % 2 === 1 && col("w1").isNotNull)
       .join(lmCounts(c3, documents), Seq("w1", "w2", "token"), "left")
       .join(lmCounts(c2.select(col("b1").as("w1"), col("b2").as("w2"), col("c2").as("c2ctx")), documents),
@@ -1204,7 +1237,11 @@ object TextAnalysis {
       .withColumn("pos", col("pos0").cast("long") + 1)
       .withColumn("u", lag(col("token"), 1).over(w))
     val train = tok.filter(col("doc_id") % 2 === 0 && col("u").isNotNull)
+    // c2 is the one corpus-grain count pass and every other table (c1,
+    // continuation counts, T) derives from it — cut it so the train-side
+    // window explode runs once (bigram-TYPE bounded).
     val c2 = train.groupBy(col("u"), col("token")).agg(count(lit(1)).as("c2"))
+      .stableCheckpoint()
     val c1 = c2.groupBy(col("u"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_right"))
     val cont = c2.groupBy(col("token")).agg(count(lit(1)).as("n1p_left"))
