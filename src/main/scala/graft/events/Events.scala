@@ -351,10 +351,14 @@ object Events {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
     val firstPurchase = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    // lat feeds the per-day count and the quantile pass (which itself
+    // branches) — cut it so the two fact scans+aggs run once
+    // (converted-user grain).
     val lat = signups.join(firstPurchase, "user_id")
       .filter(col("t_purchase") > col("t_signup"))
       .select(date_format(col("t_signup"), "yyyy-MM-dd").as("signup_day"),
         (unix_millis(col("t_purchase")) - unix_millis(col("t_signup"))).as("lat_ms"))
+      .stableCheckpoint()
     val n = lat.groupBy(col("signup_day")).agg(count(lit(1)).as("n_converted"))
     val qs = graft.plans.QuarterQuantiles.quarterQuantiles(
       lat, Seq("signup_day"), "lat_ms", Seq(1, 2, 3), bucketWidth = 3600000L)

@@ -1,5 +1,6 @@
 package graft.lake
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -476,8 +477,11 @@ object Snapshots {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(cents).as("sum_c"),
         min(cents).as("min_c"), max(cents).as("max_c"))
-    val snap = state(orders.filter(col("o_orderdate") < lit(cutoff)))
-    val delta = state(orders.filter(col("o_orderdate") >= lit(cutoff)))
+    // snap/delta each feed the merge union AND their own count-join
+    // branch — cut both so each orders scan+agg runs once (priority-grain,
+    // 5 rows).
+    val snap = state(orders.filter(col("o_orderdate") < lit(cutoff))).stableCheckpoint()
+    val delta = state(orders.filter(col("o_orderdate") >= lit(cutoff))).stableCheckpoint()
     val merged = snap.unionAll(delta)
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("n")).as("merged_n"), sum(col("sum_c")).as("merged_sum_c"),

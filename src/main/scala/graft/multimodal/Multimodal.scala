@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.plans.Checkpoints._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -489,11 +490,14 @@ object Multimodal {
     * dup-group min is a (checksum, byte_len)-keyed aggregate joined back). */
   def qualityGate(documents: DataFrame, minBytes: Long = 100L, maxBytes: Long = 480L,
                   lowBits: Double = 3.9, highBits: Double = 4.2): DataFrame = {
+    // base feeds three branches (dup keeper, the ruled join, per-source
+    // totals) — cut it so the payload checksum scan runs once (doc-grain).
     val base = documents
       .withColumn("payload", col("text").cast("binary"))
       .select(col("doc_id"), col("source"),
         length(col("payload")).cast("long").as("byte_len"),
         expr("graft_bytesum(payload)").as("checksum"))
+      .stableCheckpoint()
     val entropy = documents
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))

@@ -755,11 +755,15 @@ object Relational {
     * — three conditional-min stages, each one user-keyed aggregation +
     * broadcast-size join; no per-user event sorting, no session windows. */
   def strictFunnel(events: DataFrame): DataFrame = {
+    // s1/s2 each feed the next stage AND their own count branch — cut both
+    // so each fact scan+agg runs once (user-grain).
     val s1 = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .stableCheckpoint()
     val s2 = events.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .stableCheckpoint()
     val s3 = events.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
