@@ -577,7 +577,19 @@ object Dedup {
       .filter(((col("doc_a") % 1000003L) * 31L + col("doc_b")) % sampleMod === 0L)
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
       .stableCheckpoint()
-    val tok = documents.select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+    // Semi-join pre-filter (guide §3.2's shape at doc grain): exact Jaccard
+    // only ever reads tokens of docs IN the sampled candidate set, so the
+    // corpus is pruned to those docs BEFORE the tokenize+explode — the
+    // explode then runs over the sample's docs instead of the whole corpus,
+    // and the checkpoint bounds it to one pass (it previously re-ran for
+    // both intersection sides and both size lookups). Per-doc token sets
+    // are complete (the filter is on doc_id, never on tokens), so every
+    // intersection/size below is bit-identical.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tok = documents.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .stableCheckpoint()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
     val inter = cand.select(col("doc_a"), col("doc_b"))
       .join(tok.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))

@@ -750,10 +750,19 @@ object Events {
     * compare. Two aggregates + one broadcast join of the bounded
     * (type × 7 × 24) baseline table. */
   def seasonalAnomaly(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    // Group on the integer hour index (µs div 3600e6 — identical to a UTC
+    // date_trunc("hour") for these epoch-positive timestamps) and rebuild
+    // the timestamp AFTER the aggregation: the per-row work in the fact
+    // pass drops to one integer division, and the calendar functions
+    // (timestamp rebuild, dayofweek, hour) run over the bounded slot table
+    // instead of every event. Same rows, same slot values — only where the
+    // datetime arithmetic happens moves.
     val hourly = events.groupBy(
-        date_trunc("hour", col("ts")).as("slot"),
+        expr("unix_micros(ts) div 3600000000").as("slot_h"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("slot", timestamp_micros(col("slot_h") * lit(3600000000L)))
+      .drop("slot_h")
       .withColumn("dow", dayofweek(col("slot")).cast("long"))
       .withColumn("hod", hour(col("slot")).cast("long"))
     val baseline = hourly.groupBy(col("event_type").as("et"), col("dow").as("bdow"), col("hod").as("bhod"))
