@@ -309,6 +309,7 @@ object Bench {
     // artifact file and the compact line can both be composed at ANY moment
     // (mid-suite kill, SIGTERM, budget shed) from whatever has completed.
     val stateLock = new Object
+    val jobErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     val resultsNow = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val memStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -352,10 +353,13 @@ object Bench {
           f""","contention":{"samples":${calibSamples.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
             f""""x":$contentionXNow%.2f}"""
         else ""
+      val jobErrJson =
+        if (jobErrors.isEmpty) ""
+        else jobErrors.map("\"" + _ + "\"").mkString(""","job_errors":[""", ",", "]")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top20_slowest":$top,""" +
         f""""mem":$memJson,"n_queries":${results.size},"n_reruns":$nReruns,""" +
         f""""first_pass_sec":${firstPassNow(total)}%.3f,"total_sec":$total%.3f""" +
-        s"""$setupJson${extraBlocks.toString}$scaleJson$contention${partialJson(partial)},"sf":"$sfDir"}"""
+        s"""$setupJson${extraBlocks.toString}$scaleJson$contention$jobErrJson${partialJson(partial)},"sf":"$sfDir"}"""
     }
     def flushArtifact(partial: Boolean = true): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -380,11 +384,13 @@ object Bench {
       val setupHeadline =
         if (setupJson.isEmpty) ""
         else setupJson.replaceAll(""","setup":\{"sec":([0-9.]+).*""", ""","setup_sec":$1""")
+      val jobErrHeadline =
+        if (jobErrors.isEmpty) "" else s""","job_errors":${jobErrors.size}"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_sec":$total%.3f""" +
         setupHeadline +
         f""","n_queries":${results.size},"n_reruns":$nReruns,"first_pass_sec":${firstPassNow(total)}%.3f,""" +
         f""""queries":$top10,"mem_top_peak_mb":$memTop""" +
-        writeHeadline + scaleSummary + partialJson(partial) +
+        writeHeadline + scaleSummary + jobErrHeadline + partialJson(partial) +
         f""","contention_x":$contentionXNow%.2f,"artifact":"$outPath","sf":"$sfDir"}"""
     }
     val linePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -436,6 +442,23 @@ object Bench {
     def errStr(e: Throwable): String =
       (e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
         .take(160).replaceAll("""[\\"\n\r\t]""", " ")
+
+    // Job-failure observability: any failed Spark job's exception HEAD is
+    // recorded into the artifact (`job_errors`) — the r18 driver run
+    // carried a truncated `ERROR TaskSetManager ... aborting job` stack in
+    // its 2000-char tail with the cause scrolled away; absorbed failures
+    // (defense/probe phases, rc=0) must still be diagnosable from the
+    // artifact alone.
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        e.jobResult match {
+          case org.apache.spark.scheduler.JobFailed(ex) => stateLock.synchronized {
+            if (jobErrors.size < 8)
+              jobErrors += f"job ${e.jobId} @${elapsedS}%.0fs: ${errStr(ex)}"
+          }
+          case _ => ()
+        }
+    })
 
     // ---- Phase 1: empirical scale trend (FIRST — young heap; see scaladoc).
     // Default ON; SPARK_GRAFT_SCALE_BENCH=0 disables. The "would this
@@ -758,16 +781,55 @@ object Bench {
     heartbeat("phase: setup")
     if (!sys.env.get("SPARK_GRAFT_SETUP_BENCH").contains("0") &&
         phaseGate("setup", 60.0)) {
-      val setupTimes = SparkEntry.benchSetupQueries.filter(names.contains).map { q =>
-        val t0 = System.nanoTime()
-        try run(q) catch { case e: Throwable =>
-          System.err.println(s"[setup] $q failed: ${e.getMessage}")
+      // Fixture builds are independent of each other, so they run from a
+      // small thread pool (guide §2.6: overlap independent jobs — each
+      // build's serial driver/commit tail back-fills with another build's
+      // tasks). Every worker thread gets ITS OWN session
+      // (spark.newSession(), tuned identically): fixture builders mutate
+      // session confs (partition-overwrite mode, catalog registrations),
+      // which are session-scoped, so a shared session would race conf
+      // restores across threads. plans.Memo keys artifacts by
+      // SparkContext and serializes same-key builds, so the suite's main
+      // session reuses every fixture built here. `setup.sec` is the phase
+      // WALL (what the budget pays); `cpu_sec` keeps the old
+      // sum-of-builds number and the per-query map keeps per-build walls.
+      val setupNames = SparkEntry.benchSetupQueries.filter(names.contains)
+      val nWorkers = math.max(1, math.min(
+        sys.env.get("SPARK_GRAFT_SETUP_THREADS").map(_.toInt).getOrElse(4),
+        setupNames.size))
+      val wallT0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nWorkers)
+      val workerSession = new ThreadLocal[SparkSession] {
+        override def initialValue(): SparkSession = {
+          val s = spark.newSession()
+          s.conf.set("spark.sql.shuffle.partitions", cpus)
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          GraftSession.tune(s)
+          s
         }
-        q -> (System.nanoTime() - t0) / 1e9
       }
+      val setupTimes = setupNames.map { q =>
+        q -> pool.submit(new java.util.concurrent.Callable[Double] {
+          override def call(): Double = {
+            val s = workerSession.get()
+            s.sparkContext.setJobDescription(s"setup: $q")
+            val t0 = System.nanoTime()
+            try SparkEntry.benchVariants.getOrElse(q, SparkEntry.queries(q))(s, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[setup] $q failed: ${e.getMessage}")
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+        })
+      }.map { case (q, fut) => q -> fut.get() }
+      pool.shutdown()
+      val wall = (System.nanoTime() - wallT0) / 1e9
       if (setupTimes.nonEmpty) {
         val m = setupTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-        setupJson = f""","setup":{"sec":${setupTimes.map(_._2).sum}%.3f,"queries":$m}"""
+        setupJson = f""","setup":{"sec":$wall%.3f,""" +
+          f""""cpu_sec":${setupTimes.map(_._2).sum}%.3f,""" +
+          f""""threads":$nWorkers,"queries":$m}"""
       }
     }
 
@@ -1117,6 +1179,18 @@ object Bench {
     // a budget-trimmed artifact for a complete one.
     val partial = shedPhases.nonEmpty
     flushArtifact(partial)
+    // Per-CPU-config snapshot alongside the main artifact: the driver runs
+    // the bench at two core counts into the same default outPath, and the
+    // second run used to overwrite the first's per-query map — keep a
+    // `_c<cpus>` copy per config so both stay verifiable.
+    try {
+      val cpuPath =
+        if (outPath.endsWith(".json")) outPath.stripSuffix(".json") + s"_c$cpus.json"
+        else s"${outPath}_c$cpus"
+      java.nio.file.Files.write(java.nio.file.Paths.get(cpuPath),
+        artifactNow(partial).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-cpu artifact snapshot failed: ${e.getMessage}") }
     heartbeat(if (partial) s"done (partial; shed: ${shedPhases.mkString(", ")})" else "done")
     // stop() is best-effort: a shutdown-race exception must not cost the
     // contract line (the whole point of holding realOut for last)

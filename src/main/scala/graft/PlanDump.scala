@@ -19,7 +19,11 @@ object PlanDump {
     val sfDir = args(0)
     val outDir = args(1)
     val tag = args(2)
-    val names = args(3).split(",").toSeq.filter(SparkEntry.queries.contains)
+    val requested = args(3).split(",").toSeq
+    val names = requested.filter(SparkEntry.queries.contains)
+    val unknown = requested.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(s"[plandump] WARNING: unknown query names dropped: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -748,7 +748,14 @@ object Events {
     * Σn/Σn² so mean and σ are the same double expression on both engines
     * (the burstiness convention); the σ>0 guard is an exact integer
     * compare. Two aggregates + one broadcast join of the bounded
-    * (type × 7 × 24) baseline table. */
+    * (type × 7 × 24) baseline table.
+    *
+    * Precondition: epoch-positive timestamps under a UTC session timezone —
+    * the integer-division hour index below truncates toward zero, so a
+    * pre-1970 `ts` would bucket one hour off versus `date_trunc("hour")`,
+    * and a non-UTC session would shift every slot label. Both hold for
+    * every caller in this engine (GraftSession.tune forces UTC; event data
+    * is epoch-positive). */
   def seasonalAnomaly(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
     // Group on the integer hour index (µs div 3600e6 — identical to a UTC
     // date_trunc("hour") for these epoch-positive timestamps) and rebuild
@@ -757,8 +764,19 @@ object Events {
     // (timestamp rebuild, dayofweek, hour) run over the bounded slot table
     // instead of every event. Same rows, same slot values — only where the
     // datetime arithmetic happens moves.
-    val hourly = events.groupBy(
-        expr("unix_micros(ts) div 3600000000").as("slot_h"),
+    // The explicit isnotnull(ts) prefilter + non-nullable slot index kill a
+    // residual the r18 plan dump showed: the baseline join's inferred
+    // isnotnull(dow/hod) constraints were pushed below the aggregation as
+    // per-event-row `isnotnull(dayofweek(timestamp_micros(...)))` filters —
+    // always true, pure calendar work per row. With ts filtered non-null
+    // (same rows: a null-ts group could never equi-join the baseline) and
+    // the slot index wrapped non-nullable, dow/hod are statically non-null
+    // and those constraints fold away; the scan keeps only the trivial
+    // pushable isnotnull(ts).
+    val hourly = events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        coalesce(expr("unix_micros(ts) div 3600000000"), lit(0L)).as("slot_h"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("slot", timestamp_micros(col("slot_h") * lit(3600000000L)))

@@ -299,7 +299,6 @@ object Snapshots {
     // (same rows — commitCadence got this fix in r12, this query never
     // did). chained is checkpointed too: prefixMax's branches would
     // otherwise each re-run lagOver's whole bucketed-window subtree.
-    import graft.plans.Checkpoints.StableCheckpoint
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))
@@ -365,7 +364,6 @@ object Snapshots {
     // growth (r12 driver artifact: cpu exponent 1.69 from exactly that).
     // One eager checkpoint makes every downstream branch read the tiny
     // materialized table instead.
-    import graft.plans.Checkpoints.StableCheckpoint
     val commits = orders
       .withColumn("commit_id", (col("o_orderkey") / 100).cast("long"))
       .groupBy(col("commit_id"))

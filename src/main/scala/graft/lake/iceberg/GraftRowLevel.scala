@@ -68,16 +68,17 @@ private[iceberg] class GraftRowLevelOperation(location: String,
 
   override def description(): String = s"graft-delta $cmd $location"
 
+  private val table = new GraftSqlTable(s"graft-rowlevel $location", location, None)
+
   /** The operation's scan is the table's own scan (same pruning, same
     * delete-state resolution) — `_file`/`_pos` arrive via pruneColumns
     * like any metadata column. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val table = new GraftSqlTable(s"graft-rowlevel $location", location, None)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     table.newScanBuilder(options)
-  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new GraftDeltaWriteBuilder(location, info.schema())
+    new GraftDeltaWriteBuilder(location, info.schema(),
+      GraftPartitioning.sourceColumnOf(table.partitioning()))
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
@@ -87,12 +88,14 @@ private[iceberg] class GraftRowLevelOperation(location: String,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 }
 
-private[iceberg] class GraftDeltaWriteBuilder(location: String, schema: StructType)
+private[iceberg] class GraftDeltaWriteBuilder(location: String, schema: StructType,
+                                              partCol: Option[String])
     extends DeltaWriteBuilder {
-  override def build(): DeltaWrite = new GraftDeltaWrite(location, schema)
+  override def build(): DeltaWrite = new GraftDeltaWrite(location, schema, partCol)
 }
 
-private[iceberg] class GraftDeltaWrite(location: String, schema: StructType)
+private[iceberg] class GraftDeltaWrite(location: String, schema: StructType,
+                                       partCol: Option[String])
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   /** Writer fan-out control (the Iceberg `write.distribution-mode=range`
@@ -111,10 +114,14 @@ private[iceberg] class GraftDeltaWrite(location: String, schema: StructType)
     * 100 TB UPDATE's delta spreads over range-split tasks (sub-month
     * ranges), never one-task-per-month hash hotspots. Deletes carry a
     * NULL l_shipdate and inserts a NULL _file (ASC = NULLS FIRST), so
-    * the two row kinds cluster cleanly without interleaving. */
-  private def sortCols: Array[String] =
-    if (schema.fieldNames.contains("l_shipdate")) Array("_file", "l_shipdate")
-    else Array("_file", "_pos")
+    * the two row kinds cluster cleanly without interleaving. The data
+    * sort key is the table's PARTITION-SPEC source column
+    * ([[GraftPartitioning.sourceColumnOf]] via the operation builder),
+    * never a hardcoded name. */
+  private def sortCols: Array[String] = partCol.filter(schema.fieldNames.contains) match {
+    case Some(c) => Array("_file", c)
+    case None => Array("_file", "_pos")
+  }
 
   override def requiredDistribution(): Distribution =
     Distributions.ordered(sortCols.map(c =>
@@ -130,7 +137,8 @@ private[iceberg] class GraftDeltaWrite(location: String, schema: StructType)
     // re-derived inside commitDelta's OCC retry loop at commit time.
     val dirHint = IcebergTable.readMetadata(location)
       .snapshots.map(_.id).max + 1L
-    new GraftDeltaBatchWrite(location, schema, dirHint)
+    new GraftDeltaBatchWrite(location, schema, dirHint,
+      partCol.getOrElse("l_shipdate"))
   }
 }
 
@@ -143,13 +151,13 @@ private[iceberg] case class GraftDeltaCommitMessage(
     files: Array[String]) extends WriterCommitMessage
 
 private[iceberg] class GraftDeltaBatchWrite(location: String, schema: StructType,
-                                            dirHint: Long)
+                                            dirHint: Long, partCol: String)
     extends DeltaBatchWrite {
 
   private val dataDir = s"$location/data/snap-$dirHint"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(dataDir, schema)
+    new GraftDeltaWriterFactory(dataDir, schema, partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -182,10 +190,11 @@ private[iceberg] object GraftDeltaBatchWrite {
     }.sortBy(_._1)
 }
 
-private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructType)
+private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructType,
+                                               partCol: String)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(dataDir, schema, partitionId, taskId)
+    new GraftDeltaWriter(dataDir, schema, partitionId, taskId, partCol)
 }
 
 /** V2 batch write behind DYNAMIC `INSERT OVERWRITE`: the delta writer
@@ -194,13 +203,14 @@ private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructTy
   * exactly the months that received data
   * ([[IcebergTable.commitOverwriteMonths]]). */
 private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: StructType,
-                                                dirHint: Long)
+                                                dirHint: Long,
+                                                partCol: String = "l_shipdate")
     extends BatchWrite {
 
   private val dataDir = s"$location/data/snap-$dirHint"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftDeltaWriterFactory(dataDir, schema)
+    new GraftDeltaWriterFactory(dataDir, schema, partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftDeltaCommitMessage => m }
@@ -228,14 +238,15 @@ private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: Struct
   * files never collide with the committed ones and are dropped by the
   * dedup path. */
 private[iceberg] class GraftStreamingWrite(location: String, schema: StructType,
-                                           queryId: String)
+                                           queryId: String,
+                                           partCol: String = "l_shipdate")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def dataDir(epochId: Long) = s"$location/data/stream-$queryId-ep$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(location, queryId, schema)
+    new GraftStreamingWriterFactory(location, queryId, schema, partCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case m: GraftDeltaCommitMessage => m }
@@ -250,12 +261,13 @@ private[iceberg] class GraftStreamingWrite(location: String, schema: StructType,
 }
 
 private[iceberg] class GraftStreamingWriterFactory(location: String, queryId: String,
-                                                   schema: StructType)
+                                                   schema: StructType,
+                                                   partCol: String = "l_shipdate")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDeltaWriter(s"$location/data/stream-$queryId-ep$epochId",
-      schema, partitionId, taskId)
+      schema, partitionId, taskId, partCol)
 }
 
 /** Executor-side delta writer: deletes/updates record (file, pos) row
@@ -263,14 +275,15 @@ private[iceberg] class GraftStreamingWriterFactory(location: String, queryId: St
   * month partition (hive-style `p_month=` dirs, so the committer's stats
   * collection sees the same layout every other graft writer produces). */
 private[iceberg] class GraftDeltaWriter(dataDir: String, schema: StructType,
-                                        partitionId: Int, taskId: Long)
+                                        partitionId: Int, taskId: Long,
+                                        partCol: String = "l_shipdate")
     extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
   private val writers = mutable.Map.empty[String, (String, ParquetWriter[InternalRow])]
   // lazy: a delta DELETE's write schema carries no data columns and
   // never calls insert()
-  private lazy val shipIdx = schema.fieldIndex("l_shipdate")
+  private lazy val shipIdx = schema.fieldIndex(partCol)
   private lazy val shipDt = schema(shipIdx).dataType
 
   private def monthOf(row: InternalRow): String = shipDt match {
@@ -339,7 +352,15 @@ private[iceberg] object GraftRowParquet {
     * READ it): `new Configuration()` costs ~6 ms (XML resource merge) —
     * a third of a small file's entire open/write/close cost — and a
     * month-partitioned delta write opens one writer per (task, month),
-    * so the per-writer conf dominated wide commits before the cache. */
+    * so the per-writer conf dominated wide commits before the cache.
+    *
+    * INVARIANT (pinned to parquet-mr 1.x as shipped with Spark 4.1):
+    * neither `ParquetWriter.Builder.build()` nor `ParquetWriteSupport.init`
+    * ever calls `conf.set`/`setIfUnset` — they only read. A parquet-mr
+    * upgrade that starts WRITING through the handed-in conf would turn
+    * this shared instance into a cross-writer race; if that ever lands,
+    * switch to `new Configuration(cached)` per writer (~1 ms copy-on-write
+    * view vs 6 ms from scratch). */
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[StructType, Configuration]()
 
@@ -387,4 +408,69 @@ private[iceberg] object GraftMetaColumns {
       override def isNullable: Boolean = false
       override def comment(): String = "row position in its data file"
     })
+}
+
+/** Single source of truth for the catalog's declared partition transform —
+  * every write path derives its distribution/sort keys and its writer's
+  * partition-value column FROM this spec instead of sniffing a hardcoded
+  * column name (a table whose partition source were renamed, or an
+  * unrelated column that happened to be called `l_shipdate`, would
+  * otherwise silently get the wrong write shape). */
+private[iceberg] object GraftPartitioning {
+  import org.apache.spark.sql.connector.expressions.Transform
+
+  /** The catalog's partition spec: month(l_shipdate), matching the
+    * metadata files' p_month spec. */
+  def monthTransform: Transform = Expressions.months("l_shipdate")
+
+  /** The source column of the first partition transform, if any — the
+    * column write distributions cluster/sort on and the delta writer
+    * derives partition values from. */
+  def sourceColumnOf(partitioning: Array[Transform]): Option[String] =
+    partitioning.headOption.flatMap(_.references.headOption)
+      .map(_.fieldNames.mkString("."))
+}
+
+/** The Iceberg `month` transform as a Spark V2 scalar function — what the
+  * catalog's FunctionCatalog serves so that a write's required CLUSTERED
+  * distribution can say `months(<part col>)` and Spark's
+  * DistributionAndOrderingUtils can resolve and evaluate it when inserting
+  * the pre-write shuffle (Iceberg's own Spark integration ships the same
+  * function for the same reason). Value = months since 1970-01 of the UTC
+  * calendar date: (year − 1970) · 12 + (month − 1). */
+private[iceberg] object GraftMonthsFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "months"
+  override def description(): String =
+    "months(ts): months since 1970-01 (the Iceberg month partition transform)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1, s"months takes one argument, got $inputType")
+    inputType.fields(0).dataType match {
+      case dt @ (TimestampType | TimestampNTZType | DateType) => MonthsBound(dt)
+      case t => throw new UnsupportedOperationException(s"months: unsupported input type $t")
+    }
+  }
+
+  private case class MonthsBound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "months"
+    override def canonicalName(): String = "graft.months"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else {
+        val d = dt match {
+          case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
+          case _ => // timestamp micros since epoch, UTC calendar
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(input.getLong(0), 1000000L), 0,
+              java.time.ZoneOffset.UTC).toLocalDate
+        }
+        Integer.valueOf((d.getYear - 1970) * 12 + (d.getMonthValue - 1))
+      }
+  }
 }

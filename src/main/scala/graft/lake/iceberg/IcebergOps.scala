@@ -2,7 +2,7 @@ package graft.lake.iceberg
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registered queries over the REAL [[IcebergTable]] metadata layer.
@@ -23,6 +23,25 @@ object IcebergOps {
 
   /** Split point between the two snapshots (spliced into the oracles). */
   val SnapshotCut = "1997-01-01"
+
+  /** Pushable equivalent of `date_format(l_shipdate,'yyyy-MM').between(lo,hi)`
+    * for well-formed month strings under the UTC session: a half-open
+    * timestamp range on the raw column. Unlike the formatted comparison it
+    * reaches the parquet scan as a PushedFilters range (row groups skip on
+    * min/max) and costs no per-row string formatting. */
+  private def shipMonthRange(monthLo: String, monthHi: String): Column = {
+    val hiX = java.time.YearMonth.parse(monthHi).plusMonths(1).atDay(1).toString
+    col("l_shipdate") >= lit(s"$monthLo-01").cast("timestamp") &&
+      col("l_shipdate") < lit(hiX).cast("timestamp")
+  }
+
+  /** Day-grain twin of [[shipMonthRange]] for
+    * `date_format(l_shipdate,'yyyy-MM-dd').between(lo,hi)`. */
+  private def shipDateRange(dateLo: String, dateHi: String): Column = {
+    val hiX = java.time.LocalDate.parse(dateHi).plusDays(1).toString
+    col("l_shipdate") >= lit(dateLo).cast("timestamp") &&
+      col("l_shipdate") < lit(hiX).cast("timestamp")
+  }
 
   private def tableFor(spark: SparkSession, lineitem: DataFrame): String =
     graft.plans.Memo.memoize(lineitem, "iceberg.table") {
@@ -48,7 +67,7 @@ object IcebergOps {
     IcebergTable.read(spark, loc, None, Some(monthLo), Some(monthHi))
       // row-level re-filter: month files are exactly predicate-aligned here,
       // but a reader must never rely on file grain matching the predicate
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("files_total", lit(full.filesTotal))
@@ -87,7 +106,7 @@ object IcebergOps {
     val loc = morTableFor(spark, lineitem)
     val (live, plan, deletes) = IcebergTable.readMor(spark, loc, Some(monthLo), Some(monthHi))
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
@@ -175,7 +194,7 @@ object IcebergOps {
     val full = IcebergTable.planFiles(loc)
     require(plan.files.nonEmpty, "stats pruning removed every file")
     spark.read.parquet(plan.files.map(_.path): _*)
-      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(dateLo, dateHi))
+      .filter(shipDateRange(dateLo, dateHi))
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("files_total", lit(full.filesTotal))
       .withColumn("files_scanned", lit(plan.filesSelected.toLong))
@@ -206,7 +225,7 @@ object IcebergOps {
       val filesTotal = manifests.filter(_.specId == specId).map(_.addedFiles.toLong).sum
       val planned = IcebergTable.planFiles(loc, None, None, None, Some(lo), Some(hi))
       val nRows = spark.read.parquet(planned.files.map(_.path): _*)
-        .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(lo, hi))
+        .filter(shipDateRange(lo, hi))
         .count()
       (label, specId.toLong, filesTotal, planned.filesSelected.toLong, nRows)
     }
@@ -327,7 +346,7 @@ object IcebergOps {
     val loc = posDvTableFor(spark, lineitem)
     val (live, plan, dvs) = IcebergTable.readMorPositional(spark, loc, Some(monthLo), Some(monthHi))
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
@@ -365,7 +384,7 @@ object IcebergOps {
     val (live, plan, eqs, poss, _) =
       IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("data_files_scanned", lit(plan.filesSelected.toLong))
@@ -618,7 +637,7 @@ object IcebergOps {
     def readCount(fs: Seq[IcebergTable.DataFileEntry], pred: org.apache.spark.sql.Column): Long =
       if (fs.isEmpty) 0L
       else spark.read.parquet(fs.map(_.path): _*).filter(pred).count()
-    val inRange = date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi)
+    val inRange = shipMonthRange(monthLo, monthHi)
     val rows = Seq(
       ("1_point_month_era", era0Files, pM.size.toLong,
         pM.map(_.recordCount).sum, readCount(pM, col("l_orderkey") === kmax)),
@@ -820,7 +839,7 @@ object IcebergOps {
     val locS = build("iceberg.table.sorted", byRank = true)
     val locH = build("iceberg.table.hashed", byRank = false)
     val matching = lineitem
-      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd").between(SkipDateLo, SkipDateHi))
+      .filter(shipDateRange(SkipDateLo, SkipDateHi))
       .count()
     val rows = Seq(("clustered", locS), ("hashed", locH)).map { case (layout, loc) =>
       val full = IcebergTable.planFiles(loc)
@@ -864,7 +883,7 @@ object IcebergOps {
     val meta = IcebergTable.readMetadata(loc)
     val snaps = meta.snapshots.sortBy(_.id)
     val matching = lineitem.filter(
-      date_format(col("l_shipdate"), "yyyy-MM-dd").between(ZDateLo, ZDateHi) &&
+      shipDateRange(ZDateLo, ZDateHi) &&
         round(col("l_quantity")) <= ZQtyHi).count()
     val rows = Seq(("1_hashed", snaps.head), ("2_zorder", snaps.last)).map {
       case (layout, snap) =>
@@ -1617,7 +1636,7 @@ object IcebergOps {
       IcebergTable.readMorUnified(spark, loc, Some(monthLo), Some(monthHi))
     require(posAfter.isEmpty, "rewrite left pos-parquet delete files behind")
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("pos_files_replaced",
@@ -1968,7 +1987,7 @@ object IcebergOps {
     val after = posEntries(IcebergTable.currentSnapshot(meta).manifestList)
     val (live, _, _) = IcebergTable.readMorDv(spark, loc, Some(monthLo), Some(monthHi))
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("dv_blobs_pre", lit(before.size.toLong))
@@ -2022,7 +2041,7 @@ object IcebergOps {
       "pos-only rewrite left non-DV positional entries behind")
     val (live, _, _) = IcebergTable.readMorDv(spark, loc, Some(monthLo), Some(monthHi))
     live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
+      .filter(shipMonthRange(monthLo, monthHi))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_live_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
       .withColumn("pos_files_replaced",
@@ -2075,26 +2094,38 @@ object IcebergOps {
     val dvs = IcebergTable.readManifestsParallel(manifests.map(_.path)).flatten
       .filter(_.content == 1)
     val (live, _, _) = IcebergTable.readMorDv(spark, loc, withRowIds = true)
-    // global lineage census in ONE distributed job
-    val g = live.agg(
-      count(lit(1)).as("n"),
-      countDistinct(col("_row_id")).as("ids"),
-      sum(when(col("_last_updated_sequence_number") === 3L, 1L).otherwise(0L)).as("upd"),
-      sum(when(col("_last_updated_sequence_number") === 1L, 1L).otherwise(0L)).as("e1"),
-      sum(when(col("_last_updated_sequence_number") === 2L, 1L).otherwise(0L)).as("e2"))
-      .head()
-    live
-      .filter(date_format(col("l_shipdate"), "yyyy-MM").between(monthLo, monthHi))
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_live_rows"),
+    // ONE pass over the MOR read (it used to run twice — a global lineage
+    // census then the windowed aggregate, each re-paying the DV-merged
+    // scan): grouping sets ((flag), ()) compute both grains in a single
+    // table pass. The () grand-total row carries the global census
+    // including the EXACT countDistinct(_row_id) uniqueness proof; the
+    // (flag) rows carry the in-window per-returnflag aggregate (flag is
+    // NULL out of window, so those rows fall into the dropped null group;
+    // l_returnflag itself is never null in lineitem). The aggregated table
+    // is ≤ #flags + 2 rows — checkpointed so the census branch and the
+    // flag branch read it once.
+    val flag = when(shipMonthRange(monthLo, monthHi), col("l_returnflag"))
+    import graft.plans.Checkpoints._
+    val agged = live
+      .select(flag.as("flag"), col("_row_id"),
+        col("_last_updated_sequence_number").as("seq"), col("l_quantity"))
+      .groupingSets(Seq(Seq(col("flag")), Seq.empty), col("flag"))
+      .agg(grouping(col("flag")).as("gflag"),
+        count(lit(1)).as("n"),
+        countDistinct(col("_row_id")).as("ids"),
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        sum(when(col("_last_updated_sequence_number") === 3L, 1L).otherwise(0L))
-          .as("n_updated_in_window"))
-      .withColumn("n_rows_total", lit(g.getAs[Long]("n")))
-      .withColumn("n_rowids_distinct", lit(g.getAs[Long]("ids")))
-      .withColumn("n_updated", lit(g.getAs[Long]("upd")))
-      .withColumn("n_last_seq1", lit(g.getAs[Long]("e1")))
-      .withColumn("n_last_seq2", lit(g.getAs[Long]("e2")))
+        sum(when(col("seq") === 3L, 1L).otherwise(0L)).as("upd"),
+        sum(when(col("seq") === 1L, 1L).otherwise(0L)).as("e1"),
+        sum(when(col("seq") === 2L, 1L).otherwise(0L)).as("e2"))
+      .stableCheckpoint()
+    val census = agged.filter(col("gflag") === 1)
+      .select(col("n").as("n_rows_total"), col("ids").as("n_rowids_distinct"),
+        col("upd").as("n_updated"), col("e1").as("n_last_seq1"),
+        col("e2").as("n_last_seq2"))
+    agged.filter(col("gflag") === 0 && col("flag").isNotNull)
+      .select(col("flag").as("l_returnflag"), col("n").as("n_live_rows"),
+        col("sum_qty"), col("upd").as("n_updated_in_window"))
+      .crossJoin(broadcast(census))
       .withColumn("dv_blobs", lit(dvs.size.toLong))
       .withColumn("deleted_positions", lit(dvs.map(_.recordCount).sum))
       .withColumn("n_snapshots", lit(meta.snapshots.size.toLong))
@@ -2950,6 +2981,15 @@ object IcebergOps {
       val streamDf = markers.toDF().toDF("__m")
         .join(li3, col("__m") === col("__b"))
         .drop("__m", "__b")
+      // Pre-create the sink table with Iceberg's write.distribution-mode=
+      // hash property: each streaming epoch is then hash-clustered by
+      // months(l_shipdate) before the writers (the sink cannot global-
+      // sort), so an epoch writes ≈ months-touched files instead of
+      // tasks × months — the batch writes' r18 range-distribution fix,
+      // extended to the streaming path.
+      spark.sql(s"""CREATE TABLE $cat.lake.lineitem_stream
+        | (${lineitem.schema.toDDL})
+        | TBLPROPERTIES ('write.distribution-mode'='hash')""".stripMargin)
       val ckpt = new java.io.File(w, "_stream_ckpt").getPath
       val q = streamDf.writeStream
         .option("checkpointLocation", ckpt)

@@ -15,6 +15,7 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -57,7 +58,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * timestamps in whatever physical form the file carries — int96, millis
   * or micros — via Spark's own vectorized conversion. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** V2 transform functions ([[GraftMonthsFunction]]) — what lets a write's
+    * required CLUSTERED distribution reference `months(<part col>)` and be
+    * resolved by Spark's DistributionAndOrderingUtils (the same mechanism
+    * Iceberg's own FunctionCatalog serves its transforms through). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, GraftMonthsFunction.name()))
+    else Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == GraftMonthsFunction.name()) GraftMonthsFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -480,14 +493,14 @@ private[iceberg] class GraftStagedTable(ident: String, location: String,
   override def name(): String = ident
   override def schema(): StructType = declared
   override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.months("l_shipdate"))
+    Array(GraftPartitioning.monthTransform)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val b = new GraftWriteBuilder(location, info.schema(), info.queryId())
+    val b = new GraftWriteBuilder(location, info.schema(), info.queryId(), partitioning())
     if (replaceProps.isDefined) b.truncate() // a replace supersedes ALL prior data
     b
   }
@@ -709,7 +722,7 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
     * to [[org.apache.spark.sql.connector.write.SupportsDynamicOverwrite]]
     * (the partition-level replace) instead of a whole-table truncate. */
   override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.months("l_shipdate"))
+    Array(GraftPartitioning.monthTransform)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -782,7 +795,7 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to a time-travel snapshot of $ident")
-    new GraftWriteBuilder(location, info.schema(), info.queryId())
+    new GraftWriteBuilder(location, info.schema(), info.queryId(), partitioning())
   }
 }
 
@@ -798,10 +811,17 @@ private[iceberg] class GraftSqlTable(ident: String, location: String,
   *    plain DataWriter), and the commit replaces EXACTLY the months that
   *    received data ([[IcebergTable.commitOverwriteMonths]]). */
 private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructType,
-                                         queryId: String = "")
+                                         queryId: String = "",
+                                         partitioning: Array[Transform] =
+                                           Array(GraftPartitioning.monthTransform))
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  /** Distribution/sort source column, derived from the table's partition
+    * spec (never a hardcoded column name). */
+  private val partCol: Option[String] =
+    GraftPartitioning.sourceColumnOf(partitioning)
 
   private var mode: String = "append"
 
@@ -832,8 +852,7 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
         // files out ≈ months touched (not tasks × months). AQE sizes the
         // partition count from the insert volume.
         private val sortKeys =
-          if (writeSchema.fieldNames.contains("l_shipdate")) Array("l_shipdate")
-          else Array.empty[String]
+          partCol.filter(writeSchema.fieldNames.contains).toArray
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           if (sortKeys.isEmpty)
@@ -853,11 +872,37 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
           // re-derived inside commitOverwriteMonths' OCC retry loop
           val dirHint = IcebergTable.readMetadataOpt(location)
             .map(_.snapshots.map(_.id).max).getOrElse(0L) + 1L
-          new GraftOverwriteBatchWrite(location, writeSchema, dirHint)
+          new GraftOverwriteBatchWrite(location, writeSchema, dirHint,
+            partCol.getOrElse("l_shipdate"))
         }
       }
     case m =>
-      new org.apache.spark.sql.connector.write.V1Write {
+      new org.apache.spark.sql.connector.write.V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // Iceberg's `write.distribution-mode=hash` as a TABLE PROPERTY:
+        // when set, appends (batch AND streaming epochs — the streaming
+        // sink cannot global-sort, so hash-clustering is its
+        // distribution) are clustered by months(<part col>), resolved
+        // through the catalog's FunctionCatalog — files out ≈ months
+        // touched instead of tasks × months. Unset tables keep the
+        // unspecified distribution (writeDataSnapshot lays batch appends
+        // out itself), so plain INSERTs pay no extra exchange.
+        private val wantsHashDistribution =
+          (m != "truncate") && partCol.nonEmpty &&
+            IcebergTable.readMetadataOpt(location).map(_.properties)
+              .getOrElse(IcebergTable.readPendingProperties(location))
+              .get("write.distribution-mode").contains("hash")
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (wantsHashDistribution)
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .months(partCol.get)))
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
@@ -879,7 +924,8 @@ private[iceberg] class GraftWriteBuilder(location: String, writeSchema: StructTy
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           require(m != "truncate",
             "streaming complete-mode (truncate) writes are not supported; use append")
-          new GraftStreamingWrite(location, writeSchema, queryId)
+          new GraftStreamingWrite(location, writeSchema, queryId,
+            partCol.getOrElse("l_shipdate"))
         }
       }
   }

@@ -22,7 +22,8 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Keying: the canonicalized analyzed plan of the input (structural
   * equality, verified on every hit — a semanticHash collision cannot serve
   * the wrong corpus) + a tag encoding the function and its parameters +
-  * the owning session.
+  * the owning SparkContext (identically-tuned sessions of one context
+  * share artifacts — see [[memoize]]).
   *
   * Lifecycle (bounded, leak-free in long-lived JVMs):
   *  - keys whose plan contains a [[LogicalRDD]] leaf are NOT memoized — such
@@ -56,11 +57,26 @@ object Memo {
                            value: AnyRef, seq: Long)
   private val cache = new scala.collection.concurrent.TrieMap[(Int, String), Entry]
   private val seqGen = new AtomicLong(0L)
+  /** Per-key build locks: two threads asking for the same un-built fixture
+    * serialize on its key (the second gets the first's artifact) instead
+    * of racing duplicate builds — which, for the iceberg physical-table
+    * fixtures, would mean two writers in one temp dir. Different keys
+    * build concurrently (what lets the bench's setup phase thread-pool the
+    * fixture builds, guide §2.6). Lock ordering is acyclic: nested memo
+    * calls only ever descend (components → groups → tokids). */
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Object]
 
   /** Max live artifacts; far above the ~10 family pipelines a round uses,
     * low enough that a runaway caller cannot pin unbounded block memory. */
   val maxEntries = 64
 
+  /** Hits are scoped to the owning SparkContext, not the owning session:
+    * every session of this engine is tuned identically (GraftSession.tune —
+    * UTC, same AQE/broadcast confs), artifacts are checkpointed LogicalRDDs
+    * whose execution no longer depends on session confs, and cross-session
+    * sharing is what lets fixtures built by the bench's setup worker
+    * sessions serve the suite's main session. */
   def memoize[T <: AnyRef](keyDf: DataFrame, tag: String)(compute: => T): T = {
     sweepStopped()
     val canon = keyDf.queryExecution.analyzed.canonicalized
@@ -68,21 +84,29 @@ object Memo {
     // the key un-re-hittable: caching it would only leak — run un-memoized.
     if (canon.collectLeaves().exists(_.isInstanceOf[LogicalRDD])) return compute
     val key = (canon.semanticHash(), tag)
-    cache.get(key) match {
-      case Some(e) if (e.session eq keyDf.sparkSession) &&
+    def hit: Option[T] = cache.get(key) match {
+      case Some(e) if (e.session.sparkContext eq keyDf.sparkSession.sparkContext) &&
           !e.session.sparkContext.isStopped && e.plan == canon =>
-        e.value.asInstanceOf[T]
-      case _ =>
-        // Superseded / capacity paths drop map entries only — never the
-        // blocks (see scaladoc: an earlier caller may still reference the
-        // evicted checkpointed DataFrame, which cannot recompute).
-        if (cache.size >= maxEntries)
-          cache.toSeq.sortBy(_._2.seq).headOption.foreach { case (k, _) =>
-            cache.remove(k)
-          }
-        val v = compute
-        cache.put(key, Entry(canon, keyDf.sparkSession, v, seqGen.incrementAndGet()))
-        v
+        Some(e.value.asInstanceOf[T])
+      case _ => None
+    }
+    hit.getOrElse {
+      inFlight.computeIfAbsent(key, _ => new Object).synchronized {
+        // re-check under the key lock: a concurrent builder may have
+        // finished while this thread waited
+        hit.getOrElse {
+          // Superseded / capacity paths drop map entries only — never the
+          // blocks (see scaladoc: an earlier caller may still reference the
+          // evicted checkpointed DataFrame, which cannot recompute).
+          if (cache.size >= maxEntries)
+            cache.toSeq.sortBy(_._2.seq).headOption.foreach { case (k, _) =>
+              cache.remove(k)
+            }
+          val v = compute
+          cache.put(key, Entry(canon, keyDf.sparkSession, v, seqGen.incrementAndGet()))
+          v
+        }
+      }
     }
   }
 

@@ -674,11 +674,19 @@ object TextAnalysis {
     // A trigram repeated within or across a doc's tokens contributes each
     // occurrence in both formulations, so every downstream count is
     // bit-identical to the old (doc,token)-deduped + weighted path.
+    // ONE generator per pass instead of two chained ones (explode tokens →
+    // explode trigrams): the per-doc trigram list is built by a single
+    // nested-transform expression and exploded once, so the intermediate
+    // (doc_id, lang, token) row blow-up — one row per token carrying both
+    // key columns through a second Generate — never materializes. Same
+    // trigram multiset per doc (token order × position order), and every
+    // consumer aggregates, so all counts are bit-identical.
     val occ = documents
-      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
-      .filter(length(col("token")) >= 3)
+      .withColumn("t__", toks)
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(token) - 2), i -> substring(token, i, 3))")).as("tri"))
+        explode(expr(
+          "flatten(transform(filter(t__, x -> length(x) >= 3), " +
+            "x -> transform(sequence(1, length(x) - 2), i -> substring(x, i, 3))))")).as("tri"))
     // Profile cut: (lang, tri)-grain counts are vocabulary-bounded, so
     // map-side combine does the heavy lifting; the two-level bucketed
     // top-k (`topPerLang`) avoids sorting a whole language's trigram
@@ -973,10 +981,18 @@ object TextAnalysis {
         col("top_c") * 1.0 / col("n_tokens") <= maxTopShare)
       .select(col("doc_id"), col("n_tokens"))
     val d1 = documents.join(k1.select("doc_id"), "doc_id")
+    // k2's sorted-distinct-signature groupBy is the funnel's second
+    // corpus-grain tokenization and feeds TWO branches (the near-dedup
+    // input d2 and its own stage row) — checkpoint the surviving id set
+    // (8 bytes/doc) so it runs once. d2 then joins documents directly:
+    // k2 ⊆ k1 by construction (every k2 id is a d1 member), so the
+    // documents ⋈ k2 rows are exactly the d1 ⋈ k2 rows without
+    // re-deriving the quality join per consumer.
     val k2 = d1.withColumn("sig", array_join(array_sort(array_distinct(toks)), " "))
       .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val d2 = d1.join(k2, "doc_id")
+      .stableCheckpoint()
+    val d2 = documents.join(k2, "doc_id")
     val k3 = graft.dedup.Components.minhashComponents(d2)
       .filter(col("doc_id") === col("comp"))
       .select("doc_id")

@@ -39,6 +39,22 @@ class CheckpointsSpec extends SparkSpec {
     assert(e.getMessage.contains(Checkpoints.DirKey))
   }
 
+  test("reliable mode is the default exactly when the master is non-local") {
+    // local masters (the bench/verify single-JVM loop) keep local blocks
+    assert(!Checkpoints.wantsReliable(None, "local"))
+    assert(!Checkpoints.wantsReliable(None, "local[32]"))
+    assert(!Checkpoints.wantsReliable(None, "local[4,2]"))
+    assert(!Checkpoints.wantsReliable(None, "local-cluster[2,1,1024]"))
+    // any real cluster master engages reliable checkpoints by default —
+    // un-replicated localCheckpoint blocks die with their executor there
+    assert(Checkpoints.wantsReliable(None, "spark://host:7077"))
+    assert(Checkpoints.wantsReliable(None, "yarn"))
+    assert(Checkpoints.wantsReliable(None, "k8s://https://host:443"))
+    // an explicit flag always wins, both ways
+    assert(Checkpoints.wantsReliable(Some("true"), "local[32]"))
+    assert(!Checkpoints.wantsReliable(Some("false"), "yarn"))
+  }
+
   test("reliable mode writes replicated checkpoint files and preserves results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     val df = Tables.documents(spark, sf0001)
