@@ -215,14 +215,23 @@ object Bench {
     * sf0.1 times would trip the 2× trigger on every query and silently
     * double the wall-clock. Empty when no resource exists for the SF (the
     * defense then degrades to the absolute floor). */
+  /** Whitespace-tolerant `{"query": sec, …}` parse: the committed resource
+    * has been both compact (`"k":0.4` — what the refresh writes) and
+    * pretty-printed (`"k": 0.4` — what round-snapshot tooling reformats it
+    * to). The previous strict no-space regex silently parsed the pretty
+    * form as an EMPTY baseline, which disabled the rerun-defense
+    * thresholds and turned the min-merge refresh into a raw overwrite. */
+  def parseBaseline(json: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def loadBaseline(sfName: String): Map[String, Double] = {
     val src = sys.env.get("SPARK_GRAFT_BASELINE")
       .map(p => scala.io.Source.fromFile(p))
       .orElse(Option(getClass.getResourceAsStream(s"/graft/bench_baseline_$sfName.json"))
         .map(s => scala.io.Source.fromInputStream(s)))
     src.map { s =>
-      try """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(s.mkString)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      try parseBaseline(s.mkString)
       finally s.close()
     }.getOrElse(Map.empty)
   }
