@@ -462,8 +462,13 @@ object Bench {
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         e.jobResult match {
           case org.apache.spark.scheduler.JobFailed(ex) => stateLock.synchronized {
+            // capped with an explicit truncation marker: deliberate probe
+            // failures must not silently exhaust the cap and hide a later
+            // genuine failure's absence from the artifact
             if (jobErrors.size < 8)
               jobErrors += f"job ${e.jobId} @${elapsedS}%.0fs: ${errStr(ex)}"
+            else if (jobErrors.size == 8)
+              jobErrors += "... further job failures truncated"
           }
           case _ => ()
         }
@@ -817,22 +822,28 @@ object Bench {
           s
         }
       }
-      val setupTimes = setupNames.map { q =>
-        q -> pool.submit(new java.util.concurrent.Callable[Double] {
-          override def call(): Double = {
-            val s = workerSession.get()
-            s.sparkContext.setJobDescription(s"setup: $q")
-            val t0 = System.nanoTime()
-            try SparkEntry.benchVariants.getOrElse(q, SparkEntry.queries(q))(s, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[setup] $q failed: ${e.getMessage}")
+      // shutdown in finally: an exception escaping fut.get() (session
+      // bootstrap failure, interruption) must not leave the non-daemon
+      // pool threads pinning the JVM open past main — that would starve
+      // the shutdown hook of an exit and lose the BENCH contract line.
+      val setupTimes =
+        try setupNames.map { q =>
+          q -> pool.submit(new java.util.concurrent.Callable[Double] {
+            override def call(): Double = {
+              val t0 = System.nanoTime()
+              try {
+                val s = workerSession.get()
+                s.sparkContext.setJobDescription(s"setup: $q")
+                SparkEntry.benchVariants.getOrElse(q, SparkEntry.queries(q))(s, sfDir)
+                  .write.format("noop").mode("overwrite").save()
+              } catch { case e: Throwable =>
+                System.err.println(s"[setup] $q failed: ${e.getMessage}")
+              }
+              (System.nanoTime() - t0) / 1e9
             }
-            (System.nanoTime() - t0) / 1e9
-          }
-        })
-      }.map { case (q, fut) => q -> fut.get() }
-      pool.shutdown()
+          })
+        }.map { case (q, fut) => q -> fut.get() }
+        finally pool.shutdown()
       val wall = (System.nanoTime() - wallT0) / 1e9
       if (setupTimes.nonEmpty) {
         val m = setupTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -55,8 +55,18 @@ object TimeQuery {
       SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async — give the bus a beat before reading
-      Thread.sleep(300)
+      // listener events are async — drain adaptively: wait until the
+      // counter stops moving (two consecutive stable reads) instead of a
+      // fixed sleep, which under-counts exactly the job-storm queries this
+      // counter exists to diagnose. Bounded at 3 s.
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 30) {
+        Thread.sleep(100); waited += 1
+        val now = jobCount.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
       (sec, jobCount.get() - j0)
     }
     names.foreach { n =>

@@ -204,7 +204,7 @@ private[iceberg] class GraftDeltaWriterFactory(dataDir: String, schema: StructTy
   * ([[IcebergTable.commitOverwriteMonths]]). */
 private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: StructType,
                                                 dirHint: Long,
-                                                partCol: String = "l_shipdate")
+                                                partCol: String)
     extends BatchWrite {
 
   private val dataDir = s"$location/data/snap-$dirHint"
@@ -239,7 +239,7 @@ private[iceberg] class GraftOverwriteBatchWrite(location: String, schema: Struct
   * dedup path. */
 private[iceberg] class GraftStreamingWrite(location: String, schema: StructType,
                                            queryId: String,
-                                           partCol: String = "l_shipdate")
+                                           partCol: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def dataDir(epochId: Long) = s"$location/data/stream-$queryId-ep$epochId"
@@ -262,7 +262,7 @@ private[iceberg] class GraftStreamingWrite(location: String, schema: StructType,
 
 private[iceberg] class GraftStreamingWriterFactory(location: String, queryId: String,
                                                    schema: StructType,
-                                                   partCol: String = "l_shipdate")
+                                                   partCol: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
@@ -276,7 +276,7 @@ private[iceberg] class GraftStreamingWriterFactory(location: String, queryId: St
   * collection sees the same layout every other graft writer produces). */
 private[iceberg] class GraftDeltaWriter(dataDir: String, schema: StructType,
                                         partitionId: Int, taskId: Long,
-                                        partCol: String = "l_shipdate")
+                                        partCol: String)
     extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]

@@ -104,6 +104,12 @@ object Memo {
             }
           val v = compute
           cache.put(key, Entry(canon, keyDf.sparkSession, v, seqGen.incrementAndGet()))
+          // success: drop the build lock so inFlight stays bounded by the
+          // keys currently building, not every key ever built. Late
+          // waiters on the removed object re-check `hit` and take the
+          // cached value; a FAILED compute keeps its lock entry so
+          // retrying threads still serialize instead of racing a rebuild.
+          inFlight.remove(key)
           v
         }
       }
