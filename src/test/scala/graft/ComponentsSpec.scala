@@ -22,6 +22,21 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.count() == docs.count(), "every doc gets a component (singletons included)")
   }
 
+  test("batched convergence: a long chain needing several batches converges to exact min labels") {
+    // A path graph 0-1-2-...-11 takes 11 propagation steps to pull node 11
+    // down to label 0 — several StepsPerCheck batches, so this pins the
+    // batched loop's convergence detection (a premature zero-change read
+    // or an off-by-one in the comp<comp0 batch test would strand a suffix
+    // of the chain above its true component). Plus isolated singletons.
+    import spark.implicits._
+    val nodes = (0L to 13L).toDF("doc_id")
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Components.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 11L).foreach(i => assert(comps(i) == 0L, s"chain node $i must reach label 0"))
+    assert(comps(12L) == 12L && comps(13L) == 13L, "isolated nodes stay singletons")
+  }
+
   test("split leakage: every doc assigned once, leak accounting consistent per split") {
     val docs = Tables.documents(spark, sf0001)
     val out = Components.splitLeakage(docs).collect()
